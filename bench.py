@@ -1,0 +1,71 @@
+#!/usr/bin/env python
+"""Benchmark harness: run the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and print ONE
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Each query is forced end-to-end with a noop write (full computation, no
+driver collect bottleneck).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from radient_spark.queries import QUERIES  # noqa: E402
+from radient_spark.session import get_session  # noqa: E402
+
+BENCH_QUERIES = [
+    "q01_pricing_summary",
+    "q03_shipping_priority",
+    "q05_regional_revenue",
+    "q_top3_orders_per_customer",
+    "q_rollup_returns",
+    "q_events_hourly",
+    "q_user_sessions",
+    "q_asof_purchase_click",
+    "q_vec_topk_cosine",
+    "q_vec_nearest_neighbor",
+    "q_vec_similar_pairs",
+    "q_minhash_signatures",
+    "q_simhash_fingerprints",
+    "q_minhash_dup_pairs",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    spark = get_session("radient_spark_bench")
+
+    # Warm the JVM/scan path once so timings measure query execution.
+    fn, _ = QUERIES["q01_pricing_summary"]
+    fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+
+    timings: dict[str, float] = {}
+    for name in BENCH_QUERIES:
+        fn, _ = QUERIES[name]
+        start = time.perf_counter()
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - start, 3)
+
+    print(
+        json.dumps(
+            {
+                "metric": "radient_spark_headline_queries",
+                "value": round(sum(timings.values()), 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,3 @@
+from radient_spark.functions import text, vector
+
+__all__ = ["text", "vector"]

@@ -1,0 +1,117 @@
+"""Text-analysis column expressions: tokenization, shingles, stats, quality.
+
+These are the engine-side building blocks for the LLM-data-pipeline
+operators (dedup, fingerprinting, quality scoring) that BASELINE.json makes
+first-class. Everything here is a Catalyst expression (JVM-side, codegen'd);
+no Python in the hot path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def _c(col: Column | str) -> Column:
+    return F.col(col) if isinstance(col, str) else col
+
+
+def tokens(text: Column | str) -> Column:
+    """Whitespace tokens; empty/blank text yields an empty array."""
+    t = F.trim(_c(text))
+    return F.when(F.length(t) == 0, F.array().cast("array<string>")).otherwise(
+        F.split(t, r"\s+")
+    )
+
+
+def token_count(text: Column | str) -> Column:
+    return F.size(tokens(text))
+
+
+def char_count(text: Column | str) -> Column:
+    return F.length(_c(text))
+
+
+def avg_token_length(text: Column | str) -> Column:
+    tk = tokens(text)
+    total = F.aggregate(tk, F.lit(0), lambda acc, x: acc + F.length(x))
+    return F.when(F.size(tk) == 0, F.lit(0.0)).otherwise(
+        total.cast("double") / F.size(tk).cast("double")
+    )
+
+
+def word_shingles(text: Column | str, k: int = 3) -> Column:
+    """k-word shingles as strings — the unit for MinHash / n-gram Jaccard.
+
+    tokens = [a,b,c,d], k=3 -> ["a b c", "b c d"]; fewer than k tokens ->
+    a single shingle of the whole text (so short docs still hash).
+    """
+    tk = tokens(text)
+    n = F.size(tk)
+    full = F.array(F.array_join(tk, " "))
+    windows = F.transform(
+        F.sequence(F.lit(1), n - F.lit(k - 1)),
+        lambda i: F.array_join(F.slice(tk, i, k), " "),
+    )
+    return F.when(n == 0, F.array().cast("array<string>")).otherwise(
+        F.when(n < k, full).otherwise(windows)
+    )
+
+
+def char_ngrams(text: Column | str, n: int = 3) -> Column:
+    """Character n-grams (for language-ID features and near-dup Jaccard)."""
+    t = _c(text)
+    ln = F.length(t)
+    return F.when(ln == 0, F.array().cast("array<string>")).otherwise(
+        F.when(ln < n, F.array(t)).otherwise(
+            F.transform(
+                F.sequence(F.lit(1), ln - F.lit(n - 1)),
+                lambda i: t.substr(i, F.lit(n)),
+            )
+        )
+    )
+
+
+def alpha_ratio(text: Column | str) -> Column:
+    """Fraction of characters that are ASCII letters — a quality signal."""
+    t = _c(text)
+    n_alpha = F.length(F.regexp_replace(t, r"[^A-Za-z]", ""))
+    return F.when(F.length(t) == 0, F.lit(0.0)).otherwise(
+        n_alpha.cast("double") / F.length(t).cast("double")
+    )
+
+
+def digit_punct_ratio(text: Column | str) -> Column:
+    t = _c(text)
+    n = F.length(F.regexp_replace(t, r"[^0-9\.,;:!\?]", ""))
+    return F.when(F.length(t) == 0, F.lit(0.0)).otherwise(
+        n.cast("double") / F.length(t).cast("double")
+    )
+
+
+_STOPWORDS = (
+    "the a an and or of to in is are was were be been it this that for on with as at by".split()
+)
+
+
+def stopword_ratio(text: Column | str) -> Column:
+    """Share of tokens that are English stopwords (quality heuristic)."""
+    tk = tokens(F.lower(_c(text)))
+    sw = F.array(*[F.lit(w) for w in _STOPWORDS])
+    n_sw = F.size(F.filter(tk, lambda x: F.array_contains(sw, x)))
+    return F.when(F.size(tk) == 0, F.lit(0.0)).otherwise(
+        n_sw.cast("double") / F.size(tk).cast("double")
+    )
+
+
+def quality_score(text: Column | str) -> Column:
+    """Composite [0,1] doc-quality heuristic: length band + alpha ratio +
+    stopword presence. Deterministic, model-free."""
+    tc = token_count(text).cast("double")
+    len_score = F.least(tc / F.lit(50.0), F.lit(1.0))
+    return F.round(
+        F.lit(0.4) * len_score
+        + F.lit(0.4) * alpha_ratio(text)
+        + F.lit(0.2) * F.least(stopword_ratio(text) * 5.0, F.lit(1.0)),
+        6,
+    )

@@ -1,0 +1,97 @@
+"""Vector column expressions — dot / norm / cosine / L2 / normalize.
+
+These are the Spark-native equivalents of the reference's distance kernels:
+
+- AVX2 dot product + squared norms: /root/reference/radient/tasks/sinks/local/
+  _gann_c_src/gann.c:460-492 (dot_avx2 / sq_norm_avx2) and the distance
+  identity ``|q|^2 + |v|^2 - 2 q.v`` at gann.c:1069.
+- L2 normalization: /root/reference/radient/tasks/vectorizers/_base.py:13-21
+  (normalize_vector).
+- cosine / euclidean / lp distances: /root/reference/radient/tasks/sinks/
+  local/_gkmeans.py:74-98.
+
+All of them are Catalyst higher-order-function expressions (`zip_with` +
+`aggregate` + `transform`) so they run inside whole-stage codegen on the JVM
+— no Python boundary, vectorized by Tungsten, and usable in filters where
+Catalyst can still prune columns. Accumulation is a sequential left fold in
+DOUBLE, which keeps results bit-deterministic for a given element order
+(important for the DuckDB oracle hash-compare).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def _c(col: Column | str) -> Column:
+    return F.col(col) if isinstance(col, str) else col
+
+
+def dot(a: Column | str, b: Column | str) -> Column:
+    """Sequential-fold dot product in DOUBLE: sum_i a[i]*b[i]."""
+    prod = F.zip_with(_c(a), _c(b), lambda x, y: x.cast("double") * y.cast("double"))
+    return F.aggregate(prod, F.lit(0.0), lambda acc, x: acc + x)
+
+
+def sq_norm(a: Column | str) -> Column:
+    """Squared L2 norm (precomputed-norm trick from gann.c:821-841)."""
+    return F.aggregate(
+        _c(a), F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double")
+    )
+
+
+def norm(a: Column | str) -> Column:
+    return F.sqrt(sq_norm(a))
+
+
+def cosine_similarity(a: Column | str, b: Column | str) -> Column:
+    """dot(a,b) / (|a| |b|)."""
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def cosine_distance(a: Column | str, b: Column | str) -> Column:
+    return F.lit(1.0) - cosine_similarity(a, b)
+
+
+def l2_distance(a: Column | str, b: Column | str) -> Column:
+    diff = F.zip_with(
+        _c(a), _c(b), lambda x, y: (x.cast("double") - y.cast("double"))
+    )
+    return F.sqrt(F.aggregate(diff, F.lit(0.0), lambda acc, x: acc + x * x))
+
+
+def sq_l2_distance(a: Column | str, b: Column | str) -> Column:
+    """Squared euclidean — same ordering as l2 without the sqrt."""
+    diff = F.zip_with(
+        _c(a), _c(b), lambda x, y: (x.cast("double") - y.cast("double"))
+    )
+    return F.aggregate(diff, F.lit(0.0), lambda acc, x: acc + x * x)
+
+
+def l2_normalize(a: Column | str) -> Column:
+    """Unit-normalize; zero vectors pass through unchanged (the reference
+    would emit NaNs — we follow the safer convention and document it)."""
+    n = norm(a)
+    return F.when(n == 0.0, _c(a)).otherwise(
+        F.transform(_c(a), lambda x: (x.cast("double") / n).cast("float"))
+    )
+
+
+def jaccard_bool(a: Column | str, b: Column | str) -> Column:
+    """Jaccard similarity of two boolean arrays (molecule fingerprints,
+    reference: radient/tasks/vectorizers/molecule/rdkit.py:33-35 + the
+    drug-discovery brute-force scan, examples/drug_discovery.md:42-48)."""
+    inter = F.aggregate(
+        F.zip_with(_c(a), _c(b), lambda x, y: (x & y).cast("int")),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
+    union = F.aggregate(
+        F.zip_with(_c(a), _c(b), lambda x, y: (x | y).cast("int")),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
+    return F.when(union == 0, F.lit(0.0)).otherwise(
+        inter.cast("double") / union.cast("double")
+    )

@@ -1,0 +1,240 @@
+"""Deduplication operators: exact, MinHash/LSH, SimHash, n-gram Jaccard.
+
+North-star LLM-data-pipeline ops (BASELINE.json). The reference's only
+dedup is the ANN candidate hash-set (/root/reference/radient/tasks/sinks/
+local/_gann_c_src/gann.c:946-993); here dedup is a first-class corpus
+operator family.
+
+Scale design notes:
+- MinHash signatures are computed with Catalyst higher-order functions over
+  the shingle array — per-row, no explode, no shuffle, whole-stage codegen.
+  The only shuffle in LSH dedup is the groupBy on (band, band_signature),
+  whose cardinality is ~n_rows * n_bands of tiny rows.
+- All hashes are md5-derived integers, so a DuckDB oracle can reproduce
+  them bit-for-bit (md5 is standardized; Spark `conv(substring(md5,1,8),
+  16,10)` == DuckDB `('0x' || substring(md5,1,8))::BIGINT`).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from radient_spark.functions import text as X
+
+# Modulus and affine-permutation parameters for MinHash. P is prime and
+# > 2^30 so a*(h%P)+b stays well inside int64 (h%P < 2^30ish, a < P).
+MINHASH_P = 1_000_000_007
+
+
+def hash_params(num_hashes: int) -> list[tuple[int, int]]:
+    """Deterministic affine-permutation params (a_i, b_i), seeded — no RNG
+    at plan-build time so Spark and the SQL oracle agree."""
+    params = []
+    a, b = 1_103_515_245, 12_345  # LCG constants (public domain, POSIX rand)
+    x = 42
+    for _ in range(num_hashes):
+        x = (a * x + b) % MINHASH_P
+        pa = x or 1
+        x = (a * x + b) % MINHASH_P
+        pb = x
+        params.append((pa, pb))
+    return params
+
+
+def str_hash(col) -> F.Column:
+    """Portable 32-bit integer hash of a string: first 8 hex chars of md5."""
+    return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("long")
+
+
+def minhash_signature(
+    text_col, num_hashes: int = 16, shingle_k: int = 3
+) -> F.Column:
+    """MinHash signature as ARRAY<BIGINT> — one Catalyst expression.
+
+    sig[i] = min over shingles s of (a_i * h(s) + b_i) mod P, h = md5-based.
+    Empty docs get sentinel P (impossible min) so they never collide with
+    real content.
+    """
+    shingles = X.word_shingles(text_col, k=shingle_k)
+    hashes = F.transform(shingles, lambda s: str_hash(s) % MINHASH_P)
+    mins = [
+        F.coalesce(
+            F.array_min(
+                F.transform(hashes, lambda h: (F.lit(a) * h + F.lit(b)) % MINHASH_P)
+            ),
+            F.lit(MINHASH_P),
+        )
+        for a, b in hash_params(num_hashes)
+    ]
+    return F.array(*mins)
+
+
+def with_minhash(
+    df: DataFrame,
+    text_col: str = "text",
+    num_hashes: int = 16,
+    shingle_k: int = 3,
+    out_col: str = "minhash",
+) -> DataFrame:
+    return df.withColumn(
+        out_col, minhash_signature(F.col(text_col), num_hashes, shingle_k)
+    )
+
+
+def lsh_candidate_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """LSH banding: docs sharing any band of their MinHash signature become
+    candidate near-duplicate pairs (id_a < id_b, deduplicated).
+
+    Shuffle profile: one groupBy on (band_idx, band_key) — rows are
+    (id, band_key) only, so the shuffle is tiny regardless of doc size.
+    Skewed buckets (e.g. boilerplate) are bounded by AQE skew handling; a
+    bucket-size cap can be added with a count filter before the self-join.
+    """
+    rows_per_band = num_hashes // bands
+    sig = df.select(
+        F.col(id_col).alias("__id"),
+        minhash_signature(F.col(text_col), num_hashes, shingle_k).alias("__sig"),
+    )
+    banded = sig.select(
+        "__id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band_idx"),
+                        F.array_join(
+                            F.transform(
+                                F.slice(F.col("__sig"), i * rows_per_band + 1, rows_per_band),
+                                lambda x: x.cast("string"),
+                            ),
+                            "_",
+                        ).alias("band_key"),
+                    )
+                    for i in range(bands)
+                ]
+            )
+        ).alias("b"),
+    ).select("__id", "b.band_idx", "b.band_key")
+    left = banded.alias("l")
+    right = banded.alias("r")
+    pairs = (
+        left.join(
+            right,
+            (F.col("l.band_idx") == F.col("r.band_idx"))
+            & (F.col("l.band_key") == F.col("r.band_key"))
+            & (F.col("l.__id") < F.col("r.__id")),
+        )
+        .select(F.col("l.__id").alias("id_a"), F.col("r.__id").alias("id_b"))
+        .distinct()
+    )
+    return pairs
+
+
+def minhash_jaccard_estimate(sig_a, sig_b) -> F.Column:
+    """Estimated Jaccard = fraction of matching signature slots."""
+    eq = F.zip_with(sig_a, sig_b, lambda x, y: (x == y).cast("int"))
+    return F.aggregate(eq, F.lit(0), lambda acc, x: acc + x).cast("double") / F.size(
+        sig_a
+    ).cast("double")
+
+
+def exact_dedup(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
+    """Exact dedup — Spark's hash-aggregate `dropDuplicates` (map-side
+    partial dedup, then shuffle only distinct keys)."""
+    return df.dropDuplicates(cols) if cols else df.dropDuplicates()
+
+
+def canonicalize_duplicates(
+    df: DataFrame, id_col: str = "doc_id", key_col: str = "text"
+) -> DataFrame:
+    """Per duplicate-group: canonical (min) id + group size. The classic
+    exact-dedup report; groups by md5(key) so the shuffle carries 16-byte
+    keys, not full documents."""
+    return (
+        df.select(F.col(id_col), F.md5(F.col(key_col)).alias("key_md5"))
+        .groupBy("key_md5")
+        .agg(
+            F.min(id_col).alias("canonical_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
+def simhash64(text_col, n_bits: int = 32) -> F.Column:
+    """SimHash fingerprint over whitespace tokens, as a BIGINT.
+
+    bit b of the fingerprint = majority vote of bit b across token hashes.
+    Pure Catalyst: for each bit, fold the token-hash array; n_bits * n_tokens
+    work per row, no shuffle.
+    """
+    hashes = F.transform(X.tokens(text_col), lambda t: str_hash(t))
+    def vote(mask: int):
+        return lambda acc, h: acc + F.when(
+            h.bitwiseAND(F.lit(mask)) != 0, 1
+        ).otherwise(-1)
+
+    bit_votes = [
+        F.aggregate(hashes, F.lit(0), vote(1 << b)) for b in range(n_bits)
+    ]
+    out = F.lit(0).cast("long")
+    for b, vote in enumerate(bit_votes):
+        out = out + F.when(vote > 0, F.lit(2**b).cast("long")).otherwise(F.lit(0))
+    return out
+
+
+def hamming64(a, b) -> F.Column:
+    return F.bit_count(a.bitwiseXOR(b))
+
+
+def connected_duplicate_groups(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
+    """Union near-dup pairs into groups via iterative min-label propagation
+    (small-world duplicate clusters converge in a few rounds).
+
+    Input: (id_a, id_b) pairs. Output: (id, group_id = min id in component).
+    Each iteration is one groupBy shuffle on ids; iterations are logarithmic
+    in component diameter — duplicate clusters are near-cliques, so 3-4
+    rounds suffice in practice.
+    """
+    edges = pairs.select("id_a", "id_b").union(
+        pairs.select(F.col("id_b").alias("id_a"), F.col("id_a").alias("id_b"))
+    )
+    labels = (
+        edges.select(F.col("id_a").alias("id"))
+        .distinct()
+        .withColumn("group_id", F.col("id"))
+    )
+    for _ in range(max_iter):
+        prop = (
+            edges.join(labels, edges.id_b == labels.id)
+            .groupBy("id_a")
+            .agg(F.min("group_id").alias("nbr_min"))
+        )
+        new_labels = (
+            labels.join(prop, labels.id == prop.id_a, "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("group_id"), F.coalesce(F.col("nbr_min"), F.col("group_id"))
+                ).alias("group_id"),
+            )
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.group_id") != F.col("o.group_id"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+        labels = labels.localCheckpoint(eager=True)
+    return labels

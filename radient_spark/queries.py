@@ -1,0 +1,784 @@
+"""Query registry: every implemented operator exposed as
+(spark, sf_dir) -> DataFrame plus a DuckDB oracle SQL string.
+
+Determinism contract with the oracle (driver hash-compares values):
+- Double-typed SUM/AVG aggregates go through DECIMAL(18,6): the
+  double->decimal cast is order-independent and bit-identical in both
+  engines, the decimal sum is exact, and the final cast back to double is
+  deterministic. (Plain double sums differ in the last bits between Spark's
+  partial-aggregation order and DuckDB's sequential order.)
+- Vector scores are sequential-fold double sums rounded to 6 decimals on
+  both sides; ordering uses the *rounded* score plus an id tiebreak.
+- Window/top-k orderings always carry a unique-id tiebreak.
+- Portable hashes are md5-derived integers (identical in Spark and DuckDB).
+"""
+
+from __future__ import annotations
+
+import math
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from radient_spark.catalog import load_tables
+from radient_spark.functions import vector as V
+from radient_spark.operators import dedup as D
+from radient_spark.operators.asof import asof_join
+from radient_spark.operators.topk import knn_join, similarity_self_join, topk
+
+# ---------------------------------------------------------------------------
+# helpers
+
+MINHASH_P = D.MINHASH_P
+
+
+def dsum(col, alias: str):
+    """Order-independent double sum via exact DECIMAL(18,6) accumulation."""
+    return F.sum(col.cast("decimal(18,6)")).cast("double").alias(alias)
+
+
+def davg(col, alias: str):
+    """avg = exact decimal sum / count — deterministic double division."""
+    return (
+        F.sum(col.cast("decimal(18,6)")).cast("double") / F.count(F.lit(1))
+    ).alias(alias)
+
+
+# Fixed deterministic 64-dim query vector, embedded identically in the
+# Spark plan and the oracle SQL literal.
+QUERY_VEC = [round(math.sin(0.7 * i) * 0.5, 6) for i in range(64)]
+_QV_SQL = "[" + ", ".join(repr(x) for x in QUERY_VEC) + "]::DOUBLE[]"
+
+def _disc_price():
+    return F.col("l_extendedprice") * (1 - F.col("l_discount"))
+
+
+def _charge():
+    return _disc_price() * (1 + F.col("l_tax"))
+
+
+# ---------------------------------------------------------------------------
+# Relational suite (SURVEY.md §2.7): scan -> filter -> agg -> sort, joins,
+# windows, rollup, set ops, anti joins, histograms, sessionization, as-of.
+
+
+def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: filter + hash-agg + sort, all Catalyst built-ins.
+    Filter and column pruning push into the parquet scan."""
+    li = load_tables(spark, sf_dir)["lineitem"]
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum(F.col("l_quantity"), "sum_qty"),
+            dsum(F.col("l_extendedprice"), "sum_base_price"),
+            dsum(_disc_price(), "sum_disc_price"),
+            dsum(_charge(), "sum_charge"),
+            davg(F.col("l_quantity"), "avg_qty"),
+            davg(F.col("l_extendedprice"), "avg_price"),
+            davg(F.col("l_discount"), "avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+_Q01_SQL = """
+SELECT l_returnflag, l_linestatus,
+  CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS sum_base_price,
+  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS sum_disc_price,
+  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(18,6))) AS DOUBLE) AS sum_charge,
+  CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS avg_qty,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS avg_price,
+  CAST(SUM(CAST(l_discount AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS avg_disc,
+  COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q03_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-way join + agg + deterministic top-10. Customer side is broadcast
+    (small dim); orders/lineitem filters push to the scans."""
+    t = load_tables(spark, sf_dir)
+    cutoff = F.lit("1998-03-15").cast("timestamp")
+    cust = t["customer"].filter(F.col("c_mktsegment") == "BUILDING")
+    orders = t["orders"].filter(F.col("o_orderdate") < cutoff)
+    li = t["lineitem"].filter(F.col("l_shipdate") > cutoff)
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(dsum(_disc_price(), "revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey").asc())
+        .limit(10)
+    )
+
+
+_Q03_SQL = """
+SELECT l_orderkey, o_orderdate,
+  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+  AND l_shipdate > TIMESTAMP '1998-03-15 00:00:00'
+GROUP BY l_orderkey, o_orderdate
+ORDER BY revenue DESC, l_orderkey ASC
+LIMIT 10
+"""
+
+
+def q05_regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: 6-way star join; all dimension sides broadcast so the
+    only shuffle is the final groupBy on 25 nations."""
+    t = load_tables(spark, sf_dir)
+    asia = (
+        t["nation"]
+        .join(F.broadcast(t["region"].filter(F.col("r_name") == "ASIA")),
+              F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("n_nationkey", "n_name")
+    )
+    orders = t["orders"].filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    li = t["lineitem"]
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(t["customer"]), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(t["supplier"]), li.l_suppkey == F.col("s_suppkey"))
+        .filter(F.col("c_nationkey") == F.col("s_nationkey"))
+        .join(F.broadcast(asia), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(dsum(_disc_price(), "revenue"))
+    )
+
+
+_Q05_SQL = """
+SELECT n_name,
+  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA' AND c_nationkey = s_nationkey
+  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+GROUP BY n_name
+"""
+
+
+def q_customers_inactive_1995(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anti join (NOT EXISTS): customers with no 1995 order, per nation."""
+    t = load_tables(spark, sf_dir)
+    orders95 = t["orders"].filter(
+        (F.col("o_orderdate") >= F.lit("1995-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-01-01").cast("timestamp"))
+    )
+    return (
+        t["customer"]
+        .join(orders95, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .join(F.broadcast(t["nation"]), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+    )
+
+
+_Q_INACTIVE_SQL = """
+SELECT n_name, COUNT(*) AS n_customers
+FROM customer JOIN nation ON c_nationkey = n_nationkey
+WHERE NOT EXISTS (
+  SELECT 1 FROM orders
+  WHERE o_custkey = c_custkey
+    AND o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+    AND o_orderdate < TIMESTAMP '1996-01-01 00:00:00'
+)
+GROUP BY n_name
+"""
+
+
+def q_repeat_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set op (INTERSECT): customers ordering in both 1996 and 1997."""
+    orders = load_tables(spark, sf_dir)["orders"]
+
+    def in_year(y: int) -> DataFrame:
+        return (
+            orders.filter(F.year("o_orderdate") == y)
+            .select(F.col("o_custkey").alias("custkey"))
+            .distinct()
+        )
+
+    return in_year(1996).intersect(in_year(1997))
+
+
+_Q_REPEAT_SQL = """
+SELECT DISTINCT o_custkey AS custkey FROM orders WHERE year(o_orderdate) = 1996
+INTERSECT
+SELECT DISTINCT o_custkey AS custkey FROM orders WHERE year(o_orderdate) = 1997
+"""
+
+
+def q_top3_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking window: each customer's 3 largest orders. Raw doubles are
+    compared/bit-copied, never re-aggregated, so no decimal dance needed."""
+    orders = load_tables(spark, sf_dir)["orders"]
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    return (
+        orders.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rn")
+    )
+
+
+_Q_TOP3_SQL = """
+SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+    ROW_NUMBER() OVER (PARTITION BY o_custkey
+                       ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+  FROM orders
+) WHERE rn <= 3
+"""
+
+
+def q_rollup_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP grouping sets over (returnflag, linestatus)."""
+    li = load_tables(spark, sf_dir)["lineitem"]
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        dsum(F.col("l_quantity"), "sum_qty"),
+    )
+
+
+_Q_ROLLUP_SQL = """
+SELECT l_returnflag, l_linestatus, COUNT(*) AS n_items,
+  CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
+"""
+
+
+def q_monthly_revenue_momentum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Analytic window (lag): month-over-month revenue delta."""
+    orders = load_tables(spark, sf_dir)["orders"]
+    monthly = (
+        orders.groupBy(F.date_trunc("month", "o_orderdate").alias("month"))
+        .agg(dsum(F.col("o_totalprice"), "revenue"))
+    )
+    w = Window.orderBy("month")
+    return (
+        monthly.withColumn("prev_revenue", F.lag("revenue").over(w))
+        .withColumn("delta", F.col("revenue") - F.col("prev_revenue"))
+    )
+
+
+_Q_MOM_SQL = """
+WITH monthly AS (
+  SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month,
+    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+  FROM orders GROUP BY 1
+)
+SELECT month, revenue,
+  LAG(revenue) OVER (ORDER BY month) AS prev_revenue,
+  revenue - LAG(revenue) OVER (ORDER BY month) AS delta
+FROM monthly
+"""
+
+
+def q_price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed histogram of order value — width 50k."""
+    orders = load_tables(spark, sf_dir)["orders"]
+    return (
+        orders.withColumn(
+            "bucket", F.floor(F.col("o_totalprice") / F.lit(50000.0)).cast("long")
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.min("o_totalprice").alias("min_price"),
+            F.max("o_totalprice").alias("max_price"),
+        )
+    )
+
+
+_Q_HIST_SQL = """
+SELECT CAST(FLOOR(o_totalprice / 50000.0) AS BIGINT) AS bucket,
+  COUNT(*) AS n_orders, MIN(o_totalprice) AS min_price, MAX(o_totalprice) AS max_price
+FROM orders GROUP BY 1
+"""
+
+
+def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-bucketed aggregation over the event stream table (the batch
+    shape of a tumbling-window streaming agg)."""
+    ev = load_tables(spark, sf_dir)["events"]
+    return (
+        ev.groupBy(
+            F.date_trunc("hour", "ts").alias("hour"),
+            F.col("event_type"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dsum(F.col("value"), "sum_value"),
+            davg(F.col("value"), "avg_value"),
+        )
+    )
+
+
+_Q_EVENTS_HOURLY_SQL = """
+SELECT date_trunc('hour', ts) AS hour, event_type, COUNT(*) AS n_events,
+  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value,
+  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS avg_value
+FROM events GROUP BY 1, 2
+"""
+
+
+def q_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization via lag + gap flag (30-minute inactivity gap) — the
+    batch equivalent of a session window."""
+    ev = load_tables(spark, sf_dir)["events"]
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    flagged = ev.withColumn("prev_ts", F.lag("ts").over(w)).withColumn(
+        "new_session",
+        F.when(
+            F.col("prev_ts").isNull()
+            | (F.col("ts") > F.col("prev_ts") + F.expr("INTERVAL 30 MINUTES")),
+            1,
+        ).otherwise(0),
+    )
+    return flagged.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum("new_session").alias("n_sessions"),
+    )
+
+
+_Q_SESSIONS_SQL = """
+WITH flagged AS (
+  SELECT user_id,
+    CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+           OR ts > lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   + INTERVAL 30 MINUTE
+         THEN 1 ELSE 0 END AS new_session
+  FROM events
+)
+SELECT user_id, COUNT(*) AS n_events,
+  CAST(SUM(new_session) AS BIGINT) AS n_sessions
+FROM flagged GROUP BY user_id
+"""
+
+
+def q_asof_purchase_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each purchase matched to the user's latest click at or
+    before the purchase time (operators/asof.py — one shuffle, no range
+    explosion)."""
+    ev = load_tables(spark, sf_dir)["events"]
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("purchase_ts"),
+    )
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .groupBy("user_id", "ts")
+        .agg(
+            F.max("event_id").alias("click_id"),
+            F.max("value").alias("click_value"),
+        )
+    )
+    return asof_join(
+        purchases,
+        clicks,
+        on="user_id",
+        left_ts="purchase_ts",
+        right_ts="ts",
+        payload_cols=["click_id", "click_value"],
+    )
+
+
+_Q_ASOF_SQL = """
+WITH p AS (
+  SELECT user_id, event_id AS purchase_id, ts AS purchase_ts
+  FROM events WHERE event_type = 'purchase'
+), c AS (
+  SELECT user_id, ts, MAX(event_id) AS click_id, MAX(value) AS click_value
+  FROM events WHERE event_type = 'click' GROUP BY user_id, ts
+)
+SELECT p.user_id, p.purchase_id, p.purchase_ts, c.click_id, c.click_value
+FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.purchase_ts >= c.ts
+"""
+
+
+def q_orders_above_segment_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decorrelated scalar subquery: orders above their segment's average
+    price. The per-segment aggregate (5 rows) is broadcast back."""
+    t = load_tables(spark, sf_dir)
+    o = t["orders"].join(
+        F.broadcast(t["customer"].select("c_custkey", "c_mktsegment")),
+        F.col("o_custkey") == F.col("c_custkey"),
+    )
+    seg = o.groupBy("c_mktsegment").agg(
+        davg(F.col("o_totalprice"), "seg_avg"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+    above = (
+        o.join(F.broadcast(seg.select("c_mktsegment", "seg_avg")), "c_mktsegment")
+        .filter(F.col("o_totalprice") > F.col("seg_avg"))
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n_above"))
+    )
+    return seg.join(above, "c_mktsegment").select(
+        "c_mktsegment", "n_orders", "n_above", "seg_avg"
+    )
+
+
+_Q_ABOVE_AVG_SQL = """
+WITH o AS (
+  SELECT o_totalprice, c_mktsegment FROM orders
+  JOIN customer ON o_custkey = c_custkey
+), seg AS (
+  SELECT c_mktsegment,
+    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS seg_avg,
+    COUNT(*) AS n_orders
+  FROM o GROUP BY c_mktsegment
+)
+SELECT seg.c_mktsegment, n_orders,
+  (SELECT COUNT(*) FROM o WHERE o.c_mktsegment = seg.c_mktsegment
+     AND o.o_totalprice > seg.seg_avg) AS n_above,
+  seg_avg
+FROM seg
+"""
+
+
+# ---------------------------------------------------------------------------
+# Vector suite: top-k search, kNN join, similarity self-join.
+
+
+def q_vec_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-10 for a fixed query vector. Plan compiles to
+    TakeOrderedAndProject — per-partition bounded heap, no full sort."""
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    return topk(
+        emb.select("vec_id", "label", "embedding"),
+        vec_col="embedding",
+        query=QUERY_VEC,
+        k=10,
+        metric="cosine",
+        score_col="score",
+        tiebreak="vec_id",
+    ).drop("embedding")
+
+
+_Q_VEC_TOPK_SQL = f"""
+SELECT vec_id, label,
+  round(list_dot_product(embedding::DOUBLE[], {_QV_SQL})
+        / (sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
+           * sqrt(list_dot_product({_QV_SQL}, {_QV_SQL}))), 6) AS score
+FROM embeddings
+ORDER BY score DESC, vec_id ASC
+LIMIT 10
+"""
+
+
+def q_vec_nearest_neighbor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Self kNN join (k=1): every vector's nearest other vector by cosine.
+    The exact O(n^2) baseline for the LSH scale path."""
+    emb = load_tables(spark, sf_dir)["embeddings"].select("vec_id", "embedding")
+    queries = emb.select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    nn = knn_join(
+        corpus=emb,
+        queries=queries,
+        corpus_vec="embedding",
+        query_vec="qvec",
+        k=2,  # top-2 then drop self (score 1.0 with itself)
+        metric="cosine",
+        query_id="qid",
+        corpus_id="vec_id",
+        score_col="nn_score",
+    )
+    return (
+        nn.filter(F.col("vec_id") != F.col("qid"))
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("qid").orderBy(
+                    F.col("nn_score").desc(), F.col("vec_id").asc()
+                )
+            ),
+        )
+        .filter(F.col("rn") == 1)
+        .select(F.col("qid").alias("vec_id"), F.col("vec_id").alias("nn_id"), "nn_score")
+    )
+
+
+_Q_VEC_NN_SQL = """
+WITH pairs AS (
+  SELECT a.vec_id AS vec_id, b.vec_id AS nn_id,
+    round(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
+          / (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
+             * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))), 6) AS nn_score
+  FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+)
+SELECT vec_id, nn_id, nn_score FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                               ORDER BY nn_score DESC, nn_id ASC) AS rn
+  FROM pairs
+) WHERE rn = 1
+"""
+
+
+def q_vec_similar_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Similarity self-join: all pairs with cosine >= 0.4 (embedding-space
+    near-duplicate detection, exact baseline)."""
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    return similarity_self_join(
+        emb, vec_col="embedding", id_col="vec_id", threshold=0.4, metric="cosine"
+    )
+
+
+_Q_VEC_PAIRS_SQL = """
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+  round(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
+        / (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
+           * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))), 6) AS score
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE round(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
+        / (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
+           * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))), 6) >= 0.4
+"""
+
+
+# ---------------------------------------------------------------------------
+# Text-analysis + dedup suite (LLM-data-pipeline north-star ops).
+
+
+def q_doc_stats_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source token/char statistics — whitespace tokenization as a
+    Catalyst expression (functions/text.py)."""
+    docs = load_tables(spark, sf_dir)["documents"]
+    tok_n = F.size(F.split(F.trim(F.col("text")), r"\s+"))
+    return (
+        docs.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(tok_n.cast("long")).alias("total_tokens"),
+            F.sum(F.col("n_chars")).alias("total_chars"),
+            (
+                F.sum(F.col("n_chars")).cast("double") / F.count(F.lit(1))
+            ).alias("avg_chars"),
+        )
+    )
+
+
+_Q_DOC_STATS_SQL = r"""
+SELECT source, COUNT(*) AS n_docs,
+  CAST(SUM(len(regexp_split_to_array(trim(text), '\s+'))) AS BIGINT) AS total_tokens,
+  CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+  CAST(SUM(n_chars) AS DOUBLE) / COUNT(*) AS avg_chars
+FROM documents GROUP BY source
+"""
+
+
+def q_token_frequencies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 tokens corpus-wide: explode -> hash-agg -> top-k."""
+    docs = load_tables(spark, sf_dir)["documents"]
+    return (
+        docs.select(
+            F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("token")
+        )
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .orderBy(F.col("freq").desc(), F.col("token").asc())
+        .limit(20)
+    )
+
+
+_Q_TOKEN_FREQ_SQL = r"""
+SELECT token, COUNT(*) AS freq
+FROM (SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS token FROM documents)
+GROUP BY token ORDER BY freq DESC, token ASC LIMIT 20
+"""
+
+
+def q_lang_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language breakdown with distinct-source counts."""
+    docs = load_tables(spark, sf_dir)["documents"]
+    return docs.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("source").alias("n_sources"),
+        F.sum("n_chars").alias("total_chars"),
+    )
+
+
+_Q_LANG_SQL = """
+SELECT lang, COUNT(*) AS n_docs, COUNT(DISTINCT source) AS n_sources,
+  CAST(SUM(n_chars) AS BIGINT) AS total_chars
+FROM documents GROUP BY lang
+"""
+
+
+def q_exact_dedup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-dup accounting per source: docs vs distinct texts. The shuffle
+    carries md5 keys, not document bodies."""
+    docs = load_tables(spark, sf_dir)["documents"]
+    return docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct(F.md5("text")).alias("n_distinct"),
+        (F.count(F.lit(1)) - F.countDistinct(F.md5("text"))).alias("n_dup_docs"),
+    )
+
+
+_Q_DEDUP_REPORT_SQL = """
+SELECT source, COUNT(*) AS n_docs, COUNT(DISTINCT md5(text)) AS n_distinct,
+  COUNT(*) - COUNT(DISTINCT md5(text)) AS n_dup_docs
+FROM documents GROUP BY source
+"""
+
+
+def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash signature (8 perms, 3-word shingles) per document, as a
+    joined string. Pure Catalyst HOFs — no explode, no shuffle; DuckDB
+    reproduces the md5-derived hashes bit-for-bit."""
+    docs = load_tables(spark, sf_dir)["documents"]
+    sig = D.minhash_signature(F.col("text"), num_hashes=8, shingle_k=3)
+    return (
+        docs.filter(F.length(F.trim("text")) > 0)
+        .select(
+            "doc_id",
+            F.array_join(
+                F.transform(sig, lambda x: x.cast("string")), "_"
+            ).alias("minhash_sig"),
+        )
+    )
+
+
+def _minhash_sql(num_hashes: int = 8) -> str:
+    params = D.hash_params(num_hashes)
+    mins = ",\n    ".join(
+        f"COALESCE(list_aggregate(list_transform(hs, x -> ({a} * x + {b}) % {MINHASH_P}), 'min'), {MINHASH_P})"
+        for a, b in params
+    )
+    return rf"""
+WITH tk AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+  FROM documents WHERE length(trim(text)) > 0
+), sh AS (
+  SELECT doc_id,
+    CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+         ELSE list_transform(generate_series(1, len(toks) - 2),
+                             i -> array_to_string(toks[i:i+2], ' '))
+    END AS shingles
+  FROM tk
+), h AS (
+  SELECT doc_id,
+    list_transform(shingles,
+                   s -> ('0x' || substring(md5(s), 1, 8))::BIGINT % {MINHASH_P}) AS hs
+  FROM sh
+)
+SELECT doc_id,
+  array_to_string(list_transform([
+    {mins}
+  ], v -> CAST(v AS VARCHAR)), '_') AS minhash_sig
+FROM h
+"""
+
+
+def q_simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """32-bit SimHash fingerprint per document (token-hash bit majority)."""
+    docs = load_tables(spark, sf_dir)["documents"]
+    return (
+        docs.filter(F.length(F.trim("text")) > 0)
+        .select("doc_id", D.simhash64(F.col("text"), n_bits=32).alias("simhash32"))
+    )
+
+
+_Q_SIMHASH_SQL = r"""
+WITH tk AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+  FROM documents WHERE length(trim(text)) > 0
+), h AS (
+  SELECT doc_id,
+    list_transform(toks, t -> ('0x' || substring(md5(t), 1, 8))::BIGINT) AS hs
+  FROM tk
+)
+SELECT doc_id,
+  CAST(list_sum(list_transform(generate_series(0, 31), b ->
+    CASE WHEN list_sum(list_transform(hs,
+           x -> CASE WHEN (x >> b) & 1 = 1 THEN 1 ELSE -1 END)) > 0
+         THEN (1::BIGINT << b) ELSE 0 END)) AS BIGINT) AS simhash32
+FROM h
+"""
+
+
+def q_minhash_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate candidate pairs via LSH banding (16 perms, 4 bands),
+    verified by signature-estimated Jaccard >= 0.5. The scale path for
+    document dedup: the only shuffle carries (id, band_key) pairs.
+
+    Non-SQL-expressible shape (self-join on banded buckets) — checked by
+    the driver's rows-only gate and by tests against a brute-force oracle.
+    """
+    docs = load_tables(spark, sf_dir)["documents"]
+    pairs = D.lsh_candidate_pairs(
+        docs, id_col="doc_id", text_col="text", num_hashes=16, bands=4, shingle_k=3
+    )
+    sigs = docs.select(
+        F.col("doc_id"),
+        D.minhash_signature(F.col("text"), num_hashes=16, shingle_k=3).alias("sig"),
+    )
+    a = sigs.select(F.col("doc_id").alias("id_a"), F.col("sig").alias("sig_a"))
+    b = sigs.select(F.col("doc_id").alias("id_b"), F.col("sig").alias("sig_b"))
+    return (
+        pairs.join(a, "id_a")
+        .join(b, "id_b")
+        .withColumn("est_jaccard", F.round(D.minhash_jaccard_estimate(F.col("sig_a"), F.col("sig_b")), 6))
+        .filter(F.col("est_jaccard") >= 0.5)
+        .select("id_a", "id_b", "est_jaccard")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Registry
+
+QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
+    "q01_pricing_summary": (q01_pricing_summary, _Q01_SQL),
+    "q03_shipping_priority": (q03_shipping_priority, _Q03_SQL),
+    "q05_regional_revenue": (q05_regional_revenue, _Q05_SQL),
+    "q_customers_inactive_1995": (q_customers_inactive_1995, _Q_INACTIVE_SQL),
+    "q_repeat_customers": (q_repeat_customers, _Q_REPEAT_SQL),
+    "q_top3_orders_per_customer": (q_top3_orders_per_customer, _Q_TOP3_SQL),
+    "q_rollup_returns": (q_rollup_returns, _Q_ROLLUP_SQL),
+    "q_monthly_revenue_momentum": (q_monthly_revenue_momentum, _Q_MOM_SQL),
+    "q_price_histogram": (q_price_histogram, _Q_HIST_SQL),
+    "q_events_hourly": (q_events_hourly, _Q_EVENTS_HOURLY_SQL),
+    "q_user_sessions": (q_user_sessions, _Q_SESSIONS_SQL),
+    "q_asof_purchase_click": (q_asof_purchase_click, _Q_ASOF_SQL),
+    "q_orders_above_segment_avg": (q_orders_above_segment_avg, _Q_ABOVE_AVG_SQL),
+    "q_vec_topk_cosine": (q_vec_topk_cosine, _Q_VEC_TOPK_SQL),
+    "q_vec_nearest_neighbor": (q_vec_nearest_neighbor, _Q_VEC_NN_SQL),
+    "q_vec_similar_pairs": (q_vec_similar_pairs, _Q_VEC_PAIRS_SQL),
+    "q_doc_stats_by_source": (q_doc_stats_by_source, _Q_DOC_STATS_SQL),
+    "q_token_frequencies": (q_token_frequencies, _Q_TOKEN_FREQ_SQL),
+    "q_lang_stats": (q_lang_stats, _Q_LANG_SQL),
+    "q_exact_dedup_report": (q_exact_dedup_report, _Q_DEDUP_REPORT_SQL),
+    "q_minhash_signatures": (q_minhash_signatures, _minhash_sql(8)),
+    "q_simhash_fingerprints": (q_simhash_fingerprints, _Q_SIMHASH_SQL),
+    "q_minhash_dup_pairs": (q_minhash_dup_pairs, None),  # rows-only check
+}
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {name: fn for name, (fn, _) in QUERIES.items()}
+
+
+def oracle_sql() -> dict[str, str]:
+    return {name: sql for name, (_, sql) in QUERIES.items() if sql is not None}
