@@ -40,13 +40,14 @@ def avg_token_length(text: Column | str) -> Column:
     )
 
 
-def word_shingles(text: Column | str, k: int = 3) -> Column:
-    """k-word shingles as strings — the unit for MinHash / n-gram Jaccard.
+def shingles_from_tokens(tk: Column, k: int = 3) -> Column:
+    """k-word shingles from an existing token-array column.
 
-    tokens = [a,b,c,d], k=3 -> ["a b c", "b c d"]; fewer than k tokens ->
-    a single shingle of the whole text (so short docs still hash).
+    IMPORTANT for plan shape: pass a *materialized column* (withColumn),
+    not the tokens() expression inline — Catalyst inlines lambda-captured
+    expressions, so an inline tokens() would re-split the text once per
+    shingle (O(T^2) per doc).
     """
-    tk = tokens(text)
     n = F.size(tk)
     full = F.array(F.array_join(tk, " "))
     windows = F.transform(
@@ -56,6 +57,17 @@ def word_shingles(text: Column | str, k: int = 3) -> Column:
     return F.when(n == 0, F.array().cast("array<string>")).otherwise(
         F.when(n < k, full).otherwise(windows)
     )
+
+
+def word_shingles(text: Column | str, k: int = 3) -> Column:
+    """k-word shingles as strings — the unit for MinHash / n-gram Jaccard.
+
+    tokens = [a,b,c,d], k=3 -> ["a b c", "b c d"]; fewer than k tokens ->
+    a single shingle of the whole text (so short docs still hash).
+    Prefer staging tokens via withColumn + shingles_from_tokens in hot
+    paths (see that function's docstring).
+    """
+    return shingles_from_tokens(tokens(text), k)
 
 
 def char_ngrams(text: Column | str, n: int = 3) -> Column:

@@ -47,22 +47,21 @@ def str_hash(col) -> F.Column:
     return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("long")
 
 
-def minhash_signature(
-    text_col, num_hashes: int = 16, shingle_k: int = 3
-) -> F.Column:
-    """MinHash signature as ARRAY<BIGINT> — one Catalyst expression.
+def minhash_from_hashes(hashes_col: F.Column, num_hashes: int) -> F.Column:
+    """sig[i] = min over shingle hashes h of (a_i*h + b_i) mod P; sentinel P
+    for empty docs so they never collide with real content.
 
-    sig[i] = min over shingles s of (a_i * h(s) + b_i) mod P, h = md5-based.
-    Empty docs get sentinel P (impossible min) so they never collide with
-    real content.
+    `hashes_col` must be a materialized column reference (see
+    with_minhash): this expression references it num_hashes times, and
+    Catalyst would otherwise inline + recompute the whole shingle->md5
+    pipeline per permutation.
     """
-    shingles = X.word_shingles(text_col, k=shingle_k)
-    hashes = F.transform(shingles, lambda s: str_hash(s) % MINHASH_P)
+    def perm(a: int, b: int):
+        return lambda h: (F.lit(a) * h + F.lit(b)) % MINHASH_P
+
     mins = [
         F.coalesce(
-            F.array_min(
-                F.transform(hashes, lambda h: (F.lit(a) * h + F.lit(b)) % MINHASH_P)
-            ),
+            F.array_min(F.transform(hashes_col, perm(a, b))),
             F.lit(MINHASH_P),
         )
         for a, b in hash_params(num_hashes)
@@ -77,34 +76,39 @@ def with_minhash(
     shingle_k: int = 3,
     out_col: str = "minhash",
 ) -> DataFrame:
-    return df.withColumn(
-        out_col, minhash_signature(F.col(text_col), num_hashes, shingle_k)
+    """Append a MinHash signature column, staging tokens -> shingles ->
+    hashes as real projection steps so each is computed exactly once per
+    row (Catalyst keeps multi-referenced non-trivial columns
+    materialized instead of collapsing the projections)."""
+    staged = (
+        df.withColumn("__mh_toks", X.tokens(F.col(text_col)))
+        .withColumn("__mh_sh", X.shingles_from_tokens(F.col("__mh_toks"), shingle_k))
+        .withColumn(
+            "__mh_hs",
+            F.transform(F.col("__mh_sh"), lambda s: str_hash(s) % MINHASH_P),
+        )
     )
+    return staged.withColumn(
+        out_col, minhash_from_hashes(F.col("__mh_hs"), num_hashes)
+    ).drop("__mh_toks", "__mh_sh", "__mh_hs")
 
 
-def lsh_candidate_pairs(
-    df: DataFrame,
+def lsh_pairs_from_signatures(
+    sigs: DataFrame,
     id_col: str = "doc_id",
-    text_col: str = "text",
-    num_hashes: int = 16,
+    sig_col: str = "sig",
     bands: int = 4,
-    shingle_k: int = 3,
 ) -> DataFrame:
-    """LSH banding: docs sharing any band of their MinHash signature become
-    candidate near-duplicate pairs (id_a < id_b, deduplicated).
+    """LSH banding over precomputed MinHash signatures: rows sharing any
+    band become candidate pairs (id_a < id_b, deduplicated).
 
-    Shuffle profile: one groupBy on (band_idx, band_key) — rows are
-    (id, band_key) only, so the shuffle is tiny regardless of doc size.
-    Skewed buckets (e.g. boilerplate) are bounded by AQE skew handling; a
-    bucket-size cap can be added with a count filter before the self-join.
+    Shuffle profile: the self-join shuffles only (id, band_key) rows —
+    n_rows * bands tiny tuples, independent of document size. Skewed
+    buckets (boilerplate bands) are split by AQE skew-join handling; a
+    bucket-size cap can be added with a count filter before the join.
     """
-    rows_per_band = num_hashes // bands
-    sig = df.select(
+    banded = sigs.select(
         F.col(id_col).alias("__id"),
-        minhash_signature(F.col(text_col), num_hashes, shingle_k).alias("__sig"),
-    )
-    banded = sig.select(
-        "__id",
         F.explode(
             F.array(
                 *[
@@ -112,7 +116,11 @@ def lsh_candidate_pairs(
                         F.lit(i).alias("band_idx"),
                         F.array_join(
                             F.transform(
-                                F.slice(F.col("__sig"), i * rows_per_band + 1, rows_per_band),
+                                F.slice(
+                                    F.col(sig_col),
+                                    F.lit(i) * (F.size(F.col(sig_col)) / bands).cast("int") + 1,
+                                    (F.size(F.col(sig_col)) / bands).cast("int"),
+                                ),
                                 lambda x: x.cast("string"),
                             ),
                             "_",
@@ -136,6 +144,27 @@ def lsh_candidate_pairs(
         .distinct()
     )
     return pairs
+
+
+def lsh_candidate_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """Convenience wrapper: signatures + banding in one call. When the
+    signatures are reused elsewhere (e.g. a verify join), compute them once
+    with with_minhash and call lsh_pairs_from_signatures directly."""
+    sigs = with_minhash(
+        df.select(F.col(id_col), F.col(text_col)),
+        text_col=text_col,
+        num_hashes=num_hashes,
+        shingle_k=shingle_k,
+        out_col="__sig",
+    ).select(F.col(id_col), "__sig")
+    return lsh_pairs_from_signatures(sigs, id_col=id_col, sig_col="__sig", bands=bands)
 
 
 def minhash_jaccard_estimate(sig_a, sig_b) -> F.Column:
@@ -168,26 +197,41 @@ def canonicalize_duplicates(
     )
 
 
-def simhash64(text_col, n_bits: int = 32) -> F.Column:
-    """SimHash fingerprint over whitespace tokens, as a BIGINT.
+def simhash_from_hashes(hashes_col: F.Column, n_bits: int = 32) -> F.Column:
+    """SimHash fingerprint from a token-hash array column, as a BIGINT.
 
     bit b of the fingerprint = majority vote of bit b across token hashes.
-    Pure Catalyst: for each bit, fold the token-hash array; n_bits * n_tokens
-    work per row, no shuffle.
+    Pure Catalyst: n_bits folds over the (materialized) hash array per row,
+    no shuffle. Pass a staged column (see with_simhash), not an inline
+    expression — this references it n_bits times, and Catalyst would
+    recompute an inline tokenize+hash pipeline per bit.
     """
-    hashes = F.transform(X.tokens(text_col), lambda t: str_hash(t))
+
     def vote(mask: int):
         return lambda acc, h: acc + F.when(
             h.bitwiseAND(F.lit(mask)) != 0, 1
         ).otherwise(-1)
 
-    bit_votes = [
-        F.aggregate(hashes, F.lit(0), vote(1 << b)) for b in range(n_bits)
-    ]
     out = F.lit(0).cast("long")
-    for b, vote in enumerate(bit_votes):
-        out = out + F.when(vote > 0, F.lit(2**b).cast("long")).otherwise(F.lit(0))
+    for b in range(n_bits):
+        v = F.aggregate(hashes_col, F.lit(0), vote(1 << b))
+        out = out + F.when(v > 0, F.lit(2**b).cast("long")).otherwise(F.lit(0))
     return out
+
+
+def with_simhash(
+    df: DataFrame,
+    text_col: str = "text",
+    n_bits: int = 32,
+    out_col: str = "simhash",
+) -> DataFrame:
+    """Append a SimHash column, staging token hashes once per row."""
+    staged = df.withColumn(
+        "__sh_hs", F.transform(X.tokens(F.col(text_col)), lambda t: str_hash(t))
+    )
+    return staged.withColumn(
+        out_col, simhash_from_hashes(F.col("__sh_hs"), n_bits)
+    ).drop("__sh_hs")
 
 
 def hamming64(a, b) -> F.Column:

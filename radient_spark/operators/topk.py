@@ -1,25 +1,39 @@
-"""Top-k vector search and similarity joins (exact / brute-force baselines).
+"""Top-k vector search and similarity joins (exact baselines + BLAS path).
 
 Reference behavior being re-expressed (see SURVEY.md §2.5/§2.7):
 - GANN search: per-leaf candidate scan -> bounded max-heap of size k ->
   sorted (id, distance) output (/root/reference/radient/tasks/sinks/local/
   _gann_c_src/gann.c:999-1080).
+- The AVX2 dot-product kernel (gann.c:460-492): our equivalent is BLAS
+  matmul over Arrow batches inside `mapInPandas` — the same SIMD, reached
+  through NumPy instead of hand-written intrinsics.
 - Drug-discovery brute force: pairwise Jaccard `cdist` + `argsort[:10]`
   (/root/reference/examples/drug_discovery.md:42-48).
 
 Spark-first shapes:
-- Single query -> `orderBy(score).limit(k)`: Spark compiles this to
+- Single query -> Catalyst HOF score + `orderBy().limit(k)`: compiles to
   TakeOrderedAndProject — a per-partition bounded heap + driver merge,
-  exactly the C max-heap but distributed. No full sort, no shuffle of the
-  data, scales to any number of partitions.
-- Query batch -> broadcast the (small) query side, compute scores in a
-  single narrow stage, then per-query top-k via window `row_number`.
-  The big corpus side is never shuffled.
+  exactly the C max-heap but distributed. Stays fully JVM-side; O(n·d)
+  work, no shuffle of the data.
+- Query batch (kNN join) -> the query matrix is broadcast; each corpus
+  Arrow batch computes an (n_batch x n_query) GEMM and emits only its
+  per-query top-k candidates, so the corpus is scanned once, never
+  shuffled, and the global window sees ~k rows per query per partition.
+- All-pairs threshold join -> same GEMM pattern; candidates above the
+  threshold are the only rows that leave the batch. At cluster scale the
+  LSH-bucketed variant (operators/dedup.py) replaces the O(n^2) scan.
+
+Determinism contract: scores are float64 and rounded (4 decimals for the
+GEMM paths — reassociation error ~1e-14 makes 6-decimal rounding unsafe
+against the sequential-fold oracle; 6 decimals for the sequential HOF
+path). Per-batch and global top-k use the same (rounded score desc, id
+asc) criterion, so candidate pruning can never drop a row the global
+ordering would keep.
 """
 
 from __future__ import annotations
 
-from collections.abc import Sequence
+from collections.abc import Iterator, Sequence
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
@@ -31,6 +45,8 @@ _METRICS = {
     "dot": lambda a, b: V.dot(a, b),
     "l2": lambda a, b: -V.l2_distance(a, b),  # negated: higher is better
 }
+
+PAIR_SCORE_DECIMALS = 4
 
 
 def _score(metric: str, a, b):
@@ -61,6 +77,25 @@ def topk(
     return scored.orderBy(*order).limit(k)
 
 
+def _batch_scores(M, Q, metric: str):
+    """(n x d) corpus batch vs (q x d) query matrix -> (n x q) scores,
+    higher = more similar. float64 GEMM (BLAS — the SIMD path)."""
+    import numpy as np
+
+    if metric == "cosine":
+        Mn = M / np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-30)
+        Qn = Q / np.maximum(np.linalg.norm(Q, axis=1, keepdims=True), 1e-30)
+        return Mn @ Qn.T
+    if metric == "dot":
+        return M @ Q.T
+    if metric == "l2":
+        sq = (M * M).sum(1)[:, None] + (Q * Q).sum(1)[None, :] - 2.0 * (M @ Q.T)
+        import numpy as np
+
+        return -np.sqrt(np.maximum(sq, 0.0))
+    raise ValueError(f"unknown metric {metric!r}")
+
+
 def knn_join(
     corpus: DataFrame,
     queries: DataFrame,
@@ -74,25 +109,61 @@ def knn_join(
 ) -> DataFrame:
     """Exact k-nearest-neighbors of every query row against the corpus.
 
-    The query side is broadcast (it is the small side by construction), so
-    the corpus is scanned once with no shuffle; per-query top-k is a window
-    over (query_id) — the only shuffle is on the (tiny) scored pairs.
+    The query side must fit on the driver (it is the small side by
+    contract); it is shipped to executors as a Spark broadcast. Each
+    corpus Arrow batch computes one GEMM and emits its per-query top-k, so
+    the corpus is never shuffled and the final per-query window runs over
+    ~k * n_partitions candidate rows, not n_corpus.
     """
-    q = queries.select(
-        F.col(query_id).alias("__qid"), F.col(query_vec).alias("__qvec")
-    )
-    pairs = corpus.crossJoin(F.broadcast(q))
-    scored = pairs.withColumn(
-        score_col, F.round(_score(metric, F.col(corpus_vec), F.col("__qvec")), 6)
-    )
-    w = Window.partitionBy("__qid").orderBy(
+    import numpy as np
+
+    q_rows = queries.select(query_id, query_vec).collect()
+    qids = np.array([r[0] for r in q_rows], dtype=np.int64)
+    Q = np.array([list(r[1]) for r in q_rows], dtype=np.float64)
+    bc = corpus.sparkSession.sparkContext.broadcast((qids, Q))
+    id_type = dict(corpus.dtypes)[corpus_id]
+    out_schema = f"{corpus_id} {id_type}, {query_id} long, {score_col} double"
+
+    def gen(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        qids_, Q_ = bc.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            M = np.array(pdf[corpus_vec].tolist(), dtype=np.float64)
+            S = np.round(_batch_scores(M, Q_, metric), PAIR_SCORE_DECIMALS)
+            ids = pdf[corpus_id].to_numpy()
+            kk = min(k, len(pdf))
+            out_ids, out_qids, out_scores = [], [], []
+            for j in range(S.shape[1]):
+                col = S[:, j]
+                # same criterion as the global window: score desc, id asc
+                if len(col) > kk:
+                    cand = np.argpartition(-col, kk - 1)[: 4 * kk]
+                else:
+                    cand = np.arange(len(col))
+                order = np.lexsort((ids[cand], -col[cand]))[:kk]
+                sel = cand[order]
+                out_ids.append(ids[sel])
+                out_qids.append(np.full(len(sel), qids_[j]))
+                out_scores.append(col[sel])
+            yield pd.DataFrame(
+                {
+                    corpus_id: np.concatenate(out_ids),
+                    query_id: np.concatenate(out_qids),
+                    score_col: np.concatenate(out_scores),
+                }
+            )
+
+    cand = corpus.select(corpus_id, corpus_vec).mapInPandas(gen, out_schema)
+    w = Window.partitionBy(query_id).orderBy(
         F.col(score_col).desc(), F.col(corpus_id).asc()
     )
     return (
-        scored.withColumn("__rn", F.row_number().over(w))
+        cand.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") <= k)
-        .drop("__qvec", "__rn")
-        .withColumnRenamed("__qid", query_id)
+        .drop("__rn")
     )
 
 
@@ -104,19 +175,40 @@ def similarity_self_join(
     metric: str = "cosine",
     score_col: str = "score",
 ) -> DataFrame:
-    """All pairs (a,b), a.id < b.id, with similarity above `threshold`.
+    """All pairs (a,b), a.id < b.id, with similarity >= `threshold`.
 
-    This is the exact O(n^2) baseline used as the correctness oracle for the
-    LSH-bucketed scale path (operators/dedup.py). At cluster scale use the
-    LSH variant; this one is for modest n or per-bucket verification.
+    BLAS block scan: the full matrix is broadcast (exact variant — valid
+    while n·d floats fit an executor; beyond that use the LSH variant in
+    operators/dedup.py) and each corpus batch emits only its above-
+    threshold pairs. No shuffle until the (small) result.
     """
-    a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("vec_a"))
-    b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vec_b"))
-    pairs = a.join(b, F.col("id_a") < F.col("id_b"))
-    return (
-        pairs.withColumn(
-            score_col, F.round(_score(metric, F.col("vec_a"), F.col("vec_b")), 6)
-        )
-        .filter(F.col(score_col) >= threshold)
-        .select("id_a", "id_b", score_col)
-    )
+    import numpy as np
+
+    rows = df.select(id_col, vec_col).collect()
+    all_ids = np.array([r[0] for r in rows], dtype=np.int64)
+    A = np.array([list(r[1]) for r in rows], dtype=np.float64)
+    bc = df.sparkSession.sparkContext.broadcast((all_ids, A))
+    out_schema = f"id_a long, id_b long, {score_col} double"
+
+    def gen(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        ids_all, A_ = bc.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            M = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+            batch_ids = pdf[id_col].to_numpy()
+            S = np.round(_batch_scores(M, A_, metric), PAIR_SCORE_DECIMALS)
+            ii, jj = np.nonzero(
+                (S >= threshold) & (batch_ids[:, None] < ids_all[None, :])
+            )
+            yield pd.DataFrame(
+                {
+                    "id_a": batch_ids[ii],
+                    "id_b": ids_all[jj],
+                    score_col: S[ii, jj],
+                }
+            )
+
+    return df.select(id_col, vec_col).mapInPandas(gen, out_schema)

@@ -525,7 +525,7 @@ WITH pairs AS (
   SELECT a.vec_id AS vec_id, b.vec_id AS nn_id,
     round(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
           / (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
-             * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))), 6) AS nn_score
+             * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))), 4) AS nn_score
   FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
 )
 SELECT vec_id, nn_id, nn_score FROM (
@@ -549,11 +549,11 @@ _Q_VEC_PAIRS_SQL = """
 SELECT a.vec_id AS id_a, b.vec_id AS id_b,
   round(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
         / (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
-           * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))), 6) AS score
+           * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))), 4) AS score
 FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
 WHERE round(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
         / (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
-           * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))), 6) >= 0.4
+           * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))), 4) >= 0.4
 """
 
 
@@ -649,15 +649,18 @@ def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     joined string. Pure Catalyst HOFs — no explode, no shuffle; DuckDB
     reproduces the md5-derived hashes bit-for-bit."""
     docs = load_tables(spark, sf_dir)["documents"]
-    sig = D.minhash_signature(F.col("text"), num_hashes=8, shingle_k=3)
-    return (
-        docs.filter(F.length(F.trim("text")) > 0)
-        .select(
-            "doc_id",
-            F.array_join(
-                F.transform(sig, lambda x: x.cast("string")), "_"
-            ).alias("minhash_sig"),
-        )
+    sigs = D.with_minhash(
+        docs.filter(F.length(F.trim("text")) > 0),
+        text_col="text",
+        num_hashes=8,
+        shingle_k=3,
+        out_col="sig",
+    )
+    return sigs.select(
+        "doc_id",
+        F.array_join(
+            F.transform(F.col("sig"), lambda x: x.cast("string")), "_"
+        ).alias("minhash_sig"),
     )
 
 
@@ -695,10 +698,12 @@ FROM h
 def q_simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """32-bit SimHash fingerprint per document (token-hash bit majority)."""
     docs = load_tables(spark, sf_dir)["documents"]
-    return (
-        docs.filter(F.length(F.trim("text")) > 0)
-        .select("doc_id", D.simhash64(F.col("text"), n_bits=32).alias("simhash32"))
-    )
+    return D.with_simhash(
+        docs.filter(F.length(F.trim("text")) > 0),
+        text_col="text",
+        n_bits=32,
+        out_col="simhash32",
+    ).select("doc_id", "simhash32")
 
 
 _Q_SIMHASH_SQL = r"""
@@ -728,13 +733,16 @@ def q_minhash_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     the driver's rows-only gate and by tests against a brute-force oracle.
     """
     docs = load_tables(spark, sf_dir)["documents"]
-    pairs = D.lsh_candidate_pairs(
-        docs, id_col="doc_id", text_col="text", num_hashes=16, bands=4, shingle_k=3
-    )
-    sigs = docs.select(
-        F.col("doc_id"),
-        D.minhash_signature(F.col("text"), num_hashes=16, shingle_k=3).alias("sig"),
-    )
+    # One signature computation, cached: the banding branch and both sides
+    # of the verify join read the same in-memory signatures.
+    sigs = D.with_minhash(
+        docs.select("doc_id", "text"),
+        text_col="text",
+        num_hashes=16,
+        shingle_k=3,
+        out_col="sig",
+    ).select("doc_id", "sig").cache()
+    pairs = D.lsh_pairs_from_signatures(sigs, id_col="doc_id", sig_col="sig", bands=4)
     a = sigs.select(F.col("doc_id").alias("id_a"), F.col("sig").alias("sig_a"))
     b = sigs.select(F.col("doc_id").alias("id_b"), F.col("sig").alias("sig_b"))
     return (
