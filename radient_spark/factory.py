@@ -1,0 +1,88 @@
+"""Operator factory: string-keyed registry of DataFrame transforms.
+
+≡ the reference's `make_operator(task_name, task_type, **kwargs)`
+(/root/reference/radient/factory.py:10-64), which wraps Task construction
+in a Runner. Here every operator IS a DataFrame transform — a callable
+`DataFrame -> DataFrame` — so "running" one just extends the lazy Catalyst
+plan; laziness needs no LazyLocalRunner (orchestrate/runners.py:49-60),
+it is Spark's execution model.
+"""
+
+from __future__ import annotations
+
+import functools
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame
+
+from radient_spark.operators import dedup, transforms, vectorize
+
+Transform = Callable[[DataFrame], DataFrame]
+
+# (task_name, task_type) -> factory(**kwargs) -> Transform
+_REGISTRY: dict[tuple[str, str], Callable[..., Transform]] = {}
+
+
+def register(task_name: str, task_type: str):
+    def deco(fn):
+        _REGISTRY[(task_name, task_type)] = fn
+        return fn
+
+    return deco
+
+
+def make_operator(task_name: str, task_type: str, **kwargs) -> Transform:
+    """Look up and construct an operator.
+
+    vectorizer: hashing | fingerprint | multimodal | sbert
+    transform:  video_demux | document_screenshot | speech_to_text
+    dedup:      exact | minhash | simhash
+    """
+    try:
+        factory = _REGISTRY[(task_name, task_type)]
+    except KeyError:
+        known = sorted(k for k in _REGISTRY)
+        raise ValueError(
+            f"unknown operator ({task_name!r}, {task_type!r}); known: {known}"
+        )
+    return factory(**kwargs)
+
+
+# --- vectorizers (≡ radient/tasks/vectorizers/*/__init__.py factories) ----
+
+register("vectorizer", "hashing")(
+    lambda **kw: functools.partial(vectorize.hashing_vectorizer, **kw)
+)
+register("vectorizer", "fingerprint")(
+    lambda **kw: functools.partial(vectorize.fingerprint_vectorizer, **kw)
+)
+register("vectorizer", "multimodal")(
+    lambda **kw: functools.partial(vectorize.multimodal_vectorizer, **kw)
+)
+register("vectorizer", "sbert")(
+    lambda **kw: functools.partial(vectorize.sbert_vectorizer, **kw)
+)
+
+# --- transforms (≡ radient/tasks/transforms/*/__init__.py factories) ------
+
+register("transform", "video_demux")(
+    lambda **kw: functools.partial(transforms.video_demux, **kw)
+)
+register("transform", "document_screenshot")(
+    lambda **kw: functools.partial(transforms.document_screenshot, **kw)
+)
+register("transform", "speech_to_text")(
+    lambda **kw: functools.partial(transforms.speech_to_text, **kw)
+)
+
+# --- dedup (north-star ops) ----------------------------------------------
+
+register("dedup", "exact")(
+    lambda **kw: functools.partial(dedup.exact_dedup, **kw)
+)
+register("dedup", "minhash")(
+    lambda **kw: functools.partial(dedup.with_minhash, **kw)
+)
+register("dedup", "simhash")(
+    lambda **kw: functools.partial(dedup.with_simhash, **kw)
+)

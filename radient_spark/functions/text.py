@@ -116,6 +116,53 @@ def stopword_ratio(text: Column | str) -> Column:
     )
 
 
+# Language-ID: tiny per-language stopword lists; prediction = first
+# language (in LANGID_ORDER) achieving the max stopword count. Fully
+# deterministic, portable to a SQL oracle.
+LANGID_STOPWORDS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "and", "of", "to", "in", "is"),
+    "es": ("el", "la", "de", "que", "y", "en", "los"),
+    "de": ("der", "die", "und", "das", "ist", "von"),
+    "fr": ("le", "les", "des", "et", "est", "une"),
+    "zh": ("的", "是", "在", "了", "我"),
+}
+LANGID_ORDER = ("en", "es", "de", "fr", "zh")
+
+
+def langid_scores(text: Column | str) -> dict[str, Column]:
+    """Per-language stopword counts over lowercase whitespace tokens."""
+    tk = tokens(F.lower(_c(text)))
+
+    def contains(sw):
+        return lambda x: F.array_contains(sw, x)
+
+    out = {}
+    for lang in LANGID_ORDER:
+        sw = F.array(*[F.lit(w) for w in LANGID_STOPWORDS[lang]])
+        out[lang] = F.size(F.filter(tk, contains(sw)))
+    return out
+
+
+def langid(text: Column | str) -> Column:
+    """Predicted language code: argmax stopword count with the fixed
+    LANGID_ORDER tiebreak (n-gram-heuristic language ID, model-free)."""
+    scores = langid_scores(text)
+    expr = None
+    for i, lang in enumerate(LANGID_ORDER):
+        cond = None
+        for other in LANGID_ORDER[i + 1 :]:
+            c = scores[lang] >= scores[other]
+            cond = c if cond is None else (cond & c)
+        branch = F.lit(lang)
+        if expr is None:
+            expr = F.when(cond, branch)
+        elif cond is not None:
+            expr = expr.when(cond, branch)
+        else:
+            expr = expr.otherwise(branch)
+    return expr
+
+
 def quality_score(text: Column | str) -> Column:
     """Composite [0,1] doc-quality heuristic: length band + alpha ratio +
     stopword presence. Deterministic, model-free."""

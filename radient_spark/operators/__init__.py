@@ -1,3 +1,3 @@
-from radient_spark.operators import asof, dedup, topk
+from radient_spark.operators import asof, dedup, topk, transforms, vectorize
 
-__all__ = ["asof", "dedup", "topk"]
+__all__ = ["asof", "dedup", "topk", "transforms", "vectorize"]

@@ -1,0 +1,168 @@
+"""Media transforms: one-to-many modality converters (SURVEY.md §2.2).
+
+Reference operators re-expressed:
+- video demux (transforms/video_demux/default.py:18-61 + ffmpeg.py:9-61):
+  one video -> frame rows (modality 'image') + clip rows (modality
+  'audio'), one row per `interval` seconds.
+- PDF screenshot (transforms/document_screenshot/pymupdf.py:16-47):
+  one document -> one row per page.
+- speech-to-text (transforms/speech_to_text/whisper.py:16-45):
+  audio -> transcript text row.
+
+Spark shape: `mapInPandas` (Arrow batches in/out, one-to-many row fan-out
+— the DataFrame-native `explode`), with per-executor decoder state. The
+heavy codecs (OpenCV/librosa/ffmpeg/PyMuPDF/Whisper) are NOT in this
+container, so the decode step is pluggable: `decoder=None` uses a
+deterministic metadata-only stand-in (unit counts derived from the
+payload), keeping schema/partitioning/batch plumbing real and tested,
+while a production deployment passes a real decoder callable that runs
+inside executors (subprocess ffmpeg etc. is fine there, exactly like the
+reference shells out).
+"""
+
+from __future__ import annotations
+
+import math
+from collections.abc import Callable, Iterator
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+DEMUX_SCHEMA = (
+    "id long, uri string, modality string, unit_index int, "
+    "unit_uri string, payload binary"
+)
+
+
+def _fake_duration_seconds(uri: str, payload: bytes | None) -> float:
+    """Deterministic stand-in for ffprobe duration: derived from payload
+    size (1 KiB ~ 1 s) or uri hash. Replaced by a real prober in prod."""
+    if payload is not None:
+        return max(1.0, len(payload) / 1024.0)
+    return float(sum(uri.encode()) % 60 + 1)
+
+
+def video_demux(
+    df: DataFrame,
+    interval: float = 2.0,
+    id_col: str = "id",
+    uri_col: str = "uri",
+    payload_col: str | None = "payload",
+    decoder: Callable | None = None,
+) -> DataFrame:
+    """One row per sampled frame (modality='image') AND one per audio clip
+    (modality='audio') every `interval` seconds — the reference's dual
+    fan-out (video_demux/default.py:36-57), as a single mapInPandas.
+
+    The interval default 2.0 matches video_demux/_base.py:10-14.
+    """
+    import pandas as pd
+
+    cols = [id_col, uri_col] + ([payload_col] if payload_col else [])
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in (
+                "id", "uri", "modality", "unit_index", "unit_uri", "payload"
+            )}
+            for row in pdf.itertuples(index=False):
+                rid = getattr(row, id_col)
+                uri = getattr(row, uri_col)
+                payload = getattr(row, payload_col) if payload_col else None
+                if decoder is not None:
+                    units = decoder(uri, payload, interval)
+                else:
+                    dur = _fake_duration_seconds(uri, payload)
+                    n = max(1, int(math.floor(dur / interval)))
+                    units = [
+                        (m, i, f"{uri}#{m}_{i}", None)
+                        for m in ("image", "audio")
+                        for i in range(n)
+                    ]
+                for modality, idx, unit_uri, unit_payload in units:
+                    out["id"].append(rid)
+                    out["uri"].append(uri)
+                    out["modality"].append(modality)
+                    out["unit_index"].append(idx)
+                    out["unit_uri"].append(unit_uri)
+                    out["payload"].append(unit_payload)
+            yield pd.DataFrame(out)
+
+    return df.select(*cols).mapInPandas(gen, DEMUX_SCHEMA)
+
+
+def document_screenshot(
+    df: DataFrame,
+    zoom: float = 1.0,
+    id_col: str = "id",
+    uri_col: str = "uri",
+    payload_col: str | None = "payload",
+    decoder: Callable | None = None,
+) -> DataFrame:
+    """One row per PDF page (pymupdf.py:16-47). zoom default 1.0 matches
+    document_screenshot/_base.py."""
+    import pandas as pd
+
+    cols = [id_col, uri_col] + ([payload_col] if payload_col else [])
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf_batch in batches:
+            out = {k: [] for k in (
+                "id", "uri", "modality", "unit_index", "unit_uri", "payload"
+            )}
+            for row in pdf_batch.itertuples(index=False):
+                rid = getattr(row, id_col)
+                uri = getattr(row, uri_col)
+                payload = getattr(row, payload_col) if payload_col else None
+                if decoder is not None:
+                    pages = decoder(uri, payload, zoom)
+                else:
+                    n = max(1, int(_fake_duration_seconds(uri, payload) // 4) + 1)
+                    pages = [(i, f"{uri}#page_{i}", None) for i in range(n)]
+                for idx, unit_uri, unit_payload in pages:
+                    out["id"].append(rid)
+                    out["uri"].append(uri)
+                    out["modality"].append("image")
+                    out["unit_index"].append(idx)
+                    out["unit_uri"].append(unit_uri)
+                    out["payload"].append(unit_payload)
+            yield pd.DataFrame(out)
+
+    return df.select(*cols).mapInPandas(gen, DEMUX_SCHEMA)
+
+
+def speech_to_text(
+    df: DataFrame,
+    id_col: str = "id",
+    uri_col: str = "uri",
+    payload_col: str | None = "payload",
+    transcriber: Callable | None = None,
+) -> DataFrame:
+    """Audio -> transcript rows (whisper.py:16-45): modality becomes
+    'text'. A real deployment passes `transcriber` (loaded once per
+    executor inside the generator — the per-worker model-singleton
+    pattern); the stand-in emits a deterministic pseudo-transcript."""
+    import pandas as pd
+
+    cols = [id_col, uri_col] + ([payload_col] if payload_col else [])
+    schema = "id long, uri string, modality string, text string"
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        model = transcriber  # loaded once per worker if callable factory
+        for pdf in batches:
+            out = {"id": [], "uri": [], "modality": [], "text": []}
+            for row in pdf.itertuples(index=False):
+                rid = getattr(row, id_col)
+                uri = getattr(row, uri_col)
+                payload = getattr(row, payload_col) if payload_col else None
+                if model is not None:
+                    text = model(uri, payload)
+                else:
+                    text = f"transcript of {uri.rsplit('/', 1)[-1]}"
+                out["id"].append(rid)
+                out["uri"].append(uri)
+                out["modality"].append("text")
+                out["text"].append(text)
+            yield pd.DataFrame(out)
+
+    return df.select(*cols).mapInPandas(gen, schema)

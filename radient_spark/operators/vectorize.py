@@ -1,0 +1,327 @@
+"""Vectorizers: the engine's embedding-operator family (SURVEY.md §2.3).
+
+Reference surface being re-expressed:
+- Vectorizer contract `_preprocess -> _vectorize -> _postprocess(normalize)`
+  per item (/root/reference/radient/tasks/vectorizers/_base.py:75-103)
+  becomes a DataFrame transform `df -> df.withColumn(out, <expr|udf>)`,
+  with normalization as a Catalyst expression.
+- text/sklearn CountVectorizer (vectorizers/text/sklearn.py:17-29):
+  hashing/count vectorizers below, pure Catalyst (no UDF) or MLlib.
+- molecule/rdkit fingerprints (vectorizers/molecule/rdkit.py:17-39):
+  deterministic md5-bit fingerprint; rdkit used when importable.
+- graph/fastrp (vectorizers/graph/fastrp.py:17-53): distributed FastRP as
+  iterative edge-join matmul (A^k L R with weights), R broadcast.
+- text/sbert, image/timm, audio/* (model-backed): iterator pandas_udf
+  with a per-executor-process model singleton, gated behind import-try —
+  the heavyweight models are not present in CI, exactly the architecture
+  risk SURVEY §7 calls out, so the deterministic stand-ins are
+  first-class `method` keys in the same factory.
+
+Every vectorizer returns float arrays in the canonical `vector` column
+convention (SURVEY §1.3) and composes with functions/vector.py
+(normalize, distances) and operators/topk.py (search).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from radient_spark.functions import text as X
+from radient_spark.functions import vector as V
+from radient_spark.operators.dedup import str_hash
+
+
+def hashing_vectorizer(
+    df: DataFrame,
+    text_col: str = "text",
+    out_col: str = "vector",
+    dim: int = 64,
+    binary: bool = False,
+    normalize: bool = False,
+) -> DataFrame:
+    """Hashing count-vectorizer: token t increments slot h(t) mod dim.
+
+    Pure Catalyst (portable md5 hash + one fold over tokens): no UDF, no
+    shuffle, whole-stage codegen. ≡ sklearn HashingVectorizer semantics
+    (reference imports it at vectorizers/text/sklearn.py:12-14).
+    """
+    staged = df.withColumn(
+        "__hv_slots",
+        F.transform(X.tokens(F.col(text_col)), lambda t: str_hash(t) % dim),
+    )
+    counts = F.aggregate(
+        F.col("__hv_slots"),
+        F.array_repeat(F.lit(0.0), dim),
+        lambda acc, s: F.transform(
+            acc,
+            lambda v, i: F.when(i == s.cast("int"), v + 1.0).otherwise(v),
+        ),
+    )
+    if binary:
+        counts = F.transform(counts, lambda v: F.least(v, F.lit(1.0)))
+    vec = F.transform(counts, lambda v: v.cast("float"))
+    out = staged.withColumn(out_col, vec).drop("__hv_slots")
+    if normalize:
+        out = out.withColumn(out_col, V.l2_normalize(F.col(out_col)))
+    return out
+
+
+def fingerprint_vectorizer(
+    df: DataFrame,
+    input_col: str = "smiles",
+    out_col: str = "fingerprint",
+    dim: int = 256,
+    n_hashes: int = 2,
+    radius: int = 3,
+) -> DataFrame:
+    """Molecule/string fingerprint as ARRAY<BOOLEAN> (≡ the reference's
+    topological/Morgan fingerprints, vectorizers/molecule/rdkit.py:17-39).
+
+    Uses RDKit per-executor when importable (real Morgan fingerprints);
+    otherwise a deterministic substructure stand-in: every character
+    k-gram (k<=radius) sets n_hashes bits — same shape, same Jaccard
+    search downstream (drug_discovery.md:42-48), model-free in CI.
+    """
+    try:  # pragma: no cover - rdkit not in the CI image
+        import rdkit  # noqa: F401
+
+        have_rdkit = True
+    except ImportError:
+        have_rdkit = False
+
+    if have_rdkit:  # pragma: no cover
+        import pandas as pd
+
+        @F.pandas_udf(f"array<boolean>")
+        def rdkit_fp(s: pd.Series) -> pd.Series:
+            from rdkit import Chem
+            from rdkit.Chem import AllChem
+
+            def fp(smiles):
+                mol = Chem.MolFromSmiles(smiles)
+                if mol is None:
+                    return [False] * dim
+                bv = AllChem.GetMorganFingerprintAsBitVect(mol, radius, nBits=dim)
+                return [bool(b) for b in bv]
+
+            return s.map(fp)
+
+        return df.withColumn(out_col, rdkit_fp(F.col(input_col)))
+
+    grams = F.flatten(
+        F.array(
+            *[
+                X.char_ngrams(F.col(input_col), n=k)
+                for k in range(1, radius + 1)
+            ]
+        )
+    )
+    staged = df.withColumn("__fp_grams", grams)
+    bits = F.aggregate(
+        F.transform(
+            F.col("__fp_grams"),
+            lambda g: F.array(
+                *[(str_hash(F.concat(F.lit(str(i) + "#"), g)) % dim) for i in range(n_hashes)]
+            ),
+        ),
+        F.array_repeat(F.lit(False), dim),
+        lambda acc, hs: F.transform(
+            acc, lambda v, i: v | F.array_contains(hs, i.cast("bigint"))
+        ),
+    )
+    return staged.withColumn(out_col, bits).drop("__fp_grams")
+
+
+def fastrp_embeddings(
+    edges: DataFrame,
+    dim: int = 64,
+    weights: tuple[float, ...] = (0.1, 0.2, 1.0, 3.0),
+    beta: float = 0.0,
+    seed: int = 42,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    weight_col: str | None = None,
+) -> DataFrame:
+    """FastRP node embeddings, distributed (≡ vectorizers/graph/fastrp.py:
+    17-53: sparse random projection R, degree normalization
+    L = 0.5 * deg^beta / n, weighted sum over powers sum_k w_k A^k L R).
+
+    Spark shape: R is generated per-node from a seeded hash (no driver
+    materialization — works for billions of nodes); each A @ X step is one
+    join on the edge list + groupBy-sum on the destination, i.e. exactly
+    one shuffle per power. Skewed hubs are AQE's skew-join case.
+
+    Returns (node BIGINT, vector ARRAY<FLOAT>).
+    """
+    e = edges.select(
+        F.col(src_col).alias("src"),
+        F.col(dst_col).alias("dst"),
+        (F.col(weight_col) if weight_col else F.lit(1.0)).alias("w"),
+    )
+    # undirected degree; nodes table from edge endpoints
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    deg = (
+        e.select(F.col("src").alias("node"), "w")
+        .union(e.select(F.col("dst").alias("node"), "w"))
+        .groupBy("node")
+        .agg(F.sum("w").alias("deg"))
+    )
+    n_nodes = nodes.count()
+
+    # Seeded sparse random projection row per node: R[node][j] in
+    # {+s, 0, -s} with p = {1/6, 2/3, 1/6}, s = sqrt(3) (Achlioptas 2003),
+    # derived from a portable hash of (seed, node, j).
+    s = 3.0**0.5
+
+    def proj_entry(j: int):
+        h = str_hash(F.concat_ws("_", F.lit(seed), F.col("node"), F.lit(j))) % 6
+        return (
+            F.when(h == 0, F.lit(s)).when(h == 1, F.lit(-s)).otherwise(F.lit(0.0))
+        )
+
+    r = nodes.withColumn("vec", F.array(*[proj_entry(j) for j in range(dim)]))
+    # L scaling: 0.5 * deg^beta / n  (fastrp.py:41-43)
+    l_scaled = (
+        r.join(deg, "node", "left")
+        .withColumn(
+            "vec",
+            F.transform(
+                "vec",
+                lambda v: v
+                * F.lit(0.5)
+                * F.pow(F.coalesce(F.col("deg"), F.lit(0.0)), F.lit(beta))
+                / F.lit(float(n_nodes)),
+            ),
+        )
+        .select("node", "vec")
+    )
+
+    # propagate: X_{k} = A @ X_{k-1}; accumulate sum_k w_k X_k
+    sym = e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst"), "w"))
+    x = l_scaled
+    acc = None
+    for w_k in weights:
+        msgs = (
+            sym.join(x.withColumnRenamed("node", "dst"), "dst")
+            .select(
+                F.col("src").alias("node"),
+                F.transform("vec", lambda v: v * F.col("w")).alias("vec"),
+            )
+        )
+        # Elementwise sum of neighbor vectors: collect_list + one fold.
+        # Single shuffle per power; hub nodes bound memory at deg*dim —
+        # acceptable for embedding dims; posexplode+two-shuffle variant is
+        # the fallback for extreme skew.
+        x = msgs.groupBy("node").agg(F.collect_list("vec").alias("vs"))
+        x = x.withColumn(
+            "vec",
+            F.aggregate(
+                "vs",
+                F.array_repeat(F.lit(0.0), dim),
+                lambda a, b: F.zip_with(a, b, lambda p, q: p + q),
+            ),
+        ).select("node", "vec")
+        term = x.withColumn(
+            "vec", F.transform("vec", lambda v: v * F.lit(float(w_k)))
+        )
+        if acc is None:
+            acc = term
+        else:
+            acc = (
+                acc.withColumnRenamed("vec", "va")
+                .join(term.withColumnRenamed("vec", "vb"), "node", "full")
+                .select(
+                    "node",
+                    F.zip_with(
+                        F.coalesce(F.col("va"), F.array_repeat(F.lit(0.0), dim)),
+                        F.coalesce(F.col("vb"), F.array_repeat(F.lit(0.0), dim)),
+                        lambda p, q: p + q,
+                    ).alias("vec"),
+                )
+            )
+    out = acc.withColumn(
+        "vec", F.transform("vec", lambda v: v.cast("float"))
+    ).withColumnRenamed("vec", "vector")
+    return out
+
+
+def sbert_vectorizer(
+    df: DataFrame,
+    text_col: str = "text",
+    out_col: str = "vector",
+    model_name: str = "BAAI/bge-small-en-v1.5",
+    normalize: bool = True,
+) -> DataFrame:
+    """Model-backed text embedding (≡ vectorizers/text/sbert.py:20-67).
+
+    Iterator pandas_udf: the sentence-transformers model is loaded ONCE
+    per Python worker process (the reference reloads per Vectorizer
+    instance) and fed Arrow batches. Raises ImportError at plan build if
+    sentence-transformers is unavailable — callers in CI use
+    hashing_vectorizer as the deterministic stand-in (same column
+    contract).
+    """
+    import importlib
+
+    if importlib.util.find_spec("sentence_transformers") is None:
+        raise ImportError(
+            "sentence-transformers not installed; use hashing_vectorizer as "
+            "the deterministic stand-in (same output contract)"
+        )
+    import pandas as pd  # pragma: no cover — model path exercised off-CI
+
+    @F.pandas_udf("array<float>")
+    def embed(it: Iterator[pd.Series]) -> Iterator[pd.Series]:  # pragma: no cover
+        from sentence_transformers import SentenceTransformer
+
+        model = SentenceTransformer(model_name)
+        for s in it:
+            vecs = model.encode(
+                s.fillna("").tolist(), normalize_embeddings=normalize
+            )
+            yield pd.Series([v.tolist() for v in vecs])
+
+    return df.withColumn(out_col, embed(F.col(text_col)))
+
+
+def multimodal_vectorizer(
+    df: DataFrame,
+    modality_col: str = "modality",
+    text_col: str = "text",
+    out_col: str = "vector",
+    dim: int = 64,
+) -> DataFrame:
+    """Modality-dispatch vectorizer (≡ vectorizers/multimodal.py:19-55):
+    one output column, per-modality embedding logic selected by a CASE
+    over the modality column. Text uses the hashing vectorizer; non-text
+    modalities embed their URI/payload fingerprint so every row lands in
+    the same vector space for joint search (the ImageBind idea, minus the
+    model — swap each branch for a model UDF in production).
+    """
+    with_text = hashing_vectorizer(
+        df, text_col=text_col, out_col="__mm_text_vec", dim=dim
+    )
+    fallback_src = F.coalesce(F.col(text_col), F.col(modality_col))
+    with_fp = with_text.withColumn(
+        "__mm_hash_vec",
+        F.transform(
+            F.sequence(F.lit(0), F.lit(dim - 1)),
+            lambda i: (
+                (str_hash(F.concat_ws("#", fallback_src, i.cast("string"))) % 1000)
+                / 1000.0
+            ).cast("float"),
+        ),
+    )
+    return with_fp.withColumn(
+        out_col,
+        F.when(F.col(modality_col) == "text", F.col("__mm_text_vec")).otherwise(
+            F.col("__mm_hash_vec")
+        ),
+    ).drop("__mm_text_vec", "__mm_hash_vec")

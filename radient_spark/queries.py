@@ -755,6 +755,307 @@ def q_minhash_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Batch 2: vectorizer/dedup operators with oracles, string/JSON/date
+# functions, cube, semi join, language ID, FastRP + media pipelines.
+
+
+def q_hashing_vectorizer_slots(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashing count-vectorizer (operators/vectorize.py) verified slot by
+    slot: posexplode the vector, keep nonzero counts."""
+    from radient_spark.operators.vectorize import hashing_vectorizer
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    vecs = hashing_vectorizer(docs.select("doc_id", "text"), dim=32, out_col="vec")
+    return (
+        vecs.select("doc_id", F.posexplode("vec").alias("slot", "cnt"))
+        .filter(F.col("cnt") > 0)
+        .select("doc_id", "slot", F.col("cnt").cast("long").alias("cnt"))
+    )
+
+
+_Q_HASHVEC_SQL = rf"""
+SELECT doc_id, slot, COUNT(*) AS cnt FROM (
+  SELECT doc_id,
+    CAST(('0x' || substring(md5(unnest(regexp_split_to_array(trim(text), '\s+'))), 1, 8))::BIGINT % 32 AS INT) AS slot
+  FROM documents WHERE length(trim(text)) > 0
+) GROUP BY doc_id, slot
+"""
+
+
+def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """n-gram (token-set) Jaccard near-dup pairs within each source
+    partition — the exact verify step of text dedup. int/int division is
+    deterministic in both engines; no rounding needed."""
+    docs = load_tables(spark, sf_dir)["documents"]
+    toks = docs.select(
+        "doc_id",
+        F.col("source"),
+        F.array_distinct(F.split(F.trim("text"), r"\s+")).alias("toks"),
+    ).filter(F.length(F.trim("text")) > 0)
+    a = toks.select(
+        F.col("source"),
+        F.col("doc_id").alias("id_a"),
+        F.col("toks").alias("ta"),
+    )
+    b = toks.select(
+        F.col("source").alias("source_b"),
+        F.col("doc_id").alias("id_b"),
+        F.col("toks").alias("tb"),
+    )
+    pairs = a.join(
+        b, (F.col("source") == F.col("source_b")) & (F.col("id_a") < F.col("id_b"))
+    )
+    jac = F.size(F.array_intersect("ta", "tb")) / F.size(F.array_union("ta", "tb"))
+    return (
+        pairs.withColumn("jaccard", jac)
+        .filter(F.col("jaccard") >= 0.6)
+        .select("source", "id_a", "id_b", "jaccard")
+    )
+
+
+_Q_NGRAM_JACCARD_SQL = r"""
+WITH toks AS (
+  SELECT doc_id, source, list_distinct(regexp_split_to_array(trim(text), '\s+')) AS t
+  FROM documents WHERE length(trim(text)) > 0
+)
+SELECT a.source, a.doc_id AS id_a, b.doc_id AS id_b,
+  CAST(len(list_distinct(list_intersect(a.t, b.t))) AS DOUBLE)
+    / len(list_distinct(a.t || b.t)) AS jaccard
+FROM toks a JOIN toks b ON a.source = b.source AND a.doc_id < b.doc_id
+WHERE CAST(len(list_distinct(list_intersect(a.t, b.t))) AS DOUBLE)
+    / len(list_distinct(a.t || b.t)) >= 0.6
+"""
+
+
+def q_cube_priority_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE grouping sets over (orderpriority, orderstatus)."""
+    orders = load_tables(spark, sf_dir)["orders"]
+    return orders.cube("o_orderpriority", "o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        dsum(F.col("o_totalprice"), "revenue"),
+    )
+
+
+_Q_CUBE_SQL = """
+SELECT o_orderpriority, o_orderstatus, COUNT(*) AS n_orders,
+  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+FROM orders GROUP BY CUBE (o_orderpriority, o_orderstatus)
+"""
+
+
+def q_semi_high_value_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-semi join (EXISTS): customers with at least one 400k+ order,
+    counted per market segment."""
+    t = load_tables(spark, sf_dir)
+    big = t["orders"].filter(F.col("o_totalprice") > 400000)
+    return (
+        t["customer"]
+        .join(big, F.col("c_custkey") == F.col("o_custkey"), "left_semi")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            dsum(F.col("c_acctbal"), "total_acctbal"),
+        )
+    )
+
+
+_Q_SEMI_SQL = """
+SELECT c_mktsegment, COUNT(*) AS n_customers,
+  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,6))) AS DOUBLE) AS total_acctbal
+FROM customer
+WHERE EXISTS (SELECT 1 FROM orders
+              WHERE o_custkey = c_custkey AND o_totalprice > 400000)
+GROUP BY c_mktsegment
+"""
+
+
+def q_priority_string_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String functions: split/extract/case over o_orderpriority
+    ('1-URGENT' style) and part names."""
+    orders = load_tables(spark, sf_dir)["orders"]
+    return (
+        orders.withColumn("prio_num", F.split("o_orderpriority", "-")[0].cast("int"))
+        .withColumn("prio_word", F.lower(F.regexp_extract("o_orderpriority", r"\d-(.*)", 1)))
+        .groupBy("prio_num", "prio_word")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.max(F.length("o_orderpriority")).alias("max_len"),
+        )
+    )
+
+
+_Q_PRIORITY_STR_SQL = r"""
+SELECT CAST(str_split(o_orderpriority, '-')[1] AS INT) AS prio_num,
+  lower(regexp_extract(o_orderpriority, '\d-(.*)', 1)) AS prio_word,
+  COUNT(*) AS n_orders,
+  CAST(MAX(length(o_orderpriority)) AS INT) AS max_len
+FROM orders GROUP BY 1, 2
+"""
+
+
+def q_json_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON extraction: events.props is a JSON object; pull $.k and
+    aggregate per event_type."""
+    ev = load_tables(spark, sf_dir)["events"]
+    return (
+        ev.withColumn("k", F.get_json_object("props", "$.k").cast("int"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("k").cast("long")).alias("sum_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+        )
+    )
+
+
+_Q_JSON_SQL = """
+SELECT event_type, COUNT(*) AS n_events,
+  CAST(SUM(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT) AS sum_k,
+  MIN(CAST(json_extract_string(props, '$.k') AS INT)) AS min_k,
+  MAX(CAST(json_extract_string(props, '$.k') AS INT)) AS max_k
+FROM events GROUP BY event_type
+"""
+
+
+def q_events_weekday(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date-part functions: weekday x event_type activity matrix.
+    Spark weekday() (0=Monday) == DuckDB isodow-1."""
+    ev = load_tables(spark, sf_dir)["events"]
+    return (
+        ev.withColumn("weekday", F.weekday("ts").cast("int"))
+        .groupBy("weekday", "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"), davg(F.col("value"), "avg_value"))
+    )
+
+
+_Q_WEEKDAY_SQL = """
+SELECT CAST(date_part('isodow', ts) - 1 AS INT) AS weekday, event_type,
+  COUNT(*) AS n_events,
+  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS avg_value
+FROM events GROUP BY 1, 2
+"""
+
+
+def q_doc_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite quality heuristic per document (functions/text.py:
+    quality_score): length band + alpha ratio + stopword presence."""
+    from radient_spark.functions.text import quality_score
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    return docs.select("doc_id", quality_score(F.col("text")).alias("quality"))
+
+
+_SW = "the a an and or of to in is are was were be been it this that for on with as at by".split()
+_Q_QUALITY_SQL = rf"""
+WITH t AS (
+  SELECT doc_id, text,
+    regexp_split_to_array(trim(lower(text)), '\s+') AS toks,
+    CASE WHEN length(trim(text)) = 0 THEN 0
+         ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS tc
+  FROM documents
+)
+SELECT doc_id,
+  round(0.4 * least(CAST(tc AS DOUBLE) / 50.0, 1.0)
+      + 0.4 * (CASE WHEN length(text) = 0 THEN 0.0
+               ELSE CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE)
+                    / length(text) END)
+      + 0.2 * least((CASE WHEN tc = 0 THEN 0.0
+               ELSE CAST(len(list_filter(toks, x -> x IN ({", ".join("'" + w + "'" for w in _SW)}))) AS DOUBLE)
+                    / tc END) * 5.0, 1.0), 6) AS quality
+FROM t
+"""
+
+
+def q_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic language ID (stopword argmax, functions/text.py:langid)
+    vs the labeled lang column: confusion-matrix counts."""
+    from radient_spark.functions.text import langid
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    return (
+        docs.withColumn("predicted", langid(F.col("text")))
+        .groupBy("lang", "predicted")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+def _langid_sql() -> str:
+    from radient_spark.functions.text import LANGID_ORDER, LANGID_STOPWORDS
+
+    counts = {
+        lang: f"len(list_filter(toks, x -> x IN ({', '.join(repr(w) for w in LANGID_STOPWORDS[lang])})))"
+        for lang in LANGID_ORDER
+    }
+    case = "CASE "
+    for i, lang in enumerate(LANGID_ORDER):
+        others = LANGID_ORDER[i + 1 :]
+        if others:
+            cond = " AND ".join(f"c_{lang} >= c_{other}" for other in others)
+            case += f"WHEN {cond} THEN '{lang}' "
+        else:
+            case += f"ELSE '{lang}' "
+    case += "END"
+    selects = ",\n    ".join(f"{expr} AS c_{lang}" for lang, expr in counts.items())
+    return rf"""
+WITH t AS (
+  SELECT lang, regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+  FROM documents
+), scored AS (
+  SELECT lang,
+    {selects}
+  FROM t
+)
+SELECT lang, {case} AS predicted, COUNT(*) AS n_docs
+FROM scored GROUP BY 1, 2
+"""
+
+
+def q_fastrp_supplier_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FastRP node embeddings over the supplier—part co-occurrence graph
+    (edges from lineitem). Iterative edge-join matmul; rows-only driver
+    check, numpy-oracle-verified in tests/test_operators.py."""
+    from radient_spark.operators.vectorize import fastrp_embeddings
+
+    li = load_tables(spark, sf_dir)["lineitem"]
+    edges = (
+        li.select(
+            F.col("l_suppkey").alias("src"),
+            (F.col("l_partkey") + 1_000_000).alias("dst"),
+        )
+        .distinct()
+    )
+    emb = fastrp_embeddings(edges, dim=16, weights=(0.5, 1.0), beta=0.0, seed=42)
+    return emb.filter(F.col("node") < 1_000_000).select(
+        F.col("node").alias("suppkey"), "vector"
+    )
+
+
+def q_media_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end multimodal pipeline: manifest -> video demux fan-out ->
+    modality-dispatch vectorizer -> per-modality stats. Exercises the
+    mapInPandas transform plumbing + multimodal columns; rows-only check
+    (stubbed decoders per the container constraints)."""
+    from radient_spark.operators.transforms import video_demux
+    from radient_spark.operators.vectorize import multimodal_vectorizer
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    manifest = docs.select(
+        F.col("doc_id").alias("id"),
+        F.concat(F.lit("/media/video_"), F.col("doc_id"), F.lit(".mp4")).alias("uri"),
+        F.col("text").cast("binary").alias("payload"),
+    )
+    units = video_demux(manifest, interval=2.0)
+    vecs = multimodal_vectorizer(
+        units.withColumn("text", F.col("unit_uri")), dim=16
+    )
+    return vecs.groupBy("modality").agg(
+        F.count(F.lit(1)).alias("n_units"),
+        F.countDistinct("id").alias("n_sources"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Registry
 
 QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
@@ -779,6 +1080,17 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "q_lang_stats": (q_lang_stats, _Q_LANG_SQL),
     "q_exact_dedup_report": (q_exact_dedup_report, _Q_DEDUP_REPORT_SQL),
     "q_minhash_signatures": (q_minhash_signatures, _minhash_sql(8)),
+    "q_hashing_vectorizer_slots": (q_hashing_vectorizer_slots, _Q_HASHVEC_SQL),
+    "q_ngram_jaccard_pairs": (q_ngram_jaccard_pairs, _Q_NGRAM_JACCARD_SQL),
+    "q_cube_priority_status": (q_cube_priority_status, _Q_CUBE_SQL),
+    "q_semi_high_value_customers": (q_semi_high_value_customers, _Q_SEMI_SQL),
+    "q_priority_string_stats": (q_priority_string_stats, _Q_PRIORITY_STR_SQL),
+    "q_json_props_stats": (q_json_props_stats, _Q_JSON_SQL),
+    "q_events_weekday": (q_events_weekday, _Q_WEEKDAY_SQL),
+    "q_doc_quality_scores": (q_doc_quality_scores, _Q_QUALITY_SQL),
+    "q_langid_confusion": (q_langid_confusion, _langid_sql()),
+    "q_fastrp_supplier_embeddings": (q_fastrp_supplier_embeddings, None),
+    "q_media_pipeline": (q_media_pipeline, None),
     "q_simhash_fingerprints": (q_simhash_fingerprints, _Q_SIMHASH_SQL),
     "q_minhash_dup_pairs": (q_minhash_dup_pairs, None),  # rows-only check
 }

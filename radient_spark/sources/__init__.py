@@ -1,0 +1,65 @@
+"""Sources (SURVEY.md §2.1): distributed scans replacing the reference's
+pull-based Source tasks (radient/tasks/sources/_base.py:7-21).
+
+- local_source ≡ LocalSource's recursive directory walk
+  (sources/local.py:7-26) — but distributed, with the file listing done by
+  Spark's InMemoryFileIndex and contents read by executors.
+- ingest ≡ IngestSource's copy-into-managed-location (sources/ingest.py:
+  7-18) — write to a managed parquet dataset instead of ~/.radient/data.
+- youtube_source ≡ YoutubeSource (sources/youtube.py:15-64): network
+  acquisition is driver-side (yt-dlp is not distributable), then the
+  downloaded paths become a DataFrame for distributed processing; gated
+  behind an import-try exactly like the reference's LazyImport.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def local_source(
+    spark: SparkSession, path: str, recursive: bool = True
+) -> DataFrame:
+    """Binary-file scan of a directory tree: (path, modificationTime,
+    length, content). Pushdown-friendly: pathGlobFilter/ modifiedAfter
+    options apply at the listing, so executors never open skipped files."""
+    return (
+        spark.read.format("binaryFile")
+        .option("recursiveFileLookup", str(recursive).lower())
+        .load(path)
+    )
+
+
+def text_source(spark: SparkSession, path: str, **options) -> DataFrame:
+    return spark.read.options(**options).text(path)
+
+
+def ingest(df: DataFrame, target_dir: str, mode: str = "append") -> None:
+    """COPY-INTO-style managed ingest (≡ IngestSource): append the batch to
+    a managed parquet location; readers see a consistent snapshot."""
+    df.write.mode(mode).parquet(target_dir)
+
+
+def youtube_source(
+    spark: SparkSession, url: str, output_directory: str
+) -> DataFrame:  # pragma: no cover - network + yt_dlp not in CI
+    """Driver-side yt-dlp download -> DataFrame of local file paths
+    (≡ sources/youtube.py:15-64, one mp4 per playlist entry)."""
+    try:
+        import yt_dlp  # noqa: F401
+    except ImportError as e:
+        raise ImportError("yt_dlp is required for youtube_source") from e
+    import yt_dlp
+
+    opts = {
+        "format": "mp4",
+        "outtmpl": f"{output_directory}/%(id)s.%(ext)s",
+        "quiet": True,
+    }
+    paths = []
+    with yt_dlp.YoutubeDL(opts) as ydl:
+        info = ydl.extract_info(url, download=True)
+        entries = info.get("entries") or [info]
+        for ent in entries:
+            paths.append((ent["id"], f"{output_directory}/{ent['id']}.mp4"))
+    return spark.createDataFrame(paths, "video_id string, path string")

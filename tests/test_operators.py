@@ -1,0 +1,176 @@
+"""Unit tests for the operator family: vectorizers, transforms, factory,
+workflow, sources — mirroring the reference's golden-output style
+(SURVEY.md §5.2 item 2) with numpy oracles where applicable."""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from radient_spark.factory import make_operator
+from radient_spark.operators import transforms, vectorize
+from radient_spark.orchestrate import Workflow
+
+
+def _py_str_hash(s: str) -> int:
+    return int(hashlib.md5(s.encode()).hexdigest()[:8], 16)
+
+
+def test_hashing_vectorizer_matches_numpy(spark):
+    texts = ["the cat sat", "dog dog dog", "", "one"]
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], "id long, text string")
+    out = {
+        r["id"]: r["vector"]
+        for r in vectorize.hashing_vectorizer(df, dim=16).collect()
+    }
+    for i, t in enumerate(texts):
+        expected = np.zeros(16)
+        for tok in t.split():
+            expected[_py_str_hash(tok) % 16] += 1.0
+        assert np.allclose(out[i], expected), (i, t, out[i], expected)
+
+
+def test_hashing_vectorizer_normalized(spark):
+    df = spark.createDataFrame([(0, "a b c d")], "id long, text string")
+    vec = vectorize.hashing_vectorizer(df, dim=8, normalize=True).collect()[0]["vector"]
+    assert abs(np.linalg.norm(vec) - 1.0) < 1e-5
+
+
+def test_fingerprint_vectorizer_deterministic(spark):
+    df = spark.createDataFrame(
+        [(0, "CCO"), (1, "CCO"), (2, "c1ccccc1")], "id long, smiles string"
+    )
+    rows = vectorize.fingerprint_vectorizer(df, dim=64).collect()
+    fp = {r["id"]: r["fingerprint"] for r in rows}
+    assert fp[0] == fp[1]  # identical inputs -> identical fingerprints
+    assert fp[0] != fp[2]
+    assert len(fp[0]) == 64 and any(fp[0])
+
+
+def test_fastrp_matches_numpy_oracle(spark):
+    # small seeded graph; numpy reimplementation of the same formula
+    rng = np.random.RandomState(7)
+    n = 30
+    edges = [(int(i), int((i + 1) % n)) for i in range(n)] + [
+        (int(rng.randint(n)), int(rng.randint(n))) for _ in range(40)
+    ]
+    edges = [(a, b) for a, b in edges if a != b]
+    dim, weights, beta, seed = 8, (0.5, 1.0), 0.0, 42
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {
+        r["node"]: np.array(r["vector"])
+        for r in vectorize.fastrp_embeddings(
+            df, dim=dim, weights=weights, beta=beta, seed=seed
+        ).collect()
+    }
+
+    # numpy oracle with the same seeded projection
+    nodes = sorted({a for a, _ in edges} | {b for _, b in edges})
+    idx = {v: i for i, v in enumerate(nodes)}
+    A = np.zeros((len(nodes), len(nodes)))
+    for a, b in edges:
+        A[idx[a], idx[b]] += 1.0
+        A[idx[b], idx[a]] += 1.0
+    deg = A.sum(1)
+    s = np.sqrt(3.0)
+    R = np.zeros((len(nodes), dim))
+    for v in nodes:
+        for j in range(dim):
+            h = _py_str_hash(f"{seed}_{v}_{j}") % 6
+            R[idx[v], j] = s if h == 0 else (-s if h == 1 else 0.0)
+    L = 0.5 * np.power(deg, beta) / len(nodes)
+    X = L[:, None] * R
+    acc = np.zeros_like(X)
+    cur = X
+    for w in weights:
+        cur = A @ cur
+        acc += w * cur
+    for v in nodes:
+        if v in got:
+            assert np.allclose(got[v], acc[idx[v]], atol=1e-4), v
+
+
+def test_video_demux_fanout(spark):
+    df = spark.createDataFrame(
+        [(1, "/data/a.mp4", bytearray(b"x" * 4096)), (2, "/data/b.mp4", bytearray(b"y" * 2048))],
+        "id long, uri string, payload binary",
+    )
+    out = transforms.video_demux(df, interval=2.0).collect()
+    by_id_mod = {}
+    for r in out:
+        by_id_mod.setdefault((r["id"], r["modality"]), []).append(r)
+    # 4096 bytes -> 4s -> 2 units per modality; 2048 -> 2s -> 1 unit
+    assert len(by_id_mod[(1, "image")]) == 2
+    assert len(by_id_mod[(1, "audio")]) == 2
+    assert len(by_id_mod[(2, "image")]) == 1
+    assert {r["modality"] for r in out} == {"image", "audio"}
+
+
+def test_speech_to_text_modality(spark):
+    df = spark.createDataFrame([(1, "/data/clip.wav", None)], "id long, uri string, payload binary")
+    rows = transforms.speech_to_text(df).collect()
+    assert rows[0]["modality"] == "text"
+    assert "clip.wav" in rows[0]["text"]
+
+
+def test_factory_and_workflow(spark):
+    df = spark.createDataFrame(
+        [(0, "alpha beta gamma"), (1, "alpha beta gamma"), (2, "delta")],
+        "doc_id long, text string",
+    )
+    vec_op = make_operator("vectorizer", "hashing", dim=8)
+    dedup_op = make_operator("dedup", "exact", cols=["text"])
+
+    wf = (
+        Workflow()
+        .add(lambda **kw: kw["df"], "source")
+        .add(dedup_op, "dedup")
+        .add(vec_op, "vectorize")
+    )
+    out = wf.run(df=df)
+    rows = out.collect()
+    assert len(rows) == 2  # exact dedup removed one duplicate
+    assert all(len(r["vector"]) == 8 for r in rows)
+
+
+def test_factory_unknown_operator():
+    with pytest.raises(ValueError, match="unknown operator"):
+        make_operator("vectorizer", "nope")
+
+
+def test_workflow_dag_and_cycle():
+    wf = Workflow().add(lambda **kw: None, "a")
+    with pytest.raises(ValueError):
+        wf.add(lambda x: x, "b", dependencies=["missing"])
+
+
+def test_multimodal_dispatch(spark):
+    df = spark.createDataFrame(
+        [(0, "text", "hello world"), (1, "image", None), (2, "audio", None)],
+        "id long, modality string, text string",
+    )
+    rows = vectorize.multimodal_vectorizer(df, dim=16).collect()
+    assert all(len(r["vector"]) == 16 for r in rows)
+    # non-text rows get the deterministic fallback embedding, not nulls
+    assert all(r["vector"] is not None for r in rows)
+
+
+def test_local_source_and_ingest(spark, tmp_path):
+    from radient_spark import sources
+
+    d = tmp_path / "files"
+    d.mkdir()
+    (d / "a.txt").write_bytes(b"hello")
+    (d / "sub").mkdir()
+    (d / "sub" / "b.txt").write_bytes(b"world!")
+    df = sources.local_source(spark, str(d))
+    rows = df.select("path", "length").collect()
+    assert len(rows) == 2
+    assert {r["length"] for r in rows} == {5, 6}
+
+    target = str(tmp_path / "managed")
+    sources.ingest(df.select("path", "length"), target)
+    assert spark.read.parquet(target).count() == 2
