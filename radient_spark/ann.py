@@ -1,0 +1,353 @@
+"""Distributed ANN index: the GANN forest re-architected for Spark.
+
+Reference algorithm (SURVEY.md §2.5, /root/reference/radient/tasks/sinks/
+local/gann.py:113-259 + _gann_c_src/gann.c):
+- build: recursive balanced bisection — per leaf, 2-means gives a
+  separating hyperplane w = c1 - c0; rows are sorted by signed distance
+  and split in half (with optional spill overlap); stop at
+  MAX_LEAF_SIZE = 200 (gann.py:15); k-means runs on a VC-bounded sample
+  (_gkmeans.py:26-36, Blumer et al. 1989).
+- search: per tree, descend by hyperplane sign to one leaf, scan its
+  candidates with SIMD dot products, dedup ids across trees (hash set,
+  gann.c:946-993), keep a bounded top-k heap.
+
+Spark re-architecture (NOT a port — the C kernel's job is done by the
+engine):
+- build is an iterative batch job: per level, (a) one narrow pass
+  projects every row onto its leaf's broadcast hyperplane, (b) a tiny
+  groupBy computes per-leaf approximate median cutoffs (the distributed
+  version of sort-and-split-at-half: balance to percentile accuracy
+  without any sort of the full data), (c) one narrow pass reassigns
+  leaf ids. Hyperplanes come from numpy 2-means on per-leaf samples
+  (seeded, VC-bound-capped) — the same driver-side-cheap trick the
+  reference uses, with the balance constraint replaced by the exact
+  median split (stronger guarantee than GKMeans' 1% tolerance).
+- the index is a DataFrame (tree_id, leaf_id, id, vector), persisted as
+  parquet PARTITIONED BY (tree_id, leaf_id): searching reads only the
+  hit leaves (partition pruning = the tree descent), and the hyperplane
+  forest is a small driver/broadcast object (≡ the .npy/leaves.json
+  artifacts, gann.py:183-191).
+- search is a join: queries descend the forest driver-side (tiny
+  matmuls), producing (tree_id, leaf_id, qid, qvec); joining that
+  against the index touches ~n_trees * leaf_size candidates per query,
+  ids are deduped across trees (dropDuplicates ≡ the C hash set), and
+  per-query top-k is a window — Spark's TakeOrdered heap ≡ gann.c's
+  bounded max-heap.
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+from dataclasses import dataclass, field
+
+import numpy as np
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+MAX_LEAF_SIZE = 200  # gann.py:15
+
+
+def vc_sample_bound(dim: int, eps: float = 0.05, delta: float = 0.05) -> int:
+    """Sample size sufficient for eps-accurate cluster estimation
+    (_gkmeans.py:26-36, Blumer et al. 1989)."""
+    a = 4.0 / eps * math.log(2.0 / delta)
+    b = 8.0 * dim / eps * math.log(13.0 / eps)
+    return int(max(a, b))
+
+
+@dataclass
+class _Tree:
+    """Hyperplane forest node table: {(level, node): (w, cutoff)}."""
+
+    depth: int
+    nodes: dict[tuple[int, int], tuple[list[float], float]] = field(
+        default_factory=dict
+    )
+
+    def descend(self, q: np.ndarray) -> int:
+        node = 0
+        for level in range(self.depth):
+            entry = self.nodes.get((level, node))
+            if entry is None:
+                break
+            w, cutoff = entry
+            node = 2 * node + (1 if float(q @ np.asarray(w)) > cutoff else 0)
+        return node
+
+
+def _two_means_hyperplane(X: np.ndarray, seed: int) -> np.ndarray:
+    """2-means on a sample -> separating direction w = c1 - c0
+    (gann.py:151-156). Degenerate samples fall back to a seeded random
+    direction so the split still halves the leaf."""
+    rng = np.random.RandomState(seed)
+    n = len(X)
+    if n < 4:
+        w = rng.randn(X.shape[1])
+        return w / (np.linalg.norm(w) + 1e-12)
+    c = X[rng.choice(n, 2, replace=False)].astype(np.float64)
+    for _ in range(20):
+        d0 = ((X - c[0]) ** 2).sum(1)
+        d1 = ((X - c[1]) ** 2).sum(1)
+        m = d1 < d0
+        if m.all() or (~m).all():
+            break
+        nc = np.stack([X[~m].mean(0), X[m].mean(0)])
+        if np.allclose(nc, c):
+            c = nc
+            break
+        c = nc
+    w = c[1] - c[0]
+    norm = np.linalg.norm(w)
+    if norm < 1e-12:
+        w = rng.randn(X.shape[1])
+        norm = np.linalg.norm(w)
+    return w / norm
+
+
+class AnnIndex:
+    """Forest index over a (id BIGINT, vector ARRAY<FLOAT>) DataFrame."""
+
+    def __init__(self, index_df: DataFrame, trees: list[_Tree], dim: int):
+        self.index_df = index_df
+        self.trees = trees
+        self.dim = dim
+
+    # ------------------------------------------------------------- build
+    @staticmethod
+    def build(
+        df: DataFrame,
+        id_col: str = "id",
+        vec_col: str = "vector",
+        n_trees: int = 2,
+        max_leaf_size: int = MAX_LEAF_SIZE,
+        sample_cap: int = 4096,
+        spill: float = 0.1,
+        seed: int = 42,
+    ) -> "AnnIndex":
+        """Iterative balanced-bisection build.
+
+        Per level and tree: one sample-collect (VC-bounded, hash-sampled
+        — no shuffle), one projection+percentile agg, one reassignment
+        projection. All full-data passes are narrow; the only shuffles
+        are the tiny per-leaf aggregates.
+
+        `spill` replicates rows near the cut into BOTH children
+        (gann.py:164-178's overlap: each child holds n*(0.5+spill)) —
+        the recall lever for boundary-adjacent neighbors; index size
+        grows by (1+2*spill)^depth.
+        """
+        spark = df.sparkSession
+        n = df.count()
+        dim = len(df.select(vec_col).first()[0])
+        depth = max(1, math.ceil(math.log2(max(2.0, n / max_leaf_size))))
+        sample_sz = min(sample_cap, vc_sample_bound(dim))
+
+        base = df.select(
+            F.col(id_col).alias("id"), F.col(vec_col).alias("vector")
+        )
+        trees: list[_Tree] = []
+        parts: list[DataFrame] = []
+        for t in range(n_trees):
+            tree = _Tree(depth=depth)
+            cur = base.withColumn("leaf_id", F.lit(0))
+            leaf_sizes = {0: n}
+            for level in range(depth):
+                # (a) per-leaf hash-sample -> driver numpy hyperplanes
+                fracs = {
+                    leaf: min(1.0, sample_sz / max(1, sz))
+                    for leaf, sz in leaf_sizes.items()
+                }
+                frac_expr = F.create_map(
+                    *[
+                        x
+                        for leaf, fr in fracs.items()
+                        for x in (F.lit(leaf), F.lit(fr))
+                    ]
+                )
+                sampled = cur.withColumn(
+                    "__u",
+                    (
+                        F.abs(F.xxhash64("id", F.lit(t), F.lit(level), F.lit(seed)))
+                        % 1_000_000
+                    )
+                    / 1_000_000.0,
+                ).filter(F.col("__u") < frac_expr[F.col("leaf_id")])
+                samples: dict[int, list] = {}
+                for row in sampled.select("leaf_id", "vector").collect():
+                    samples.setdefault(row["leaf_id"], []).append(row["vector"])
+                hyper = {}
+                for leaf in leaf_sizes:
+                    X = np.asarray(
+                        samples.get(leaf) or [[0.0] * dim], dtype=np.float64
+                    )
+                    hyper[leaf] = _two_means_hyperplane(
+                        X, seed=hash((seed, t, level, leaf)) & 0x7FFFFFFF
+                    )
+                bc = spark.sparkContext.broadcast(
+                    {k: v.tolist() for k, v in hyper.items()}
+                )
+
+                # (b) project onto the leaf's hyperplane (narrow pass)
+                def project(batches, _bc=bc):
+                    import pandas as pd
+
+                    H = {k: np.asarray(v) for k, v in _bc.value.items()}
+                    for pdf in batches:
+                        if len(pdf) == 0:
+                            continue
+                        M = np.array(pdf["vector"].tolist(), dtype=np.float64)
+                        leaves = pdf["leaf_id"].to_numpy()
+                        d = np.empty(len(pdf))
+                        for leaf in np.unique(leaves):
+                            m = leaves == leaf
+                            d[m] = M[m] @ H[int(leaf)]
+                        out = pdf[["id", "leaf_id"]].copy()
+                        out["proj"] = d
+                        yield out
+
+                projected = cur.mapInPandas(
+                    project, "id long, leaf_id int, proj double"
+                )
+                lo_q, hi_q = max(0.0, 0.5 - spill), min(1.0, 0.5 + spill)
+                cut_rows = (
+                    projected.groupBy("leaf_id")
+                    .agg(
+                        F.percentile_approx(
+                            "proj", F.array(F.lit(lo_q), F.lit(0.5), F.lit(hi_q)), 10000
+                        ).alias("cuts")
+                    )
+                    .collect()
+                )
+                cuts = {r["leaf_id"]: tuple(r["cuts"]) for r in cut_rows}
+                for leaf in leaf_sizes:
+                    lo, mid, hi = cuts.get(leaf, (0.0, 0.0, 0.0))
+                    # search descends by the median; spill only widens
+                    # the build-side assignment
+                    tree.nodes[(level, leaf)] = (hyper[leaf].tolist(), float(mid))
+
+                # (c) reassign leaves, spilling boundary rows to both
+                # children (narrow pass, same broadcast)
+                def reassign(batches, _bc=bc, _cuts=dict(cuts)):
+                    import pandas as pd
+
+                    H = {k: np.asarray(v) for k, v in _bc.value.items()}
+                    for pdf in batches:
+                        if len(pdf) == 0:
+                            continue
+                        M = np.array(pdf["vector"].tolist(), dtype=np.float64)
+                        leaves = pdf["leaf_id"].to_numpy()
+                        frames = []
+                        for leaf in np.unique(leaves):
+                            m = leaves == leaf
+                            lo, mid, hi = _cuts.get(int(leaf), (0.0, 0.0, 0.0))
+                            d = M[m] @ H[int(leaf)]
+                            sub = pdf[m]
+                            right = sub[d > lo].copy()
+                            right["leaf_id"] = 2 * int(leaf) + 1
+                            left = sub[d <= hi].copy()
+                            left["leaf_id"] = 2 * int(leaf)
+                            frames.append(right)
+                            frames.append(left)
+                        yield pd.concat(frames, ignore_index=True)
+
+                cur = cur.mapInPandas(
+                    reassign, "id long, vector array<float>, leaf_id int"
+                ).localCheckpoint(eager=False)
+                leaf_sizes = {
+                    r["leaf_id"]: r["cnt"]
+                    for r in cur.groupBy("leaf_id")
+                    .agg(F.count(F.lit(1)).alias("cnt"))
+                    .collect()
+                }
+            trees.append(tree)
+            parts.append(cur.withColumn("tree_id", F.lit(t)))
+        index_df = parts[0]
+        for p in parts[1:]:
+            index_df = index_df.unionByName(p)
+        return AnnIndex(index_df.select("tree_id", "leaf_id", "id", "vector"), trees, dim)
+
+    # ----------------------------------------------------------- persist
+    def save(self, path: str) -> None:
+        """Parquet partitioned by (tree_id, leaf_id) + JSON forest — the
+        Spark analog of dataset.npy + tree_<i>/ dirs (gann.py:183-191)."""
+        self.index_df.write.mode("overwrite").partitionBy(
+            "tree_id", "leaf_id"
+        ).parquet(f"{path}/leaves")
+        meta = {
+            "dim": self.dim,
+            "trees": [
+                {
+                    "depth": t.depth,
+                    "nodes": {
+                        f"{lvl}:{node}": {"w": w, "cut": c}
+                        for (lvl, node), (w, c) in t.nodes.items()
+                    },
+                }
+                for t in self.trees
+            ],
+        }
+        with open(f"{path}/forest.json", "w") as f:
+            json.dump(meta, f)
+
+    @staticmethod
+    def load(spark: SparkSession, path: str) -> "AnnIndex":
+        with open(f"{path}/forest.json") as f:
+            meta = json.load(f)
+        trees = []
+        for tm in meta["trees"]:
+            t = _Tree(depth=tm["depth"])
+            for key, v in tm["nodes"].items():
+                lvl, node = key.split(":")
+                t.nodes[(int(lvl), int(node))] = (v["w"], v["cut"])
+            trees.append(t)
+        return AnnIndex(
+            spark.read.parquet(f"{path}/leaves"), trees, meta["dim"]
+        )
+
+    # ------------------------------------------------------------ search
+    def search(
+        self,
+        queries: list[tuple[int, list[float]]],
+        k: int = 10,
+        metric: str = "cosine",
+    ) -> DataFrame:
+        """Batch search: driver-side forest descent -> (tree, leaf) hit
+        list -> pruned join -> cross-tree id dedup -> per-query top-k.
+
+        Returns (qid, id, score) with score descending per query.
+        """
+        spark = self.index_df.sparkSession
+        hits = []
+        for qid, vec in queries:
+            q = np.asarray(vec, dtype=np.float64)
+            for t, tree in enumerate(self.trees):
+                hits.append((qid, t, tree.descend(q), [float(x) for x in vec]))
+        qdf = spark.createDataFrame(
+            hits, "qid long, tree_id int, leaf_id int, qvec array<float>"
+        )
+        cand = self.index_df.join(
+            F.broadcast(qdf),
+            on=["tree_id", "leaf_id"],
+        ).dropDuplicates(["qid", "id"])  # ≡ the cross-tree hash-set dedup
+
+        from radient_spark.functions import vector as V
+
+        if metric == "cosine":
+            score = V.cosine_similarity(F.col("vector"), F.col("qvec"))
+        elif metric == "dot":
+            score = V.dot(F.col("vector"), F.col("qvec"))
+        elif metric == "l2":
+            score = -V.l2_distance(F.col("vector"), F.col("qvec"))
+        else:
+            raise ValueError(f"unknown metric {metric!r}")
+        scored = cand.withColumn("score", F.round(score, 6))
+        w = Window.partitionBy("qid").orderBy(
+            F.col("score").desc(), F.col("id").asc()
+        )
+        return (
+            scored.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") <= k)
+            .select("qid", "id", "score")
+        )

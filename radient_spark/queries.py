@@ -1055,6 +1055,23 @@ def q_media_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ann_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GANN-style ANN forest (radient_spark/ann.py): balanced-bisection
+    build with spill + partition-pruned batch search. Rows-only driver
+    check; recall-vs-exact property tests live in tests/test_ann.py."""
+    from radient_spark.ann import AnnIndex
+
+    emb = load_tables(spark, sf_dir)["embeddings"].select(
+        F.col("vec_id").alias("id"), F.col("embedding").alias("vector")
+    )
+    index = AnnIndex.build(
+        emb, n_trees=4, max_leaf_size=100, spill=0.1, seed=42
+    )
+    rows = emb.orderBy("id").limit(10).collect()
+    queries = [(int(r["id"]), list(r["vector"])) for r in rows]
+    return index.search(queries, k=10)
+
+
 # ---------------------------------------------------------------------------
 # Registry
 
@@ -1091,6 +1108,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "q_langid_confusion": (q_langid_confusion, _langid_sql()),
     "q_fastrp_supplier_embeddings": (q_fastrp_supplier_embeddings, None),
     "q_media_pipeline": (q_media_pipeline, None),
+    "q_ann_search": (q_ann_search, None),
     "q_simhash_fingerprints": (q_simhash_fingerprints, _Q_SIMHASH_SQL),
     "q_minhash_dup_pairs": (q_minhash_dup_pairs, None),  # rows-only check
 }

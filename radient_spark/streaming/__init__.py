@@ -1,0 +1,141 @@
+"""Structured Streaming operators (SURVEY.md §2.7 streaming row).
+
+The reference has no streaming engine — its closest analog is the
+one-item-at-a-time pull loop (radient/orchestrate/workflow.py:45-83) and
+the incremental YouTube source (radient/tasks/sources/youtube.py:51-64),
+and workflow persistence is an acknowledged TODO (workflow.py:55-56).
+Here continuous ingest is first-class Structured Streaming:
+
+- file-source `readStream` over the corpus/events schema (new files in a
+  directory are the micro-batches — the distributed version of the
+  reference's pull-until-None loop);
+- event-time semantics: watermarks bound state, late rows beyond the
+  watermark are dropped;
+- tumbling/sliding windows via F.window, session windows via
+  F.session_window;
+- streaming dedup via dropDuplicatesWithinWatermark (the streaming
+  version of our exact-dedup operator);
+- foreachBatch sinks reuse the batch sink connectors (sinks.py) — each
+  micro-batch is a normal DataFrame, so every batch operator composes.
+
+Every builder takes (stream_df) -> stream_df so they compose with
+`spark.readStream` the same way batch operators compose with
+`spark.read`, and each has a batch-equivalent used by the tests to check
+semantics (stream over a static dir == batch over the same files).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def read_event_stream(
+    spark,
+    path: str,
+    schema: str = "event_id long, ts timestamp, user_id long, "
+    "event_type string, value double, props string",
+    max_files_per_trigger: int | None = None,
+):
+    """File-source stream: every new parquet file in `path` becomes a
+    micro-batch. At scale this is the landing-zone pattern (object-store
+    prefix + file notifications)."""
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.parquet(path)
+
+
+def hourly_event_counts(
+    stream: DataFrame,
+    watermark: str = "1 hour",
+    window: str = "1 hour",
+    slide: str | None = None,
+) -> DataFrame:
+    """Watermarked tumbling (or sliding, if `slide`) window aggregation:
+    the streaming version of q_events_hourly. State per (window,
+    event_type) is dropped once the watermark passes the window end."""
+    w = (
+        F.window("ts", window, slide) if slide else F.window("ts", window)
+    )
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy(w.alias("win"), F.col("event_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("sum_value"),
+        )
+        .select(
+            F.col("win.start").alias("window_start"),
+            F.col("win.end").alias("window_end"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def user_sessions(
+    stream: DataFrame,
+    gap: str = "30 minutes",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Session windows per user with a 30-minute inactivity gap — the
+    streaming twin of q_user_sessions (batch lag+cumsum)."""
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("win"), F.col("user_id"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("user_id"),
+            F.col("win.start").alias("session_start"),
+            F.col("win.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
+def dedup_stream(
+    stream: DataFrame,
+    keys: list[str],
+    watermark_col: str = "ts",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming exact dedup: duplicates arriving within the watermark
+    horizon are dropped; state is bounded by the watermark (the streaming
+    version of operators/dedup.exact_dedup)."""
+    return stream.withWatermark(watermark_col, watermark).dropDuplicatesWithinWatermark(
+        keys
+    )
+
+
+def write_stream_to_parquet(
+    stream: DataFrame,
+    path: str,
+    checkpoint: str,
+    trigger_once: bool = True,
+):
+    """Parquet sink with checkpointing; trigger_once processes all
+    available input then stops (batch-like semantics for tests/backfill)."""
+    writer = (
+        stream.writeStream.format("parquet")
+        .option("path", path)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+    )
+    if trigger_once:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def foreach_batch_sink(stream: DataFrame, checkpoint: str, batch_fn):
+    """Run an arbitrary batch function per micro-batch — the bridge that
+    lets every batch operator/sink (incl. milvus/mongodb connectors) run
+    against a stream (≡ the reference's sink transact loop, done
+    incrementally)."""
+    return (
+        stream.writeStream.foreachBatch(batch_fn)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )

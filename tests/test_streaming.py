@@ -1,0 +1,110 @@
+"""Streaming semantics tests: stream over a static directory must agree
+with the batch computation over the same data (SURVEY.md §5.2 item 4)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from radient_spark import streaming
+from radient_spark.catalog import load_tables
+
+
+@pytest.fixture(scope="module")
+def event_dir(spark, sf_dir, tmp_path_factory):
+    """Events table written as several parquet files (micro-batch units)."""
+    d = tmp_path_factory.mktemp("events_stream")
+    ev = load_tables(spark, sf_dir)["events"]
+    ev.repartition(4).write.mode("overwrite").parquet(str(d / "in"))
+    return d
+
+
+def _run_to_memory(spark, stream_df, name, checkpoint):
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete" if stream_df.isStreaming else "append")
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return spark.table(name)
+
+
+def test_hourly_window_matches_batch(spark, event_dir):
+    stream = streaming.read_event_stream(spark, str(event_dir / "in"))
+    agg = streaming.hourly_event_counts(stream, watermark="0 seconds")
+    got = _run_to_memory(spark, agg, "hourly_stream", str(event_dir / "ck1"))
+
+    batch = spark.read.parquet(str(event_dir / "in"))
+    expected = (
+        batch.groupBy(F.window("ts", "1 hour").alias("win"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(F.col("win.start").alias("window_start"), "event_type", "n_events")
+    )
+    g = {(r["window_start"], r["event_type"]): r["n_events"] for r in got.collect()}
+    e = {(r["window_start"], r["event_type"]): r["n_events"] for r in expected.collect()}
+    assert g == e and len(g) > 0
+
+
+def test_session_window_state(spark, event_dir):
+    stream = streaming.read_event_stream(spark, str(event_dir / "in"))
+    sessions = streaming.user_sessions(stream, gap="30 minutes", watermark="0 seconds")
+    got = _run_to_memory(spark, sessions, "sessions_stream", str(event_dir / "ck2"))
+    rows = got.collect()
+    assert len(rows) > 0
+    # session windows never overlap per user and respect the gap
+    by_user: dict = {}
+    for r in rows:
+        by_user.setdefault(r["user_id"], []).append(
+            (r["session_start"], r["session_end"], r["n_events"])
+        )
+    import datetime
+
+    gap = datetime.timedelta(minutes=30)
+    for user, sess in by_user.items():
+        sess.sort()
+        for (s1, e1, _), (s2, e2, _) in zip(sess, sess[1:]):
+            assert s2 >= e1, (user, s1, e1, s2, e2)
+        assert all(e >= s for s, e, _ in sess)
+    # total session count matches the batch sessionization (q_user_sessions)
+    batch = spark.read.parquet(str(event_dir / "in"))
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    flagged = batch.withColumn("prev_ts", F.lag("ts").over(w)).withColumn(
+        "new_session",
+        F.when(
+            F.col("prev_ts").isNull()
+            | (F.col("ts") > F.col("prev_ts") + F.expr("INTERVAL 30 MINUTES")),
+            1,
+        ).otherwise(0),
+    )
+    n_batch = flagged.agg(F.sum("new_session")).collect()[0][0]
+    assert sum(len(s) for s in by_user.values()) == n_batch
+
+
+def test_streaming_dedup(spark, event_dir, tmp_path):
+    # duplicate every event, stream-dedup must restore the original count
+    src = spark.read.parquet(str(event_dir / "in"))
+    dup_dir = str(tmp_path / "dup")
+    src.union(src).repartition(3).write.parquet(dup_dir)
+    stream = streaming.read_event_stream(spark, dup_dir)
+    deduped = streaming.dedup_stream(stream, keys=["event_id"], watermark="2 hours")
+    out_dir, ck = str(tmp_path / "out"), str(tmp_path / "ck3")
+    q = streaming.write_stream_to_parquet(deduped, out_dir, ck)
+    q.awaitTermination(120)
+    assert spark.read.parquet(out_dir).count() == src.count()
+
+
+def test_foreach_batch_bridge(spark, event_dir, tmp_path):
+    calls = []
+    stream = streaming.read_event_stream(spark, str(event_dir / "in"))
+
+    def batch_fn(df, epoch_id):
+        calls.append((epoch_id, df.count()))
+
+    q = streaming.foreach_batch_sink(stream, str(tmp_path / "ck4"), batch_fn)
+    q.awaitTermination(120)
+    assert sum(c for _, c in calls) == spark.read.parquet(str(event_dir / "in")).count()
