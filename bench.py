@@ -29,12 +29,17 @@ BENCH_QUERIES = [
     "q_events_hourly",
     "q_user_sessions",
     "q_asof_purchase_click",
+    "q_running_customer_balance",
+    "q_purchase_error_window",
     "q_vec_topk_cosine",
     "q_vec_nearest_neighbor",
     "q_vec_similar_pairs",
     "q_minhash_signatures",
     "q_simhash_fingerprints",
     "q_minhash_dup_pairs",
+    "q_hashing_vectorizer_slots",
+    "q_ngram_jaccard_pairs",
+    "q_ann_search",
 ]
 
 

@@ -1055,6 +1055,190 @@ def q_media_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Batch 3: window frames, set difference, range join, pivot-style agg,
+# full outer join, first/last analytics.
+
+
+def q_running_customer_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window frame: running order total per customer (rowsBetween
+    unboundedPreceding..current), deterministic order + decimal-routed
+    cumulative sum."""
+    orders = load_tables(spark, sf_dir)["orders"]
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_orderdate",
+        F.sum(F.col("o_totalprice").cast("decimal(18,6)"))
+        .over(w)
+        .cast("double")
+        .alias("running_total"),
+    )
+
+
+_Q_RUNNING_SQL = """
+SELECT o_custkey, o_orderkey, o_orderdate,
+  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6)))
+       OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+    AS running_total
+FROM orders
+"""
+
+
+def q_churned_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set difference (EXCEPT): customers active in 1996 but not 1997."""
+    orders = load_tables(spark, sf_dir)["orders"]
+
+    def in_year(y: int) -> DataFrame:
+        return (
+            orders.filter(F.year("o_orderdate") == y)
+            .select(F.col("o_custkey").alias("custkey"))
+            .distinct()
+        )
+
+    return in_year(1996).exceptAll(in_year(1997))
+
+
+_Q_CHURN_SQL = """
+SELECT DISTINCT o_custkey AS custkey FROM orders WHERE year(o_orderdate) = 1996
+EXCEPT
+SELECT DISTINCT o_custkey AS custkey FROM orders WHERE year(o_orderdate) = 1997
+"""
+
+
+def q_purchase_error_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range (interval) join: for each purchase event, count same-user
+    error events in the following hour. Inequality join conditions —
+    Catalyst plans the equi-part (user_id) as the join key and the range
+    as a post-filter, so no cross product."""
+    ev = load_tables(spark, sf_dir)["events"]
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id"),
+        F.col("ts").alias("pts"),
+    )
+    e = ev.filter(F.col("event_type") == "error").select(
+        F.col("user_id").alias("euser"), F.col("ts").alias("ets")
+    )
+    joined = p.join(
+        e,
+        (F.col("user_id") == F.col("euser"))
+        & (F.col("ets") > F.col("pts"))
+        & (F.col("ets") <= F.col("pts") + F.expr("INTERVAL 1 HOUR")),
+        "left",
+    )
+    return joined.groupBy("purchase_id", "user_id").agg(
+        F.count("ets").alias("n_errors_next_hour")
+    )
+
+
+_Q_RANGE_JOIN_SQL = """
+SELECT p.event_id AS purchase_id, p.user_id,
+  COUNT(e.ts) AS n_errors_next_hour
+FROM events p
+LEFT JOIN events e
+  ON e.event_type = 'error' AND e.user_id = p.user_id
+ AND e.ts > p.ts AND e.ts <= p.ts + INTERVAL 1 HOUR
+WHERE p.event_type = 'purchase'
+GROUP BY p.event_id, p.user_id
+"""
+
+
+def q_segment_status_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot as conditional aggregation: order-status counts fanned into
+    columns per market segment."""
+    t = load_tables(spark, sf_dir)
+    o = t["orders"].join(
+        F.broadcast(t["customer"].select("c_custkey", "c_mktsegment")),
+        F.col("o_custkey") == F.col("c_custkey"),
+    )
+    return o.groupBy("c_mktsegment").agg(
+        F.sum(F.when(F.col("o_orderstatus") == "F", 1).otherwise(0)).alias("n_f"),
+        F.sum(F.when(F.col("o_orderstatus") == "O", 1).otherwise(0)).alias("n_o"),
+        F.sum(F.when(F.col("o_orderstatus") == "P", 1).otherwise(0)).alias("n_p"),
+    )
+
+
+_Q_PIVOT_SQL = """
+SELECT c_mktsegment,
+  CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_f,
+  CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_o,
+  CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS n_p
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment
+"""
+
+
+def q_yearly_revenue_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full outer join: per-customer 1996 vs 1997 revenue side by side
+    (nulls where a customer is active in only one year)."""
+    orders = load_tables(spark, sf_dir)["orders"]
+
+    def rev(y: int, alias: str) -> DataFrame:
+        return (
+            orders.filter(F.year("o_orderdate") == y)
+            .groupBy(F.col("o_custkey").alias(f"ck_{alias}"))
+            .agg(dsum(F.col("o_totalprice"), f"rev_{alias}"))
+        )
+
+    a, b = rev(1996, "a"), rev(1997, "b")
+    return a.join(b, a.ck_a == b.ck_b, "full").select(
+        F.coalesce("ck_a", "ck_b").alias("custkey"), "rev_a", "rev_b"
+    )
+
+
+_Q_FULL_OUTER_SQL = """
+WITH a AS (
+  SELECT o_custkey AS ck_a,
+    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS rev_a
+  FROM orders WHERE year(o_orderdate) = 1996 GROUP BY 1
+), b AS (
+  SELECT o_custkey AS ck_b,
+    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS rev_b
+  FROM orders WHERE year(o_orderdate) = 1997 GROUP BY 1
+)
+SELECT COALESCE(ck_a, ck_b) AS custkey, rev_a, rev_b
+FROM a FULL OUTER JOIN b ON ck_a = ck_b
+"""
+
+
+def q_part_price_span(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """first_value/last_value with full-frame windows: first and latest
+    shipment price per part (deterministic tiebreaks)."""
+    li = load_tables(spark, sf_dir)["lineitem"]
+    w = Window.partitionBy("l_partkey").orderBy(
+        "l_shipdate", "l_orderkey", "l_linenumber"
+    )
+    full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return (
+        li.select(
+            "l_partkey",
+            F.first_value(F.col("l_extendedprice")).over(full).alias("first_price"),
+            F.last_value(F.col("l_extendedprice")).over(full).alias("last_price"),
+            F.count(F.lit(1)).over(full).alias("n_shipments"),
+        )
+        .dropDuplicates(["l_partkey"])
+    )
+
+
+_Q_SPAN_SQL = """
+SELECT DISTINCT l_partkey,
+  FIRST_VALUE(l_extendedprice) OVER w AS first_price,
+  LAST_VALUE(l_extendedprice) OVER w AS last_price,
+  COUNT(*) OVER w AS n_shipments
+FROM lineitem
+WINDOW w AS (PARTITION BY l_partkey
+             ORDER BY l_shipdate, l_orderkey, l_linenumber
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+"""
+
+
 def q_ann_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GANN-style ANN forest (radient_spark/ann.py): balanced-bisection
     build with spill + partition-pruned batch search. Rows-only driver
@@ -1109,6 +1293,12 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "q_fastrp_supplier_embeddings": (q_fastrp_supplier_embeddings, None),
     "q_media_pipeline": (q_media_pipeline, None),
     "q_ann_search": (q_ann_search, None),
+    "q_running_customer_balance": (q_running_customer_balance, _Q_RUNNING_SQL),
+    "q_churned_customers": (q_churned_customers, _Q_CHURN_SQL),
+    "q_purchase_error_window": (q_purchase_error_window, _Q_RANGE_JOIN_SQL),
+    "q_segment_status_pivot": (q_segment_status_pivot, _Q_PIVOT_SQL),
+    "q_yearly_revenue_full_outer": (q_yearly_revenue_full_outer, _Q_FULL_OUTER_SQL),
+    "q_part_price_span": (q_part_price_span, _Q_SPAN_SQL),
     "q_simhash_fingerprints": (q_simhash_fingerprints, _Q_SIMHASH_SQL),
     "q_minhash_dup_pairs": (q_minhash_dup_pairs, None),  # rows-only check
 }
