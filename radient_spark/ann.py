@@ -106,6 +106,137 @@ def _two_means_hyperplane(X: np.ndarray, seed: int) -> np.ndarray:
     return w / norm
 
 
+def _kmeans(X: np.ndarray, k: int, seed: int, iters: int = 25) -> np.ndarray:
+    """Plain seeded Lloyd k-means on a sample (k-means++ init) — the
+    centroid trainer for the IVF index. Driver-side on a VC-bounded
+    sample, like the reference's GKMeans (which adds a balance loss we
+    don't need here: IVF cells may be uneven, probes fix recall)."""
+    rng = np.random.RandomState(seed)
+    n = len(X)
+    k = min(k, n)
+    # k-means++ seeding (_gkmeans.py:224-232)
+    centroids = [X[rng.randint(n)]]
+    for _ in range(k - 1):
+        d2 = np.min(
+            [((X - c) ** 2).sum(1) for c in centroids], axis=0
+        )
+        p = d2 / max(d2.sum(), 1e-12)
+        centroids.append(X[rng.choice(n, p=p)])
+    C = np.stack(centroids).astype(np.float64)
+    for _ in range(iters):
+        assign = ((X[:, None, :] - C[None, :, :]) ** 2).sum(2).argmin(1)
+        newC = np.stack(
+            [
+                X[assign == j].mean(0) if (assign == j).any() else C[j]
+                for j in range(k)
+            ]
+        )
+        if np.allclose(newC, C):
+            break
+        C = newC
+    return C
+
+
+class IvfIndex:
+    """IVF (inverted-file) index: rows bucketed by nearest centroid.
+
+    The flat-quantizer alternative to the bisection forest: one
+    centroid-assignment pass (narrow, broadcast centroids), candidates =
+    the `n_probes` nearest cells per query. Cells map to parquet
+    partitions exactly like the forest's leaves.
+    """
+
+    def __init__(self, index_df: DataFrame, centroids: np.ndarray):
+        self.index_df = index_df
+        self.centroids = centroids
+
+    @staticmethod
+    def build(
+        df: DataFrame,
+        id_col: str = "id",
+        vec_col: str = "vector",
+        n_cells: int = 64,
+        sample_cap: int = 8192,
+        seed: int = 42,
+    ) -> "IvfIndex":
+        spark = df.sparkSession
+        base = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vector"))
+        n = base.count()
+        frac = min(1.0, sample_cap / max(1, n))
+        sample = (
+            base.withColumn(
+                "__u", (F.abs(F.xxhash64("id", F.lit(seed))) % 1_000_000) / 1e6
+            )
+            .filter(F.col("__u") < frac)
+            .select("vector")
+            .collect()
+        )
+        X = np.array([r["vector"] for r in sample], dtype=np.float64)
+        C = _kmeans(X, n_cells, seed)
+        bc = spark.sparkContext.broadcast(C.tolist())
+
+        def assign(batches):
+            import pandas as pd
+
+            C_ = np.asarray(bc.value)
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                M = np.array(pdf["vector"].tolist(), dtype=np.float64)
+                d2 = (
+                    (M * M).sum(1)[:, None]
+                    + (C_ * C_).sum(1)[None, :]
+                    - 2.0 * (M @ C_.T)
+                )
+                out = pdf.copy()
+                out["cell_id"] = d2.argmin(1).astype(np.int32)
+                yield out
+
+        idx = base.mapInPandas(
+            assign, "id long, vector array<float>, cell_id int"
+        )
+        return IvfIndex(idx, C)
+
+    def search(
+        self,
+        queries: list[tuple[int, list[float]]],
+        k: int = 10,
+        n_probes: int = 8,
+        metric: str = "cosine",
+    ) -> DataFrame:
+        """Probe the n_probes nearest cells per query, exact-rerank the
+        candidates, window top-k. Candidates ~ n_probes * n/n_cells."""
+        spark = self.index_df.sparkSession
+        hits = []
+        for qid, vec in queries:
+            q = np.asarray(vec, dtype=np.float64)
+            d2 = ((self.centroids - q) ** 2).sum(1)
+            for cell in np.argsort(d2)[:n_probes]:
+                hits.append((qid, int(cell), [float(x) for x in vec]))
+        qdf = spark.createDataFrame(hits, "qid long, cell_id int, qvec array<float>")
+        cand = self.index_df.join(F.broadcast(qdf), on="cell_id")
+
+        from radient_spark.functions import vector as V
+
+        if metric == "cosine":
+            score = V.cosine_similarity(F.col("vector"), F.col("qvec"))
+        elif metric == "dot":
+            score = V.dot(F.col("vector"), F.col("qvec"))
+        elif metric == "l2":
+            score = -V.l2_distance(F.col("vector"), F.col("qvec"))
+        else:
+            raise ValueError(f"unknown metric {metric!r}")
+        scored = cand.withColumn("score", F.round(score, 6))
+        w = Window.partitionBy("qid").orderBy(
+            F.col("score").desc(), F.col("id").asc()
+        )
+        return (
+            scored.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") <= k)
+            .select("qid", "id", "score")
+        )
+
+
 class AnnIndex:
     """Forest index over a (id BIGINT, vector ARRAY<FLOAT>) DataFrame."""
 

@@ -1056,6 +1056,207 @@ def q_media_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Batch 4: decorrelated subqueries (TPC-H Q16/Q18/Q22 shapes, Q2-style
+# per-group argmin) + the drug-discovery fingerprint-similarity flow.
+
+
+def q18_large_quantity_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q18 shape: orders whose total lineitem quantity exceeds 150 —
+    IN-subquery with HAVING, decorrelated to an aggregate + join."""
+    t = load_tables(spark, sf_dir)
+    big = (
+        t["lineitem"]
+        .groupBy("l_orderkey")
+        .agg(dsum(F.col("l_quantity"), "sum_qty"))
+        .filter(F.col("sum_qty") > 150)
+    )
+    return (
+        t["orders"]
+        .join(big, F.col("o_orderkey") == F.col("l_orderkey"))
+        .select("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice", "sum_qty")
+    )
+
+
+_Q18_SQL = """
+SELECT o_orderkey, o_custkey, o_orderdate, o_totalprice, sum_qty
+FROM orders JOIN (
+  SELECT l_orderkey,
+    CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty
+  FROM lineitem GROUP BY l_orderkey
+  HAVING CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) > 150
+) ON o_orderkey = l_orderkey
+"""
+
+
+def q16_brand_supplier_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q16 shape: per (brand, size band) distinct supplier count,
+    excluding an anti-set of suppliers (NOT IN -> left_anti)."""
+    t = load_tables(spark, sf_dir)
+    bad = t["supplier"].filter(F.col("s_acctbal") < 0).select("s_suppkey")
+    li = (
+        t["lineitem"]
+        .join(bad, t["lineitem"].l_suppkey == bad.s_suppkey, "left_anti")
+        .join(F.broadcast(t["part"]), F.col("l_partkey") == F.col("p_partkey"))
+    )
+    return (
+        li.withColumn("size_band", F.floor(F.col("p_size") / 10).cast("int"))
+        .groupBy("p_brand", "size_band")
+        .agg(F.countDistinct("l_suppkey").alias("n_suppliers"))
+    )
+
+
+_Q16_SQL = """
+SELECT p_brand, CAST(FLOOR(p_size / 10) AS INT) AS size_band,
+  COUNT(DISTINCT l_suppkey) AS n_suppliers
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY 1, 2
+"""
+
+
+def q22_wealthy_inactive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q22 shape: customers with above-average balance and no orders
+    after 1999 — scalar subquery (global avg) + NOT EXISTS, per nation."""
+    t = load_tables(spark, sf_dir)
+    avg_bal = (
+        t["customer"]
+        .agg(davg(F.col("c_acctbal"), "a"))
+        .collect()[0]["a"]
+    )
+    recent = t["orders"].filter(
+        F.col("o_orderdate") >= F.lit("1999-01-01").cast("timestamp")
+    )
+    return (
+        t["customer"]
+        .filter(F.col("c_acctbal") > avg_bal)
+        .join(recent, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            dsum(F.col("c_acctbal"), "total_bal"),
+        )
+    )
+
+
+_Q22_SQL = """
+SELECT c_nationkey, COUNT(*) AS n_customers,
+  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,6))) AS DOUBLE) AS total_bal
+FROM customer
+WHERE c_acctbal > (
+    SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*)
+    FROM customer)
+  AND NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey
+                    AND o_orderdate >= TIMESTAMP '1999-01-01 00:00:00')
+GROUP BY c_nationkey
+"""
+
+
+def q02_top_supplier_per_part(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q2 shape: per part, the supplier with the highest shipped revenue
+    (correlated argmax -> rank-1 window with deterministic tiebreak).
+    Restricted to parts with p_size < 10 to keep the result selective."""
+    t = load_tables(spark, sf_dir)
+    small_parts = t["part"].filter(F.col("p_size") < 10).select("p_partkey")
+    rev = (
+        t["lineitem"]
+        .join(F.broadcast(small_parts), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(dsum(_disc_price(), "revenue"))
+    )
+    w = Window.partitionBy("l_partkey").orderBy(
+        F.col("revenue").desc(), F.col("l_suppkey").asc()
+    )
+    return (
+        rev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("l_partkey", "l_suppkey", "revenue")
+    )
+
+
+_Q02_SQL = """
+SELECT l_partkey, l_suppkey, revenue FROM (
+  SELECT l_partkey, l_suppkey,
+    CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
+    ROW_NUMBER() OVER (PARTITION BY l_partkey
+                       ORDER BY CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) DESC,
+                                l_suppkey ASC) AS rn
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE p_size < 10
+  GROUP BY l_partkey, l_suppkey
+) WHERE rn = 1
+"""
+
+
+def q_fingerprint_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The drug-discovery flow (examples/drug_discovery.md:42-48):
+    fingerprint every 'molecule' (part names stand in for SMILES),
+    brute-force Jaccard against a query, take the top 10. The
+    fingerprint is the deterministic char-ngram variant of
+    operators/vectorize.fingerprint_vectorizer, reproduced bit-for-bit
+    by the DuckDB oracle via md5 bit-id sets."""
+    from radient_spark.operators.vectorize import fingerprint_vectorizer
+    from radient_spark.functions.vector import jaccard_bool
+
+    parts = load_tables(spark, sf_dir)["part"].select("p_partkey", "p_name")
+    fps = fingerprint_vectorizer(
+        parts, input_col="p_name", out_col="fp", dim=128, n_hashes=2, radius=3
+    )
+    query_name = "red widget"
+    qfp_row = fingerprint_vectorizer(
+        spark.createDataFrame([(query_name,)], "p_name string"),
+        input_col="p_name",
+        out_col="fp",
+        dim=128,
+        n_hashes=2,
+        radius=3,
+    ).collect()[0]["fp"]
+    qfp = F.array(*[F.lit(bool(b)) for b in qfp_row])
+    return (
+        fps.withColumn("jaccard", jaccard_bool(F.col("fp"), qfp))
+        .orderBy(F.col("jaccard").desc(), F.col("p_partkey").asc())
+        .limit(10)
+        .select("p_partkey", "p_name", "jaccard")
+    )
+
+
+def _fingerprint_sql(dim: int = 128, n_hashes: int = 2, radius: int = 3) -> str:
+    """DuckDB oracle for the char-ngram fingerprint: the bit set of a
+    string is {md5(i + '#' + gram) % dim}; Jaccard over bit sets equals
+    Jaccard over the boolean arrays."""
+    gram_parts = []
+    for k in range(1, radius + 1):
+        gram_parts.append(
+            f"CASE WHEN length(p_name) = 0 THEN [] "
+            f"WHEN length(p_name) < {k} THEN [p_name] "
+            f"ELSE list_transform(generate_series(1, length(p_name) - {k - 1}), i -> substring(p_name, i, {k})) END"
+        )
+    grams = " || ".join(gram_parts)
+    hashes = " || ".join(
+        f"list_transform(grams, g -> ('0x' || substring(md5('{i}#' || g), 1, 8))::BIGINT % {dim})"
+        for i in range(n_hashes)
+    )
+    return f"""
+WITH g AS (
+  SELECT p_partkey, p_name, ({grams}) AS grams FROM part
+), bits AS (
+  SELECT p_partkey, p_name, list_distinct({hashes}) AS bitset FROM g
+), q AS (
+  SELECT list_distinct({hashes.replace("grams", "qgrams")}) AS qbits FROM (
+    SELECT ({grams.replace("p_name", "'red widget'")}) AS qgrams
+  )
+)
+SELECT p_partkey, p_name,
+  CASE WHEN len(list_distinct(bitset || qbits)) = 0 THEN 0.0
+       ELSE CAST(len(list_distinct(list_intersect(bitset, qbits))) AS DOUBLE)
+            / len(list_distinct(bitset || qbits)) END AS jaccard
+FROM bits, q
+ORDER BY jaccard DESC, p_partkey ASC
+LIMIT 10
+"""
+
+
+# ---------------------------------------------------------------------------
 # Batch 3: window frames, set difference, range join, pivot-style agg,
 # full outer join, first/last analytics.
 
@@ -1299,6 +1500,11 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "q_segment_status_pivot": (q_segment_status_pivot, _Q_PIVOT_SQL),
     "q_yearly_revenue_full_outer": (q_yearly_revenue_full_outer, _Q_FULL_OUTER_SQL),
     "q_part_price_span": (q_part_price_span, _Q_SPAN_SQL),
+    "q18_large_quantity_orders": (q18_large_quantity_orders, _Q18_SQL),
+    "q16_brand_supplier_counts": (q16_brand_supplier_counts, _Q16_SQL),
+    "q22_wealthy_inactive": (q22_wealthy_inactive, _Q22_SQL),
+    "q02_top_supplier_per_part": (q02_top_supplier_per_part, _Q02_SQL),
+    "q_fingerprint_similarity": (q_fingerprint_similarity, _fingerprint_sql()),
     "q_simhash_fingerprints": (q_simhash_fingerprints, _Q_SIMHASH_SQL),
     "q_minhash_dup_pairs": (q_minhash_dup_pairs, None),  # rows-only check
 }

@@ -88,6 +88,36 @@ def test_search_candidates_bounded(index, emb):
         assert scores == sorted(scores, reverse=True)
 
 
+def test_ivf_recall(spark, emb):
+    from radient_spark.ann import IvfIndex
+
+    idx = IvfIndex.build(emb, n_cells=16, seed=42)
+    rows = emb.collect()
+    rng = np.random.RandomState(1)
+    qidx = rng.choice(len(rows), 15, replace=False)
+    queries = [(int(i), list(rows[i]["vector"])) for i in qidx]
+    exact = _exact_topk(rows, queries, k=10)
+    ann = {}
+    for r in idx.search(queries, k=10, n_probes=8).collect():
+        ann.setdefault(r["qid"], set()).add(r["id"])
+    recalls = [len(ann.get(q, set()) & exact[q]) / 10 for q, _ in queries]
+    assert float(np.mean(recalls)) >= 0.6, recalls
+    # probing all cells must give exact results
+    ann_full = {}
+    for r in idx.search(queries[:5], k=10, n_probes=16).collect():
+        ann_full.setdefault(r["qid"], set()).add(r["id"])
+    for q, _ in queries[:5]:
+        assert ann_full[q] == exact[q]
+
+
+def test_ivf_cells_cover_everything(spark, emb):
+    from radient_spark.ann import IvfIndex
+
+    idx = IvfIndex.build(emb, n_cells=16, seed=42)
+    assert idx.index_df.count() == emb.count()
+    assert idx.index_df.select("id").distinct().count() == emb.count()
+
+
 def test_save_load_roundtrip(spark, index, emb, tmp_path):
     path = str(tmp_path / "ann_index")
     index.save(path)
