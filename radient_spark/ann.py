@@ -257,12 +257,13 @@ class AnnIndex:
         spill: float = 0.1,
         seed: int = 42,
     ) -> "AnnIndex":
-        """Iterative balanced-bisection build.
+        """Iterative balanced-bisection build — ALL trees in one DataFrame.
 
-        Per level and tree: one sample-collect (VC-bounded, hash-sampled
-        — no shuffle), one projection+percentile agg, one reassignment
-        projection. All full-data passes are narrow; the only shuffles
-        are the tiny per-leaf aggregates.
+        Per level (for the whole forest at once): one hash-sample collect
+        (VC-bounded, no shuffle), one projection pass + per-(tree,leaf)
+        percentile aggregate, one reassignment pass. All full-data passes
+        are narrow; the only shuffles are the tiny per-leaf aggregates.
+        Driver round-trips are 3 per level regardless of n_trees.
 
         `spill` replicates rows near the cut into BOTH children
         (gann.py:164-178's overlap: each child holds n*(0.5+spill)) —
@@ -275,129 +276,135 @@ class AnnIndex:
         depth = max(1, math.ceil(math.log2(max(2.0, n / max_leaf_size))))
         sample_sz = min(sample_cap, vc_sample_bound(dim))
 
-        base = df.select(
-            F.col(id_col).alias("id"), F.col(vec_col).alias("vector")
+        cur = (
+            df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vector"))
+            .withColumn(
+                "tree_id",
+                F.explode(F.array(*[F.lit(t) for t in range(n_trees)])),
+            )
+            .withColumn("leaf_id", F.lit(0))
         )
-        trees: list[_Tree] = []
-        parts: list[DataFrame] = []
-        for t in range(n_trees):
-            tree = _Tree(depth=depth)
-            cur = base.withColumn("leaf_id", F.lit(0))
-            leaf_sizes = {0: n}
-            for level in range(depth):
-                # (a) per-leaf hash-sample -> driver numpy hyperplanes
-                fracs = {
-                    leaf: min(1.0, sample_sz / max(1, sz))
-                    for leaf, sz in leaf_sizes.items()
-                }
-                frac_expr = F.create_map(
-                    *[
-                        x
-                        for leaf, fr in fracs.items()
-                        for x in (F.lit(leaf), F.lit(fr))
-                    ]
+        trees = [_Tree(depth=depth) for _ in range(n_trees)]
+        sizes: dict[tuple[int, int], int] = {(t, 0): n for t in range(n_trees)}
+        KEY = 1 << (depth + 1)  # composite (tree, leaf) -> tree*KEY + leaf
+
+        for level in range(depth):
+            # (a) per-(tree,leaf) hash-sample -> driver numpy hyperplanes
+            fracs = {
+                t * KEY + leaf: min(1.0, sample_sz / max(1, sz))
+                for (t, leaf), sz in sizes.items()
+            }
+            frac_expr = F.create_map(
+                *[x for k, fr in fracs.items() for x in (F.lit(k), F.lit(fr))]
+            )
+            key_col = F.col("tree_id") * KEY + F.col("leaf_id")
+            sampled = cur.withColumn(
+                "__u",
+                (
+                    F.abs(F.xxhash64("id", "tree_id", F.lit(level), F.lit(seed)))
+                    % 1_000_000
                 )
-                sampled = cur.withColumn(
-                    "__u",
-                    (
-                        F.abs(F.xxhash64("id", F.lit(t), F.lit(level), F.lit(seed)))
-                        % 1_000_000
-                    )
-                    / 1_000_000.0,
-                ).filter(F.col("__u") < frac_expr[F.col("leaf_id")])
-                samples: dict[int, list] = {}
-                for row in sampled.select("leaf_id", "vector").collect():
-                    samples.setdefault(row["leaf_id"], []).append(row["vector"])
-                hyper = {}
-                for leaf in leaf_sizes:
-                    X = np.asarray(
-                        samples.get(leaf) or [[0.0] * dim], dtype=np.float64
-                    )
-                    hyper[leaf] = _two_means_hyperplane(
-                        X, seed=hash((seed, t, level, leaf)) & 0x7FFFFFFF
-                    )
-                bc = spark.sparkContext.broadcast(
-                    {k: v.tolist() for k, v in hyper.items()}
+                / 1_000_000.0,
+            ).filter(F.col("__u") < frac_expr[key_col])
+            samples: dict[int, list] = {}
+            for row in sampled.select(
+                key_col.alias("key"), F.col("vector")
+            ).collect():
+                samples.setdefault(row["key"], []).append(row["vector"])
+            hyper = {}
+            for (t, leaf) in sizes:
+                k = t * KEY + leaf
+                X = np.asarray(samples.get(k) or [[0.0] * dim], dtype=np.float64)
+                hyper[k] = _two_means_hyperplane(
+                    X, seed=hash((seed, t, level, leaf)) & 0x7FFFFFFF
                 )
+            bc = spark.sparkContext.broadcast(
+                {k: v.tolist() for k, v in hyper.items()}
+            )
 
-                # (b) project onto the leaf's hyperplane (narrow pass)
-                def project(batches, _bc=bc):
-                    import pandas as pd
+            # (b) project onto the (tree,leaf) hyperplane (narrow pass)
+            def project(batches, _bc=bc, _KEY=KEY):
+                import pandas as pd
 
-                    H = {k: np.asarray(v) for k, v in _bc.value.items()}
-                    for pdf in batches:
-                        if len(pdf) == 0:
-                            continue
-                        M = np.array(pdf["vector"].tolist(), dtype=np.float64)
-                        leaves = pdf["leaf_id"].to_numpy()
-                        d = np.empty(len(pdf))
-                        for leaf in np.unique(leaves):
-                            m = leaves == leaf
-                            d[m] = M[m] @ H[int(leaf)]
-                        out = pdf[["id", "leaf_id"]].copy()
-                        out["proj"] = d
-                        yield out
-
-                projected = cur.mapInPandas(
-                    project, "id long, leaf_id int, proj double"
-                )
-                lo_q, hi_q = max(0.0, 0.5 - spill), min(1.0, 0.5 + spill)
-                cut_rows = (
-                    projected.groupBy("leaf_id")
-                    .agg(
-                        F.percentile_approx(
-                            "proj", F.array(F.lit(lo_q), F.lit(0.5), F.lit(hi_q)), 10000
-                        ).alias("cuts")
+                H = {k: np.asarray(v) for k, v in _bc.value.items()}
+                for pdf in batches:
+                    if len(pdf) == 0:
+                        continue
+                    M = np.array(pdf["vector"].tolist(), dtype=np.float64)
+                    keys = (
+                        pdf["tree_id"].to_numpy() * _KEY + pdf["leaf_id"].to_numpy()
                     )
-                    .collect()
+                    d = np.empty(len(pdf))
+                    for k in np.unique(keys):
+                        m = keys == k
+                        d[m] = M[m] @ H[int(k)]
+                    out = pdf[["tree_id", "leaf_id"]].copy()
+                    out["proj"] = d
+                    yield out
+
+            projected = cur.mapInPandas(
+                project, "tree_id int, leaf_id int, proj double"
+            )
+            lo_q, hi_q = max(0.0, 0.5 - spill), min(1.0, 0.5 + spill)
+            cut_rows = (
+                projected.groupBy("tree_id", "leaf_id")
+                .agg(
+                    F.percentile_approx(
+                        "proj", F.array(F.lit(lo_q), F.lit(0.5), F.lit(hi_q)), 10000
+                    ).alias("cuts")
                 )
-                cuts = {r["leaf_id"]: tuple(r["cuts"]) for r in cut_rows}
-                for leaf in leaf_sizes:
-                    lo, mid, hi = cuts.get(leaf, (0.0, 0.0, 0.0))
-                    # search descends by the median; spill only widens
-                    # the build-side assignment
-                    tree.nodes[(level, leaf)] = (hyper[leaf].tolist(), float(mid))
+                .collect()
+            )
+            cuts = {
+                r["tree_id"] * KEY + r["leaf_id"]: tuple(r["cuts"])
+                for r in cut_rows
+            }
+            for (t, leaf) in sizes:
+                k = t * KEY + leaf
+                lo, mid, hi = cuts.get(k, (0.0, 0.0, 0.0))
+                # search descends by the median; spill only widens the
+                # build-side assignment
+                trees[t].nodes[(level, leaf)] = (hyper[k].tolist(), float(mid))
 
-                # (c) reassign leaves, spilling boundary rows to both
-                # children (narrow pass, same broadcast)
-                def reassign(batches, _bc=bc, _cuts=dict(cuts)):
-                    import pandas as pd
+            # (c) reassign leaves, spilling boundary rows to both children
+            def reassign(batches, _bc=bc, _cuts=dict(cuts), _KEY=KEY):
+                import pandas as pd
 
-                    H = {k: np.asarray(v) for k, v in _bc.value.items()}
-                    for pdf in batches:
-                        if len(pdf) == 0:
-                            continue
-                        M = np.array(pdf["vector"].tolist(), dtype=np.float64)
-                        leaves = pdf["leaf_id"].to_numpy()
-                        frames = []
-                        for leaf in np.unique(leaves):
-                            m = leaves == leaf
-                            lo, mid, hi = _cuts.get(int(leaf), (0.0, 0.0, 0.0))
-                            d = M[m] @ H[int(leaf)]
-                            sub = pdf[m]
-                            right = sub[d > lo].copy()
-                            right["leaf_id"] = 2 * int(leaf) + 1
-                            left = sub[d <= hi].copy()
-                            left["leaf_id"] = 2 * int(leaf)
-                            frames.append(right)
-                            frames.append(left)
-                        yield pd.concat(frames, ignore_index=True)
+                H = {k: np.asarray(v) for k, v in _bc.value.items()}
+                for pdf in batches:
+                    if len(pdf) == 0:
+                        continue
+                    M = np.array(pdf["vector"].tolist(), dtype=np.float64)
+                    keys = (
+                        pdf["tree_id"].to_numpy() * _KEY + pdf["leaf_id"].to_numpy()
+                    )
+                    frames = []
+                    for k in np.unique(keys):
+                        m = keys == k
+                        lo, mid, hi = _cuts.get(int(k), (0.0, 0.0, 0.0))
+                        d = M[m] @ H[int(k)]
+                        leaf = int(k) % _KEY
+                        sub = pdf[m]
+                        right = sub[d > lo].copy()
+                        right["leaf_id"] = 2 * leaf + 1
+                        left = sub[d <= hi].copy()
+                        left["leaf_id"] = 2 * leaf
+                        frames.append(right)
+                        frames.append(left)
+                    yield pd.concat(frames, ignore_index=True)
 
-                cur = cur.mapInPandas(
-                    reassign, "id long, vector array<float>, leaf_id int"
-                ).localCheckpoint(eager=False)
-                leaf_sizes = {
-                    r["leaf_id"]: r["cnt"]
-                    for r in cur.groupBy("leaf_id")
-                    .agg(F.count(F.lit(1)).alias("cnt"))
-                    .collect()
-                }
-            trees.append(tree)
-            parts.append(cur.withColumn("tree_id", F.lit(t)))
-        index_df = parts[0]
-        for p in parts[1:]:
-            index_df = index_df.unionByName(p)
-        return AnnIndex(index_df.select("tree_id", "leaf_id", "id", "vector"), trees, dim)
+            cur = cur.mapInPandas(
+                reassign, "id long, vector array<float>, tree_id int, leaf_id int"
+            ).localCheckpoint(eager=False)
+            sizes = {
+                (r["tree_id"], r["leaf_id"]): r["cnt"]
+                for r in cur.groupBy("tree_id", "leaf_id")
+                .agg(F.count(F.lit(1)).alias("cnt"))
+                .collect()
+            }
+        return AnnIndex(
+            cur.select("tree_id", "leaf_id", "id", "vector"), trees, dim
+        )
 
     # ----------------------------------------------------------- persist
     def save(self, path: str) -> None:

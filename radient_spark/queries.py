@@ -1440,6 +1440,23 @@ WINDOW w AS (PARTITION BY l_partkey
 """
 
 
+def q_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full dedup pipeline: MinHash -> LSH banding -> signature verify ->
+    connected components (iterative min-label propagation) -> canonical
+    doc per duplicate group + group size. The end-to-end shape of corpus
+    dedup at scale; rows-only check (iterative, not SQL-expressible)."""
+    pairs = q_minhash_dup_pairs(spark, sf_dir)
+    labels = D.connected_duplicate_groups(pairs)
+    return (
+        labels.groupBy("group_id")
+        .agg(
+            F.count(F.lit(1)).alias("group_size"),
+            F.min("id").alias("canonical_id"),
+        )
+        .filter(F.col("group_size") > 1)
+    )
+
+
 def q_ann_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GANN-style ANN forest (radient_spark/ann.py): balanced-bisection
     build with spill + partition-pruned batch search. Rows-only driver
@@ -1505,6 +1522,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "q22_wealthy_inactive": (q22_wealthy_inactive, _Q22_SQL),
     "q02_top_supplier_per_part": (q02_top_supplier_per_part, _Q02_SQL),
     "q_fingerprint_similarity": (q_fingerprint_similarity, _fingerprint_sql()),
+    "q_dup_groups": (q_dup_groups, None),
     "q_simhash_fingerprints": (q_simhash_fingerprints, _Q_SIMHASH_SQL),
     "q_minhash_dup_pairs": (q_minhash_dup_pairs, None),  # rows-only check
 }

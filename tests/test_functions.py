@@ -1,0 +1,123 @@
+"""Property tests for the Catalyst function layer (SURVEY.md §5.2 item 3)
+against numpy on randomized inputs."""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from radient_spark.functions import text as X
+from radient_spark.functions import vector as V
+
+
+def _vec_df(spark, rows):
+    return spark.createDataFrame(
+        [(i, [float(x) for x in a], [float(x) for x in b]) for i, (a, b) in enumerate(rows)],
+        "id long, a array<float>, b array<float>",
+    )
+
+
+def test_vector_identities_match_numpy(spark):
+    rng = np.random.RandomState(3)
+    rows = [(rng.randn(16), rng.randn(16)) for _ in range(50)]
+    df = _vec_df(spark, rows).select(
+        "id",
+        V.dot("a", "b").alias("dot"),
+        V.cosine_similarity("a", "b").alias("cos"),
+        V.l2_distance("a", "b").alias("l2"),
+        V.sq_norm("a").alias("na2"),
+    )
+    got = {r["id"]: r for r in df.collect()}
+    for i, (a, b) in enumerate(rows):
+        a32, b32 = a.astype(np.float32).astype(np.float64), b.astype(np.float32).astype(np.float64)
+        assert abs(got[i]["dot"] - a32 @ b32) < 1e-9
+        assert abs(got[i]["cos"] - (a32 @ b32) / (np.linalg.norm(a32) * np.linalg.norm(b32))) < 1e-9
+        assert abs(got[i]["l2"] - np.linalg.norm(a32 - b32)) < 1e-9
+        assert abs(got[i]["na2"] - a32 @ a32) < 1e-9
+        assert -1.0 - 1e-9 <= got[i]["cos"] <= 1.0 + 1e-9
+
+
+def test_normalize_idempotent_and_unit(spark):
+    rng = np.random.RandomState(4)
+    rows = [(rng.randn(8) * rng.uniform(0.1, 100), np.zeros(8)) for _ in range(20)]
+    df = _vec_df(spark, rows)
+    once = df.select("id", V.l2_normalize("a").alias("n1"))
+    twice = once.select("id", V.l2_normalize("n1").alias("n2"), "n1")
+    for r in twice.collect():
+        n1, n2 = np.array(r["n1"]), np.array(r["n2"])
+        assert abs(np.linalg.norm(n1) - 1.0) < 1e-5
+        assert np.allclose(n1, n2, atol=1e-6)  # normalize(normalize(x)) == normalize(x)
+    # zero vector passes through unchanged
+    z = df.select(V.l2_normalize("b").alias("z")).collect()[0]["z"]
+    assert list(z) == [0.0] * 8
+
+
+def test_jaccard_bool_properties(spark):
+    rng = np.random.RandomState(5)
+    rows = [
+        (list(map(bool, rng.randint(0, 2, 32))), list(map(bool, rng.randint(0, 2, 32))))
+        for _ in range(30)
+    ]
+    df = spark.createDataFrame(
+        [(i, a, b) for i, (a, b) in enumerate(rows)],
+        "id long, a array<boolean>, b array<boolean>",
+    )
+    got = {
+        r["id"]: (r["jab"], r["jba"], r["jaa"])
+        for r in df.select(
+            "id",
+            V.jaccard_bool("a", "b").alias("jab"),
+            V.jaccard_bool("b", "a").alias("jba"),
+            V.jaccard_bool("a", "a").alias("jaa"),
+        ).collect()
+    }
+    for i, (a, b) in enumerate(rows):
+        jab, jba, jaa = got[i]
+        assert jab == jba  # symmetric
+        assert 0.0 <= jab <= 1.0
+        assert jaa == (1.0 if any(a) else 0.0)  # self-similarity
+        inter = sum(x and y for x, y in zip(a, b))
+        union = sum(x or y for x, y in zip(a, b))
+        assert abs(jab - (inter / union if union else 0.0)) < 1e-12
+
+
+def test_shingles_count_and_content(spark):
+    df = spark.createDataFrame(
+        [(0, "a b c d e"), (1, "a b"), (2, ""), (3, "solo")],
+        "id long, text string",
+    )
+    rows = {
+        r["id"]: r["sh"]
+        for r in df.select(
+            "id", X.word_shingles("text", k=3).alias("sh")
+        ).collect()
+    }
+    assert rows[0] == ["a b c", "b c d", "c d e"]
+    assert rows[1] == ["a b"]  # fewer than k tokens -> whole text
+    assert rows[2] == []
+    assert rows[3] == ["solo"]
+
+
+def test_char_ngrams(spark):
+    df = spark.createDataFrame([(0, "abcd"), (1, "ab"), (2, "")], "id long, t string")
+    rows = {
+        r["id"]: r["g"]
+        for r in df.select("id", X.char_ngrams("t", n=3).alias("g")).collect()
+    }
+    assert rows[0] == ["abc", "bcd"]
+    assert rows[1] == ["ab"]
+    assert rows[2] == []
+
+
+def test_quality_score_monotone_band(spark):
+    texts = ["", "word", "the quick brown fox jumps over the lazy dog " * 5, "1234 5678 !!!"]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "id long, text string"
+    )
+    got = {
+        r["id"]: r["q"]
+        for r in df.select("id", X.quality_score("text").alias("q")).collect()
+    }
+    assert all(0.0 <= v <= 1.0 for v in got.values())
+    assert got[2] > got[1] > got[0]  # longer fluent text scores higher
+    assert got[2] > got[3]  # digits/punctuation score lower than prose
