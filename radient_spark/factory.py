@@ -62,6 +62,18 @@ register("vectorizer", "multimodal")(
 register("vectorizer", "sbert")(
     lambda **kw: functools.partial(vectorize.sbert_vectorizer, **kw)
 )
+register("vectorizer", "timm")(
+    lambda **kw: functools.partial(vectorize.timm_image_vectorizer, **kw)
+)
+register("vectorizer", "torchaudio")(
+    lambda **kw: functools.partial(vectorize.torchaudio_audio_vectorizer, **kw)
+)
+register("vectorizer", "cohere")(
+    lambda **kw: functools.partial(vectorize.cohere_text_vectorizer, **kw)
+)
+register("vectorizer", "voyage")(
+    lambda **kw: functools.partial(vectorize.voyage_text_vectorizer, **kw)
+)
 
 # --- transforms (≡ radient/tasks/transforms/*/__init__.py factories) ------
 

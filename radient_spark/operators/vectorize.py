@@ -24,6 +24,7 @@ convention (SURVEY §1.3) and composes with functions/vector.py
 
 from __future__ import annotations
 
+import os
 from collections.abc import Iterator
 
 from pyspark.sql import DataFrame
@@ -289,6 +290,143 @@ def sbert_vectorizer(
             yield pd.Series([v.tolist() for v in vecs])
 
     return df.withColumn(out_col, embed(F.col(text_col)))
+
+
+def model_vectorizer(
+    df: DataFrame,
+    input_col: str,
+    out_col: str,
+    model_factory,
+    required_module: str,
+    batch_encode,
+) -> DataFrame:
+    """Generic model-backed vectorizer: iterator pandas_udf with a
+    per-Python-worker model singleton (the pattern shared by the
+    reference's sbert/timm/torchaudio/imagebind vectorizers, each of
+    which reloads per instance — see SURVEY.md §2.3).
+
+    model_factory() -> model (called once per worker);
+    batch_encode(model, values: list) -> list[list[float]].
+    """
+    import importlib
+
+    if importlib.util.find_spec(required_module) is None:
+        raise ImportError(
+            f"{required_module} is not installed; use a deterministic "
+            "stand-in vectorizer (same column contract) in CI"
+        )
+    import pandas as pd  # pragma: no cover — model path exercised off-CI
+
+    @F.pandas_udf("array<float>")
+    def embed(it: Iterator[pd.Series]) -> Iterator[pd.Series]:  # pragma: no cover
+        model = model_factory()
+        for s in it:
+            yield pd.Series(batch_encode(model, s.tolist()))
+
+    return df.withColumn(out_col, embed(F.col(input_col)))
+
+
+def timm_image_vectorizer(
+    df: DataFrame,
+    image_col: str = "payload",
+    out_col: str = "vector",
+    model_name: str = "resnet50",
+) -> DataFrame:  # pragma: no cover - timm not in CI
+    """≡ vectorizers/image/timm.py:23-58 (classifier head reset, feature
+    output). Input column holds encoded image bytes."""
+
+    def factory():
+        import timm
+
+        return timm.create_model(model_name, pretrained=True, num_classes=0).eval()
+
+    def encode(model, blobs):
+        import io
+
+        import torch
+        from PIL import Image
+        import timm
+
+        cfg = timm.data.resolve_data_config({}, model=model)
+        tf = timm.data.create_transform(**cfg)
+        with torch.inference_mode():
+            batch = torch.stack(
+                [tf(Image.open(io.BytesIO(b)).convert("RGB")) for b in blobs]
+            )
+            return model(batch).numpy().tolist()
+
+    return model_vectorizer(df, image_col, out_col, factory, "timm", encode)
+
+
+def torchaudio_audio_vectorizer(
+    df: DataFrame,
+    waveform_col: str = "waveform",
+    out_col: str = "vector",
+) -> DataFrame:  # pragma: no cover - torchaudio not in CI
+    """≡ vectorizers/audio/torchaudio.py:16-67 (HUBERT_BASE features,
+    avg-pooled to one vector per clip)."""
+
+    def factory():
+        import torchaudio
+
+        return torchaudio.pipelines.HUBERT_BASE.get_model().eval()
+
+    def encode(model, waves):
+        import torch
+
+        with torch.inference_mode():
+            out = []
+            for w in waves:
+                feats, _ = model.extract_features(torch.tensor([w]))
+                out.append(feats[-1].mean(dim=1).squeeze(0).numpy().tolist())
+            return out
+
+    return model_vectorizer(df, waveform_col, out_col, factory, "torchaudio", encode)
+
+
+def cohere_text_vectorizer(
+    df: DataFrame,
+    text_col: str = "text",
+    out_col: str = "vector",
+    model: str = "embed-english-v3.0",
+    api_key: str | None = None,
+) -> DataFrame:  # pragma: no cover - cohere not in CI
+    """≡ vectorizers/text/cohere.py:18-39 — batched REST embedding calls
+    from executors (note: the reference's env-var path is broken by an
+    `os.envirion` typo, cohere.py:26; we read os.environ correctly)."""
+    key = api_key or os.environ.get("COHERE_API_KEY")
+
+    def factory():
+        import cohere
+
+        return cohere.Client(key)
+
+    def encode(client, texts):
+        resp = client.embed(texts=texts, model=model, input_type="search_document")
+        return [list(e) for e in resp.embeddings]
+
+    return model_vectorizer(df, text_col, out_col, factory, "cohere", encode)
+
+
+def voyage_text_vectorizer(
+    df: DataFrame,
+    text_col: str = "text",
+    out_col: str = "vector",
+    model: str = "voyage-2",
+    api_key: str | None = None,
+) -> DataFrame:  # pragma: no cover - voyageai not in CI
+    """≡ vectorizers/text/voyage.py:14-29."""
+    key = api_key or os.environ.get("VOYAGE_API_KEY")
+
+    def factory():
+        import voyageai
+
+        return voyageai.Client(api_key=key)
+
+    def encode(client, texts):
+        return client.embed(texts, model=model).embeddings
+
+    return model_vectorizer(df, text_col, out_col, factory, "voyageai", encode)
 
 
 def multimodal_vectorizer(

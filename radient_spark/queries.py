@@ -784,30 +784,46 @@ SELECT doc_id, slot, COUNT(*) AS cnt FROM (
 
 def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """n-gram (token-set) Jaccard near-dup pairs within each source
-    partition — the exact verify step of text dedup. int/int division is
-    deterministic in both engines; no rounding needed."""
+    partition — the exact verify step of text dedup.
+
+    Sparse set-similarity join (inverted-index formulation): explode
+    distinct tokens, self-join on (source, token) to COUNT shared tokens
+    per pair, then jaccard = shared / (|A| + |B| - shared). Work is
+    O(sum over tokens of co-occurring doc pairs) instead of
+    O(all pairs x tokens) — the shape that survives corpus-scale input.
+    Pure-integer arithmetic, so the double division matches the oracle
+    exactly (no rounding needed)."""
     docs = load_tables(spark, sf_dir)["documents"]
-    toks = docs.select(
+    toks = docs.filter(F.length(F.trim("text")) > 0).select(
         "doc_id",
-        F.col("source"),
+        "source",
         F.array_distinct(F.split(F.trim("text"), r"\s+")).alias("toks"),
-    ).filter(F.length(F.trim("text")) > 0)
-    a = toks.select(
-        F.col("source"),
-        F.col("doc_id").alias("id_a"),
-        F.col("toks").alias("ta"),
     )
-    b = toks.select(
+    sizes = toks.select("doc_id", F.size("toks").alias("n_toks"))
+    posting = toks.select("source", "doc_id", F.explode("toks").alias("token"))
+    a = posting.select("source", F.col("doc_id").alias("id_a"), "token")
+    b = posting.select(
         F.col("source").alias("source_b"),
         F.col("doc_id").alias("id_b"),
-        F.col("toks").alias("tb"),
+        F.col("token").alias("token_b"),
     )
-    pairs = a.join(
-        b, (F.col("source") == F.col("source_b")) & (F.col("id_a") < F.col("id_b"))
+    shared = (
+        a.join(
+            b,
+            (F.col("source") == F.col("source_b"))
+            & (F.col("token") == F.col("token_b"))
+            & (F.col("id_a") < F.col("id_b")),
+        )
+        .groupBy("source", "id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("shared"))
     )
-    jac = F.size(F.array_intersect("ta", "tb")) / F.size(F.array_union("ta", "tb"))
+    na = sizes.select(F.col("doc_id").alias("id_a"), F.col("n_toks").alias("na"))
+    nb = sizes.select(F.col("doc_id").alias("id_b"), F.col("n_toks").alias("nb"))
+    jac = F.col("shared") / (F.col("na") + F.col("nb") - F.col("shared"))
     return (
-        pairs.withColumn("jaccard", jac)
+        shared.join(F.broadcast(na), "id_a")
+        .join(F.broadcast(nb), "id_b")
+        .withColumn("jaccard", jac)
         .filter(F.col("jaccard") >= 0.6)
         .select("source", "id_a", "id_b", "jaccard")
     )
