@@ -1456,6 +1456,41 @@ WINDOW w AS (PARTITION BY l_partkey
 """
 
 
+def q_corpus_filtered_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-filtered vector search — the Milvus-search parity flow
+    (sinks/milvus.py:122-127: top-k with a boolean filter like
+    `modality like "image"`). Here: cosine top-10 restricted to
+    documents with lang='en', the filter applied BEFORE scoring so
+    Catalyst prunes the scan; vector + metadata live in one engine, no
+    external store round-trip."""
+    t = load_tables(spark, sf_dir)
+    en_docs = t["documents"].filter(F.col("lang") == "en").select("doc_id", "lang")
+    emb = t["embeddings"].join(
+        F.broadcast(en_docs), F.col("vec_id") == F.col("doc_id")
+    )
+    return topk(
+        emb.select("vec_id", "lang", "embedding"),
+        vec_col="embedding",
+        query=QUERY_VEC,
+        k=10,
+        metric="cosine",
+        score_col="score",
+        tiebreak="vec_id",
+    ).drop("embedding")
+
+
+_Q_CORPUS_SEARCH_SQL = f"""
+SELECT vec_id, lang,
+  round(list_dot_product(embedding::DOUBLE[], {_QV_SQL})
+        / (sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
+           * sqrt(list_dot_product({_QV_SQL}, {_QV_SQL}))), 6) AS score
+FROM embeddings JOIN documents ON vec_id = doc_id
+WHERE lang = 'en'
+ORDER BY score DESC, vec_id ASC
+LIMIT 10
+"""
+
+
 def q_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full dedup pipeline: MinHash -> LSH banding -> signature verify ->
     connected components (iterative min-label propagation) -> canonical
@@ -1539,6 +1574,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "q02_top_supplier_per_part": (q02_top_supplier_per_part, _Q02_SQL),
     "q_fingerprint_similarity": (q_fingerprint_similarity, _fingerprint_sql()),
     "q_dup_groups": (q_dup_groups, None),
+    "q_corpus_filtered_search": (q_corpus_filtered_search, _Q_CORPUS_SEARCH_SQL),
     "q_simhash_fingerprints": (q_simhash_fingerprints, _Q_SIMHASH_SQL),
     "q_minhash_dup_pairs": (q_minhash_dup_pairs, None),  # rows-only check
 }

@@ -128,6 +128,59 @@ def write_stream_to_parquet(
     return writer.start()
 
 
+def running_user_totals(
+    stream: DataFrame,
+    watermark: str = "1 hour",
+    inactivity_timeout_ms: int = 3_600_000,
+) -> DataFrame:
+    """Custom stateful operator via applyInPandasWithState: per-user
+    running event count + value total, emitted when the user's state
+    times out after inactivity (the arbitrary-state tool SURVEY §2.7
+    flags for operators the built-in windows can't express).
+
+    State per user: (n_events, total_value). Bounded by the watermark +
+    timeout; each micro-batch updates state from its Arrow batches.
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = "user_id long, n_events long, total_value double"
+    state_schema = "n long, total double"
+
+    def update(key, pdfs, state: GroupState):
+        import pandas as pd
+
+        if state.hasTimedOut:
+            n, total = state.get
+            state.remove()
+            yield pd.DataFrame(
+                {"user_id": [key[0]], "n_events": [n], "total_value": [total]}
+            )
+        else:
+            n, total = state.get if state.exists else (0, 0.0)
+            for pdf in pdfs:
+                n += len(pdf)
+                total += float(pdf["value"].sum())
+            state.update((n, total))
+            state.setTimeoutDuration(inactivity_timeout_ms)
+            yield pd.DataFrame(
+                {"user_id": pd.Series([], dtype="int64"),
+                 "n_events": pd.Series([], dtype="int64"),
+                 "total_value": pd.Series([], dtype="float64")}
+            )
+
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+        )
+    )
+
+
 def foreach_batch_sink(stream: DataFrame, checkpoint: str, batch_fn):
     """Run an arbitrary batch function per micro-batch — the bridge that
     lets every batch operator/sink (incl. milvus/mongodb connectors) run

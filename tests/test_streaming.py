@@ -98,6 +98,46 @@ def test_streaming_dedup(spark, event_dir, tmp_path):
     assert spark.read.parquet(out_dir).count() == src.count()
 
 
+def test_stateful_running_totals(spark, event_dir, tmp_path):
+    """applyInPandasWithState: state accumulates across micro-batches;
+    after the final batch + timeout the totals must equal the batch agg."""
+    stream = streaming.read_event_stream(
+        spark, str(event_dir / "in"), max_files_per_trigger=1
+    )
+    # short timeout so the state flushes once input is exhausted
+    totals = streaming.running_user_totals(
+        stream, watermark="0 seconds", inactivity_timeout_ms=1
+    )
+    q = (
+        totals.writeStream.format("memory")
+        .queryName("user_totals")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck_state"))
+        .trigger(processingTime="1 second")
+        .start()
+    )
+    import time
+
+    batch = spark.read.parquet(str(event_dir / "in"))
+    expected = {
+        r["user_id"]: (r["n"], r["total"])
+        for r in batch.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("total"))
+        .collect()
+    }
+    got = {}
+    deadline = time.time() + 90
+    while time.time() < deadline and len(got) < len(expected):
+        time.sleep(2)
+        for r in spark.table("user_totals").collect():
+            got[r["user_id"]] = (r["n_events"], r["total_value"])
+    q.stop()
+    assert len(got) == len(expected), (len(got), len(expected))
+    for u, (n, total) in expected.items():
+        assert got[u][0] == n
+        assert abs(got[u][1] - total) < 1e-6
+
+
 def test_foreach_batch_bridge(spark, event_dir, tmp_path):
     calls = []
     stream = streaming.read_event_stream(spark, str(event_dir / "in"))
