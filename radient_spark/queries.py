@@ -736,7 +736,7 @@ def q_minhash_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # One signature computation, cached: the banding branch and both sides
     # of the verify join read the same in-memory signatures.
     sigs = D.with_minhash(
-        docs.select("doc_id", "text"),
+        docs.filter(F.length(F.trim("text")) > 0).select("doc_id", "text"),
         text_col="text",
         num_hashes=16,
         shingle_k=3,
@@ -1508,6 +1508,63 @@ def q_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _minhash_dup_pairs_sql(num_hashes: int = 16, bands: int = 4) -> str:
+    """DuckDB oracle for the full LSH dedup pipeline: signatures ->
+    banding -> candidate pairs -> signature-estimated Jaccard >= 0.5.
+    Reproduces the md5-derived permutation mins bit-for-bit."""
+    params = D.hash_params(num_hashes)
+    mins = ",\n      ".join(
+        f"COALESCE(list_aggregate(list_transform(hs, x -> ({a} * x + {b}) % {MINHASH_P}), 'min'), {MINHASH_P})"
+        for a, b in params
+    )
+    rows_per_band = num_hashes // bands
+    band_selects = "\n  UNION ALL\n".join(
+        f"  SELECT doc_id, {i} AS band_idx, "
+        f"array_to_string(list_transform(sig[{i * rows_per_band + 1}:{(i + 1) * rows_per_band}], v -> CAST(v AS VARCHAR)), '_') AS band_key "
+        f"FROM sig"
+        for i in range(bands)
+    )
+    return rf"""
+WITH tk AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+  FROM documents WHERE length(trim(text)) > 0
+), sh AS (
+  SELECT doc_id,
+    CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+         ELSE list_transform(generate_series(1, len(toks) - 2),
+                             i -> array_to_string(toks[i:i+2], ' '))
+    END AS shingles
+  FROM tk
+), h AS (
+  SELECT doc_id,
+    list_transform(shingles,
+                   s -> ('0x' || substring(md5(s), 1, 8))::BIGINT % {MINHASH_P}) AS hs
+  FROM sh
+), sig AS (
+  SELECT doc_id, [
+      {mins}
+  ] AS sig FROM h
+), bands AS (
+{band_selects}
+), pairs AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a JOIN bands b
+    ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+   AND a.doc_id < b.doc_id
+)
+SELECT id_a, id_b,
+  round(CAST(list_sum(list_transform(generate_series(1, {num_hashes}),
+        i -> CASE WHEN sa.sig[i] = sb.sig[i] THEN 1 ELSE 0 END)) AS DOUBLE)
+        / {num_hashes}, 6) AS est_jaccard
+FROM pairs
+JOIN sig sa ON sa.doc_id = id_a
+JOIN sig sb ON sb.doc_id = id_b
+WHERE round(CAST(list_sum(list_transform(generate_series(1, {num_hashes}),
+        i -> CASE WHEN sa.sig[i] = sb.sig[i] THEN 1 ELSE 0 END)) AS DOUBLE)
+        / {num_hashes}, 6) >= 0.5
+"""
+
+
 def q_ann_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GANN-style ANN forest (radient_spark/ann.py): balanced-bisection
     build with spill + partition-pruned batch search. Rows-only driver
@@ -1576,7 +1633,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "q_dup_groups": (q_dup_groups, None),
     "q_corpus_filtered_search": (q_corpus_filtered_search, _Q_CORPUS_SEARCH_SQL),
     "q_simhash_fingerprints": (q_simhash_fingerprints, _Q_SIMHASH_SQL),
-    "q_minhash_dup_pairs": (q_minhash_dup_pairs, None),  # rows-only check
+    "q_minhash_dup_pairs": (q_minhash_dup_pairs, _minhash_dup_pairs_sql()),
 }
 
 
