@@ -396,11 +396,14 @@ class AnnIndex:
             cur = cur.mapInPandas(
                 reassign, "id long, vector array<float>, tree_id int, leaf_id int"
             ).localCheckpoint(eager=False)
+            # Child sizes follow analytically from the median split: each
+            # child holds ~size*(0.5+spill) of its parent (that IS the
+            # split rule) — no count job needed; sizes only steer the
+            # next level's sampling fraction.
             sizes = {
-                (r["tree_id"], r["leaf_id"]): r["cnt"]
-                for r in cur.groupBy("tree_id", "leaf_id")
-                .agg(F.count(F.lit(1)).alias("cnt"))
-                .collect()
+                (t, 2 * leaf + c): max(1, int(sz * (0.5 + spill)))
+                for (t, leaf), sz in sizes.items()
+                for c in (0, 1)
             }
         return AnnIndex(
             cur.select("tree_id", "leaf_id", "id", "vector"), trees, dim
