@@ -1,0 +1,69 @@
+"""Arrow-boundary operator surfaces: applyInPandas (UDAF-ish), mapInPandas
+(UDTF-ish, see operators/transforms.py), and Spark 4 Python UDTFs.
+
+These are the escape hatches SURVEY §2.7 maps the reference's Task
+surface onto — used ONLY where Catalyst expressions can't express the
+semantics (the transforms and GEMM top-k elsewhere in this repo), and
+shown here in their canonical forms with correctness tests.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def grouped_exact_quantiles(
+    df: DataFrame,
+    keys: list[str],
+    value_col: str,
+    quantiles: tuple[float, ...] = (0.25, 0.5, 0.75),
+) -> DataFrame:
+    """Exact per-group quantiles via applyInPandas — the UDAF shape:
+    whole group in as a pandas DataFrame, one aggregate row out.
+
+    Each group must fit in executor memory (the applyInPandas contract);
+    for unbounded groups use approx_percentile (built-in sketch) instead.
+    """
+    import numpy as np
+    import pandas as pd
+
+    qcols = [f"q{int(q * 100)}" for q in quantiles]
+    out_schema = (
+        ", ".join(f"{k} {dict(df.dtypes)[k]}" for k in keys)
+        + ", "
+        + ", ".join(f"{c} double" for c in qcols)
+        + ", n long"
+    )
+
+    def agg(pdf: pd.DataFrame) -> pd.DataFrame:
+        vals = pdf[value_col].to_numpy(dtype=np.float64)
+        row = {k: [pdf[k].iloc[0]] for k in keys}
+        for q, c in zip(quantiles, qcols):
+            row[c] = [float(np.quantile(vals, q))]
+        row["n"] = [len(vals)]
+        return pd.DataFrame(row)
+
+    return df.groupBy(*keys).applyInPandas(agg, out_schema)
+
+
+def make_shingle_udtf():
+    """Python UDTF (Spark 4): one input string -> one row per word
+    shingle. The lateral-join form of the reference's one-to-many
+    transforms; register with spark.udtf.register or use inline.
+    """
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="shingle: string, pos: int")
+    class ShingleUDTF:
+        def eval(self, text: str, k: int):
+            toks = (text or "").split()
+            if not toks:
+                return
+            if len(toks) < k:
+                yield (" ".join(toks), 0)
+                return
+            for i in range(len(toks) - k + 1):
+                yield (" ".join(toks[i : i + k]), i)
+
+    return ShingleUDTF

@@ -1456,6 +1456,24 @@ WINDOW w AS (PARTITION BY l_partkey
 """
 
 
+def q_embedding_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate dedup: similarity self-join above
+    a high threshold -> connected components -> canonical id + group
+    size. The semantic-dedup twin of q_dup_groups (which is lexical);
+    rows-only (iterative). At scale the pair generation swaps to the
+    ANN/LSH candidate path; the grouping is unchanged."""
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    pairs = similarity_self_join(
+        emb, vec_col="embedding", id_col="vec_id", threshold=0.45, metric="cosine"
+    )
+    labels = D.connected_duplicate_groups(pairs)
+    return (
+        labels.groupBy("group_id")
+        .agg(F.count(F.lit(1)).alias("group_size"), F.min("id").alias("canonical_id"))
+        .filter(F.col("group_size") > 1)
+    )
+
+
 def q_corpus_filtered_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Metadata-filtered vector search — the Milvus-search parity flow
     (sinks/milvus.py:122-127: top-k with a boolean filter like
@@ -1632,6 +1650,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "q_fingerprint_similarity": (q_fingerprint_similarity, _fingerprint_sql()),
     "q_dup_groups": (q_dup_groups, None),
     "q_corpus_filtered_search": (q_corpus_filtered_search, _Q_CORPUS_SEARCH_SQL),
+    "q_embedding_dup_groups": (q_embedding_dup_groups, None),
     "q_simhash_fingerprints": (q_simhash_fingerprints, _Q_SIMHASH_SQL),
     "q_minhash_dup_pairs": (q_minhash_dup_pairs, _minhash_dup_pairs_sql()),
 }

@@ -40,6 +40,29 @@ def ingest(df: DataFrame, target_dir: str, mode: str = "append") -> None:
     df.write.mode(mode).parquet(target_dir)
 
 
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_col: str,
+    n_buckets: int = 32,
+    sort_col: str | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Persist as a bucketed (and optionally sorted) managed table.
+
+    Bucketing is the zero-shuffle join strategy for fact-to-fact joins
+    too big to broadcast: two tables bucketed on the join key with the
+    same bucket count join with NO Exchange on either side — the
+    co-location is established once at write time and amortized over
+    every subsequent join. (tests/test_bucketing.py asserts the
+    Exchange-free plan.)
+    """
+    writer = df.write.mode(mode).bucketBy(n_buckets, bucket_col)
+    if sort_col:
+        writer = writer.sortBy(sort_col)
+    writer.saveAsTable(table)
+
+
 def youtube_source(
     spark: SparkSession, url: str, output_directory: str
 ) -> DataFrame:  # pragma: no cover - network + yt_dlp not in CI
