@@ -116,6 +116,53 @@ def stopword_ratio(text: Column | str) -> Column:
     )
 
 
+# GPT-2-style pretokenizer pattern — the "BPE-ish regex" token counter.
+# Uses \p{L}/\p{N} unicode classes supported by both Java regex (Spark)
+# and RE2 (DuckDB) so the oracle counts identically.
+BPE_ISH_PATTERN = r"'s|'t|'re|'ve|'m|'ll|'d| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+"
+
+
+def bpe_ish_tokens(text: Column | str) -> Column:
+    """Subword-style tokens via the GPT-2 pretokenizer regex (model-free
+    BPE approximation for token accounting)."""
+    return F.regexp_extract_all(_c(text), F.lit(BPE_ISH_PATTERN), 0)
+
+
+def bpe_ish_token_count(text: Column | str) -> Column:
+    return F.size(bpe_ish_tokens(text))
+
+
+ROLLING_B = 31
+ROLLING_P = 1_000_003
+
+
+def rolling_hash_fingerprint(text: Column | str, k: int = 16) -> Column:
+    """Document fingerprint via Karp-Rabin rolling hashes: polynomial
+    hash of every k-char window (base 31 mod 1e6+3), fingerprint = the
+    minimum window hash — winnowing's selection rule with window = whole
+    doc. Pure integer arithmetic, bit-identical in the SQL oracle.
+    Texts shorter than k hash as a single window."""
+    t = _c(text)
+    chars = F.split(t, "")
+    n = F.length(t)
+
+    def window_hash(start, length):
+        codes = F.transform(F.slice(chars, start, length), lambda c: F.ascii(c))
+        return F.aggregate(
+            codes,
+            F.lit(0).cast("long"),
+            lambda acc, c: (acc * ROLLING_B + c) % ROLLING_P,
+        )
+
+    all_windows = F.transform(
+        F.sequence(F.lit(1), n - F.lit(k - 1)),
+        lambda i: window_hash(i, F.lit(k)),
+    )
+    return F.when(n == 0, F.lit(None).cast("long")).otherwise(
+        F.when(n < k, window_hash(F.lit(1), n)).otherwise(F.array_min(all_windows))
+    )
+
+
 # Language-ID: tiny per-language stopword lists; prediction = first
 # language (in LANGID_ORDER) achieving the max stopword count. Fully
 # deterministic, portable to a SQL oracle.

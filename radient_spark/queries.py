@@ -1456,6 +1456,66 @@ WINDOW w AS (PARTITION BY l_partkey
 """
 
 
+def q_bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token accounting with the BPE-ish (GPT-2 pretokenizer) regex next
+    to whitespace counts — the token-counting pair a training-data
+    pipeline budgets with (functions/text.py)."""
+    from radient_spark.functions.text import bpe_ish_token_count
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    ws = F.size(F.split(F.trim("text"), r"\s+"))
+    return (
+        docs.filter(F.length(F.trim("text")) > 0)
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(ws.cast("long")).alias("ws_tokens"),
+            F.sum(bpe_ish_token_count(F.col("text")).cast("long")).alias("bpe_tokens"),
+            F.max(bpe_ish_token_count(F.col("text"))).alias("max_bpe_doc"),
+        )
+    )
+
+
+_Q_BPE_SQL = r"""
+SELECT source, COUNT(*) AS n_docs,
+  CAST(SUM(len(regexp_split_to_array(trim(text), '\s+'))) AS BIGINT) AS ws_tokens,
+  CAST(SUM(len(regexp_extract_all(text, '''s|''t|''re|''ve|''m|''ll|''d| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+'))) AS BIGINT) AS bpe_tokens,
+  CAST(MAX(len(regexp_extract_all(text, '''s|''t|''re|''ve|''m|''ll|''d| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+'))) AS INT) AS max_bpe_doc
+FROM documents WHERE length(trim(text)) > 0
+GROUP BY source
+"""
+
+
+def q_rolling_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Karp-Rabin rolling-hash document fingerprint (min 16-char window
+    hash, base-31 polynomial) — winnowing-style content fingerprinting,
+    pure integer arithmetic reproduced exactly by the oracle."""
+    from radient_spark.functions.text import rolling_hash_fingerprint
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    return docs.filter(F.length("text") > 0).select(
+        "doc_id", rolling_hash_fingerprint(F.col("text"), k=16).alias("fp")
+    )
+
+
+_Q_ROLLING_SQL = """
+WITH c AS (
+  SELECT doc_id, str_split(text, '') AS chars, length(text) AS n
+  FROM documents WHERE length(text) > 0
+)
+SELECT doc_id,
+  CASE WHEN n < 16 THEN
+    list_reduce([0::BIGINT] || list_transform(chars, ch -> ascii(ch)::BIGINT),
+                (a, cc) -> (a * 31 + cc) % 1000003)
+  ELSE
+    list_aggregate(list_transform(generate_series(1, n - 15),
+      i -> list_reduce([0::BIGINT] || list_transform(chars[i:i+15], ch -> ascii(ch)::BIGINT),
+                       (a, cc) -> (a * 31 + cc) % 1000003)), 'min')
+  END AS fp
+FROM c
+"""
+
+
 def q_embedding_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate dedup: similarity self-join above
     a high threshold -> connected components -> canonical id + group
@@ -1651,6 +1711,8 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "q_dup_groups": (q_dup_groups, None),
     "q_corpus_filtered_search": (q_corpus_filtered_search, _Q_CORPUS_SEARCH_SQL),
     "q_embedding_dup_groups": (q_embedding_dup_groups, None),
+    "q_bpe_token_stats": (q_bpe_token_stats, _Q_BPE_SQL),
+    "q_rolling_fingerprints": (q_rolling_fingerprints, _Q_ROLLING_SQL),
     "q_simhash_fingerprints": (q_simhash_fingerprints, _Q_SIMHASH_SQL),
     "q_minhash_dup_pairs": (q_minhash_dup_pairs, _minhash_dup_pairs_sql()),
 }
