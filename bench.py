@@ -39,6 +39,9 @@ BENCH_QUERIES = [
     "q_minhash_dup_pairs",
     "q_hashing_vectorizer_slots",
     "q_ngram_jaccard_pairs",
+    "q_bpe_token_stats",
+    "q_rolling_fingerprints",
+    "q_corpus_filtered_search",
     "q_ann_search",
 ]
 

@@ -1,0 +1,107 @@
+"""Migration guide: fzliu/radient -> radient_spark, side by side.
+
+Every flow from the reference's README/examples, re-expressed. Runnable
+end-to-end on the driver testdata (deterministic vectorizers; the
+model-backed ones are import-gated drop-ins with the same column
+contract).
+
+Run: python examples/migration.py
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from radient_spark.catalog import load_tables
+from radient_spark.factory import make_operator
+from radient_spark.functions import vector as V
+from radient_spark.operators.topk import topk
+from radient_spark.orchestrate import Workflow
+from radient_spark.session import get_session
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
+
+
+def main() -> None:
+    spark = get_session("migration_example")
+    docs = load_tables(spark, SF_DIR)["documents"]
+
+    # ------------------------------------------------------------------
+    # reference (README.md:15-20):
+    #   vz = text_vectorizer()
+    #   vz.vectorize("Hello, world!")
+    # radient_spark: a vectorizer is a DataFrame transform; one string is
+    # a one-row DataFrame. Same factory surface.
+    vectorize = make_operator("vectorizer", "hashing", dim=64, normalize=True)
+    hello = spark.createDataFrame([("Hello, world!",)], "text string")
+    vec = vectorize(hello).select("vector").first()["vector"]
+    print(f"vectorize('Hello, world!') -> dim={len(vec)} unit vector")
+
+    # ------------------------------------------------------------------
+    # reference (README.md:80-96): Workflow().add(source).add(vectorizer)
+    #   .add(sink); wf()
+    # radient_spark: the same DAG, but each node extends one lazy plan.
+    wf = (
+        Workflow()
+        .add(lambda **kw: kw["df"], "source")
+        .add(make_operator("dedup", "exact", cols=["text"]), "dedup")
+        .add(vectorize, "vectorize")
+    )
+    corpus_vecs = wf.run(df=docs.select("doc_id", "text"))
+    print(f"workflow: {corpus_vecs.count()} deduped docs vectorized")
+
+    # ------------------------------------------------------------------
+    # reference (examples/multimodal_rag.md:73-95): embed a prompt, then
+    # sink.transact(..., operation='search', filter='modality == ...')
+    # radient_spark: search is a query on the same engine — top-k plus
+    # any relational predicate, no external vector store.
+    prompt = vectorize(
+        spark.createDataFrame([("customer order data",)], "text string")
+    ).first()["vector"]
+    hits = topk(
+        corpus_vecs, vec_col="vector", query=list(prompt), k=3,
+        metric="cosine", tiebreak="doc_id",
+    ).select("doc_id", "score")
+    print("search top-3:", [(r["doc_id"], r["score"]) for r in hits.collect()])
+
+    # ------------------------------------------------------------------
+    # reference (examples/drug_discovery.md:42-48): molecule fingerprints
+    # + Jaccard cdist + argsort[:10]
+    # radient_spark: fingerprint_vectorizer + jaccard_bool + orderBy/limit
+    from radient_spark.operators.vectorize import fingerprint_vectorizer
+
+    parts = load_tables(spark, SF_DIR)["part"]
+    fps = fingerprint_vectorizer(parts, input_col="p_name", out_col="fp", dim=128)
+    q = fps.first()
+    similar = (
+        fps.withColumn("jac", V.jaccard_bool(F.col("fp"), F.array(*[F.lit(bool(b)) for b in q["fp"]])))
+        .orderBy(F.col("jac").desc(), F.col("p_partkey").asc())
+        .limit(5)
+    )
+    print(f"molecules similar to {q['p_name']!r}:",
+          [(r["p_name"], round(r["jac"], 3)) for r in similar.collect()])
+
+    # ------------------------------------------------------------------
+    # reference (GANN local index, sinks/local/gann.py): insert -> index
+    # -> search
+    # radient_spark: AnnIndex.build / save / search — distributed.
+    from radient_spark.ann import AnnIndex
+
+    emb = load_tables(spark, SF_DIR)["embeddings"].select(
+        F.col("vec_id").alias("id"), F.col("embedding").alias("vector")
+    )
+    index = AnnIndex.build(emb, n_trees=2, max_leaf_size=100, seed=42)
+    first = emb.first()
+    ann_hits = index.search([(0, list(first["vector"]))], k=3).collect()
+    print("ANN search:", [(r["id"], r["score"]) for r in ann_hits])
+
+    print("migration example: all flows OK")
+
+
+if __name__ == "__main__":
+    main()

@@ -1489,12 +1489,15 @@ GROUP BY source
 def q_rolling_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Karp-Rabin rolling-hash document fingerprint (min 16-char window
     hash, base-31 polynomial) — winnowing-style content fingerprinting,
-    pure integer arithmetic reproduced exactly by the oracle."""
-    from radient_spark.functions.text import rolling_hash_fingerprint
+    pure integer arithmetic reproduced exactly by the oracle. Uses the
+    vectorized numpy path (operators/pandas_ops.rolling_fingerprints);
+    functions/text.rolling_hash_fingerprint is the expression-level
+    equivalent for inline use."""
+    from radient_spark.operators.pandas_ops import rolling_fingerprints
 
     docs = load_tables(spark, sf_dir)["documents"]
-    return docs.filter(F.length("text") > 0).select(
-        "doc_id", rolling_hash_fingerprint(F.col("text"), k=16).alias("fp")
+    return rolling_fingerprints(
+        docs.filter(F.length("text") > 0), id_col="doc_id", text_col="text", k=16
     )
 
 

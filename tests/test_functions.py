@@ -109,6 +109,26 @@ def test_char_ngrams(spark):
     assert rows[2] == []
 
 
+def test_rolling_fingerprint_paths_agree(spark):
+    """The Catalyst-expression and vectorized-numpy rolling hashes must
+    produce identical integers (the oracle contract)."""
+    from radient_spark.functions.text import rolling_hash_fingerprint
+    from radient_spark.operators.pandas_ops import rolling_fingerprints
+
+    texts = ["short", "x" * 15, "y" * 16, "the quick brown fox jumps over it", "a b c d e f g h i j k l m"]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    expr = {
+        r["doc_id"]: r["fp"]
+        for r in df.select(
+            "doc_id", rolling_hash_fingerprint("text", k=16).alias("fp")
+        ).collect()
+    }
+    vec = {r["doc_id"]: r["fp"] for r in rolling_fingerprints(df).collect()}
+    assert expr == vec
+
+
 def test_quality_score_monotone_band(spark):
     texts = ["", "word", "the quick brown fox jumps over the lazy dog " * 5, "1234 5678 !!!"]
     df = spark.createDataFrame(
