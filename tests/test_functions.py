@@ -109,6 +109,18 @@ def test_char_ngrams(spark):
     assert rows[2] == []
 
 
+def test_approx_sketches_within_bounds(spark, sf_dir):
+    from radient_spark.queries import QUERIES
+
+    rows = QUERIES["q_approx_cardinalities"][0](spark, sf_dir).collect()
+    assert len(rows) > 0
+    for r in rows:
+        # HLL++ at rsd=0.02 should land within a few percent
+        err = abs(r["approx_orders"] - r["exact_orders"]) / max(1, r["exact_orders"])
+        assert err < 0.1, (r["l_returnflag"], r["approx_orders"], r["exact_orders"])
+        assert r["approx_median_price"] > 0
+
+
 def test_rolling_fingerprint_paths_agree(spark):
     """The Catalyst-expression and vectorized-numpy rolling hashes must
     produce identical integers (the oracle contract)."""
