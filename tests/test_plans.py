@@ -65,6 +65,15 @@ def test_minhash_no_shuffle(spark, sf_dir):
     assert plans.shuffle_count(df) == 0, plans.formatted_plan(df)
 
 
+def test_filtered_search_pushes_metadata_predicate(spark, sf_dir):
+    """The Milvus-parity filtered search must push the lang filter into
+    the documents scan and broadcast the filtered dim — the filter runs
+    before any vector math."""
+    df = QUERIES["q_corpus_filtered_search"][0](spark, sf_dir)
+    assert plans.has_pushed_filter(df, "lang")
+    assert plans.uses_broadcast_join(df)
+
+
 def test_scan_prunes_columns_on_projection(spark, sf_dir):
     li = load_tables(spark, sf_dir)["lineitem"]
     df = li.select("l_orderkey", "l_quantity")
