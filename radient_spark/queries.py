@@ -1204,6 +1204,147 @@ SELECT l_partkey, l_suppkey, revenue FROM (
 """
 
 
+def q07_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q7 shape: shipping volume between two customer/supplier nations
+    per year — multi-join + year extraction + conditional pairing."""
+    t = load_tables(spark, sf_dir)
+    n1 = t["nation"].select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = t["nation"].select(
+        F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("cust_nation")
+    )
+    joined = (
+        t["lineitem"]
+        .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(t["customer"]), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(t["supplier"]), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("s_nk"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("c_nk"))
+        .filter(
+            (
+                (F.col("supp_nation") == "NATION_3") & (F.col("cust_nation") == "NATION_7")
+            )
+            | (
+                (F.col("supp_nation") == "NATION_7") & (F.col("cust_nation") == "NATION_3")
+            )
+        )
+    )
+    return (
+        joined.withColumn("l_year", F.year("l_shipdate"))
+        .groupBy("supp_nation", "cust_nation", "l_year")
+        .agg(dsum(_disc_price(), "volume"))
+    )
+
+
+_Q07_SQL = """
+SELECT supp_nation, cust_nation, l_year,
+  CAST(SUM(CAST(volume AS DECIMAL(18,6))) AS DOUBLE) AS volume
+FROM (
+  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+    year(l_shipdate) AS l_year,
+    l_extendedprice * (1 - l_discount) AS volume
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation n1 ON s_nationkey = n1.n_nationkey
+  JOIN nation n2 ON c_nationkey = n2.n_nationkey
+  WHERE (n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_7')
+     OR (n1.n_name = 'NATION_7' AND n2.n_name = 'NATION_3')
+)
+GROUP BY supp_nation, cust_nation, l_year
+"""
+
+
+def q08_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q8 shape: a region-nation's share of regional revenue per year —
+    ratio of conditional decimal sums (deterministic double division)."""
+    t = load_tables(spark, sf_dir)
+    asia_nations = (
+        t["nation"]
+        .join(
+            F.broadcast(t["region"].filter(F.col("r_name") == "ASIA")),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select("n_nationkey", "n_name")
+    )
+    joined = (
+        t["lineitem"]
+        .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(t["supplier"]), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(asia_nations), F.col("s_nationkey") == F.col("n_nationkey"))
+    )
+    vol = _disc_price()
+    nation_vol = F.when(F.col("n_name") == "NATION_3", vol).otherwise(F.lit(0.0))
+    return (
+        joined.withColumn("o_year", F.year("o_orderdate"))
+        .groupBy("o_year")
+        .agg(
+            dsum(nation_vol, "nation_volume"),
+            dsum(vol, "total_volume"),
+        )
+        .withColumn(
+            "mkt_share", F.col("nation_volume") / F.col("total_volume")
+        )
+    )
+
+
+_Q08_SQL = """
+SELECT o_year,
+  CAST(SUM(CAST(CASE WHEN n_name = 'NATION_3'
+        THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END AS DECIMAL(18,6))) AS DOUBLE) AS nation_volume,
+  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS total_volume,
+  CAST(SUM(CAST(CASE WHEN n_name = 'NATION_3'
+        THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END AS DECIMAL(18,6))) AS DOUBLE)
+    / CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS mkt_share
+FROM (
+  SELECT year(o_orderdate) AS o_year, n_name, l_extendedprice, l_discount
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation ON s_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+  WHERE r_name = 'ASIA'
+)
+GROUP BY o_year
+"""
+
+
+def q14_promo_revenue_pct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q14 shape: percentage of revenue from a part-type class in one
+    month — CASE-filtered ratio over a date-bounded scan."""
+    t = load_tables(spark, sf_dir)
+    li = t["lineitem"].filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-07-01").cast("timestamp"))
+    )
+    joined = li.join(F.broadcast(t["part"]), F.col("l_partkey") == F.col("p_partkey"))
+    vol = _disc_price()
+    promo = F.when(F.col("p_type") == "PROMO", vol).otherwise(F.lit(0.0))
+    return joined.agg(
+        dsum(promo, "promo_revenue"),
+        dsum(vol, "total_revenue"),
+    ).withColumn(
+        "promo_pct",
+        F.lit(100.0) * F.col("promo_revenue") / F.col("total_revenue"),
+    )
+
+
+_Q14_SQL = """
+SELECT
+  CAST(SUM(CAST(CASE WHEN p_type = 'PROMO'
+        THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END AS DECIMAL(18,6))) AS DOUBLE) AS promo_revenue,
+  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS total_revenue,
+  100.0 * CAST(SUM(CAST(CASE WHEN p_type = 'PROMO'
+        THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END AS DECIMAL(18,6))) AS DOUBLE)
+    / CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS promo_pct
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1997-07-01 00:00:00'
+"""
+
+
 def q_fingerprint_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The drug-discovery flow (examples/drug_discovery.md:42-48):
     fingerprint every 'molecule' (part names stand in for SMILES),
@@ -1727,6 +1868,9 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "q16_brand_supplier_counts": (q16_brand_supplier_counts, _Q16_SQL),
     "q22_wealthy_inactive": (q22_wealthy_inactive, _Q22_SQL),
     "q02_top_supplier_per_part": (q02_top_supplier_per_part, _Q02_SQL),
+    "q07_nation_volume": (q07_nation_volume, _Q07_SQL),
+    "q08_market_share": (q08_market_share, _Q08_SQL),
+    "q14_promo_revenue_pct": (q14_promo_revenue_pct, _Q14_SQL),
     "q_fingerprint_similarity": (q_fingerprint_similarity, _fingerprint_sql()),
     "q_dup_groups": (q_dup_groups, None),
     "q_corpus_filtered_search": (q_corpus_filtered_search, _Q_CORPUS_SEARCH_SQL),

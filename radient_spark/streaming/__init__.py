@@ -128,6 +128,43 @@ def write_stream_to_parquet(
     return writer.start()
 
 
+def purchase_click_stream_join(
+    events: DataFrame,
+    watermark: str = "1 hour",
+    join_horizon: str = "1 hour",
+) -> DataFrame:
+    """Stream-stream inner join: each purchase joined to the same user's
+    clicks in the preceding `join_horizon`. Both sides carry watermarks
+    and the join has an explicit event-time range, so Spark bounds the
+    buffered state on each side — the streaming twin of the batch range
+    join (q_purchase_error_window)."""
+    purchases = (
+        events.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", watermark)
+    )
+    clicks = (
+        events.filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("click_user"),
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", watermark)
+    )
+    return purchases.join(
+        clicks,
+        (F.col("user_id") == F.col("click_user"))
+        & (F.col("click_ts") <= F.col("purchase_ts"))
+        & (F.col("click_ts") >= F.col("purchase_ts") - F.expr(f"INTERVAL {join_horizon}")),
+        "inner",
+    ).select("user_id", "purchase_id", "purchase_ts", "click_id", "click_ts")
+
+
 def running_user_totals(
     stream: DataFrame,
     watermark: str = "1 hour",

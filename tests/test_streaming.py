@@ -98,6 +98,43 @@ def test_streaming_dedup(spark, event_dir, tmp_path):
     assert spark.read.parquet(out_dir).count() == src.count()
 
 
+def test_stream_stream_join_matches_batch(spark, event_dir, tmp_path):
+    stream = streaming.read_event_stream(spark, str(event_dir / "in"))
+    joined = streaming.purchase_click_stream_join(
+        stream, watermark="0 seconds", join_horizon="1 hour"
+    )
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("ss_join")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck_ss"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["purchase_id"], r["click_id"])
+        for r in spark.table("ss_join").collect()
+    }
+    ev = spark.read.parquet(str(event_dir / "in"))
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id"), F.col("event_id").alias("purchase_id"), F.col("ts").alias("pts")
+    )
+    c = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("cu"), F.col("event_id").alias("click_id"), F.col("ts").alias("cts")
+    )
+    want = {
+        (r["purchase_id"], r["click_id"])
+        for r in p.join(
+            c,
+            (F.col("user_id") == F.col("cu"))
+            & (F.col("cts") <= F.col("pts"))
+            & (F.col("cts") >= F.col("pts") - F.expr("INTERVAL 1 HOUR")),
+        ).collect()
+    }
+    assert got == want and len(want) > 0
+
+
 def test_stateful_running_totals(spark, event_dir, tmp_path):
     """applyInPandasWithState: state accumulates across micro-batches;
     after the final batch + timeout the totals must equal the batch agg."""
