@@ -807,6 +807,11 @@ def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id").alias("id_b"),
         F.col("token").alias("token_b"),
     )
+    # (Length-ratio pruning — J>=0.6 forces 5*min(|A|,|B|) >= 3*max —
+    # was measured SLOWER here: this corpus has uniform doc sizes so it
+    # prunes nothing and widens the posting shuffle. On real corpora
+    # with varied lengths, add `size` to the postings and the ratio
+    # predicate to the join; see SCALING.md.)
     shared = (
         a.join(
             b,
