@@ -24,6 +24,10 @@ BENCH_QUERIES = [
     "q01_pricing_summary",
     "q03_shipping_priority",
     "q05_regional_revenue",
+    "q06_forecast_revenue",
+    "q09_product_profit",
+    "q13_customer_order_counts",
+    "q21_waiting_supplier",
     "q_top3_orders_per_customer",
     "q_rollup_returns",
     "q_events_hourly",

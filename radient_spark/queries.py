@@ -1827,6 +1827,468 @@ def q_ann_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Relational batch 5: the remaining TPC-H query shapes, adapted to the
+# driver's slimmer schema (no partsupp table; lineitem lacks commitdate /
+# receiptdate / shipmode — see TESTDATA.md). Each keeps the operator shape
+# that makes the original interesting: EXISTS semi-joins (Q4), pure
+# filter+agg pushdown (Q6), big fact join with profit rollup (Q9),
+# returned-item top-k (Q10), HAVING-vs-global-scalar (Q11), two-bucket
+# conditional agg (Q12), outer-join count-of-counts (Q13), argmax via
+# scalar subquery (Q15), correlated scalar avg (Q17), OR-of-ANDs pushdown
+# (Q19), semi+anti self-joins (Q21).
+
+
+def q04_priority_late_ship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: EXISTS -> left-semi join + priority counts. The
+    schema has no commitdate/receiptdate, so "late" = a lineitem shipped
+    more than 90 days after the order date. The quarter filter pushes to
+    the orders scan; the semi join shuffles only (orderkey, shipdate)."""
+    t = load_tables(spark, sf_dir)
+    orders = t["orders"].filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    li = t["lineitem"].select("l_orderkey", "l_shipdate")
+    return (
+        orders.join(
+            li,
+            (F.col("o_orderkey") == F.col("l_orderkey"))
+            & (F.col("l_shipdate")
+               > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+_Q04_SQL = """
+SELECT o_orderpriority, COUNT(*) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate < TIMESTAMP '1996-04-01 00:00:00'
+  AND EXISTS (
+    SELECT 1 FROM lineitem
+    WHERE l_orderkey = o_orderkey
+      AND l_shipdate > o_orderdate + INTERVAL 90 DAY)
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+def q06_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6: single-table filter + ungrouped agg. All three predicates
+    and the 2-column projection push into the parquet scan — the plan is
+    one scan stage with a partial/final agg, no shuffle of data rows."""
+    li = load_tables(spark, sf_dir)["lineitem"]
+    return li.filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_discount") >= 0.04)
+        & (F.col("l_discount") <= 0.06)
+        & (F.col("l_quantity") < 24)
+    ).agg(dsum(F.col("l_extendedprice") * F.col("l_discount"), "revenue"))
+
+
+_Q06_SQL = """
+SELECT CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+  AND l_discount >= 0.04 AND l_discount <= 0.06
+  AND l_quantity < 24
+"""
+
+
+def q09_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape: fact join over part/supplier/nation/orders grouped
+    by (nation, year). No partsupp table, so unit supply cost is proxied
+    as 10% of p_retailprice. part/supplier/nation broadcast (dims);
+    orders joins on the shuffled orderkey — the one big shuffle."""
+    t = load_tables(spark, sf_dir)
+    part = t["part"].filter(F.col("p_name").contains("red"))
+    amount = _disc_price() - (
+        F.col("p_retailprice") * F.col("l_quantity") * F.lit(0.1)
+    )
+    return (
+        t["lineitem"]
+        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(t["supplier"]),
+              F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(t["nation"]),
+              F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy(F.col("n_name").alias("nation"),
+                 F.year("o_orderdate").alias("o_year"))
+        .agg(dsum(amount, "sum_profit"))
+        .orderBy("nation", F.col("o_year").desc())
+    )
+
+
+_Q09_SQL = """
+SELECT n_name AS nation,
+  CAST(EXTRACT(year FROM o_orderdate) AS INTEGER) AS o_year,
+  CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                - p_retailprice * l_quantity * 0.1
+           AS DECIMAL(18,6))) AS DOUBLE) AS sum_profit
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN orders ON l_orderkey = o_orderkey
+WHERE p_name LIKE '%red%'
+GROUP BY n_name, o_year
+ORDER BY n_name, o_year DESC
+"""
+
+
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10: returned-item revenue per customer over one quarter,
+    deterministic top-20 (revenue desc, custkey tiebreak). nation is
+    broadcast; customer joins post-aggregation would be smaller but the
+    grouping needs customer attrs, so AQE picks the strategy."""
+    t = load_tables(spark, sf_dir)
+    orders = t["orders"].filter(
+        (F.col("o_orderdate") >= F.lit("1995-10-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-01-01").cast("timestamp"))
+    )
+    li = t["lineitem"].filter(F.col("l_returnflag") == "R")
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(t["nation"]),
+              F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(dsum(_disc_price(), "revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey").asc())
+        .limit(20)
+    )
+
+
+_Q10_SQL = """
+SELECT c_custkey, c_name, c_acctbal, n_name,
+  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+  AND o_orderdate >= TIMESTAMP '1995-10-01 00:00:00'
+  AND o_orderdate < TIMESTAMP '1996-01-01 00:00:00'
+GROUP BY c_custkey, c_name, c_acctbal, n_name
+ORDER BY revenue DESC, c_custkey ASC
+LIMIT 20
+"""
+
+
+def q11_important_part_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape: per-group value filtered against a global scalar
+    aggregate (HAVING > fraction of total). No partsupp, so "stock value"
+    per part = shipped quantity x retail price from EUROPE suppliers.
+    The 0.1% threshold is a broadcast one-row cross join; both branches
+    reuse one aggregated frame. Determinism: per-part value = exact
+    decimal qty sum x retail price; the global total re-sums those
+    per-part doubles through decimal, so both engines agree bitwise."""
+    t = load_tables(spark, sf_dir)
+    eur_nations = t["nation"].join(
+        F.broadcast(t["region"].filter(F.col("r_name") == "EUROPE")),
+        F.col("n_regionkey") == F.col("r_regionkey"),
+    )
+    eur_supp = (
+        t["supplier"]
+        .join(F.broadcast(eur_nations),
+              F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey")
+    )
+    per_part = (
+        t["lineitem"]
+        .join(F.broadcast(eur_supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(t["part"]), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_partkey", "p_retailprice")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(18,6)"))
+             .cast("double").alias("sum_qty"))
+        .select(
+            "p_partkey",
+            (F.col("sum_qty") * F.col("p_retailprice")).alias("part_value"),
+        )
+    )
+    threshold = per_part.agg(
+        (F.sum(F.col("part_value").cast("decimal(18,6)")).cast("double")
+         * F.lit(0.001)).alias("thresh")
+    )
+    return (
+        per_part.crossJoin(F.broadcast(threshold))
+        .filter(F.col("part_value") > F.col("thresh"))
+        .select("p_partkey", "part_value")
+        .orderBy(F.col("part_value").desc(), F.col("p_partkey"))
+    )
+
+
+_Q11_SQL = """
+WITH pv AS (
+  SELECT p_partkey,
+    CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) * p_retailprice AS part_value
+  FROM lineitem
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation ON s_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+  JOIN part ON l_partkey = p_partkey
+  WHERE r_name = 'EUROPE'
+  GROUP BY p_partkey, p_retailprice
+)
+SELECT p_partkey, part_value FROM pv
+WHERE part_value > (
+  SELECT CAST(SUM(CAST(part_value AS DECIMAL(18,6))) AS DOUBLE) * 0.001 FROM pv)
+ORDER BY part_value DESC, p_partkey
+"""
+
+
+def q12_priority_class_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape: join + two-bucket conditional aggregation. The
+    schema has no l_shipmode, so the bucket key is l_returnflag; the
+    CASE-WHEN counts split orders into critical/non-critical priority."""
+    t = load_tables(spark, sf_dir)
+    li = t["lineitem"].filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(high, 0).otherwise(1)).alias("low_line_count"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+_Q12_SQL = """
+SELECT l_returnflag,
+  SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS high_line_count,
+  SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 0 ELSE 1 END) AS low_line_count
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
+
+
+def q13_customer_order_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13: customer LEFT JOIN orders -> orders-per-customer ->
+    count-of-counts distribution. Two aggregation levels; the second
+    groups a customer-sized frame on a tiny key domain, so AQE coalesces
+    it to a handful of partitions."""
+    t = load_tables(spark, sf_dir)
+    orders = t["orders"].filter(F.col("o_orderpriority") != "5-LOW")
+    per_cust = (
+        t["customer"]
+        .join(orders, F.col("c_custkey") == F.col("o_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.col("custdist").desc(), F.col("c_count").desc())
+    )
+
+
+_Q13_SQL = """
+SELECT c_count, COUNT(*) AS custdist
+FROM (
+  SELECT c_custkey, COUNT(o_orderkey) AS c_count
+  FROM customer
+  LEFT JOIN orders ON c_custkey = o_custkey AND o_orderpriority <> '5-LOW'
+  GROUP BY c_custkey
+)
+GROUP BY c_count
+ORDER BY custdist DESC, c_count DESC
+"""
+
+
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15: revenue per supplier over one quarter, keep the max.
+    The max is a one-row broadcast; equality on it is safe because both
+    sides derive the double from the same exact decimal sum."""
+    t = load_tables(spark, sf_dir)
+    li = t["lineitem"].filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    rev = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        dsum(_disc_price(), "total_revenue")
+    )
+    mx = rev.agg(F.max("total_revenue").alias("mx"))
+    return (
+        rev.crossJoin(F.broadcast(mx))
+        .filter(F.col("total_revenue") == F.col("mx"))
+        .join(F.broadcast(t["supplier"]),
+              F.col("supplier_no") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", "total_revenue")
+        .orderBy("s_suppkey")
+    )
+
+
+_Q15_SQL = """
+WITH revenue AS (
+  SELECT l_suppkey AS supplier_no,
+    CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+    AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+  GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, total_revenue
+FROM revenue JOIN supplier ON supplier_no = s_suppkey
+WHERE total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+ORDER BY s_suppkey
+"""
+
+
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17: correlated scalar avg decorrelated into a broadcast join
+    on the per-part average quantity; one-row output. The avg is an exact
+    decimal sum / count on both sides, so the < threshold comparison is
+    bit-deterministic."""
+    t = load_tables(spark, sf_dir)
+    part = t["part"].filter(F.col("p_brand") == "Brand#23")
+    joined = t["lineitem"].join(
+        F.broadcast(part), F.col("l_partkey") == F.col("p_partkey")
+    )
+    avg_q = joined.groupBy(F.col("p_partkey").alias("ap_partkey")).agg(
+        (F.sum(F.col("l_quantity").cast("decimal(18,6)")).cast("double")
+         / F.count(F.lit(1))).alias("avg_qty")
+    )
+    return (
+        joined.join(F.broadcast(avg_q),
+                    F.col("p_partkey") == F.col("ap_partkey"))
+        .filter(F.col("l_quantity") < F.lit(0.2) * F.col("avg_qty"))
+        .agg(
+            (F.sum(F.col("l_extendedprice").cast("decimal(18,6)"))
+             .cast("double") / F.lit(7.0)).alias("avg_yearly")
+        )
+    )
+
+
+_Q17_SQL = """
+SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) / 7.0 AS avg_yearly
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+WHERE p_brand = 'Brand#23'
+  AND l_quantity < 0.2 * (
+    SELECT CAST(SUM(CAST(l2.l_quantity AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*)
+    FROM lineitem l2 WHERE l2.l_partkey = p_partkey)
+"""
+
+
+def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19: OR-of-ANDs across a join. Catalyst keeps the common
+    l_partkey = p_partkey equi-join and pushes the per-branch
+    brand/size/quantity conjuncts down to both scans (CNF extraction);
+    part is broadcast."""
+    t = load_tables(spark, sf_dir)
+    joined = t["lineitem"].join(
+        F.broadcast(t["part"]), F.col("l_partkey") == F.col("p_partkey")
+    )
+    cond = (
+        ((F.col("p_brand") == "Brand#12")
+         & F.col("p_size").between(1, 5)
+         & F.col("l_quantity").between(1, 11))
+        | ((F.col("p_brand") == "Brand#23")
+           & F.col("p_size").between(1, 10)
+           & F.col("l_quantity").between(10, 20))
+        | ((F.col("p_brand") == "Brand#34")
+           & F.col("p_size").between(1, 15)
+           & F.col("l_quantity").between(20, 30))
+    )
+    return joined.filter(cond).agg(dsum(_disc_price(), "revenue"))
+
+
+_Q19_SQL = """
+SELECT CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5  AND l_quantity BETWEEN 1 AND 11)
+   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10 AND l_quantity BETWEEN 10 AND 20)
+   OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 20 AND 30)
+"""
+
+
+def q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape: semi + anti self-joins on lineitem. "Late" = shipped
+    more than 100 days after the order date (no receipt/commit dates in
+    this schema) on a finished multi-supplier order where this supplier is
+    the only late one. The two self-join probes reuse the same shuffle
+    key (l_orderkey); supplier is broadcast for the final name lookup."""
+    t = load_tables(spark, sf_dir)
+    orders = t["orders"].filter(F.col("o_orderstatus") == "F").select(
+        "o_orderkey", "o_orderdate"
+    )
+    late_cut = F.col("o_orderdate") + F.expr("INTERVAL 100 DAYS")
+    l1 = (
+        t["lineitem"]
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .filter(F.col("l_shipdate") > late_cut)
+        .select("l_orderkey", "l_suppkey", "o_orderdate")
+    )
+    l2 = t["lineitem"].select(
+        F.col("l_orderkey").alias("lo2"), F.col("l_suppkey").alias("ls2")
+    )
+    l3 = t["lineitem"].select(
+        F.col("l_orderkey").alias("lo3"),
+        F.col("l_suppkey").alias("ls3"),
+        F.col("l_shipdate").alias("lsd3"),
+    )
+    waiting = (
+        l1.join(
+            l2,
+            (F.col("l_orderkey") == F.col("lo2"))
+            & (F.col("l_suppkey") != F.col("ls2")),
+            "left_semi",
+        ).join(
+            l3,
+            (F.col("l_orderkey") == F.col("lo3"))
+            & (F.col("l_suppkey") != F.col("ls3"))
+            & (F.col("lsd3")
+               > F.col("o_orderdate") + F.expr("INTERVAL 100 DAYS")),
+            "left_anti",
+        )
+    )
+    return (
+        waiting.join(F.broadcast(t["supplier"]),
+                     F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.col("numwait").desc(), F.col("s_name"))
+        .limit(20)
+    )
+
+
+_Q21_SQL = """
+SELECT s_name, COUNT(*) AS numwait
+FROM lineitem l1
+JOIN orders ON l1.l_orderkey = o_orderkey
+JOIN supplier ON l1.l_suppkey = s_suppkey
+WHERE o_orderstatus = 'F'
+  AND l1.l_shipdate > o_orderdate + INTERVAL 100 DAY
+  AND EXISTS (
+    SELECT 1 FROM lineitem l2
+    WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (
+    SELECT 1 FROM lineitem l3
+    WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+      AND l3.l_shipdate > o_orderdate + INTERVAL 100 DAY)
+GROUP BY s_name
+ORDER BY numwait DESC, s_name
+LIMIT 20
+"""
+
+
+# ---------------------------------------------------------------------------
 # Registry
 
 QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
@@ -1885,6 +2347,17 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "q_rolling_fingerprints": (q_rolling_fingerprints, _Q_ROLLING_SQL),
     "q_simhash_fingerprints": (q_simhash_fingerprints, _Q_SIMHASH_SQL),
     "q_minhash_dup_pairs": (q_minhash_dup_pairs, _minhash_dup_pairs_sql()),
+    "q04_priority_late_ship": (q04_priority_late_ship, _Q04_SQL),
+    "q06_forecast_revenue": (q06_forecast_revenue, _Q06_SQL),
+    "q09_product_profit": (q09_product_profit, _Q09_SQL),
+    "q10_returned_items": (q10_returned_items, _Q10_SQL),
+    "q11_important_part_value": (q11_important_part_value, _Q11_SQL),
+    "q12_priority_class_by_flag": (q12_priority_class_by_flag, _Q12_SQL),
+    "q13_customer_order_counts": (q13_customer_order_counts, _Q13_SQL),
+    "q15_top_supplier": (q15_top_supplier, _Q15_SQL),
+    "q17_small_quantity_revenue": (q17_small_quantity_revenue, _Q17_SQL),
+    "q19_disjunctive_revenue": (q19_disjunctive_revenue, _Q19_SQL),
+    "q21_waiting_supplier": (q21_waiting_supplier, _Q21_SQL),
 }
 
 

@@ -1,0 +1,95 @@
+"""Edge-case behavior of the operator family: empty inputs, degenerate
+parameters, single-row tables — the inputs a pipeline hits at 3am."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from radient_spark.operators import dedup as D
+from radient_spark.operators import vectorize
+from radient_spark.operators.asof import asof_join
+from radient_spark.operators.topk import knn_join, similarity_self_join, topk
+
+
+def _empty_docs(spark):
+    return spark.createDataFrame([], "doc_id long, text string")
+
+
+def test_minhash_on_empty_and_blank(spark):
+    df = spark.createDataFrame([(1, ""), (2, "   "), (3, "real text here")],
+                               "doc_id long, text string")
+    rows = {r["doc_id"]: r["sig"] for r in D.with_minhash(
+        df, num_hashes=4, out_col="sig").collect()}
+    # blank docs get the sentinel signature, never colliding with content
+    assert rows[1] == rows[2] == [D.MINHASH_P] * 4
+    assert rows[3] != rows[1]
+
+    out = D.with_minhash(_empty_docs(spark), num_hashes=4, out_col="sig")
+    assert out.count() == 0
+
+
+def test_lsh_pairs_empty(spark):
+    sigs = D.with_minhash(_empty_docs(spark), num_hashes=8, out_col="sig")
+    assert D.lsh_pairs_from_signatures(sigs, sig_col="sig", bands=4).count() == 0
+
+
+def test_topk_k_exceeds_rows(spark):
+    df = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.0, 1.0])], "id long, vec array<float>"
+    )
+    got = topk(df, "vec", [1.0, 0.0], k=10, tiebreak="id").collect()
+    assert len(got) == 2  # capped at table size
+    assert got[0]["id"] == 1 and got[0]["score"] == 1.0
+
+
+def test_knn_join_single_partition_corpus(spark):
+    corpus = spark.createDataFrame(
+        [(i, [float(i), 1.0]) for i in range(5)], "id long, vec array<float>"
+    ).coalesce(1)
+    queries = spark.createDataFrame(
+        [(100, [3.0, 1.0])], "qid long, vec array<float>"
+    )
+    got = knn_join(corpus, queries, corpus_vec="vec", query_vec="vec", k=3).collect()
+    assert len(got) == 3
+    assert got[0]["id"] == 3  # exact match ranks first
+
+
+def test_similarity_join_no_pairs_above_threshold(spark):
+    df = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.0, 1.0])], "id long, vec array<float>"
+    )
+    assert similarity_self_join(df, "vec", "id", threshold=0.9).count() == 0
+
+
+def test_asof_join_empty_right(spark):
+    left = spark.createDataFrame(
+        [(1, 10, "2024-01-01 10:00:00")], "user_id long, pid long, pts string"
+    ).withColumn("pts", F.col("pts").cast("timestamp"))
+    right = spark.createDataFrame(
+        [], "user_id long, ts timestamp, v double"
+    )
+    out = asof_join(left, right, on="user_id", left_ts="pts", right_ts="ts").collect()
+    assert len(out) == 1 and out[0]["v"] is None  # left semantics hold
+
+
+def test_hashing_vectorizer_dim_one(spark):
+    df = spark.createDataFrame([(1, "a b c")], "id long, text string")
+    vec = vectorize.hashing_vectorizer(df, dim=1).collect()[0]["vector"]
+    assert vec == [3.0]  # every token lands in the single slot
+
+
+def test_fastrp_two_node_graph(spark):
+    edges = spark.createDataFrame([(0, 1)], "src long, dst long")
+    rows = vectorize.fastrp_embeddings(edges, dim=4, weights=(1.0,)).collect()
+    assert {r["node"] for r in rows} == {0, 1}
+    assert all(len(r["vector"]) == 4 for r in rows)
+
+
+def test_connected_groups_chain(spark):
+    # a 4-node chain must collapse to one group with min-id label
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4)], "id_a long, id_b long"
+    )
+    labels = {r["id"]: r["group_id"] for r in D.connected_duplicate_groups(pairs).collect()}
+    assert labels == {1: 1, 2: 1, 3: 1, 4: 1}
