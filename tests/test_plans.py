@@ -74,6 +74,46 @@ def test_filtered_search_pushes_metadata_predicate(spark, sf_dir):
     assert plans.uses_broadcast_join(df)
 
 
+def test_q06_full_pushdown_no_data_shuffle(spark, sf_dir):
+    """Q6 is the canonical pushdown probe: all three predicates and the
+    4-column projection must reach the parquet scan; the only exchange
+    is the one-row final-aggregate gather."""
+    df = QUERIES["q06_forecast_revenue"][0](spark, sf_dir)
+    assert plans.has_pushed_filter(df, "l_shipdate")
+    assert plans.has_pushed_filter(df, "l_discount")
+    assert plans.reads_only_columns(
+        df, {"l_shipdate", "l_discount", "l_quantity", "l_extendedprice"}
+    )
+    assert plans.shuffle_count(df) <= 1, plans.formatted_plan(df)
+
+
+def test_q19_disjunction_pushed_to_lineitem_scan(spark, sf_dir):
+    """The OR-of-ANDs must not block pushdown: Catalyst extracts the
+    per-table disjunction (l_quantity ranges) into the lineitem scan and
+    keeps part on the broadcast side."""
+    df = QUERIES["q19_disjunctive_revenue"][0](spark, sf_dir)
+    assert plans.has_pushed_filter(df, "l_quantity")
+    assert plans.uses_broadcast_join(df)
+    assert plans.shuffle_count(df) <= 1, plans.formatted_plan(df)
+
+
+def test_q09_dims_broadcast(spark, sf_dir):
+    """part/supplier/nation ride broadcast; only the orders join and the
+    (nation, year) aggregate may shuffle."""
+    df = QUERIES["q09_product_profit"][0](spark, sf_dir)
+    assert plans.uses_broadcast_join(df)
+    assert plans.shuffle_count(df) <= 4, plans.formatted_plan(df)
+
+
+def test_q21_self_joins_bounded_shuffles(spark, sf_dir):
+    """Semi + anti lineitem self-joins share l_orderkey as the join key;
+    supplier stays broadcast. Bounds the exchange count so a plan
+    regression (e.g. a dim falling out of broadcast) fails loudly."""
+    df = QUERIES["q21_waiting_supplier"][0](spark, sf_dir)
+    assert plans.uses_broadcast_join(df)
+    assert plans.shuffle_count(df) <= 6, plans.formatted_plan(df)
+
+
 def test_scan_prunes_columns_on_projection(spark, sf_dir):
     li = load_tables(spark, sf_dir)["lineitem"]
     df = li.select("l_orderkey", "l_quantity")
