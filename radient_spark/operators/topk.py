@@ -134,25 +134,29 @@ def knn_join(
             M = np.array(pdf[corpus_vec].tolist(), dtype=np.float64)
             S = np.round(_batch_scores(M, Q_, metric), PAIR_SCORE_DECIMALS)
             ids = pdf[corpus_id].to_numpy()
-            kk = min(k, len(pdf))
-            out_ids, out_qids, out_scores = [], [], []
-            for j in range(S.shape[1]):
-                col = S[:, j]
-                # same criterion as the global window: score desc, id asc
-                if len(col) > kk:
-                    cand = np.argpartition(-col, kk - 1)[: 4 * kk]
-                else:
-                    cand = np.arange(len(col))
-                order = np.lexsort((ids[cand], -col[cand]))[:kk]
-                sel = cand[order]
-                out_ids.append(ids[sel])
-                out_qids.append(np.full(len(sel), qids_[j]))
-                out_scores.append(col[sel])
+            n = len(pdf)
+            kk = min(k, n)
+            # Vectorized across ALL queries at once (no per-query Python
+            # loop): column-wise argpartition keeps each query's top-kk
+            # (plus arbitrary overflow up to 4kk candidates), then one
+            # axis-0 lexsort applies the global window's exact criterion
+            # (score desc, id asc) to every column simultaneously.
+            if n > kk:
+                m = min(4 * kk, n)
+                cand = np.argpartition(-S, kk - 1, axis=0)[:m]
+                s_sel = np.take_along_axis(S, cand, axis=0)
+                i_sel = ids[cand]
+            else:
+                s_sel = S
+                i_sel = np.broadcast_to(ids[:, None], S.shape)
+            order = np.lexsort((i_sel, -s_sel), axis=0)[:kk]
+            s_top = np.take_along_axis(s_sel, order, axis=0)
+            i_top = np.take_along_axis(i_sel, order, axis=0)
             yield pd.DataFrame(
                 {
-                    corpus_id: np.concatenate(out_ids),
-                    query_id: np.concatenate(out_qids),
-                    score_col: np.concatenate(out_scores),
+                    corpus_id: i_top.T.ravel(),
+                    query_id: np.repeat(qids_, kk),
+                    score_col: s_top.T.ravel(),
                 }
             )
 
