@@ -2268,6 +2268,67 @@ def q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q20_dominant_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape: nested aggregate feeding the outer supplier
+    lookup. No partsupp/availqty in this schema, so the predicate
+    becomes "supplier shipped more than 2.5x the average supplier's
+    share of a part's total quantity" for parts named like gear. Both
+    aggregation levels ride the same lineitem scan; the part filter is
+    broadcast into it. Determinism: both quantities are exact decimal
+    sums and the supplier count is an integer, so the threshold
+    comparison is bitwise-identical in both engines."""
+    t = load_tables(spark, sf_dir)
+    part = t["part"].filter(F.col("p_name").contains("gear")).select("p_partkey")
+    li = t["lineitem"].join(
+        F.broadcast(part), F.col("l_partkey") == F.col("p_partkey")
+    )
+    per_ps = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.sum(F.col("l_quantity").cast("decimal(18,6)"))
+        .cast("double").alias("supp_qty")
+    )
+    per_p = li.groupBy(F.col("l_partkey").alias("pp")).agg(
+        F.sum(F.col("l_quantity").cast("decimal(18,6)"))
+        .cast("double").alias("part_qty"),
+        F.count_distinct(F.col("l_suppkey")).alias("n_supp"),
+    )
+    dominant = per_ps.join(per_p, F.col("l_partkey") == F.col("pp")).filter(
+        F.col("supp_qty") * F.col("n_supp") > F.lit(2.5) * F.col("part_qty")
+    )
+    return (
+        dominant.groupBy("l_suppkey")
+        .agg(F.count(F.lit(1)).alias("n_dominated"))
+        .join(F.broadcast(t["supplier"]),
+              F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", "n_dominated")
+        .orderBy("s_suppkey")
+    )
+
+
+_Q20_SQL = """
+WITH li AS (
+  SELECT l_partkey, l_suppkey, l_quantity
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE p_name LIKE '%gear%'
+), per_ps AS (
+  SELECT l_partkey, l_suppkey,
+    CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS supp_qty
+  FROM li GROUP BY l_partkey, l_suppkey
+), per_p AS (
+  SELECT l_partkey AS pp,
+    CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS part_qty,
+    COUNT(DISTINCT l_suppkey) AS n_supp
+  FROM li GROUP BY l_partkey
+)
+SELECT s_suppkey, s_name, n_dominated FROM (
+  SELECT l_suppkey, COUNT(*) AS n_dominated
+  FROM per_ps JOIN per_p ON l_partkey = pp
+  WHERE supp_qty * n_supp > 2.5 * part_qty
+  GROUP BY l_suppkey
+) JOIN supplier ON l_suppkey = s_suppkey
+ORDER BY s_suppkey
+"""
+
+
 _Q21_SQL = """
 SELECT s_name, COUNT(*) AS numwait
 FROM lineitem l1
@@ -2357,6 +2418,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "q15_top_supplier": (q15_top_supplier, _Q15_SQL),
     "q17_small_quantity_revenue": (q17_small_quantity_revenue, _Q17_SQL),
     "q19_disjunctive_revenue": (q19_disjunctive_revenue, _Q19_SQL),
+    "q20_dominant_supplier": (q20_dominant_supplier, _Q20_SQL),
     "q21_waiting_supplier": (q21_waiting_supplier, _Q21_SQL),
 }
 
