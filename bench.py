@@ -55,9 +55,23 @@ def main() -> None:
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     spark = get_session("radient_spark_bench")
 
-    # Warm the JVM/scan path once so timings measure query execution.
+    # Warm the JVM/scan path AND the Python worker pool once, so
+    # per-query timings measure steady-state execution rather than
+    # one-time worker spawn + numpy/pandas import (workers are reused
+    # across queries; the first Pandas-UDF query would otherwise absorb
+    # the whole pool's cold start).
     fn, _ = QUERIES["q01_pricing_summary"]
     fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+
+    def _warm_workers(batches):
+        import numpy  # noqa: F401
+        import pandas  # noqa: F401
+
+        yield from batches
+
+    spark.range(0, 64, 1, 64).mapInPandas(_warm_workers, "id long").write.format(
+        "noop"
+    ).mode("overwrite").save()
 
     timings: dict[str, float] = {}
     for name in BENCH_QUERIES:
