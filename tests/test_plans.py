@@ -114,6 +114,14 @@ def test_q21_self_joins_bounded_shuffles(spark, sf_dir):
     assert plans.shuffle_count(df) <= 6, plans.formatted_plan(df)
 
 
+def test_q20_part_filter_broadcast_into_scan(spark, sf_dir):
+    """Both aggregation levels ride the same filtered lineitem scan; the
+    gear-part filter is broadcast, never shuffled with the fact rows."""
+    df = QUERIES["q20_dominant_supplier"][0](spark, sf_dir)
+    assert plans.uses_broadcast_join(df)
+    assert plans.has_pushed_filter(df, "p_name")
+
+
 def test_scan_prunes_columns_on_projection(spark, sf_dir):
     li = load_tables(spark, sf_dir)["lineitem"]
     df = li.select("l_orderkey", "l_quantity")
