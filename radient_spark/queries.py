@@ -809,9 +809,12 @@ def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # (Length-ratio pruning — J>=0.6 forces 5*min(|A|,|B|) >= 3*max —
     # was measured SLOWER here: this corpus has uniform doc sizes so it
-    # prunes nothing and widens the posting shuffle. On real corpora
-    # with varied lengths, add `size` to the postings and the ratio
-    # predicate to the join; see SCALING.md.)
+    # prunes nothing and widens the posting shuffle. PPJoin-style prefix
+    # filtering was also measured slower (10.1s vs 8.5s at sf0.1): the
+    # ~620-posting vocabulary only cuts candidates 2.6x while the prefix
+    # window + distinct + verify add 3 shuffles. Both DO pay off on real
+    # corpora with zipfian vocabularies and varied lengths; see
+    # SCALING.md.)
     shared = (
         a.join(
             b,
