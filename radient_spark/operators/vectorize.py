@@ -145,6 +145,7 @@ def fastrp_embeddings(
     src_col: str = "src",
     dst_col: str = "dst",
     weight_col: str | None = None,
+    cast_float: bool = True,
 ) -> DataFrame:
     """FastRP node embeddings, distributed (≡ vectorizers/graph/fastrp.py:
     17-53: sparse random projection R, degree normalization
@@ -247,10 +248,9 @@ def fastrp_embeddings(
                     ).alias("vec"),
                 )
             )
-    out = acc.withColumn(
-        "vec", F.transform("vec", lambda v: v.cast("float"))
-    ).withColumnRenamed("vec", "vector")
-    return out
+    if cast_float:
+        acc = acc.withColumn("vec", F.transform("vec", lambda v: v.cast("float")))
+    return acc.withColumnRenamed("vec", "vector")
 
 
 def sbert_vectorizer(

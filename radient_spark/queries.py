@@ -1037,8 +1037,16 @@ FROM scored GROUP BY 1, 2
 
 def q_fastrp_supplier_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """FastRP node embeddings over the supplier—part co-occurrence graph
-    (edges from lineitem). Iterative edge-join matmul; rows-only driver
-    check, numpy-oracle-verified in tests/test_operators.py."""
+    (edges from lineitem). Iterative edge-join matmul, numpy-oracle-verified
+    in tests/test_operators.py; here the vector is exploded to
+    (suppkey, dim_idx, value) rows — a canonicalizable, sortable shape —
+    and checked value-by-value against a DuckDB reimplementation of the
+    seeded md5 projection + two propagation hops.
+
+    Determinism contract: arithmetic stays in double end to end
+    (cast_float=False) and values are rounded to 6 decimals; summation
+    order differences are ~1e-15 absolute, far below the rounding grid.
+    """
     from radient_spark.operators.vectorize import fastrp_embeddings
 
     li = load_tables(spark, sf_dir)["lineitem"]
@@ -1049,10 +1057,53 @@ def q_fastrp_supplier_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    emb = fastrp_embeddings(edges, dim=16, weights=(0.5, 1.0), beta=0.0, seed=42)
-    return emb.filter(F.col("node") < 1_000_000).select(
-        F.col("node").alias("suppkey"), "vector"
+    emb = fastrp_embeddings(
+        edges, dim=16, weights=(0.5, 1.0), beta=0.0, seed=42, cast_float=False
     )
+    return (
+        emb.filter(F.col("node") < 1_000_000)
+        .select(
+            F.col("node").alias("suppkey"),
+            F.posexplode("vector").alias("dim_idx", "value"),
+        )
+        .withColumn("value", F.round("value", 6))
+    )
+
+
+# DuckDB oracle for FastRP: same seeded md5 projection (str_hash % 6 ->
+# {+sqrt(3), -sqrt(3), 0} with p {1/6, 1/6, 2/3}), L = 0.5/n (beta=0),
+# two symmetric propagation hops, acc = 0.5*X1 + 1.0*X2.
+_Q_FASTRP_SQL = r"""
+WITH edges AS (
+  SELECT DISTINCT l_suppkey AS src, l_partkey + 1000000 AS dst FROM lineitem
+), sym AS (
+  SELECT src, dst FROM edges UNION ALL SELECT dst AS src, src AS dst FROM edges
+), nodes AS (
+  SELECT DISTINCT src AS node FROM sym
+), n AS (
+  SELECT CAST(COUNT(*) AS DOUBLE) AS n_nodes FROM nodes
+), dims AS (
+  SELECT unnest(generate_series(0, 15)) AS j
+), x0 AS (
+  SELECT node, j,
+    (CASE (('0x' || substring(md5(concat_ws('_', 42, node, j)), 1, 8))::BIGINT % 6)
+       WHEN 0 THEN sqrt(3.0) WHEN 1 THEN -sqrt(3.0) ELSE 0.0 END)
+      * 0.5 * 1.0 / (SELECT n_nodes FROM n) AS val
+  FROM nodes CROSS JOIN dims
+), x1 AS (
+  SELECT s.src AS node, x.j, SUM(x.val) AS val
+  FROM sym s JOIN x0 x ON x.node = s.dst
+  GROUP BY 1, 2
+), x2 AS (
+  SELECT s.src AS node, x.j, SUM(x.val) AS val
+  FROM sym s JOIN x1 x ON x.node = s.dst
+  GROUP BY 1, 2
+)
+SELECT x1.node AS suppkey, CAST(x1.j AS INT) AS dim_idx,
+  ROUND(0.5 * x1.val + 1.0 * x2.val, 6) AS value
+FROM x1 JOIN x2 ON x1.node = x2.node AND x1.j = x2.j
+WHERE x1.node < 1000000
+"""
 
 
 def q_media_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2386,7 +2437,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "q_events_weekday": (q_events_weekday, _Q_WEEKDAY_SQL),
     "q_doc_quality_scores": (q_doc_quality_scores, _Q_QUALITY_SQL),
     "q_langid_confusion": (q_langid_confusion, _langid_sql()),
-    "q_fastrp_supplier_embeddings": (q_fastrp_supplier_embeddings, None),
+    "q_fastrp_supplier_embeddings": (q_fastrp_supplier_embeddings, _Q_FASTRP_SQL),
     "q_media_pipeline": (q_media_pipeline, None),
     "q_ann_search": (q_ann_search, None),
     "q_running_customer_balance": (q_running_customer_balance, _Q_RUNNING_SQL),
