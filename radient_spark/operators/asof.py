@@ -3,7 +3,8 @@
 
 Spark-first implementation: the union-and-window trick. Tag both sides,
 union them, sort within each key by (timestamp, side-tag), and carry the
-most recent right-side payload forward with `last(..., ignoreNulls=True)`.
+most recent right-side row forward as ONE struct with
+`last(..., ignoreNulls=True)` — row-level fill, not per-column.
 
 Scale profile: exactly ONE shuffle (by the join key) and one sort — the
 same cost as a sort-merge join, with no range-condition row explosion.
@@ -64,17 +65,25 @@ def asof_join(
         .orderBy(F.col("__ts").asc(), side_order)
         .rowsBetween(Window.unboundedPreceding, 0)
     )
+    # One struct carries ALL payload columns of the matched right row, so
+    # the fill is row-level: a NULL payload value in the latest prior row
+    # stays NULL (never backfilled from an older row), and every payload
+    # column comes from the SAME right row — matching DuckDB ASOF LEFT
+    # JOIN semantics exactly.
     filled = unioned.select(
         "*",
-        *[
-            F.last(F.when(F.col("__side") == 0, F.col(c)), ignorenulls=True)
-            .over(w)
-            .alias(f"__f_{c}")
-            for c in payload_cols
-        ],
+        F.last(
+            F.when(
+                F.col("__side") == 0,
+                F.struct(*[F.col(c) for c in payload_cols]),
+            ),
+            ignorenulls=True,
+        )
+        .over(w)
+        .alias("__f"),
     )
     return filled.filter(F.col("__side") == 1).select(
         F.col(on),
         *[F.col(c) for c in left_cols],
-        *[F.col(f"__f_{c}").alias(c) for c in payload_cols],
+        *[F.col(f"__f.{c}").alias(c) for c in payload_cols],
     )

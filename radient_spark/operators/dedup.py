@@ -93,20 +93,38 @@ def with_minhash(
     ).drop("__mh_toks", "__mh_sh", "__mh_hs")
 
 
+def _validate_banding(bands: int, num_hashes: int | None) -> None:
+    if num_hashes is None:
+        return
+    if bands < 1 or bands > num_hashes or num_hashes % bands != 0:
+        raise ValueError(
+            f"bands={bands} must divide num_hashes={num_hashes} exactly "
+            "(a remainder drops trailing signature slots; bands > length "
+            "degenerates every band key to '')"
+        )
+
+
 def lsh_pairs_from_signatures(
     sigs: DataFrame,
     id_col: str = "doc_id",
     sig_col: str = "sig",
     bands: int = 4,
+    num_hashes: int | None = None,
 ) -> DataFrame:
     """LSH banding over precomputed MinHash signatures: rows sharing any
     band become candidate pairs (id_a < id_b, deduplicated).
+
+    Pass `num_hashes` (the signature length) to validate the banding up
+    front: bands must divide it exactly — a remainder would silently drop
+    trailing signature slots, and bands > length would make every band
+    key '' and degenerate the self-join into an O(n^2) cross product.
 
     Shuffle profile: the self-join shuffles only (id, band_key) rows —
     n_rows * bands tiny tuples, independent of document size. Skewed
     buckets (boilerplate bands) are split by AQE skew-join handling; a
     bucket-size cap can be added with a count filter before the join.
     """
+    _validate_banding(bands, num_hashes)
     banded = sigs.select(
         F.col(id_col).alias("__id"),
         F.explode(
@@ -157,6 +175,7 @@ def lsh_candidate_pairs(
     """Convenience wrapper: signatures + banding in one call. When the
     signatures are reused elsewhere (e.g. a verify join), compute them once
     with with_minhash and call lsh_pairs_from_signatures directly."""
+    _validate_banding(bands, num_hashes)
     sigs = with_minhash(
         df.select(F.col(id_col), F.col(text_col)),
         text_col=text_col,
@@ -164,7 +183,9 @@ def lsh_candidate_pairs(
         shingle_k=shingle_k,
         out_col="__sig",
     ).select(F.col(id_col), "__sig")
-    return lsh_pairs_from_signatures(sigs, id_col=id_col, sig_col="__sig", bands=bands)
+    return lsh_pairs_from_signatures(
+        sigs, id_col=id_col, sig_col="__sig", bands=bands, num_hashes=num_hashes
+    )
 
 
 def minhash_jaccard_estimate(sig_a, sig_b) -> F.Column:

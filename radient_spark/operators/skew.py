@@ -62,7 +62,14 @@ def salted_join(
     """Skew-resistant equi-join: replicate the small side `salt` times,
     spread the big side's rows randomly across the replicas, join on
     (key, salt). Each hot key's rows now land on `salt` reducers instead
-    of one. Exact same rows as the plain join."""
+    of one. Exact same rows as the plain join — for inner/left only:
+    right/full-outer would emit each unmatched small-side row once per
+    replica, so those modes are rejected."""
+    if how not in ("inner", "left", "left_outer", "leftouter"):
+        raise ValueError(
+            f"salted_join supports how in ('inner', 'left'); got {how!r} — "
+            "outer-on-the-replicated-side would duplicate unmatched rows"
+        )
     small_rep = small.withColumn(
         "__salt", F.explode(F.array(*[F.lit(i) for i in range(salt)]))
     )

@@ -136,27 +136,29 @@ def knn_join(
             ids = pdf[corpus_id].to_numpy()
             n = len(pdf)
             kk = min(k, n)
+            nq = len(qids_)
             # Vectorized across ALL queries at once (no per-query Python
-            # loop): column-wise argpartition keeps each query's top-kk
-            # (plus arbitrary overflow up to 4kk candidates), then one
-            # axis-0 lexsort applies the global window's exact criterion
-            # (score desc, id asc) to every column simultaneously.
+            # loop). Tie-exact: every row whose score ties the per-query
+            # kk-th largest stays a candidate (a fixed slice could cut a
+            # tied smaller-id row the global window would keep), then one
+            # flattened lexsort applies the window's exact criterion
+            # (score desc, id asc) per query and rank<kk trims.
             if n > kk:
-                m = min(4 * kk, n)
-                cand = np.argpartition(-S, kk - 1, axis=0)[:m]
-                s_sel = np.take_along_axis(S, cand, axis=0)
-                i_sel = ids[cand]
+                thr = -np.partition(-S, kk - 1, axis=0)[kk - 1]
+                ii, jj = np.nonzero(S >= thr[None, :])
             else:
-                s_sel = S
-                i_sel = np.broadcast_to(ids[:, None], S.shape)
-            order = np.lexsort((i_sel, -s_sel), axis=0)[:kk]
-            s_top = np.take_along_axis(s_sel, order, axis=0)
-            i_top = np.take_along_axis(i_sel, order, axis=0)
+                ii, jj = np.nonzero(np.ones_like(S, dtype=bool))
+            s_c = S[ii, jj]
+            order = np.lexsort((ids[ii], -s_c, jj))
+            jj_sorted = jj[order]
+            starts = np.searchsorted(jj_sorted, np.arange(nq))
+            rank = np.arange(len(jj_sorted)) - starts[jj_sorted]
+            keep = order[rank < kk]
             yield pd.DataFrame(
                 {
-                    corpus_id: i_top.T.ravel(),
-                    query_id: np.repeat(qids_, kk),
-                    score_col: s_top.T.ravel(),
+                    corpus_id: ids[ii[keep]],
+                    query_id: qids_[jj[keep]],
+                    score_col: s_c[keep],
                 }
             )
 

@@ -729,8 +729,9 @@ def q_minhash_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     verified by signature-estimated Jaccard >= 0.5. The scale path for
     document dedup: the only shuffle carries (id, band_key) pairs.
 
-    Non-SQL-expressible shape (self-join on banded buckets) — checked by
-    the driver's rows-only gate and by tests against a brute-force oracle.
+    Fully oracle-checked: the banding + estimate is portable md5
+    arithmetic, so the DuckDB oracle reproduces it hash-for-hash
+    (_minhash_dup_pairs_sql).
     """
     docs = load_tables(spark, sf_dir)["documents"]
     # One signature computation, cached: the banding branch and both sides
@@ -742,7 +743,9 @@ def q_minhash_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         shingle_k=3,
         out_col="sig",
     ).select("doc_id", "sig").cache()
-    pairs = D.lsh_pairs_from_signatures(sigs, id_col="doc_id", sig_col="sig", bands=4)
+    pairs = D.lsh_pairs_from_signatures(
+        sigs, id_col="doc_id", sig_col="sig", bands=4, num_hashes=16
+    )
     a = sigs.select(F.col("doc_id").alias("id_a"), F.col("sig").alias("sig_a"))
     b = sigs.select(F.col("doc_id").alias("id_b"), F.col("sig").alias("sig_b"))
     return (
@@ -1191,19 +1194,20 @@ GROUP BY 1, 2
 
 def q22_wealthy_inactive(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q22 shape: customers with above-average balance and no orders
-    after 1999 — scalar subquery (global avg) + NOT EXISTS, per nation."""
+    after 1999 — scalar subquery (global avg) + NOT EXISTS, per nation.
+
+    The scalar subquery stays IN the plan: the 1-row global average is
+    crossJoin(broadcast(...))-ed onto customer, so the whole query is one
+    lazy plan (no driver .collect() round trip)."""
     t = load_tables(spark, sf_dir)
-    avg_bal = (
-        t["customer"]
-        .agg(davg(F.col("c_acctbal"), "a"))
-        .collect()[0]["a"]
-    )
+    avg_bal = t["customer"].agg(davg(F.col("c_acctbal"), "__avg_bal"))
     recent = t["orders"].filter(
         F.col("o_orderdate") >= F.lit("1999-01-01").cast("timestamp")
     )
     return (
         t["customer"]
-        .filter(F.col("c_acctbal") > avg_bal)
+        .crossJoin(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("__avg_bal"))
         .join(recent, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
         .groupBy("c_nationkey")
         .agg(

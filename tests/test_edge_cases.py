@@ -93,3 +93,60 @@ def test_connected_groups_chain(spark):
     )
     labels = {r["id"]: r["group_id"] for r in D.connected_duplicate_groups(pairs).collect()}
     assert labels == {1: 1, 2: 1, 3: 1, 4: 1}
+
+def test_lsh_banding_validation(spark):
+    sigs = D.with_minhash(_empty_docs(spark), num_hashes=8, out_col="sig")
+    with pytest.raises(ValueError, match="divide"):
+        D.lsh_pairs_from_signatures(sigs, sig_col="sig", bands=3, num_hashes=8)
+    with pytest.raises(ValueError, match="divide"):
+        D.lsh_pairs_from_signatures(sigs, sig_col="sig", bands=16, num_hashes=8)
+    with pytest.raises(ValueError, match="divide"):
+        D.lsh_candidate_pairs(_empty_docs(spark), num_hashes=8, bands=5)
+
+
+def test_salted_join_rejects_outer(spark):
+    from radient_spark.operators import skew
+
+    df = spark.createDataFrame([(1, 1.0)], "k long, x double")
+    dim = spark.createDataFrame([(1, "a")], "k long, name string")
+    with pytest.raises(ValueError, match="inner"):
+        skew.salted_join(df, dim, "k", how="right")
+    with pytest.raises(ValueError, match="inner"):
+        skew.salted_join(df, dim, "k", how="full")
+
+
+def test_asof_join_null_payload_not_backfilled(spark):
+    # The latest prior right row has a NULL payload value: the join must
+    # return that NULL, not a stale value from an older right row, and all
+    # payload columns must come from the SAME right row.
+    left = spark.createDataFrame(
+        [(1, "2024-01-01 10:00:00")], "user_id long, pts string"
+    ).withColumn("pts", F.col("pts").cast("timestamp"))
+    right = spark.createDataFrame(
+        [
+            (1, "2024-01-01 08:00:00", 5.0, "old"),
+            (1, "2024-01-01 09:00:00", None, "new"),
+        ],
+        "user_id long, ts string, v double, tag string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    out = asof_join(
+        left, right, on="user_id", left_ts="pts", right_ts="ts"
+    ).collect()
+    assert len(out) == 1
+    assert out[0]["v"] is None  # row-level fill: NULL stays NULL
+    assert out[0]["tag"] == "new"  # both payloads from the matched row
+
+
+def test_knn_join_boundary_ties_keep_smallest_ids(spark):
+    # Many corpus rows tie exactly at the k-th score: the per-batch pruning
+    # must keep the tied rows with the SMALLEST ids (the global window's
+    # criterion), regardless of argpartition's arbitrary tie placement.
+    n = 50
+    corpus = spark.createDataFrame(
+        [(i, [1.0, 0.0]) for i in range(n)], "id long, vec array<float>"
+    ).coalesce(1)
+    queries = spark.createDataFrame(
+        [(7, [1.0, 0.0])], "qid long, vec array<float>"
+    )
+    got = knn_join(corpus, queries, corpus_vec="vec", query_vec="vec", k=5).collect()
+    assert sorted(r["id"] for r in got) == [0, 1, 2, 3, 4]
