@@ -19,8 +19,9 @@ Spark-first shapes:
   Arrow batch computes an (n_batch x n_query) GEMM and emits only its
   per-query top-k candidates, so the corpus is scanned once, never
   shuffled, and the global window sees ~k rows per query per partition.
-- All-pairs threshold join -> same GEMM pattern; candidates above the
-  threshold are the only rows that leave the batch. At cluster scale the
+- All-pairs threshold join -> distributed block GEMM: rows hash into
+  buckets, each unordered bucket pair is one applyInPandas task, nothing
+  is collected to the driver or broadcast. At cluster scale the
   LSH-bucketed variant (operators/dedup.py) replaces the O(n^2) scan.
 
 Determinism contract: scores are float64 and rounded (4 decimals for the
@@ -180,41 +181,76 @@ def similarity_self_join(
     threshold: float = 0.95,
     metric: str = "cosine",
     score_col: str = "score",
+    blocks: int = 8,
 ) -> DataFrame:
     """All pairs (a,b), a.id < b.id, with similarity >= `threshold`.
 
-    BLAS block scan: the full matrix is broadcast (exact variant — valid
-    while n·d floats fit an executor; beyond that use the LSH variant in
-    operators/dedup.py) and each corpus batch emits only its above-
-    threshold pairs. No shuffle until the (small) result.
+    Exact distributed block GEMM — NO driver-side collect and NO corpus
+    broadcast: rows hash into `blocks` buckets, every unordered bucket
+    pair (i <= j) is one applyInPandas group, and each group computes its
+    (n_i x n_j) BLAS score block and emits only above-threshold pairs.
+
+    Scale profile: one shuffle of n*blocks (id, vec) rows fanned across
+    blocks*(blocks+1)/2 independent tasks; per-task memory is
+    (2n/blocks)*d floats + the emitted pairs, so raising `blocks` trades
+    shuffle volume for peak memory — nothing ever concentrates on the
+    driver or a single executor. The O(n^2) compute is inherent to the
+    exact join; at corpus scale the LSH-bucketed candidate path
+    (operators/dedup.py) replaces the exact scan entirely.
     """
     import numpy as np
 
-    rows = df.select(id_col, vec_col).collect()
-    all_ids = np.array([r[0] for r in rows], dtype=np.int64)
-    A = np.array([list(r[1]) for r in rows], dtype=np.float64)
-    bc = df.sparkSession.sparkContext.broadcast((all_ids, A))
+    tagged = df.select(id_col, vec_col).withColumn(
+        "__blk", F.pmod(F.xxhash64(F.col(id_col)), F.lit(blocks)).cast("int")
+    )
+    pair_keys = F.array(
+        *[
+            F.struct(
+                F.least(F.col("__blk"), F.lit(j)).alias("pi"),
+                F.greatest(F.col("__blk"), F.lit(j)).alias("pj"),
+            )
+            for j in range(blocks)
+        ]
+    )
+    expanded = tagged.withColumn("__pk", F.explode(pair_keys)).select(
+        id_col,
+        vec_col,
+        "__blk",
+        F.col("__pk.pi").alias("__pi"),
+        F.col("__pk.pj").alias("__pj"),
+    )
     out_schema = f"id_a long, id_b long, {score_col} double"
 
-    def gen(batches: Iterator) -> Iterator:
+    def gen(key, pdf):
         import pandas as pd
 
-        ids_all, A_ = bc.value
-        for pdf in batches:
-            if len(pdf) == 0:
-                continue
+        pi, pj = key
+        if pi == pj:
+            ids = pdf[id_col].to_numpy()
             M = np.array(pdf[vec_col].tolist(), dtype=np.float64)
-            batch_ids = pdf[id_col].to_numpy()
-            S = np.round(_batch_scores(M, A_, metric), PAIR_SCORE_DECIMALS)
-            ii, jj = np.nonzero(
-                (S >= threshold) & (batch_ids[:, None] < ids_all[None, :])
-            )
-            yield pd.DataFrame(
-                {
-                    "id_a": batch_ids[ii],
-                    "id_b": ids_all[jj],
-                    score_col: S[ii, jj],
-                }
-            )
+            S = np.round(_batch_scores(M, M, metric), PAIR_SCORE_DECIMALS)
+            ii, jj = np.nonzero((S >= threshold) & (ids[:, None] < ids[None, :]))
+            id_a, id_b, sc = ids[ii], ids[jj], S[ii, jj]
+        else:
+            a = pdf[pdf["__blk"] == pi]
+            b = pdf[pdf["__blk"] == pj]
+            if len(a) == 0 or len(b) == 0:
+                return pd.DataFrame(
+                    {"id_a": pd.Series(dtype="int64"),
+                     "id_b": pd.Series(dtype="int64"),
+                     score_col: pd.Series(dtype="float64")}
+                )
+            ids_a = a[id_col].to_numpy()
+            ids_b = b[id_col].to_numpy()
+            Ma = np.array(a[vec_col].tolist(), dtype=np.float64)
+            Mb = np.array(b[vec_col].tolist(), dtype=np.float64)
+            S = np.round(_batch_scores(Ma, Mb, metric), PAIR_SCORE_DECIMALS)
+            ii, jj = np.nonzero(S >= threshold)
+            la, lb = ids_a[ii], ids_b[jj]
+            # each unordered cross-block pair appears in exactly one
+            # group; normalize to the id_a < id_b output contract
+            id_a, id_b = np.minimum(la, lb), np.maximum(la, lb)
+            sc = S[ii, jj]
+        return pd.DataFrame({"id_a": id_a, "id_b": id_b, score_col: sc})
 
-    return df.select(id_col, vec_col).mapInPandas(gen, out_schema)
+    return expanded.groupBy("__pi", "__pj").applyInPandas(gen, out_schema)

@@ -150,3 +150,40 @@ def test_knn_join_boundary_ties_keep_smallest_ids(spark):
     )
     got = knn_join(corpus, queries, corpus_vec="vec", query_vec="vec", k=5).collect()
     assert sorted(r["id"] for r in got) == [0, 1, 2, 3, 4]
+
+def test_similarity_self_join_block_gemm_exact_and_distributed(spark):
+    # Block-pair formulation must equal the naive quadratic result and
+    # run as a grouped-pandas plan: no driver-side collect of the corpus,
+    # no broadcast variable of the matrix.
+    import itertools
+    import math
+    import random
+
+    rng = random.Random(7)
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(60)]
+    df = spark.createDataFrame(rows, "id long, vec array<float>").repartition(5)
+    got = {
+        (r["id_a"], r["id_b"]): r["score"]
+        for r in similarity_self_join(
+            df, "vec", "id", threshold=0.3, blocks=4
+        ).collect()
+    }
+    # numpy-free brute force in float64 over the float32-truncated inputs
+    vecs = {
+        r["id"]: [float(x) for x in r["vec"]]
+        for r in df.select("id", "vec").collect()
+    }
+    expected = {}
+    for a, b in itertools.combinations(sorted(vecs), 2):
+        va, vb = vecs[a], vecs[b]
+        dot = sum(x * y for x, y in zip(va, vb))
+        na = math.sqrt(sum(x * x for x in va))
+        nb = math.sqrt(sum(x * x for x in vb))
+        s = round(dot / (na * nb), 4)
+        if s >= 0.3:
+            expected[(a, b)] = s
+    assert set(got) == set(expected)
+    for k in expected:
+        assert abs(got[k] - expected[k]) < 2e-4, (k, got[k], expected[k])
+    plan = similarity_self_join(df, "vec", "id", threshold=0.3, blocks=4)._jdf.queryExecution().executedPlan().toString()
+    assert "FlatMapGroupsInPandas" in plan
