@@ -545,16 +545,20 @@ def q_vec_similar_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_Q_VEC_PAIRS_SQL = """
-SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-  round(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
-        / (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
-           * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))), 4) AS score
+def _vec_pairs_sql(threshold: float) -> str:
+    sim = (
+        "round(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])"
+        " / (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))"
+        " * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))), 4)"
+    )
+    return f"""
+SELECT a.vec_id AS id_a, b.vec_id AS id_b, {sim} AS score
 FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-WHERE round(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
-        / (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
-           * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))), 4) >= 0.4
+WHERE {sim} >= {threshold}
 """
+
+
+_Q_VEC_PAIRS_SQL = _vec_pairs_sql(0.4)
 
 
 # ---------------------------------------------------------------------------
@@ -1742,8 +1746,9 @@ def q_embedding_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate dedup: similarity self-join above
     a high threshold -> connected components -> canonical id + group
     size. The semantic-dedup twin of q_dup_groups (which is lexical);
-    rows-only (iterative). At scale the pair generation swaps to the
-    ANN/LSH candidate path; the grouping is unchanged."""
+    oracle-checked via the recursive-CTE component oracle. At scale the
+    pair generation swaps to the ANN/LSH candidate path; the grouping is
+    unchanged."""
     emb = load_tables(spark, sf_dir)["embeddings"]
     pairs = similarity_self_join(
         emb, vec_col="embedding", id_col="vec_id", threshold=0.45, metric="cosine"
@@ -1791,11 +1796,38 @@ LIMIT 10
 """
 
 
+def _cc_groups_sql(pairs_sql: str) -> str:
+    """DuckDB oracle for connected_duplicate_groups over a pair query:
+    reachability closure via a recursive CTE (UNION dedup terminates it),
+    then min-label per component — exactly the fixed point the iterative
+    Spark propagation converges to."""
+    return f"""
+WITH RECURSIVE pairs AS ({pairs_sql}),
+edges AS (
+  SELECT id_a AS a, id_b AS b FROM pairs
+  UNION ALL
+  SELECT id_b AS a, id_a AS b FROM pairs
+),
+walk AS (
+  SELECT a AS id, b AS reach FROM edges
+  UNION
+  SELECT w.id, e.b AS reach FROM walk w JOIN edges e ON w.reach = e.a
+),
+labels AS (
+  SELECT id, LEAST(id, MIN(reach)) AS group_id FROM walk GROUP BY id
+)
+SELECT group_id, COUNT(*) AS group_size, MIN(id) AS canonical_id
+FROM labels GROUP BY group_id HAVING COUNT(*) > 1
+"""
+
+
 def q_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full dedup pipeline: MinHash -> LSH banding -> signature verify ->
     connected components (iterative min-label propagation) -> canonical
     doc per duplicate group + group size. The end-to-end shape of corpus
-    dedup at scale; rows-only check (iterative, not SQL-expressible)."""
+    dedup at scale. Oracle-checked: the component fixed point is
+    reproduced in DuckDB with a recursive reachability CTE over the same
+    verified pair set (_cc_groups_sql)."""
     pairs = q_minhash_dup_pairs(spark, sf_dir)
     labels = D.connected_duplicate_groups(pairs)
     return (
@@ -2458,9 +2490,9 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "q08_market_share": (q08_market_share, _Q08_SQL),
     "q14_promo_revenue_pct": (q14_promo_revenue_pct, _Q14_SQL),
     "q_fingerprint_similarity": (q_fingerprint_similarity, _fingerprint_sql()),
-    "q_dup_groups": (q_dup_groups, None),
+    "q_dup_groups": (q_dup_groups, _cc_groups_sql(_minhash_dup_pairs_sql())),
     "q_corpus_filtered_search": (q_corpus_filtered_search, _Q_CORPUS_SEARCH_SQL),
-    "q_embedding_dup_groups": (q_embedding_dup_groups, None),
+    "q_embedding_dup_groups": (q_embedding_dup_groups, _cc_groups_sql(_vec_pairs_sql(0.45))),
     "q_bpe_token_stats": (q_bpe_token_stats, _Q_BPE_SQL),
     "q_approx_cardinalities": (q_approx_cardinalities, None),
     "q_rolling_fingerprints": (q_rolling_fingerprints, _Q_ROLLING_SQL),
