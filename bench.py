@@ -46,7 +46,6 @@ BENCH_QUERIES = [
     "q_bpe_token_stats",
     "q_rolling_fingerprints",
     "q_corpus_filtered_search",
-    "q_ann_search",
 ]
 
 
@@ -79,6 +78,35 @@ def main() -> None:
         start = time.perf_counter()
         fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         timings[name] = round(time.perf_counter() - start, 3)
+
+    # ANN is build-once / search-many: time the index build+save and the
+    # partition-pruned search separately — conflating them made the
+    # "search" number mostly measure the iterative build (VERDICT r1).
+    import shutil
+
+    from pyspark.sql import functions as F  # noqa: N812
+
+    from radient_spark.ann import AnnIndex
+    from radient_spark.catalog import load_tables
+
+    emb = load_tables(spark, sf_dir)["embeddings"].select(
+        F.col("vec_id").alias("id"), F.col("embedding").alias("vector")
+    )
+    ann_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "spark-warehouse", "bench_ann"
+    )
+    start = time.perf_counter()
+    index = AnnIndex.build(emb, n_trees=2, max_leaf_size=100, spill=0.1, seed=42)
+    index.save(ann_path)
+    timings["q_ann_build"] = round(time.perf_counter() - start, 3)
+
+    index = AnnIndex.load(spark, ann_path)
+    rows = emb.orderBy("id").limit(10).collect()
+    ann_queries = [(int(r["id"]), list(r["vector"])) for r in rows]
+    start = time.perf_counter()
+    index.search(ann_queries, k=10).write.format("noop").mode("overwrite").save()
+    timings["q_ann_search"] = round(time.perf_counter() - start, 3)
+    shutil.rmtree(ann_path, ignore_errors=True)
 
     print(
         json.dumps(

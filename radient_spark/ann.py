@@ -455,7 +455,13 @@ class AnnIndex:
         metric: str = "cosine",
     ) -> DataFrame:
         """Batch search: driver-side forest descent -> (tree, leaf) hit
-        list -> pruned join -> cross-tree id dedup -> per-query top-k.
+        list -> statically partition-pruned scan -> broadcast join ->
+        cross-tree id dedup -> per-query top-k.
+
+        The hit list is known on the driver, so the (tree_id, leaf_id)
+        predicate is pushed into the scan as a LITERAL filter — the
+        partitioned index reads ONLY the touched leaf directories
+        (PartitionFilters, not a full-index scan + join).
 
         Returns (qid, id, score) with score descending per query.
         """
@@ -468,7 +474,17 @@ class AnnIndex:
         qdf = spark.createDataFrame(
             hits, "qid long, tree_id int, leaf_id int, qvec array<float>"
         )
-        cand = self.index_df.join(
+        leaves_by_tree: dict[int, set[int]] = {}
+        for _, t, leaf, _ in hits:
+            leaves_by_tree.setdefault(t, set()).add(leaf)
+        prune = None
+        for t, leaves in leaves_by_tree.items():
+            clause = (F.col("tree_id") == t) & F.col("leaf_id").isin(
+                *[int(x) for x in leaves]
+            )
+            prune = clause if prune is None else (prune | clause)
+        pruned = self.index_df.filter(prune) if prune is not None else self.index_df
+        cand = pruned.join(
             F.broadcast(qdf),
             on=["tree_id", "leaf_id"],
         ).dropDuplicates(["qid", "id"])  # ≡ the cross-tree hash-set dedup
