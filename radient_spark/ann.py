@@ -49,6 +49,52 @@ from pyspark.sql import functions as F
 MAX_LEAF_SIZE = 200  # gann.py:15
 
 
+def _rerank_topk(cand: DataFrame, k: int, metric: str) -> DataFrame:
+    """Shared exact-rerank tail: score candidates, per-query window top-k
+    with the deterministic (score desc, id asc) criterion."""
+    from radient_spark.functions import vector as V
+
+    if metric == "cosine":
+        score = V.cosine_similarity(F.col("vector"), F.col("qvec"))
+    elif metric == "dot":
+        score = V.dot(F.col("vector"), F.col("qvec"))
+    elif metric == "l2":
+        score = -V.l2_distance(F.col("vector"), F.col("qvec"))
+    else:
+        raise ValueError(f"unknown metric {metric!r}")
+    scored = cand.withColumn("score", F.round(score, 6))
+    w = Window.partitionBy("qid").orderBy(F.col("score").desc(), F.col("id").asc())
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .select("qid", "id", "score")
+    )
+
+
+def _descend_batch(Q: "np.ndarray", tree: "_Tree") -> "np.ndarray":
+    """Vectorized forest descent for a query batch: same per-row result
+    as _Tree.descend (stop at the first missing node), but one projection
+    per (level, node) group instead of per row."""
+    n = len(Q)
+    node = np.zeros(n, dtype=np.int64)
+    alive = np.ones(n, dtype=bool)
+    for level in range(tree.depth):
+        if not alive.any():
+            break
+        next_node = node.copy()
+        for nd in np.unique(node[alive]):
+            sel = alive & (node == nd)
+            entry = tree.nodes.get((level, int(nd)))
+            if entry is None:
+                alive[sel] = False
+                continue
+            w, cut = entry
+            proj = Q[sel] @ np.asarray(w, dtype=np.float64)
+            next_node[sel] = 2 * nd + (proj > cut)
+        node = next_node
+    return node
+
+
 def vc_sample_bound(dim: int, eps: float = 0.05, delta: float = 0.05) -> int:
     """Sample size sufficient for eps-accurate cluster estimation
     (_gkmeans.py:26-36, Blumer et al. 1989)."""
@@ -215,26 +261,54 @@ class IvfIndex:
                 hits.append((qid, int(cell), [float(x) for x in vec]))
         qdf = spark.createDataFrame(hits, "qid long, cell_id int, qvec array<float>")
         cand = self.index_df.join(F.broadcast(qdf), on="cell_id")
+        return _rerank_topk(cand, k, metric)
 
-        from radient_spark.functions import vector as V
+    def search_df(
+        self,
+        queries: DataFrame,
+        k: int = 10,
+        n_probes: int = 8,
+        metric: str = "cosine",
+        query_id: str = "qid",
+        query_vec: str = "qvec",
+    ) -> DataFrame:
+        """DataFrame-native search: cell assignment runs in an executor
+        Pandas UDF against the broadcast centroid matrix — the query side
+        is never collected to the driver, so queries can themselves be a
+        billion-row table. Joining candidate cells is a plain equi-join
+        AQE sizes at runtime (broadcast when the probe side is small,
+        shuffle when it is not)."""
+        spark = self.index_df.sparkSession
+        bc = spark.sparkContext.broadcast(self.centroids.tolist())
 
-        if metric == "cosine":
-            score = V.cosine_similarity(F.col("vector"), F.col("qvec"))
-        elif metric == "dot":
-            score = V.dot(F.col("vector"), F.col("qvec"))
-        elif metric == "l2":
-            score = -V.l2_distance(F.col("vector"), F.col("qvec"))
-        else:
-            raise ValueError(f"unknown metric {metric!r}")
-        scored = cand.withColumn("score", F.round(score, 6))
-        w = Window.partitionBy("qid").orderBy(
-            F.col("score").desc(), F.col("id").asc()
-        )
-        return (
-            scored.withColumn("__rn", F.row_number().over(w))
-            .filter(F.col("__rn") <= k)
-            .select("qid", "id", "score")
-        )
+        def probe(batches):
+            import pandas as pd
+
+            C_ = np.asarray(bc.value, dtype=np.float64)
+            npb = min(n_probes, len(C_))
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                Q = np.array(pdf["qvec"].tolist(), dtype=np.float64)
+                d2 = (
+                    (Q * Q).sum(1)[:, None]
+                    + (C_ * C_).sum(1)[None, :]
+                    - 2.0 * (Q @ C_.T)
+                )
+                cells = np.argsort(d2, axis=1)[:, :npb]
+                yield pd.DataFrame(
+                    {
+                        "qid": np.repeat(pdf["qid"].to_numpy(), npb),
+                        "cell_id": cells.ravel().astype(np.int32),
+                        "qvec": np.repeat(pdf["qvec"].to_numpy(), npb),
+                    }
+                )
+
+        qdf = queries.select(
+            F.col(query_id).alias("qid"), F.col(query_vec).alias("qvec")
+        ).mapInPandas(probe, "qid long, cell_id int, qvec array<float>")
+        cand = self.index_df.join(qdf, on="cell_id")
+        return _rerank_topk(cand, k, metric)
 
 
 class AnnIndex:
@@ -488,23 +562,54 @@ class AnnIndex:
             F.broadcast(qdf),
             on=["tree_id", "leaf_id"],
         ).dropDuplicates(["qid", "id"])  # ≡ the cross-tree hash-set dedup
+        return _rerank_topk(cand, k, metric)
 
-        from radient_spark.functions import vector as V
+    def search_df(
+        self,
+        queries: DataFrame,
+        k: int = 10,
+        metric: str = "cosine",
+        query_id: str = "qid",
+        query_vec: str = "qvec",
+    ) -> DataFrame:
+        """DataFrame-native search: the forest (a few KB of hyperplanes)
+        is broadcast and every query row descends it inside an executor
+        Pandas UDF — the query side is never collected to the driver.
+        The (tree_id, leaf_id) candidate join is left unhinted so AQE
+        broadcasts the descended side when it is small and shuffles both
+        sides by leaf when the query table is itself at data scale."""
+        spark = self.index_df.sparkSession
+        bc = spark.sparkContext.broadcast(
+            [(t.depth, t.nodes) for t in self.trees]
+        )
 
-        if metric == "cosine":
-            score = V.cosine_similarity(F.col("vector"), F.col("qvec"))
-        elif metric == "dot":
-            score = V.dot(F.col("vector"), F.col("qvec"))
-        elif metric == "l2":
-            score = -V.l2_distance(F.col("vector"), F.col("qvec"))
-        else:
-            raise ValueError(f"unknown metric {metric!r}")
-        scored = cand.withColumn("score", F.round(score, 6))
-        w = Window.partitionBy("qid").orderBy(
-            F.col("score").desc(), F.col("id").asc()
+        def descend(batches):
+            import pandas as pd
+
+            trees = [_Tree(depth=d, nodes=nd) for d, nd in bc.value]
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                Q = np.array(pdf["qvec"].tolist(), dtype=np.float64)
+                frames = []
+                for t, tree in enumerate(trees):
+                    leaf = _descend_batch(Q, tree)
+                    frames.append(
+                        pd.DataFrame(
+                            {
+                                "qid": pdf["qid"].to_numpy(),
+                                "tree_id": np.full(len(pdf), t, dtype=np.int32),
+                                "leaf_id": leaf.astype(np.int32),
+                                "qvec": pdf["qvec"].to_numpy(),
+                            }
+                        )
+                    )
+                yield pd.concat(frames, ignore_index=True)
+
+        qdf = queries.select(
+            F.col(query_id).alias("qid"), F.col(query_vec).alias("qvec")
+        ).mapInPandas(descend, "qid long, tree_id int, leaf_id int, qvec array<float>")
+        cand = self.index_df.join(qdf, on=["tree_id", "leaf_id"]).dropDuplicates(
+            ["qid", "id"]
         )
-        return (
-            scored.withColumn("__rn", F.row_number().over(w))
-            .filter(F.col("__rn") <= k)
-            .select("qid", "id", "score")
-        )
+        return _rerank_topk(cand, k, metric)

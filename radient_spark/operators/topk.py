@@ -97,6 +97,33 @@ def _batch_scores(M, Q, metric: str):
     raise ValueError(f"unknown metric {metric!r}")
 
 
+def _topk_flat_candidates(S, ids, kk):
+    """Per-query-column top-kk of an (n x q) score matrix, vectorized
+    across ALL queries (no per-query Python loop) and tie-exact: every
+    row whose score ties the per-query kk-th largest stays a candidate
+    (a fixed slice could cut a tied smaller-id row the global window
+    would keep), then one flattened lexsort applies the window's exact
+    (score desc, id asc) criterion per query and rank < kk trims.
+
+    Returns (row_idx, col_idx, score) flat arrays into S.
+    """
+    import numpy as np
+
+    n, nq = S.shape
+    if n > kk:
+        thr = -np.partition(-S, kk - 1, axis=0)[kk - 1]
+        ii, jj = np.nonzero(S >= thr[None, :])
+    else:
+        ii, jj = np.nonzero(np.ones_like(S, dtype=bool))
+    s_c = S[ii, jj]
+    order = np.lexsort((ids[ii], -s_c, jj))
+    jj_sorted = jj[order]
+    starts = np.searchsorted(jj_sorted, np.arange(nq))
+    rank = np.arange(len(jj_sorted)) - starts[jj_sorted]
+    keep = order[rank < kk]
+    return ii[keep], jj[keep], s_c[keep]
+
+
 def knn_join(
     corpus: DataFrame,
     queries: DataFrame,
@@ -135,35 +162,107 @@ def knn_join(
             M = np.array(pdf[corpus_vec].tolist(), dtype=np.float64)
             S = np.round(_batch_scores(M, Q_, metric), PAIR_SCORE_DECIMALS)
             ids = pdf[corpus_id].to_numpy()
-            n = len(pdf)
-            kk = min(k, n)
-            nq = len(qids_)
-            # Vectorized across ALL queries at once (no per-query Python
-            # loop). Tie-exact: every row whose score ties the per-query
-            # kk-th largest stays a candidate (a fixed slice could cut a
-            # tied smaller-id row the global window would keep), then one
-            # flattened lexsort applies the window's exact criterion
-            # (score desc, id asc) per query and rank<kk trims.
-            if n > kk:
-                thr = -np.partition(-S, kk - 1, axis=0)[kk - 1]
-                ii, jj = np.nonzero(S >= thr[None, :])
-            else:
-                ii, jj = np.nonzero(np.ones_like(S, dtype=bool))
-            s_c = S[ii, jj]
-            order = np.lexsort((ids[ii], -s_c, jj))
-            jj_sorted = jj[order]
-            starts = np.searchsorted(jj_sorted, np.arange(nq))
-            rank = np.arange(len(jj_sorted)) - starts[jj_sorted]
-            keep = order[rank < kk]
+            kk = min(k, len(pdf))
+            ii, jj, sc = _topk_flat_candidates(S, ids, kk)
             yield pd.DataFrame(
                 {
-                    corpus_id: ids[ii[keep]],
-                    query_id: qids_[jj[keep]],
-                    score_col: s_c[keep],
+                    corpus_id: ids[ii],
+                    query_id: qids_[jj],
+                    score_col: sc,
                 }
             )
 
     cand = corpus.select(corpus_id, corpus_vec).mapInPandas(gen, out_schema)
+    w = Window.partitionBy(query_id).orderBy(
+        F.col(score_col).desc(), F.col(corpus_id).asc()
+    )
+    return (
+        cand.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn")
+    )
+
+
+def knn_join_blocked(
+    corpus: DataFrame,
+    queries: DataFrame,
+    corpus_vec: str = "vec",
+    query_vec: str = "vec",
+    k: int = 10,
+    metric: str = "cosine",
+    query_id: str = "qid",
+    corpus_id: str = "id",
+    score_col: str = "score",
+    corpus_blocks: int = 8,
+    query_blocks: int = 4,
+) -> DataFrame:
+    """Exact kNN join where BOTH sides are DataFrames at data scale —
+    nothing is collected to the driver and nothing is broadcast.
+
+    Bipartite block GEMM: corpus rows hash into `corpus_blocks` buckets,
+    queries into `query_blocks`; every (corpus bucket, query bucket)
+    pair is one applyInPandas task computing its score block and emitting
+    per-query top-k candidates (exact within the corpus block, so the
+    global per-query window over corpus_blocks*k candidates is exact).
+
+    Shuffle: corpus rows replicate query_blocks times, query rows
+    corpus_blocks times; per-task memory is one block pair. Use the
+    broadcast-contract knn_join when the query side fits the driver —
+    it scans the corpus exactly once with no replication.
+    """
+    import numpy as np
+
+    c = (
+        corpus.select(
+            F.col(corpus_id).alias("__rid"), F.col(corpus_vec).alias("__vec")
+        )
+        .withColumn("__side", F.lit(0))
+        .withColumn(
+            "__cb", F.pmod(F.xxhash64("__rid"), F.lit(corpus_blocks)).cast("int")
+        )
+        .withColumn(
+            "__qb", F.explode(F.array(*[F.lit(j) for j in range(query_blocks)]))
+        )
+    )
+    q = (
+        queries.select(
+            F.col(query_id).alias("__rid"), F.col(query_vec).alias("__vec")
+        )
+        .withColumn("__side", F.lit(1))
+        .withColumn(
+            "__qb", F.pmod(F.xxhash64("__rid"), F.lit(query_blocks)).cast("int")
+        )
+        .withColumn(
+            "__cb", F.explode(F.array(*[F.lit(i) for i in range(corpus_blocks)]))
+        )
+    )
+    cols = ["__side", "__rid", "__vec", "__cb", "__qb"]
+    both = c.select(*cols).unionByName(q.select(*cols))
+    out_schema = f"{corpus_id} long, {query_id} long, {score_col} double"
+
+    def gen(key, pdf):
+        import pandas as pd
+
+        cor = pdf[pdf["__side"] == 0]
+        qs = pdf[pdf["__side"] == 1]
+        if len(cor) == 0 or len(qs) == 0:
+            return pd.DataFrame(
+                {corpus_id: pd.Series(dtype="int64"),
+                 query_id: pd.Series(dtype="int64"),
+                 score_col: pd.Series(dtype="float64")}
+            )
+        M = np.array(cor["__vec"].tolist(), dtype=np.float64)
+        Q = np.array(qs["__vec"].tolist(), dtype=np.float64)
+        S = np.round(_batch_scores(M, Q, metric), PAIR_SCORE_DECIMALS)
+        ids = cor["__rid"].to_numpy()
+        qids = qs["__rid"].to_numpy()
+        kk = min(k, len(cor))
+        ii, jj, sc = _topk_flat_candidates(S, ids, kk)
+        return pd.DataFrame(
+            {corpus_id: ids[ii], query_id: qids[jj], score_col: sc}
+        )
+
+    cand = both.groupBy("__cb", "__qb").applyInPandas(gen, out_schema)
     w = Window.partitionBy(query_id).orderBy(
         F.col(score_col).desc(), F.col(corpus_id).asc()
     )

@@ -536,6 +536,36 @@ SELECT vec_id, nn_id, nn_score FROM (
 """
 
 
+def q_vec_knn_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact k-NN self-join via the bipartite block GEMM
+    (knn_join_blocked): both sides are DataFrames, nothing touches the
+    driver — the scale path when queries are themselves a table. Top-3
+    neighbors (incl. self) per embedding."""
+    from radient_spark.operators.topk import knn_join_blocked
+
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    corpus = emb.select(F.col("vec_id").alias("id"), F.col("embedding").alias("vec"))
+    queries = emb.select(F.col("vec_id").alias("qid"), F.col("embedding").alias("vec"))
+    return knn_join_blocked(
+        corpus, queries, k=3, corpus_blocks=4, query_blocks=2
+    )
+
+
+_Q_VEC_KNN_BLOCKED_SQL = """
+WITH pairs AS (
+  SELECT c.vec_id AS id, q.vec_id AS qid,
+    round(list_dot_product(c.embedding::DOUBLE[], q.embedding::DOUBLE[])
+          / (sqrt(list_dot_product(c.embedding::DOUBLE[], c.embedding::DOUBLE[]))
+             * sqrt(list_dot_product(q.embedding::DOUBLE[], q.embedding::DOUBLE[]))), 4) AS score
+  FROM embeddings q CROSS JOIN embeddings c
+)
+SELECT id, qid, score FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY score DESC, id ASC) AS rn
+  FROM pairs
+) WHERE rn <= 3
+"""
+
+
 def q_vec_similar_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Similarity self-join: all pairs with cosine >= 0.4 (embedding-space
     near-duplicate detection, exact baseline)."""
@@ -2459,6 +2489,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "q_vec_topk_cosine": (q_vec_topk_cosine, _Q_VEC_TOPK_SQL),
     "q_vec_nearest_neighbor": (q_vec_nearest_neighbor, _Q_VEC_NN_SQL),
     "q_vec_similar_pairs": (q_vec_similar_pairs, _Q_VEC_PAIRS_SQL),
+    "q_vec_knn_blocked": (q_vec_knn_blocked, _Q_VEC_KNN_BLOCKED_SQL),
     "q_doc_stats_by_source": (q_doc_stats_by_source, _Q_DOC_STATS_SQL),
     "q_token_frequencies": (q_token_frequencies, _Q_TOKEN_FREQ_SQL),
     "q_lang_stats": (q_lang_stats, _Q_LANG_SQL),

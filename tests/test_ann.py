@@ -129,3 +129,32 @@ def test_save_load_roundtrip(spark, index, emb, tmp_path):
     a = {(r["qid"], r["id"]) for r in index.search(queries, k=5).collect()}
     b = {(r["qid"], r["id"]) for r in loaded.search(queries, k=5).collect()}
     assert a == b
+
+def test_search_df_matches_list_search(spark, index, emb):
+    rows = emb.take(8)
+    queries = [(int(r["id"]), list(r["vector"])) for r in rows]
+    qdf = spark.createDataFrame(queries, "qid long, qvec array<float>").repartition(3)
+    a = {(r["qid"], r["id"]) for r in index.search(queries, k=10).collect()}
+    b = {(r["qid"], r["id"]) for r in index.search_df(qdf, k=10).collect()}
+    assert a == b
+
+
+def test_ivf_search_df_matches_list_search(spark, emb):
+    from radient_spark.ann import IvfIndex
+
+    idx = IvfIndex.build(emb, n_cells=16, seed=42)
+    rows = emb.take(8)
+    queries = [(int(r["id"]), list(r["vector"])) for r in rows]
+    qdf = spark.createDataFrame(queries, "qid long, qvec array<float>").repartition(3)
+    # probe every cell so the comparison is exact regardless of fp-level
+    # centroid-distance tie ordering between the two assignment paths
+    a = {(r["qid"], r["id"]) for r in idx.search(queries, k=10, n_probes=16).collect()}
+    b = {(r["qid"], r["id"]) for r in idx.search_df(qdf, k=10, n_probes=16).collect()}
+    assert a == b
+
+
+def test_search_df_query_side_not_collected(spark, index, emb):
+    qdf = emb.limit(4).select(F.col("id").alias("qid"), F.col("vector").alias("qvec"))
+    plan = index.search_df(qdf, k=5)._jdf.queryExecution().executedPlan().toString()
+    # descent runs as an executor-side Pandas UDF over the query table
+    assert "MapInPandas" in plan

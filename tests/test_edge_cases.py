@@ -187,3 +187,29 @@ def test_similarity_self_join_block_gemm_exact_and_distributed(spark):
         assert abs(got[k] - expected[k]) < 2e-4, (k, got[k], expected[k])
     plan = similarity_self_join(df, "vec", "id", threshold=0.3, blocks=4)._jdf.queryExecution().executedPlan().toString()
     assert "FlatMapGroupsInPandas" in plan
+
+def test_knn_join_blocked_equals_broadcast(spark):
+    import random
+
+    rng = random.Random(11)
+    corpus = spark.createDataFrame(
+        [(i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(80)],
+        "id long, vec array<float>",
+    ).repartition(4)
+    queries = spark.createDataFrame(
+        [(100 + i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(10)],
+        "qid long, vec array<float>",
+    ).repartition(3)
+    from radient_spark.operators.topk import knn_join_blocked
+
+    a = sorted(
+        (r["qid"], r["id"], r["score"])
+        for r in knn_join(corpus, queries, k=5).collect()
+    )
+    b = sorted(
+        (r["qid"], r["id"], r["score"])
+        for r in knn_join_blocked(
+            corpus, queries, k=5, corpus_blocks=3, query_blocks=2
+        ).collect()
+    )
+    assert a == b
