@@ -15,7 +15,7 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame
 
-from radient_spark.operators import dedup, transforms, vectorize
+from radient_spark.operators import dedup, preprocess, transforms, vectorize
 
 Transform = Callable[[DataFrame], DataFrame]
 
@@ -74,6 +74,15 @@ register("vectorizer", "cohere")(
 register("vectorizer", "voyage")(
     lambda **kw: functools.partial(vectorize.voyage_text_vectorizer, **kw)
 )
+register("vectorizer", "imagebind-text")(
+    lambda **kw: functools.partial(vectorize.imagebind_text_vectorizer, **kw)
+)
+register("vectorizer", "imagebind-image")(
+    lambda **kw: functools.partial(vectorize.imagebind_image_vectorizer, **kw)
+)
+register("vectorizer", "imagebind-audio")(
+    lambda **kw: functools.partial(vectorize.imagebind_audio_vectorizer, **kw)
+)
 
 # --- transforms (≡ radient/tasks/transforms/*/__init__.py factories) ------
 
@@ -85,6 +94,12 @@ register("transform", "document_screenshot")(
 )
 register("transform", "speech_to_text")(
     lambda **kw: functools.partial(transforms.speech_to_text, **kw)
+)
+register("transform", "audio_melspec")(
+    lambda **kw: functools.partial(preprocess.audio_to_melspec_clips, **kw)
+)
+register("transform", "image_clip_tensor")(
+    lambda **kw: functools.partial(preprocess.images_to_clip_tensors, **kw)
 )
 
 # --- dedup (north-star ops) ----------------------------------------------

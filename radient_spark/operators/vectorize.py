@@ -384,6 +384,104 @@ def torchaudio_audio_vectorizer(
     return model_vectorizer(df, waveform_col, out_col, factory, "torchaudio", encode)
 
 
+def _imagebind_factory(model_name: str = "imagebind_huge"):
+    def factory():  # pragma: no cover - imagebind not in CI
+        from imagebind.models import imagebind_model
+
+        model = getattr(imagebind_model, model_name)(pretrained=True)
+        model.eval()
+        return model
+
+    return factory
+
+
+def imagebind_text_vectorizer(
+    df: DataFrame,
+    text_col: str = "text",
+    out_col: str = "vector",
+    model_name: str = "imagebind_huge",
+) -> DataFrame:  # pragma: no cover - imagebind not in CI
+    """≡ vectorizers/text/imagebind.py:30-68 — the joint-embedding text
+    trunk (tokenization via imagebind.data, same space as image/audio)."""
+
+    def encode(model, texts):
+        import torch
+        from imagebind import data
+        from imagebind.models.imagebind_model import ModalityType
+
+        with torch.inference_mode():
+            x = data.load_and_transform_text(texts, "cpu")
+            out = model({ModalityType.TEXT: x})[ModalityType.TEXT]
+            return [v.numpy().tolist() for v in out]
+
+    return model_vectorizer(
+        df, text_col, out_col, _imagebind_factory(model_name), "imagebind", encode
+    )
+
+
+def imagebind_image_vectorizer(
+    df: DataFrame,
+    tensor_col: str = "tensor",
+    out_col: str = "vector",
+    model_name: str = "imagebind_huge",
+) -> DataFrame:  # pragma: no cover - imagebind not in CI
+    """≡ vectorizers/image/imagebind.py:24-72. The 224² bicubic resize +
+    center crop + CLIP normalization runs FOR REAL in
+    operators/preprocess.py (images_to_clip_tensors); this gated trunk
+    consumes the flattened (3, 224, 224) tensors it emits."""
+    from radient_spark.functions.media import IMAGE_SIZE
+
+    def encode(model, tensors):
+        import numpy as np
+        import torch
+        from imagebind.models.imagebind_model import ModalityType
+
+        x = torch.tensor(
+            np.asarray(tensors, dtype=np.float32).reshape(
+                -1, 3, IMAGE_SIZE, IMAGE_SIZE
+            )
+        )
+        with torch.inference_mode():
+            out = model({ModalityType.VISION: x})[ModalityType.VISION]
+            return [v.numpy().tolist() for v in out]
+
+    return model_vectorizer(
+        df, tensor_col, out_col, _imagebind_factory(model_name), "imagebind", encode
+    )
+
+
+def imagebind_audio_vectorizer(
+    df: DataFrame,
+    mel_col: str = "mel",
+    out_col: str = "vector",
+    model_name: str = "imagebind_huge",
+) -> DataFrame:  # pragma: no cover - imagebind not in CI
+    """≡ vectorizers/audio/imagebind.py:25-87. The resample -> 2 s clip
+    -> 128-bin log-mel -> (128, 204) pad/trim -> Normalize(-4.268, 9.138)
+    chain runs FOR REAL in operators/preprocess.py
+    (audio_to_melspec_clips); this gated trunk consumes one mel clip per
+    row shaped (n_clips=1, 1, NUM_MEL_BINS, TARGET_LENGTH)."""
+    from radient_spark.functions.media import NUM_MEL_BINS, TARGET_LENGTH
+
+    def encode(model, mels):
+        import numpy as np
+        import torch
+        from imagebind.models.imagebind_model import ModalityType
+
+        x = torch.tensor(
+            np.asarray(mels, dtype=np.float32).reshape(
+                -1, 1, 1, NUM_MEL_BINS, TARGET_LENGTH
+            )
+        )
+        with torch.inference_mode():
+            out = model({ModalityType.AUDIO: x})[ModalityType.AUDIO]
+            return [v.numpy().tolist() for v in out]
+
+    return model_vectorizer(
+        df, mel_col, out_col, _imagebind_factory(model_name), "imagebind", encode
+    )
+
+
 def cohere_text_vectorizer(
     df: DataFrame,
     text_col: str = "text",

@@ -1927,6 +1927,47 @@ WHERE round(CAST(list_sum(list_transform(generate_series(1, {num_hashes}),
 """
 
 
+def q_mel_clip_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ImageBind-equivalent audio preprocessing end to end: per-doc
+    synthetic tones (deterministic, JVM-generated) -> 2 s clip split ->
+    128-bin Kaldi-style log-mel -> (128, 204) normalized images -> per-
+    clip summary features. Exercises the real mel/resample kernels
+    (functions/media.py ≡ vectorizers/audio/imagebind.py:38-52) through
+    the mapInPandas fan-out; rows-only driver check (FFT is not
+    SQL-expressible)."""
+    from radient_spark.operators.preprocess import audio_to_melspec_clips
+
+    sr = 16_000
+    n = 3 * sr  # 3 s per doc -> one full clip + one partial clip
+    docs = load_tables(spark, sf_dir)["documents"].filter(F.col("doc_id") < 40)
+    freq = 200.0 + (F.col("doc_id") % 20).cast("double") * 40.0
+    wave = F.transform(
+        F.sequence(F.lit(0), F.lit(n - 1)),
+        lambda i: F.sin(
+            F.lit(2.0 * math.pi) * freq * i.cast("double") / F.lit(float(sr))
+        ),
+    )
+    audio = docs.select(
+        F.col("doc_id").alias("id"),
+        wave.alias("waveform"),
+        F.lit(sr).alias("sample_rate"),
+    )
+    mels = audio_to_melspec_clips(audio)
+    return mels.select(
+        "id",
+        "clip_idx",
+        "n_mel",
+        "n_frames",
+        F.round(
+            F.aggregate(
+                "mel", F.lit(0.0), lambda a, b: a + b.cast("double")
+            )
+            / F.size("mel"),
+            4,
+        ).alias("mel_mean"),
+    )
+
+
 def q_ann_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GANN-style ANN forest (radient_spark/ann.py): balanced-bisection
     build with spill + partition-pruned batch search. Rows-only driver
@@ -2506,6 +2547,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "q_langid_confusion": (q_langid_confusion, _langid_sql()),
     "q_fastrp_supplier_embeddings": (q_fastrp_supplier_embeddings, _Q_FASTRP_SQL),
     "q_media_pipeline": (q_media_pipeline, None),
+    "q_mel_clip_features": (q_mel_clip_features, None),
     "q_ann_search": (q_ann_search, None),
     "q_running_customer_balance": (q_running_customer_balance, _Q_RUNNING_SQL),
     "q_churned_customers": (q_churned_customers, _Q_CHURN_SQL),

@@ -1,0 +1,170 @@
+"""Golden-output tests for the ImageBind-equivalent preprocessing:
+numpy kernels (functions/media.py) + Spark operators
+(operators/preprocess.py). The model trunks are gated; everything here
+is the deterministic, model-free pipeline that feeds them."""
+
+from __future__ import annotations
+
+import base64
+import math
+
+import numpy as np
+import pytest
+
+from radient_spark.functions import media as M
+from radient_spark.operators import preprocess as P
+
+
+# ------------------------------------------------------------- kernels
+def _tone(freq: float, seconds: float, sr: int) -> np.ndarray:
+    t = np.arange(int(seconds * sr)) / sr
+    return np.sin(2 * math.pi * freq * t)
+
+
+def test_split_clips_keeps_partial_tail():
+    wave = np.zeros((1, 5 * 16_000))
+    clips = M.split_clips(wave, sample_rate=16_000, clip_duration=2)
+    assert [c.shape[1] for c in clips] == [32_000, 32_000, 16_000]
+
+
+def test_melspec_shape_and_padding():
+    mel = M.clip_to_melspec(_tone(440, 2.0, 16_000))
+    assert mel.shape == (M.NUM_MEL_BINS, M.TARGET_LENGTH)
+    assert mel.dtype == np.float32
+    # 2 s @ 16 kHz -> 198 frames; columns past that are normalized
+    # zero-padding: (0 - mean) / std
+    pad_val = (0.0 - M.AUDIO_NORM_MEAN) / M.AUDIO_NORM_STD
+    assert np.allclose(mel[:, 200], pad_val, atol=1e-5)
+    assert not np.allclose(mel[:, 50], pad_val)
+
+
+def test_melspec_deterministic():
+    a = M.clip_to_melspec(_tone(440, 2.0, 16_000))
+    b = M.clip_to_melspec(_tone(440, 2.0, 16_000))
+    assert np.array_equal(a, b)
+
+
+def test_melspec_tone_peaks_at_right_bin():
+    # independent HTK mel mapping in the test: the 1 kHz tone's peak bin
+    # center must land within 10% of 1 kHz
+    mel = M.clip_to_melspec(_tone(1000, 2.0, 16_000), normalize=False)
+    peak_bin = int(mel[:, :190].mean(axis=1).argmax())
+    def hz_from_mel(m):
+        return 700.0 * (10.0 ** (m / 2595.0) - 1.0)
+    def mel_from_hz(h):
+        return 2595.0 * math.log10(1.0 + h / 700.0)
+    mels = np.linspace(mel_from_hz(20.0), mel_from_hz(8000.0), M.NUM_MEL_BINS + 2)
+    center_hz = hz_from_mel(mels[peak_bin + 1])
+    assert abs(center_hz - 1000.0) / 1000.0 < 0.1, center_hz
+
+
+def test_silence_is_constant_floor():
+    mel = M.clip_to_melspec(np.zeros(32_000), normalize=False)
+    active = mel[:, :198]
+    assert np.allclose(active, active[0, 0])  # log(eps) everywhere
+
+
+def test_resample_preserves_tone():
+    sr_in, sr_out = 8_000, 16_000
+    up = M.resample_waveform(_tone(440, 1.0, sr_in), sr_in, sr_out)[0]
+    assert abs(len(up) - sr_out) <= 1
+    ref = _tone(440, 1.0, sr_out)[: len(up)]
+    # ignore filter edge effects at both ends
+    sl = slice(200, -200)
+    corr = np.corrcoef(up[sl], ref[sl])[0, 1]
+    assert corr > 0.99, corr
+
+
+def test_resample_identity_when_rates_match():
+    w = _tone(100, 0.5, 16_000)
+    out = M.resample_waveform(w, 16_000, 16_000)
+    assert np.array_equal(out[0], w)
+
+
+def test_image_tensor_constant_image():
+    img = np.full((100, 80, 3), 128, dtype=np.uint8)
+    t = M.image_to_clip_tensor(img)
+    assert t.shape == (3, M.IMAGE_SIZE, M.IMAGE_SIZE)
+    for c in range(3):
+        expect = (128 / 255.0 - M.IMAGE_NORM_MEAN[c]) / M.IMAGE_NORM_STD[c]
+        assert np.allclose(t[c], expect, atol=1e-4), (c, t[c, 0, 0], expect)
+
+
+def test_image_short_side_resized_and_center_cropped():
+    # left half red, right half blue, wide image: after short-side
+    # resize + center crop both halves must survive in the crop
+    img = np.zeros((100, 300, 3), dtype=np.uint8)
+    img[:, :150, 0] = 255
+    img[:, 150:, 2] = 255
+    t = M.image_to_clip_tensor(img)
+    red = (0 / 255.0 - M.IMAGE_NORM_MEAN[0]) / M.IMAGE_NORM_STD[0]
+    # left column is red-channel-high, right column blue-channel-high
+    assert t[0, 112, 5] > t[0, 112, 218]
+    assert t[2, 112, 218] > t[2, 112, 5]
+    assert t[0, 112, 218] - red < 0.1  # right side has no red
+
+
+def test_image_resize_gradient_stays_monotone():
+    grad = np.tile(np.linspace(0, 255, 64)[None, :, None], (64, 1, 3))
+    out = M.resize_bicubic(grad, 224, 224)
+    mid_row = out[112, :, 0]
+    assert (np.diff(mid_row) >= -1e-6).all()
+
+
+def test_sniff_image_source(tmp_path):
+    arr = np.zeros((4, 4, 3), dtype=np.uint8)
+    assert M.sniff_image_source(arr)[0] == "array"
+    assert M.sniff_image_source(b"\x89PNG....")[0] == "bytes"
+    p = tmp_path / "x.png"
+    p.write_bytes(b"fakepng")
+    kind, payload = M.sniff_image_source(str(p))
+    assert kind == "path" and payload == b"fakepng"
+    assert M.sniff_image_source("https://example.com/a.jpg")[0] == "url"
+    kind, payload = M.sniff_image_source(base64.b64encode(b"imgbytes").decode())
+    assert kind == "base64" and payload == b"imgbytes"
+    with pytest.raises(TypeError):
+        M.sniff_image_source("definitely not an image!!")
+    with pytest.raises(TypeError):
+        M.sniff_image_source(12345)
+
+
+# ------------------------------------------------------- spark operators
+def test_audio_to_melspec_clips_fanout_and_values(spark):
+    rows = [
+        (1, _tone(440, 5.0, 16_000).tolist(), 16_000),  # 3 clips
+        (2, _tone(200, 1.0, 8_000).tolist(), 8_000),    # resample, 1 clip
+    ]
+    df = spark.createDataFrame(
+        rows, "id long, waveform array<float>, sample_rate int"
+    )
+    out = P.audio_to_melspec_clips(df).collect()
+    by_id = {}
+    for r in out:
+        by_id.setdefault(r["id"], []).append(r)
+    assert len(by_id[1]) == 3 and len(by_id[2]) == 1
+    r0 = sorted(by_id[1], key=lambda r: r["clip_idx"])[0]
+    assert (r0["n_mel"], r0["n_frames"]) == (M.NUM_MEL_BINS, M.TARGET_LENGTH)
+    assert len(r0["mel"]) == M.NUM_MEL_BINS * M.TARGET_LENGTH
+    # first clip of row 1 must equal the pure-numpy kernel (float32 wave
+    # in Spark, so compare against the kernel fed the truncated wave)
+    wave32 = np.array(rows[0][1], dtype=np.float32).astype(np.float64)
+    expect = M.waveform_to_melspec_clips(wave32, 16_000)[0]
+    got = np.array(r0["mel"], dtype=np.float32).reshape(expect.shape)
+    assert np.allclose(got, expect, atol=1e-5)
+
+
+def test_images_to_clip_tensors_schema_and_determinism(spark):
+    payload = base64.b64encode(b"some-image-payload").decode()
+    df = spark.createDataFrame(
+        [(1, payload), (2, payload), (3, "https://example.com/a.jpg")],
+        "id long, source string",
+    )
+    out = P.images_to_clip_tensors(df).collect()
+    # URL rows are classified but skipped (no network in executors)
+    assert {r["id"] for r in out} == {1, 2}
+    t1 = next(r for r in out if r["id"] == 1)
+    t2 = next(r for r in out if r["id"] == 2)
+    assert t1["kind"] == "base64"
+    assert (t1["channels"], t1["height"], t1["width"]) == (3, 224, 224)
+    assert len(t1["tensor"]) == 3 * 224 * 224
+    assert t1["tensor"] == t2["tensor"]  # same payload -> same tensor
