@@ -819,6 +819,46 @@ SELECT doc_id, slot, COUNT(*) AS cnt FROM (
 """
 
 
+def q_sparse_tfidf_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sparse TF-IDF matrix in long form (doc_id, term, tf, tfidf):
+    MLlib CountVectorizer + IDF SparseVectors (operators/sparse.py —
+    the reference's declared sparse-vector surface), exploded through
+    the vocabulary dim and verified term-by-term against DuckDB
+    computing tf * ln((m+1)/(df+1)) directly."""
+    from radient_spark.operators.sparse import sparse_tfidf, sparse_terms_long
+
+    docs = (
+        load_tables(spark, sf_dir)["documents"]
+        .filter(F.length(F.trim("text")) > 0)
+        .select("doc_id", "text")
+    )
+    vecs, vocab = sparse_tfidf(docs, vocab_size=1 << 17)
+    long = sparse_terms_long(vecs, vocab, vec_col="tfidf", id_col="doc_id")
+    return long.select(
+        "doc_id", "term", F.round(F.col("value"), 6).alias("tfidf")
+    )
+
+
+_Q_SPARSE_TFIDF_SQL = r"""
+WITH docs AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+  FROM documents WHERE length(trim(text)) > 0
+), m AS (
+  SELECT COUNT(*) AS n_docs FROM docs
+), tf AS (
+  SELECT doc_id, unnest(toks) AS term FROM docs
+), counts AS (
+  SELECT doc_id, term, COUNT(*) AS tf FROM tf GROUP BY doc_id, term
+), df AS (
+  SELECT term, COUNT(DISTINCT doc_id) AS df FROM tf GROUP BY term
+)
+SELECT c.doc_id, c.term,
+  ROUND(c.tf * ln(((SELECT n_docs FROM m) + 1.0) / (d.df + 1.0)), 6) AS tfidf
+FROM counts c JOIN df d ON c.term = d.term
+WHERE c.tf * ln(((SELECT n_docs FROM m) + 1.0) / (d.df + 1.0)) != 0
+"""
+
+
 def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """n-gram (token-set) Jaccard near-dup pairs within each source
     partition — the exact verify step of text dedup.
@@ -2538,6 +2578,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "q_minhash_signatures": (q_minhash_signatures, _minhash_sql(8)),
     "q_hashing_vectorizer_slots": (q_hashing_vectorizer_slots, _Q_HASHVEC_SQL),
     "q_ngram_jaccard_pairs": (q_ngram_jaccard_pairs, _Q_NGRAM_JACCARD_SQL),
+    "q_sparse_tfidf_terms": (q_sparse_tfidf_terms, _Q_SPARSE_TFIDF_SQL),
     "q_cube_priority_status": (q_cube_priority_status, _Q_CUBE_SQL),
     "q_semi_high_value_customers": (q_semi_high_value_customers, _Q_SEMI_SQL),
     "q_priority_string_stats": (q_priority_string_stats, _Q_PRIORITY_STR_SQL),

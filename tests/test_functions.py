@@ -153,3 +153,58 @@ def test_quality_score_monotone_band(spark):
     assert all(0.0 <= v <= 1.0 for v in got.values())
     assert got[2] > got[1] > got[0]  # longer fluent text scores higher
     assert got[2] > got[3]  # digits/punctuation score lower than prose
+
+
+def test_sparse_count_vectors_and_conversions(spark):
+    from pyspark.ml.linalg import SparseVector
+
+    from radient_spark.operators import sparse as S
+
+    docs = spark.createDataFrame(
+        [(1, "a b a"), (2, "b c"), (3, "c c c")], "doc_id long, text string"
+    )
+    vecs, vocab = S.sparse_count_vectors(docs, out_col="tf")
+    assert sorted(vocab) == ["a", "b", "c"]
+    rows = {r["doc_id"]: r["tf"] for r in vecs.collect()}
+    assert all(isinstance(v, SparseVector) for v in rows.values())
+    slot = {t: i for i, t in enumerate(vocab)}
+    assert rows[1][slot["a"]] == 2.0 and rows[1][slot["b"]] == 1.0
+    assert rows[3][slot["c"]] == 3.0 and rows[3].numNonzeros() == 1
+
+    # long view matches collections.Counter ground truth
+    long = {
+        (r["doc_id"], r["term"]): r["value"]
+        for r in S.sparse_terms_long(vecs, vocab, vec_col="tf").collect()
+    }
+    assert long == {
+        (1, "a"): 2.0, (1, "b"): 1.0, (2, "b"): 1.0,
+        (2, "c"): 1.0, (3, "c"): 3.0,
+    }
+
+    # dense roundtrip: sparse -> array -> dense vector -> sparse
+    arr = vecs.select(
+        "doc_id", S.sparse_to_array(F.col("tf")).alias("a")
+    )
+    back = arr.select("doc_id", S.array_to_sparse_vector(F.col("a")).alias("v"))
+    got = {r["doc_id"]: r["v"] for r in back.collect()}
+    for d in (1, 2, 3):
+        assert got[d] == rows[d], (d, got[d], rows[d])
+
+
+def test_sparse_tfidf_formula(spark):
+    import math
+
+    from radient_spark.operators import sparse as S
+
+    docs = spark.createDataFrame(
+        [(1, "a b"), (2, "a c"), (3, "a d")], "doc_id long, text string"
+    )
+    vecs, vocab = S.sparse_tfidf(docs, out_col="tfidf")
+    long = {
+        (r["doc_id"], r["term"]): r["value"]
+        for r in S.sparse_terms_long(vecs, vocab, vec_col="tfidf").collect()
+    }
+    # 'a' in all 3 docs: idf = ln(4/4) = 0 -> filtered from long view
+    assert not any(t == "a" for _, t in long)
+    # 'b' in 1 doc: tf=1, idf = ln(4/2)
+    assert abs(long[(1, "b")] - math.log(4 / 2)) < 1e-9
