@@ -91,6 +91,91 @@ def video_demux(
     return df.select(*cols).mapInPandas(gen, DEMUX_SCHEMA)
 
 
+def _parse_frame_rate(s: str) -> float:
+    """ffprobe r_frame_rate is a fraction like '30000/1001' (parsed
+    safely — the reference eval()s it, video_demux/ffmpeg.py:40)."""
+    if "/" in s:
+        num, den = s.split("/", 1)
+        return float(num) / float(den)
+    return float(s)
+
+
+def ffmpeg_demux_decoder(
+    output_dir: str | None = None,
+    read_payloads: bool = False,
+    runner: Callable | None = None,
+):
+    """Factory: a `decoder` for video_demux that shells out to ffmpeg
+    INSIDE executors (≡ video_demux/ffmpeg.py:9-61 — the reference's
+    only codec-library-free decode path, and likewise ours: it needs the
+    ffmpeg/ffprobe binaries, nothing in Python).
+
+    Per video: one ffprobe for frame rate + packet count, then one frame
+    PNG and one `interval`-second audio WAV per interval, emitted as
+    ('image'|'audio', idx, path, payload?) units. `runner` injects a
+    subprocess.run replacement for codec-free tests; when None, the real
+    binaries are required and a missing ffmpeg raises FileNotFoundError
+    (same contract as the reference, which tells users to fall back to
+    the default demux).
+    """
+
+    def decode(uri: str, payload, interval: float):
+        import os
+        import shutil
+        import subprocess
+        import tempfile
+
+        run = runner or subprocess.run
+        if runner is None and not (
+            shutil.which("ffmpeg") and shutil.which("ffprobe")
+        ):
+            raise FileNotFoundError(
+                "ffmpeg/ffprobe not found; use the default deterministic "
+                "demux (decoder=None)"
+            )
+        out_dir = output_dir or tempfile.mkdtemp(prefix="radient_demux_")
+        os.makedirs(out_dir, exist_ok=True)
+        info = run(
+            ["ffprobe", "-v", "error", "-select_streams", "v:0",
+             "-count_packets", "-show_entries",
+             "stream=r_frame_rate,nb_read_packets", "-of",
+             "default=noprint_wrappers=1:nokey=1", uri],
+            capture_output=True, text=True,
+        ).stdout.split()
+        if len(info) < 2:
+            raise ValueError(f"ffprobe gave no video stream info for {uri!r}")
+        rate = _parse_frame_rate(info[0])
+        frame_count = int(info[1])
+        step = rate * interval
+        units = []
+        i, n = 0, 0.0
+        while n < frame_count:
+            start = n / rate
+            frame_path = os.path.join(out_dir, f"frame_{i:04d}.png")
+            run(
+                ["ffmpeg", "-v", "error", "-ss", str(start), "-i", uri,
+                 "-vframes", "1", frame_path],
+                capture_output=True,
+            )
+            audio_path = os.path.join(out_dir, f"audio_{i:04d}.wav")
+            run(
+                ["ffmpeg", "-v", "error", "-ss", str(start), "-i", uri,
+                 "-t", str(interval), "-q:a", "0", "-map", "a", audio_path],
+                capture_output=True,
+            )
+            for modality, path in (("image", frame_path), ("audio", audio_path)):
+                unit_payload = None
+                if read_payloads and os.path.exists(path):
+                    with open(path, "rb") as f:
+                        unit_payload = f.read()
+                units.append((modality, i, path, unit_payload))
+            i += 1
+            n += step
+        return units
+
+    return decode
+
+
 def document_screenshot(
     df: DataFrame,
     zoom: float = 1.0,

@@ -174,3 +174,67 @@ def test_local_source_and_ingest(spark, tmp_path):
     target = str(tmp_path / "managed")
     sources.ingest(df.select("path", "length"), target)
     assert spark.read.parquet(target).count() == 2
+
+
+def test_ffmpeg_demux_decoder_logic(tmp_path):
+    # codec-free check of the ffmpeg demux loop: a fake subprocess runner
+    # fabricates ffprobe output (25 fps, 100 packets -> 4 s video) and
+    # touches the files ffmpeg would write.
+    calls = []
+
+    def fake_run(cmd, capture_output=True, text=False, **kw):
+        calls.append(cmd)
+
+        class R:
+            stdout = "25/1\n100\n"
+
+        if cmd[0] == "ffmpeg":
+            with open(cmd[-1], "wb") as f:
+                f.write(b"unit-bytes")
+        return R()
+
+    dec = transforms.ffmpeg_demux_decoder(
+        output_dir=str(tmp_path), runner=fake_run, read_payloads=True
+    )
+    units = dec("/media/v.mp4", None, 2.0)
+    # 100 frames @ 25 fps = 4 s -> 2 sample points x 2 modalities
+    assert [(m, i) for m, i, _, _ in units] == [
+        ("image", 0), ("audio", 0), ("image", 1), ("audio", 1)
+    ]
+    assert all(p == b"unit-bytes" for *_, p in units)
+    # ffprobe once, then one frame + one audio extraction per point
+    assert [c[0] for c in calls] == ["ffprobe", "ffmpeg", "ffmpeg", "ffmpeg", "ffmpeg"]
+    # fractional frame rates parse without eval
+    assert abs(transforms._parse_frame_rate("30000/1001") - 29.97) < 0.01
+
+
+def test_ffmpeg_demux_requires_binaries(monkeypatch, tmp_path):
+    import shutil as _shutil
+
+    monkeypatch.setattr(_shutil, "which", lambda _: None)
+    dec = transforms.ffmpeg_demux_decoder(output_dir=str(tmp_path))
+    with pytest.raises(FileNotFoundError, match="ffmpeg"):
+        dec("/media/v.mp4", None, 2.0)
+
+
+def test_ffmpeg_decoder_plugs_into_video_demux(spark, tmp_path):
+    def fake_run(cmd, capture_output=True, text=False, **kw):
+        class R:
+            stdout = "10/1\n40\n"
+
+        if cmd[0] == "ffmpeg":
+            with open(cmd[-1], "wb") as f:
+                f.write(b"x")
+        return R()
+
+    dec = transforms.ffmpeg_demux_decoder(
+        output_dir=str(tmp_path), runner=fake_run
+    )
+    manifest = spark.createDataFrame(
+        [(1, "/media/a.mp4", None)], "id long, uri string, payload binary"
+    )
+    out = transforms.video_demux(manifest, interval=2.0, decoder=dec).collect()
+    # 40 frames @ 10 fps = 4 s -> 2 points x 2 modalities
+    assert len(out) == 4
+    assert {r["modality"] for r in out} == {"image", "audio"}
+    assert all(r["unit_uri"].startswith(str(tmp_path)) for r in out)
