@@ -84,3 +84,26 @@ class Workflow:
                 result = result.cache()
             outputs[name] = result
         return outputs[self._order[-1]]
+
+
+def flattened_rows(spark, **columns) -> DataFrame:
+    """Zip-cycle argument broadcasting as a DataFrame seeder — the
+    reference's `flattened` contract (utils/flatten_inputs.py:32-50):
+    scalars and shorter lists cycle against the longest list, one output
+    row per zipped position. Use it to seed a Workflow with literal
+    inputs (e.g. many URIs x one modality) before the DataFrame
+    operators take over; inside the plan the same semantics are native
+    columnar explode/arrays_zip.
+    """
+    from itertools import cycle, islice
+
+    if not columns:
+        raise ValueError("flattened_rows needs at least one column")
+    vals = {k: (list(v) if isinstance(v, (list, tuple)) else [v])
+            for k, v in columns.items()}
+    for k, v in vals.items():
+        if not v:
+            raise ValueError(f"column {k!r} has no values to cycle")
+    maxlen = max(len(v) for v in vals.values())
+    rows = list(zip(*[list(islice(cycle(v), maxlen)) for v in vals.values()]))
+    return spark.createDataFrame(rows, schema=list(vals.keys()))

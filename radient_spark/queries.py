@@ -819,6 +819,157 @@ SELECT doc_id, slot, COUNT(*) AS cnt FROM (
 """
 
 
+def q_train_val_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reproducible 90/10 dataset split (operators/dataset.py hash_split):
+    portable md5 bucketing, stateless per row, append-consistent — the
+    split every training pipeline stamps onto its corpus. Verified
+    bucket-for-bucket against the same md5 arithmetic in DuckDB."""
+    from radient_spark.operators.dataset import hash_split
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    return (
+        hash_split(docs, "doc_id", seed=42)
+        .groupBy("source", "split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            dsum(F.col("n_chars"), "total_chars"),
+        )
+    )
+
+
+_Q_SPLIT_SQL = """
+SELECT source,
+  CASE WHEN ('0x' || substring(md5(concat_ws('_', 42, doc_id)), 1, 8))::BIGINT
+            % 10000 < 9000
+       THEN 'train' ELSE 'val' END AS split,
+  COUNT(*) AS n_docs,
+  CAST(SUM(CAST(n_chars AS DECIMAL(18,6))) AS DOUBLE) AS total_chars
+FROM documents
+GROUP BY 1, 2
+"""
+
+
+def q_pii_scrub_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing audit (operators/dataset.py scrub_pii): emails/URLs
+    are synthesized deterministically onto the corpus (it contains none),
+    masked with the chained regexp_replace scrubber, and reported per
+    source. The full regex chain is reproduced in DuckDB (both engines
+    speak the same pattern dialect here), so masked counts AND scrubbed
+    lengths are hash-checked."""
+    from radient_spark.operators.dataset import pii_counts, scrub_pii
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    with_pii = docs.withColumn(
+        "t",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 3 == 0,
+                F.concat(
+                    F.lit(" contact user"),
+                    F.col("doc_id").cast("string"),
+                    F.lit("@example.com now"),
+                ),
+            ).otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 5 == 0,
+                F.concat(
+                    F.lit(" see https://ex"),
+                    F.col("doc_id").cast("string"),
+                    F.lit(".org/path"),
+                ),
+            ).otherwise(F.lit("")),
+        ),
+    )
+    n_emails, n_urls = pii_counts(F.col("t"))
+    return (
+        with_pii.select(
+            "source",
+            n_emails.alias("e"),
+            n_urls.alias("u"),
+            F.length(scrub_pii(F.col("t"))).alias("scrubbed_len"),
+        )
+        .groupBy("source")
+        .agg(
+            F.sum("e").cast("long").alias("n_emails"),
+            F.sum("u").cast("long").alias("n_urls"),
+            F.sum("scrubbed_len").cast("long").alias("total_scrubbed_chars"),
+        )
+    )
+
+
+_Q_PII_SQL = r"""
+WITH p AS (
+  SELECT source,
+    text
+    || CASE WHEN doc_id % 3 = 0
+            THEN concat(' contact user', doc_id, '@example.com now')
+            ELSE '' END
+    || CASE WHEN doc_id % 5 = 0
+            THEN concat(' see https://ex', doc_id, '.org/path')
+            ELSE '' END AS t
+  FROM documents
+)
+SELECT source,
+  SUM(len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')))::BIGINT AS n_emails,
+  SUM(len(regexp_extract_all(t, 'https?://[^\s]+')))::BIGINT AS n_urls,
+  SUM(length(
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(t, 'https?://[^\s]+', '<URL>', 'g'),
+        '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+      '\+?\d[\d\- ]{7,}\d', '<PHONE>', 'g')
+  ))::BIGINT AS total_scrubbed_chars
+FROM p
+GROUP BY source
+"""
+
+
+def q_token_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-then-chunk sequence packing (operators/dataset.py
+    sequential_pack): per source, documents in doc_id order are laid end
+    to end and cut every 512 tokens — the standard LLM-pretraining
+    packing. chunk assignment is a single window cumsum; verified
+    against DuckDB's SUM() OVER."""
+    from radient_spark.operators.dataset import sequential_pack
+
+    docs = load_tables(spark, sf_dir)["documents"].filter(
+        F.length(F.trim("text")) > 0
+    )
+    toks = docs.select(
+        "source",
+        "doc_id",
+        F.size(F.split(F.trim("text"), r"\s+")).alias("n_toks"),
+    )
+    packed = sequential_pack(
+        toks, token_col="n_toks", order_col="doc_id",
+        partition_cols=["source"], budget=512,
+    )
+    return packed.groupBy("source", "chunk_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_toks").cast("long").alias("chunk_tokens"),
+    )
+
+
+_Q_PACKING_SQL = r"""
+WITH toks AS (
+  SELECT source, doc_id,
+    len(regexp_split_to_array(trim(text), '\s+')) AS n_toks
+  FROM documents WHERE length(trim(text)) > 0
+), packed AS (
+  SELECT source, doc_id, n_toks,
+    CAST(FLOOR(COALESCE(SUM(n_toks) OVER (
+      PARTITION BY source ORDER BY doc_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / 512) AS INT)
+      AS chunk_id
+  FROM toks
+)
+SELECT source, chunk_id, COUNT(*) AS n_docs,
+  SUM(n_toks)::BIGINT AS chunk_tokens
+FROM packed GROUP BY 1, 2
+"""
+
+
 def q_sparse_tfidf_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sparse TF-IDF matrix in long form (doc_id, term, tf, tfidf):
     MLlib CountVectorizer + IDF SparseVectors (operators/sparse.py —
@@ -2579,6 +2730,9 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "q_hashing_vectorizer_slots": (q_hashing_vectorizer_slots, _Q_HASHVEC_SQL),
     "q_ngram_jaccard_pairs": (q_ngram_jaccard_pairs, _Q_NGRAM_JACCARD_SQL),
     "q_sparse_tfidf_terms": (q_sparse_tfidf_terms, _Q_SPARSE_TFIDF_SQL),
+    "q_train_val_split": (q_train_val_split, _Q_SPLIT_SQL),
+    "q_pii_scrub_stats": (q_pii_scrub_stats, _Q_PII_SQL),
+    "q_token_packing": (q_token_packing, _Q_PACKING_SQL),
     "q_cube_priority_status": (q_cube_priority_status, _Q_CUBE_SQL),
     "q_semi_high_value_customers": (q_semi_high_value_customers, _Q_SEMI_SQL),
     "q_priority_string_stats": (q_priority_string_stats, _Q_PRIORITY_STR_SQL),

@@ -238,3 +238,22 @@ def test_ffmpeg_decoder_plugs_into_video_demux(spark, tmp_path):
     assert len(out) == 4
     assert {r["modality"] for r in out} == {"image", "audio"}
     assert all(r["unit_uri"].startswith(str(tmp_path)) for r in out)
+
+
+def test_flattened_rows_zip_cycle(spark):
+    from radient_spark.orchestrate import flattened_rows
+
+    # scalar x list: the scalar cycles (the reference's flattened contract)
+    df = flattened_rows(spark, uri=["a", "b", "c"], modality="image")
+    rows = [(r["uri"], r["modality"]) for r in df.orderBy("uri").collect()]
+    assert rows == [("a", "image"), ("b", "image"), ("c", "image")]
+
+    # shorter list cycles against the longest
+    df2 = flattened_rows(spark, x=[1, 2], y=["p", "q", "r", "s"])
+    rows2 = sorted((r["x"], r["y"]) for r in df2.collect())
+    assert rows2 == sorted([(1, "p"), (2, "q"), (1, "r"), (2, "s")])
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="no values"):
+        flattened_rows(spark, x=[])
