@@ -1040,9 +1040,14 @@ def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # prunes nothing and widens the posting shuffle. PPJoin-style prefix
     # filtering was also measured slower (10.1s vs 8.5s at sf0.1): the
     # ~620-posting vocabulary only cuts candidates 2.6x while the prefix
-    # window + distinct + verify add 3 shuffles. Both DO pay off on real
-    # corpora with zipfian vocabularies and varied lengths; see
-    # SCALING.md.)
+    # window + distinct + verify add 3 shuffles. A third variant —
+    # collect_list per (source, token) + Catalyst-HOF pair explosion
+    # instead of the posting self-join — also measured slower (11.5s vs
+    # 8.9s isolated at sf0.1): the quadratic nested-transform expression
+    # loses to the sort-merge join's tight merge loop, and the pair
+    # groupBy shuffle (the true cost) is identical in both shapes. All
+    # three DO pay off on real corpora with zipfian vocabularies and
+    # varied lengths; see SCALING.md.)
     shared = (
         a.join(
             b,
