@@ -46,6 +46,11 @@ BENCH_QUERIES = [
     "q_bpe_token_stats",
     "q_rolling_fingerprints",
     "q_corpus_filtered_search",
+    "q_vec_knn_blocked",
+    "q_sparse_tfidf_terms",
+    "q_train_val_split",
+    "q_token_packing",
+    "q_pii_scrub_stats",
 ]
 
 

@@ -243,6 +243,24 @@ class IvfIndex:
         )
         return IvfIndex(idx, C)
 
+    def save(self, path: str) -> None:
+        """Parquet partitioned by cell_id + centroid JSON — same layout
+        contract as AnnIndex.save (cells ≡ leaves)."""
+        self.index_df.write.mode("overwrite").partitionBy("cell_id").parquet(
+            f"{path}/cells"
+        )
+        with open(f"{path}/centroids.json", "w") as f:
+            json.dump({"centroids": self.centroids.tolist()}, f)
+
+    @staticmethod
+    def load(spark: SparkSession, path: str) -> "IvfIndex":
+        with open(f"{path}/centroids.json") as f:
+            meta = json.load(f)
+        return IvfIndex(
+            spark.read.parquet(f"{path}/cells"),
+            np.asarray(meta["centroids"], dtype=np.float64),
+        )
+
     def search(
         self,
         queries: list[tuple[int, list[float]]],
@@ -251,7 +269,10 @@ class IvfIndex:
         metric: str = "cosine",
     ) -> DataFrame:
         """Probe the n_probes nearest cells per query, exact-rerank the
-        candidates, window top-k. Candidates ~ n_probes * n/n_cells."""
+        candidates, window top-k. Candidates ~ n_probes * n/n_cells.
+        The probed cell set is driver-known, so it is pushed into the
+        scan as a literal isin — static partition pruning over the
+        cell-partitioned index, like AnnIndex.search."""
         spark = self.index_df.sparkSession
         hits = []
         for qid, vec in queries:
@@ -260,7 +281,13 @@ class IvfIndex:
             for cell in np.argsort(d2)[:n_probes]:
                 hits.append((qid, int(cell), [float(x) for x in vec]))
         qdf = spark.createDataFrame(hits, "qid long, cell_id int, qvec array<float>")
-        cand = self.index_df.join(F.broadcast(qdf), on="cell_id")
+        probed = sorted({cell for _, cell, _ in hits})
+        pruned = (
+            self.index_df.filter(F.col("cell_id").isin(probed))
+            if probed
+            else self.index_df
+        )
+        cand = pruned.join(F.broadcast(qdf), on="cell_id")
         return _rerank_topk(cand, k, metric)
 
     def search_df(

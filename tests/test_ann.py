@@ -158,3 +158,22 @@ def test_search_df_query_side_not_collected(spark, index, emb):
     plan = index.search_df(qdf, k=5)._jdf.queryExecution().executedPlan().toString()
     # descent runs as an executor-side Pandas UDF over the query table
     assert "MapInPandas" in plan
+
+
+def test_ivf_save_load_roundtrip(spark, emb, tmp_path):
+    from radient_spark.ann import IvfIndex
+
+    idx = IvfIndex.build(emb, n_cells=8, seed=42)
+    path = str(tmp_path / "ivf")
+    idx.save(path)
+    loaded = IvfIndex.load(spark, path)
+    assert np.allclose(loaded.centroids, idx.centroids)
+    assert loaded.index_df.count() == emb.count()
+    rows = emb.take(4)
+    queries = [(int(r["id"]), list(r["vector"])) for r in rows]
+    a = {(r["qid"], r["id"]) for r in idx.search(queries, k=5, n_probes=8).collect()}
+    b = {(r["qid"], r["id"]) for r in loaded.search(queries, k=5, n_probes=8).collect()}
+    assert a == b
+    # probed cells reach the partitioned scan as a literal filter
+    plan = loaded.search(queries, k=5, n_probes=2)._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [cell_id" in plan or "cell_id#" in plan.split("PartitionFilters")[1][:200]
