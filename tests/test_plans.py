@@ -126,3 +126,60 @@ def test_scan_prunes_columns_on_projection(spark, sf_dir):
     li = load_tables(spark, sf_dir)["lineitem"]
     df = li.select("l_orderkey", "l_quantity")
     assert plans.reads_only_columns(df, {"l_orderkey", "l_quantity"})
+
+
+def test_similarity_self_join_single_shuffle_no_broadcast(spark, sf_dir):
+    # block GEMM: ONE shuffle (the bucket-pair grouping) feeds the
+    # grouped-pandas stage; no corpus broadcast, no driver collect
+    df = QUERIES["q_vec_similar_pairs"][0](spark, sf_dir)
+    plan = plans.formatted_plan(df)
+    assert "FlatMapGroupsInPandas" in plan
+    assert "BroadcastExchange" not in plan, plan
+    assert plans.shuffle_count(df) == 1, plan
+
+
+def test_knn_join_blocked_no_broadcast(spark, sf_dir):
+    # bipartite block GEMM: neither side broadcasts; shuffles = the
+    # bucket-pair grouping + the final per-query window
+    df = QUERIES["q_vec_knn_blocked"][0](spark, sf_dir)
+    plan = plans.formatted_plan(df)
+    assert "FlatMapGroupsInPandas" in plan
+    assert "BroadcastExchange" not in plan, plan
+    assert plans.shuffle_count(df) == 2, plan
+
+
+def test_hash_split_is_map_only(spark, sf_dir):
+    from radient_spark.operators.dataset import hash_split
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    df = hash_split(docs, "doc_id").select("doc_id", "split")
+    assert plans.shuffle_count(df) == 0, plans.formatted_plan(df)
+
+
+def test_sequential_pack_single_shuffle(spark, sf_dir):
+    from radient_spark.operators.dataset import sequential_pack
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    toks = docs.select(
+        "source", "doc_id",
+        F.size(F.split(F.trim("text"), r"\s+")).alias("n_toks"),
+    )
+    df = sequential_pack(
+        toks, token_col="n_toks", order_col="doc_id",
+        partition_cols=["source"], budget=512,
+    )
+    assert plans.shuffle_count(df) == 1, plans.formatted_plan(df)
+
+
+def test_ann_search_df_query_side_stays_executor(spark, sf_dir):
+    # DataFrame-native descent: the query table feeds a MapInPandas
+    # (executor-side descent), never a driver collect
+    from radient_spark.ann import AnnIndex
+
+    emb = load_tables(spark, sf_dir)["embeddings"].select(
+        F.col("vec_id").alias("id"), F.col("embedding").alias("vector")
+    )
+    index = AnnIndex.build(emb, n_trees=2, max_leaf_size=100, seed=42)
+    qdf = emb.limit(3).select(F.col("id").alias("qid"), F.col("vector").alias("qvec"))
+    plan = plans.formatted_plan(index.search_df(qdf, k=5))
+    assert "MapInPandas" in plan

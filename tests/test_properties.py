@@ -1,0 +1,106 @@
+"""Hypothesis property tests for the pure (no-Spark) kernels: the
+numpy halves of the vector-search and media operators. These run per
+example in microseconds, so hypothesis can sweep the input space the
+example-based suites can't."""
+
+from __future__ import annotations
+
+import base64
+
+import numpy as np
+from hypothesis import given, settings
+from hypothesis import strategies as st
+from hypothesis.extra import numpy as hnp
+
+from radient_spark.functions import media as M
+from radient_spark.operators.topk import _topk_flat_candidates
+
+COMMON = dict(deadline=None, derandomize=True, max_examples=40)
+
+
+@settings(**COMMON)
+@given(
+    S=hnp.arrays(
+        np.float64,
+        st.tuples(st.integers(1, 30), st.integers(1, 8)),
+        elements=st.floats(-1, 1, allow_nan=False).map(lambda x: round(x, 2)),
+    ),
+    k=st.integers(1, 12),
+)
+def test_topk_flat_candidates_matches_bruteforce(S, k):
+    # per-query-column top-k with (score desc, id asc) tie ordering must
+    # equal the brute-force lexsort — ESPECIALLY under heavy ties (the
+    # 2-decimal rounding above forces them)
+    n, nq = S.shape
+    ids = np.arange(100, 100 + n)  # distinct, non-contiguous with rows
+    kk = min(k, n)
+    ii, jj, sc = _topk_flat_candidates(S, ids, kk)
+    got = {}
+    for r, c, s in zip(ii, jj, sc):
+        got.setdefault(c, []).append((ids[r], s))
+    for q in range(nq):
+        order = np.lexsort((ids, -S[:, q]))
+        expect = [(ids[i], S[i, q]) for i in order[:kk]]
+        assert sorted(got.get(q, [])) == sorted(expect), (q, got.get(q), expect)
+
+
+@settings(**COMMON)
+@given(
+    n=st.integers(1, 5 * 16_000),
+    clip=st.integers(1, 4),
+)
+def test_split_clips_reconstructs_waveform(n, clip):
+    wave = np.arange(n, dtype=np.float64)[None, :]
+    clips = M.split_clips(wave, sample_rate=16_000, clip_duration=clip)
+    assert np.array_equal(np.concatenate(clips, axis=1), wave)
+    assert all(c.shape[1] <= 16_000 * clip for c in clips)
+
+
+@settings(**COMMON)
+@given(
+    n=st.integers(400, 40_000),
+    freq=st.floats(50, 4000, allow_nan=False),
+)
+def test_melspec_shape_invariant(n, freq):
+    t = np.arange(n) / 16_000
+    wave = np.sin(2 * np.pi * freq * t)
+    mel = M.clip_to_melspec(wave)
+    assert mel.shape == (M.NUM_MEL_BINS, M.TARGET_LENGTH)
+    assert np.isfinite(mel).all()
+
+
+@settings(**COMMON)
+@given(
+    h=st.integers(8, 300),
+    w=st.integers(8, 300),
+    v=st.integers(0, 255),
+)
+def test_image_tensor_shape_and_range(h, w, v):
+    img = np.full((h, w, 3), v, dtype=np.uint8)
+    t = M.image_to_clip_tensor(img)
+    assert t.shape == (3, M.IMAGE_SIZE, M.IMAGE_SIZE)
+    assert np.isfinite(t).all()
+    # constant image -> (almost) constant channels regardless of geometry
+    for c in range(3):
+        assert float(t[c].std()) < 1e-4
+
+
+@settings(**COMMON)
+@given(payload=st.binary(min_size=1, max_size=200))
+def test_sniff_base64_roundtrip(payload):
+    kind, decoded = M.sniff_image_source(base64.b64encode(payload).decode())
+    assert kind == "base64" and decoded == payload
+
+
+@settings(**COMMON)
+@given(
+    n_in=st.integers(100, 8000),
+    sr_pair=st.sampled_from([(8_000, 16_000), (16_000, 8_000), (22_050, 16_000), (16_000, 16_000)]),
+)
+def test_resample_length_contract(n_in, sr_pair):
+    orig, target = sr_pair
+    wave = np.random.RandomState(0).randn(1, n_in)
+    out = M.resample_waveform(wave, orig, target)
+    assert out.shape[0] == 1
+    assert abs(out.shape[1] - round(n_in * target / orig)) <= 1
+    assert np.isfinite(out).all()
