@@ -100,6 +100,60 @@ def main() -> None:
     ann_hits = index.search([(0, list(first["vector"]))], k=3).collect()
     print("ANN search:", [(r["id"], r["score"]) for r in ann_hits])
 
+    # ... and when the queries are themselves a table (no driver list):
+    qdf = emb.limit(2).select(F.col("id").alias("qid"), F.col("vector").alias("qvec"))
+    print("ANN search_df:", index.search_df(qdf, k=2).count(), "hits")
+
+    # ------------------------------------------------------------------
+    # reference (vectorizers/audio/imagebind.py + image/imagebind.py):
+    # waveform -> 2 s clips -> (128, 204) log-mels; image -> 224 CLIP
+    # tensor. The preprocessing is model-free and runs for real here;
+    # the gated trunks consume these rows when imagebind is installed.
+    import math as _math
+
+    from radient_spark.operators.preprocess import audio_to_melspec_clips
+
+    tone = [
+        _math.sin(2 * _math.pi * 440 * t / 16_000) for t in range(3 * 16_000)
+    ]
+    audio = spark.createDataFrame(
+        [(1, tone, 16_000)], "id long, waveform array<float>, sample_rate int"
+    )
+    mel_rows = audio_to_melspec_clips(audio).collect()
+    print(f"audio preprocess: {len(mel_rows)} mel clips of "
+          f"{mel_rows[0]['n_mel']}x{mel_rows[0]['n_frames']}")
+
+    # ------------------------------------------------------------------
+    # reference (text/sklearn.py:26-29, declared sparse surface):
+    # radient_spark: MLlib SparseVectors + long-form view.
+    from radient_spark.operators.sparse import sparse_terms_long, sparse_tfidf
+
+    tf_vecs, vocab = sparse_tfidf(docs.select("doc_id", "text").limit(200))
+    n_terms = sparse_terms_long(tf_vecs, vocab, vec_col="tfidf").count()
+    print(f"sparse tfidf: |vocab|={len(vocab)}, {n_terms} nonzero terms")
+
+    # ------------------------------------------------------------------
+    # beyond the reference: the training-pipeline trio (split / pack /
+    # scrub) every 100 TB corpus job needs.
+    from radient_spark.operators.dataset import (
+        hash_split,
+        scrub_pii,
+        sequential_pack,
+    )
+
+    split_counts = (
+        hash_split(docs, "doc_id").groupBy("split").count().collect()
+    )
+    print("hash_split:", {r["split"]: r["count"] for r in split_counts})
+    packed = sequential_pack(
+        docs.select("source", "doc_id", F.length("text").alias("n")),
+        token_col="n", order_col="doc_id", partition_cols=["source"],
+        budget=4096,
+    )
+    print("sequential_pack:", packed.select("chunk_id").distinct().count(), "chunks")
+    scrubbed = docs.select(scrub_pii(F.col("text")).alias("t")).count()
+    print("scrub_pii over", scrubbed, "docs")
+
     print("migration example: all flows OK")
 
 
