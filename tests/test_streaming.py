@@ -185,3 +185,38 @@ def test_foreach_batch_bridge(spark, event_dir, tmp_path):
     q = streaming.foreach_batch_sink(stream, str(tmp_path / "ck4"), batch_fn)
     q.awaitTermination(120)
     assert sum(c for _, c in calls) == spark.read.parquet(str(event_dir / "in")).count()
+
+
+def test_dataset_ops_stream_equals_batch(spark, sf_dir, tmp_path):
+    # hash_split and scrub_pii are stateless Catalyst expressions, so
+    # they must produce IDENTICAL rows on a stream as on the batch read
+    # of the same files — the property that lets the corpus pipeline run
+    # incrementally over a landing prefix.
+    from radient_spark.operators.dataset import hash_split, scrub_pii
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    d = str(tmp_path / "docs_in")
+    docs.select("doc_id", "text").repartition(3).write.mode("overwrite").parquet(d)
+
+    def transform(df):
+        return hash_split(df, "doc_id").select(
+            "doc_id", "split", F.length(scrub_pii(F.col("text"))).alias("n")
+        )
+
+    batch = {tuple(r) for r in transform(spark.read.parquet(d)).collect()}
+
+    schema = spark.read.parquet(d).schema
+    stream_df = transform(
+        spark.readStream.schema(schema).parquet(d)
+    )
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName("ds_ops_stream")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    streamed = {tuple(r) for r in spark.table("ds_ops_stream").collect()}
+    assert streamed == batch and len(batch) > 0
