@@ -183,6 +183,17 @@ def _kmeans(X: np.ndarray, k: int, seed: int, iters: int = 25) -> np.ndarray:
     return C
 
 
+def _nearest_cells(Q: "np.ndarray", C: "np.ndarray", n: int) -> "np.ndarray":
+    """(q x d) queries vs (k x d) centroids -> (q x n) nearest cell ids
+    by squared L2 — the ONE cell-assignment kernel shared by IVF build,
+    list search, and DataFrame search (so tie/dtype behavior can never
+    drift between them)."""
+    Q = np.asarray(Q, dtype=np.float64)
+    C = np.asarray(C, dtype=np.float64)
+    d2 = (Q * Q).sum(1)[:, None] + (C * C).sum(1)[None, :] - 2.0 * (Q @ C.T)
+    return np.argsort(d2, axis=1)[:, : min(n, C.shape[0])]
+
+
 class IvfIndex:
     """IVF (inverted-file) index: rows bucketed by nearest centroid.
 
@@ -229,13 +240,8 @@ class IvfIndex:
                 if len(pdf) == 0:
                     continue
                 M = np.array(pdf["vector"].tolist(), dtype=np.float64)
-                d2 = (
-                    (M * M).sum(1)[:, None]
-                    + (C_ * C_).sum(1)[None, :]
-                    - 2.0 * (M @ C_.T)
-                )
                 out = pdf.copy()
-                out["cell_id"] = d2.argmin(1).astype(np.int32)
+                out["cell_id"] = _nearest_cells(M, C_, 1)[:, 0].astype(np.int32)
                 yield out
 
         idx = base.mapInPandas(
@@ -277,8 +283,7 @@ class IvfIndex:
         hits = []
         for qid, vec in queries:
             q = np.asarray(vec, dtype=np.float64)
-            d2 = ((self.centroids - q) ** 2).sum(1)
-            for cell in np.argsort(d2)[:n_probes]:
+            for cell in _nearest_cells(q[None, :], self.centroids, n_probes)[0]:
                 hits.append((qid, int(cell), [float(x) for x in vec]))
         qdf = spark.createDataFrame(hits, "qid long, cell_id int, qvec array<float>")
         probed = sorted({cell for _, cell, _ in hits})
@@ -317,12 +322,7 @@ class IvfIndex:
                 if len(pdf) == 0:
                     continue
                 Q = np.array(pdf["qvec"].tolist(), dtype=np.float64)
-                d2 = (
-                    (Q * Q).sum(1)[:, None]
-                    + (C_ * C_).sum(1)[None, :]
-                    - 2.0 * (Q @ C_.T)
-                )
-                cells = np.argsort(d2, axis=1)[:, :npb]
+                cells = _nearest_cells(Q, C_, npb)
                 yield pd.DataFrame(
                     {
                         "qid": np.repeat(pdf["qid"].to_numpy(), npb),

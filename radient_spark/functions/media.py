@@ -247,7 +247,12 @@ def image_to_clip_tensor(img: np.ndarray, size: int = IMAGE_SIZE) -> np.ndarray:
     bicubic resize of the SHORT side to `size`, center crop, scale to
     [0,1], per-channel Normalize — transforms.Compose of
     image/imagebind.py:35-43."""
-    img = np.asarray(img, dtype=np.float64)
+    raw = np.asarray(img)
+    # integer dtype => 0-255 range by definition; a float input is
+    # assumed already in [0,1] unless its values clearly exceed it
+    # (a max()-only heuristic misreads near-black uint8 images)
+    is_byte_range = np.issubdtype(raw.dtype, np.integer)
+    img = raw.astype(np.float64)
     if img.ndim == 2:
         img = np.stack([img] * 3, axis=-1)
     if img.shape[-1] != 3:
@@ -258,7 +263,7 @@ def image_to_clip_tensor(img: np.ndarray, size: int = IMAGE_SIZE) -> np.ndarray:
     else:
         out_h, out_w = max(size, int(round(h * size / w))), size
     img = center_crop(resize_bicubic(img, out_h, out_w), size)
-    if img.max() > 1.5:  # uint8-range input
+    if is_byte_range or img.max() > 1.5:
         img = img / 255.0
     img = (img - np.array(IMAGE_NORM_MEAN)) / np.array(IMAGE_NORM_STD)
     return np.transpose(img, (2, 0, 1)).astype(np.float32)
@@ -278,13 +283,12 @@ def sniff_image_source(value) -> tuple[str, object]:
     if isinstance(value, (bytes, bytearray)):
         return "bytes", bytes(value)
     if isinstance(value, str):
+        if value.startswith(("http://", "https://")):
+            return "url", value  # any http(s) source, extension or not
         ext = os.path.splitext(value.split("?")[0])[1].lower()
-        if ext in _IMAGE_EXTS:
-            if os.path.exists(value):
-                with open(value, "rb") as f:
-                    return "path", f.read()
-            if value.startswith(("http://", "https://")):
-                return "url", value
+        if ext in _IMAGE_EXTS and os.path.exists(value):
+            with open(value, "rb") as f:
+                return "path", f.read()
         try:
             decoded = base64.b64decode(value, validate=True)
             if decoded:

@@ -107,7 +107,7 @@ def images_to_clip_tensors(
     import pandas as pd
 
     try:  # gated codec: real decode when Pillow is present
-        import importlib
+        import importlib.util
 
         _HAVE_PIL = importlib.util.find_spec("PIL") is not None
     except Exception:  # pragma: no cover

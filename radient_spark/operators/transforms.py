@@ -120,11 +120,14 @@ def ffmpeg_demux_decoder(
     """
 
     def decode(uri: str, payload, interval: float):
+        import hashlib
         import os
         import shutil
         import subprocess
         import tempfile
 
+        if interval <= 0:
+            raise ValueError(f"interval must be positive, got {interval}")
         run = runner or subprocess.run
         if runner is None and not (
             shutil.which("ffmpeg") and shutil.which("ffprobe")
@@ -133,7 +136,10 @@ def ffmpeg_demux_decoder(
                 "ffmpeg/ffprobe not found; use the default deterministic "
                 "demux (decoder=None)"
             )
-        out_dir = output_dir or tempfile.mkdtemp(prefix="radient_demux_")
+        # namespace outputs per video so a shared output_dir across rows
+        # and concurrent executor tasks can never cross-contaminate
+        base = output_dir or tempfile.mkdtemp(prefix="radient_demux_")
+        out_dir = os.path.join(base, hashlib.md5(uri.encode()).hexdigest()[:16])
         os.makedirs(out_dir, exist_ok=True)
         info = run(
             ["ffprobe", "-v", "error", "-select_streams", "v:0",
@@ -146,23 +152,31 @@ def ffmpeg_demux_decoder(
             raise ValueError(f"ffprobe gave no video stream info for {uri!r}")
         rate = _parse_frame_rate(info[0])
         frame_count = int(info[1])
+        if rate <= 0:
+            raise ValueError(f"ffprobe reported frame rate {info[0]!r} for {uri!r}")
         step = rate * interval
         units = []
         i, n = 0, 0.0
         while n < frame_count:
             start = n / rate
             frame_path = os.path.join(out_dir, f"frame_{i:04d}.png")
-            run(
-                ["ffmpeg", "-v", "error", "-ss", str(start), "-i", uri,
+            r1 = run(
+                ["ffmpeg", "-v", "error", "-y", "-ss", str(start), "-i", uri,
                  "-vframes", "1", frame_path],
                 capture_output=True,
             )
             audio_path = os.path.join(out_dir, f"audio_{i:04d}.wav")
-            run(
-                ["ffmpeg", "-v", "error", "-ss", str(start), "-i", uri,
+            r2 = run(
+                ["ffmpeg", "-v", "error", "-y", "-ss", str(start), "-i", uri,
                  "-t", str(interval), "-q:a", "0", "-map", "a", audio_path],
                 capture_output=True,
             )
+            for r, path in ((r1, frame_path), (r2, audio_path)):
+                if getattr(r, "returncode", 0) not in (0, None) and not os.path.exists(path):
+                    raise RuntimeError(
+                        f"ffmpeg failed extracting {path} from {uri!r}: "
+                        f"{getattr(r, 'stderr', b'')[:200]}"
+                    )
             for modality, path in (("image", frame_path), ("audio", audio_path)):
                 unit_payload = None
                 if read_payloads and os.path.exists(path):

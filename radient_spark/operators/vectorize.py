@@ -269,7 +269,7 @@ def sbert_vectorizer(
     hashing_vectorizer as the deterministic stand-in (same column
     contract).
     """
-    import importlib
+    import importlib.util
 
     if importlib.util.find_spec("sentence_transformers") is None:
         raise ImportError(
@@ -308,7 +308,7 @@ def model_vectorizer(
     model_factory() -> model (called once per worker);
     batch_encode(model, values: list) -> list[list[float]].
     """
-    import importlib
+    import importlib.util
 
     if importlib.util.find_spec(required_module) is None:
         raise ImportError(

@@ -176,4 +176,6 @@ def test_ivf_save_load_roundtrip(spark, emb, tmp_path):
     assert a == b
     # probed cells reach the partitioned scan as a literal filter
     plan = loaded.search(queries, k=5, n_probes=2)._jdf.queryExecution().executedPlan().toString()
-    assert "PartitionFilters: [cell_id" in plan or "cell_id#" in plan.split("PartitionFilters")[1][:200]
+    assert "PartitionFilters" in plan
+    pf = plan.split("PartitionFilters", 1)[1][:200]
+    assert "cell_id" in pf, pf

@@ -168,3 +168,17 @@ def test_images_to_clip_tensors_schema_and_determinism(spark):
     assert (t1["channels"], t1["height"], t1["width"]) == (3, 224, 224)
     assert len(t1["tensor"]) == 3 * 224 * 224
     assert t1["tensor"] == t2["tensor"]  # same payload -> same tensor
+
+
+def test_sniff_extensionless_url():
+    # any http(s) string classifies as 'url' — no extension required
+    assert M.sniff_image_source("https://cdn.example.com/image?id=42")[0] == "url"
+    assert M.sniff_image_source("http://x.example/img")[0] == "url"
+
+
+def test_near_black_uint8_image_scales_correctly():
+    # all-1 uint8 pixels must scale to 1/255, not be mistaken for [0,1]
+    img = np.ones((50, 50, 3), dtype=np.uint8)
+    t = M.image_to_clip_tensor(img)
+    expect = (1 / 255.0 - M.IMAGE_NORM_MEAN[0]) / M.IMAGE_NORM_STD[0]
+    assert abs(float(t[0, 25, 25]) - expect) < 1e-4

@@ -257,3 +257,31 @@ def test_flattened_rows_zip_cycle(spark):
 
     with _pytest.raises(ValueError, match="no values"):
         flattened_rows(spark, x=[])
+
+
+def test_ffmpeg_decoder_namespaces_and_overwrites(tmp_path):
+    # two different videos sharing one output_dir must not collide, and
+    # ffmpeg must be invoked with -y so reruns overwrite stale files
+    seen = []
+
+    def fake_run(cmd, capture_output=True, text=False, **kw):
+        seen.append(cmd)
+
+        class R:
+            stdout = "25/1\n50\n"
+            returncode = 0
+
+        if cmd[0] == "ffmpeg":
+            assert "-y" in cmd
+            with open(cmd[-1], "wb") as f:
+                f.write(b"x")
+        return R()
+
+    dec = transforms.ffmpeg_demux_decoder(output_dir=str(tmp_path), runner=fake_run)
+    units_a = dec("/media/a.mp4", None, 2.0)
+    units_b = dec("/media/b.mp4", None, 2.0)
+    paths_a = {p for _, _, p, _ in units_a}
+    paths_b = {p for _, _, p, _ in units_b}
+    assert paths_a.isdisjoint(paths_b)
+    with pytest.raises(ValueError, match="positive"):
+        dec("/media/a.mp4", None, 0.0)
