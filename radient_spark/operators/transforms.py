@@ -190,6 +190,72 @@ def ffmpeg_demux_decoder(
     return decode
 
 
+def whisper_transcriber(model_id: str = "openai/whisper-large-v3"):
+    """Factory: a `transcriber` for speech_to_text backed by the HF
+    Whisper ASR pipeline (≡ speech_to_text/whisper.py:16-45). The
+    pipeline loads ONCE per executor Python worker (closure state) —
+    the per-worker-singleton pattern the model vectorizers share.
+    Gated: raises ImportError without transformers/torch."""
+    state: dict = {}
+
+    def transcribe(uri: str, payload) -> str:  # pragma: no cover - gated
+        import importlib.util
+
+        for mod in ("transformers", "torch"):
+            if importlib.util.find_spec(mod) is None:
+                raise ImportError(
+                    f"{mod} not installed; use the deterministic stand-in "
+                    "(transcriber=None)"
+                )
+        if "pipe" not in state:
+            from transformers import pipeline
+
+            state["pipe"] = pipeline(
+                "automatic-speech-recognition", model=model_id, device="cpu"
+            )
+        return state["pipe"](uri)["text"]
+
+    return transcribe
+
+
+def pymupdf_screenshot_decoder(read_payloads: bool = True):
+    """Factory: a `decoder` for document_screenshot backed by PyMuPDF
+    (≡ document_screenshot/pymupdf.py:16-47): one PNG per page at the
+    given zoom; accepts a path or the in-plan binary payload. Gated:
+    raises ImportError without pymupdf."""
+
+    def decode(uri: str, payload, zoom: float):  # pragma: no cover - gated
+        import importlib.util
+
+        if importlib.util.find_spec("pymupdf") is None and (
+            importlib.util.find_spec("fitz") is None
+        ):
+            raise ImportError(
+                "pymupdf not installed; use the deterministic stand-in "
+                "(decoder=None)"
+            )
+        try:
+            import pymupdf
+        except ImportError:  # older distributions expose `fitz`
+            import fitz as pymupdf
+
+        if payload is not None:
+            import io
+
+            pdf = pymupdf.open(stream=io.BytesIO(bytes(payload)), filetype="pdf")
+        else:
+            pdf = pymupdf.open(uri, filetype="pdf")
+        mat = pymupdf.Matrix(zoom, zoom)
+        pages = []
+        for n in range(pdf.page_count):
+            pix = pdf[n].get_pixmap(matrix=mat)
+            png = pix.tobytes("png") if read_payloads else None
+            pages.append((n, f"{uri}#page_{n}", png))
+        return pages
+
+    return decode
+
+
 def document_screenshot(
     df: DataFrame,
     zoom: float = 1.0,

@@ -533,14 +533,38 @@ def multimodal_vectorizer(
     text_col: str = "text",
     out_col: str = "vector",
     dim: int = 64,
+    method: str = "deterministic",
 ) -> DataFrame:
     """Modality-dispatch vectorizer (≡ vectorizers/multimodal.py:19-55):
     one output column, per-modality embedding logic selected by a CASE
-    over the modality column. Text uses the hashing vectorizer; non-text
-    modalities embed their URI/payload fingerprint so every row lands in
-    the same vector space for joint search (the ImageBind idea, minus the
-    model — swap each branch for a model UDF in production).
+    over the modality column.
+
+    method='deterministic' (default, codec/model-free): text uses the
+    hashing vectorizer; non-text modalities embed their URI/payload
+    fingerprint so every row lands in the same vector space for joint
+    search — the ImageBind idea, minus the model.
+
+    method='imagebind' (gated): every modality routes through the REAL
+    joint-embedding trunks — text via imagebind_text_vectorizer; image/
+    audio rows are expected to carry the preprocessed columns from
+    operators/preprocess.py ('tensor' / 'mel'), consumed by
+    imagebind_image_vectorizer / imagebind_audio_vectorizer. Raises
+    ImportError when the imagebind package is absent.
     """
+    if method == "imagebind":  # pragma: no cover - imagebind not in CI
+        text_rows = imagebind_text_vectorizer(
+            df.filter(F.col(modality_col) == "text"), text_col=text_col,
+            out_col=out_col,
+        )
+        image_rows = imagebind_image_vectorizer(
+            df.filter(F.col(modality_col) == "image"), out_col=out_col
+        )
+        audio_rows = imagebind_audio_vectorizer(
+            df.filter(F.col(modality_col) == "audio"), out_col=out_col
+        )
+        return text_rows.unionByName(image_rows).unionByName(audio_rows)
+    if method != "deterministic":
+        raise ValueError(f"unknown method {method!r}")
     with_text = hashing_vectorizer(
         df, text_col=text_col, out_col="__mm_text_vec", dim=dim
     )

@@ -285,3 +285,15 @@ def test_ffmpeg_decoder_namespaces_and_overwrites(tmp_path):
     assert paths_a.isdisjoint(paths_b)
     with pytest.raises(ValueError, match="positive"):
         dec("/media/a.mp4", None, 0.0)
+
+
+def test_gated_decoders_raise_cleanly_without_deps():
+    # whisper/pymupdf are absent in this container: the factories must
+    # raise ImportError pointing at the deterministic stand-in, not fail
+    # obscurely mid-batch
+    t = transforms.whisper_transcriber()
+    with pytest.raises(ImportError, match="stand-in"):
+        t("/media/a.wav", None)
+    d = transforms.pymupdf_screenshot_decoder()
+    with pytest.raises(ImportError, match="stand-in"):
+        d("/docs/a.pdf", None, 1.0)
