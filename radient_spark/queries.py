@@ -2183,6 +2183,26 @@ def q_ann_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return index.search(queries, k=10)
 
 
+def q_ivf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF index end to end through the DataFrame-native path: k-means
+    cells -> cell-partitioned index -> search_df with the queries AS A
+    TABLE (executor-side cell assignment against broadcast centroids —
+    no driver collect of the query side). Rows-only driver check;
+    exactness and recall are pinned in tests/test_ann.py."""
+    from radient_spark.ann import IvfIndex
+
+    emb = load_tables(spark, sf_dir)["embeddings"].select(
+        F.col("vec_id").alias("id"), F.col("embedding").alias("vector")
+    )
+    index = IvfIndex.build(emb, n_cells=16, seed=42)
+    qdf = (
+        emb.orderBy("id")
+        .limit(10)
+        .select(F.col("id").alias("qid"), F.col("vector").alias("qvec"))
+    )
+    return index.search_df(qdf, k=10, n_probes=8)
+
+
 # ---------------------------------------------------------------------------
 # Relational batch 5: the remaining TPC-H query shapes, adapted to the
 # driver's slimmer schema (no partsupp table; lineitem lacks commitdate /
@@ -2749,6 +2769,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "q_media_pipeline": (q_media_pipeline, None),
     "q_mel_clip_features": (q_mel_clip_features, None),
     "q_ann_search": (q_ann_search, None),
+    "q_ivf_search": (q_ivf_search, None),
     "q_running_customer_balance": (q_running_customer_balance, _Q_RUNNING_SQL),
     "q_churned_customers": (q_churned_customers, _Q_CHURN_SQL),
     "q_purchase_error_window": (q_purchase_error_window, _Q_RANGE_JOIN_SQL),
