@@ -61,6 +61,10 @@ def sparse_tfidf(
     counted, vocab = sparse_count_vectors(
         df, text_col=text_col, out_col="__tf", vocab_size=vocab_size, min_df=min_df
     )
+    # IDF.fit and the downstream consumer both scan the counted vectors;
+    # caching here avoids re-tokenizing + re-vectorizing the corpus on
+    # every action (2 of the 4 scans in the naive chain)
+    counted = counted.cache()
     idf = IDF(inputCol="__tf", outputCol=out_col)
     model = idf.fit(counted)
     return model.transform(counted).drop("__tf"), vocab

@@ -819,6 +819,69 @@ SELECT doc_id, slot, COUNT(*) AS cnt FROM (
 """
 
 
+def q_quality_filter_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style heuristic quality gate: per source, how many docs
+    pass ALL rules vs fail each rule — word-count bounds, mean word
+    length bounds, and symbol-to-word ratio (the standard pretraining
+    corpus filter battery, pure Catalyst). Oracle-checked rule by rule."""
+    docs = load_tables(spark, sf_dir)["documents"].filter(
+        F.length(F.trim("text")) > 0
+    )
+    toks = F.split(F.trim("text"), r"\s+")
+    n_words = F.size(toks)
+    mean_wlen = F.aggregate(
+        toks, F.lit(0.0), lambda a, t: a + F.length(t)
+    ) / n_words
+    n_symbols = F.size(F.split("text", r"[#\.]")) - 1
+    scored = docs.select(
+        "source",
+        (n_words >= 5).alias("r_min_words"),
+        (n_words <= 1000).alias("r_max_words"),
+        ((mean_wlen >= 2) & (mean_wlen <= 12)).alias("r_word_len"),
+        ((n_symbols / n_words) <= 0.1).alias("r_symbol_ratio"),
+    )
+    return scored.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(
+            (
+                F.col("r_min_words")
+                & F.col("r_max_words")
+                & F.col("r_word_len")
+                & F.col("r_symbol_ratio")
+            ).cast("long")
+        ).alias("n_pass"),
+        F.sum((~F.col("r_min_words")).cast("long")).alias("f_min_words"),
+        F.sum((~F.col("r_max_words")).cast("long")).alias("f_max_words"),
+        F.sum((~F.col("r_word_len")).cast("long")).alias("f_word_len"),
+        F.sum((~F.col("r_symbol_ratio")).cast("long")).alias("f_symbol_ratio"),
+    )
+
+
+_Q_QUALITY_FILTER_SQL = r"""
+WITH t AS (
+  SELECT source,
+    regexp_split_to_array(trim(text), '\s+') AS toks,
+    len(str_split_regex(text, '[#\.]')) - 1 AS n_symbols
+  FROM documents WHERE length(trim(text)) > 0
+), scored AS (
+  SELECT source,
+    len(toks) >= 5 AS r_min_words,
+    len(toks) <= 1000 AS r_max_words,
+    list_sum(list_transform(toks, x -> length(x)))::DOUBLE / len(toks)
+      BETWEEN 2 AND 12 AS r_word_len,
+    n_symbols::DOUBLE / len(toks) <= 0.1 AS r_symbol_ratio
+  FROM t
+)
+SELECT source, COUNT(*) AS n_docs,
+  SUM((r_min_words AND r_max_words AND r_word_len AND r_symbol_ratio)::BIGINT) AS n_pass,
+  SUM((NOT r_min_words)::BIGINT) AS f_min_words,
+  SUM((NOT r_max_words)::BIGINT) AS f_max_words,
+  SUM((NOT r_word_len)::BIGINT) AS f_word_len,
+  SUM((NOT r_symbol_ratio)::BIGINT) AS f_symbol_ratio
+FROM scored GROUP BY source
+"""
+
+
 def q_train_val_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Reproducible 90/10 dataset split (operators/dataset.py hash_split):
     portable md5 bucketing, stateless per row, append-consistent — the
@@ -2756,6 +2819,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "q_ngram_jaccard_pairs": (q_ngram_jaccard_pairs, _Q_NGRAM_JACCARD_SQL),
     "q_sparse_tfidf_terms": (q_sparse_tfidf_terms, _Q_SPARSE_TFIDF_SQL),
     "q_train_val_split": (q_train_val_split, _Q_SPLIT_SQL),
+    "q_quality_filter_report": (q_quality_filter_report, _Q_QUALITY_FILTER_SQL),
     "q_pii_scrub_stats": (q_pii_scrub_stats, _Q_PII_SQL),
     "q_token_packing": (q_token_packing, _Q_PACKING_SQL),
     "q_cube_priority_status": (q_cube_priority_status, _Q_CUBE_SQL),
