@@ -1,0 +1,199 @@
+"""Embedding-space clustering for semantic data curation: integer-lattice
+k-means (Lloyd's) and SemDeDup-style within-cluster near-duplicate pairs.
+
+Beyond-reference LLM-pipeline operators (brief: first-class alongside
+SURVEY.md §2). The reference has no clustering; its nearest relative is the
+GANN k-means tree split (/root/reference/radient/tasks/sinks/local/_gkmeans.py),
+which clusters to *index*, not to curate. Here clustering is a corpus
+operator: partition the embedding space, then restrict expensive pairwise
+work (near-dup detection, diversity sampling) to within-cluster pairs —
+the SemDeDup recipe (Abbas et al. 2023), which prunes the O(n^2) pair
+space down to O(sum_c |c|^2).
+
+Determinism contract (the reason this is oracle-checkable value-for-value):
+all k-means arithmetic happens on an integer lattice. Embedding floats are
+quantized once to micro-units (round(x * 1e6) + MICRO_SHIFT, all positive),
+distances are exact BIGINT sums of squares, and centroid updates are exact
+integer truncating division. No float enters the iteration, so Spark and a
+SQL oracle agree bit-for-bit on every assignment, centroid, and WSS value —
+no seeded-RNG or float-summation-order hazards.
+
+Scale design:
+- Assignment is a zero-shuffle Catalyst expression: the k centroids are
+  literal arrays (k*dim longs — model state, inherently driver-sized, the
+  same contract as MLlib's KMeansModel), and argmin is array_min over
+  (distance, cluster) structs. Whole-stage codegen, no UDF, no join.
+- The centroid update posexplodes to (cluster, dim, value) rows feeding a
+  hash aggregate — partial (map-side) aggregation reduces each partition
+  to at most k*dim rows before the shuffle, so shuffle volume is
+  O(partitions * k * dim), independent of corpus size.
+- One driver sync of k*dim longs per Lloyd iteration — the same
+  per-iteration synchronization barrier MLlib's KMeans has.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from radient_spark.functions.vector import cosine_similarity
+from radient_spark.operators.dedup import str_hash
+
+MICRO = 1_000_000
+# Shift keeps every lattice coordinate positive so truncating integer
+# division (Spark `div`, DuckDB `//`) and floor division coincide.
+MICRO_SHIFT = 4 * MICRO
+
+
+def micro_vec(vec) -> F.Column:
+    """Quantize a float vector to positive integer micro-units.
+
+    round() half-away-from-zero on the exact float->double widening is
+    reproduced verbatim by the SQL oracle, so the lattice is portable.
+    """
+    return F.transform(
+        vec,
+        lambda x: F.round(x.cast("double") * MICRO, 0).cast("long")
+        + F.lit(MICRO_SHIFT),
+    )
+
+
+def _lattice_distance(micro_col: F.Column, centroid: list[int]) -> F.Column:
+    carr = F.array(*[F.lit(int(v)) for v in centroid])
+    return F.aggregate(
+        F.zip_with(micro_col, carr, lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("long"),
+        lambda acc, z: acc + z,
+    )
+
+
+def _argmin_struct(micro_col: F.Column, centroids: list[list[int]]) -> F.Column:
+    """(distance, cluster) struct of the nearest centroid; ties break to
+    the lower cluster index (array_min is lexicographic on the struct)."""
+    return F.array_min(
+        F.array(
+            *[
+                F.struct(
+                    _lattice_distance(micro_col, c).alias("d"),
+                    F.lit(i).alias("c"),
+                )
+                for i, c in enumerate(centroids)
+            ]
+        )
+    )
+
+
+def seed_centroids(
+    df: DataFrame, vec_col: str, id_col: str, k: int, seed: int = 42
+) -> list[list[int]]:
+    """Deterministic seeded init: the k rows with the smallest
+    (md5(seed_id), id) rank, quantized. A portable stand-in for random
+    init — "random-looking" but identical in any engine that speaks md5.
+    """
+    rows = (
+        df.select(micro_vec(F.col(vec_col)).alias("__m"), F.col(id_col))
+        .orderBy(
+            str_hash(F.concat_ws("_", F.lit(seed), F.col(id_col))),
+            F.col(id_col),
+        )
+        .limit(k)
+        .collect()
+    )
+    if len(rows) < k:
+        raise ValueError(f"need at least k={k} rows to seed, got {len(rows)}")
+    return [list(r["__m"]) for r in rows]
+
+
+def kmeans_fit(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    k: int = 10,
+    iters: int = 2,
+    seed: int = 42,
+) -> list[list[int]]:
+    """Lloyd's k-means on the integer lattice; returns final centroids
+    (micro-unit space). Each iteration: zero-shuffle argmin assignment,
+    then an exact-integer mean per (cluster, dim). Empty clusters keep
+    their previous centroid (same choice as MLlib)."""
+    micro = df.select(micro_vec(F.col(vec_col)).alias("__m"))
+    micro = micro.persist()
+    try:
+        centroids = seed_centroids(df, vec_col, id_col, k, seed)
+        dim = len(centroids[0])
+        for _ in range(iters):
+            assigned = micro.withColumn(
+                "__c", _argmin_struct(F.col("__m"), centroids)["c"]
+            )
+            stats = (
+                assigned.select("__c", F.posexplode("__m").alias("dim", "v"))
+                .groupBy("__c", "dim")
+                .agg(F.sum("v").alias("s"), F.count(F.lit(1)).alias("n"))
+                .select("__c", "dim", F.expr("s div n").alias("mean"))
+                .collect()
+            )
+            new = [list(c) for c in centroids]  # empty cluster -> keep old
+            for r in stats:
+                new[r["__c"]][r["dim"]] = r["mean"]
+            centroids = new
+            assert all(len(c) == dim for c in centroids)
+    finally:
+        micro.unpersist()
+    return centroids
+
+
+def assign_clusters(
+    df: DataFrame,
+    vec_col: str,
+    centroids: list[list[int]],
+    out_col: str = "cluster_id",
+    dist_col: str | None = None,
+) -> DataFrame:
+    """Append the nearest-centroid id (and optionally the exact lattice
+    distance). Pure Catalyst expression — no shuffle, no UDF."""
+    best = _argmin_struct(micro_vec(F.col(vec_col)), centroids)
+    out = df.withColumn("__best", best).withColumn(out_col, F.col("__best.c"))
+    if dist_col is not None:
+        out = out.withColumn(dist_col, F.col("__best.d"))
+    return out.drop("__best")
+
+
+def semdedup_pairs(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    centroids: list[list[int]],
+    threshold: float = 0.4,
+) -> DataFrame:
+    """SemDeDup: near-duplicate pairs restricted to within-cluster
+    comparisons. Returns (id_a, id_b, cluster_id, score) with cosine
+    rounded to 4 (the repo-wide float determinism contract).
+
+    The equi-join on cluster_id is the whole point: pair candidates drop
+    from n^2 to sum_c |c|^2, and the join shuffles each row once on a
+    k-ary key instead of broadcasting the corpus. Cross-cluster near-dups
+    are missed by construction — that is SemDeDup's documented recall
+    trade, bounded by cluster granularity k.
+    """
+    assigned = assign_clusters(df, vec_col, centroids).select(
+        F.col(id_col), F.col(vec_col), F.col("cluster_id")
+    )
+    a = assigned.alias("a")
+    b = assigned.alias("b")
+    sim = F.round(
+        cosine_similarity(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}")), 4
+    )
+    return (
+        a.join(
+            b,
+            (F.col("a.cluster_id") == F.col("b.cluster_id"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.col("a.cluster_id").alias("cluster_id"),
+            sim.alias("score"),
+        )
+        .filter(F.col("score") >= threshold)
+    )

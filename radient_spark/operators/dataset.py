@@ -13,6 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from radient_spark.functions import text as X
 from radient_spark.operators.dedup import str_hash
 
 SPLIT_BUCKETS = 10_000
@@ -100,4 +101,110 @@ def pii_counts(col) -> tuple:
     return (
         F.size(F.regexp_extract_all(col, F.lit(PII_EMAIL), F.lit(0))),
         F.size(F.regexp_extract_all(col, F.lit(PII_URL), F.lit(0))),
+    )
+
+
+def ngram_hash_set(
+    df: DataFrame, text_col: str, id_col: str, n: int = 13
+) -> DataFrame:
+    """Distinct (id, gram_hash) rows: portable md5 hashes of the document's
+    word n-grams (shingles). Tokens -> shingles are staged projections so
+    Catalyst computes each once per row; the explode emits (id, long)
+    pairs, never gram text, so shuffle payload is 16 bytes per gram."""
+    staged = (
+        df.withColumn("__dc_toks", X.tokens(F.col(text_col)))
+        .withColumn(
+            "__dc_grams", X.shingles_from_tokens(F.col("__dc_toks"), n)
+        )
+        .withColumn(
+            "__dc_hs",
+            F.array_distinct(
+                F.transform(F.col("__dc_grams"), lambda g: str_hash(g))
+            ),
+        )
+    )
+    return staged.select(
+        F.col(id_col), F.explode("__dc_hs").alias("gram_hash")
+    )
+
+
+def decontaminate(
+    train_df: DataFrame,
+    eval_df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 13,
+    hit_col: str = "n_hit_grams",
+) -> DataFrame:
+    """Benchmark decontamination (GPT-3 appendix C / Gopher style): count,
+    per training document, how many of its distinct word n-grams also
+    occur anywhere in the eval set. Rows with hit_col == 0 are clean;
+    the caller filters or audits on it.
+
+    Scale shape: the eval side collapses to DISTINCT gram hashes and is
+    broadcast — eval suites are small by nature (the real-world contract;
+    millions of grams = a few MB of longs), so the train corpus streams
+    through a broadcast-hash semi-ish join with no corpus shuffle. The
+    only shuffle is the per-document hit count over matched grams, whose
+    volume is the contamination overlap, not the corpus.
+    """
+    train_grams = ngram_hash_set(train_df, text_col, id_col, n)
+    eval_grams = (
+        ngram_hash_set(eval_df, text_col, id_col, n)
+        .select("gram_hash")
+        .distinct()
+    )
+    hits = (
+        train_grams.join(F.broadcast(eval_grams), "gram_hash")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias(hit_col))
+    )
+    return train_df.join(hits, id_col, "left").withColumn(
+        hit_col, F.coalesce(F.col(hit_col), F.lit(0))
+    )
+
+
+def temperature_thresholds(
+    df: DataFrame, strata_col: str, alpha_sqrt: bool = True
+) -> DataFrame:
+    """Per-stratum keep-thresholds for temperature (alpha = 0.5) mixing:
+    rate_s = sqrt(n_min / n_s), so the expected post-sample sizes are
+    proportional to sqrt(n_s) — the standard multilingual rebalancing
+    (mT5-style) with the smallest stratum kept whole.
+
+    Determinism: n_min/n_s is one IEEE division and sqrt is
+    correctly-rounded by IEEE 754 in both the JVM and C, so
+    floor(rate * SPLIT_BUCKETS) is bit-identical in any engine — no
+    pow()-libm hazard (which is why alpha is fixed at 0.5).
+    """
+    counts = df.groupBy(strata_col).agg(F.count(F.lit(1)).alias("n_before"))
+    n_min = F.min("n_before").over(Window.partitionBy())
+    rate = F.sqrt(n_min.cast("double") / F.col("n_before").cast("double"))
+    return counts.withColumn(
+        "keep_threshold",
+        F.floor(rate * SPLIT_BUCKETS).cast("long"),
+    )
+
+
+def temperature_sample(
+    df: DataFrame,
+    strata_col: str,
+    id_col: str,
+    seed: int = 42,
+) -> DataFrame:
+    """Keep each row iff its md5 bucket falls under its stratum's
+    temperature threshold — stateless per row given the (tiny, broadcast)
+    threshold table, reproducible, append-consistent within a stratum
+    census. Two passes over the corpus (count, then filter) — the same
+    shape as any global-statistics sampler; the first pass is a pure
+    map-side-combine count."""
+    thresholds = temperature_thresholds(df, strata_col)
+    bucket = (
+        str_hash(F.concat_ws("_", F.lit(seed), F.col(id_col)))
+        % SPLIT_BUCKETS
+    )
+    return (
+        df.join(F.broadcast(thresholds), strata_col)
+        .filter(bucket < F.col("keep_threshold"))
+        .drop("n_before", "keep_threshold")
     )

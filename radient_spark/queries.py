@@ -2789,6 +2789,231 @@ LIMIT 20
 """
 
 
+def q_decontamination_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (operators/dataset.py decontaminate):
+    docs with doc_id % 10 == 0 stand in for the eval suite; every other
+    doc is training data. Per source: how many training docs share at
+    least one 4-gram with the eval set, and how many distinct grams hit.
+    The eval gram-hash set is broadcast; the corpus is never shuffled.
+    Counts are integers, so the DuckDB oracle matches bit-for-bit."""
+    from radient_spark.operators.dataset import decontaminate
+
+    docs = load_tables(spark, sf_dir)["documents"].filter(
+        F.length(F.trim("text")) > 0
+    )
+    ev = docs.filter(F.col("doc_id") % 10 == 0)
+    tr = docs.filter(F.col("doc_id") % 10 != 0)
+    flagged = decontaminate(tr, ev, "text", "doc_id", n=4)
+    return flagged.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_train_docs"),
+        F.sum((F.col("n_hit_grams") > 0).cast("long")).alias("n_contaminated"),
+        F.sum("n_hit_grams").cast("long").alias("total_hit_grams"),
+    )
+
+
+_Q_DECONTAM_SQL = r"""
+WITH docs AS (
+  SELECT doc_id, source, regexp_split_to_array(trim(text), '\s+') AS toks
+  FROM documents WHERE length(trim(text)) > 0
+), grams AS (
+  SELECT doc_id, source,
+    unnest(CASE WHEN len(toks) < 4 THEN [array_to_string(toks, ' ')]
+           ELSE list_transform(range(1, len(toks) - 2),
+                               i -> array_to_string(toks[i:i+3], ' ')) END) AS g
+  FROM docs
+), hashes AS (
+  SELECT DISTINCT doc_id, ('0x' || substring(md5(g), 1, 8))::BIGINT AS h
+  FROM grams
+), ev AS (
+  SELECT DISTINCT h FROM hashes WHERE doc_id % 10 = 0
+), hits AS (
+  SELECT t.doc_id, COUNT(*) AS nhit
+  FROM hashes t JOIN ev USING (h)
+  WHERE t.doc_id % 10 <> 0
+  GROUP BY t.doc_id
+), tr AS (
+  SELECT d.source, COALESCE(hits.nhit, 0) AS nhit
+  FROM docs d LEFT JOIN hits USING (doc_id)
+  WHERE d.doc_id % 10 <> 0
+)
+SELECT source, COUNT(*) AS n_train_docs,
+  SUM((nhit > 0)::BIGINT) AS n_contaminated,
+  SUM(nhit)::BIGINT AS total_hit_grams
+FROM tr GROUP BY source
+"""
+
+
+def q_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based language rebalancing (operators/dataset.py
+    temperature_sample): keep-rate sqrt(n_min/n_lang) per language, rows
+    selected by portable md5 bucket — the mT5-style mixing step. The only
+    float ops (one IEEE division, one sqrt) are correctly-rounded in both
+    engines, so thresholds and sampled counts hash-match exactly."""
+    from radient_spark.operators.dataset import (
+        temperature_sample,
+        temperature_thresholds,
+    )
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    thr = temperature_thresholds(docs, "lang")
+    kept = temperature_sample(docs, "lang", "doc_id", seed=42)
+    after = kept.groupBy("lang").agg(F.count(F.lit(1)).alias("n_after"))
+    return thr.join(after, "lang", "left").select(
+        "lang",
+        "n_before",
+        "keep_threshold",
+        F.coalesce(F.col("n_after"), F.lit(0)).alias("n_after"),
+    )
+
+
+_Q_TEMPERATURE_SQL = """
+WITH counts AS (
+  SELECT lang, COUNT(*) AS n_before FROM documents GROUP BY lang
+), thr AS (
+  SELECT lang, n_before,
+    CAST(FLOOR(sqrt((MIN(n_before) OVER ())::DOUBLE / n_before::DOUBLE)
+               * 10000) AS BIGINT) AS keep_threshold
+  FROM counts
+), kept AS (
+  SELECT d.lang
+  FROM documents d JOIN thr USING (lang)
+  WHERE ('0x' || substring(md5(concat_ws('_', 42, doc_id)), 1, 8))::BIGINT
+        % 10000 < keep_threshold
+)
+SELECT t.lang, t.n_before, t.keep_threshold,
+  COALESCE(k.n_after, 0) AS n_after
+FROM thr t LEFT JOIN (
+  SELECT lang, COUNT(*) AS n_after FROM kept GROUP BY lang
+) k USING (lang)
+"""
+
+
+def _kmeans_cte(k: int, iters: int, seed: int) -> tuple[str, str, str]:
+    """Unrolled integer-lattice Lloyd iterations as DuckDB CTEs, mirroring
+    operators/cluster.py exactly (same md5 seeding, same micro-unit
+    quantization, same truncating integer mean, same (dist, cluster) tie
+    order). Returns (with_clause, final_centroid_cte, final_assign_cte)."""
+    parts = [
+        f"""pts AS (
+  SELECT vec_id, u.i AS dim,
+    CAST(round(CAST(embedding[u.i] AS DOUBLE) * 1000000, 0) AS BIGINT)
+      + 4000000 AS v
+  FROM embeddings, unnest(range(1, len(embedding) + 1)) AS u(i)
+), sd AS (
+  SELECT vec_id, row_number() OVER (
+    ORDER BY ('0x' || substring(md5(concat_ws('_', {seed}, vec_id)), 1, 8))::BIGINT,
+             vec_id) - 1 AS c
+  FROM embeddings
+), c0 AS (
+  SELECT sd.c, p.dim, p.v AS cv FROM sd JOIN pts p USING (vec_id)
+  WHERE sd.c < {k}
+)"""
+    ]
+    prev = "c0"
+    assign = "a0"
+    for it in range(1, iters + 1):
+        assign = f"a{it}"
+        cur = f"c{it}"
+        parts.append(f"""{assign} AS (
+  SELECT p.vec_id, {prev}.c, SUM((p.v - {prev}.cv) * (p.v - {prev}.cv)) AS d
+  FROM pts p JOIN {prev} ON p.dim = {prev}.dim
+  GROUP BY p.vec_id, {prev}.c
+  QUALIFY row_number() OVER (PARTITION BY p.vec_id ORDER BY d, c) = 1
+), {cur} AS (
+  SELECT u.c, u.dim, COALESCE(m.mv, u.cv) AS cv
+  FROM {prev} u LEFT JOIN (
+    SELECT {assign}.c, p.dim, SUM(p.v) // COUNT(*) AS mv
+    FROM {assign} JOIN pts p USING (vec_id) GROUP BY {assign}.c, p.dim
+  ) m ON u.c = m.c AND u.dim = m.dim
+)""")
+        prev = cur
+    final_assign = f"""af AS (
+  SELECT p.vec_id, {prev}.c, SUM((p.v - {prev}.cv) * (p.v - {prev}.cv)) AS d
+  FROM pts p JOIN {prev} ON p.dim = {prev}.dim
+  GROUP BY p.vec_id, {prev}.c
+  QUALIFY row_number() OVER (PARTITION BY p.vec_id ORDER BY d, c) = 1
+)"""
+    parts.append(final_assign)
+    return "WITH " + ",\n".join(parts), prev, "af"
+
+
+def q_kmeans_embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer-lattice k-means over the embeddings table
+    (operators/cluster.py): k=10, 2 Lloyd iterations, md5-seeded init.
+    Reports per cluster: size, within-cluster sum of squared lattice
+    distance, and the centroid coordinate checksum — every value an exact
+    integer, so the unrolled recursive oracle matches bit-for-bit."""
+    from radient_spark.operators.cluster import assign_clusters, kmeans_fit
+
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    cents = kmeans_fit(emb, "embedding", "vec_id", k=10, iters=2, seed=42)
+    assigned = assign_clusters(
+        emb, "embedding", cents, out_col="cluster_id", dist_col="__d"
+    )
+    checksum_map = F.create_map(
+        *[
+            lit
+            for i, c in enumerate(cents)
+            for lit in (F.lit(i), F.lit(int(sum(c))))
+        ]
+    )
+    return (
+        assigned.groupBy("cluster_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_points"),
+            F.sum("__d").alias("wss"),
+        )
+        .withColumn("centroid_checksum", checksum_map[F.col("cluster_id")])
+    )
+
+
+def _kmeans_report_sql(k: int = 10, iters: int = 2, seed: int = 42) -> str:
+    with_clause, cfinal, afinal = _kmeans_cte(k, iters, seed)
+    return f"""{with_clause}
+SELECT a.c AS cluster_id, COUNT(*) AS n_points, SUM(a.d)::BIGINT AS wss,
+  cs.checksum AS centroid_checksum
+FROM {afinal} a JOIN (
+  SELECT c, SUM(cv)::BIGINT AS checksum FROM {cfinal} GROUP BY c
+) cs ON a.c = cs.c
+GROUP BY a.c, cs.checksum
+"""
+
+
+def q_semdedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (operators/cluster.py semdedup_pairs): cluster the
+    embedding space (k=10, one Lloyd iteration), then find near-duplicate
+    pairs only within clusters — the pair space drops from n^2 to
+    sum_c |c|^2 and the join shuffles on the k-ary cluster key instead of
+    broadcasting the corpus. Same cosine-round-4 contract as
+    q_vec_similar_pairs, so the overlap with the exact all-pairs query
+    measures SemDeDup's recall on this corpus."""
+    from radient_spark.operators.cluster import kmeans_fit, semdedup_pairs
+
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    cents = kmeans_fit(emb, "embedding", "vec_id", k=10, iters=1, seed=42)
+    return semdedup_pairs(
+        emb, "embedding", "vec_id", cents, threshold=0.4
+    )
+
+
+def _semdedup_sql(k: int = 10, iters: int = 1, seed: int = 42) -> str:
+    with_clause, _, afinal = _kmeans_cte(k, iters, seed)
+    sim = (
+        "round(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])"
+        " / (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))"
+        " * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))), 4)"
+    )
+    return f"""{with_clause}
+SELECT a.vec_id AS id_a, b.vec_id AS id_b, ca.c AS cluster_id,
+  {sim} AS score
+FROM embeddings a
+JOIN {afinal} ca ON a.vec_id = ca.vec_id
+JOIN {afinal} cb ON ca.c = cb.c
+JOIN embeddings b ON b.vec_id = cb.vec_id
+WHERE a.vec_id < b.vec_id AND {sim} >= 0.4
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 
@@ -2868,6 +3093,13 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "q19_disjunctive_revenue": (q19_disjunctive_revenue, _Q19_SQL),
     "q20_dominant_supplier": (q20_dominant_supplier, _Q20_SQL),
     "q21_waiting_supplier": (q21_waiting_supplier, _Q21_SQL),
+    "q_decontamination_report": (q_decontamination_report, _Q_DECONTAM_SQL),
+    "q_temperature_mix": (q_temperature_mix, _Q_TEMPERATURE_SQL),
+    "q_kmeans_embedding_clusters": (
+        q_kmeans_embedding_clusters,
+        _kmeans_report_sql(10, 2, 42),
+    ),
+    "q_semdedup_pairs": (q_semdedup_pairs, _semdedup_sql(10, 1, 42)),
 }
 
 

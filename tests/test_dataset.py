@@ -1,0 +1,113 @@
+"""Decontamination + temperature sampling (operators/dataset.py).
+
+The registry queries are oracle-checked in tests/test_oracle.py; these
+pin the operator semantics on controlled inputs and the plan shapes that
+matter at scale (broadcast eval side, no corpus shuffle for sampling).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from radient_spark import plans
+from radient_spark.catalog import load_tables
+from radient_spark.operators.dataset import (
+    SPLIT_BUCKETS,
+    decontaminate,
+    temperature_sample,
+    temperature_thresholds,
+)
+
+
+def _corpus(spark):
+    return spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "pack my box with five dozen liquor jugs"),
+            (3, "entirely disjoint vocabulary sentence here indeed"),
+        ],
+        "doc_id long, text string",
+    )
+
+
+def test_decontaminate_flags_ngram_overlap(spark):
+    train = _corpus(spark)
+    ev = spark.createDataFrame(
+        # shares the 4-gram "quick brown fox jumps" with doc 1 only
+        [(100, "a quick brown fox jumps again")],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r["n_hit_grams"]
+        for r in decontaminate(train, ev, "text", "doc_id", n=4).collect()
+    }
+    assert out[1] > 0 and out[2] == 0 and out[3] == 0
+
+
+def test_decontaminate_clean_eval_set_flags_nothing(spark):
+    train = _corpus(spark)
+    ev = spark.createDataFrame(
+        [(100, "completely unrelated words everywhere around")],
+        "doc_id long, text string",
+    )
+    out = decontaminate(train, ev, "text", "doc_id", n=4)
+    assert out.filter(F.col("n_hit_grams") > 0).count() == 0
+    # annotation is a left join: every train row survives
+    assert out.count() == 3
+
+
+def test_decontaminate_broadcasts_eval_side(spark, sf_dir):
+    docs = load_tables(spark, sf_dir)["documents"]
+    ev = docs.filter(F.col("doc_id") % 10 == 0)
+    tr = docs.filter(F.col("doc_id") % 10 != 0)
+    out = decontaminate(tr, ev, "text", "doc_id", n=4)
+    assert plans.uses_broadcast_join(out), plans.formatted_plan(out)
+
+
+def test_temperature_thresholds_smallest_stratum_kept_whole(spark, sf_dir):
+    docs = load_tables(spark, sf_dir)["documents"]
+    thr = temperature_thresholds(docs, "lang").collect()
+    n_min = min(r["n_before"] for r in thr)
+    for r in thr:
+        if r["n_before"] == n_min:
+            assert r["keep_threshold"] == SPLIT_BUCKETS
+        else:
+            assert 0 < r["keep_threshold"] <= SPLIT_BUCKETS
+
+
+def test_temperature_sample_deterministic_and_bounded(spark, sf_dir):
+    docs = load_tables(spark, sf_dir)["documents"]
+    a = sorted(
+        r["doc_id"]
+        for r in temperature_sample(docs, "lang", "doc_id", seed=42)
+        .select("doc_id")
+        .collect()
+    )
+    b = sorted(
+        r["doc_id"]
+        for r in temperature_sample(docs, "lang", "doc_id", seed=42)
+        .select("doc_id")
+        .collect()
+    )
+    assert a == b and 0 < len(a) <= docs.count()
+
+
+def test_temperature_sample_equalizes_toward_sqrt(spark, sf_dir):
+    # expected kept size is ~ sqrt(n_min * n_s): the ratio between the
+    # largest and smallest strata must shrink after sampling
+    docs = load_tables(spark, sf_dir)["documents"]
+    before = {
+        r["lang"]: r["count"]
+        for r in docs.groupBy("lang").count().collect()
+    }
+    after = {
+        r["lang"]: r["count"]
+        for r in temperature_sample(docs, "lang", "doc_id")
+        .groupBy("lang")
+        .count()
+        .collect()
+    }
+    if max(before.values()) > min(before.values()):
+        ratio_before = max(before.values()) / min(before.values())
+        ratio_after = max(after.values()) / max(1, min(after.values()))
+        assert ratio_after <= ratio_before
