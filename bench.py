@@ -51,6 +51,10 @@ BENCH_QUERIES = [
     "q_train_val_split",
     "q_token_packing",
     "q_pii_scrub_stats",
+    "q_decontamination_report",
+    "q_temperature_mix",
+    "q_kmeans_embedding_clusters",
+    "q_semdedup_pairs",
 ]
 
 

@@ -36,7 +36,6 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from radient_spark.functions.vector import cosine_similarity
 from radient_spark.operators.dedup import str_hash
 
 MICRO = 1_000_000
@@ -167,33 +166,44 @@ def semdedup_pairs(
 ) -> DataFrame:
     """SemDeDup: near-duplicate pairs restricted to within-cluster
     comparisons. Returns (id_a, id_b, cluster_id, score) with cosine
-    rounded to 4 (the repo-wide float determinism contract).
+    rounded to 4 (the repo-wide float determinism contract, same BLAS
+    scoring kernel as similarity_self_join so the two agree exactly).
 
-    The equi-join on cluster_id is the whole point: pair candidates drop
-    from n^2 to sum_c |c|^2, and the join shuffles each row once on a
-    k-ary key instead of broadcasting the corpus. Cross-cluster near-dups
-    are missed by construction — that is SemDeDup's documented recall
-    trade, bounded by cluster granularity k.
+    The cluster key is the whole point: pair candidates drop from n^2 to
+    sum_c |c|^2, and each cluster is one applyInPandas group computing
+    its upper-triangular score block as a single float64 GEMM — one
+    shuffle on the k-ary key, no corpus broadcast, no per-pair array
+    allocation. Cross-cluster near-dups are missed by construction —
+    SemDeDup's documented recall trade, tuned by k; size k so cluster
+    blocks fit one task (~n/k rows * dim floats), the same knob as
+    `blocks` in similarity_self_join.
     """
+    import numpy as np
+
+    from radient_spark.operators.topk import PAIR_SCORE_DECIMALS, _batch_scores
+
     assigned = assign_clusters(df, vec_col, centroids).select(
         F.col(id_col), F.col(vec_col), F.col("cluster_id")
     )
-    a = assigned.alias("a")
-    b = assigned.alias("b")
-    sim = F.round(
-        cosine_similarity(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}")), 4
-    )
-    return (
-        a.join(
-            b,
-            (F.col("a.cluster_id") == F.col("b.cluster_id"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+
+    def gen(key, pdf):
+        import pandas as pd
+
+        ids = pdf[id_col].to_numpy()
+        M = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+        S = np.round(_batch_scores(M, M, "cosine"), PAIR_SCORE_DECIMALS)
+        ii, jj = np.nonzero((S >= threshold) & (ids[:, None] < ids[None, :]))
+        return pd.DataFrame(
+            {
+                "id_a": pd.Series(ids[ii], dtype="int64"),
+                "id_b": pd.Series(ids[jj], dtype="int64"),
+                "cluster_id": pd.Series(
+                    np.full(len(ii), int(key[0])), dtype="int32"
+                ),
+                "score": pd.Series(S[ii, jj], dtype="float64"),
+            }
         )
-        .select(
-            F.col(f"a.{id_col}").alias("id_a"),
-            F.col(f"b.{id_col}").alias("id_b"),
-            F.col("a.cluster_id").alias("cluster_id"),
-            sim.alias("score"),
-        )
-        .filter(F.col("score") >= threshold)
+
+    return assigned.groupBy("cluster_id").applyInPandas(
+        gen, "id_a long, id_b long, cluster_id int, score double"
     )

@@ -183,3 +183,29 @@ def test_ann_search_df_query_side_stays_executor(spark, sf_dir):
     qdf = emb.limit(3).select(F.col("id").alias("qid"), F.col("vector").alias("qvec"))
     plan = plans.formatted_plan(index.search_df(qdf, k=5))
     assert "MapInPandas" in plan
+
+
+def test_semdedup_shuffles_on_cluster_key_only(spark, sf_dir):
+    # the whole point of SemDeDup: the pair join is an equi-join on the
+    # cluster key — each side shuffles once (or broadcasts), never a
+    # cartesian of the corpus
+    from radient_spark.operators.cluster import kmeans_fit, semdedup_pairs
+
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    cents = kmeans_fit(emb, "embedding", "vec_id", k=4, iters=1)
+    df = semdedup_pairs(emb, "embedding", "vec_id", cents, threshold=0.4)
+    plan = plans.formatted_plan(df)
+    assert "CartesianProduct" not in plan, plan
+    # one exchange on the cluster key feeding the per-cluster GEMM group
+    assert plans.shuffle_count(df) == 1, plan
+    assert "FlatMapGroupsInPandas" in plan, plan
+
+
+def test_temperature_sample_broadcasts_thresholds(spark, sf_dir):
+    # the per-stratum threshold table is k rows — it must broadcast so
+    # the corpus scan stays shuffle-free
+    from radient_spark.operators.dataset import temperature_sample
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    df = temperature_sample(docs, "lang", "doc_id")
+    assert plans.uses_broadcast_join(df), plans.formatted_plan(df)

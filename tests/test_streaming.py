@@ -220,3 +220,77 @@ def test_dataset_ops_stream_equals_batch(spark, sf_dir, tmp_path):
     q.awaitTermination(120)
     streamed = {tuple(r) for r in spark.table("ds_ops_stream").collect()}
     assert streamed == batch and len(batch) > 0
+
+
+def test_curation_ops_stream_equals_batch(spark, sf_dir, tmp_path):
+    # cluster assignment is a stateless expression against literal
+    # centroids, so it streams in append mode directly; decontaminate
+    # ends in a per-doc global aggregation, so on a stream it rides the
+    # foreachBatch bridge (the documented pattern for ops whose last
+    # step is a non-windowed aggregate). Both must produce IDENTICAL
+    # rows to the batch run over the same files — the always-on
+    # landing-zone curation shape.
+    from radient_spark.operators.cluster import assign_clusters, kmeans_fit
+    from radient_spark.operators.dataset import decontaminate
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    ev = docs.filter(F.col("doc_id") % 10 == 0).select("doc_id", "text")
+    cents = kmeans_fit(emb, "embedding", "vec_id", k=4, iters=1)
+
+    ddir = str(tmp_path / "docs_in")
+    edir = str(tmp_path / "emb_in")
+    docs.filter(F.col("doc_id") % 10 != 0).select(
+        "doc_id", "text"
+    ).repartition(3).write.mode("overwrite").parquet(ddir)
+    emb.select("vec_id", "embedding").repartition(3).write.mode(
+        "overwrite"
+    ).parquet(edir)
+
+    def curate_docs(df):
+        return decontaminate(df, ev, "text", "doc_id", n=4).select(
+            "doc_id", "n_hit_grams"
+        )
+
+    def curate_emb(df):
+        return assign_clusters(df, "embedding", cents).select(
+            "vec_id", "cluster_id"
+        )
+
+    batch_docs = {tuple(r) for r in curate_docs(spark.read.parquet(ddir)).collect()}
+    batch_emb = {tuple(r) for r in curate_emb(spark.read.parquet(edir)).collect()}
+
+    # stateless assignment: plain append-mode stream
+    schema = spark.read.parquet(edir).schema
+    q = (
+        curate_emb(spark.readStream.schema(schema).parquet(edir))
+        .writeStream.format("memory")
+        .queryName("assign_stream")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck_assign"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    # aggregation-terminated op: foreachBatch bridge runs the batch
+    # operator per micro-batch (each doc's grams land in one batch, so
+    # per-doc counts are exact)
+    streamed_docs: set = set()
+
+    def batch_fn(df, _epoch):
+        streamed_docs.update(tuple(r) for r in curate_docs(df).collect())
+
+    dschema = spark.read.parquet(ddir).schema
+    from radient_spark import streaming as S
+
+    q2 = S.foreach_batch_sink(
+        spark.readStream.schema(dschema).parquet(ddir),
+        str(tmp_path / "ck_decontam"),
+        batch_fn,
+    )
+    q2.awaitTermination(120)
+
+    streamed_emb = {tuple(r) for r in spark.table("assign_stream").collect()}
+    assert streamed_docs == batch_docs and len(batch_docs) > 0
+    assert streamed_emb == batch_emb and len(batch_emb) > 0
