@@ -303,3 +303,91 @@ def connected_duplicate_groups(pairs: DataFrame, max_iter: int = 20) -> DataFram
             break
         labels = labels.localCheckpoint(eager=True)
     return labels
+
+
+def repeated_ngram_coverage(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 5,
+) -> DataFrame:
+    """Exact repeated-substring detection: the relational re-expression of
+    suffix-array training-data dedup (Lee et al. 2021, "Deduplicating
+    Training Data Makes Language Models Better"). A token n-gram occurring
+    >= 2 times anywhere in the corpus (within OR across documents) marks
+    its [pos, pos+n) token span as duplicated text; per document we report
+    the union length of those spans (gaps-and-islands in one window pass),
+    which is exactly the "fraction of tokens inside a repeated substring"
+    the suffix-array method computes for substrings of length n.
+
+    Output: (id_col, n_tokens, n_dup_grams, covered_tokens, coverage)
+    with coverage = covered_tokens / n_tokens.
+
+    Scale shape (100 TB): the exploded stream carries (id, pos, gh) = 24
+    bytes per gram — never gram text. One count-aggregate finds duplicated
+    hashes (map-side combine), one hash join back (AQE-skew-safe; hot
+    grams like boilerplate are exactly the skewed keys AQE splits), then a
+    per-document window whose partition is one document's hits. No driver
+    state; suffix arrays need a global sort of the whole corpus, this
+    needs a shuffle of gram *hashes* only.
+    """
+    staged = df.withColumn(
+        "__rs_toks", X.tokens(F.col(text_col))
+    ).withColumn("__rs_grams", X.shingles_from_tokens(F.col("__rs_toks"), n))
+    pos = (
+        staged.select(
+            F.col(id_col).alias("__rs_id"),
+            F.size("__rs_toks").alias("__rs_nt"),
+            F.posexplode("__rs_grams").alias("pos", "gram"),
+        )
+        .withColumn("gh", str_hash(F.col("gram")))
+        # short docs collapse to one whole-doc shingle spanning all tokens
+        .withColumn("gend", F.col("pos") + F.least(F.lit(n), F.col("__rs_nt")))
+        .drop("gram")
+    )
+    dup = pos.groupBy("gh").agg(F.count(F.lit(1)).alias("__rs_cnt")).filter(
+        F.col("__rs_cnt") >= 2
+    )
+    hits = pos.join(dup.select("gh"), "gh")
+    w = Window.partitionBy("__rs_id").orderBy("pos")
+    prev_end = F.max("gend").over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    hits = hits.withColumn(
+        "__rs_new",
+        F.when(prev_end.isNull() | (F.col("pos") > prev_end), 1).otherwise(0),
+    ).withColumn(
+        "__rs_isl",
+        F.sum("__rs_new").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    per_doc = (
+        hits.groupBy("__rs_id", "__rs_isl")
+        .agg(
+            (F.max("gend") - F.min("pos")).alias("__rs_cov"),
+            F.count(F.lit(1)).alias("__rs_nh"),
+        )
+        .groupBy("__rs_id")
+        .agg(
+            F.sum("__rs_cov").alias("covered_tokens"),
+            F.sum("__rs_nh").alias("n_dup_grams"),
+        )
+    )
+    base = df.select(
+        F.col(id_col), X.token_count(F.col(text_col)).alias("n_tokens")
+    )
+    return base.join(
+        per_doc, base[id_col] == per_doc["__rs_id"], "left"
+    ).select(
+        F.col(id_col),
+        "n_tokens",
+        F.coalesce("n_dup_grams", F.lit(0)).cast("long").alias("n_dup_grams"),
+        F.coalesce("covered_tokens", F.lit(0))
+        .cast("long")
+        .alias("covered_tokens"),
+        F.when(F.col("n_tokens") == 0, F.lit(0.0))
+        .otherwise(
+            F.coalesce("covered_tokens", F.lit(0)).cast("double")
+            / F.col("n_tokens").cast("double")
+        )
+        .alias("coverage"),
+    )

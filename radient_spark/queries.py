@@ -2888,6 +2888,73 @@ FROM thr t LEFT JOIN (
 """
 
 
+def q_repeated_ngram_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Suffix-array-style repeated-substring dedup (operators/dedup.py
+    repeated_ngram_coverage, after Lee et al. 2021): per document, the
+    union length of token spans covered by 5-grams that occur >= 2 times
+    anywhere in the corpus. All arithmetic is integer (positions, interval
+    union, md5 hashes) except one final IEEE division, so the oracle
+    matches bitwise."""
+    from radient_spark.operators.dedup import repeated_ngram_coverage
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    return repeated_ngram_coverage(docs, "text", "doc_id", n=5)
+
+
+_Q_REPEATED_NGRAM_SQL = r"""
+WITH t AS (
+  SELECT doc_id,
+    CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+         ELSE regexp_split_to_array(trim(text), '\s+') END AS toks
+  FROM documents
+), g AS (
+  SELECT doc_id, len(toks) AS n_tokens,
+    CASE WHEN len(toks) = 0 THEN []::VARCHAR[]
+         WHEN len(toks) < 5 THEN [array_to_string(toks, ' ')]
+         ELSE list_transform(generate_series(1, len(toks) - 4),
+                             i -> array_to_string(toks[i : i + 4], ' '))
+    END AS grams
+  FROM t
+), pos AS (
+  SELECT doc_id, n_tokens,
+    generate_subscripts(grams, 1) - 1 AS pos,
+    ('0x' || substring(md5(unnest(grams)), 1, 8))::BIGINT AS gh
+  FROM g
+), spans AS (
+  SELECT doc_id, pos, pos + LEAST(5, n_tokens) AS gend, gh FROM pos
+), dup AS (
+  SELECT gh FROM spans GROUP BY gh HAVING COUNT(*) >= 2
+), hits AS (
+  SELECT s.doc_id, s.pos, s.gend,
+    CASE WHEN MAX(s.gend) OVER (PARTITION BY s.doc_id ORDER BY s.pos
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+      OR s.pos > MAX(s.gend) OVER (PARTITION BY s.doc_id ORDER BY s.pos
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+    THEN 1 ELSE 0 END AS new_island
+  FROM spans s JOIN dup USING (gh)
+), isl AS (
+  SELECT doc_id, pos, gend,
+    SUM(new_island) OVER (PARTITION BY doc_id ORDER BY pos
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+  FROM hits
+), per_doc AS (
+  SELECT doc_id, SUM(cov) AS covered_tokens, SUM(nh) AS n_dup_grams
+  FROM (
+    SELECT doc_id, island, MAX(gend) - MIN(pos) AS cov, COUNT(*) AS nh
+    FROM isl GROUP BY doc_id, island
+  ) GROUP BY doc_id
+)
+SELECT b.doc_id, b.n_tokens,
+  COALESCE(p.n_dup_grams, 0)::BIGINT AS n_dup_grams,
+  COALESCE(p.covered_tokens, 0)::BIGINT AS covered_tokens,
+  CASE WHEN b.n_tokens = 0 THEN 0.0
+       ELSE COALESCE(p.covered_tokens, 0)::DOUBLE / b.n_tokens::DOUBLE
+  END AS coverage
+FROM (SELECT doc_id, len(toks) AS n_tokens FROM t) b
+LEFT JOIN per_doc p USING (doc_id)
+"""
+
+
 def _kmeans_cte(k: int, iters: int, seed: int) -> tuple[str, str, str]:
     """Unrolled integer-lattice Lloyd iterations as DuckDB CTEs, mirroring
     operators/cluster.py exactly (same md5 seeding, same micro-unit
@@ -3095,6 +3162,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "q21_waiting_supplier": (q21_waiting_supplier, _Q21_SQL),
     "q_decontamination_report": (q_decontamination_report, _Q_DECONTAM_SQL),
     "q_temperature_mix": (q_temperature_mix, _Q_TEMPERATURE_SQL),
+    "q_repeated_ngram_report": (q_repeated_ngram_report, _Q_REPEATED_NGRAM_SQL),
     "q_kmeans_embedding_clusters": (
         q_kmeans_embedding_clusters,
         _kmeans_report_sql(10, 2, 42),

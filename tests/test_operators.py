@@ -297,3 +297,32 @@ def test_gated_decoders_raise_cleanly_without_deps():
     d = transforms.pymupdf_screenshot_decoder()
     with pytest.raises(ImportError, match="stand-in"):
         d("/docs/a.pdf", None, 1.0)
+
+
+def test_repeated_ngram_coverage_hand_computed(spark):
+    # d1/d2 share the 5-gram "a b c d e"; d4 has a within-doc repeat whose
+    # two spans [0,5) and [5,10) are adjacent and must merge into one
+    # island; d5/d6 are short-doc (<5 tokens) whole-text duplicates; d3 is
+    # unique. Coverage fractions are hand-computed.
+    from radient_spark.operators.dedup import repeated_ngram_coverage
+
+    rows = [
+        (1, "a b c d e f g h"),
+        (2, "x y a b c d e z"),
+        (3, "p q r s t"),
+        (4, "m n o p q m n o p q"),
+        (5, "hi there"),
+        (6, "hi there"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {
+        r["doc_id"]: r
+        for r in repeated_ngram_coverage(df, "text", "doc_id", n=5).collect()
+    }
+    assert (out[1]["covered_tokens"], out[1]["coverage"]) == (5, 5 / 8)
+    assert (out[2]["covered_tokens"], out[2]["coverage"]) == (5, 5 / 8)
+    assert (out[3]["n_dup_grams"], out[3]["covered_tokens"]) == (0, 0)
+    # adjacency merge: one island covering all 10 tokens, from 2 dup grams
+    assert (out[4]["n_dup_grams"], out[4]["covered_tokens"], out[4]["coverage"]) == (2, 10, 1.0)
+    assert (out[5]["covered_tokens"], out[5]["coverage"]) == (2, 1.0)
+    assert (out[6]["covered_tokens"], out[6]["coverage"]) == (2, 1.0)
