@@ -208,3 +208,76 @@ def temperature_sample(
         .filter(bucket < F.col("keep_threshold"))
         .drop("n_before", "keep_threshold")
     )
+
+
+def unigram_surprisal_vocab(
+    ref_df: DataFrame, text_col: str = "text"
+) -> DataFrame:
+    """Train a unigram language model on a reference corpus and return
+    (token, surprisal) where surprisal = ln(N_total / count(token)) —
+    i.e. -ln p(token) under the MLE unigram model.
+
+    Determinism contract: the single ln() per *vocab entry* is rounded to
+    6 decimals and stored as DECIMAL(18,6), so every downstream document
+    aggregate is an exact decimal sum — the one libm call per distinct
+    token is the only (negligible, ≤1 ulp) cross-engine surface.
+
+    Scale shape: one map-side-combined groupBy over exploded tokens; the
+    CCNet contract is that the LM trains on a curated reference corpus
+    (Wikipedia-sized), so the resulting vocab broadcasts; the corpus being
+    scored never shuffles.
+    """
+    tok = ref_df.filter(F.length(F.trim(text_col)) > 0).select(
+        F.explode(X.tokens(F.col(text_col))).alias("tk")
+    )
+    vocab = tok.groupBy("tk").agg(F.count(F.lit(1)).alias("cnt"))
+    total = F.sum("cnt").over(Window.partitionBy())
+    return vocab.select(
+        "tk",
+        F.round(
+            F.log(total.cast("double") / F.col("cnt").cast("double")), 6
+        )
+        .cast("decimal(18,6)")
+        .alias("surprisal"),
+    )
+
+
+def perplexity_buckets(
+    df: DataFrame,
+    vocab: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    strata_col: str = "lang",
+    n_buckets: int = 3,
+) -> DataFrame:
+    """CCNet-style perplexity filtering (Wenzek et al. 2020): score each
+    document by its mean token surprisal under a unigram LM (monotone in
+    log-perplexity) and split each stratum into n_buckets quantile buckets
+    with NTILE — bucket 1 = head (most fluent), n = tail.
+
+    Out-of-vocabulary tokens score 0 here (the MLE model trained on the
+    same corpus has no OOV; when scoring against an external vocab, join
+    semantics make OOV free text — callers can add a smoothing constant).
+
+    Output: (id_col, strata_col, logppl, ppl_bucket). One shuffle to
+    re-group exploded tokens per document, one window per stratum.
+    """
+    tok = df.filter(F.length(F.trim(text_col)) > 0).select(
+        F.col(id_col), F.col(strata_col),
+        F.explode(X.tokens(F.col(text_col))).alias("tk"),
+    )
+    scored = (
+        tok.join(F.broadcast(vocab), "tk", "left")
+        .groupBy(id_col, strata_col)
+        .agg(
+            (
+                F.sum(F.coalesce(F.col("surprisal"), F.lit(0).cast("decimal(18,6)")))
+                .cast("double")
+                / F.count(F.lit(1))
+            ).alias("logppl")
+        )
+    )
+    w = Window.partitionBy(strata_col).orderBy(
+        F.col("logppl").asc(), F.col(id_col).asc()
+    )
+    return scored.withColumn("ppl_bucket", F.ntile(n_buckets).over(w))

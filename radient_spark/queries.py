@@ -2955,6 +2955,47 @@ LEFT JOIN per_doc p USING (doc_id)
 """
 
 
+def q_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style quality partitioning (operators/dataset.py
+    perplexity_buckets): unigram-LM mean surprisal per document, NTILE'd
+    into head/middle/tail per language. The vocab's one ln() per distinct
+    token is rounded to 6 decimals into DECIMAL(18,6), so document scores
+    are exact decimal sums and the oracle hash-matches."""
+    from radient_spark.operators.dataset import (
+        perplexity_buckets,
+        unigram_surprisal_vocab,
+    )
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    vocab = unigram_surprisal_vocab(docs, "text")
+    return perplexity_buckets(docs, vocab, "text", "doc_id", "lang")
+
+
+_Q_PERPLEXITY_SQL = r"""
+WITH tok AS (
+  SELECT doc_id, lang,
+    unnest(regexp_split_to_array(trim(text), '\s+')) AS tk
+  FROM documents WHERE length(trim(text)) > 0
+), vocab AS (
+  SELECT tk, COUNT(*) AS cnt FROM tok GROUP BY tk
+), surp AS (
+  SELECT tk,
+    CAST(round(ln((SUM(cnt) OVER ())::DOUBLE / cnt::DOUBLE), 6)
+         AS DECIMAL(18,6)) AS surprisal
+  FROM vocab
+), scored AS (
+  SELECT t.doc_id, t.lang,
+    CAST(SUM(s.surprisal) AS DOUBLE) / COUNT(*) AS logppl
+  FROM tok t JOIN surp s USING (tk)
+  GROUP BY t.doc_id, t.lang
+)
+SELECT doc_id, lang, logppl,
+  NTILE(3) OVER (PARTITION BY lang ORDER BY logppl ASC, doc_id ASC)
+    AS ppl_bucket
+FROM scored
+"""
+
+
 def _kmeans_cte(k: int, iters: int, seed: int) -> tuple[str, str, str]:
     """Unrolled integer-lattice Lloyd iterations as DuckDB CTEs, mirroring
     operators/cluster.py exactly (same md5 seeding, same micro-unit
@@ -3163,6 +3204,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "q_decontamination_report": (q_decontamination_report, _Q_DECONTAM_SQL),
     "q_temperature_mix": (q_temperature_mix, _Q_TEMPERATURE_SQL),
     "q_repeated_ngram_report": (q_repeated_ngram_report, _Q_REPEATED_NGRAM_SQL),
+    "q_perplexity_buckets": (q_perplexity_buckets, _Q_PERPLEXITY_SQL),
     "q_kmeans_embedding_clusters": (
         q_kmeans_embedding_clusters,
         _kmeans_report_sql(10, 2, 42),

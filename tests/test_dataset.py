@@ -111,3 +111,42 @@ def test_temperature_sample_equalizes_toward_sqrt(spark, sf_dir):
         ratio_before = max(before.values()) / min(before.values())
         ratio_after = max(after.values()) / max(1, min(after.values()))
         assert ratio_after <= ratio_before
+
+
+def test_perplexity_buckets_orders_fluent_docs_first(spark):
+    from radient_spark.operators.dataset import (
+        perplexity_buckets,
+        unigram_surprisal_vocab,
+    )
+
+    rows = [
+        (1, "the the the the", "en"),
+        (2, "the the the rare1", "en"),
+        (3, "rare2 rare3 rare4 rare5", "en"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text", "lang"])
+    vocab = unigram_surprisal_vocab(df, "text")
+    out = {
+        r["doc_id"]: r
+        for r in perplexity_buckets(df, vocab, "text", "doc_id", "lang").collect()
+    }
+    # common-token docs score lower (more "fluent" under the unigram LM)
+    assert out[1]["logppl"] < out[2]["logppl"] < out[3]["logppl"]
+    assert [out[i]["ppl_bucket"] for i in (1, 2, 3)] == [1, 2, 3]
+    import math
+    assert abs(out[3]["logppl"] - math.log(12)) < 1e-5
+
+
+def test_perplexity_oov_tokens_score_zero(spark):
+    from radient_spark.operators.dataset import (
+        perplexity_buckets,
+        unigram_surprisal_vocab,
+    )
+
+    ref = spark.createDataFrame([(1, "a b c d", "en")], ["doc_id", "text", "lang"])
+    vocab = unigram_surprisal_vocab(ref, "text")
+    target = spark.createDataFrame(
+        [(9, "zz yy xx ww", "en")], ["doc_id", "text", "lang"]
+    )
+    out = perplexity_buckets(target, vocab, "text", "doc_id", "lang").collect()
+    assert out[0]["logppl"] == 0.0
