@@ -2996,6 +2996,51 @@ FROM scored
 """
 
 
+def q_sq8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQ8-quantized top-k search (operators/quantize.py): per-dimension
+    affine int8 codes scored by asymmetric distance computation — the
+    4x-compressed scale path for embedding search. Per-term decimal
+    routing + integer micro-unit sums make the oracle hash-match exact."""
+    from radient_spark.operators.quantize import sq8_minmax, sq8_topk
+
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    stats = sq8_minmax(emb, "embedding")
+    return sq8_topk(emb, stats, QUERY_VEC, k=10)
+
+
+_Q_SQ8_SQL = f"""
+WITH dims AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) AS dim,
+         unnest(embedding)::DOUBLE AS v
+  FROM embeddings
+), stats AS (
+  SELECT dim, MIN(v) AS mn, MAX(v) AS mx FROM dims GROUP BY dim
+), codes AS (
+  SELECT vec_id, d.dim,
+    CASE WHEN mx = mn THEN 0
+         ELSE GREATEST(0, LEAST(255,
+                FLOOR((v - mn) * 255.0 / (mx - mn) + 0.5)))::BIGINT
+    END AS c
+  FROM dims d JOIN stats USING (dim)
+), q AS (
+  SELECT generate_subscripts(qv, 1) AS dim, unnest(qv) AS qx
+  FROM (SELECT {_QV_SQL} AS qv)
+), w AS (
+  SELECT q.dim,
+    CASE WHEN mx = mn THEN 0.0
+         ELSE qx * (mx - mn) / 255.0 END AS wt
+  FROM q JOIN stats USING (dim)
+)
+SELECT vec_id,
+  SUM((CAST(codes.c::DOUBLE * w.wt AS DECIMAL(18,6))
+       * 1000000)::BIGINT)::DOUBLE / 1000000.0 AS qscore
+FROM codes JOIN w ON codes.dim = w.dim
+GROUP BY vec_id
+ORDER BY qscore DESC, vec_id ASC
+LIMIT 10
+"""
+
+
 def _kmeans_cte(k: int, iters: int, seed: int) -> tuple[str, str, str]:
     """Unrolled integer-lattice Lloyd iterations as DuckDB CTEs, mirroring
     operators/cluster.py exactly (same md5 seeding, same micro-unit
@@ -3205,6 +3250,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "q_temperature_mix": (q_temperature_mix, _Q_TEMPERATURE_SQL),
     "q_repeated_ngram_report": (q_repeated_ngram_report, _Q_REPEATED_NGRAM_SQL),
     "q_perplexity_buckets": (q_perplexity_buckets, _Q_PERPLEXITY_SQL),
+    "q_sq8_topk": (q_sq8_topk, _Q_SQ8_SQL),
     "q_kmeans_embedding_clusters": (
         q_kmeans_embedding_clusters,
         _kmeans_report_sql(10, 2, 42),

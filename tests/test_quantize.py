@@ -1,0 +1,54 @@
+"""SQ8 scalar quantization: code bounds, reconstruction error, and
+search quality vs the exact scorer."""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from radient_spark.catalog import load_tables
+from radient_spark.operators.quantize import sq8_encode, sq8_minmax, sq8_topk
+from radient_spark.queries import QUERY_VEC
+
+
+def test_sq8_codes_bounded_and_reconstruction_tight(spark, sf_dir):
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    stats = sq8_minmax(emb, "embedding")
+    rows = sq8_encode(emb, stats, "embedding").select("embedding", "codes").collect()
+    mn = np.array([a for a, _ in stats])
+    mx = np.array([b for _, b in stats])
+    step = np.where(mx > mn, (mx - mn) / 255.0, 1.0)
+    for r in rows:
+        c = np.array(r["codes"])
+        assert c.min() >= 0 and c.max() <= 255
+        recon = mn + c * step
+        err = np.abs(np.array(r["embedding"], dtype=np.float64) - recon)
+        # affine grid quantization error is at most half a step
+        assert (err <= step / 2 + 1e-9).all()
+
+
+def test_sq8_degenerate_dim_codes_zero(spark):
+    df = spark.createDataFrame(
+        [(1, [1.0, 0.5]), (2, [1.0, -0.5])], ["vec_id", "embedding"]
+    )
+    df = df.withColumn("embedding", F.col("embedding").cast("array<float>"))
+    stats = sq8_minmax(df, "embedding")
+    assert stats[0] == (1.0, 1.0)
+    rows = {r["vec_id"]: r["codes"] for r in sq8_encode(df, stats).collect()}
+    assert rows[1][0] == 0 and rows[2][0] == 0
+    assert rows[1][1] == 255 and rows[2][1] == 0
+
+
+def test_sq8_topk_matches_exact_ranking(spark, sf_dir):
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    stats = sq8_minmax(emb, "embedding")
+    got = [r["vec_id"] for r in sq8_topk(emb, stats, QUERY_VEC, k=10).collect()]
+    q = np.array(QUERY_VEC)
+    rows = emb.select("vec_id", "embedding").collect()
+    exact = sorted(
+        ((float(np.dot(np.array(r["embedding"], dtype=np.float64), q)), r["vec_id"]) for r in rows),
+        key=lambda t: (-t[0], t[1]),
+    )
+    exact_ids = [vid for _, vid in exact[:10]]
+    # 8-bit quantization may swap near-ties but must agree on most of top-10
+    assert len(set(got) & set(exact_ids)) >= 8
