@@ -281,3 +281,86 @@ def perplexity_buckets(
         F.col("logppl").asc(), F.col(id_col).asc()
     )
     return scored.withColumn("ppl_bucket", F.ntile(n_buckets).over(w))
+
+
+def _hashed_features(
+    df: DataFrame, text_col: str, id_col: str, buckets: int
+) -> DataFrame:
+    """DSIR's hashed bag-of-n-grams features: one row per unigram and
+    bigram occurrence, hashed into `buckets` slots (portable md5). The
+    feature stream carries (id, bucket) ints only."""
+    staged = df.filter(F.length(F.trim(text_col)) > 0).withColumn(
+        "__ds_toks", X.tokens(F.col(text_col))
+    )
+    uni = staged.select(
+        F.col(id_col), F.explode("__ds_toks").alias("feat")
+    )
+    bi = staged.withColumn(
+        "__ds_bi", X.shingles_from_tokens(F.col("__ds_toks"), 2)
+    ).select(F.col(id_col), F.explode("__ds_bi").alias("feat"))
+    return uni.unionAll(bi).select(
+        F.col(id_col), (str_hash(F.col("feat")) % buckets).alias("bucket")
+    )
+
+
+def dsir_logweights(
+    raw_df: DataFrame,
+    target_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    buckets: int = 10_000,
+) -> DataFrame:
+    """DSIR importance weights (Xie et al. 2023, "Data Selection for
+    Language Models via Importance Resampling"): score every raw document
+    by log p_target(x)/p_raw(x) under hashed bag-of-n-gram models with
+    Laplace smoothing — documents resembling the target domain get high
+    weights and survive resampling.
+
+    Determinism: per-bucket log-likelihood ratio is ONE ln of a ratio of
+    exactly-representable integer products (counts < 2^26, so products
+    stay under 2^53), rounded to 6 decimals into DECIMAL(18,6); document
+    weights are then exact decimal sums.
+
+    Scale shape: both bucket-count tables are `buckets` rows (tiny,
+    broadcast); the raw corpus streams through one explode + broadcast
+    join + per-doc aggregate. The target corpus is read once for counts.
+    """
+    raw_feats = _hashed_features(raw_df, text_col, id_col, buckets)
+    tgt_feats = _hashed_features(target_df, text_col, id_col, buckets)
+    raw_counts = raw_feats.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("cr")
+    )
+    tgt_counts = tgt_feats.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("ct")
+    )
+    joined = raw_counts.join(tgt_counts, "bucket", "full").select(
+        "bucket",
+        F.coalesce("cr", F.lit(0)).alias("cr"),
+        F.coalesce("ct", F.lit(0)).alias("ct"),
+    )
+    w_all = Window.partitionBy()
+    tot_r = F.sum("cr").over(w_all)
+    tot_t = F.sum("ct").over(w_all)
+    # ln( (ct+1)/(Tt+B) / ((cr+1)/(Tr+B)) ) as ONE ln of an exact ratio
+    lam = joined.select(
+        "bucket",
+        F.round(
+            F.log(
+                ((F.col("ct") + 1) * (tot_r + buckets)).cast("double")
+                / ((F.col("cr") + 1) * (tot_t + buckets)).cast("double")
+            ),
+            6,
+        )
+        .cast("decimal(18,6)")
+        .alias("lam"),
+    )
+    weights = (
+        raw_feats.join(F.broadcast(lam), "bucket")
+        .groupBy(id_col)
+        .agg(F.sum("lam").cast("double").alias("logweight"))
+    )
+    # global NTILE is a single-reducer sort of the per-DOC weight table
+    # (one row per document, already aggregated) — at petabyte row counts
+    # swap for approxQuantile thresholds; the weights themselves stream.
+    dec = Window.orderBy(F.col("logweight").desc(), F.col(id_col).asc())
+    return weights.withColumn("decile", F.ntile(10).over(dec))

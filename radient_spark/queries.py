@@ -3041,6 +3041,57 @@ LIMIT 10
 """
 
 
+def q_dsir_logweights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance weighting (operators/dataset.py dsir_logweights):
+    score every document by log p_target/p_raw under hashed unigram+bigram
+    models, target domain = English documents. One rounded ln per feature
+    bucket, exact decimal sums per document — oracle hash-matches."""
+    from radient_spark.operators.dataset import dsir_logweights
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    target = docs.filter(F.col("lang") == "en")
+    return dsir_logweights(docs, target, "text", "doc_id", buckets=10_000)
+
+
+_Q_DSIR_SQL = r"""
+WITH staged AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks, lang
+  FROM documents WHERE length(trim(text)) > 0
+), uni AS (
+  SELECT doc_id, lang, unnest(toks) AS feat FROM staged
+), bi AS (
+  SELECT doc_id, lang,
+    unnest(CASE WHEN len(toks) < 2 THEN [array_to_string(toks, ' ')]
+                ELSE list_transform(generate_series(1, len(toks) - 1),
+                                    i -> array_to_string(toks[i : i + 1], ' '))
+           END) AS feat
+  FROM staged
+), feats AS (
+  SELECT doc_id, lang,
+    ('0x' || substring(md5(feat), 1, 8))::BIGINT % 10000 AS bucket
+  FROM (SELECT * FROM uni UNION ALL SELECT * FROM bi)
+), rawc AS (
+  SELECT bucket, COUNT(*) AS cr FROM feats GROUP BY bucket
+), tgtc AS (
+  SELECT bucket, COUNT(*) AS ct FROM feats WHERE lang = 'en' GROUP BY bucket
+), lam AS (
+  SELECT COALESCE(r.bucket, t.bucket) AS bucket,
+    CAST(round(ln(
+      ((COALESCE(ct, 0) + 1) * (SUM(COALESCE(cr, 0)) OVER () + 10000))::DOUBLE
+      / ((COALESCE(cr, 0) + 1) * (SUM(COALESCE(ct, 0)) OVER () + 10000))::DOUBLE
+    ), 6) AS DECIMAL(18,6)) AS lam
+  FROM rawc r FULL OUTER JOIN tgtc t ON r.bucket = t.bucket
+), weights AS (
+  SELECT f.doc_id, CAST(SUM(l.lam) AS DOUBLE) AS logweight
+  FROM feats f JOIN lam l USING (bucket)
+  GROUP BY f.doc_id
+)
+SELECT doc_id, logweight,
+  NTILE(10) OVER (ORDER BY logweight DESC, doc_id ASC) AS decile
+FROM weights
+"""
+
+
 def _kmeans_cte(k: int, iters: int, seed: int) -> tuple[str, str, str]:
     """Unrolled integer-lattice Lloyd iterations as DuckDB CTEs, mirroring
     operators/cluster.py exactly (same md5 seeding, same micro-unit
@@ -3251,6 +3302,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "q_repeated_ngram_report": (q_repeated_ngram_report, _Q_REPEATED_NGRAM_SQL),
     "q_perplexity_buckets": (q_perplexity_buckets, _Q_PERPLEXITY_SQL),
     "q_sq8_topk": (q_sq8_topk, _Q_SQ8_SQL),
+    "q_dsir_logweights": (q_dsir_logweights, _Q_DSIR_SQL),
     "q_kmeans_embedding_clusters": (
         q_kmeans_embedding_clusters,
         _kmeans_report_sql(10, 2, 42),

@@ -150,3 +150,21 @@ def test_perplexity_oov_tokens_score_zero(spark):
     )
     out = perplexity_buckets(target, vocab, "text", "doc_id", "lang").collect()
     assert out[0]["logppl"] == 0.0
+
+
+def test_dsir_weights_rank_target_domain_docs_higher(spark):
+    from radient_spark.operators.dataset import dsir_logweights
+
+    rows = [
+        (1, "physics energy quantum field theory", "sci"),
+        (2, "quantum field energy physics experiments", "sci"),
+        (3, "recipe butter sugar flour oven", "food"),
+        (4, "oven sugar butter recipe baking", "food"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text", "domain"])
+    target = df.filter("domain = 'sci'")
+    out = {
+        r["doc_id"]: r["logweight"]
+        for r in dsir_logweights(df, target, "text", "doc_id", buckets=1000).collect()
+    }
+    assert min(out[1], out[2]) > max(out[3], out[4])
