@@ -55,6 +55,10 @@ BENCH_QUERIES = [
     "q_temperature_mix",
     "q_kmeans_embedding_clusters",
     "q_semdedup_pairs",
+    "q_repeated_ngram_report",
+    "q_perplexity_buckets",
+    "q_dsir_logweights",
+    "q_sq8_topk",
 ]
 
 

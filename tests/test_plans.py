@@ -209,3 +209,35 @@ def test_temperature_sample_broadcasts_thresholds(spark, sf_dir):
     docs = load_tables(spark, sf_dir)["documents"]
     df = temperature_sample(docs, "lang", "doc_id")
     assert plans.uses_broadcast_join(df), plans.formatted_plan(df)
+
+
+def test_sq8_topk_corpus_never_shuffles(spark, sf_dir):
+    # encode + score are per-row folds; the global top-k must compile to
+    # TakeOrderedAndProject with zero exchanges of the corpus
+    df = QUERIES["q_sq8_topk"][0](spark, sf_dir)
+    assert plans.shuffle_count(df) == 0, plans.formatted_plan(df)
+    assert "TakeOrderedAndProject" in plans.formatted_plan(df)
+
+
+def test_perplexity_vocab_join_broadcasts(spark, sf_dir):
+    # the surprisal vocab is the small side by the CCNet contract — the
+    # corpus token stream must stay on its scan side of a broadcast join
+    df = QUERIES["q_perplexity_buckets"][0](spark, sf_dir)
+    assert plans.uses_broadcast_join(df), plans.formatted_plan(df)
+
+
+def test_dsir_lambda_table_broadcasts(spark, sf_dir):
+    # the per-bucket log-likelihood-ratio table is `buckets` rows; the
+    # raw-corpus feature stream joins it broadcast, never shuffled by bucket
+    df = QUERIES["q_dsir_logweights"][0](spark, sf_dir)
+    assert plans.uses_broadcast_join(df), plans.formatted_plan(df)
+
+
+def test_repeated_ngram_shuffles_hashes_not_text(spark, sf_dir):
+    # gram text must be projected away before any exchange: the shuffles
+    # carry (id, pos, gh) only
+    df = QUERIES["q_repeated_ngram_report"][0](spark, sf_dir)
+    plan = plans.formatted_plan(df)
+    import re
+    for m in re.finditer(r"Exchange hashpartitioning\(([^)]*)\)", plan):
+        assert "gram" not in m.group(1) or "gh" in m.group(1), m.group(0)
