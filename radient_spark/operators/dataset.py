@@ -284,28 +284,37 @@ def perplexity_buckets(
 
 
 def _hashed_features(
-    df: DataFrame, text_col: str, id_col: str, buckets: int
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    buckets: int,
+    keep_cols: list[str] | None = None,
 ) -> DataFrame:
     """DSIR's hashed bag-of-n-grams features: one row per unigram and
     bigram occurrence, hashed into `buckets` slots (portable md5). The
-    feature stream carries (id, bucket) ints only."""
+    feature stream carries (id, bucket) ints (plus `keep_cols`) only."""
     staged = df.filter(F.length(F.trim(text_col)) > 0).withColumn(
         "__ds_toks", X.tokens(F.col(text_col))
     )
-    uni = staged.select(
-        F.col(id_col), F.explode("__ds_toks").alias("feat")
+    extra = [F.col(c) for c in (keep_cols or [])]
+    # one explode of unigrams ++ bigrams: a union of two branches would
+    # re-tokenize the corpus once per branch
+    both = F.concat(
+        F.col("__ds_toks"),
+        X.shingles_from_tokens(F.col("__ds_toks"), 2),
     )
-    bi = staged.withColumn(
-        "__ds_bi", X.shingles_from_tokens(F.col("__ds_toks"), 2)
-    ).select(F.col(id_col), F.explode("__ds_bi").alias("feat"))
-    return uni.unionAll(bi).select(
-        F.col(id_col), (str_hash(F.col("feat")) % buckets).alias("bucket")
+    return staged.select(
+        F.col(id_col), *extra, F.explode(both).alias("feat")
+    ).select(
+        F.col(id_col),
+        *extra,
+        (str_hash(F.col("feat")) % buckets).alias("bucket"),
     )
 
 
 def dsir_logweights(
-    raw_df: DataFrame,
-    target_df: DataFrame,
+    df: DataFrame,
+    is_target,
     text_col: str = "text",
     id_col: str = "doc_id",
     buckets: int = 10_000,
@@ -314,29 +323,30 @@ def dsir_logweights(
     Language Models via Importance Resampling"): score every raw document
     by log p_target(x)/p_raw(x) under hashed bag-of-n-gram models with
     Laplace smoothing — documents resembling the target domain get high
-    weights and survive resampling.
+    weights and survive resampling. `is_target` is a boolean Column
+    marking the target-domain rows (for an external target corpus, union
+    it with the raw frame and flag the origin).
 
     Determinism: per-bucket log-likelihood ratio is ONE ln of a ratio of
     exactly-representable integer products (counts < 2^26, so products
     stay under 2^53), rounded to 6 decimals into DECIMAL(18,6); document
     weights are then exact decimal sums.
 
-    Scale shape: both bucket-count tables are `buckets` rows (tiny,
-    broadcast); the raw corpus streams through one explode + broadcast
-    join + per-doc aggregate. The target corpus is read once for counts.
+    Scale shape: both bucket-count models come from a SINGLE conditional
+    aggregation over one pass of the feature stream (the corpus is
+    tokenized twice total: once for counts, once for scoring); the lambda
+    table is `buckets` rows, broadcast, so scoring is shuffle-free up to
+    the per-document aggregate.
     """
-    raw_feats = _hashed_features(raw_df, text_col, id_col, buckets)
-    tgt_feats = _hashed_features(target_df, text_col, id_col, buckets)
-    raw_counts = raw_feats.groupBy("bucket").agg(
-        F.count(F.lit(1)).alias("cr")
+    flagged = df.withColumn("__ds_tgt", is_target)
+    feats = _hashed_features(
+        flagged, text_col, id_col, buckets, keep_cols=["__ds_tgt"]
     )
-    tgt_counts = tgt_feats.groupBy("bucket").agg(
-        F.count(F.lit(1)).alias("ct")
-    )
-    joined = raw_counts.join(tgt_counts, "bucket", "full").select(
-        "bucket",
-        F.coalesce("cr", F.lit(0)).alias("cr"),
-        F.coalesce("ct", F.lit(0)).alias("ct"),
+    joined = feats.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("cr"),
+        F.coalesce(
+            F.sum(F.col("__ds_tgt").cast("long")), F.lit(0)
+        ).alias("ct"),
     )
     w_all = Window.partitionBy()
     tot_r = F.sum("cr").over(w_all)
@@ -355,7 +365,7 @@ def dsir_logweights(
         .alias("lam"),
     )
     weights = (
-        raw_feats.join(F.broadcast(lam), "bucket")
+        feats.join(F.broadcast(lam), "bucket")
         .groupBy(id_col)
         .agg(F.sum("lam").cast("double").alias("logweight"))
     )

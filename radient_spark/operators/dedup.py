@@ -324,10 +324,11 @@ def repeated_ngram_coverage(
     with coverage = covered_tokens / n_tokens.
 
     Scale shape (100 TB): the exploded stream carries (id, pos, gh) = 24
-    bytes per gram — never gram text. One count-aggregate finds duplicated
-    hashes (map-side combine), one hash join back (AQE-skew-safe; hot
-    grams like boilerplate are exactly the skewed keys AQE splits), then a
-    per-document window whose partition is one document's hits. No driver
+    bytes per gram — never gram text, and it is tokenized ONCE: the
+    duplicate filter is a count window over gh (one shuffle on the gram
+    hash; hot boilerplate grams are the skewed keys AQE splits), then a
+    per-document window whose partition is one document's hits (its
+    shuffle input is already down to the duplicated grams). No driver
     state; suffix arrays need a global sort of the whole corpus, this
     needs a shuffle of gram *hashes* only.
     """
@@ -345,10 +346,12 @@ def repeated_ngram_coverage(
         .withColumn("gend", F.col("pos") + F.least(F.lit(n), F.col("__rs_nt")))
         .drop("gram")
     )
-    dup = pos.groupBy("gh").agg(F.count(F.lit(1)).alias("__rs_cnt")).filter(
-        F.col("__rs_cnt") >= 2
-    )
-    hits = pos.join(dup.select("gh"), "gh")
+    # single-pass duplicate filter: count over a gh window instead of a
+    # groupBy + self-join (which would recompute the tokenize/explode
+    # lineage for each branch)
+    hits = pos.withColumn(
+        "__rs_ghn", F.count(F.lit(1)).over(Window.partitionBy("gh"))
+    ).filter(F.col("__rs_ghn") >= 2)
     w = Window.partitionBy("__rs_id").orderBy("pos")
     prev_end = F.max("gend").over(
         w.rowsBetween(Window.unboundedPreceding, -1)

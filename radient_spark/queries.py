@@ -3049,8 +3049,9 @@ def q_dsir_logweights(spark: SparkSession, sf_dir: str) -> DataFrame:
     from radient_spark.operators.dataset import dsir_logweights
 
     docs = load_tables(spark, sf_dir)["documents"]
-    target = docs.filter(F.col("lang") == "en")
-    return dsir_logweights(docs, target, "text", "doc_id", buckets=10_000)
+    return dsir_logweights(
+        docs, F.col("lang") == "en", "text", "doc_id", buckets=10_000
+    )
 
 
 _Q_DSIR_SQL = r"""
@@ -3139,6 +3140,103 @@ def _kmeans_cte(k: int, iters: int, seed: int) -> tuple[str, str, str]:
 )"""
     parts.append(final_assign)
     return "WITH " + ",\n".join(parts), prev, "af"
+
+
+def q_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantized top-k search (operators/quantize.py): m=8
+    subspace codebooks of k=16 lattice-k-means centroids (32x compression
+    at storage: 8 bytes of codes per 64-d float32 vector), asymmetric
+    lookup-table distances. Every quantity is an exact integer, so the
+    full fit+encode+search pipeline hash-matches the unrolled-Lloyd SQL
+    oracle."""
+    from radient_spark.operators.quantize import pq_fit, pq_topk
+
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    books = pq_fit(emb, "embedding", "vec_id", m=8, k=16, iters=1, seed=42)
+    return pq_topk(emb, books, QUERY_VEC, k=10)
+
+
+def _pq_sql(m: int = 8, k: int = 16, iters: int = 1, seed: int = 42) -> str:
+    """PQ oracle: the _kmeans_cte unrolled-Lloyd trick, restricted per
+    subspace to its dim range, plus a query lookup table over the final
+    centroids. The query's lattice coordinates are embedded as integer
+    literals (pq_quantize_query), so no rounding mode crosses engines."""
+    from radient_spark.operators.quantize import pq_quantize_query
+
+    q_micro = pq_quantize_query(QUERY_VEC)
+    dim = len(q_micro)
+    d_sub = dim // m
+    parts = [
+        f"""pts AS (
+  SELECT vec_id, u.i AS dim,
+    CAST(round(CAST(embedding[u.i] AS DOUBLE) * 1000000, 0) AS BIGINT)
+      + 4000000 AS v
+  FROM embeddings, unnest(range(1, len(embedding) + 1)) AS u(i)
+), sd AS (
+  SELECT vec_id, row_number() OVER (
+    ORDER BY ('0x' || substring(md5(concat_ws('_', {seed}, vec_id)), 1, 8))::BIGINT,
+             vec_id) - 1 AS c
+  FROM embeddings
+), qm AS (
+  SELECT generate_subscripts(a, 1) AS dim, unnest(a) AS qv
+  FROM (SELECT [{", ".join(str(v) for v in q_micro)}]::BIGINT[] AS a)
+)"""
+    ]
+    finals = []
+    for s in range(m):
+        lo, hi = s * d_sub + 1, (s + 1) * d_sub
+        prev = f"c0_s{s}"
+        parts.append(f"""{prev} AS (
+  SELECT sd.c, p.dim, p.v AS cv FROM sd JOIN pts p USING (vec_id)
+  WHERE sd.c < {k} AND p.dim BETWEEN {lo} AND {hi}
+)""")
+        for it in range(1, iters + 1):
+            assign, cur = f"a{it}_s{s}", f"c{it}_s{s}"
+            parts.append(f"""{assign} AS (
+  SELECT p.vec_id, {prev}.c, SUM((p.v - {prev}.cv) * (p.v - {prev}.cv)) AS d
+  FROM pts p JOIN {prev} ON p.dim = {prev}.dim
+  GROUP BY p.vec_id, {prev}.c
+  QUALIFY row_number() OVER (PARTITION BY p.vec_id ORDER BY d, c) = 1
+), {cur} AS (
+  SELECT u.c, u.dim, COALESCE(mm.mv, u.cv) AS cv
+  FROM {prev} u LEFT JOIN (
+    SELECT {assign}.c, p.dim, SUM(p.v) // COUNT(*) AS mv
+    FROM {assign} JOIN pts p USING (vec_id)
+    WHERE p.dim BETWEEN {lo} AND {hi}
+    GROUP BY {assign}.c, p.dim
+  ) mm ON u.c = mm.c AND u.dim = mm.dim
+)""")
+            prev = cur
+        parts.append(f"""af_s{s} AS (
+  SELECT p.vec_id, {prev}.c, SUM((p.v - {prev}.cv) * (p.v - {prev}.cv)) AS d
+  FROM pts p JOIN {prev} ON p.dim = {prev}.dim
+  GROUP BY p.vec_id, {prev}.c
+  QUALIFY row_number() OVER (PARTITION BY p.vec_id ORDER BY d, c) = 1
+), lut_s{s} AS (
+  SELECT {prev}.c,
+    SUM((qm.qv - {prev}.cv) * (qm.qv - {prev}.cv)) AS ld
+  FROM {prev} JOIN qm ON qm.dim = {prev}.dim
+  GROUP BY {prev}.c
+)""")
+        finals.append(s)
+    joins = "\n".join(
+        f"JOIN af_s{s} a{s} ON a{s}.vec_id = a0.vec_id\n"
+        f"JOIN lut_s{s} l{s} ON l{s}.c = a{s}.c"
+        if s > 0
+        else "FROM af_s0 a0 JOIN lut_s0 l0 ON l0.c = a0.c"
+        for s in finals
+    )
+    total = " + ".join(f"l{s}.ld" for s in finals)
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"""
+SELECT a0.vec_id, ({total})::BIGINT AS pq_dist
+{joins}
+ORDER BY pq_dist ASC, a0.vec_id ASC
+LIMIT 10
+"""
+    )
 
 
 def q_kmeans_embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3303,6 +3401,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "q_perplexity_buckets": (q_perplexity_buckets, _Q_PERPLEXITY_SQL),
     "q_sq8_topk": (q_sq8_topk, _Q_SQ8_SQL),
     "q_dsir_logweights": (q_dsir_logweights, _Q_DSIR_SQL),
+    "q_pq_topk": (q_pq_topk, _pq_sql(8, 16, 1, 42)),
     "q_kmeans_embedding_clusters": (
         q_kmeans_embedding_clusters,
         _kmeans_report_sql(10, 2, 42),

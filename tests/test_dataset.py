@@ -162,9 +162,10 @@ def test_dsir_weights_rank_target_domain_docs_higher(spark):
         (4, "oven sugar butter recipe baking", "food"),
     ]
     df = spark.createDataFrame(rows, ["doc_id", "text", "domain"])
-    target = df.filter("domain = 'sci'")
     out = {
         r["doc_id"]: r["logweight"]
-        for r in dsir_logweights(df, target, "text", "doc_id", buckets=1000).collect()
+        for r in dsir_logweights(
+            df, F.col("domain") == "sci", "text", "doc_id", buckets=1000
+        ).collect()
     }
     assert min(out[1], out[2]) > max(out[3], out[4])
