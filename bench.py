@@ -121,6 +121,21 @@ def main() -> None:
     timings["q_ann_search"] = round(time.perf_counter() - start, 3)
     shutil.rmtree(ann_path, ignore_errors=True)
 
+    # PQ is likewise fit-once / search-many: codebooks amortize across
+    # every query, so time fit and ADC-scan+rerank search separately.
+    from radient_spark.operators.quantize import pq_fit, pq_topk
+    from radient_spark.queries import QUERY_VEC
+
+    emb_pq = load_tables(spark, sf_dir)["embeddings"]
+    start = time.perf_counter()
+    books = pq_fit(emb_pq, "embedding", "vec_id", m=16, k=16, iters=1, seed=42)
+    timings["q_pq_fit"] = round(time.perf_counter() - start, 3)
+    start = time.perf_counter()
+    pq_topk(emb_pq, books, QUERY_VEC, k=10, shortlist=80).write.format(
+        "noop"
+    ).mode("overwrite").save()
+    timings["q_pq_search"] = round(time.perf_counter() - start, 3)
+
     print(
         json.dumps(
             {

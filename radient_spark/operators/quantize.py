@@ -1,7 +1,9 @@
 """Vector quantization for embedding columns: SQ8 scalar quantization
-(per-dimension affine int8 codes) — the standard memory-compression path
-for similarity search at scale (4x smaller than float32, integer dot
-products instead of float GEMM).
+(per-dimension affine int8 codes) and product quantization (PQ —
+per-subspace k-means codebooks, Jegou et al. 2011) — the standard
+memory-compression paths for similarity search at scale (SQ8 is 4x
+smaller than float32 with integer dot products; PQ with m=8 subspaces
+is 32x smaller with lookup-table scans).
 
 The reference keeps all vectors as float32 in its local index
 (/root/reference/radient/tasks/sinks/local/_gann_c_src/gann.c stores raw
@@ -119,5 +121,218 @@ def sq8_topk(
     return (
         encoded.select(F.col(id_col), score.alias(score_col))
         .orderBy(F.col(score_col).desc(), F.col(id_col).asc())
+        .limit(k)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ) on the integer lattice.
+#
+# Reuses the bit-exact lattice k-means from operators/cluster.py per
+# subspace, so codebooks, codes, and ADC distances are ALL exact
+# integers — the full fit+encode+search pipeline hash-matches a pure-SQL
+# oracle (the same unrolled-Lloyd CTE trick as q_kmeans_embedding_clusters,
+# restricted per subspace to its dim range).
+
+
+def pq_fit(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    m: int = 8,
+    k: int = 16,
+    iters: int = 1,
+    seed: int = 42,
+) -> list[list[list[int]]]:
+    """Fit m per-subspace codebooks of k centroids each (micro-unit
+    lattice space). The seeded init picks the same md5-ranked rows in
+    every subspace, so a SQL oracle shares one seed CTE.
+
+    All m subspace fits run fused: ONE seed collect, and per Lloyd
+    iteration ONE assignment+aggregate pass computing every subspace's
+    argmin codes and centroid means together (the aggregate's shuffle is
+    O(partitions * k * dim) partial rows — corpus-size independent, and
+    the driver sync is k*dim longs, same as a single full-space k-means).
+    Produces bit-identical codebooks to m independent lattice k-means
+    runs, which is what the SQL oracle unrolls."""
+    from radient_spark.operators.cluster import _argmin_struct, micro_vec
+    from radient_spark.operators.dedup import str_hash
+
+    dim = len(df.select(vec_col).first()[0])
+    if dim % m != 0:
+        raise ValueError(f"dim {dim} not divisible by m={m} subspaces")
+    d_sub = dim // m
+    micro = df.select(
+        F.col(id_col), micro_vec(F.col(vec_col)).alias("__m")
+    ).persist()
+    try:
+        seed_rows = (
+            micro.orderBy(
+                str_hash(F.concat_ws("_", F.lit(seed), F.col(id_col))),
+                F.col(id_col),
+            )
+            .limit(k)
+            .collect()
+        )
+        if len(seed_rows) < k:
+            raise ValueError(
+                f"need at least k={k} rows to seed, got {len(seed_rows)}"
+            )
+        books = [
+            [
+                list(r["__m"][s * d_sub : (s + 1) * d_sub])
+                for r in seed_rows
+            ]
+            for s in range(m)
+        ]
+        for _ in range(iters):
+            codes = F.array(
+                *[
+                    _argmin_struct(
+                        F.slice(F.col("__m"), s * d_sub + 1, d_sub),
+                        books[s],
+                    )["c"]
+                    for s in range(m)
+                ]
+            )
+            assigned = micro.withColumn("__codes", codes)
+            stats = (
+                assigned.select(
+                    "__codes", F.posexplode("__m").alias("dim", "v")
+                )
+                .withColumn(
+                    "c",
+                    F.element_at(
+                        "__codes", (F.col("dim") / d_sub + 1).cast("int")
+                    ),
+                )
+                .groupBy("dim", "c")
+                .agg(F.sum("v").alias("s"), F.count(F.lit(1)).alias("n"))
+                .select("dim", "c", F.expr("s div n").alias("mean"))
+                .collect()
+            )
+            new = [[list(c) for c in b] for b in books]
+            for r in stats:
+                s, j = divmod(r["dim"], d_sub)
+                new[s][r["c"]][j] = r["mean"]
+            books = new
+    finally:
+        micro.unpersist()
+    return books
+
+
+def pq_encode(
+    df: DataFrame,
+    codebooks: list[list[list[int]]],
+    vec_col: str = "embedding",
+    out_col: str = "pq_codes",
+) -> DataFrame:
+    """Append the m-byte PQ code array: per subspace, the argmin-distance
+    centroid id (ties to the lower id, exact integer distances). Pure
+    Catalyst — zero shuffle, no UDF."""
+    from radient_spark.operators.cluster import _argmin_struct, micro_vec
+
+    m = len(codebooks)
+    d_sub = len(codebooks[0][0])
+    codes = F.array(
+        *[
+            _argmin_struct(
+                micro_vec(F.slice(F.col(vec_col), s * d_sub + 1, d_sub)),
+                codebooks[s],
+            )["c"]
+            for s in range(m)
+        ]
+    )
+    return df.withColumn(out_col, codes)
+
+
+def pq_quantize_query(query: list[float]) -> list[int]:
+    """Quantize a raw query vector onto the micro lattice (half-away-from-
+    zero, matching cluster.micro_vec). The resulting integers are embedded
+    as literals on BOTH the Spark and oracle sides, so the rounding mode
+    itself never crosses engines."""
+    import math
+
+    from radient_spark.operators.cluster import MICRO, MICRO_SHIFT
+
+    out = []
+    for x in query:
+        v = float(x) * MICRO
+        r = math.floor(v + 0.5) if v >= 0 else math.ceil(v - 0.5)
+        out.append(int(r) + MICRO_SHIFT)
+    return out
+
+
+def pq_topk(
+    df: DataFrame,
+    codebooks: list[list[list[int]]],
+    query: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dist_col: str = "pq_dist",
+    shortlist: int | None = None,
+) -> DataFrame:
+    """Top-k nearest by PQ asymmetric distance: per subspace, a k-entry
+    lookup table of exact squared lattice distances from the query
+    subvector to each centroid; a row's distance is the sum of its m
+    table entries. Everything is int64 — no float, no rounding contract.
+
+    With `shortlist` set (the production configuration), the PQ scan
+    keeps that many candidates and re-ranks them by EXACT squared lattice
+    distance — the standard shortlist+rerank recipe that recovers the
+    recall quantization loses, still in pure integers.
+
+    Plan: per-row array lookups + fold, then TakeOrderedAndProject; the
+    corpus never shuffles and the PQ scan reads only (id, codes)-width
+    data. The rerank joins the tiny shortlist broadcast back to the
+    corpus and computes exact distances for shortlist rows only."""
+    q_micro = pq_quantize_query(query)
+    m = len(codebooks)
+    d_sub = len(codebooks[0][0])
+    lut = [
+        [
+            sum(
+                (q_micro[s * d_sub + j] - c[j]) ** 2
+                for j in range(d_sub)
+            )
+            for c in codebooks[s]
+        ]
+        for s in range(m)
+    ]
+    lut_col = F.array(
+        *[F.array(*[F.lit(int(v)) for v in row]) for row in lut]
+    )
+    encoded = pq_encode(df, codebooks, vec_col)
+    contrib = F.transform(
+        F.col("pq_codes"),
+        lambda c, s: F.element_at(F.element_at(lut_col, s + 1), c + 1),
+    )
+    dist = F.aggregate(
+        contrib, F.lit(0).cast("long"), lambda acc, x: acc + x
+    )
+    scanned = (
+        encoded.select(F.col(id_col), dist.alias(dist_col))
+        .orderBy(F.col(dist_col).asc(), F.col(id_col).asc())
+        .limit(shortlist if shortlist is not None else k)
+    )
+    if shortlist is None:
+        return scanned
+
+    from radient_spark.operators.cluster import micro_vec
+
+    q_arr = F.array(*[F.lit(int(v)) for v in q_micro])
+    exact = F.aggregate(
+        F.zip_with(
+            micro_vec(F.col(vec_col)), q_arr, lambda x, y: (x - y) * (x - y)
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, z: acc + z,
+    )
+    return (
+        df.join(F.broadcast(scanned), id_col)
+        .withColumn("exact_dist", exact)
+        .select(F.col(id_col), F.col(dist_col), F.col("exact_dist"))
+        .orderBy(F.col("exact_dist").asc(), F.col(id_col).asc())
         .limit(k)
     )

@@ -3143,20 +3143,28 @@ def _kmeans_cte(k: int, iters: int, seed: int) -> tuple[str, str, str]:
 
 
 def q_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Product-quantized top-k search (operators/quantize.py): m=8
-    subspace codebooks of k=16 lattice-k-means centroids (32x compression
-    at storage: 8 bytes of codes per 64-d float32 vector), asymmetric
-    lookup-table distances. Every quantity is an exact integer, so the
-    full fit+encode+search pipeline hash-matches the unrolled-Lloyd SQL
+    """Product-quantized top-k search (operators/quantize.py): m=16
+    subspace codebooks of k=16 lattice-k-means centroids (16x compression
+    at storage: 16 bytes of codes per 64-d float32 vector), asymmetric
+    lookup-table distances, shortlist of 80 re-ranked by exact lattice
+    distance. Every quantity is an exact integer, so the full
+    fit+encode+search pipeline hash-matches the unrolled-Lloyd SQL
     oracle."""
     from radient_spark.operators.quantize import pq_fit, pq_topk
 
     emb = load_tables(spark, sf_dir)["embeddings"]
-    books = pq_fit(emb, "embedding", "vec_id", m=8, k=16, iters=1, seed=42)
-    return pq_topk(emb, books, QUERY_VEC, k=10)
+    books = pq_fit(emb, "embedding", "vec_id", m=16, k=16, iters=1, seed=42)
+    return pq_topk(emb, books, QUERY_VEC, k=10, shortlist=80)
 
 
-def _pq_sql(m: int = 8, k: int = 16, iters: int = 1, seed: int = 42) -> str:
+def _pq_sql(
+    m: int = 16,
+    k: int = 16,
+    iters: int = 1,
+    seed: int = 42,
+    shortlist: int = 80,
+    topk: int = 10,
+) -> str:
     """PQ oracle: the _kmeans_cte unrolled-Lloyd trick, restricted per
     subspace to its dim range, plus a query lookup table over the final
     centroids. The query's lattice coordinates are embedded as integer
@@ -3227,14 +3235,24 @@ def _pq_sql(m: int = 8, k: int = 16, iters: int = 1, seed: int = 42) -> str:
         for s in finals
     )
     total = " + ".join(f"l{s}.ld" for s in finals)
+    parts.append(f"""short AS (
+  SELECT a0.vec_id, ({total})::BIGINT AS pq_dist
+  {joins}
+  ORDER BY pq_dist ASC, a0.vec_id ASC
+  LIMIT {shortlist}
+), rerank AS (
+  SELECT p.vec_id, SUM((p.v - qm.qv) * (p.v - qm.qv))::BIGINT AS exact_dist
+  FROM pts p JOIN qm USING (dim) JOIN short s ON s.vec_id = p.vec_id
+  GROUP BY p.vec_id
+)""")
     return (
         "WITH "
         + ",\n".join(parts)
         + f"""
-SELECT a0.vec_id, ({total})::BIGINT AS pq_dist
-{joins}
-ORDER BY pq_dist ASC, a0.vec_id ASC
-LIMIT 10
+SELECT s.vec_id, s.pq_dist, r.exact_dist
+FROM short s JOIN rerank r USING (vec_id)
+ORDER BY r.exact_dist ASC, s.vec_id ASC
+LIMIT {topk}
 """
     )
 
@@ -3401,7 +3419,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "q_perplexity_buckets": (q_perplexity_buckets, _Q_PERPLEXITY_SQL),
     "q_sq8_topk": (q_sq8_topk, _Q_SQ8_SQL),
     "q_dsir_logweights": (q_dsir_logweights, _Q_DSIR_SQL),
-    "q_pq_topk": (q_pq_topk, _pq_sql(8, 16, 1, 42)),
+    "q_pq_topk": (q_pq_topk, _pq_sql(16, 16, 1, 42, 80, 10)),
     "q_kmeans_embedding_clusters": (
         q_kmeans_embedding_clusters,
         _kmeans_report_sql(10, 2, 42),
