@@ -59,6 +59,7 @@ BENCH_QUERIES = [
     "q_perplexity_buckets",
     "q_dsir_logweights",
     "q_sq8_topk",
+    "q_curation_pipeline",
 ]
 
 

@@ -111,21 +111,16 @@ def ngram_hash_set(
     word n-grams (shingles). Tokens -> shingles are staged projections so
     Catalyst computes each once per row; the explode emits (id, long)
     pairs, never gram text, so shuffle payload is 16 bytes per gram."""
-    staged = (
-        df.withColumn("__dc_toks", X.tokens(F.col(text_col)))
-        .withColumn(
-            "__dc_grams", X.shingles_from_tokens(F.col("__dc_toks"), n)
-        )
-        .withColumn(
-            "__dc_hs",
-            F.array_distinct(
-                F.transform(F.col("__dc_grams"), lambda g: str_hash(g))
-            ),
+    from radient_spark.functions.stage import stage
+
+    staged = stage(df, __dc_toks=X.tokens(F.col(text_col)))
+    hs = F.array_distinct(
+        F.transform(
+            X.shingles_from_tokens(F.col("__dc_toks"), n),
+            lambda g: str_hash(g),
         )
     )
-    return staged.select(
-        F.col(id_col), F.explode("__dc_hs").alias("gram_hash")
-    )
+    return staged.select(F.col(id_col), F.explode(hs).alias("gram_hash"))
 
 
 def decontaminate(
@@ -293,8 +288,11 @@ def _hashed_features(
     """DSIR's hashed bag-of-n-grams features: one row per unigram and
     bigram occurrence, hashed into `buckets` slots (portable md5). The
     feature stream carries (id, bucket) ints (plus `keep_cols`) only."""
-    staged = df.filter(F.length(F.trim(text_col)) > 0).withColumn(
-        "__ds_toks", X.tokens(F.col(text_col))
+    from radient_spark.functions.stage import stage
+
+    staged = stage(
+        df.filter(F.length(F.trim(text_col)) > 0),
+        __ds_toks=X.tokens(F.col(text_col)),
     )
     extra = [F.col(c) for c in (keep_cols or [])]
     # one explode of unigrams ++ bigrams: a union of two branches would

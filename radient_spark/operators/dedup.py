@@ -76,21 +76,28 @@ def with_minhash(
     shingle_k: int = 3,
     out_col: str = "minhash",
 ) -> DataFrame:
-    """Append a MinHash signature column, staging tokens -> shingles ->
-    hashes as real projection steps so each is computed exactly once per
-    row (Catalyst keeps multi-referenced non-trivial columns
-    materialized instead of collapsing the projections)."""
-    staged = (
-        df.withColumn("__mh_toks", X.tokens(F.col(text_col)))
-        .withColumn("__mh_sh", X.shingles_from_tokens(F.col("__mh_toks"), shingle_k))
-        .withColumn(
-            "__mh_hs",
-            F.transform(F.col("__mh_sh"), lambda s: str_hash(s) % MINHASH_P),
-        )
+    """Append a MinHash signature column, staging the tokens -> shingles
+    -> hashes pipeline behind a Generate barrier (functions/stage.py) so
+    it runs exactly once per row — the signature expression references
+    the hash array num_hashes times, and CollapseProject would otherwise
+    inline (and re-evaluate) the whole pipeline per permutation."""
+    from radient_spark.functions.stage import stage
+
+    # two barriers: tokens must be an attribute BEFORE the shingle
+    # windows slice it (else each window re-splits the text), and the
+    # hash array must be an attribute before the signature references it
+    # per permutation
+    staged = stage(df, __mh_toks=X.tokens(F.col(text_col)))
+    staged = stage(
+        staged,
+        __mh_hs=F.transform(
+            X.shingles_from_tokens(F.col("__mh_toks"), shingle_k),
+            lambda s: str_hash(s) % MINHASH_P,
+        ),
     )
     return staged.withColumn(
         out_col, minhash_from_hashes(F.col("__mh_hs"), num_hashes)
-    ).drop("__mh_toks", "__mh_sh", "__mh_hs")
+    ).drop("__mh_toks", "__mh_hs")
 
 
 def _validate_banding(bands: int, num_hashes: int | None) -> None:
@@ -246,9 +253,16 @@ def with_simhash(
     n_bits: int = 32,
     out_col: str = "simhash",
 ) -> DataFrame:
-    """Append a SimHash column, staging token hashes once per row."""
-    staged = df.withColumn(
-        "__sh_hs", F.transform(X.tokens(F.col(text_col)), lambda t: str_hash(t))
+    """Append a SimHash column, staging token hashes behind a Generate
+    barrier — the bit-fold expression references the hash array n_bits
+    times, which inlined would re-tokenize the row per bit."""
+    from radient_spark.functions.stage import stage
+
+    staged = stage(
+        df,
+        __sh_hs=F.transform(
+            X.tokens(F.col(text_col)), lambda t: str_hash(t)
+        ),
     )
     return staged.withColumn(
         out_col, simhash_from_hashes(F.col("__sh_hs"), n_bits)
@@ -332,9 +346,11 @@ def repeated_ngram_coverage(
     state; suffix arrays need a global sort of the whole corpus, this
     needs a shuffle of gram *hashes* only.
     """
-    staged = df.withColumn(
-        "__rs_toks", X.tokens(F.col(text_col))
-    ).withColumn("__rs_grams", X.shingles_from_tokens(F.col("__rs_toks"), n))
+    from radient_spark.functions.stage import stage
+
+    staged = stage(df, __rs_toks=X.tokens(F.col(text_col))).withColumn(
+        "__rs_grams", X.shingles_from_tokens(F.col("__rs_toks"), n)
+    )
     pos = (
         staged.select(
             F.col(id_col).alias("__rs_id"),

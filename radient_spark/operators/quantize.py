@@ -229,21 +229,30 @@ def pq_encode(
 ) -> DataFrame:
     """Append the m-byte PQ code array: per subspace, the argmin-distance
     centroid id (ties to the lower id, exact integer distances). Pure
-    Catalyst — zero shuffle, no UDF."""
+    Catalyst — zero shuffle, no UDF.
+
+    The quantized vector is materialized ONCE per row through a
+    one-element explode: a Generate node emits it as a real attribute,
+    which Catalyst cannot inline back into the m*k distance folds (the
+    folds reference it m*k times; inlined, the 64-element round/shift
+    transform would re-run once per reference)."""
     from radient_spark.operators.cluster import _argmin_struct, micro_vec
 
     m = len(codebooks)
     d_sub = len(codebooks[0][0])
+    staged = df.withColumn(
+        "__pq_mv", F.explode(F.array(micro_vec(F.col(vec_col))))
+    )
     codes = F.array(
         *[
             _argmin_struct(
-                micro_vec(F.slice(F.col(vec_col), s * d_sub + 1, d_sub)),
+                F.slice(F.col("__pq_mv"), s * d_sub + 1, d_sub),
                 codebooks[s],
             )["c"]
             for s in range(m)
         ]
     )
-    return df.withColumn(out_col, codes)
+    return staged.withColumn(out_col, codes).drop("__pq_mv")
 
 
 def pq_quantize_query(query: list[float]) -> list[int]:

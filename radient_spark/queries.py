@@ -3142,6 +3142,101 @@ def _kmeans_cte(k: int, iters: int, seed: int) -> tuple[str, str, str]:
     return "WITH " + ",\n".join(parts), prev, "af"
 
 
+def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end curation pipeline composing the dataset operators the
+    way a production pretraining corpus build chains them: Gopher quality
+    gate -> exact dedup (keep lowest doc_id per text hash) -> benchmark
+    decontamination (drop docs sharing any 4-gram with the eval split)
+    -> reproducible hash split -> per-(lang, split) accounting. One lazy
+    plan end to end — no intermediate materialization; every stage's
+    arithmetic is the same oracle-proven contract as its standalone
+    query."""
+    from radient_spark.operators.dataset import decontaminate, hash_split
+
+    docs = load_tables(spark, sf_dir)["documents"].filter(
+        F.length(F.trim("text")) > 0
+    )
+    ev = docs.filter(F.col("doc_id") % 10 == 0)
+    corpus = docs.filter(F.col("doc_id") % 10 != 0)
+    toks = F.split(F.trim("text"), r"\s+")
+    n_words = F.size(toks)
+    mean_wlen = F.aggregate(
+        toks, F.lit(0.0), lambda a, t: a + F.length(t)
+    ) / n_words
+    n_symbols = F.size(F.split("text", r"[#\.]")) - 1
+    quality = corpus.filter(
+        (n_words >= 5)
+        & (n_words <= 1000)
+        & (mean_wlen >= 2)
+        & (mean_wlen <= 12)
+        & ((n_symbols / n_words) <= 0.1)
+    )
+    w = Window.partitionBy(F.md5("text"))
+    deduped = (
+        quality.withColumn("__keep", F.min("doc_id").over(w))
+        .filter(F.col("doc_id") == F.col("__keep"))
+        .drop("__keep")
+    )
+    clean = decontaminate(deduped, ev, "text", "doc_id", n=4).filter(
+        F.col("n_hit_grams") == 0
+    )
+    split = hash_split(clean, "doc_id", {"train": 0.9, "val": 0.1}, seed=42)
+    return split.groupBy("lang", "split").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(toks)).cast("long").alias("total_tokens"),
+    )
+
+
+_Q_CURATION_SQL = r"""
+WITH base AS (
+  SELECT doc_id, lang, text,
+    regexp_split_to_array(trim(text), '\s+') AS toks,
+    len(str_split_regex(text, '[#\.]')) - 1 AS n_symbols
+  FROM documents WHERE length(trim(text)) > 0
+), q AS (
+  SELECT * FROM base
+  WHERE doc_id % 10 <> 0
+    AND len(toks) BETWEEN 5 AND 1000
+    AND list_sum(list_transform(toks, x -> length(x)))::DOUBLE / len(toks)
+        BETWEEN 2 AND 12
+    AND n_symbols::DOUBLE / len(toks) <= 0.1
+), d AS (
+  SELECT * FROM q
+  QUALIFY MIN(doc_id) OVER (PARTITION BY md5(text)) = doc_id
+), g AS (
+  SELECT doc_id,
+    unnest(CASE WHEN len(toks) < 4 THEN [array_to_string(toks, ' ')]
+           ELSE list_transform(range(1, len(toks) - 2),
+                               i -> array_to_string(toks[i:i+3], ' ')) END) AS gr
+  FROM d
+), h AS (
+  SELECT DISTINCT doc_id, ('0x' || substring(md5(gr), 1, 8))::BIGINT AS hh
+  FROM g
+), evg AS (
+  SELECT unnest(CASE WHEN len(toks) < 4 THEN [array_to_string(toks, ' ')]
+           ELSE list_transform(range(1, len(toks) - 2),
+                               i -> array_to_string(toks[i:i+3], ' ')) END) AS gr
+  FROM base WHERE doc_id % 10 = 0
+), evh AS (
+  SELECT DISTINCT ('0x' || substring(md5(gr), 1, 8))::BIGINT AS hh FROM evg
+), contaminated AS (
+  SELECT DISTINCT h.doc_id FROM h JOIN evh USING (hh)
+), clean AS (
+  SELECT d.* FROM d LEFT JOIN contaminated c USING (doc_id)
+  WHERE c.doc_id IS NULL
+), sp AS (
+  SELECT lang,
+    CASE WHEN ('0x' || substring(md5(concat_ws('_', 42, doc_id)), 1, 8))::BIGINT
+              % 10000 < 9000
+         THEN 'train' ELSE 'val' END AS split,
+    len(toks) AS nt
+  FROM clean
+)
+SELECT lang, split, COUNT(*) AS n_docs, SUM(nt)::BIGINT AS total_tokens
+FROM sp GROUP BY lang, split
+"""
+
+
 def q_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-quantized top-k search (operators/quantize.py): m=16
     subspace codebooks of k=16 lattice-k-means centroids (16x compression
@@ -3420,6 +3515,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "q_sq8_topk": (q_sq8_topk, _Q_SQ8_SQL),
     "q_dsir_logweights": (q_dsir_logweights, _Q_DSIR_SQL),
     "q_pq_topk": (q_pq_topk, _pq_sql(16, 16, 1, 42, 80, 10)),
+    "q_curation_pipeline": (q_curation_pipeline, _Q_CURATION_SQL),
     "q_kmeans_embedding_clusters": (
         q_kmeans_embedding_clusters,
         _kmeans_report_sql(10, 2, 42),

@@ -241,3 +241,13 @@ def test_repeated_ngram_shuffles_hashes_not_text(spark, sf_dir):
     import re
     for m in re.finditer(r"Exchange hashpartitioning\(([^)]*)\)", plan):
         assert "gram" not in m.group(1) or "gh" in m.group(1), m.group(0)
+
+
+def test_text_pipelines_tokenize_once(spark, sf_dir):
+    # the Generate barrier (functions/stage.py) must keep the tokenize
+    # lineage evaluated once per row: if CollapseProject inlines it again,
+    # split() reappears across the signature folds
+    for q in ["q_minhash_signatures", "q_simhash_fingerprints"]:
+        df = QUERIES[q][0](spark, sf_dir)
+        plan = df._jdf.queryExecution().optimizedPlan().toString()
+        assert plan.count("split(") <= 2, (q, plan.count("split("))
