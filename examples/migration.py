@@ -154,6 +154,50 @@ def main() -> None:
     scrubbed = docs.select(scrub_pii(F.col("text")).alias("t")).count()
     print("scrub_pii over", scrubbed, "docs")
 
+    # ------------------------------------------------------------------
+    # beyond the reference: model-based data selection — CCNet perplexity
+    # buckets and DSIR importance weights.
+    from radient_spark.operators.dataset import (
+        dsir_logweights,
+        perplexity_buckets,
+        unigram_surprisal_vocab,
+    )
+
+    vocab_lm = unigram_surprisal_vocab(docs)
+    ppl = perplexity_buckets(docs, vocab_lm)
+    print(
+        "perplexity buckets:",
+        {r["ppl_bucket"]: r["count"] for r in ppl.groupBy("ppl_bucket").count().collect()},
+    )
+    dsir = dsir_logweights(docs, F.col("lang") == "en")
+    print("dsir top decile:", dsir.filter("decile = 1").count(), "docs")
+
+    # ------------------------------------------------------------------
+    # beyond the reference: repeated-substring (suffix-array-style) dedup
+    # coverage per document.
+    from radient_spark.operators.dedup import repeated_ngram_coverage
+
+    cov = repeated_ngram_coverage(docs, "text", "doc_id", n=5)
+    dup_docs = cov.filter("coverage > 0").count()
+    print(f"repeated-substring: {dup_docs} docs contain duplicated 5-gram spans")
+
+    # ------------------------------------------------------------------
+    # beyond the reference: quantized embedding search — SQ8 (4x smaller,
+    # integer ADC) and PQ (16x smaller, codebook lookup + exact rerank).
+    from radient_spark.operators.quantize import (
+        pq_fit,
+        pq_topk,
+        sq8_minmax,
+        sq8_topk,
+    )
+    from radient_spark.queries import QUERY_VEC
+
+    emb = load_tables(spark, SF_DIR)["embeddings"]
+    stats = sq8_minmax(emb)
+    print("sq8 top-3:", [r["vec_id"] for r in sq8_topk(emb, stats, QUERY_VEC, k=3).collect()])
+    books = pq_fit(emb, m=16, k=16, iters=1)
+    print("pq top-3:", [r["vec_id"] for r in pq_topk(emb, books, QUERY_VEC, k=3, shortlist=80).collect()])
+
     print("migration example: all flows OK")
 
 

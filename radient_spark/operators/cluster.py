@@ -68,16 +68,26 @@ def _lattice_distance(micro_col: F.Column, centroid: list[int]) -> F.Column:
 
 def _argmin_struct(micro_col: F.Column, centroids: list[list[int]]) -> F.Column:
     """(distance, cluster) struct of the nearest centroid; ties break to
-    the lower cluster index (array_min is lexicographic on the struct)."""
+    the lower cluster index (array_min is lexicographic on the struct).
+
+    One transform over the k x d codebook LITERAL (not k unrolled fold
+    expressions): the expression tree stays O(1) in k, which keeps
+    codegen/compile time flat as k grows — same distances, same tie
+    order."""
+    books = F.array(
+        *[F.array(*[F.lit(int(v)) for v in c]) for c in centroids]
+    )
     return F.array_min(
-        F.array(
-            *[
-                F.struct(
-                    _lattice_distance(micro_col, c).alias("d"),
-                    F.lit(i).alias("c"),
-                )
-                for i, c in enumerate(centroids)
-            ]
+        F.transform(
+            books,
+            lambda c, i: F.struct(
+                F.aggregate(
+                    F.zip_with(micro_col, c, lambda x, y: (x - y) * (x - y)),
+                    F.lit(0).cast("long"),
+                    lambda acc, z: acc + z,
+                ).alias("d"),
+                i.alias("c"),
+            ),
         )
     )
 
