@@ -33,7 +33,7 @@ Scale design:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from radient_spark.operators.dedup import str_hash
@@ -165,6 +165,34 @@ def assign_clusters(
     if dist_col is not None:
         out = out.withColumn(dist_col, F.col("__best.d"))
     return out.drop("__best")
+
+
+def cluster_balanced_sample(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    centroids: list[list[int]],
+    cap: int,
+    seed: int = 42,
+) -> DataFrame:
+    """Diversity sampling: keep at most `cap` rows per embedding cluster,
+    chosen by portable md5 rank — the cluster-balanced subsampling step
+    of semantic curation (dominant modes are capped, rare modes survive
+    whole), the coverage-preserving counterpart to SemDeDup's pruning.
+
+    Deterministic and append-stable within a fixed clustering; one
+    shuffle (the per-cluster rank window). Assignment itself is the
+    zero-shuffle argmin expression."""
+    assigned = assign_clusters(df, vec_col, centroids)
+    w = Window.partitionBy("cluster_id").orderBy(
+        str_hash(F.concat_ws("_", F.lit(seed), F.col(id_col))),
+        F.col(id_col),
+    )
+    return (
+        assigned.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= cap)
+        .drop("__rn")
+    )
 
 
 def semdedup_pairs(

@@ -3394,6 +3394,42 @@ GROUP BY a.c, cs.checksum
 """
 
 
+def q_cluster_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-balanced diversity sampling (operators/cluster.py): cap
+    every embedding cluster at 20 rows chosen by md5 rank — dominant
+    semantic modes are subsampled, rare modes survive whole. Same k=10 /
+    1-iteration lattice clustering as q_semdedup_pairs, so the oracle
+    reuses the unrolled-Lloyd CTEs plus one ranked window."""
+    from radient_spark.operators.cluster import (
+        cluster_balanced_sample,
+        kmeans_fit,
+    )
+
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    cents = kmeans_fit(emb, "embedding", "vec_id", k=10, iters=1, seed=42)
+    kept = cluster_balanced_sample(
+        emb, "embedding", "vec_id", cents, cap=20, seed=42
+    )
+    return kept.select("vec_id", "cluster_id")
+
+
+def _cluster_sample_sql(
+    k: int = 10, iters: int = 1, seed: int = 42, cap: int = 20
+) -> str:
+    with_clause, _cfinal, afinal = _kmeans_cte(k, iters, seed)
+    return f"""{with_clause}
+SELECT vec_id, c AS cluster_id FROM (
+  SELECT a.vec_id, a.c,
+    row_number() OVER (
+      PARTITION BY a.c
+      ORDER BY ('0x' || substring(md5(concat_ws('_', {seed}, a.vec_id)), 1, 8))::BIGINT,
+               a.vec_id
+    ) AS rn
+  FROM {afinal} a
+) WHERE rn <= {cap}
+"""
+
+
 def q_semdedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup (operators/cluster.py semdedup_pairs): cluster the
     embedding space (k=10, one Lloyd iteration), then find near-duplicate
@@ -3521,6 +3557,10 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
         _kmeans_report_sql(10, 2, 42),
     ),
     "q_semdedup_pairs": (q_semdedup_pairs, _semdedup_sql(10, 1, 42)),
+    "q_cluster_balanced_sample": (
+        q_cluster_balanced_sample,
+        _cluster_sample_sql(10, 1, 42, 20),
+    ),
 }
 
 

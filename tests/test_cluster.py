@@ -122,3 +122,29 @@ def test_kmeans_rejects_too_few_rows(spark):
         raise AssertionError("expected ValueError")
     except ValueError:
         pass
+
+
+def test_cluster_balanced_sample_caps_and_keeps_rare(spark):
+    from pyspark.sql import functions as F2
+    from radient_spark.operators.cluster import (
+        cluster_balanced_sample,
+        kmeans_fit,
+    )
+
+    # two well-separated modes: a dominant one (50 rows) and a rare one (3)
+    rows = [(i, [10.0, 10.0]) for i in range(50)] + [
+        (100 + i, [-10.0, -10.0]) for i in range(3)
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"]).withColumn(
+        "embedding", F2.col("embedding").cast("array<float>")
+    )
+    cents = kmeans_fit(df, "embedding", "vec_id", k=2, iters=2, seed=42)
+    kept = cluster_balanced_sample(
+        df, "embedding", "vec_id", cents, cap=10
+    ).collect()
+    by_cluster: dict[int, int] = {}
+    for r in kept:
+        by_cluster[r["cluster_id"]] = by_cluster.get(r["cluster_id"], 0) + 1
+    counts = sorted(by_cluster.values())
+    # dominant mode capped at 10, rare mode survives whole
+    assert counts == [3, 10]
