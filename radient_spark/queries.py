@@ -2085,6 +2085,27 @@ LIMIT 10
 """
 
 
+def _cc_labels_with(pairs_sql: str) -> str:
+    """Shared recursive-CTE prefix: (id, group_id) labels for every id in
+    the pair set — the fixed point the iterative Spark propagation
+    converges to."""
+    return f"""
+WITH RECURSIVE pairs AS ({pairs_sql}),
+edges AS (
+  SELECT id_a AS a, id_b AS b FROM pairs
+  UNION ALL
+  SELECT id_b AS a, id_a AS b FROM pairs
+),
+walk AS (
+  SELECT a AS id, b AS reach FROM edges
+  UNION
+  SELECT w.id, e.b AS reach FROM walk w JOIN edges e ON w.reach = e.a
+),
+labels AS (
+  SELECT id, LEAST(id, MIN(reach)) AS group_id FROM walk GROUP BY id
+)"""
+
+
 def _cc_groups_sql(pairs_sql: str) -> str:
     """DuckDB oracle for connected_duplicate_groups over a pair query:
     reachability closure via a recursive CTE (UNION dedup terminates it),
@@ -2127,6 +2148,36 @@ def q_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("group_size") > 1)
     )
+
+
+def q_fuzzy_dedup_keep_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup pipeline's terminal KEEP decision: a document survives
+    iff it is the canonical (minimum-id) member of its near-duplicate
+    component, or belongs to none. Per source: docs in, docs kept, docs
+    dropped — the number a corpus-build job actually acts on. Same LSH
+    pair set and component fixed point as q_dup_groups; the label table
+    (only docs in components — a small fraction by construction) joins
+    back to the corpus."""
+    docs = load_tables(spark, sf_dir)["documents"]
+    pairs = q_minhash_dup_pairs(spark, sf_dir)
+    labels = D.connected_duplicate_groups(pairs)
+    joined = docs.join(labels, docs.doc_id == labels.id, "left")
+    keep = F.col("group_id").isNull() | (F.col("doc_id") == F.col("group_id"))
+    return joined.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(keep.cast("long")).alias("n_kept"),
+        F.sum((~keep).cast("long")).alias("n_dropped"),
+    )
+
+
+def _fuzzy_keep_sql(pairs_sql: str) -> str:
+    return f"""{_cc_labels_with(pairs_sql)}
+SELECT d.source, COUNT(*) AS n_docs,
+  SUM((l.id IS NULL OR d.doc_id = l.group_id)::BIGINT) AS n_kept,
+  SUM((l.id IS NOT NULL AND d.doc_id <> l.group_id)::BIGINT) AS n_dropped
+FROM documents d LEFT JOIN labels l ON d.doc_id = l.id
+GROUP BY d.source
+"""
 
 
 def _minhash_dup_pairs_sql(num_hashes: int = 16, bands: int = 4) -> str:
@@ -3525,6 +3576,10 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "q14_promo_revenue_pct": (q14_promo_revenue_pct, _Q14_SQL),
     "q_fingerprint_similarity": (q_fingerprint_similarity, _fingerprint_sql()),
     "q_dup_groups": (q_dup_groups, _cc_groups_sql(_minhash_dup_pairs_sql())),
+    "q_fuzzy_dedup_keep_report": (
+        q_fuzzy_dedup_keep_report,
+        _fuzzy_keep_sql(_minhash_dup_pairs_sql()),
+    ),
     "q_corpus_filtered_search": (q_corpus_filtered_search, _Q_CORPUS_SEARCH_SQL),
     "q_embedding_dup_groups": (q_embedding_dup_groups, _cc_groups_sql(_vec_pairs_sql(0.45))),
     "q_bpe_token_stats": (q_bpe_token_stats, _Q_BPE_SQL),
