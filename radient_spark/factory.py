@@ -36,7 +36,8 @@ def make_operator(task_name: str, task_type: str, **kwargs) -> Transform:
 
     vectorizer: hashing | fingerprint | multimodal | sbert
     transform:  video_demux | document_screenshot | speech_to_text
-    dedup:      exact | minhash | simhash
+    dedup:      exact | minhash | simhash | repeated_ngram
+    dataset:    hash_split | pack | decontaminate-free curation ops
     """
     try:
         factory = _REGISTRY[(task_name, task_type)]
@@ -112,4 +113,27 @@ register("dedup", "minhash")(
 )
 register("dedup", "simhash")(
     lambda **kw: functools.partial(dedup.with_simhash, **kw)
+)
+register("dedup", "repeated_ngram")(
+    lambda **kw: functools.partial(dedup.repeated_ngram_coverage, **kw)
+)
+
+# --- dataset curation (training-pipeline ops) -----------------------------
+
+from radient_spark.operators import dataset as _dataset  # noqa: E402
+
+register("dataset", "hash_split")(
+    lambda **kw: functools.partial(_dataset.hash_split, **kw)
+)
+register("dataset", "pack")(
+    lambda **kw: functools.partial(_dataset.sequential_pack, **kw)
+)
+register("dataset", "temperature_sample")(
+    lambda **kw: functools.partial(_dataset.temperature_sample, **kw)
+)
+register("dataset", "perplexity_buckets")(
+    lambda **kw: functools.partial(_dataset.perplexity_buckets, **kw)
+)
+register("dataset", "dsir")(
+    lambda **kw: functools.partial(_dataset.dsir_logweights, **kw)
 )

@@ -326,3 +326,13 @@ def test_repeated_ngram_coverage_hand_computed(spark):
     assert (out[4]["n_dup_grams"], out[4]["covered_tokens"], out[4]["coverage"]) == (2, 10, 1.0)
     assert (out[5]["covered_tokens"], out[5]["coverage"]) == (2, 1.0)
     assert (out[6]["covered_tokens"], out[6]["coverage"]) == (2, 1.0)
+
+
+def test_factory_covers_dataset_and_new_dedup_ops(spark):
+    rows = [(1, "a b c d e f", "en"), (2, "a b c d e f", "en"), (3, "x y z w v u", "de")]
+    df = spark.createDataFrame(rows, ["doc_id", "text", "lang"])
+    split_op = make_operator("dataset", "hash_split", id_col="doc_id")
+    assert "split" in split_op(df).columns
+    cov_op = make_operator("dedup", "repeated_ngram", id_col="doc_id", n=5)
+    out = {r["doc_id"]: r["coverage"] for r in cov_op(df).collect()}
+    assert out[1] == 1.0 and out[3] == 0.0
