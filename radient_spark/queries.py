@@ -3193,6 +3193,58 @@ def _kmeans_cte(k: int, iters: int, seed: int) -> tuple[str, str, str]:
     return "WITH " + ",\n".join(parts), prev, "af"
 
 
+def q_incremental_ingest_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental ingest dedup: anti-join a NEW document batch against
+    the already-ingested corpus on content hash — the flow a continuously
+    growing corpus runs on every ingest tick (docs with doc_id % 5 == 0
+    stand in for the new batch). Only 16-byte hashes shuffle; with the
+    corpus bucketed on the hash column (sources.write_bucketed) the anti
+    join needs no corpus exchange at all. Per source: batch size, net-new
+    docs, already-seen docs."""
+    docs = load_tables(spark, sf_dir)["documents"]
+    corpus = docs.filter(F.col("doc_id") % 5 != 0)
+    batch = docs.filter(F.col("doc_id") % 5 == 0)
+    seen = corpus.select(F.md5("text").alias("__h")).distinct()
+    fresh = batch.withColumn("__h", F.md5("text")).join(
+        seen, "__h", "left_anti"
+    )
+    new_counts = fresh.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_new")
+    )
+    return (
+        batch.groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_batch"))
+        .join(new_counts, "source", "left")
+        .select(
+            "source",
+            "n_batch",
+            F.coalesce("n_new", F.lit(0)).alias("n_new"),
+            (F.col("n_batch") - F.coalesce("n_new", F.lit(0))).alias(
+                "n_already_seen"
+            ),
+        )
+    )
+
+
+_Q_INCREMENTAL_SQL = """
+WITH corpus AS (
+  SELECT md5(text) AS h FROM documents WHERE doc_id % 5 <> 0
+), batch AS (
+  SELECT source, md5(text) AS h FROM documents WHERE doc_id % 5 = 0
+), fresh AS (
+  SELECT b.source FROM batch b
+  WHERE NOT EXISTS (SELECT 1 FROM corpus c WHERE c.h = b.h)
+)
+SELECT b.source, COUNT(*) AS n_batch,
+  COALESCE(f.n_new, 0) AS n_new,
+  COUNT(*) - COALESCE(f.n_new, 0) AS n_already_seen
+FROM batch b
+LEFT JOIN (SELECT source, COUNT(*) AS n_new FROM fresh GROUP BY source) f
+  USING (source)
+GROUP BY b.source, f.n_new
+"""
+
+
 def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end curation pipeline composing the dataset operators the
     way a production pretraining corpus build chains them: Gopher quality
@@ -3607,6 +3659,10 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "q_dsir_logweights": (q_dsir_logweights, _Q_DSIR_SQL),
     "q_pq_topk": (q_pq_topk, _pq_sql(16, 16, 1, 42, 80, 10)),
     "q_curation_pipeline": (q_curation_pipeline, _Q_CURATION_SQL),
+    "q_incremental_ingest_dedup": (
+        q_incremental_ingest_dedup,
+        _Q_INCREMENTAL_SQL,
+    ),
     "q_kmeans_embedding_clusters": (
         q_kmeans_embedding_clusters,
         _kmeans_report_sql(10, 2, 42),
