@@ -213,3 +213,70 @@ def test_knn_join_blocked_equals_broadcast(spark):
         ).collect()
     )
     assert a == b
+
+
+def test_repeated_ngram_coverage_empty_and_blank(spark):
+    df = spark.createDataFrame(
+        [(1, ""), (2, "   "), (3, "one two")], "doc_id long, text string"
+    )
+    out = {r["doc_id"]: r for r in D.repeated_ngram_coverage(df).collect()}
+    assert out[1]["n_tokens"] == 0 and out[1]["coverage"] == 0.0
+    assert out[2]["n_tokens"] == 0 and out[2]["coverage"] == 0.0
+    assert out[3]["covered_tokens"] == 0
+    empty = D.repeated_ngram_coverage(_empty_docs(spark))
+    assert empty.count() == 0
+
+
+def test_perplexity_on_single_doc_corpus(spark):
+    from radient_spark.operators.dataset import (
+        perplexity_buckets,
+        unigram_surprisal_vocab,
+    )
+
+    df = spark.createDataFrame([(1, "a a a", "en")], ["doc_id", "text", "lang"])
+    vocab = unigram_surprisal_vocab(df)
+    out = perplexity_buckets(df, vocab).collect()
+    # every token is the whole corpus: surprisal ln(3/3)=0
+    assert len(out) == 1 and out[0]["logppl"] == 0.0 and out[0]["ppl_bucket"] == 1
+
+
+def test_dsir_all_rows_target(spark):
+    from radient_spark.operators.dataset import dsir_logweights
+
+    df = spark.createDataFrame(
+        [(1, "a b", "x"), (2, "c d", "x")], ["doc_id", "text", "dom"]
+    )
+    out = dsir_logweights(df, F.lit(True), buckets=100).collect()
+    # target == raw: smoothed totals match exactly, every weight is 0
+    assert all(r["logweight"] == 0.0 for r in out)
+
+
+def test_sq8_single_row_corpus(spark):
+    from radient_spark.operators.quantize import sq8_minmax, sq8_topk
+
+    df = spark.createDataFrame([(1, [0.5, -0.5])], ["vec_id", "embedding"])
+    df = df.withColumn("embedding", F.col("embedding").cast("array<float>"))
+    stats = sq8_minmax(df)
+    # single row: every dim degenerate (mn == mx) -> codes 0, score 0
+    rows = sq8_topk(df, stats, [1.0, 1.0], k=5).collect()
+    assert len(rows) == 1 and rows[0]["qscore"] == 0.0
+
+
+def test_pq_fit_requires_divisible_dim(spark):
+    from radient_spark.operators.quantize import pq_fit
+
+    df = spark.createDataFrame([(1, [0.1, 0.2, 0.3])], ["vec_id", "embedding"])
+    df = df.withColumn("embedding", F.col("embedding").cast("array<float>"))
+    with pytest.raises(ValueError, match="not divisible"):
+        pq_fit(df, m=2, k=1)
+
+
+def test_incremental_dedup_first_ingest_all_new(spark):
+    # empty corpus: the whole batch is net-new
+    from radient_spark.queries import QUERIES
+    corpus = _empty_docs(spark).withColumn("__h", F.md5("text"))
+    batch = spark.createDataFrame(
+        [(1, "a", "s"), (2, "b", "s")], "doc_id long, text string, source string"
+    ).withColumn("__h", F.md5("text"))
+    fresh = batch.join(corpus.select("__h"), "__h", "left_anti")
+    assert fresh.count() == 2
