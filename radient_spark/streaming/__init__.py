@@ -229,3 +229,38 @@ def foreach_batch_sink(stream: DataFrame, checkpoint: str, batch_fn):
         .trigger(availableNow=True)
         .start()
     )
+
+
+def incremental_ingest_sink(
+    stream: DataFrame,
+    corpus_dir: str,
+    checkpoint: str,
+    text_col: str = "text",
+):
+    """Continuously ingest only net-new documents: per micro-batch, drop
+    in-batch duplicate texts, anti-join the already-ingested corpus on
+    content hash, append the survivors (the streaming form of
+    queries.q_incremental_ingest_dedup).
+
+    Only 16-byte md5 hashes are compared — the corpus read projects just
+    the text column for hashing, and the checkpoint gives exactly-once
+    per input file while the anti join gives content-level dedup across
+    batches. At scale, store the corpus bucketed by the hash column so
+    the anti join needs no corpus exchange."""
+    from pyspark.errors import AnalysisException
+
+    def batch_fn(df: DataFrame, epoch_id: int) -> None:
+        batch = df.withColumn("__h", F.md5(text_col)).dropDuplicates(["__h"])
+        spark = df.sparkSession
+        try:
+            seen = (
+                spark.read.parquet(corpus_dir)
+                .select(F.md5(text_col).alias("__h"))
+                .distinct()
+            )
+            fresh = batch.join(seen, "__h", "left_anti")
+        except AnalysisException:  # first batch: corpus doesn't exist yet
+            fresh = batch
+        fresh.drop("__h").write.mode("append").parquet(corpus_dir)
+
+    return foreach_batch_sink(stream, checkpoint, batch_fn)

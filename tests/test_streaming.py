@@ -294,3 +294,33 @@ def test_curation_ops_stream_equals_batch(spark, sf_dir, tmp_path):
     streamed_emb = {tuple(r) for r in spark.table("assign_stream").collect()}
     assert streamed_docs == batch_docs and len(batch_docs) > 0
     assert streamed_emb == batch_emb and len(batch_emb) > 0
+
+
+def test_incremental_ingest_sink_dedups_across_batches(spark, tmp_path):
+    # batch 1 ingests A, B (plus an in-batch duplicate of A); batch 2
+    # arrives later with B (cross-batch dup) and C — the corpus must end
+    # up exactly {A, B, C}
+    in_dir, corpus, ck = (
+        str(tmp_path / "in"),
+        str(tmp_path / "corpus"),
+        str(tmp_path / "ck_ingest"),
+    )
+    schema = "doc_id long, text string"
+    b1 = spark.createDataFrame(
+        [(1, "doc A"), (2, "doc B"), (3, "doc A")], schema
+    )
+    b1.write.mode("overwrite").parquet(in_dir)
+    stream = spark.readStream.schema(b1.schema).parquet(in_dir)
+    q = streaming.incremental_ingest_sink(stream, corpus, ck)
+    q.awaitTermination(120)
+    got1 = sorted(r["text"] for r in spark.read.parquet(corpus).collect())
+    assert got1 == ["doc A", "doc B"]
+
+    spark.createDataFrame([(4, "doc B"), (5, "doc C")], schema).write.mode(
+        "append"
+    ).parquet(in_dir)
+    stream2 = spark.readStream.schema(b1.schema).parquet(in_dir)
+    q2 = streaming.incremental_ingest_sink(stream2, corpus, ck)
+    q2.awaitTermination(120)
+    got2 = sorted(r["text"] for r in spark.read.parquet(corpus).collect())
+    assert got2 == ["doc A", "doc B", "doc C"]
