@@ -60,6 +60,8 @@ BENCH_QUERIES = [
     "q_dsir_logweights",
     "q_sq8_topk",
     "q_curation_pipeline",
+    "q_incremental_ingest_dedup",
+    "q_cluster_balanced_sample",
 ]
 
 
