@@ -122,6 +122,9 @@ register("dedup", "repeated_ngram")(
 
 from radient_spark.operators import dataset as _dataset  # noqa: E402
 
+register("dataset", "chunk")(
+    lambda **kw: functools.partial(_dataset.chunk_documents, **kw)
+)
 register("dataset", "hash_split")(
     lambda **kw: functools.partial(_dataset.hash_split, **kw)
 )

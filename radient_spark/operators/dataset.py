@@ -278,6 +278,57 @@ def perplexity_buckets(
     return scored.withColumn("ppl_bucket", F.ntile(n_buckets).over(w))
 
 
+def chunk_documents(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    window: int = 64,
+    stride: int = 48,
+) -> DataFrame:
+    """RAG-style chunking: split each document into overlapping token
+    windows of `window` tokens advancing by `stride` — the unit fed to a
+    vectorizer + vector sink in retrieval pipelines (the reference's RAG
+    flow chunks upstream of its vectorizers). The final window may be
+    short; every token is covered; zero-token docs produce no chunks.
+
+    Pure per-row Catalyst (sequence + slice behind a stage() barrier) —
+    the explode multiplies rows, never shuffles them.
+
+    Output: original columns + (chunk_idx, chunk_text, n_chunk_tokens).
+    """
+    if window < 1 or stride < 1:
+        raise ValueError("window and stride must be >= 1")
+    from radient_spark.functions.stage import stage
+
+    staged = stage(df, __ck_toks=X.tokens(F.col(text_col)))
+    n = F.size("__ck_toks")
+    n_chunks = (
+        F.floor(
+            (F.greatest(n - window, F.lit(0)) + (stride - 1)) / stride
+        ).cast("int")
+        + 1
+    )
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.struct(
+            F.array_join(
+                F.slice(F.col("__ck_toks"), i * stride + 1, window), " "
+            ).alias("chunk_text"),
+            F.least(F.lit(window), n - i * stride).alias("n_chunk_tokens"),
+        ),
+    )
+    return (
+        staged.filter(n > 0)
+        .select("*", F.posexplode(chunks).alias("chunk_idx", "__ck"))
+        .select(
+            *[c for c in df.columns],
+            "chunk_idx",
+            F.col("__ck.chunk_text").alias("chunk_text"),
+            F.col("__ck.n_chunk_tokens").alias("n_chunk_tokens"),
+        )
+    )
+
+
 def _hashed_features(
     df: DataFrame,
     text_col: str,

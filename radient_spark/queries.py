@@ -3193,6 +3193,42 @@ def _kmeans_cte(k: int, iters: int, seed: int) -> tuple[str, str, str]:
     return "WITH " + ",\n".join(parts), prev, "af"
 
 
+def q_document_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAG chunking (operators/dataset.py chunk_documents): 64-token
+    windows, stride 48, per document. Chunk text is reported as md5 so
+    the hash compare carries 16-byte digests, not bodies. Integer
+    arithmetic throughout — the oracle matches bitwise."""
+    from radient_spark.operators.dataset import chunk_documents
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    out = chunk_documents(docs, "text", "doc_id", window=64, stride=48)
+    return out.select(
+        "doc_id",
+        "chunk_idx",
+        "n_chunk_tokens",
+        F.md5("chunk_text").alias("chunk_md5"),
+    )
+
+
+_Q_CHUNKS_SQL = r"""
+WITH t AS (
+  SELECT doc_id,
+    CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+         ELSE regexp_split_to_array(trim(text), '\s+') END AS toks
+  FROM documents
+), c AS (
+  SELECT doc_id, len(toks) AS n, toks,
+    unnest(range(1, ((GREATEST(len(toks) - 64, 0) + 47) // 48) + 2)) AS i
+  FROM t WHERE len(toks) > 0
+)
+SELECT doc_id, (i - 1)::INT AS chunk_idx,
+  LEAST(64, n - (i - 1) * 48)::INT AS n_chunk_tokens,
+  md5(array_to_string(toks[(i - 1) * 48 + 1 : (i - 1) * 48 + 64], ' '))
+    AS chunk_md5
+FROM c
+"""
+
+
 def q_incremental_ingest_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental ingest dedup: anti-join a NEW document batch against
     the already-ingested corpus on content hash — the flow a continuously
@@ -3663,6 +3699,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
         q_incremental_ingest_dedup,
         _Q_INCREMENTAL_SQL,
     ),
+    "q_document_chunks": (q_document_chunks, _Q_CHUNKS_SQL),
     "q_kmeans_embedding_clusters": (
         q_kmeans_embedding_clusters,
         _kmeans_report_sql(10, 2, 42),

@@ -169,3 +169,34 @@ def test_dsir_weights_rank_target_domain_docs_higher(spark):
         ).collect()
     }
     assert min(out[1], out[2]) > max(out[3], out[4])
+
+
+def test_chunk_documents_windows_cover_all_tokens(spark):
+    from radient_spark.operators.dataset import chunk_documents
+
+    text = " ".join(f"t{i}" for i in range(150))
+    df = spark.createDataFrame([(1, text), (2, "short doc"), (3, "")],
+                               ["doc_id", "text"])
+    out = chunk_documents(df, window=64, stride=48).collect()
+    by_doc: dict[int, list] = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    # 150 tokens -> starts 0, 48, 96 -> lengths 64, 64, 54
+    c1 = sorted(by_doc[1], key=lambda r: r["chunk_idx"])
+    assert [r["n_chunk_tokens"] for r in c1] == [64, 64, 54]
+    assert c1[0]["chunk_text"].split()[0] == "t0"
+    assert c1[2]["chunk_text"].split()[-1] == "t149"
+    # stride overlap: chunk 1 starts at token 48
+    assert c1[1]["chunk_text"].split()[0] == "t48"
+    # short doc -> one whole-doc chunk; empty doc -> none
+    assert len(by_doc[2]) == 1 and by_doc[2][0]["n_chunk_tokens"] == 2
+    assert 3 not in by_doc
+
+
+def test_chunk_documents_validates_params(spark):
+    import pytest as _pytest
+    from radient_spark.operators.dataset import chunk_documents
+
+    df = spark.createDataFrame([(1, "a b")], ["doc_id", "text"])
+    with _pytest.raises(ValueError, match=">= 1"):
+        chunk_documents(df, window=0)
