@@ -218,13 +218,15 @@ class IvfIndex:
     ) -> "IvfIndex":
         spark = df.sparkSession
         base = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vector"))
-        n = base.count()
-        frac = min(1.0, sample_cap / max(1, n))
+        # Deterministic VC-bounded seed sample in ONE job: order by a
+        # seeded hash and take the first sample_cap rows — compiles to
+        # TakeOrderedAndProject (per-partition bounded heap + driver
+        # merge), so there is no preliminary count() scan just to size a
+        # sampling fraction.
         sample = (
-            base.withColumn(
-                "__u", (F.abs(F.xxhash64("id", F.lit(seed))) % 1_000_000) / 1e6
-            )
-            .filter(F.col("__u") < frac)
+            base.withColumn("__u", F.xxhash64("id", F.lit(seed)))
+            .orderBy("__u", "id")
+            .limit(sample_cap)
             .select("vector")
             .collect()
         )

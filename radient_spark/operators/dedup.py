@@ -47,6 +47,20 @@ def str_hash(col) -> F.Column:
     return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("long")
 
 
+def str_hash120(col) -> tuple[F.Column, F.Column]:
+    """Portable 120-bit hash as TWO 60-bit longs (md5 hex slices 1-15 and
+    17-31; 15 hex chars = 60 bits fits signed BIGINT in both Spark and
+    DuckDB, where 16 would overflow). This is the collision-safe duplicate
+    key: a single 32-bit key birthday-saturates around 10^5 distinct grams
+    and is pure noise at corpus scale, while 120 bits stays collision-free
+    (<1 expected pair) past 10^17 grams."""
+    h = F.md5(col)
+    return (
+        F.conv(F.substring(h, 1, 15), 16, 10).cast("long"),
+        F.conv(F.substring(h, 17, 15), 16, 10).cast("long"),
+    )
+
+
 def minhash_from_hashes(hashes_col: F.Column, num_hashes: int) -> F.Column:
     """sig[i] = min over shingle hashes h of (a_i*h + b_i) mod P; sentinel P
     for empty docs so they never collide with real content.
@@ -337,14 +351,16 @@ def repeated_ngram_coverage(
     Output: (id_col, n_tokens, n_dup_grams, covered_tokens, coverage)
     with coverage = covered_tokens / n_tokens.
 
-    Scale shape (100 TB): the exploded stream carries (id, pos, gh) = 24
-    bytes per gram — never gram text, and it is tokenized ONCE: the
-    duplicate filter is a count window over gh (one shuffle on the gram
-    hash; hot boilerplate grams are the skewed keys AQE splits), then a
-    per-document window whose partition is one document's hits (its
-    shuffle input is already down to the duplicated grams). No driver
-    state; suffix arrays need a global sort of the whole corpus, this
-    needs a shuffle of gram *hashes* only.
+    Scale shape (100 TB): the exploded stream carries (id, pos, gh1, gh2)
+    = 28 bytes per gram — never gram text, and it is tokenized ONCE: the
+    duplicate filter is a count window over the 120-bit gram key
+    (str_hash120 — collision-free past 10^17 grams, so "exact" holds at
+    corpus scale where a 32-bit key would mark everything duplicated; one
+    shuffle on the key, hot boilerplate grams are the skewed keys AQE
+    splits), then a per-document window whose partition is one document's
+    hits (its shuffle input is already down to the duplicated grams). No
+    driver state; suffix arrays need a global sort of the whole corpus,
+    this needs a shuffle of gram *hashes* only.
     """
     from radient_spark.functions.stage import stage
 
@@ -357,16 +373,17 @@ def repeated_ngram_coverage(
             F.size("__rs_toks").alias("__rs_nt"),
             F.posexplode("__rs_grams").alias("pos", "gram"),
         )
-        .withColumn("gh", str_hash(F.col("gram")))
+        .withColumn("gh1", str_hash120(F.col("gram"))[0])
+        .withColumn("gh2", str_hash120(F.col("gram"))[1])
         # short docs collapse to one whole-doc shingle spanning all tokens
         .withColumn("gend", F.col("pos") + F.least(F.lit(n), F.col("__rs_nt")))
         .drop("gram")
     )
-    # single-pass duplicate filter: count over a gh window instead of a
-    # groupBy + self-join (which would recompute the tokenize/explode
+    # single-pass duplicate filter: count over a (gh1, gh2) window instead
+    # of a groupBy + self-join (which would recompute the tokenize/explode
     # lineage for each branch)
     hits = pos.withColumn(
-        "__rs_ghn", F.count(F.lit(1)).over(Window.partitionBy("gh"))
+        "__rs_ghn", F.count(F.lit(1)).over(Window.partitionBy("gh1", "gh2"))
     ).filter(F.col("__rs_ghn") >= 2)
     w = Window.partitionBy("__rs_id").orderBy("pos")
     prev_end = F.max("gend").over(

@@ -158,7 +158,10 @@ def pq_fit(
     from radient_spark.operators.cluster import _argmin_struct, micro_vec
     from radient_spark.operators.dedup import str_hash
 
-    dim = len(df.select(vec_col).first()[0])
+    head = df.select(vec_col).first()
+    if head is None:
+        raise ValueError("pq_fit: empty corpus — nothing to fit codebooks on")
+    dim = len(head[0])
     if dim % m != 0:
         raise ValueError(f"dim {dim} not divisible by m={m} subspaces")
     d_sub = dim // m

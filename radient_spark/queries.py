@@ -489,12 +489,20 @@ LIMIT 10
 
 def q_vec_nearest_neighbor(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Self kNN join (k=1): every vector's nearest other vector by cosine.
-    The exact O(n^2) baseline for the LSH scale path."""
+    The exact O(n^2) baseline for the LSH scale path.
+
+    Routed through the bipartite block GEMM (`knn_join_blocked`) rather
+    than the broadcast-contract `knn_join`: for a SELF join the query side
+    is the corpus itself, so collecting it to the driver just to
+    re-broadcast it is a pure round-trip — the blocked path keeps both
+    sides as DataFrames with zero driver involvement."""
+    from radient_spark.operators.topk import knn_join_blocked
+
     emb = load_tables(spark, sf_dir)["embeddings"].select("vec_id", "embedding")
     queries = emb.select(
         F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
     )
-    nn = knn_join(
+    nn = knn_join_blocked(
         corpus=emb,
         queries=queries,
         corpus_vec="embedding",
@@ -504,6 +512,8 @@ def q_vec_nearest_neighbor(spark: SparkSession, sf_dir: str) -> DataFrame:
         query_id="qid",
         corpus_id="vec_id",
         score_col="nn_score",
+        corpus_blocks=4,
+        query_blocks=2,
     )
     return (
         nn.filter(F.col("vec_id") != F.col("qid"))
@@ -873,11 +883,11 @@ WITH t AS (
   FROM t
 )
 SELECT source, COUNT(*) AS n_docs,
-  SUM((r_min_words AND r_max_words AND r_word_len AND r_symbol_ratio)::BIGINT) AS n_pass,
-  SUM((NOT r_min_words)::BIGINT) AS f_min_words,
-  SUM((NOT r_max_words)::BIGINT) AS f_max_words,
-  SUM((NOT r_word_len)::BIGINT) AS f_word_len,
-  SUM((NOT r_symbol_ratio)::BIGINT) AS f_symbol_ratio
+  CAST(SUM((r_min_words AND r_max_words AND r_word_len AND r_symbol_ratio)::BIGINT) AS BIGINT) AS n_pass,
+  CAST(SUM((NOT r_min_words)::BIGINT) AS BIGINT) AS f_min_words,
+  CAST(SUM((NOT r_max_words)::BIGINT) AS BIGINT) AS f_max_words,
+  CAST(SUM((NOT r_word_len)::BIGINT) AS BIGINT) AS f_word_len,
+  CAST(SUM((NOT r_symbol_ratio)::BIGINT) AS BIGINT) AS f_symbol_ratio
 FROM scored GROUP BY source
 """
 
@@ -2173,8 +2183,8 @@ def q_fuzzy_dedup_keep_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _fuzzy_keep_sql(pairs_sql: str) -> str:
     return f"""{_cc_labels_with(pairs_sql)}
 SELECT d.source, COUNT(*) AS n_docs,
-  SUM((l.id IS NULL OR d.doc_id = l.group_id)::BIGINT) AS n_kept,
-  SUM((l.id IS NOT NULL AND d.doc_id <> l.group_id)::BIGINT) AS n_dropped
+  CAST(SUM((l.id IS NULL OR d.doc_id = l.group_id)::BIGINT) AS BIGINT) AS n_kept,
+  CAST(SUM((l.id IS NOT NULL AND d.doc_id <> l.group_id)::BIGINT) AS BIGINT) AS n_dropped
 FROM documents d LEFT JOIN labels l ON d.doc_id = l.id
 GROUP BY d.source
 """
@@ -2315,6 +2325,46 @@ def q_ivf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("id").alias("qid"), F.col("vector").alias("qvec"))
     )
     return index.search_df(qdf, k=10, n_probes=8)
+
+
+def q_ivf_search_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF search with n_probes = n_cells: every cell is probed, so the
+    result IS the exact top-k — which DuckDB expresses directly as a
+    cross join + per-query window. This pins the whole IVF pipeline
+    (k-means cells -> cell-partitioned index -> executor-side probe ->
+    rerank window) to a hash-matched oracle; the pruned n_probes < n_cells
+    variant stays rows-only + recall-tested (tests/test_ann.py)."""
+    from radient_spark.ann import IvfIndex
+
+    emb = load_tables(spark, sf_dir)["embeddings"].select(
+        F.col("vec_id").alias("id"), F.col("embedding").alias("vector")
+    )
+    index = IvfIndex.build(emb, n_cells=16, seed=42)
+    qdf = (
+        emb.orderBy("id")
+        .limit(10)
+        .select(F.col("id").alias("qid"), F.col("vector").alias("qvec"))
+    )
+    return index.search_df(qdf, k=10, n_probes=16)
+
+
+_Q_IVF_EXACT_SQL = """
+WITH q AS (
+  SELECT vec_id AS qid, embedding AS qvec
+  FROM embeddings ORDER BY vec_id LIMIT 10
+), scored AS (
+  SELECT q.qid, e.vec_id AS id,
+    round(list_dot_product(e.embedding::DOUBLE[], q.qvec::DOUBLE[])
+          / (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))
+             * sqrt(list_dot_product(q.qvec::DOUBLE[], q.qvec::DOUBLE[]))), 6) AS score
+  FROM embeddings e CROSS JOIN q
+), ranked AS (
+  SELECT qid, id, score,
+    row_number() OVER (PARTITION BY qid ORDER BY score DESC, id ASC) AS rn
+  FROM scored
+)
+SELECT qid, id, score FROM ranked WHERE rn <= 10
+"""
 
 
 # ---------------------------------------------------------------------------
@@ -2558,8 +2608,8 @@ def q12_priority_class_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _Q12_SQL = """
 SELECT l_returnflag,
-  SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS high_line_count,
-  SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 0 ELSE 1 END) AS low_line_count
+  CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+  CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
 FROM lineitem
 JOIN orders ON l_orderkey = o_orderkey
 WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
@@ -2888,7 +2938,7 @@ WITH docs AS (
   WHERE d.doc_id % 10 <> 0
 )
 SELECT source, COUNT(*) AS n_train_docs,
-  SUM((nhit > 0)::BIGINT) AS n_contaminated,
+  CAST(SUM((nhit > 0)::BIGINT) AS BIGINT) AS n_contaminated,
   SUM(nhit)::BIGINT AS total_hit_grams
 FROM tr GROUP BY source
 """
@@ -2969,12 +3019,13 @@ WITH t AS (
 ), pos AS (
   SELECT doc_id, n_tokens,
     generate_subscripts(grams, 1) - 1 AS pos,
-    ('0x' || substring(md5(unnest(grams)), 1, 8))::BIGINT AS gh
+    ('0x' || substring(md5(unnest(grams)), 1, 15))::BIGINT AS gh1,
+    ('0x' || substring(md5(unnest(grams)), 17, 15))::BIGINT AS gh2
   FROM g
 ), spans AS (
-  SELECT doc_id, pos, pos + LEAST(5, n_tokens) AS gend, gh FROM pos
+  SELECT doc_id, pos, pos + LEAST(5, n_tokens) AS gend, gh1, gh2 FROM pos
 ), dup AS (
-  SELECT gh FROM spans GROUP BY gh HAVING COUNT(*) >= 2
+  SELECT gh1, gh2 FROM spans GROUP BY gh1, gh2 HAVING COUNT(*) >= 2
 ), hits AS (
   SELECT s.doc_id, s.pos, s.gend,
     CASE WHEN MAX(s.gend) OVER (PARTITION BY s.doc_id ORDER BY s.pos
@@ -2982,7 +3033,7 @@ WITH t AS (
       OR s.pos > MAX(s.gend) OVER (PARTITION BY s.doc_id ORDER BY s.pos
            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
     THEN 1 ELSE 0 END AS new_island
-  FROM spans s JOIN dup USING (gh)
+  FROM spans s JOIN dup USING (gh1, gh2)
 ), isl AS (
   SELECT doc_id, pos, gend,
     SUM(new_island) OVER (PARTITION BY doc_id ORDER BY pos
@@ -3035,9 +3086,14 @@ WITH tok AS (
          AS DECIMAL(18,6)) AS surprisal
   FROM vocab
 ), scored AS (
+  -- LEFT JOIN + COALESCE pins the documented OOV contract (OOV tokens
+  -- score 0 but stay in the denominator) — an inner join would silently
+  -- diverge from perplexity_buckets the moment an external vocab misses
+  -- a corpus token.
   SELECT t.doc_id, t.lang,
-    CAST(SUM(s.surprisal) AS DOUBLE) / COUNT(*) AS logppl
-  FROM tok t JOIN surp s USING (tk)
+    CAST(SUM(COALESCE(s.surprisal, CAST(0 AS DECIMAL(18,6)))) AS DOUBLE)
+      / COUNT(*) AS logppl
+  FROM tok t LEFT JOIN surp s USING (tk)
   GROUP BY t.doc_id, t.lang
 )
 SELECT doc_id, lang, logppl,
@@ -3649,6 +3705,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "q_mel_clip_features": (q_mel_clip_features, None),
     "q_ann_search": (q_ann_search, None),
     "q_ivf_search": (q_ivf_search, None),
+    "q_ivf_search_exact": (q_ivf_search_exact, _Q_IVF_EXACT_SQL),
     "q_running_customer_balance": (q_running_customer_balance, _Q_RUNNING_SQL),
     "q_churned_customers": (q_churned_customers, _Q_CHURN_SQL),
     "q_purchase_error_window": (q_purchase_error_window, _Q_RANGE_JOIN_SQL),

@@ -36,14 +36,50 @@ def _normalize(rows, columns):
     return sorted(normd), [columns[i] for i in order]
 
 
+_DUCK_INT = {"TINYINT", "SMALLINT", "INTEGER", "BIGINT", "UTINYINT", "USMALLINT", "UINTEGER"}
+_DUCK_FLOAT = {"FLOAT", "DOUBLE"}
+_SPARK_INT = {"tinyint", "smallint", "int", "bigint"}
+_SPARK_FLOAT = {"float", "double"}
+
+
+def _check_result_types(spark_dtypes, duck_cols, duck_types) -> None:
+    """The driver hashes serialized values, so DuckDB returning HUGEINT
+    (serializes as float) or DOUBLE where Spark emits BIGINT breaks the
+    hash even when every value matches (see CORRECTNESS_r02
+    q_quality_filter_report). fetchall() hides this locally (HUGEINT ->
+    Python int), so assert on the declared result types instead."""
+    spark_map = dict(spark_dtypes)
+    for col, dty in zip(duck_cols, duck_types):
+        dty = str(dty).upper()
+        if dty in ("HUGEINT", "UHUGEINT", "UBIGINT"):
+            raise AssertionError(
+                f"oracle column {col!r} is {dty}: DuckDB SUM over integers "
+                f"widens to HUGEINT which the driver serializes as float — "
+                f"wrap the aggregate as CAST(... AS BIGINT)"
+            )
+        sty = spark_map.get(col)
+        if sty is None:
+            continue
+        if dty in _DUCK_INT and sty in _SPARK_FLOAT:
+            raise AssertionError(
+                f"oracle column {col!r} is integer ({dty}) but Spark emits {sty}"
+            )
+        if dty in _DUCK_FLOAT and sty in _SPARK_INT:
+            raise AssertionError(
+                f"oracle column {col!r} is float ({dty}) but Spark emits {sty}"
+            )
+
+
 def compare_to_oracle(spark_df, sql: str, sf_dir: str) -> None:
     actual_cols = spark_df.columns
     actual_rows = [tuple(r) for r in spark_df.collect()]
     con = duckdb_conn(sf_dir)
     res = con.sql(sql)
     expected_cols = list(res.columns)
+    expected_types = [str(t) for t in res.types]
     expected_rows = res.fetchall()
     con.close()
+    _check_result_types(spark_df.dtypes, expected_cols, expected_types)
 
     assert sorted(actual_cols) == sorted(expected_cols), (
         f"column mismatch: spark={sorted(actual_cols)} oracle={sorted(expected_cols)}"
