@@ -418,8 +418,104 @@ def dsir_logweights(
         .groupBy(id_col)
         .agg(F.sum("lam").cast("double").alias("logweight"))
     )
-    # global NTILE is a single-reducer sort of the per-DOC weight table
-    # (one row per document, already aggregated) — at petabyte row counts
-    # swap for approxQuantile thresholds; the weights themselves stream.
-    dec = Window.orderBy(F.col("logweight").desc(), F.col(id_col).asc())
-    return weights.withColumn("decile", F.ntile(10).over(dec))
+    # exact NTILE(10) semantics WITHOUT the single-reducer global-window
+    # sort: deterministic range-bucketed distributed ranking
+    return distributed_ntile(
+        weights,
+        10,
+        [F.col("logweight").desc(), F.col(id_col).asc()],
+        range_col=-F.col("logweight"),
+        out_col="decile",
+    )
+
+
+def distributed_ntile(
+    df: DataFrame,
+    n_buckets: int,
+    order_cols: list,
+    range_col: F.Column,
+    out_col: str = "bucket",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Exact global NTILE(n) over `order_cols` with NO single-reducer
+    sort. A bare `Window.orderBy(...)` funnels every row through ONE
+    reducer — the classic petabyte cliff. This computes the identical
+    bucket assignment distributed:
+
+      1. approxQuantile boundaries of `range_col` (a numeric column
+         ASCENDING-aligned with `order_cols`) split the key space into
+         ~num_partitions ranges. The boundaries only balance work — ANY
+         fixed boundaries give the right answer — and assignment is a
+         stateless literal comparison, so (unlike repartitionByRange's
+         per-job sampled boundaries) every recomputation of the lazy
+         plan agrees with the counts collected in step 2.
+      2. One tiny job counts rows per range (P rows to the driver;
+         documented small-side contract, like the k-means seed sample).
+      3. global rank = broadcast range offset + local row_number over a
+         window partitioned by range id — each reducer sees one range's
+         ~N/P rows, never the whole table.
+      4. SQL NTILE arithmetic on the rank: with N rows and q, r =
+         divmod(N, n), buckets 1..r get q+1 rows, the rest q.
+
+    `order_cols` must be a total order (add an id tiebreak) so ranks —
+    and therefore buckets — are unique and engine-independent. Rows that
+    tie on `range_col` land in the same range (the local window breaks
+    the tie); a fully-constant column degenerates to one reducer, the
+    same cost NTILE pays always.
+    """
+    spark = df.sparkSession
+    P = num_partitions or spark.sparkContext.defaultParallelism
+    # Persist the keyed table: the boundary and count jobs plus the final
+    # action would otherwise each recompute the (possibly heavy) upstream
+    # lineage. Because bucket assignment is stateless given the collected
+    # boundary literals, cache EVICTION only costs recompute time, never
+    # correctness — so the cache is left to the session's LRU rather than
+    # eagerly unpersisted under the still-lazy result plan.
+    keyed = df.withColumn("__dnt_key", range_col.cast("double")).persist()
+    if P > 1:
+        probs = [i / P for i in range(1, P)]
+        bounds = sorted(
+            set(keyed.stat.approxQuantile("__dnt_key", probs, 0.001))
+        )
+    else:
+        bounds = []
+    pid = F.lit(0)
+    for b in bounds:
+        pid = pid + (F.col("__dnt_key") > F.lit(b)).cast("int")
+    keyed = keyed.withColumn("__dnt_pid", pid)
+    counts = {
+        r["__dnt_pid"]: r["cnt"]
+        for r in keyed.groupBy("__dnt_pid")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .collect()
+    }
+    n_rows = sum(counts.values())
+    if n_rows == 0:
+        return df.withColumn(out_col, F.lit(None).cast("int"))
+    offsets, acc = {}, 0
+    for p in sorted(counts):
+        offsets[p] = acc
+        acc += counts[p]
+    off = F.coalesce(
+        F.element_at(
+            F.create_map(
+                *[F.lit(x) for p_o in sorted(offsets.items()) for x in p_o]
+            ),
+            F.col("__dnt_pid"),
+        ),
+        F.lit(0),
+    )
+    local = Window.partitionBy("__dnt_pid").orderBy(*order_cols)
+    ranked = keyed.withColumn("__dnt_rank", off + F.row_number().over(local))
+    q, r = divmod(n_rows, n_buckets)
+    if q == 0:
+        bucket = F.col("__dnt_rank")  # N < n: NTILE assigns rank itself
+    else:
+        head = r * (q + 1)
+        bucket = F.when(
+            F.col("__dnt_rank") <= head,
+            F.floor((F.col("__dnt_rank") - 1) / (q + 1)) + 1,
+        ).otherwise(r + F.floor((F.col("__dnt_rank") - head - 1) / q) + 1)
+    return ranked.withColumn(out_col, bucket.cast("int")).drop(
+        "__dnt_key", "__dnt_pid", "__dnt_rank"
+    )

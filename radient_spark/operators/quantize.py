@@ -60,8 +60,9 @@ def sq8_encode(
     vec_col: str = "embedding",
     out_col: str = "codes",
 ) -> DataFrame:
-    """Append an int8-code column (as array<long> of 0..255 values; pack
-    to binary at the storage boundary for the full 4x win). Pure
+    """Append an int8-code column (as array<long> of 0..255 values —
+    the compute representation; `pack_codes` converts to 1-byte-per-code
+    BinaryType at the storage boundary for the full 4x win). Pure
     per-row Catalyst zip over literal (mn, mx) arrays — zero shuffle."""
     mn_arr = F.array(*[F.lit(float(a)) for a, _ in stats])
     mx_arr = F.array(*[F.lit(float(b)) for _, b in stats])
@@ -123,6 +124,54 @@ def sq8_topk(
         .orderBy(F.col(score_col).desc(), F.col(id_col).asc())
         .limit(k)
     )
+
+
+def pack_codes(
+    df: DataFrame, codes_col: str = "codes", out_col: str | None = None
+) -> DataFrame:
+    """Pack an `array<long>` of 0..255 codes into ONE BinaryType cell —
+    exactly 1 byte per code on disk, which is what makes SQ8's "4x
+    smaller than float32" (and PQ's 32x) true at the storage boundary
+    rather than a docstring aspiration (array<long> spends 8 bytes per
+    code). Pure Catalyst, zero UDF: each code renders as a 2-char hex
+    pair, the pairs concatenate, and unhex emits the byte string.
+
+    Contract: codes outside 0..255 are a caller bug (sq8/pq encoders
+    clamp); keep `array<long>` as the in-flight compute representation
+    and pack only when persisting (parquet/ORC store binary verbatim)."""
+    out_col = out_col or codes_col
+    packed = F.when(
+        F.col(codes_col).isNull(), F.lit(None).cast("binary")
+    ).otherwise(
+        F.unhex(
+            F.concat_ws(
+                "",
+                F.transform(F.col(codes_col), lambda c: F.lpad(F.hex(c), 2, "0")),
+            )
+        )
+    )
+    return df.withColumn(out_col, packed)
+
+
+def unpack_codes(
+    df: DataFrame, packed_col: str = "codes", out_col: str | None = None
+) -> DataFrame:
+    """Inverse of pack_codes: BinaryType -> `array<long>` of 0..255.
+    Round-trips bit-exactly (tests/test_quantize.py)."""
+    out_col = out_col or packed_col
+    hx = F.hex(F.col(packed_col))
+    n = F.length(F.col(packed_col))
+    codes = F.when(
+        F.col(packed_col).isNull(), F.lit(None).cast("array<long>")
+    ).when(n == 0, F.array().cast("array<long>")).otherwise(
+        F.transform(
+            F.sequence(F.lit(0), n - 1),
+            lambda i: F.conv(F.substring(hx, i * 2 + 1, F.lit(2)), 16, 10).cast(
+                "long"
+            ),
+        )
+    )
+    return df.withColumn(out_col, codes)
 
 
 # ---------------------------------------------------------------------------

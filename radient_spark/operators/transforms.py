@@ -190,6 +190,101 @@ def ffmpeg_demux_decoder(
     return decode
 
 
+def cv2_demux_decoder(
+    output_dir: str | None = None,
+    read_payloads: bool = False,
+    cv2_mod=None,
+    librosa_mod=None,
+    sf_mod=None,
+):
+    """Factory: a `decoder` for video_demux backed by OpenCV + librosa +
+    soundfile — the reference's DEFAULT decode path
+    (/root/reference/radient/tasks/transforms/video_demux/default.py:18-61),
+    completing the §2.2 mapping next to the ffmpeg-subprocess decoder.
+
+    Contract reproduced: one PNG frame at every `fps * interval` frame
+    position (starting at frame 0) and one `interval`-second WAV clip at
+    every `sample_rate * interval` sample offset, preserving the source
+    sample rate and channel count. The reference's mono path references
+    an undefined variable (`y = np.expand_dims(y, ...)`,
+    default.py:52-53 — it would NameError on any mono file); here mono
+    waveforms are correctly lifted to (1, n) before slicing.
+
+    `cv2_mod`/`librosa_mod`/`sf_mod` inject stand-ins for codec-free
+    tests (the injected-runner pattern ffmpeg_demux_decoder uses); when
+    None the real libraries are required and a missing one raises
+    ImportError, steering users to decoder=None."""
+
+    def decode(uri: str, payload, interval: float):
+        import hashlib
+        import importlib
+        import importlib.util
+        import os
+        import tempfile
+
+        import numpy as np
+
+        if interval <= 0:
+            raise ValueError(f"interval must be positive, got {interval}")
+        mods = {}
+        for name, inj in (
+            ("cv2", cv2_mod), ("librosa", librosa_mod), ("soundfile", sf_mod)
+        ):
+            if inj is not None:
+                mods[name] = inj
+            elif importlib.util.find_spec(name) is None:
+                raise ImportError(
+                    f"{name} not installed; use the ffmpeg decoder "
+                    "(ffmpeg_demux_decoder) or the deterministic stand-in "
+                    "(decoder=None)"
+                )
+            else:  # pragma: no cover - codec libs absent in CI container
+                mods[name] = importlib.import_module(name)
+        cv2, librosa, sf = mods["cv2"], mods["librosa"], mods["soundfile"]
+
+        base = output_dir or tempfile.mkdtemp(prefix="radient_demux_")
+        out_dir = os.path.join(base, hashlib.md5(uri.encode()).hexdigest()[:16])
+        os.makedirs(out_dir, exist_ok=True)
+        units = []
+
+        cap = cv2.VideoCapture(uri)
+        try:
+            frame_count = cap.get(cv2.CAP_PROP_FRAME_COUNT)
+            fps = cap.get(cv2.CAP_PROP_FPS)
+            if fps <= 0:
+                raise ValueError(f"OpenCV reported fps {fps!r} for {uri!r}")
+            step = fps * interval
+            for i, n in enumerate(np.arange(0, frame_count, step)):
+                cap.set(cv2.CAP_PROP_POS_FRAMES, int(n))
+                retval, frame = cap.read()
+                if not retval:
+                    break
+                frame_path = os.path.join(out_dir, f"frame_{i:04d}.png")
+                cv2.imwrite(frame_path, frame)
+                units.append(("image", i, frame_path, None))
+        finally:
+            cap.release()
+
+        waveform, sample_rate = librosa.load(uri, sr=None, mono=False)
+        waveform = np.asarray(waveform)
+        if waveform.ndim == 1:
+            waveform = np.expand_dims(waveform, axis=0)
+        sample_interval = int(sample_rate * interval)
+        for i, n in enumerate(range(0, waveform.shape[1], sample_interval)):
+            audio_path = os.path.join(out_dir, f"audio_{i:04d}.wav")
+            sf.write(audio_path, waveform[:, n:n + sample_interval].T, sample_rate)
+            units.append(("audio", i, audio_path, None))
+
+        if read_payloads:
+            units = [
+                (m, i, p, open(p, "rb").read() if os.path.exists(p) else None)
+                for (m, i, p, _) in units
+            ]
+        return units
+
+    return decode
+
+
 def whisper_transcriber(model_id: str = "openai/whisper-large-v3"):
     """Factory: a `transcriber` for speech_to_text backed by the HF
     Whisper ASR pipeline (≡ speech_to_text/whisper.py:16-45). The

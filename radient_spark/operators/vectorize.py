@@ -299,6 +299,7 @@ def model_vectorizer(
     model_factory,
     required_module: str,
     batch_encode,
+    return_type: str = "array<float>",
 ) -> DataFrame:
     """Generic model-backed vectorizer: iterator pandas_udf with a
     per-Python-worker model singleton (the pattern shared by the
@@ -306,7 +307,9 @@ def model_vectorizer(
     which reloads per instance — see SURVEY.md §2.3).
 
     model_factory() -> model (called once per worker);
-    batch_encode(model, values: list) -> list[list[float]].
+    batch_encode(model, values: list) -> list matching `return_type`
+    (one vector per input, or one LIST of vectors per input for
+    per-frame outputs with return_type="array<array<float>>").
     """
     import importlib.util
 
@@ -317,7 +320,7 @@ def model_vectorizer(
         )
     import pandas as pd  # pragma: no cover — model path exercised off-CI
 
-    @F.pandas_udf("array<float>")
+    @F.pandas_udf(return_type)
     def embed(it: Iterator[pd.Series]) -> Iterator[pd.Series]:  # pragma: no cover
         model = model_factory()
         for s in it:
@@ -358,13 +361,35 @@ def timm_image_vectorizer(
     return model_vectorizer(df, image_col, out_col, factory, "timm", encode)
 
 
+def frames_to_rows(
+    df: DataFrame, frames_col: str, out_col: str = "vector"
+) -> DataFrame:
+    """Fan a per-clip `array<array<float>>` feature column out to one row
+    PER FRAME via posexplode — the DataFrame form of the reference's
+    list-of-Vectors return (torchaudio.py:40-47, reduce_method != avg_pool
+    yields one vector per frame). Output keeps every input column plus
+    (frame_index, out_col)."""
+    keep = [c for c in df.columns if c != frames_col]
+    return df.select(
+        *keep, F.posexplode(frames_col).alias("frame_index", out_col)
+    )
+
+
 def torchaudio_audio_vectorizer(
     df: DataFrame,
     waveform_col: str = "waveform",
     out_col: str = "vector",
+    reduce_method: str | None = "avg_pool",
 ) -> DataFrame:  # pragma: no cover - torchaudio not in CI
-    """≡ vectorizers/audio/torchaudio.py:16-67 (HUBERT_BASE features,
-    avg-pooled to one vector per clip)."""
+    """≡ vectorizers/audio/torchaudio.py:16-67 (HUBERT_BASE features).
+    reduce_method="avg_pool" (the reference default) mean-pools to ONE
+    vector per clip; reduce_method=None reproduces the per-frame branch
+    (torchaudio.py:46-47) — one row per feature frame with a
+    `frame_index` column, via frames_to_rows."""
+    if reduce_method not in ("avg_pool", None):
+        raise ValueError(
+            f"reduce_method must be 'avg_pool' or None, got {reduce_method!r}"
+        )
 
     def factory():
         import torchaudio
@@ -381,7 +406,31 @@ def torchaudio_audio_vectorizer(
                 out.append(feats[-1].mean(dim=1).squeeze(0).numpy().tolist())
             return out
 
-    return model_vectorizer(df, waveform_col, out_col, factory, "torchaudio", encode)
+    if reduce_method == "avg_pool":
+        return model_vectorizer(
+            df, waveform_col, out_col, factory, "torchaudio", encode
+        )
+
+    def encode_frames(model, waves):
+        import torch
+
+        with torch.inference_mode():
+            out = []
+            for w in waves:
+                feats, _ = model.extract_features(torch.tensor([w]))
+                out.append(feats[-1].squeeze(0).numpy().tolist())
+            return out
+
+    staged = model_vectorizer(
+        df,
+        waveform_col,
+        "__frames",
+        factory,
+        "torchaudio",
+        encode_frames,
+        return_type="array<array<float>>",
+    )
+    return frames_to_rows(staged, "__frames", out_col)
 
 
 def _imagebind_factory(model_name: str = "imagebind_huge"):

@@ -246,20 +246,41 @@ def incremental_ingest_sink(
     the text column for hashing, and the checkpoint gives exactly-once
     per input file while the anti join gives content-level dedup across
     batches. At scale, store the corpus bucketed by the hash column so
-    the anti join needs no corpus exchange."""
-    from pyspark.errors import AnalysisException
+    the anti join needs no corpus exchange.
+
+    The "first batch" case is detected by an explicit Hadoop FileSystem
+    probe of corpus_dir — NOT by catching AnalysisException around the
+    read, which would also swallow real analysis errors (text_col missing
+    from a previously-written corpus schema, an unreadable corpus_dir)
+    and silently disable cross-batch dedup, appending duplicates forever.
+    Genuine analysis errors propagate and fail the batch."""
+
+    def _corpus_has_data(spark) -> bool:
+        jvm = spark.sparkContext._jvm
+        hconf = spark.sparkContext._jsc.hadoopConfiguration()
+        path = jvm.org.apache.hadoop.fs.Path(corpus_dir)
+        fs = path.getFileSystem(hconf)
+        if not fs.exists(path):
+            return False
+        it = fs.listFiles(path, True)
+        while it.hasNext():
+            f = it.next()
+            name = f.getPath().getName()
+            if f.getLen() > 0 and not name.startswith(("_", ".")):
+                return True
+        return False
 
     def batch_fn(df: DataFrame, epoch_id: int) -> None:
         batch = df.withColumn("__h", F.md5(text_col)).dropDuplicates(["__h"])
         spark = df.sparkSession
-        try:
+        if _corpus_has_data(spark):
             seen = (
                 spark.read.parquet(corpus_dir)
                 .select(F.md5(text_col).alias("__h"))
                 .distinct()
             )
             fresh = batch.join(seen, "__h", "left_anti")
-        except AnalysisException:  # first batch: corpus doesn't exist yet
+        else:  # first batch: corpus directory empty or absent
             fresh = batch
         fresh.drop("__h").write.mode("append").parquet(corpus_dir)
 

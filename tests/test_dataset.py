@@ -171,6 +171,59 @@ def test_dsir_weights_rank_target_domain_docs_higher(spark):
     assert min(out[1], out[2]) > max(out[3], out[4])
 
 
+def test_distributed_ntile_equals_window_ntile(spark):
+    """distributed_ntile must reproduce NTILE(n) bucket-for-bucket,
+    including the uneven-bucket arithmetic (N % n != 0), N < n, and
+    tied range values — without a global single-partition window."""
+    from pyspark.sql import Window
+
+    from radient_spark.operators.dataset import distributed_ntile
+
+    import random
+
+    rng = random.Random(7)
+    for n, n_buckets in [(97, 10), (100, 10), (5, 10), (64, 3), (1, 4)]:
+        rows = [(i, rng.choice([1.0, 2.5, 3.25, 7.5])) for i in range(n)]
+        df = spark.createDataFrame(rows, ["id", "w"]).repartition(8)
+        got = {
+            r["id"]: r["b"]
+            for r in distributed_ntile(
+                df,
+                n_buckets,
+                [F.col("w").desc(), F.col("id").asc()],
+                range_col=-F.col("w"),
+                out_col="b",
+                num_partitions=4,
+            ).collect()
+        }
+        w = Window.orderBy(F.col("w").desc(), F.col("id").asc())
+        want = {
+            r["id"]: r["b"]
+            for r in df.withColumn("b", F.ntile(n_buckets).over(w)).collect()
+        }
+        assert got == want, f"mismatch at n={n}, buckets={n_buckets}"
+
+
+def test_dsir_plan_has_no_global_window_sort(spark):
+    """The decile assignment must not funnel the table through a single
+    reducer: every Window in the plan is partitioned (no 'Window [...]'
+    with an empty partition spec over the whole weight table)."""
+    from radient_spark.operators.dataset import dsir_logweights
+
+    rows = [(i, f"tok{i % 7} tok{i % 3} common", "sci" if i % 2 else "food")
+            for i in range(40)]
+    df = spark.createDataFrame(rows, ["doc_id", "text", "domain"])
+    out = dsir_logweights(df, F.col("domain") == "sci", "text", "doc_id")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    for line in plan.splitlines():
+        if "Window" in line and "windowspecdefinition" in line:
+            assert "partitionBy" not in line or "__dnt_pid" in line
+        # ntile over an unpartitioned window renders as
+        # 'Window [ntile(...) ... specifiedwindowframe...]' with no
+        # partition expressions before the ORDER BY clause
+        assert "ntile(" not in line
+
+
 def test_chunk_documents_windows_cover_all_tokens(spark):
     from radient_spark.operators.dataset import chunk_documents
 

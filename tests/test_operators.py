@@ -336,3 +336,112 @@ def test_factory_covers_dataset_and_new_dedup_ops(spark):
     cov_op = make_operator("dedup", "repeated_ngram", id_col="doc_id", n=5)
     out = {r["doc_id"]: r["coverage"] for r in cov_op(df).collect()}
     assert out[1] == 1.0 and out[3] == 0.0
+
+
+def test_cv2_demux_decoder_logic(tmp_path):
+    # codec-free check of the cv2/librosa demux loop (the reference's
+    # DEFAULT decode path): injected module stand-ins fabricate a 4 s
+    # video at 25 fps with 2-channel 8 kHz audio, and the decoder must
+    # emit one frame per fps*interval position and one wav clip per
+    # interval-second sample window (source rate/channels preserved).
+    import numpy as np
+
+    class FakeCv2:
+        CAP_PROP_FRAME_COUNT = 7
+        CAP_PROP_FPS = 5
+        CAP_PROP_POS_FRAMES = 1
+        writes = []
+
+        class _Cap:
+            def __init__(self, uri):
+                self.pos = 0
+
+            def get(self, prop):
+                return {7: 100.0, 5: 25.0}[prop]
+
+            def set(self, prop, v):
+                self.pos = v
+
+            def read(self):
+                return True, np.zeros((4, 4, 3), dtype=np.uint8)
+
+            def release(self):
+                pass
+
+        def VideoCapture(self, uri):
+            return self._Cap(uri)
+
+        def imwrite(self, path, frame):
+            FakeCv2.writes.append(path)
+            with open(path, "wb") as f:
+                f.write(b"png-bytes")
+
+    class FakeLibrosa:
+        @staticmethod
+        def load(uri, sr=None, mono=False):
+            assert sr is None and mono is False  # source-rate, all channels
+            return np.zeros(4 * 8000, dtype=np.float32), 8000  # MONO 1-D
+
+    class FakeSf:
+        shapes = []
+
+        @staticmethod
+        def write(path, data, rate):
+            FakeSf.shapes.append((data.shape, rate))
+            with open(path, "wb") as f:
+                f.write(b"wav-bytes")
+
+    dec = transforms.cv2_demux_decoder(
+        output_dir=str(tmp_path),
+        read_payloads=True,
+        cv2_mod=FakeCv2(),
+        librosa_mod=FakeLibrosa,
+        sf_mod=FakeSf,
+    )
+    units = dec("/media/v.mp4", None, 2.0)
+    # 100 frames @ 25 fps = 4 s -> 2 frames (0, 50) + 2 audio clips
+    assert [(m, i) for m, i, _, _ in units] == [
+        ("image", 0), ("image", 1), ("audio", 0), ("audio", 1)
+    ]
+    assert all(p in (b"png-bytes", b"wav-bytes") for *_, p in units)
+    # mono 1-D input is lifted to (1, n) BEFORE slicing (the reference's
+    # default.py:52-53 NameErrors here) -> written clips are (16000, 1)
+    assert FakeSf.shapes == [((16000, 1), 8000), ((16000, 1), 8000)]
+
+
+def test_cv2_demux_decoder_gated_without_codecs(tmp_path):
+    dec = transforms.cv2_demux_decoder(output_dir=str(tmp_path))
+    with pytest.raises(ImportError, match="cv2|librosa|soundfile"):
+        dec("/media/v.mp4", None, 2.0)
+
+
+def test_frames_to_rows_per_frame_fanout(spark):
+    # the torchaudio reduce_method=None contract: a per-clip list of
+    # frame vectors fans out to one row per frame with a frame_index,
+    # keeping every other column
+    from radient_spark.operators.vectorize import frames_to_rows
+
+    df = spark.createDataFrame(
+        [(1, "a.wav", [[1.0, 2.0], [3.0, 4.0], [5.0, 6.0]]),
+         (2, "b.wav", [[9.0, 9.0]])],
+        "id long, uri string, __frames array<array<float>>",
+    )
+    rows = sorted(
+        (r["id"], r["frame_index"], list(r["vector"]))
+        for r in frames_to_rows(df, "__frames").collect()
+    )
+    assert rows == [
+        (1, 0, [1.0, 2.0]), (1, 1, [3.0, 4.0]), (1, 2, [5.0, 6.0]),
+        (2, 0, [9.0, 9.0]),
+    ]
+
+
+def test_torchaudio_vectorizer_gated_and_validates_reduce_method(spark):
+    from radient_spark.operators.vectorize import torchaudio_audio_vectorizer
+
+    df = spark.createDataFrame([(1, [0.0] * 16)], "id long, waveform array<float>")
+    for rm in ("avg_pool", None):  # both paths gate on torchaudio
+        with pytest.raises(ImportError, match="stand-in"):
+            torchaudio_audio_vectorizer(df, reduce_method=rm)
+    with pytest.raises(ValueError, match="reduce_method"):
+        torchaudio_audio_vectorizer(df, reduce_method="max_pool")

@@ -100,3 +100,52 @@ def test_pq_codes_bounded_and_rerank_recall(spark, sf_dir):
     # shortlist+rerank recovers most of the exact top-10 (measured 9/10
     # at sf0.001 and 8/10 at sf0.01 with shortlist=80; slack for seeds)
     assert len(set(got) & set(exact_ids)) >= 7
+
+
+def test_pack_codes_binary_roundtrip_through_parquet(spark, sf_dir, tmp_path):
+    """The storage-boundary claim: packed codes are 1 byte per code on
+    disk (BinaryType), and unpack after a parquet round-trip is
+    bit-exact against the original array<long> codes."""
+    from radient_spark.catalog import load_tables
+    from radient_spark.operators.quantize import (
+        pack_codes,
+        sq8_encode,
+        sq8_minmax,
+        unpack_codes,
+    )
+
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    stats = sq8_minmax(emb, "embedding")
+    encoded = sq8_encode(emb, stats, "embedding").select("vec_id", "codes")
+    orig = {r["vec_id"]: list(r["codes"]) for r in encoded.collect()}
+    dim = len(next(iter(orig.values())))
+
+    packed = pack_codes(encoded, "codes", out_col="packed").select(
+        "vec_id", "packed"
+    )
+    path = str(tmp_path / "sq8_packed.parquet")
+    packed.write.parquet(path)
+    back = spark.read.parquet(path)
+    assert dict(back.dtypes)["packed"] == "binary"
+    for r in back.collect():
+        assert len(r["packed"]) == dim  # 1 byte per code == 4x vs float32
+    got = {
+        r["vec_id"]: list(r["codes"])
+        for r in unpack_codes(back, "packed", out_col="codes").collect()
+    }
+    assert got == orig
+
+
+def test_pack_unpack_edge_codes(spark):
+    """Boundary bytes (0x00, 0xFF), empty arrays, and null survive."""
+    from radient_spark.operators.quantize import pack_codes, unpack_codes
+
+    df = spark.createDataFrame(
+        [(1, [0, 255, 1, 128]), (2, []), (3, None)],
+        "id long, codes array<long>",
+    )
+    out = {
+        r["id"]: (list(r["codes"]) if r["codes"] is not None else None)
+        for r in unpack_codes(pack_codes(df, "codes"), "codes").collect()
+    }
+    assert out == {1: [0, 255, 1, 128], 2: [], 3: None}
