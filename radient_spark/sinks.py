@@ -66,6 +66,76 @@ def milvus_sink(
     df.foreachPartition(write_partition)
 
 
+def milvus_search(
+    queries: list[list[float]],
+    collection: str,
+    uri: str = "http://localhost:19530",
+    client=None,
+    **kwargs,
+) -> list:
+    """Thin migration-parity shim for the reference's Milvus search
+    transact (sinks/milvus.py:122-127): arbitrary pymilvus kwargs
+    (`limit`, `filter`, `output_fields`, `search_params`, ...) forward
+    verbatim to `MilvusClient.search`, so reference call sites port
+    unchanged. The Spark-NATIVE equivalent — filter + top-k entirely in
+    the plan — is operators/topk.py; this shim exists for code that talks
+    to an external Milvus deployment. `client` injects a prebuilt/fake
+    client for tests; otherwise pymilvus is required."""
+    if client is None:  # pragma: no cover - pymilvus not in CI
+        try:
+            from pymilvus import MilvusClient
+        except ImportError as e:
+            raise ImportError("pymilvus is required for milvus_search") from e
+        client = MilvusClient(uri=uri)
+    return client.search(
+        collection_name=collection,
+        data=[list(q) for q in queries],
+        **kwargs,
+    )
+
+
+def mongodb_search(
+    queries: list[list[float]],
+    collection: str,
+    database: str,
+    uri: str = "mongodb://localhost:27017",
+    vector_field: str = "vector",
+    index_name: str = "vector_index",
+    client=None,
+    **kwargs,
+) -> list[list]:
+    """Migration-parity shim for the reference's Atlas $vectorSearch
+    transact (sinks/mongodb.py:93-115): per query, one aggregate with
+    `numCandidates` (default 150) and `limit` (default 10) popped from
+    kwargs exactly like the reference, returning a list of result lists.
+    `client` injects a fake for tests; otherwise pymongo is required."""
+    num_candidates = kwargs.pop("num_candidates", 150)
+    limit = kwargs.pop("limit", 10)
+    if client is None:  # pragma: no cover - pymongo not in CI
+        try:
+            from pymongo import MongoClient
+        except ImportError as e:
+            raise ImportError("pymongo is required for mongodb_search") from e
+        client = MongoClient(uri)
+    coll = client[database][collection]
+    results = []
+    for q in queries:
+        pipeline = [
+            {
+                "$vectorSearch": {
+                    "index": index_name,
+                    "path": vector_field,
+                    "queryVector": list(q),
+                    "numCandidates": num_candidates,
+                    "limit": limit,
+                }
+            },
+            {"$project": {"score": {"$meta": "vectorSearchScore"}}},
+        ]
+        results.append(list(coll.aggregate(pipeline)))
+    return results
+
+
 def mongodb_sink(
     df: DataFrame,
     collection: str,

@@ -63,6 +63,65 @@ def write_bucketed(
     writer.saveAsTable(table)
 
 
+class YoutubeIncrementalSource:
+    """The reference's stateful one-video-per-call pull contract
+    (sources/youtube.py:51-64): each `read()` downloads and returns the
+    NEXT url's local path; an exhausted source returns None forever —
+    the sentinel the workflow layer uses to stop pulling. The eager
+    all-at-once form is `youtube_source` below.
+
+    `ydl_factory` injects a fake downloader for network-free tests;
+    when None, yt_dlp is required (import-gated like the reference's
+    LazyImport)."""
+
+    def __init__(
+        self,
+        urls: list[str],
+        output_directory: str,
+        ydl_factory=None,
+    ):
+        if ydl_factory is None:  # pragma: no cover - yt_dlp not in CI
+            try:
+                import yt_dlp
+            except ImportError as e:
+                raise ImportError(
+                    "yt_dlp is required for YoutubeIncrementalSource"
+                ) from e
+
+            def ydl_factory():
+                return yt_dlp.YoutubeDL(
+                    {
+                        "format": "mp4",
+                        "outtmpl": f"{output_directory}/%(id)s.%(ext)s",
+                        "quiet": True,
+                    }
+                )
+
+        self._urls = list(urls)
+        self._idx = 0
+        self._output_directory = output_directory
+        self._ydl = ydl_factory()
+
+    def read(self) -> str | None:
+        if self._idx == len(self._urls):
+            return None
+        url = self._urls[self._idx]
+        meta = self._ydl.extract_info(url, download=False)
+        meta = self._ydl.sanitize_info(meta)
+        path = self._ydl.prepare_filename(meta)
+        self._ydl.download(url)
+        self._idx += 1
+        return path
+
+    def to_df(self, spark: SparkSession) -> DataFrame:
+        """Drain the remaining urls into a DataFrame of local paths for
+        distributed downstream processing (demux/vectorize)."""
+        paths = []
+        while (p := self.read()) is not None:
+            paths.append((p,))
+        return spark.createDataFrame(paths, "path string")
+
+
 def youtube_source(
     spark: SparkSession, url: str, output_directory: str
 ) -> DataFrame:  # pragma: no cover - network + yt_dlp not in CI

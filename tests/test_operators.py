@@ -445,3 +445,75 @@ def test_torchaudio_vectorizer_gated_and_validates_reduce_method(spark):
             torchaudio_audio_vectorizer(df, reduce_method=rm)
     with pytest.raises(ValueError, match="reduce_method"):
         torchaudio_audio_vectorizer(df, reduce_method="max_pool")
+
+
+def test_milvus_mongodb_search_kwargs_passthrough():
+    # migration-parity shims: arbitrary kwargs reach the client verbatim
+    # (reference sinks/milvus.py:122-127, mongodb.py:93-115)
+    from radient_spark.sinks import milvus_search, mongodb_search
+
+    calls = {}
+
+    class FakeMilvus:
+        def search(self, **kw):
+            calls["milvus"] = kw
+            return [["hit"]]
+
+    out = milvus_search(
+        [[1.0, 2.0]], "docs", client=FakeMilvus(),
+        limit=5, filter="source == 'web'", output_fields=["doc_id"],
+    )
+    assert out == [["hit"]]
+    assert calls["milvus"] == {
+        "collection_name": "docs", "data": [[1.0, 2.0]], "limit": 5,
+        "filter": "source == 'web'", "output_fields": ["doc_id"],
+    }
+
+    class FakeColl:
+        def aggregate(self, pipeline):
+            calls.setdefault("pipelines", []).append(pipeline)
+            return iter([{"score": 0.9}])
+
+    fake_client = {"db": {"docs": FakeColl()}}
+    out = mongodb_search(
+        [[0.5, 0.5]], "docs", "db", client=fake_client,
+        num_candidates=99, limit=3,
+    )
+    assert out == [[{"score": 0.9}]]
+    vs = calls["pipelines"][0][0]["$vectorSearch"]
+    # numCandidates/limit pop out of kwargs exactly like the reference
+    assert (vs["numCandidates"], vs["limit"]) == (99, 3)
+    assert vs["queryVector"] == [0.5, 0.5]
+
+
+def test_youtube_incremental_source_one_per_call(spark, tmp_path):
+    # the reference's stateful pull contract: one download per read(),
+    # then None forever once exhausted (sources/youtube.py:51-64)
+    from radient_spark.sources import YoutubeIncrementalSource
+
+    downloaded = []
+
+    class FakeYdl:
+        def extract_info(self, url, download=False):
+            return {"id": url[-1]}
+
+        def sanitize_info(self, meta):
+            return meta
+
+        def prepare_filename(self, meta):
+            return f"{tmp_path}/{meta['id']}.mp4"
+
+        def download(self, url):
+            downloaded.append(url)
+
+    src = YoutubeIncrementalSource(
+        ["u/a", "u/b", "u/c"], str(tmp_path), ydl_factory=FakeYdl
+    )
+    assert src.read() == f"{tmp_path}/a.mp4"
+    assert downloaded == ["u/a"]  # exactly one fetch per call
+    df = src.to_df(spark)  # drains ONLY the remaining two
+    assert sorted(r["path"] for r in df.collect()) == [
+        f"{tmp_path}/b.mp4", f"{tmp_path}/c.mp4"
+    ]
+    assert src.read() is None and src.read() is None
+    assert downloaded == ["u/a", "u/b", "u/c"]
