@@ -68,6 +68,13 @@ def main() -> None:
         metric="cosine", tiebreak="doc_id",
     ).select("doc_id", "score")
     print("search top-3:", [(r["doc_id"], r["score"]) for r in hits.collect()])
+    # Code still pointed at an EXTERNAL Milvus/Atlas deployment ports
+    # verbatim through the kwargs-compatible shims instead:
+    #   sinks.milvus_search(vectors, collection, limit=3,
+    #                       filter="modality == 'text'",
+    #                       output_fields=["doc_id"])
+    #   sinks.mongodb_search(vectors, collection, database,
+    #                        num_candidates=150, limit=3)
 
     # ------------------------------------------------------------------
     # reference (examples/drug_discovery.md:42-48): molecule fingerprints

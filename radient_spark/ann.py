@@ -488,7 +488,13 @@ class AnnIndex:
                         d = M[m] @ H[int(k)]
                         leaf = int(k) % _KEY
                         sub = pdf[m]
-                        right = sub[d > lo].copy()
+                        # >= (not >) so boundary-valued rows spill to BOTH
+                        # children; at spill=0.5, lo/hi are the min/max
+                        # projection, so every row lands in both children
+                        # and any descent sees the full candidate set —
+                        # the exactness-oracle configuration
+                        # (queries.q_ann_search_exact)
+                        right = sub[d >= lo].copy()
                         right["leaf_id"] = 2 * leaf + 1
                         left = sub[d <= hi].copy()
                         left["leaf_id"] = 2 * leaf

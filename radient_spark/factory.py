@@ -140,3 +140,25 @@ register("dataset", "perplexity_buckets")(
 register("dataset", "dsir")(
     lambda **kw: functools.partial(_dataset.dsir_logweights, **kw)
 )
+register("dataset", "ntile")(
+    lambda **kw: functools.partial(_dataset.distributed_ntile, **kw)
+)
+
+# --- quantization (embedding-compression ops) ------------------------------
+
+from radient_spark.operators import quantize as _quantize  # noqa: E402
+
+register("quantize", "sq8_encode")(
+    lambda stats, **kw: functools.partial(_quantize.sq8_encode, stats=stats, **kw)
+)
+register("quantize", "pq_encode")(
+    lambda codebooks, **kw: functools.partial(
+        _quantize.pq_encode, codebooks=codebooks, **kw
+    )
+)
+register("quantize", "pack")(
+    lambda **kw: functools.partial(_quantize.pack_codes, **kw)
+)
+register("quantize", "unpack")(
+    lambda **kw: functools.partial(_quantize.unpack_codes, **kw)
+)

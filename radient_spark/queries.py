@@ -2327,6 +2327,29 @@ def q_ivf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return index.search_df(qdf, k=10, n_probes=8)
 
 
+def q_ann_search_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forest ANN search pinned to a hash-matched oracle: at spill=0.5
+    the balanced-bisection build spills EVERY row into both children
+    (lo/hi cuts are the min/max projection), so whatever leaf a query
+    descends to holds the full corpus and the search IS exact top-k —
+    the same degenerate-configuration trick as q_ivf_search_exact. This
+    drives the whole forest machinery (build loop, descent, partition
+    pruning predicate, broadcast join, cross-tree dedup, rerank window)
+    under the driver's value gate; the pruned realistic configuration
+    stays rows-only + recall-tested (tests/test_ann.py)."""
+    from radient_spark.ann import AnnIndex
+
+    emb = load_tables(spark, sf_dir)["embeddings"].select(
+        F.col("vec_id").alias("id"), F.col("embedding").alias("vector")
+    )
+    index = AnnIndex.build(
+        emb, n_trees=1, max_leaf_size=1 << 30, spill=0.5, seed=42
+    )
+    rows = emb.orderBy("id").limit(10).collect()
+    queries = [(int(r["id"]), list(r["vector"])) for r in rows]
+    return index.search(queries, k=10)
+
+
 def q_ivf_search_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF search with n_probes = n_cells: every cell is probed, so the
     result IS the exact top-k — which DuckDB expresses directly as a
@@ -3704,6 +3727,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "q_media_pipeline": (q_media_pipeline, None),
     "q_mel_clip_features": (q_mel_clip_features, None),
     "q_ann_search": (q_ann_search, None),
+    "q_ann_search_exact": (q_ann_search_exact, _Q_IVF_EXACT_SQL),
     "q_ivf_search": (q_ivf_search, None),
     "q_ivf_search_exact": (q_ivf_search_exact, _Q_IVF_EXACT_SQL),
     "q_running_customer_balance": (q_running_customer_balance, _Q_RUNNING_SQL),
