@@ -62,6 +62,10 @@ BENCH_QUERIES = [
     "q_curation_pipeline",
     "q_incremental_ingest_dedup",
     "q_cluster_balanced_sample",
+    "q_quality_classifier_scores",
+    "q_merge_upsert_report",
+    "q_zorder_buckets",
+    "q_hard_negatives",
 ]
 
 

@@ -194,6 +194,26 @@ def _nearest_cells(Q: "np.ndarray", C: "np.ndarray", n: int) -> "np.ndarray":
     return np.argsort(d2, axis=1)[:, : min(n, C.shape[0])]
 
 
+def _assign_cells(base: DataFrame, centroids: np.ndarray) -> DataFrame:
+    """Map-only nearest-centroid assignment: centroid matrix broadcast,
+    one Arrow-batched argmin per partition. (id, vector) -> + cell_id."""
+    bc = base.sparkSession.sparkContext.broadcast(
+        np.asarray(centroids, dtype=np.float64).tolist()
+    )
+
+    def assign(batches):
+        C_ = np.asarray(bc.value)
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            M = np.array(pdf["vector"].tolist(), dtype=np.float64)
+            out = pdf.copy()
+            out["cell_id"] = _nearest_cells(M, C_, 1)[:, 0].astype(np.int32)
+            yield out
+
+    return base.mapInPandas(assign, "id long, vector array<float>, cell_id int")
+
+
 class IvfIndex:
     """IVF (inverted-file) index: rows bucketed by nearest centroid.
 
@@ -232,24 +252,37 @@ class IvfIndex:
         )
         X = np.array([r["vector"] for r in sample], dtype=np.float64)
         C = _kmeans(X, n_cells, seed)
-        bc = spark.sparkContext.broadcast(C.tolist())
+        return IvfIndex(_assign_cells(base, C), C)
 
-        def assign(batches):
-            import pandas as pd
-
-            C_ = np.asarray(bc.value)
-            for pdf in batches:
-                if len(pdf) == 0:
-                    continue
-                M = np.array(pdf["vector"].tolist(), dtype=np.float64)
-                out = pdf.copy()
-                out["cell_id"] = _nearest_cells(M, C_, 1)[:, 0].astype(np.int32)
-                yield out
-
-        idx = base.mapInPandas(
-            assign, "id long, vector array<float>, cell_id int"
+    def add(
+        self, df: DataFrame, id_col: str = "id", vec_col: str = "vector"
+    ) -> "IvfIndex":
+        """Incremental insert WITHOUT rebuild: assign the new rows to the
+        existing (frozen) centroids and union them into the inverted
+        file — the standard IVF maintenance contract (the coarse
+        quantizer is fit-once; only assignment, a map-only broadcast
+        pass, runs per batch). Returns a new index over the combined
+        rows; recall properties are unchanged because search never
+        assumes rows influenced the centroids."""
+        base = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vector"))
+        fresh = _assign_cells(base, self.centroids)
+        return IvfIndex(
+            self.index_df.select("id", "vector", "cell_id").unionByName(fresh),
+            self.centroids,
         )
-        return IvfIndex(idx, C)
+
+    def append_save(
+        self, df: DataFrame, path: str, id_col: str = "id", vec_col: str = "vector"
+    ) -> None:
+        """Incremental insert against a SAVED index: assign new rows to
+        the frozen centroids and parquet-append them into the existing
+        cell partitions (dynamic partition append — only touched cells
+        gain files; untouched cells' files are not rewritten). The
+        on-disk analogue of `add` for ingest pipelines."""
+        base = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vector"))
+        _assign_cells(base, self.centroids).write.mode("append").partitionBy(
+            "cell_id"
+        ).parquet(f"{path}/cells")
 
     def save(self, path: str) -> None:
         """Parquet partitioned by cell_id + centroid JSON — same layout

@@ -162,3 +162,33 @@ register("quantize", "pack")(
 register("quantize", "unpack")(
     lambda **kw: functools.partial(_quantize.unpack_codes, **kw)
 )
+
+# --- classification / merge / layout (round-3 curation ops) ---------------
+
+from radient_spark.operators import classify as _classify  # noqa: E402
+from radient_spark.operators import layout as _layout  # noqa: E402
+from radient_spark.operators import merge as _merge  # noqa: E402
+
+register("classify", "linear")(
+    lambda weights, **kw: functools.partial(
+        _classify.linear_classifier_score, weights=weights, **kw
+    )
+)
+register("classify", "fasttext")(
+    lambda model_path, **kw: functools.partial(
+        _classify.fasttext_scorer, model_path=model_path, **kw
+    )
+)
+register("merge", "upsert")(
+    lambda keys, **kw: functools.partial(_merge.merge_upsert, keys=keys, **kw)
+)
+register("merge", "report")(
+    lambda keys, compare_cols, **kw: functools.partial(
+        _merge.merge_report, keys=keys, compare_cols=compare_cols, **kw
+    )
+)
+register("layout", "zorder")(
+    lambda cols, **kw: functools.partial(
+        _layout.zorder_repartition, cols=cols, **kw
+    )
+)

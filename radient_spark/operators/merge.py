@@ -1,0 +1,114 @@
+"""MERGE INTO / upsert for corpus refresh: apply a delta of documents
+(new + changed rows) to an existing corpus in one key-shuffle pass.
+
+A 100 TB training corpus is not rebuilt per crawl — each snapshot lands
+as a delta that must be merged by key: new rows inserted, changed rows
+replaced, unchanged rows kept (and ideally not rewritten). Warehouse
+engines spell this MERGE INTO; the reference's ingest layer
+(/root/reference/radient/tasks/sources/ingest.py:7-18) only appends,
+so this is the missing half of its COPY-INTO story.
+
+Spark-first shape: ONE hash shuffle on the merge key for the merged
+view (union + per-key window, no join), and a single full-outer join
+for the audit report. Both sides stream; no driver state, no collect.
+At scale the window variant beats the join variant because the delta
+is usually tiny relative to the corpus: AQE sees the skew, and the
+union's shuffle carries each key once per side instead of materializing
+join rows.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def merge_upsert(
+    target: DataFrame,
+    source: DataFrame,
+    keys: Sequence[str],
+) -> DataFrame:
+    """Upsert `source` into `target` by `keys`: source rows win on key
+    collision, target rows survive otherwise. Columns must match.
+
+    Plan: union with a priority tag + row_number over the key — one
+    shuffle, map-side streaming, whole-stage codegen either side.
+    Deterministic: ties cannot occur (priority is distinct per side;
+    duplicate keys WITHIN a side are resolved in source-first order and
+    should be pre-deduped by the caller if meaningful).
+    """
+    cols = target.columns
+    if set(cols) != set(source.columns):
+        raise ValueError(
+            f"schema mismatch: target {sorted(cols)} vs source {sorted(source.columns)}"
+        )
+    tagged = source.select(*cols).withColumn("__pri", F.lit(0)).unionByName(
+        target.select(*cols).withColumn("__pri", F.lit(1))
+    )
+    w = Window.partitionBy(*[F.col(k) for k in keys]).orderBy("__pri")
+    return (
+        tagged.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__pri", "__rn")
+    )
+
+
+def merge_report(
+    target: DataFrame,
+    source: DataFrame,
+    keys: Sequence[str],
+    compare_cols: Sequence[str],
+) -> DataFrame:
+    """Audit the merge without applying it: per-row action column
+    (`insert` — key only in source; `update` — key in both, any
+    compare_col differs; `unchanged` — key in both, all equal;
+    `keep` — key only in target). One full-outer join on the key.
+
+    NULL-safe comparison via the <=> operator (eqNullSafe), so NULL ->
+    value and value -> NULL both count as updates.
+    """
+    s = source.select(
+        *[F.col(k).alias(f"__sk_{k}") for k in keys],
+        *[F.col(c).alias(f"__sv_{c}") for c in compare_cols],
+    )
+    t = target.select(
+        *[F.col(k).alias(f"__tk_{k}") for k in keys],
+        *[F.col(c).alias(f"__tv_{c}") for c in compare_cols],
+    )
+    cond = None
+    for k in keys:
+        e = F.col(f"__sk_{k}") == F.col(f"__tk_{k}")
+        cond = e if cond is None else (cond & e)
+    joined = s.join(t, cond, "full_outer")
+    in_s = F.col(f"__sk_{keys[0]}").isNotNull()
+    in_t = F.col(f"__tk_{keys[0]}").isNotNull()
+    same = None
+    for c in compare_cols:
+        e = F.col(f"__sv_{c}").eqNullSafe(F.col(f"__tv_{c}"))
+        same = e if same is None else (same & e)
+    action = (
+        F.when(in_s & ~in_t, F.lit("insert"))
+        .when(in_s & in_t & same, F.lit("unchanged"))
+        .when(in_s & in_t, F.lit("update"))
+        .otherwise(F.lit("keep"))
+    )
+    key_cols = [
+        F.coalesce(F.col(f"__sk_{k}"), F.col(f"__tk_{k}")).alias(k) for k in keys
+    ]
+    return joined.select(*key_cols, action.alias("action"))
+
+
+def merge_summary(
+    target: DataFrame,
+    source: DataFrame,
+    keys: Sequence[str],
+    compare_cols: Sequence[str],
+) -> DataFrame:
+    """Merge audit rolled up to one row per action with counts."""
+    return (
+        merge_report(target, source, keys, compare_cols)
+        .groupBy("action")
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+    )

@@ -195,9 +195,16 @@ def knn_join_blocked(
     score_col: str = "score",
     corpus_blocks: int = 8,
     query_blocks: int = 4,
+    score_band: tuple[float, float] | None = None,
 ) -> DataFrame:
     """Exact kNN join where BOTH sides are DataFrames at data scale —
     nothing is collected to the driver and nothing is broadcast.
+
+    `score_band=(lo, hi)` restricts candidates to lo <= score < hi
+    BEFORE the per-query top-k — the hard-negative-mining contract
+    (contrastive training wants the closest non-duplicates: the band
+    ceiling excludes near-dups/self, the floor excludes easy negatives).
+    The band applies to the rounded score, so it is oracle-exact.
 
     Bipartite block GEMM: corpus rows hash into `corpus_blocks` buckets,
     queries into `query_blocks`; every (corpus bucket, query bucket)
@@ -254,10 +261,16 @@ def knn_join_blocked(
         M = np.array(cor["__vec"].tolist(), dtype=np.float64)
         Q = np.array(qs["__vec"].tolist(), dtype=np.float64)
         S = np.round(_batch_scores(M, Q, metric), PAIR_SCORE_DECIMALS)
+        if score_band is not None:
+            lo, hi = score_band
+            S = np.where((S >= lo) & (S < hi), S, -np.inf)
         ids = cor["__rid"].to_numpy()
         qids = qs["__rid"].to_numpy()
         kk = min(k, len(cor))
         ii, jj, sc = _topk_flat_candidates(S, ids, kk)
+        if score_band is not None:
+            keep = np.isfinite(sc)
+            ii, jj, sc = ii[keep], jj[keep], sc[keep]
         return pd.DataFrame(
             {corpus_id: ids[ii], query_id: qids[jj], score_col: sc}
         )

@@ -3683,6 +3683,191 @@ WHERE a.vec_id < b.vec_id AND {sim} >= 0.4
 """
 
 
+def q_quality_classifier_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """fastText-style linear quality classifier served as pure Catalyst
+    (operators/classify.py): score = mean over tokens of w[md5-slot],
+    with the weight vector inlined as a literal array — model serving
+    with zero shuffle, zero Python, zero model distribution.
+
+    Determinism: the demo weights are integers (w[i] = (i*2654435761)
+    mod 1001 - 500), so the token fold accumulates exactly; the query
+    reports the EXACT integer pair (total_w, n_toks) rather than the
+    rounded quotient (score = total_w / (1000 * n_toks)) — rational
+    outputs whose 6-decimal rounding can land on a half-ulp boundary
+    are the one class ROUND cannot pin across engines.
+    """
+    from radient_spark.functions import text as X
+    from radient_spark.operators.classify import linear_classifier_score
+
+    dim = 64
+    weights = [float((i * 2654435761) % 1001 - 500) for i in range(dim)]
+    docs = (
+        load_tables(spark, sf_dir)["documents"]
+        .filter(F.length(F.trim("text")) > 0)
+        .select("doc_id", "source", "text")
+    )
+    scored = linear_classifier_score(
+        docs, weights, bias=0.0, out_col="__raw", mean=False
+    )
+    n_toks = F.size(X.tokens(F.col("text")))
+    return scored.select(
+        "doc_id",
+        "source",
+        n_toks.cast("long").alias("n_toks"),
+        F.col("__raw").cast("long").alias("total_w"),
+        (F.col("__raw") >= 0).alias("keep"),
+    )
+
+
+_Q_CLASSIFIER_SQL = r"""
+WITH slots AS (
+  SELECT doc_id, source,
+    CAST(('0x' || substring(md5(unnest(regexp_split_to_array(trim(text), '\s+'))), 1, 8))::BIGINT % 64 AS BIGINT) AS slot
+  FROM documents WHERE length(trim(text)) > 0
+)
+SELECT doc_id, source, CAST(COUNT(*) AS BIGINT) AS n_toks,
+  SUM((slot * 2654435761) % 1001 - 500)::BIGINT AS total_w,
+  SUM((slot * 2654435761) % 1001 - 500) >= 0 AS keep
+FROM slots GROUP BY doc_id, source
+"""
+
+
+def q_merge_upsert_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO / upsert corpus refresh (operators/merge.py): apply a
+    deterministic delta (updates: doc_id%5==0 get ' v2' appended;
+    no-op rows: doc_id%5==1 resent unchanged; inserts: doc_id%7==0
+    re-keyed to doc_id+10_000_000) and report per-action row counts plus
+    the merged-view cardinality. The report is one full-outer key join;
+    the merged view is one union + per-key window (single shuffle)."""
+    from radient_spark.operators.merge import merge_summary, merge_upsert
+
+    docs = load_tables(spark, sf_dir)["documents"].select("doc_id", "text")
+    updated = docs.filter(F.col("doc_id") % 5 == 0).withColumn(
+        "text", F.concat(F.col("text"), F.lit(" v2"))
+    )
+    resent = docs.filter(F.col("doc_id") % 5 == 1)
+    inserts = docs.filter(F.col("doc_id") % 7 == 0).withColumn(
+        "doc_id", F.col("doc_id") + F.lit(10_000_000)
+    )
+    source = updated.unionByName(resent).unionByName(inserts)
+    summary = merge_summary(docs, source, ["doc_id"], ["text"])
+    merged_rows = (
+        merge_upsert(docs, source, ["doc_id"])
+        .agg(F.count(F.lit(1)).alias("merged_rows"))
+    )
+    return summary.crossJoin(F.broadcast(merged_rows))
+
+
+_Q_MERGE_SQL = """
+WITH src AS (
+  SELECT doc_id, text || ' v2' AS text FROM documents WHERE doc_id % 5 = 0
+  UNION ALL SELECT doc_id, text FROM documents WHERE doc_id % 5 = 1
+  UNION ALL SELECT doc_id + 10000000 AS doc_id, text FROM documents WHERE doc_id % 7 = 0
+), rep AS (
+  SELECT CASE WHEN t.doc_id IS NULL THEN 'insert'
+              WHEN s.doc_id IS NULL THEN 'keep'
+              WHEN s.text IS NOT DISTINCT FROM t.text THEN 'unchanged'
+              ELSE 'update' END AS action
+  FROM src s FULL OUTER JOIN documents t ON s.doc_id = t.doc_id
+), merged AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS merged_rows FROM (
+    SELECT doc_id FROM src UNION SELECT doc_id FROM documents
+  )
+)
+SELECT action, CAST(COUNT(*) AS BIGINT) AS n_rows,
+  (SELECT merged_rows FROM merged) AS merged_rows
+FROM rep GROUP BY action
+"""
+
+
+def q_zorder_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) layout audit (operators/layout.py): interleave
+    (o_custkey mod 1024, orderdate epoch-day mod 1024) into a 20-bit
+    Morton code, bucket by the code's high 6 bits (a file proxy for
+    repartitionByRange) and report each bucket's per-column min/max
+    span — the quantity parquet row-group pruning lives on. The code is
+    a fully unrolled Catalyst shift/and/or expression (whole-stage
+    codegen, zero shuffle before the audit groupBy)."""
+    from radient_spark.operators.layout import layout_span_stats, z_value
+
+    orders = load_tables(spark, sf_dir)["orders"]
+    df = orders.select(
+        F.pmod(F.col("o_custkey"), F.lit(1024)).alias("xk"),
+        F.pmod(
+            F.datediff(F.to_date("o_orderdate"), F.to_date(F.lit("1970-01-01"))),
+            F.lit(1024),
+        ).alias("yd"),
+    ).withColumn("z", z_value([F.col("xk"), F.col("yd")], bits=10))
+    return layout_span_stats(
+        df, ["xk", "yd"], F.shiftright(F.col("z"), 14)
+    ).withColumnRenamed("n_rows", "n_rows").select(
+        "bucket",
+        F.col("n_rows").cast("long").alias("n_rows"),
+        "min_xk", "max_xk", "span_xk",
+        "min_yd", "max_yd", "span_yd",
+    )
+
+
+def _zorder_sql(bits: int = 10, shift: int = 14) -> str:
+    terms = " | ".join(
+        f"(((xk >> {i}) & 1) << {2 * i}) | (((yd >> {i}) & 1) << {2 * i + 1})"
+        for i in range(bits)
+    )
+    return f"""
+WITH pts AS (
+  SELECT o_custkey % 1024 AS xk,
+    date_diff('day', DATE '1970-01-01', o_orderdate::DATE) % 1024 AS yd
+  FROM orders
+), coded AS (
+  SELECT xk, yd, ({terms}) AS z FROM pts
+)
+SELECT z >> {shift} AS bucket, CAST(COUNT(*) AS BIGINT) AS n_rows,
+  MIN(xk) AS min_xk, MAX(xk) AS max_xk, MAX(xk) - MIN(xk) AS span_xk,
+  MIN(yd) AS min_yd, MAX(yd) AS max_yd, MAX(yd) - MIN(yd) AS span_yd
+FROM coded GROUP BY 1
+"""
+
+
+def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive training: for each anchor
+    (vec_id % 50 == 0) the top-5 corpus vectors whose cosine lies in
+    [0.2, 0.9) — the band ceiling excludes self/near-dups, the floor
+    excludes easy negatives. Runs on the bipartite block GEMM
+    (knn_join_blocked score_band): both sides stay DataFrames, the band
+    is applied before per-block top-k so pruning is exact."""
+    from radient_spark.operators.topk import knn_join_blocked
+
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    corpus = emb.select(F.col("vec_id").alias("id"), F.col("embedding").alias("vec"))
+    anchors = emb.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("vec")
+    )
+    return knn_join_blocked(
+        corpus,
+        anchors,
+        k=5,
+        corpus_blocks=4,
+        query_blocks=2,
+        score_band=(0.2, 0.9),
+    )
+
+
+_Q_HARD_NEG_SQL = """
+WITH pairs AS (
+  SELECT c.vec_id AS id, q.vec_id AS qid,
+    round(list_dot_product(c.embedding::DOUBLE[], q.embedding::DOUBLE[])
+          / (sqrt(list_dot_product(c.embedding::DOUBLE[], c.embedding::DOUBLE[]))
+             * sqrt(list_dot_product(q.embedding::DOUBLE[], q.embedding::DOUBLE[]))), 4) AS score
+  FROM embeddings q CROSS JOIN embeddings c
+  WHERE q.vec_id % 50 = 0
+)
+SELECT id, qid, score FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY score DESC, id ASC) AS rn
+  FROM pairs WHERE score >= 0.2 AND score < 0.9
+) WHERE rn <= 5
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 
@@ -3790,6 +3975,13 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
         q_cluster_balanced_sample,
         _cluster_sample_sql(10, 1, 42, 20),
     ),
+    "q_quality_classifier_scores": (
+        q_quality_classifier_scores,
+        _Q_CLASSIFIER_SQL,
+    ),
+    "q_merge_upsert_report": (q_merge_upsert_report, _Q_MERGE_SQL),
+    "q_zorder_buckets": (q_zorder_buckets, _zorder_sql(10, 14)),
+    "q_hard_negatives": (q_hard_negatives, _Q_HARD_NEG_SQL),
 }
 
 

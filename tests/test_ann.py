@@ -179,3 +179,38 @@ def test_ivf_save_load_roundtrip(spark, emb, tmp_path):
     assert "PartitionFilters" in plan
     pf = plan.split("PartitionFilters", 1)[1][:200]
     assert "cell_id" in pf, pf
+
+
+def test_ivf_incremental_add_and_append_save(spark, emb, tmp_path):
+    from radient_spark.ann import IvfIndex
+
+    first = emb.filter(F.col("id") % 2 == 0)
+    rest = emb.filter(F.col("id") % 2 == 1)
+    idx = IvfIndex.build(first, n_cells=8, seed=42)
+    grown = idx.add(rest)
+    # frozen coarse quantizer, complete coverage, no row lost or duplicated
+    assert np.allclose(grown.centroids, idx.centroids)
+    assert grown.index_df.count() == emb.count()
+    assert grown.index_df.select("id").distinct().count() == emb.count()
+    # full-probe search over the grown index is exact over ALL rows,
+    # including ones the centroids never saw
+    rows = emb.collect()
+    queries = [(int(r["id"]), list(r["vector"])) for r in rows[:5]]
+    exact = _exact_topk(rows, queries, k=5)
+    got = {}
+    for r in grown.search(queries, k=5, n_probes=8).collect():
+        got.setdefault(r["qid"], set()).add(r["id"])
+    for q, _ in queries:
+        assert got[q] == exact[q]
+
+    # on-disk append: only assignment runs; reload sees the union
+    path = str(tmp_path / "ivf_inc")
+    idx.save(path)
+    idx.append_save(rest, path)
+    loaded = IvfIndex.load(spark, path)
+    assert loaded.index_df.count() == emb.count()
+    got2 = {}
+    for r in loaded.search(queries, k=5, n_probes=8).collect():
+        got2.setdefault(r["qid"], set()).add(r["id"])
+    for q, _ in queries:
+        assert got2[q] == exact[q]

@@ -3,6 +3,8 @@ parameters, single-row tables — the inputs a pipeline hits at 3am."""
 
 from __future__ import annotations
 
+import math
+
 import pytest
 from pyspark.sql import functions as F
 
@@ -213,6 +215,47 @@ def test_knn_join_blocked_equals_broadcast(spark):
         ).collect()
     )
     assert a == b
+
+
+def test_knn_join_blocked_score_band_matches_bruteforce(spark):
+    import random
+
+    rng = random.Random(23)
+    corpus = spark.createDataFrame(
+        [(i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(60)],
+        "id long, vec array<float>",
+    ).repartition(4)
+    queries = spark.createDataFrame(
+        [(100 + i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(6)],
+        "qid long, vec array<float>",
+    )
+    from radient_spark.operators.topk import knn_join_blocked
+
+    lo, hi, k = 0.1, 0.8, 4
+    got = sorted(
+        (r["qid"], r["id"], r["score"])
+        for r in knn_join_blocked(
+            corpus, queries, k=k, corpus_blocks=3, query_blocks=2,
+            score_band=(lo, hi),
+        ).collect()
+    )
+    cvec = {r["id"]: r["vec"] for r in corpus.collect()}
+    qvec = {r["qid"]: r["vec"] for r in queries.collect()}
+    expected = []
+    for qid, qv in qvec.items():
+        scored = []
+        for cid, cv in cvec.items():
+            dot = sum(a * b for a, b in zip(qv, cv))
+            na = math.sqrt(sum(x * x for x in qv))
+            nb = math.sqrt(sum(x * x for x in cv))
+            s = round(dot / (na * nb), 4)
+            if lo <= s < hi:
+                scored.append((-s, cid))
+        for negs, cid in sorted(scored)[:k]:
+            expected.append((qid, cid, -negs))
+    assert got == sorted(expected)
+    # every returned score is inside the band
+    assert all(lo <= s < hi for _, _, s in got)
 
 
 def test_repeated_ngram_coverage_empty_and_blank(spark):
