@@ -1,0 +1,136 @@
+"""Graph centrality over edge DataFrames: PageRank.
+
+Extends the engine's graph family (FastRP embeddings,
+operators/vectorize.py; reference graph vectorizer
+/root/reference/radient/tasks/vectorizers/graph/fastrp.py:17-53) with
+the canonical link-analysis primitive — at corpus scale PageRank is the
+standard importance prior for web-crawl curation (rank-weighted
+sampling of crawled documents by domain/link graph).
+
+Spark-first shape per iteration: contributions = one join of the edge
+list with the current rank vector on src (sort-merge, both sides
+pre-shuffled on the same key across iterations), one groupBy(dst) sum
+(map-side combined), one left join back onto the node set. No driver
+state beyond the node count; no collect. Lineage is truncated with
+localCheckpoint every few rounds, the same discipline as connected
+components (operators/dedup.py).
+
+Two arithmetic modes:
+  * `pagerank` — float64, the production operator (validated against a
+    dense numpy power-iteration in tests).
+  * `pagerank_integer` — ranks in integer micro-units with floor
+    division, bit-exact in any summation order and expressible in ANSI
+    SQL, so the registry query has a DuckDB value oracle (same trick as
+    the integer-lattice k-means oracle, operators/cluster.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _degrees(edges: DataFrame, src: str) -> DataFrame:
+    return edges.groupBy(src).agg(F.count(F.lit(1)).alias("__deg"))
+
+
+def pagerank(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    iters: int = 10,
+    damping: float = 0.85,
+    rank_col: str = "rank",
+    checkpoint_every: int = 4,
+) -> DataFrame:
+    """Standard damped PageRank over a directed edge DataFrame.
+
+    Dangling-node policy: nodes without out-edges simply leak their
+    mass (ranks then sum to < 1) — the common large-scale simplification;
+    add reverse edges upstream for an undirected reading. Returns
+    (node, rank).
+    """
+    nodes = (
+        edges.select(F.col(src).alias("node"))
+        .unionByName(edges.select(F.col(dst).alias("node")))
+        .distinct()
+    )
+    n = nodes.count()
+    if n == 0:
+        return nodes.withColumn(rank_col, F.lit(0.0))
+    deg = _degrees(edges, src)
+    ranks = nodes.withColumn("__r", F.lit(1.0 / n)).cache()
+    base = (1.0 - damping) / n
+    for i in range(iters):
+        contrib = (
+            edges.join(ranks, edges[src] == ranks["node"])
+            .join(deg, src)
+            .select(
+                F.col(dst).alias("node"),
+                (F.col("__r") / F.col("__deg")).alias("__c"),
+            )
+        )
+        summed = contrib.groupBy("node").agg(F.sum("__c").alias("__s"))
+        new = nodes.join(summed, "node", "left").select(
+            "node",
+            (
+                F.lit(base) + F.lit(damping) * F.coalesce(F.col("__s"), F.lit(0.0))
+            ).alias("__r"),
+        )
+        if (i + 1) % checkpoint_every == 0:
+            new = new.localCheckpoint(eager=False)
+        old = ranks
+        ranks = new.cache()
+        old.unpersist()
+    return ranks.select("node", F.col("__r").alias(rank_col))
+
+
+def pagerank_integer(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    iters: int = 2,
+    damping_pct: int = 85,
+    units: int = 10**12,
+    rank_col: str = "rank_units",
+) -> DataFrame:
+    """PageRank in integer micro-units (rank ≈ rank_units / units):
+    every operation is integer (floor) arithmetic — `div` in Spark,
+    `//` in DuckDB — so results are bit-exact regardless of aggregation
+    order and the registry query can carry a value oracle. The floor
+    truncation loses < iters * n / units of total mass; at units=1e12
+    that is measurement noise, and determinism is the point."""
+    nodes = (
+        edges.select(F.col(src).alias("node"))
+        .unionByName(edges.select(F.col(dst).alias("node")))
+        .distinct()
+    )
+    n = nodes.count()
+    if n == 0:
+        return nodes.withColumn(rank_col, F.lit(0).cast("long"))
+    deg = _degrees(edges, src)
+    ranks = nodes.withColumn("__r", F.lit(int(units // n)).cast("long")).cache()
+    base = (units * (100 - damping_pct) // 100) // n
+    for _ in range(iters):
+        contrib = (
+            edges.join(ranks, edges[src] == ranks["node"])
+            .join(deg, src)
+            .select(
+                F.col(dst).alias("node"),
+                F.expr("__r div __deg").alias("__c"),
+            )
+        )
+        summed = contrib.groupBy("node").agg(F.sum("__c").alias("__s"))
+        new = nodes.join(summed, "node", "left").select(
+            "node",
+            (
+                F.lit(int(base)).cast("long")
+                + F.expr(
+                    f"({damping_pct} * coalesce(__s, 0L)) div 100"
+                )
+            ).alias("__r"),
+        )
+        old = ranks
+        ranks = new.cache()
+        old.unpersist()
+    return ranks.select("node", F.col("__r").cast("long").alias(rank_col))

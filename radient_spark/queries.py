@@ -3868,6 +3868,66 @@ SELECT id, qid, score FROM (
 """
 
 
+def q_pagerank_bipartite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the customer↔supplier trade graph (undirected:
+    both edge directions), 2 iterations in integer micro-units
+    (operators/graph.py pagerank_integer) — link-analysis importance
+    for curation, with floor-division arithmetic that is bit-exact in
+    any aggregation order so the unrolled-iteration DuckDB CTE is a
+    value oracle (the integer-lattice k-means trick applied to power
+    iteration). Node ids: customers at 2k, suppliers at 2k+1."""
+    from radient_spark.operators.graph import pagerank_integer
+
+    t = load_tables(spark, sf_dir)
+    eb = (
+        t["orders"]
+        .join(t["lineitem"], F.col("o_orderkey") == F.col("l_orderkey"))
+        .select(
+            (F.col("o_custkey") * 2).alias("src"),
+            (F.col("l_suppkey") * 2 + 1).alias("dst"),
+        )
+        .distinct()
+    )
+    edges = eb.unionByName(
+        eb.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    return pagerank_integer(edges, iters=2, damping_pct=85, units=10**12)
+
+
+_Q_PAGERANK_SQL = """
+WITH eb AS (
+  SELECT DISTINCT o_custkey*2 AS src, l_suppkey*2+1 AS dst
+  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+), edges AS (
+  SELECT src, dst FROM eb UNION ALL SELECT dst AS src, src AS dst FROM eb
+), nodes AS (
+  SELECT DISTINCT src AS node FROM edges
+), nn AS (SELECT COUNT(*) AS c FROM nodes),
+deg AS (SELECT src, COUNT(*) AS d FROM edges GROUP BY src),
+r0 AS (SELECT node, 1000000000000 // (SELECT c FROM nn) AS r FROM nodes),
+s1 AS (
+  SELECT e.dst AS node, SUM(r0.r // dg.d) AS s
+  FROM edges e JOIN r0 ON e.src = r0.node JOIN deg dg ON e.src = dg.src
+  GROUP BY e.dst
+), r1 AS (
+  SELECT nd.node,
+    ((1000000000000 * 15 // 100) // (SELECT c FROM nn))
+      + (85 * COALESCE(s1.s, 0)) // 100 AS r
+  FROM nodes nd LEFT JOIN s1 ON nd.node = s1.node
+), s2 AS (
+  SELECT e.dst AS node, SUM(r1.r // dg.d) AS s
+  FROM edges e JOIN r1 ON e.src = r1.node JOIN deg dg ON e.src = dg.src
+  GROUP BY e.dst
+), r2 AS (
+  SELECT nd.node,
+    ((1000000000000 * 15 // 100) // (SELECT c FROM nn))
+      + (85 * COALESCE(s2.s, 0)) // 100 AS r
+  FROM nodes nd LEFT JOIN s2 ON nd.node = s2.node
+)
+SELECT node, CAST(r AS BIGINT) AS rank_units FROM r2
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 
@@ -3982,6 +4042,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "q_merge_upsert_report": (q_merge_upsert_report, _Q_MERGE_SQL),
     "q_zorder_buckets": (q_zorder_buckets, _zorder_sql(10, 14)),
     "q_hard_negatives": (q_hard_negatives, _Q_HARD_NEG_SQL),
+    "q_pagerank_bipartite": (q_pagerank_bipartite, _Q_PAGERANK_SQL),
 }
 
 

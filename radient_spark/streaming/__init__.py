@@ -285,3 +285,33 @@ def incremental_ingest_sink(
         fresh.drop("__h").write.mode("append").parquet(corpus_dir)
 
     return foreach_batch_sink(stream, checkpoint, batch_fn)
+
+
+def ivf_ingest_sink(
+    stream: DataFrame,
+    index_path: str,
+    checkpoint: str,
+    id_col: str = "id",
+    vec_col: str = "vector",
+):
+    """Continuously grow a saved IVF index from a vector stream: per
+    micro-batch, assign the new vectors to the index's FROZEN centroids
+    (map-only broadcast argmin) and parquet-append them into their cell
+    partitions (IvfIndex.append_save) — streaming index maintenance with
+    no rebuild, the incremental half of the reference's GANN `insert()`
+    contract (/root/reference/radient/tasks/sinks/local/gann.py:196-215)
+    done as an always-on pipeline.
+
+    The index must already exist at `index_path` (IvfIndex.build + save
+    seeds the centroids); the checkpoint gives exactly-once per input
+    file, and since append touches only the cells the batch lands in,
+    steady-state cost per batch is one scan of the batch itself."""
+    from radient_spark.ann import IvfIndex
+
+    def batch_fn(df: DataFrame, epoch_id: int) -> None:
+        if df.isEmpty():
+            return
+        index = IvfIndex.load(df.sparkSession, index_path)
+        index.append_save(df, index_path, id_col=id_col, vec_col=vec_col)
+
+    return foreach_batch_sink(stream, checkpoint, batch_fn)

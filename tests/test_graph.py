@@ -1,0 +1,62 @@
+"""PageRank (operators/graph.py): float mode vs dense numpy power
+iteration; integer mode determinism."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from radient_spark.operators.graph import pagerank, pagerank_integer
+
+
+def _np_pagerank(edges, n, iters, d=0.85):
+    """Dense reference with the SAME dangling policy (mass leaks)."""
+    A = np.zeros((n, n))
+    deg = np.zeros(n)
+    for s, t in edges:
+        deg[s] += 1
+    for s, t in edges:
+        A[t, s] = 1.0 / deg[s]
+    r = np.full(n, 1.0 / n)
+    for _ in range(iters):
+        r = (1 - d) / n + d * (A @ r)
+    return r
+
+
+def test_pagerank_matches_numpy(spark):
+    rng = np.random.RandomState(5)
+    n = 30
+    edges = list({(int(a), int(b)) for a, b in rng.randint(0, n, (120, 2)) if a != b})
+    # make every node appear (isolated nodes are out of contract)
+    edges += [(i, (i + 1) % n) for i in range(n)]
+    edges = sorted(set(edges))
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r["node"]: r["rank"] for r in pagerank(df, iters=8).collect()}
+    exp = _np_pagerank(edges, n, iters=8)
+    assert set(got) == set(range(n))
+    for i in range(n):
+        assert got[i] == pytest.approx(exp[i], rel=1e-9)
+
+
+def test_pagerank_integer_close_to_float_and_deterministic(spark):
+    edges = [(0, 1), (1, 2), (2, 0), (2, 1), (3, 2), (0, 3)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    fl = {r["node"]: r["rank"] for r in pagerank(df, iters=2).collect()}
+    a = {
+        r["node"]: r["rank_units"]
+        for r in pagerank_integer(df, iters=2).collect()
+    }
+    b = {
+        r["node"]: r["rank_units"]
+        for r in pagerank_integer(df.repartition(7), iters=2).collect()
+    }
+    assert a == b  # partitioning-independent (bit-exact integer path)
+    for node, units in a.items():
+        assert units / 1e12 == pytest.approx(fl[node], abs=1e-6)
+
+
+def test_pagerank_empty_edges(spark):
+    df = spark.createDataFrame([], "src long, dst long")
+    assert pagerank(df).count() == 0
+    assert pagerank_integer(df).count() == 0

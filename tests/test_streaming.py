@@ -324,3 +324,36 @@ def test_incremental_ingest_sink_dedups_across_batches(spark, tmp_path):
     q2.awaitTermination(120)
     got2 = sorted(r["text"] for r in spark.read.parquet(corpus).collect())
     assert got2 == ["doc A", "doc B", "doc C"]
+
+
+def test_ivf_ingest_sink_grows_saved_index(spark, tmp_path):
+    import numpy as np
+
+    from radient_spark.ann import IvfIndex
+
+    rng = np.random.RandomState(3)
+    vecs = [(i, [float(x) for x in rng.randn(8)]) for i in range(40)]
+    schema = "id long, vector array<float>"
+    seed_df = spark.createDataFrame(vecs[:20], schema)
+    index_path = str(tmp_path / "ivf_stream")
+    IvfIndex.build(seed_df, n_cells=4, seed=7).save(index_path)
+
+    in_dir, ck = str(tmp_path / "vin"), str(tmp_path / "ck_ivf")
+    spark.createDataFrame(vecs[20:30], schema).write.mode("overwrite").parquet(in_dir)
+    stream = spark.readStream.schema(seed_df.schema).parquet(in_dir)
+    q = streaming.ivf_ingest_sink(stream, index_path, ck)
+    q.awaitTermination(120)
+    assert IvfIndex.load(spark, index_path).index_df.count() == 30
+
+    # second micro-batch appends only its own rows (checkpoint skips b1)
+    spark.createDataFrame(vecs[30:], schema).write.mode("append").parquet(in_dir)
+    stream2 = spark.readStream.schema(seed_df.schema).parquet(in_dir)
+    q2 = streaming.ivf_ingest_sink(stream2, index_path, ck)
+    q2.awaitTermination(120)
+    loaded = IvfIndex.load(spark, index_path)
+    assert loaded.index_df.count() == 40
+    assert loaded.index_df.select("id").distinct().count() == 40
+    # full-probe search over the grown index finds streamed-in rows
+    qid, qvec = vecs[35]
+    got = {r["id"] for r in loaded.search([(qid, qvec)], k=1, n_probes=4).collect()}
+    assert got == {qid}
