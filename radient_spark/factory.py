@@ -192,3 +192,21 @@ register("layout", "zorder")(
         _layout.zorder_repartition, cols=cols, **kw
     )
 )
+
+from radient_spark.operators import graph as _graph  # noqa: E402
+
+register("dedup", "paragraph")(
+    lambda **kw: functools.partial(dedup.paragraph_dedup, **kw)
+)
+register("dataset", "cumsum")(
+    lambda order_cols, range_col, value_col, **kw: functools.partial(
+        _dataset.distributed_cumsum,
+        order_cols=order_cols,
+        range_col=range_col,
+        value_col=value_col,
+        **kw,
+    )
+)
+register("graph", "pagerank")(
+    lambda **kw: functools.partial(_graph.pagerank, **kw)
+)

@@ -519,3 +519,73 @@ def distributed_ntile(
     return ranked.withColumn(out_col, bucket.cast("int")).drop(
         "__dnt_key", "__dnt_pid", "__dnt_rank"
     )
+
+
+def distributed_cumsum(
+    df: DataFrame,
+    order_cols: list,
+    range_col: F.Column,
+    value_col: str,
+    out_col: str = "cum",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Exact global running SUM(value_col) over `order_cols` with NO
+    single-reducer sort — the distributed prefix-sum: same range-bucket
+    discipline as `distributed_ntile` (stateless literal boundaries from
+    approxQuantile over `range_col`, which must be ASCENDING-aligned
+    with `order_cols`), but the broadcast offsets are prefix sums of the
+    per-range VALUE totals instead of row counts. Each reducer windows
+    one range's ~N/P rows.
+
+    This is the engine behind budget-cut selection ("take documents in
+    quality order until the token budget is spent") — a global ordered
+    scan that a bare window would funnel through one reducer.
+
+    Exactness: integer/decimal value columns make the per-range sums
+    order-independent, hence bit-exact vs a global window (the oracle
+    contract). For float64 values the result is a deterministic-given-
+    boundaries reassociation of the global sum. `order_cols` must be a
+    total order (add an id tiebreak)."""
+    spark = df.sparkSession
+    P = num_partitions or spark.sparkContext.defaultParallelism
+    keyed = df.withColumn("__dcs_key", range_col.cast("double")).persist()
+    if P > 1:
+        probs = [i / P for i in range(1, P)]
+        bounds = sorted(
+            set(keyed.stat.approxQuantile("__dcs_key", probs, 0.001))
+        )
+    else:
+        bounds = []
+    pid = F.lit(0)
+    for b in bounds:
+        pid = pid + (F.col("__dcs_key") > F.lit(b)).cast("int")
+    keyed = keyed.withColumn("__dcs_pid", pid)
+    sums = {
+        r["__dcs_pid"]: r["s"]
+        for r in keyed.groupBy("__dcs_pid")
+        .agg(F.sum(value_col).alias("s"))
+        .collect()
+    }
+    if not sums:
+        return df.withColumn(out_col, F.lit(None).cast("long"))
+    offsets, acc = {}, 0
+    for p in sorted(sums):
+        offsets[p] = acc
+        acc += sums[p] or 0
+    off = F.coalesce(
+        F.element_at(
+            F.create_map(
+                *[F.lit(x) for p_o in sorted(offsets.items()) for x in p_o]
+            ),
+            F.col("__dcs_pid"),
+        ),
+        F.lit(0),
+    )
+    local = (
+        Window.partitionBy("__dcs_pid")
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return keyed.withColumn(
+        out_col, off + F.sum(value_col).over(local)
+    ).drop("__dcs_key", "__dcs_pid")

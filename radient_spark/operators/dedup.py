@@ -427,3 +427,69 @@ def repeated_ngram_coverage(
         )
         .alias("coverage"),
     )
+
+
+def paragraph_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    chunk_tokens: int = 10,
+) -> DataFrame:
+    """Sub-document (paragraph-level) dedup with reassembly — the
+    RefinedWeb/CCNet-style pass that removes boilerplate repeated ACROSS
+    documents while keeping each document's unique content: split every
+    document into fixed-size token chunks (the paragraph proxy for this
+    corpus' unpunctuated text), keep only the globally FIRST occurrence
+    of each distinct chunk (ordered by (doc_id, chunk index) — a total,
+    engine-independent order), and reassemble the surviving chunks in
+    document order.
+
+    Returns (id, n_chunks, n_kept, clean_text).
+
+    Scale shape: explode to one row per chunk; ONE shuffle on the chunk
+    key for the first-occurrence window (carrying (id, idx, chunk) —
+    bound the chunk payload by hashing it with str_hash120 if chunks are
+    huge); one groupBy(id) to reassemble. No driver state, no all-pairs
+    anything: cost is linear in corpus tokens.
+    """
+    toks = X.tokens(F.col(text_col))
+    n_chunks = F.ceil(F.size("__toks") / F.lit(chunk_tokens)).cast("int")
+    chunks = (
+        df.select(F.col(id_col).alias("id"), toks.alias("__toks"))
+        .filter(F.size("__toks") > 0)
+        .select(
+            "id",
+            F.posexplode(
+                F.transform(
+                    F.sequence(F.lit(0), n_chunks - 1),
+                    lambda i: F.array_join(
+                        F.slice(F.col("__toks"), i * chunk_tokens + 1, chunk_tokens),
+                        " ",
+                    ),
+                )
+            ).alias("cidx", "chunk"),
+        )
+    )
+    w = Window.partitionBy("chunk").orderBy("id", "cidx")
+    marked = chunks.withColumn("__rn", F.row_number().over(w))
+    return (
+        marked.groupBy("id")
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.sum((F.col("__rn") == 1).cast("long")).alias("n_kept"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(
+                                F.col("__rn") == 1,
+                                F.struct(F.col("cidx"), F.col("chunk")),
+                            )
+                        )
+                    ),
+                    lambda s: s["chunk"],
+                ),
+                " ",
+            ).alias("clean_text"),
+        )
+    )

@@ -3928,6 +3928,103 @@ SELECT node, CAST(r AS BIGINT) AS rank_units FROM r2
 """
 
 
+def q_paragraph_dedup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sub-document dedup with reassembly (operators/dedup.py
+    paragraph_dedup): 10-token chunks deduplicated ACROSS the whole
+    corpus keeping the globally first occurrence, surviving chunks
+    rejoined in document order — boilerplate removal that preserves each
+    document's unique content. One chunk-key shuffle + one per-doc
+    regroup; linear in corpus tokens."""
+    from radient_spark.operators.dedup import paragraph_dedup
+
+    docs = load_tables(spark, sf_dir)["documents"].filter(
+        F.length(F.trim("text")) > 0
+    )
+    return paragraph_dedup(docs, "text", "doc_id", chunk_tokens=10).select(
+        F.col("id").alias("doc_id"), "n_chunks", "n_kept", "clean_text"
+    )
+
+
+_Q_PARA_DEDUP_SQL = r"""
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+  FROM documents WHERE length(trim(text)) > 0
+), tok AS (
+  SELECT doc_id, generate_subscripts(t, 1) AS sub, unnest(t) AS tk FROM toks
+), chunks AS (
+  SELECT doc_id, CAST((sub - 1) // 10 AS BIGINT) AS cidx,
+    string_agg(tk, ' ' ORDER BY sub) AS chunk
+  FROM tok GROUP BY doc_id, (sub - 1) // 10
+), ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY chunk ORDER BY doc_id, cidx) AS rn
+  FROM chunks
+)
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_chunks,
+  CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+  COALESCE(string_agg(CASE WHEN rn = 1 THEN chunk END, ' ' ORDER BY cidx), '')
+    AS clean_text
+FROM ranked GROUP BY doc_id
+"""
+
+
+def q_token_budget_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Budget-cut data selection: take documents in quality order (the
+    linear classifier's integer weight, ties by doc_id) until a fixed
+    token budget is spent — the DataComp-style "best docs under N
+    tokens" selection. The running token total comes from
+    distributed_cumsum (operators/dataset.py): range-bucketed prefix
+    sum, NO single-reducer global sort; integer token counts make it
+    bit-exact vs the oracle's window SUM."""
+    from radient_spark.functions import text as X
+    from radient_spark.operators.classify import linear_classifier_score
+    from radient_spark.operators.dataset import distributed_cumsum
+
+    dim = 64
+    weights = [float((i * 2654435761) % 1001 - 500) for i in range(dim)]
+    docs = (
+        load_tables(spark, sf_dir)["documents"]
+        .filter(F.length(F.trim("text")) > 0)
+        .select("doc_id", "text")
+    )
+    scored = linear_classifier_score(
+        docs, weights, bias=0.0, out_col="__raw", mean=False
+    ).select(
+        "doc_id",
+        F.size(X.tokens(F.col("text"))).cast("long").alias("n_toks"),
+        F.col("__raw").cast("long").alias("total_w"),
+    )
+    cum = distributed_cumsum(
+        scored,
+        order_cols=[F.col("total_w").desc(), F.col("doc_id").asc()],
+        range_col=-F.col("total_w"),
+        value_col="n_toks",
+        out_col="cum_toks",
+    )
+    return cum.filter(F.col("cum_toks") <= 8000).select(
+        "doc_id", "n_toks", "total_w", F.col("cum_toks").cast("long").alias("cum_toks")
+    )
+
+
+_Q_BUDGET_CUT_SQL = r"""
+WITH slots AS (
+  SELECT doc_id,
+    CAST(('0x' || substring(md5(unnest(regexp_split_to_array(trim(text), '\s+'))), 1, 8))::BIGINT % 64 AS BIGINT) AS slot
+  FROM documents WHERE length(trim(text)) > 0
+), scored AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_toks,
+    SUM((slot * 2654435761) % 1001 - 500)::BIGINT AS total_w
+  FROM slots GROUP BY doc_id
+), c AS (
+  SELECT doc_id, n_toks, total_w,
+    SUM(n_toks) OVER (ORDER BY total_w DESC, doc_id ROWS UNBOUNDED PRECEDING)
+      AS cum_toks
+  FROM scored
+)
+SELECT doc_id, n_toks, total_w, CAST(cum_toks AS BIGINT) AS cum_toks
+FROM c WHERE cum_toks <= 8000
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 
@@ -4043,6 +4140,8 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "q_zorder_buckets": (q_zorder_buckets, _zorder_sql(10, 14)),
     "q_hard_negatives": (q_hard_negatives, _Q_HARD_NEG_SQL),
     "q_pagerank_bipartite": (q_pagerank_bipartite, _Q_PAGERANK_SQL),
+    "q_paragraph_dedup_report": (q_paragraph_dedup_report, _Q_PARA_DEDUP_SQL),
+    "q_token_budget_cut": (q_token_budget_cut, _Q_BUDGET_CUT_SQL),
 }
 
 

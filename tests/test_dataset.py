@@ -253,3 +253,42 @@ def test_chunk_documents_validates_params(spark):
     df = spark.createDataFrame([(1, "a b")], ["doc_id", "text"])
     with _pytest.raises(ValueError, match=">= 1"):
         chunk_documents(df, window=0)
+
+
+def test_distributed_cumsum_equals_window(spark):
+    from pyspark.sql import Window
+
+    from radient_spark.operators.dataset import distributed_cumsum
+
+    rows = [(i, (i * 37) % 11, (i % 7) + 1) for i in range(200)]
+    df = spark.createDataFrame(rows, "id long, key long, v long").repartition(8)
+    got = {
+        r["id"]: r["cum"]
+        for r in distributed_cumsum(
+            df,
+            order_cols=[F.col("key").asc(), F.col("id").asc()],
+            range_col=F.col("key"),
+            value_col="v",
+            out_col="cum",
+            num_partitions=6,
+        ).collect()
+    }
+    w = (
+        Window.orderBy(F.col("key").asc(), F.col("id").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    exp = {
+        r["id"]: r["cum"]
+        for r in df.withColumn("cum", F.sum("v").over(w)).collect()
+    }
+    assert got == exp
+
+
+def test_distributed_cumsum_empty(spark):
+    from radient_spark.operators.dataset import distributed_cumsum
+
+    df = spark.createDataFrame([], "id long, v long")
+    out = distributed_cumsum(
+        df, order_cols=[F.col("id")], range_col=F.col("id"), value_col="v"
+    )
+    assert out.count() == 0

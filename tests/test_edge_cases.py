@@ -323,3 +323,36 @@ def test_incremental_dedup_first_ingest_all_new(spark):
     ).withColumn("__h", F.md5("text"))
     fresh = batch.join(corpus.select("__h"), "__h", "left_anti")
     assert fresh.count() == 2
+
+
+def test_paragraph_dedup_keeps_first_occurrence_and_reassembles(spark):
+    # doc 1 and doc 2 share chunk "a b"; doc 2's copy must be dropped,
+    # doc 2 keeps only its unique tail chunk; doc 3 is all-duplicate.
+    df = spark.createDataFrame(
+        [
+            (1, "a b c d"),
+            (2, "a b x y"),
+            (3, "a b"),
+            (4, "   "),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["id"]: r
+        for r in D.paragraph_dedup(df, "text", "doc_id", chunk_tokens=2).collect()
+    }
+    assert 4 not in out  # blank docs yield no chunks
+    assert out[1]["n_chunks"] == 2 and out[1]["n_kept"] == 2
+    assert out[1]["clean_text"] == "a b c d"
+    assert out[2]["n_chunks"] == 2 and out[2]["n_kept"] == 1
+    assert out[2]["clean_text"] == "x y"
+    assert out[3]["n_chunks"] == 1 and out[3]["n_kept"] == 0
+    assert out[3]["clean_text"] == ""
+
+
+def test_paragraph_dedup_partial_tail_chunk(spark):
+    df = spark.createDataFrame([(1, "p q r s t")], "doc_id long, text string")
+    r = D.paragraph_dedup(df, "text", "doc_id", chunk_tokens=2).collect()[0]
+    # 5 tokens -> chunks "p q", "r s", "t"
+    assert r["n_chunks"] == 3 and r["n_kept"] == 3
+    assert r["clean_text"] == "p q r s t"
