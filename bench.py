@@ -66,6 +66,9 @@ BENCH_QUERIES = [
     "q_merge_upsert_report",
     "q_zorder_buckets",
     "q_hard_negatives",
+    "q_pagerank_bipartite",
+    "q_paragraph_dedup_report",
+    "q_token_budget_cut",
 ]
 
 

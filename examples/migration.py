@@ -205,6 +205,67 @@ def main() -> None:
     books = pq_fit(emb, m=16, k=16, iters=1)
     print("pq top-3:", [r["vec_id"] for r in pq_topk(emb, books, QUERY_VEC, k=3, shortlist=80).collect()])
 
+    # ------------------------------------------------------------------
+    # beyond the reference: model-based quality filtering — train a
+    # linear classifier with MLlib, serve it as a literal-weight Catalyst
+    # expression (zero shuffle, zero Python at scoring time).
+    from radient_spark.operators.classify import (
+        fit_linear_classifier,
+        linear_classifier_score,
+    )
+
+    labeled = docs.withColumn(
+        "label", (F.length("text") > 100).cast("double")
+    )
+    weights, bias = fit_linear_classifier(labeled, "label", dim=64, max_iter=5)
+    scored = linear_classifier_score(docs, weights, bias=bias, sigmoid=True)
+    print(
+        "classifier keep-rate:",
+        scored.filter("score >= 0.5").count(), "/", docs.count(),
+    )
+
+    # ------------------------------------------------------------------
+    # beyond the reference: corpus refresh (MERGE INTO) + paragraph-level
+    # boilerplate removal + budget-cut selection.
+    from radient_spark.operators.dedup import paragraph_dedup
+    from radient_spark.operators.merge import merge_summary
+
+    delta = docs.filter("doc_id % 5 = 0").withColumn(
+        "text", F.concat("text", F.lit(" updated"))
+    )
+    print(
+        "merge audit:",
+        {r["action"]: r["n_rows"]
+         for r in merge_summary(
+             docs.select("doc_id", "text"), delta.select("doc_id", "text"),
+             ["doc_id"], ["text"]).collect()},
+    )
+    cleaned = paragraph_dedup(docs, "text", "doc_id", chunk_tokens=10)
+    print(
+        "paragraph dedup: dropped",
+        cleaned.agg(F.sum(F.col("n_chunks") - F.col("n_kept"))).collect()[0][0],
+        "duplicated chunks",
+    )
+
+    # ------------------------------------------------------------------
+    # beyond the reference: Z-order layout for multi-column data skipping
+    # and PageRank importance over a trade graph.
+    from radient_spark.operators.graph import pagerank
+    from radient_spark.operators.layout import zorder_repartition
+
+    orders = load_tables(spark, SF_DIR)["orders"]
+    laid = zorder_repartition(
+        orders.withColumn("xk", F.pmod("o_custkey", F.lit(1024)))
+        .withColumn("yd", F.pmod("o_orderkey", F.lit(1024))),
+        ["xk", "yd"], bits=10, n_partitions=8,
+    )
+    print("zorder partitions:", laid.rdd.getNumPartitions())
+    edges = orders.select(
+        F.col("o_custkey").alias("src"), (F.col("o_orderkey") % 100).alias("dst")
+    )
+    pr = pagerank(edges, iters=3)
+    print("pagerank top node:", pr.orderBy(F.desc("rank")).first()["node"])
+
     print("migration example: all flows OK")
 
 

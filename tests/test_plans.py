@@ -251,3 +251,54 @@ def test_text_pipelines_tokenize_once(spark, sf_dir):
         df = QUERIES[q][0](spark, sf_dir)
         plan = df._jdf.queryExecution().optimizedPlan().toString()
         assert plan.count("split(") <= 2, (q, plan.count("split("))
+
+
+def test_classifier_serving_zero_shuffle_no_python(spark, sf_dir):
+    """Model serving is a literal-weight Catalyst expression: zero
+    exchanges, zero Python workers — the whole plan is scan+project."""
+    from radient_spark.catalog import load_tables as _lt
+    from radient_spark.operators.classify import linear_classifier_score
+
+    docs = _lt(spark, sf_dir)["documents"].select("doc_id", "text")
+    df = linear_classifier_score(docs, [0.5] * 64)
+    assert plans.shuffle_count(df) == 0, plans.formatted_plan(df)
+    p = plans.formatted_plan(df)
+    assert "InPandas" not in p and "BatchEvalPython" not in p
+
+
+def test_merge_upsert_single_shuffle(spark, sf_dir):
+    """Union + per-key window = exactly one hash exchange on the key."""
+    from radient_spark.operators.merge import merge_upsert
+
+    docs = load_tables(spark, sf_dir)["documents"].select("doc_id", "text")
+    delta = docs.filter(F.col("doc_id") % 3 == 0)
+    df = merge_upsert(docs, delta, ["doc_id"])
+    assert plans.shuffle_count(df) == 1, plans.formatted_plan(df)
+
+
+def test_zorder_code_is_pure_projection(spark, sf_dir):
+    """The Morton code adds no exchange and no Python to the scan."""
+    from radient_spark.operators.layout import z_value
+
+    orders = load_tables(spark, sf_dir)["orders"]
+    df = orders.select(
+        z_value([F.pmod(F.col("o_custkey"), F.lit(1024)),
+                 F.pmod(F.col("o_orderkey"), F.lit(1024))], bits=10).alias("z")
+    )
+    assert plans.shuffle_count(df) == 0, plans.formatted_plan(df)
+    assert "InPandas" not in plans.formatted_plan(df)
+
+
+def test_budget_cut_no_global_sort(spark, sf_dir):
+    """distributed_cumsum must not plan a single-reducer global Sort:
+    every Exchange is hash/range-partitioned over >1 partition — no
+    SinglePartition exchange feeding a Sort+Window."""
+    df = QUERIES["q_token_budget_cut"][0](spark, sf_dir)
+    p = plans.formatted_plan(df)
+    assert "SinglePartition" not in p, p
+
+
+def test_paragraph_dedup_two_shuffles(spark, sf_dir):
+    """Chunk-key window + per-doc regroup: exactly two exchanges."""
+    df = QUERIES["q_paragraph_dedup_report"][0](spark, sf_dir)
+    assert plans.shuffle_count(df) == 2, plans.formatted_plan(df)
