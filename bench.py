@@ -69,6 +69,8 @@ BENCH_QUERIES = [
     "q_pagerank_bipartite",
     "q_paragraph_dedup_report",
     "q_token_budget_cut",
+    "q_bm25_search",
+    "q_hybrid_search_rrf",
 ]
 
 

@@ -210,3 +210,14 @@ register("dataset", "cumsum")(
 register("graph", "pagerank")(
     lambda **kw: functools.partial(_graph.pagerank, **kw)
 )
+
+from radient_spark.operators import retrieval as _retrieval  # noqa: E402
+
+register("retrieval", "bm25")(
+    lambda query_terms, **kw: functools.partial(
+        _retrieval.bm25_scores, query_terms=query_terms, **kw
+    )
+)
+register("retrieval", "rrf")(
+    lambda **kw: functools.partial(_retrieval.rrf_fuse, **kw)
+)

@@ -1,0 +1,132 @@
+"""Keyword retrieval (BM25) and hybrid rank fusion (RRF).
+
+The reference's search surface is vector-only (Milvus/Mongo sinks +
+the local GANN index, /root/reference/radient/tasks/sinks/milvus.py:
+122-127); production RAG stacks pair that with lexical BM25 and fuse
+the two rankings — Milvus itself exposes exactly this as "hybrid
+search with RRF ranker". This module supplies both halves DataFrame-
+natively so the engine covers the full retrieval story.
+
+Scale shape (BM25): corpus statistics are two broadcast-sized sides —
+a 1-row (N, avgdl) aggregate cross-joined in, and a |query|-row df(t)
+aggregate — so scoring is scan → explode-to-matched-terms →
+per-doc sum. The corpus shuffles only (doc_id, term-match) rows for
+documents containing ≥1 query term; documents with no hits never
+reach the aggregation. No collect, no driver state.
+
+Determinism contract: idf is rounded to 6 decimals before use (the
+DSIR discipline — ln() is the one implementation-defined operation);
+per-term scores are rounded then summed through DECIMAL(18,6), so
+aggregation order cannot change the hash.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from radient_spark.functions import text as X
+
+
+def bm25_scores(
+    docs: DataFrame,
+    query_terms: list[str],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k1: float = 1.2,
+    b: float = 0.75,
+    score_col: str = "bm25",
+) -> DataFrame:
+    """BM25 (Lucene/Robertson formula) of one query against the corpus:
+
+      score(d) = Σ_t idf(t) * tf * (k1+1) / (tf + k1*(1 - b + b*dl/avgdl))
+      idf(t)   = ln(1 + (N - df + 0.5) / (df + 0.5))
+
+    Returns (id_col, score_col) for documents matching ≥1 term.
+    """
+    if not query_terms:
+        raise ValueError("query_terms must be non-empty")
+    toks = docs.select(
+        F.col(id_col), X.tokens(F.col(text_col)).alias("__toks")
+    ).filter(F.size("__toks") > 0)
+    toks = toks.withColumn("__dl", F.size("__toks"))
+
+    # corpus stats: 1-row (N, avgdl) — broadcast cross join, no collect
+    stats = toks.agg(
+        F.count(F.lit(1)).alias("__n_docs"),
+        F.sum("__dl").alias("__tot_dl"),
+    )
+    qlit = F.array(*[F.lit(t) for t in query_terms])
+    hits = (
+        toks.select(
+            id_col,
+            "__dl",
+            F.explode(
+                F.filter(F.col("__toks"), lambda t: F.array_contains(qlit, t))
+            ).alias("__term"),
+        )
+        .groupBy(id_col, "__dl", "__term")
+        .agg(F.count(F.lit(1)).alias("__tf"))
+    )
+    # df(t): distinct docs per matched term — at most |query| rows
+    dfreq = hits.groupBy("__term").agg(
+        F.countDistinct(id_col).alias("__df")
+    )
+    joined = (
+        hits.join(F.broadcast(dfreq), "__term")
+        .crossJoin(F.broadcast(stats))
+    )
+    avgdl = F.col("__tot_dl").cast("double") / F.col("__n_docs")
+    idf = F.round(
+        F.log(
+            F.lit(1.0)
+            + (F.col("__n_docs") - F.col("__df") + 0.5) / (F.col("__df") + 0.5)
+        ),
+        6,
+    )
+    tf = F.col("__tf").cast("double")
+    norm = tf * (k1 + 1.0) / (tf + k1 * (1.0 - b + b * F.col("__dl") / avgdl))
+    term_score = F.round(idf * norm, 6)
+    return (
+        joined.withColumn("__ts", term_score)
+        .groupBy(id_col)
+        .agg(
+            F.sum(F.col("__ts").cast("decimal(18,6)"))
+            .cast("double")
+            .alias(score_col)
+        )
+    )
+
+
+def rrf_fuse(
+    ranked_a: DataFrame,
+    ranked_b: DataFrame,
+    id_col: str = "doc_id",
+    rank_a: str = "rank_a",
+    rank_b: str = "rank_b",
+    k: int = 60,
+    out_col: str = "rrf",
+) -> DataFrame:
+    """Reciprocal-rank fusion of two rankings (the Milvus hybrid-search
+    RRFRanker): rrf = Σ 1/(k + rank), missing list counts 0. Full-outer
+    join on id — one key shuffle, list sizes are already top-k bounded
+    upstream."""
+    a = ranked_a.select(F.col(id_col), F.col(rank_a))
+    bdf = ranked_b.select(F.col(id_col), F.col(rank_b))
+    fused = a.join(bdf, id_col, "full_outer")
+    score = F.round(
+        F.coalesce(1.0 / (F.lit(k) + F.col(rank_a)), F.lit(0.0))
+        + F.coalesce(1.0 / (F.lit(k) + F.col(rank_b)), F.lit(0.0)),
+        6,
+    )
+    return fused.withColumn(out_col, score)
+
+
+def rank_by(
+    df: DataFrame, score_col: str, id_col: str = "doc_id", rank_col: str = "rank"
+) -> DataFrame:
+    """Dense deterministic ranking (score desc, id asc). Top-k bound the
+    input FIRST at scale (TakeOrderedAndProject) — the window here is a
+    single-partition sort and is meant for already-truncated lists."""
+    w = Window.orderBy(F.col(score_col).desc(), F.col(id_col).asc())
+    return df.withColumn(rank_col, F.row_number().over(w))

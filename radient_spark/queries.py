@@ -4025,6 +4025,109 @@ FROM c WHERE cum_toks <= 8000
 """
 
 
+_BM25_TERMS = ["spark", "join", "window"]
+
+_BM25_CTE = r"""
+toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+  FROM documents WHERE length(trim(text)) > 0
+), dl AS (SELECT doc_id, len(t) AS dl FROM toks),
+stats AS (SELECT COUNT(*) AS n, SUM(dl) AS tot FROM dl),
+tok AS (SELECT doc_id, unnest(t) AS tk FROM toks),
+hits AS (
+  SELECT doc_id, tk, COUNT(*) AS tf FROM tok
+  WHERE tk IN ('spark', 'join', 'window') GROUP BY doc_id, tk
+), dfreq AS (SELECT tk, COUNT(DISTINCT doc_id) AS df FROM hits GROUP BY tk),
+scored AS (
+  SELECT h.doc_id,
+    ROUND(
+      ROUND(ln(1 + ((SELECT n FROM stats) - f.df + 0.5) / (f.df + 0.5)), 6)
+      * (h.tf * (1.2 + 1.0)
+         / (h.tf + 1.2 * (1 - 0.75 + 0.75 * d.dl
+              / ((SELECT tot FROM stats)::DOUBLE / (SELECT n FROM stats))))),
+    6) AS ts
+  FROM hits h JOIN dfreq f USING (tk) JOIN dl d ON h.doc_id = d.doc_id
+), bm AS (
+  SELECT doc_id, SUM(CAST(ts AS DECIMAL(18,6)))::DOUBLE AS bm25
+  FROM scored GROUP BY doc_id
+)"""
+
+
+def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 keyword retrieval (operators/retrieval.py): Lucene-formula
+    scoring of a 3-term query against the corpus, top-20. Corpus stats
+    ride as a broadcast 1-row cross join; only term-matching rows reach
+    the aggregation. idf rounded before use + decimal-routed term sums
+    = hash-exact."""
+    from radient_spark.operators.retrieval import bm25_scores
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    return (
+        bm25_scores(docs, _BM25_TERMS, "text", "doc_id")
+        .orderBy(F.col("bm25").desc(), F.col("doc_id").asc())
+        .limit(20)
+    )
+
+
+_Q_BM25_SQL = f"""
+WITH {_BM25_CTE}
+SELECT doc_id, bm25 FROM bm ORDER BY bm25 DESC, doc_id ASC LIMIT 20
+"""
+
+
+def q_hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid lexical+vector retrieval with reciprocal-rank fusion —
+    the Milvus hybrid-search RRFRanker contract, DataFrame-native:
+    BM25 top-20 and cosine top-20 are each rank-numbered AFTER
+    TakeOrderedAndProject truncation (the global window only ever sees
+    20 rows), full-outer fused with rrf = Σ 1/(60+rank), top-10."""
+    from radient_spark.operators.retrieval import bm25_scores, rank_by, rrf_fuse
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    lex = (
+        bm25_scores(docs, _BM25_TERMS, "text", "doc_id")
+        .orderBy(F.col("bm25").desc(), F.col("doc_id").asc())
+        .limit(20)
+    )
+    lex_r = rank_by(lex, "bm25", "doc_id", "rank_lex").select("doc_id", "rank_lex")
+    vec = topk(
+        emb.select(F.col("vec_id").alias("doc_id"), "embedding"),
+        "embedding",
+        QUERY_VEC,
+        k=20,
+        tiebreak="doc_id",
+    )
+    vec_r = rank_by(vec, "score", "doc_id", "rank_vec").select("doc_id", "rank_vec")
+    fused = rrf_fuse(lex_r, vec_r, "doc_id", "rank_lex", "rank_vec", k=60)
+    return fused.orderBy(F.col("rrf").desc(), F.col("doc_id").asc()).limit(10)
+
+
+_Q_HYBRID_SQL = f"""
+WITH {_BM25_CTE},
+lex AS (
+  SELECT doc_id, bm25,
+    ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id ASC) AS rank_lex
+  FROM (SELECT doc_id, bm25 FROM bm ORDER BY bm25 DESC, doc_id ASC LIMIT 20)
+), vec AS (
+  SELECT doc_id, score,
+    ROW_NUMBER() OVER (ORDER BY score DESC, doc_id ASC) AS rank_vec
+  FROM (
+    SELECT vec_id AS doc_id,
+      round(list_dot_product(embedding::DOUBLE[], {{qv}})
+            / (sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
+               * sqrt(list_dot_product({{qv}}, {{qv}}))), 6) AS score
+    FROM embeddings ORDER BY score DESC, doc_id ASC LIMIT 20
+  )
+)
+SELECT COALESCE(l.doc_id, v.doc_id) AS doc_id, l.rank_lex, v.rank_vec,
+  ROUND(COALESCE(1.0 / (60 + l.rank_lex), 0.0)
+        + COALESCE(1.0 / (60 + v.rank_vec), 0.0), 6) AS rrf
+FROM lex l FULL OUTER JOIN vec v ON l.doc_id = v.doc_id
+ORDER BY rrf DESC, doc_id ASC LIMIT 10
+""".replace("{qv}", _QV_SQL)
+
+
 # ---------------------------------------------------------------------------
 # Registry
 
@@ -4142,6 +4245,8 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "q_pagerank_bipartite": (q_pagerank_bipartite, _Q_PAGERANK_SQL),
     "q_paragraph_dedup_report": (q_paragraph_dedup_report, _Q_PARA_DEDUP_SQL),
     "q_token_budget_cut": (q_token_budget_cut, _Q_BUDGET_CUT_SQL),
+    "q_bm25_search": (q_bm25_search, _Q_BM25_SQL),
+    "q_hybrid_search_rrf": (q_hybrid_search_rrf, _Q_HYBRID_SQL),
 }
 
 

@@ -1,0 +1,64 @@
+"""BM25 + RRF hybrid retrieval (operators/retrieval.py)."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from radient_spark.operators.retrieval import bm25_scores, rank_by, rrf_fuse
+
+
+def test_bm25_matches_hand_formula(spark):
+    corpus = [
+        (1, "spark join spark filter"),
+        (2, "join window"),
+        (3, "nothing relevant here"),
+        (4, "spark spark spark spark window"),
+    ]
+    df = spark.createDataFrame(corpus, "doc_id long, text string")
+    got = {
+        r["doc_id"]: r["bm25"]
+        for r in bm25_scores(df, ["spark", "window"], "text", "doc_id").collect()
+    }
+    assert 3 not in got  # no matching term -> never scored
+    # hand computation (same rounding discipline)
+    n, avgdl = 4, (4 + 2 + 3 + 5) / 4
+    dls = {1: 4, 2: 2, 4: 5}
+    tfs = {1: {"spark": 2}, 2: {"window": 1}, 4: {"spark": 4, "window": 1}}
+    dfreq = {"spark": 2, "window": 2}
+    k1, b = 1.2, 0.75
+    for d, terms in tfs.items():
+        exp = 0.0
+        for t, tf in terms.items():
+            idf = round(math.log(1 + (n - dfreq[t] + 0.5) / (dfreq[t] + 0.5)), 6)
+            norm = tf * (k1 + 1.0) / (tf + k1 * (1.0 - b + b * dls[d] / avgdl))
+            exp += round(idf * norm, 6)
+        assert got[d] == pytest.approx(exp, abs=1e-9), d
+
+
+def test_bm25_empty_query_rejected(spark):
+    df = spark.createDataFrame([(1, "a")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="non-empty"):
+        bm25_scores(df, [])
+
+
+def test_rrf_fusion_missing_side_counts_zero(spark):
+    a = spark.createDataFrame([(1, 1), (2, 2)], "doc_id long, rank_a int")
+    b = spark.createDataFrame([(2, 1), (9, 2)], "doc_id long, rank_b int")
+    got = {
+        r["doc_id"]: (r["rank_a"], r["rank_b"], r["rrf"])
+        for r in rrf_fuse(a, b, "doc_id", "rank_a", "rank_b", k=60).collect()
+    }
+    assert got[1] == (1, None, round(1 / 61, 6))
+    assert got[2] == (2, 1, round(1 / 62 + 1 / 61, 6))
+    assert got[9] == (None, 2, round(1 / 62, 6))
+
+
+def test_rank_by_deterministic_tiebreak(spark):
+    df = spark.createDataFrame(
+        [(3, 1.0), (1, 1.0), (2, 2.0)], "doc_id long, s double"
+    )
+    ranks = {r["doc_id"]: r["rank"] for r in rank_by(df, "s", "doc_id").collect()}
+    assert ranks == {2: 1, 1: 2, 3: 3}
