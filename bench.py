@@ -71,6 +71,8 @@ BENCH_QUERIES = [
     "q_token_budget_cut",
     "q_bm25_search",
     "q_hybrid_search_rrf",
+    "q_matryoshka_topk",
+    "q_binary_hamming_topk",
 ]
 
 

@@ -95,3 +95,47 @@ def jaccard_bool(a: Column | str, b: Column | str) -> Column:
     return F.when(union == 0, F.lit(0.0)).otherwise(
         inter.cast("double") / union.cast("double")
     )
+
+
+def truncate_normalize(a: Column | str, dim: int) -> Column:
+    """Matryoshka (MRL) truncation: keep the first `dim` dims and
+    re-L2-normalize — the standard way MRL-trained embeddings trade
+    accuracy for memory/speed (store full vectors once, search any
+    prefix). Pure Catalyst; compose with any search operator."""
+    return l2_normalize(F.slice(_c(a), 1, dim))
+
+
+def binary_quantize(a: Column | str, dim: int, word_bits: int = 32) -> Column:
+    """1-bit (sign) quantization: bit i of the output is (v[i] > 0),
+    packed `word_bits` per BIGINT word -> array<long> of
+    ceil(dim/word_bits) words. 32 bits/word keeps every value positive
+    (no sign-bit pitfalls in either engine), integer-exact, and
+    bit_count/XOR-ready for Hamming search. 32x smaller than float32 at
+    the storage boundary; pure Catalyst."""
+    import math as _math
+
+    v = _c(a)
+    words = _math.ceil(dim / word_bits)
+    cols = []
+    for w in range(words):
+        word = F.lit(0).cast("long")
+        for i in range(word_bits):
+            pos = w * word_bits + i
+            if pos >= dim:
+                break
+            word = word + F.when(
+                F.element_at(v, pos + 1) > 0, F.lit(1 << i).cast("long")
+            ).otherwise(F.lit(0).cast("long"))
+        cols.append(word)
+    return F.array(*cols)
+
+
+def hamming_distance_words(a: Column | str, b: Column | str) -> Column:
+    """Hamming distance between two packed bit-word arrays: sum of
+    bit_count(xor(word_a, word_b)) — the binary-quantized search
+    kernel (popcount over XOR, fully JVM-side)."""
+    return F.aggregate(
+        F.zip_with(_c(a), _c(b), lambda x, y: F.bit_count(x.bitwiseXOR(y))),
+        F.lit(0),
+        lambda acc, c: acc + c,
+    )

@@ -4128,6 +4128,88 @@ ORDER BY rrf DESC, doc_id ASC LIMIT 10
 """.replace("{qv}", _QV_SQL)
 
 
+def q_matryoshka_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka (MRL) prefix search: cosine top-10 using only the
+    first 16 of 64 dims (functions/vector.truncate_normalize is the
+    storage-side form; cosine over the raw prefix is the identical
+    score since cosine is scale-invariant) — store full vectors once,
+    search any prefix at 4x less arithmetic. Same HOF + rounding
+    contract as q_vec_topk_cosine."""
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    q16 = F.array(*[F.lit(float(x)) for x in QUERY_VEC[:16]])
+    scored = emb.select(
+        "vec_id",
+        F.round(
+            V.cosine_similarity(F.slice("embedding", 1, 16), q16), 6
+        ).alias("score"),
+    )
+    return scored.orderBy(F.col("score").desc(), F.col("vec_id").asc()).limit(10)
+
+
+_QV16_SQL = "[" + ", ".join(repr(x) for x in QUERY_VEC[:16]) + "]::DOUBLE[]"
+
+_Q_MATRYOSHKA_SQL = f"""
+SELECT vec_id,
+  round(list_dot_product(embedding[1:16]::DOUBLE[], {_QV16_SQL})
+        / (sqrt(list_dot_product(embedding[1:16]::DOUBLE[], embedding[1:16]::DOUBLE[]))
+           * sqrt(list_dot_product({_QV16_SQL}, {_QV16_SQL}))), 6) AS score
+FROM embeddings ORDER BY score DESC, vec_id ASC LIMIT 10
+"""
+
+
+def _query_vec_sign_words(word_bits: int = 32) -> list[int]:
+    words = []
+    for w in range(0, 64, word_bits):
+        word = 0
+        for i in range(word_bits):
+            if w + i < 64 and QUERY_VEC[w + i] > 0:
+                word |= 1 << i
+        words.append(word)
+    return words
+
+
+def q_binary_hamming_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary (1-bit sign) quantized search: 64-dim float32 embeddings
+    collapse to two 32-bit words (32x smaller), candidates ranked by
+    popcount-of-XOR Hamming distance (functions/vector.binary_quantize
+    + hamming_distance_words — fully JVM-side integer ops, exact in any
+    order). The third member of the quantization family (SQ8 4x, PQ
+    16-32x, binary 32x)."""
+    from radient_spark.functions.vector import (
+        binary_quantize,
+        hamming_distance_words,
+    )
+
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    qwords = F.array(
+        *[F.lit(w).cast("long") for w in _query_vec_sign_words(32)]
+    )
+    scored = emb.select(
+        "vec_id",
+        hamming_distance_words(
+            binary_quantize(F.col("embedding"), 64, 32), qwords
+        ).cast("long").alias("hamming"),
+    )
+    return scored.orderBy(F.col("hamming").asc(), F.col("vec_id").asc()).limit(10)
+
+
+def _binary_hamming_sql() -> str:
+    def word_expr(w: int) -> str:
+        terms = " + ".join(
+            f"(CASE WHEN embedding[{w * 32 + i + 1}] > 0 THEN {1 << i} ELSE 0 END)"
+            for i in range(32)
+        )
+        return f"CAST({terms} AS BIGINT)"
+
+    q0, q1 = _query_vec_sign_words(32)
+    return f"""
+SELECT vec_id,
+  CAST(bit_count(xor({word_expr(0)}, {q0}::BIGINT))
+       + bit_count(xor({word_expr(1)}, {q1}::BIGINT)) AS BIGINT) AS hamming
+FROM embeddings ORDER BY hamming ASC, vec_id ASC LIMIT 10
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 
@@ -4247,6 +4329,8 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "q_token_budget_cut": (q_token_budget_cut, _Q_BUDGET_CUT_SQL),
     "q_bm25_search": (q_bm25_search, _Q_BM25_SQL),
     "q_hybrid_search_rrf": (q_hybrid_search_rrf, _Q_HYBRID_SQL),
+    "q_matryoshka_topk": (q_matryoshka_topk, _Q_MATRYOSHKA_SQL),
+    "q_binary_hamming_topk": (q_binary_hamming_topk, _binary_hamming_sql()),
 }
 
 

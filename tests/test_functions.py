@@ -4,6 +4,7 @@ against numpy on randomized inputs."""
 from __future__ import annotations
 
 import numpy as np
+import pytest
 from pyspark.sql import functions as F
 
 from radient_spark.functions import text as X
@@ -208,3 +209,62 @@ def test_sparse_tfidf_formula(spark):
     assert not any(t == "a" for _, t in long)
     # 'b' in 1 doc: tf=1, idf = ln(4/2)
     assert abs(long[(1, "b")] - math.log(4 / 2)) < 1e-9
+
+
+def test_truncate_normalize_unit_norm_and_prefix(spark):
+    from radient_spark.functions import vector as V
+
+    df = spark.createDataFrame(
+        [(1, [3.0, 4.0, 100.0, -7.0])], "id long, v array<double>"
+    )
+    out = df.select(V.truncate_normalize("v", 2).alias("t")).collect()[0]["t"]
+    assert out == pytest.approx([0.6, 0.8], abs=1e-6)  # prefix, renormalized (float32 canon)
+
+
+def test_binary_quantize_and_hamming_match_numpy(spark):
+    import numpy as np
+
+    from radient_spark.functions import vector as V
+
+    rng = np.random.RandomState(9)
+    vecs = [[float(x) for x in rng.randn(64)] for _ in range(20)]
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vecs)], "id long, v array<double>"
+    )
+    q = [float(x) for x in rng.randn(64)]
+
+    def pack(v):
+        words = []
+        for w in range(2):
+            word = 0
+            for i in range(32):
+                if v[w * 32 + i] > 0:
+                    word |= 1 << i
+            words.append(word)
+        return words
+
+    qw = pack(q)
+    got = {
+        r["id"]: (r["codes"], r["ham"])
+        for r in df.select(
+            "id",
+            V.binary_quantize("v", 64, 32).alias("codes"),
+            V.hamming_distance_words(
+                V.binary_quantize("v", 64, 32),
+                F.array(*[F.lit(w).cast("long") for w in qw]),
+            ).alias("ham"),
+        ).collect()
+    }
+    for i, v in enumerate(vecs):
+        pw = pack(v)
+        assert got[i][0] == pw
+        exp_ham = sum(bin(a ^ b).count("1") for a, b in zip(pw, qw))
+        assert got[i][1] == exp_ham
+
+
+def test_binary_quantize_partial_last_word(spark):
+    from radient_spark.functions import vector as V
+
+    df = spark.createDataFrame([(1, [1.0, -1.0, 1.0])], "id long, v array<double>")
+    out = df.select(V.binary_quantize("v", 3, 32).alias("c")).collect()[0]["c"]
+    assert out == [0b101]  # 3 dims pack into one word, high bits zero
