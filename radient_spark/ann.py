@@ -458,10 +458,13 @@ class AnnIndex:
                 {k: v.tolist() for k, v in hyper.items()}
             )
 
-            # (b) project onto the (tree,leaf) hyperplane (narrow pass)
+            # (b) ONE GEMM pass carrying the projection as a column; the
+            # lazy localCheckpoint materializes inside the same job that
+            # computes the per-(tree,leaf) percentile cuts — so a level
+            # costs exactly TWO driver round-trips (sample, cuts) and the
+            # projection is computed once, not re-derived during
+            # reassignment (which is now pure Catalyst below).
             def project(batches, _bc=bc, _KEY=KEY):
-                import pandas as pd
-
                 H = {k: np.asarray(v) for k, v in _bc.value.items()}
                 for pdf in batches:
                     if len(pdf) == 0:
@@ -474,13 +477,14 @@ class AnnIndex:
                     for k in np.unique(keys):
                         m = keys == k
                         d[m] = M[m] @ H[int(k)]
-                    out = pdf[["tree_id", "leaf_id"]].copy()
+                    out = pdf.copy()
                     out["proj"] = d
                     yield out
 
             projected = cur.mapInPandas(
-                project, "tree_id int, leaf_id int, proj double"
-            )
+                project,
+                "id long, vector array<float>, tree_id int, leaf_id int, proj double",
+            ).localCheckpoint(eager=False)
             lo_q, hi_q = max(0.0, 0.5 - spill), min(1.0, 0.5 + spill)
             cut_rows = (
                 projected.groupBy("tree_id", "leaf_id")
@@ -502,42 +506,37 @@ class AnnIndex:
                 # build-side assignment
                 trees[t].nodes[(level, leaf)] = (hyper[k].tolist(), float(mid))
 
-            # (c) reassign leaves, spilling boundary rows to both children
-            def reassign(batches, _bc=bc, _cuts=dict(cuts), _KEY=KEY):
-                import pandas as pd
-
-                H = {k: np.asarray(v) for k, v in _bc.value.items()}
-                for pdf in batches:
-                    if len(pdf) == 0:
-                        continue
-                    M = np.array(pdf["vector"].tolist(), dtype=np.float64)
-                    keys = (
-                        pdf["tree_id"].to_numpy() * _KEY + pdf["leaf_id"].to_numpy()
-                    )
-                    frames = []
-                    for k in np.unique(keys):
-                        m = keys == k
-                        lo, mid, hi = _cuts.get(int(k), (0.0, 0.0, 0.0))
-                        d = M[m] @ H[int(k)]
-                        leaf = int(k) % _KEY
-                        sub = pdf[m]
-                        # >= (not >) so boundary-valued rows spill to BOTH
-                        # children; at spill=0.5, lo/hi are the min/max
-                        # projection, so every row lands in both children
-                        # and any descent sees the full candidate set —
-                        # the exactness-oracle configuration
-                        # (queries.q_ann_search_exact)
-                        right = sub[d >= lo].copy()
-                        right["leaf_id"] = 2 * leaf + 1
-                        left = sub[d <= hi].copy()
-                        left["leaf_id"] = 2 * leaf
-                        frames.append(right)
-                        frames.append(left)
-                    yield pd.concat(frames, ignore_index=True)
-
-            cur = cur.mapInPandas(
-                reassign, "id long, vector array<float>, tree_id int, leaf_id int"
-            ).localCheckpoint(eager=False)
+            # (c) reassign leaves via two narrow Catalyst filters over the
+            # checkpointed projection — >= / <= (not > / <) so
+            # boundary-valued rows spill to BOTH children; at spill=0.5,
+            # lo/hi are the min/max projection, so every row lands in
+            # both children and any descent sees the full candidate set —
+            # the exactness-oracle configuration
+            # (queries.q_ann_search_exact)
+            key_expr = F.col("tree_id") * KEY + F.col("leaf_id")
+            lo_map = F.create_map(
+                *[
+                    x
+                    for k, (lo, _m, _h) in sorted(cuts.items())
+                    for x in (F.lit(k), F.lit(float(lo)))
+                ]
+            )
+            hi_map = F.create_map(
+                *[
+                    x
+                    for k, (_l, _m, hi) in sorted(cuts.items())
+                    for x in (F.lit(k), F.lit(float(hi)))
+                ]
+            )
+            right = projected.filter(
+                F.col("proj") >= F.coalesce(lo_map[key_expr], F.lit(0.0))
+            ).withColumn("leaf_id", F.col("leaf_id") * 2 + 1)
+            left = projected.filter(
+                F.col("proj") <= F.coalesce(hi_map[key_expr], F.lit(0.0))
+            ).withColumn("leaf_id", F.col("leaf_id") * 2)
+            cur = right.unionByName(left).select(
+                "id", "vector", "tree_id", "leaf_id"
+            )
             # Child sizes follow analytically from the median split: each
             # child holds ~size*(0.5+spill) of its parent (that IS the
             # split rule) — no count job needed; sizes only steer the
