@@ -266,6 +266,29 @@ def main() -> None:
     pr = pagerank(edges, iters=3)
     print("pagerank top node:", pr.orderBy(F.desc("rank")).first()["node"])
 
+    # ------------------------------------------------------------------
+    # beyond the reference: hybrid retrieval (BM25 + vector RRF) and the
+    # compressed-search family (binary Hamming, Matryoshka prefix).
+    from radient_spark.functions.vector import (
+        binary_quantize,
+        hamming_distance_words,
+    )
+    from radient_spark.operators.retrieval import bm25_scores
+
+    bm = bm25_scores(docs, ["spark", "join", "window"], "text", "doc_id")
+    print("bm25 hits:", bm.count())
+    codes = emb.select(
+        "vec_id", binary_quantize(F.col("embedding"), 64, 32).alias("c")
+    )
+    q = codes.limit(1).collect()[0]["c"]
+    ham = codes.select(
+        "vec_id",
+        hamming_distance_words(
+            F.col("c"), F.array(*[F.lit(int(w)).cast("long") for w in q])
+        ).alias("h"),
+    )
+    print("binary-quantized nearest:", ham.orderBy("h", "vec_id").first()["vec_id"])
+
     print("migration example: all flows OK")
 
 
