@@ -50,10 +50,15 @@ def pagerank(
     add reverse edges upstream for an undirected reading. Returns
     (node, rank).
     """
+    # The edge list (and everything derived from it) is scanned every
+    # iteration — persist it once so an expensive upstream lineage
+    # (joins, distinct) is not re-executed per power-iteration round.
+    edges = edges.persist()
     nodes = (
         edges.select(F.col(src).alias("node"))
         .unionByName(edges.select(F.col(dst).alias("node")))
         .distinct()
+        .persist()
     )
     n = nodes.count()
     if n == 0:
@@ -100,10 +105,12 @@ def pagerank_integer(
     order and the registry query can carry a value oracle. The floor
     truncation loses < iters * n / units of total mass; at units=1e12
     that is measurement noise, and determinism is the point."""
+    edges = edges.persist()
     nodes = (
         edges.select(F.col(src).alias("node"))
         .unionByName(edges.select(F.col(dst).alias("node")))
         .distinct()
+        .persist()
     )
     n = nodes.count()
     if n == 0:
