@@ -73,6 +73,7 @@ BENCH_QUERIES = [
     "q_hybrid_search_rrf",
     "q_matryoshka_topk",
     "q_binary_hamming_topk",
+    "q_curation_pipeline_v2",
 ]
 
 

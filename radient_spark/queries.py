@@ -4210,6 +4210,102 @@ FROM embeddings ORDER BY hamming ASC, vec_id ASC LIMIT 10
 """
 
 
+def q_curation_pipeline_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-3 flagship composition — the full curation funnel as ONE
+    lazy plan: classifier quality gate (keep total_w >= 0) → paragraph-
+    level boilerplate removal (drop docs with no unique chunks) → exact
+    dedup on the CLEANED text (min-doc_id canonical) → budget-cut
+    selection (cum clean-tokens <= 6000 in quality order). Every stage
+    is a round-3 operator; the composed plan has no driver round-trips
+    beyond distributed_cumsum's documented P-row contracts."""
+    from radient_spark.functions import text as X
+    from radient_spark.operators.classify import linear_classifier_score
+    from radient_spark.operators.dataset import distributed_cumsum
+    from radient_spark.operators.dedup import paragraph_dedup
+
+    dim = 64
+    weights = [float((i * 2654435761) % 1001 - 500) for i in range(dim)]
+    docs = (
+        load_tables(spark, sf_dir)["documents"]
+        .filter(F.length(F.trim("text")) > 0)
+        .select("doc_id", "text")
+    )
+    scored = linear_classifier_score(
+        docs, weights, bias=0.0, out_col="__raw", mean=False
+    ).select("doc_id", "text", F.col("__raw").cast("long").alias("total_w"))
+    kept = scored.filter(F.col("total_w") >= 0)
+    cleaned = paragraph_dedup(kept, "text", "doc_id", chunk_tokens=10).filter(
+        F.col("n_kept") > 0
+    )
+    w_dup = Window.partitionBy("clean_text").orderBy("id")
+    unique = (
+        cleaned.withColumn("__rn", F.row_number().over(w_dup))
+        .filter(F.col("__rn") == 1)
+        .select(
+            F.col("id").alias("doc_id"),
+            F.size(X.tokens(F.col("clean_text"))).cast("long").alias("n_toks"),
+        )
+    )
+    rejoined = unique.join(
+        scored.select("doc_id", "total_w"), "doc_id"
+    )
+    cum = distributed_cumsum(
+        rejoined,
+        order_cols=[F.col("total_w").desc(), F.col("doc_id").asc()],
+        range_col=-F.col("total_w"),
+        value_col="n_toks",
+        out_col="cum_toks",
+    )
+    return cum.filter(F.col("cum_toks") <= 6000).select(
+        "doc_id", "n_toks", "total_w",
+        F.col("cum_toks").cast("long").alias("cum_toks"),
+    )
+
+
+_Q_CURATION_V2_SQL = r"""
+WITH slots AS (
+  SELECT doc_id,
+    CAST(('0x' || substring(md5(unnest(regexp_split_to_array(trim(text), '\s+'))), 1, 8))::BIGINT % 64 AS BIGINT) AS slot
+  FROM documents WHERE length(trim(text)) > 0
+), scored AS (
+  SELECT doc_id, SUM((slot * 2654435761) % 1001 - 500)::BIGINT AS total_w
+  FROM slots GROUP BY doc_id
+), kept AS (
+  SELECT d.doc_id, d.text, s.total_w
+  FROM documents d JOIN scored s USING (doc_id) WHERE s.total_w >= 0
+), tok AS (
+  SELECT doc_id, generate_subscripts(t, 1) AS sub, unnest(t) AS tk
+  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t FROM kept)
+), chunks AS (
+  SELECT doc_id, CAST((sub - 1) // 10 AS BIGINT) AS cidx,
+    string_agg(tk, ' ' ORDER BY sub) AS chunk
+  FROM tok GROUP BY doc_id, (sub - 1) // 10
+), ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY chunk ORDER BY doc_id, cidx) AS rn
+  FROM chunks
+), cleaned AS (
+  SELECT doc_id,
+    string_agg(CASE WHEN rn = 1 THEN chunk END, ' ' ORDER BY cidx) AS clean_text
+  FROM ranked GROUP BY doc_id
+  HAVING SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) > 0
+), uniq AS (
+  SELECT doc_id,
+    CAST(len(regexp_split_to_array(clean_text, '\s+')) AS BIGINT) AS n_toks
+  FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY clean_text ORDER BY doc_id) AS dn
+    FROM cleaned
+  ) WHERE dn = 1
+), c AS (
+  SELECT u.doc_id, u.n_toks, s.total_w,
+    SUM(u.n_toks) OVER (ORDER BY s.total_w DESC, u.doc_id ROWS UNBOUNDED PRECEDING)
+      AS cum_toks
+  FROM uniq u JOIN scored s USING (doc_id)
+)
+SELECT doc_id, n_toks, total_w, CAST(cum_toks AS BIGINT) AS cum_toks
+FROM c WHERE cum_toks <= 6000
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 
@@ -4331,6 +4427,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "q_hybrid_search_rrf": (q_hybrid_search_rrf, _Q_HYBRID_SQL),
     "q_matryoshka_topk": (q_matryoshka_topk, _Q_MATRYOSHKA_SQL),
     "q_binary_hamming_topk": (q_binary_hamming_topk, _binary_hamming_sql()),
+    "q_curation_pipeline_v2": (q_curation_pipeline_v2, _Q_CURATION_V2_SQL),
 }
 
 
