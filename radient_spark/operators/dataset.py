@@ -278,6 +278,81 @@ def perplexity_buckets(
     return scored.withColumn("ppl_bucket", F.ntile(n_buckets).over(w))
 
 
+def bigram_perplexity(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    strata_col: str = "lang",
+    lam: float = 0.7,
+    n_buckets: int = 3,
+) -> DataFrame:
+    """Interpolated bigram-LM perplexity buckets — the KenLM-style step up
+    from the unigram CCNet filter (perplexity_buckets): token surprisal
+    under p(w|prev) = lam * MLE_bigram + (1-lam) * MLE_unigram, first
+    token scored by the unigram alone.
+
+    Spark-first shape: the (prev, cur) pair stream is built per-row with
+    a Catalyst transform (no per-doc window, no sort) and exploded once;
+    the LM "fit" is three groupBy counts over that stream (unigram,
+    bigram, bigram-prefix) joined back by key — all linear shuffles. The
+    corpus is scanned once per count because the plan is lazy; at scale,
+    fit once, persist the three count tables, and score many batches
+    (the tf-idf discipline).
+
+    Float discipline for the oracle: counts are exact integers, p is a
+    per-row double from identical expressions, surprisal rounds to
+    DECIMAL(18,6) so the per-doc SUM is exact in any aggregation order.
+    """
+    base = df.filter(F.length(F.trim(text_col)) > 0)
+    tk = X.tokens(F.col(text_col))
+    pairs = F.transform(
+        F.sequence(F.lit(1), F.size(tk)),
+        lambda i: F.struct(
+            F.element_at(tk, i).alias("cur"),
+            F.when(i > 1, F.element_at(tk, i - 1)).alias("prev"),
+        ),
+    )
+    stream = base.select(
+        F.col(id_col), F.col(strata_col), F.explode(pairs).alias("p")
+    ).select(id_col, strata_col, "p.cur", "p.prev")
+
+    uni = stream.groupBy("cur").agg(F.count(F.lit(1)).alias("c_uni"))
+    totals = stream.agg(F.count(F.lit(1)).alias("n_total"))
+    bg = (
+        stream.filter(F.col("prev").isNotNull())
+        .groupBy("prev", "cur")
+        .agg(F.count(F.lit(1)).alias("c_bg"))
+    )
+    prefix = (
+        stream.filter(F.col("prev").isNotNull())
+        .groupBy("prev")
+        .agg(F.count(F.lit(1)).alias("c_prefix"))
+    )
+
+    p_uni = F.col("c_uni").cast("double") / F.col("n_total").cast("double")
+    p_bg = F.col("c_bg").cast("double") / F.col("c_prefix").cast("double")
+    p = F.when(F.col("prev").isNull(), p_uni).otherwise(
+        F.lit(lam) * p_bg + F.lit(1.0 - lam) * p_uni
+    )
+    scored = (
+        stream.join(uni, "cur")
+        .crossJoin(F.broadcast(totals))
+        .join(bg, ["prev", "cur"], "left")
+        .join(prefix, "prev", "left")
+        .withColumn("surprisal", F.round(-F.log(p), 6).cast("decimal(18,6)"))
+        .groupBy(id_col, strata_col)
+        .agg(
+            (F.sum("surprisal").cast("double") / F.count(F.lit(1))).alias(
+                "logppl"
+            )
+        )
+    )
+    w = Window.partitionBy(strata_col).orderBy(
+        F.col("logppl").asc(), F.col(id_col).asc()
+    )
+    return scored.withColumn("ppl_bucket", F.ntile(n_buckets).over(w))
+
+
 def chunk_documents(
     df: DataFrame,
     text_col: str = "text",

