@@ -74,6 +74,12 @@ BENCH_QUERIES = [
     "q_matryoshka_topk",
     "q_binary_hamming_topk",
     "q_curation_pipeline_v2",
+    "q_gopher_rules_report",
+    "q_bigram_logppl",
+    "q_stratified_sample",
+    "q_session_funnel",
+    "q_embedding_drift",
+    "q_epoch_interleave",
 ]
 
 

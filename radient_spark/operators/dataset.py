@@ -53,6 +53,49 @@ def hash_split(
     return df.withColumn(out_col, expr)
 
 
+def stratified_sample(
+    df: DataFrame,
+    strata_col: str,
+    id_col: str,
+    target_per_stratum: int,
+    seed: int = 42,
+    rate_col: str = "rate_bp",
+) -> DataFrame:
+    """Deterministic stratified downsampling: cap every stratum at
+    ~target_per_stratum rows via a stateless md5 keep-rule. The per-
+    stratum rate (in SPLIT_BUCKETS basis points) is
+    floor(target * BUCKETS / n_s) capped at BUCKETS, and a row survives
+    iff its hash bucket < rate — integer arithmetic end-to-end, so the
+    DuckDB oracle reproduces the exact kept set.
+
+    At 100 TB: one map-side-combined groupBy over strata (tiny result,
+    broadcast back), then a stateless per-row filter — no shuffle of the
+    data itself, no sampling state, append-consistent like hash_split.
+    The realized count concentrates around the target (binomial, not
+    exact); exact-k sampling needs an ordered cut — use
+    cluster_balanced_sample's window for that contract.
+    """
+    if target_per_stratum < 0:
+        raise ValueError("target_per_stratum must be >= 0")
+    counts = df.groupBy(strata_col).agg(F.count(F.lit(1)).alias("__n"))
+    rates = counts.select(
+        strata_col,
+        F.least(
+            F.lit(SPLIT_BUCKETS),
+            F.floor(
+                F.lit(target_per_stratum) * SPLIT_BUCKETS / F.col("__n")
+            ),
+        )
+        .cast("long")
+        .alias(rate_col),
+    )
+    bucket = str_hash(F.concat_ws("_", F.lit(seed), F.col(id_col))) % SPLIT_BUCKETS
+    return (
+        df.join(F.broadcast(rates), strata_col)
+        .filter(bucket < F.col(rate_col))
+    )
+
+
 def sequential_pack(
     df: DataFrame,
     token_col: str,

@@ -4435,6 +4435,263 @@ FROM docs
 """
 
 
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified downsampling audit (operators/dataset.py:
+    stratified_sample): cap each source at ~15 docs via a stateless md5
+    keep-rule; report realized counts + the integer rate per source."""
+    from radient_spark.operators.dataset import stratified_sample
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    sampled = stratified_sample(docs, "source", "doc_id", target_per_stratum=15)
+    return sampled.groupBy("source").agg(
+        F.min("rate_bp").cast("long").alias("rate_bp"),
+        F.count(F.lit(1)).alias("n_sampled"),
+    )
+
+
+_Q_STRATIFIED_SQL = r"""
+WITH c AS (
+  SELECT source, COUNT(*) AS n FROM documents GROUP BY source
+), r AS (
+  SELECT source, least(10000, (15 * 10000) // n) AS rate_bp FROM c
+), kept AS (
+  SELECT d.source, r.rate_bp
+  FROM documents d JOIN r USING (source)
+  WHERE ('0x' || substring(md5('42_' || d.doc_id::VARCHAR), 1, 8))::BIGINT
+        % 10000 < r.rate_bp
+)
+SELECT source,
+  CAST(MIN(rate_bp) AS BIGINT) AS rate_bp,
+  CAST(COUNT(*) AS BIGINT) AS n_sampled
+FROM kept GROUP BY source
+"""
+
+
+def q_session_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel (view → later click → later purchase)
+    per 30-minute session, rolled up by the session's start weekday.
+
+    One shuffle total: the sessionization window, the three chained
+    min-over-session windows, and the session rollup all share the
+    user_id-compatible partitioning (Exchange reuse), then a tiny
+    weekday aggregate."""
+    ev = load_tables(spark, sf_dir)["events"]
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    flagged = (
+        ev.withColumn("prev_ts", F.lag("ts").over(w))
+        .withColumn(
+            "new_session",
+            F.when(
+                F.col("prev_ts").isNull()
+                | (F.col("ts") > F.col("prev_ts") + F.expr("INTERVAL 30 MINUTES")),
+                1,
+            ).otherwise(0),
+        )
+        .withColumn("session_id", F.sum("new_session").over(w))
+    )
+    ws = Window.partitionBy("user_id", "session_id")
+    staged = (
+        flagged.withColumn("session_start", F.min("ts").over(ws))
+        .withColumn(
+            "t_view",
+            F.min(F.when(F.col("event_type") == "view", F.col("ts"))).over(ws),
+        )
+        .withColumn(
+            "t_click",
+            F.min(
+                F.when(
+                    (F.col("event_type") == "click")
+                    & (F.col("ts") >= F.col("t_view")),
+                    F.col("ts"),
+                )
+            ).over(ws),
+        )
+        .withColumn(
+            "t_purchase",
+            F.min(
+                F.when(
+                    (F.col("event_type") == "purchase")
+                    & (F.col("ts") >= F.col("t_click")),
+                    F.col("ts"),
+                )
+            ).over(ws),
+        )
+    )
+    sessions = staged.groupBy("user_id", "session_id").agg(
+        F.min("session_start").alias("start"),
+        F.min("t_view").alias("t_view"),
+        F.min("t_click").alias("t_click"),
+        F.min("t_purchase").alias("t_purchase"),
+    )
+    return sessions.groupBy(F.weekday("start").alias("weekday")).agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.sum(F.col("t_view").isNotNull().cast("int")).alias("n_view"),
+        F.sum(F.col("t_click").isNotNull().cast("int")).alias("n_view_click"),
+        F.sum(F.col("t_purchase").isNotNull().cast("int")).alias("n_full_funnel"),
+    )
+
+
+_Q_FUNNEL_SQL = """
+WITH flagged AS (
+  SELECT user_id, event_id, ts, event_type,
+    CASE WHEN lag(ts) OVER w IS NULL
+           OR ts > lag(ts) OVER w + INTERVAL 30 MINUTE
+         THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), sess AS (
+  SELECT *, SUM(new_session)
+      OVER (PARTITION BY user_id ORDER BY ts, event_id) AS session_id
+  FROM flagged
+), staged AS (
+  SELECT user_id, session_id,
+    MIN(ts) OVER ws AS session_start,
+    MIN(CASE WHEN event_type = 'view' THEN ts END) OVER ws AS t_view,
+    ts, event_type
+  FROM sess
+  WINDOW ws AS (PARTITION BY user_id, session_id)
+), staged2 AS (
+  SELECT *,
+    MIN(CASE WHEN event_type = 'click' AND ts >= t_view THEN ts END)
+      OVER ws AS t_click
+  FROM staged
+  WINDOW ws AS (PARTITION BY user_id, session_id)
+), staged3 AS (
+  SELECT *,
+    MIN(CASE WHEN event_type = 'purchase' AND ts >= t_click THEN ts END)
+      OVER ws AS t_purchase
+  FROM staged2
+  WINDOW ws AS (PARTITION BY user_id, session_id)
+), sessions AS (
+  SELECT user_id, session_id,
+    MIN(session_start) AS start,
+    MIN(t_view) AS t_view, MIN(t_click) AS t_click,
+    MIN(t_purchase) AS t_purchase
+  FROM staged3 GROUP BY user_id, session_id
+)
+SELECT CAST(date_part('isodow', start) - 1 AS INT) AS weekday,
+  COUNT(*) AS n_sessions,
+  CAST(SUM(CASE WHEN t_view IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_view,
+  CAST(SUM(CASE WHEN t_click IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_view_click,
+  CAST(SUM(CASE WHEN t_purchase IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_full_funnel
+FROM sessions GROUP BY 1
+"""
+
+
+def q_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding-distribution monitor — the drift dashboard a
+    production vector pipeline runs per ingest batch: vector count,
+    integer-micro-unit centroid mass (L1 of per-dim component sums), and
+    the dominant dimension. Components quantize to round(x*1e6) BIGINTs
+    BEFORE aggregation, so every sum is exact in any order/partitioning
+    (the kmeans/fastrp oracle discipline) and the DuckDB oracle hashes
+    bit-for-bit.
+
+    Shape at scale: posexplode → (label, dim) partial-agg groupBy —
+    shuffle volume is O(labels × dims), corpus-size independent."""
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    per_label = emb.groupBy("label").agg(F.count(F.lit(1)).alias("n_vecs"))
+    dims = (
+        emb.select(
+            "label", F.posexplode("embedding").alias("dim", "x")
+        )
+        .withColumn("micro", F.round(F.col("x") * 1e6, 0).cast("long"))
+        .groupBy("label", "dim")
+        .agg(F.sum("micro").alias("s"))
+    )
+    rolled = dims.groupBy("label").agg(
+        F.sum(F.abs(F.col("s"))).alias("l1_micro"),
+        F.max(
+            F.struct(F.abs(F.col("s")).alias("a"), (-F.col("dim")).alias("nd"))
+        ).alias("__m"),
+    )
+    return per_label.join(rolled, "label").select(
+        "label",
+        "n_vecs",
+        "l1_micro",
+        (-F.col("__m.nd")).cast("int").alias("top_dim"),
+        F.col("__m.a").alias("top_micro_abs"),
+    )
+
+
+_Q_DRIFT_SQL = """
+WITH d AS (
+  SELECT label, generate_subscripts(embedding, 1) - 1 AS dim,
+    unnest(embedding) AS x
+  FROM embeddings
+), s AS (
+  SELECT label, dim,
+    CAST(SUM(CAST(round(x::DOUBLE * 1e6, 0) AS BIGINT)) AS BIGINT) AS s
+  FROM d GROUP BY label, dim
+), ranked AS (
+  SELECT label, dim, s,
+    ROW_NUMBER() OVER (PARTITION BY label ORDER BY abs(s) DESC, dim ASC)
+      AS rn
+  FROM s
+), rolled AS (
+  SELECT label, CAST(SUM(abs(s)) AS BIGINT) AS l1_micro FROM s GROUP BY label
+), top AS (
+  SELECT label, CAST(dim AS INT) AS top_dim, abs(s) AS top_micro_abs
+  FROM ranked WHERE rn = 1
+), n AS (
+  SELECT label, COUNT(*) AS n_vecs FROM embeddings GROUP BY label
+)
+SELECT n.label, n.n_vecs, rolled.l1_micro, top.top_dim, top.top_micro_abs
+FROM n JOIN rolled USING (label) JOIN top USING (label)
+"""
+
+
+def q_epoch_interleave(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic training-epoch ordering with source temperature
+    weighting: every doc gets a stateless position key
+    (md5_bucket + 1) / sqrt(n_source), so a prefix of the key-ordered
+    corpus contains each source in proportion to n_s * sqrt(n_s) — the
+    data-loader analogue of temperature mixing, computed with ZERO
+    per-source sort (no skewed partitionBy(source) window; the only
+    ordered op is the global TakeOrderedAndProject for the audited
+    prefix). Returns the first 200 docs of the epoch with their rank."""
+    from radient_spark.operators.dedup import str_hash
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    counts = docs.groupBy("source").agg(F.count(F.lit(1)).alias("__n"))
+    bucket = str_hash(F.concat_ws("_", F.lit("epoch"), F.col("doc_id"))) % 1_000_000
+    keyed = docs.join(F.broadcast(counts), "source").select(
+        "doc_id",
+        "source",
+        (
+            (bucket + F.lit(1)).cast("double")
+            / F.sqrt(F.col("__n").cast("double"))
+        ).alias("pos_key"),
+    )
+    prefix = keyed.orderBy(
+        F.col("pos_key").asc(), F.col("doc_id").asc()
+    ).limit(200)
+    w = Window.orderBy(F.col("pos_key").asc(), F.col("doc_id").asc())
+    return prefix.withColumn("epoch_rank", F.row_number().over(w)).select(
+        "epoch_rank", "doc_id", "source", F.round("pos_key", 6).alias("pos_key")
+    )
+
+
+_Q_EPOCH_SQL = """
+WITH c AS (
+  SELECT source, COUNT(*) AS n FROM documents GROUP BY source
+), keyed AS (
+  SELECT d.doc_id, d.source,
+    ((('0x' || substring(md5('epoch_' || d.doc_id::VARCHAR), 1, 8))::BIGINT
+      % 1000000) + 1)::DOUBLE / sqrt(c.n::DOUBLE) AS pos_key
+  FROM documents d JOIN c USING (source)
+), prefix AS (
+  SELECT * FROM keyed ORDER BY pos_key ASC, doc_id ASC LIMIT 200
+)
+SELECT ROW_NUMBER() OVER (ORDER BY pos_key ASC, doc_id ASC) AS epoch_rank,
+  doc_id, source, round(pos_key, 6) AS pos_key
+FROM prefix
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 
@@ -4559,6 +4816,10 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "q_curation_pipeline_v2": (q_curation_pipeline_v2, _Q_CURATION_V2_SQL),
     "q_gopher_rules_report": (q_gopher_rules_report, _Q_GOPHER_SQL),
     "q_bigram_logppl": (q_bigram_logppl, _Q_BIGRAM_PPL_SQL),
+    "q_stratified_sample": (q_stratified_sample, _Q_STRATIFIED_SQL),
+    "q_session_funnel": (q_session_funnel, _Q_FUNNEL_SQL),
+    "q_embedding_drift": (q_embedding_drift, _Q_DRIFT_SQL),
+    "q_epoch_interleave": (q_epoch_interleave, _Q_EPOCH_SQL),
 }
 
 

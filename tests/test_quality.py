@@ -1,0 +1,89 @@
+"""Unit tests for the Gopher rule filters, stratified sampling, and the
+bigram LM (operators/quality.py, operators/dataset.py round-3 additions)."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from radient_spark.operators.dataset import bigram_perplexity, stratified_sample
+from radient_spark.operators.quality import gopher_report, gopher_rules
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, source string, text string")
+
+
+def test_gopher_rules_flag_each_failure_mode(spark):
+    good = " ".join(
+        ["the quick brown fox jumps over lazy dogs and cats daily"] * 6
+    )  # 60 words, mean len ~4.4, stopwords, varied bigrams
+    rows = [
+        (1, "a", good),
+        (2, "a", "short text"),  # fails word count
+        (3, "a", " ".join(["spam"] * 60)),  # repetition + stopwords fail
+        (4, "a", ""),  # blank: fails words/alpha/stop
+        (5, "a", " ".join(["1234 5678"] * 30)),  # alpha fraction fails
+    ]
+    r = {
+        row["doc_id"]: row
+        for row in gopher_rules(_docs(spark, rows)).collect()
+    }
+    assert r[1]["r_words"] == 1 and r[1]["r_stop"] == 1 and r[1]["r_repetition"] == 1
+    assert r[2]["r_words"] == 0
+    assert r[3]["r_repetition"] == 0 and r[3]["r_stop"] == 0
+    assert r[4]["r_words"] == 0 and r[4]["r_alpha"] == 0
+    assert r[5]["r_alpha"] == 0
+
+
+def test_gopher_report_counts_add_up(spark):
+    rows = [(i, "s", "word " * 60) for i in range(4)]
+    rep = gopher_report(_docs(spark, rows)).collect()[0]
+    assert rep["n_docs"] == 4
+    # "word word ..." is maximally repetitive: all fail the repetition rule.
+    assert rep["fail_repetition"] == 4
+    assert rep["n_pass"] == 0
+
+
+def test_stratified_sample_caps_each_stratum(spark):
+    rows = [(i, "big" if i < 400 else "small", "t") for i in range(440)]
+    df = _docs(spark, rows)
+    out = stratified_sample(df, "source", "doc_id", target_per_stratum=40)
+    counts = {r["source"]: r["n"] for r in out.groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()}
+    # big stratum (400 rows) downsampled to ~40 (binomial around 10%).
+    assert 15 <= counts["big"] <= 70
+    # small stratum (40 rows) kept whole: rate_bp = 10000.
+    assert counts["small"] == 40
+
+
+def test_stratified_sample_deterministic_and_validates(spark):
+    rows = [(i, "s", "t") for i in range(100)]
+    df = _docs(spark, rows)
+    a = sorted(r["doc_id"] for r in stratified_sample(df, "source", "doc_id", 20).collect())
+    b = sorted(r["doc_id"] for r in stratified_sample(df, "source", "doc_id", 20).collect())
+    assert a == b and len(a) > 0
+    assert stratified_sample(df, "source", "doc_id", 0).count() == 0
+    with pytest.raises(ValueError):
+        stratified_sample(df, "source", "doc_id", -1)
+
+
+def test_bigram_perplexity_prefers_predictable_docs(spark):
+    # "a b a b ..." has deterministic bigrams; the scrambled doc doesn't.
+    rows = [
+        (1, "en", "a b " * 20),
+        (2, "en", "a a b b a b b a a b a b b b a a b a b a"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    out = {r["doc_id"]: r for r in bigram_perplexity(df).collect()}
+    assert out[1]["logppl"] < out[2]["logppl"]
+    assert out[1]["ppl_bucket"] <= out[2]["ppl_bucket"]
+
+
+def test_bigram_perplexity_single_token_doc_scores_unigram(spark):
+    rows = [(1, "en", "solo"), (2, "en", "solo solo")]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    out = {r["doc_id"]: r for r in bigram_perplexity(df).collect()}
+    # corpus = 3 "solo" tokens; doc 1 = first-token surprisal -ln(3/3) = 0.
+    assert math.isclose(out[1]["logppl"], 0.0, abs_tol=1e-9)
