@@ -302,3 +302,44 @@ def test_paragraph_dedup_two_shuffles(spark, sf_dir):
     """Chunk-key window + per-doc regroup: exactly two exchanges."""
     df = QUERIES["q_paragraph_dedup_report"][0](spark, sf_dir)
     assert plans.shuffle_count(df) == 2, plans.formatted_plan(df)
+
+
+def test_stratified_sample_broadcasts_rates_no_data_shuffle(spark, sf_dir):
+    """The rate table broadcasts; the corpus itself never exchanges —
+    the only shuffle is the tiny per-stratum count aggregate."""
+    from radient_spark.operators.dataset import stratified_sample
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    df = stratified_sample(docs, "source", "doc_id", 15)
+    assert plans.uses_broadcast_join(df)
+    assert plans.shuffle_count(df) <= 1, plans.formatted_plan(df)
+
+
+def test_epoch_interleave_uses_top_k_not_global_sort(spark, sf_dir):
+    """The audited prefix must be a TakeOrderedAndProject, not a full
+    Sort + Limit — at corpus scale the global sort would be the plan
+    killer."""
+    df = QUERIES["q_epoch_interleave"][0](spark, sf_dir)
+    plan = plans.formatted_plan(df)
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_gopher_rules_single_join_on_doc_id(spark, sf_dir):
+    """Catalyst metrics + one bigram aggregate joined back: the bigram
+    branch contributes the only exchanges (gram groupBy + doc rollup +
+    the doc_id join); the metrics branch is map-only."""
+    from radient_spark.operators.quality import gopher_rules
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    df = gopher_rules(docs)
+    assert plans.shuffle_count(df) <= 4, plans.formatted_plan(df)
+    plan = plans.formatted_plan(df)
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_session_funnel_windows_share_session_shuffle(spark, sf_dir):
+    """Sessionize window (user_id) + three chained session windows +
+    session rollup: the chained windows must reuse the (user_id,
+    session_id)-compatible partitioning, so exchanges stay bounded."""
+    df = QUERIES["q_session_funnel"][0](spark, sf_dir)
+    assert plans.shuffle_count(df) <= 3, plans.formatted_plan(df)
