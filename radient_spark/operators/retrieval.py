@@ -122,6 +122,66 @@ def rrf_fuse(
     return fused.withColumn(out_col, score)
 
 
+def mmr_greedy(
+    items: list[tuple[int, int, list[int]]], k: int, pair_sim=None
+) -> list[tuple[int, int, int]]:
+    """Greedy maximal-marginal-relevance selection over a SHORTLIST.
+
+    items: (id, rel, vec) with integer rel scores and integer-quantized
+    vectors; sim(a, b) = exact integer dot product. lambda is fixed at
+    1/2, so argmax of lam*rel - (1-lam)*maxsim == argmax of
+    (rel - maxsim) — pure integer comparisons, bit-reproducible in the
+    DuckDB recursive-CTE oracle. Ties break toward the smaller id.
+
+    Returns [(rank, id, marginal)] with marginal = rel - maxsim (first
+    pick's marginal = rel).
+    """
+
+    def dot(a: list[int], b: list[int]) -> int:
+        return sum(x * y for x, y in zip(a, b))
+
+    sim = pair_sim or dot
+    remaining = {i: (rel, vec) for i, rel, vec in items}
+    chosen: list[tuple[int, int, int]] = []
+    selected_vecs: list[list[int]] = []
+    for rank in range(1, min(k, len(items)) + 1):
+        best = None
+        for i, (rel, vec) in remaining.items():
+            marginal = (
+                rel
+                if not selected_vecs
+                else rel - max(sim(vec, s) for s in selected_vecs)
+            )
+            key = (-marginal, i)
+            if best is None or key < best[0]:
+                best = (key, i, marginal)
+        _, bid, marg = best
+        chosen.append((rank, bid, marg))
+        selected_vecs.append(remaining.pop(bid)[1])
+    return chosen
+
+
+def mmr_rerank(
+    shortlist: DataFrame,
+    qvec_milli: list[int],
+    vec_col: str = "v",
+    id_col: str = "vec_id",
+    rel_col: str = "rel",
+    k: int = 10,
+) -> list[tuple[int, int, int]]:
+    """MMR re-rank a top-n shortlist down to k diverse results.
+
+    MMR is inherently sequential (each pick conditions on the selected
+    set), so the re-rank runs on the driver over the COLLECTED shortlist
+    — a documented small-side contract identical to knn_join's query
+    collect: the distributed work (scoring + TakeOrderedAndProject
+    truncation) happens upstream; this epilogue touches <= n rows.
+    """
+    rows = shortlist.select(id_col, rel_col, vec_col).collect()
+    items = [(int(r[id_col]), int(r[rel_col]), list(r[vec_col])) for r in rows]
+    return mmr_greedy(items, k)
+
+
 def rank_by(
     df: DataFrame, score_col: str, id_col: str = "doc_id", rank_col: str = "rank"
 ) -> DataFrame:

@@ -4692,6 +4692,85 @@ FROM prefix
 """
 
 
+QUERY_VEC_MILLI = [int(round(x * 1000)) for x in QUERY_VEC]
+
+
+def q_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MMR diversity re-ranking (operators/retrieval.py::mmr_rerank):
+    distributed integer-dot scoring + TakeOrderedAndProject shortlist
+    (50), then the inherently-sequential greedy selection of 10 diverse
+    results on the collected shortlist (documented small-side contract).
+    Integer-quantized sims make the recursive-CTE oracle bit-exact."""
+    from radient_spark.operators.retrieval import mmr_rerank
+
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    qarr = F.array(*[F.lit(c).cast("long") for c in QUERY_VEC_MILLI])
+    staged = emb.withColumn(
+        "v",
+        F.transform("embedding", lambda x: F.round(x * 1000, 0).cast("long")),
+    ).withColumn(
+        "rel",
+        F.aggregate(
+            F.zip_with(F.col("v"), qarr, lambda a, b: a * b),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ),
+    )
+    shortlist = staged.select("vec_id", "rel", "v").orderBy(
+        F.col("rel").desc(), F.col("vec_id").asc()
+    ).limit(50)
+    chosen = mmr_rerank(shortlist, QUERY_VEC_MILLI, k=10)
+    return spark.createDataFrame(
+        chosen, "mmr_rank int, vec_id long, marginal long"
+    )
+
+
+_QV_MILLI_SQL = (
+    "[" + ", ".join(str(c) for c in [int(round(x * 1000)) for x in QUERY_VEC]) + "]::DOUBLE[]"
+)
+_Q_MMR_SQL = f"""
+WITH RECURSIVE short AS (
+  SELECT vec_id,
+    list_transform(embedding, x -> CAST(round(x::DOUBLE * 1000, 0) AS BIGINT))
+      AS v,
+    CAST(list_dot_product(
+      list_transform(embedding, x -> round(x::DOUBLE * 1000, 0)),
+      {_QV_MILLI_SQL}) AS BIGINT) AS rel
+  FROM embeddings
+  ORDER BY rel DESC, vec_id ASC LIMIT 50
+), pairs AS (
+  SELECT a.vec_id AS pa, b.vec_id AS pb,
+    CAST(list_dot_product(a.v::DOUBLE[], b.v::DOUBLE[]) AS BIGINT) AS sim
+  FROM short a JOIN short b ON a.vec_id <> b.vec_id
+), mmr AS (
+  SELECT 1 AS step,
+    [(SELECT vec_id FROM short ORDER BY rel DESC, vec_id ASC LIMIT 1)]
+      AS chosen
+  UNION ALL
+  SELECT m.step + 1,
+    list_append(m.chosen, (
+      SELECT c.vec_id FROM short c
+      WHERE NOT list_contains(m.chosen, c.vec_id)
+      ORDER BY c.rel - (SELECT MAX(p.sim) FROM pairs p
+                        WHERE p.pa = c.vec_id
+                          AND list_contains(m.chosen, p.pb)) DESC,
+               c.vec_id ASC
+      LIMIT 1))
+  FROM mmr m WHERE m.step < 10
+), final AS (
+  SELECT chosen FROM mmr WHERE step = (SELECT MAX(step) FROM mmr)
+), expanded AS (
+  SELECT generate_subscripts(chosen, 1) AS ord, unnest(chosen) AS id, chosen
+  FROM final
+)
+SELECT CAST(e.ord AS INT) AS mmr_rank, e.id AS vec_id,
+  CAST(s.rel - COALESCE((SELECT MAX(p.sim) FROM pairs p
+      WHERE p.pa = e.id AND list_contains(e.chosen[1:e.ord - 1], p.pb)), 0)
+    AS BIGINT) AS marginal
+FROM expanded e JOIN short s ON s.vec_id = e.id
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 
@@ -4820,6 +4899,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "q_session_funnel": (q_session_funnel, _Q_FUNNEL_SQL),
     "q_embedding_drift": (q_embedding_drift, _Q_DRIFT_SQL),
     "q_epoch_interleave": (q_epoch_interleave, _Q_EPOCH_SQL),
+    "q_mmr_rerank": (q_mmr_rerank, _Q_MMR_SQL),
 }
 
 

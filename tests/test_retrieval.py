@@ -62,3 +62,27 @@ def test_rank_by_deterministic_tiebreak(spark):
     )
     ranks = {r["doc_id"]: r["rank"] for r in rank_by(df, "s", "doc_id").collect()}
     assert ranks == {2: 1, 1: 2, 3: 3}
+
+
+def test_mmr_greedy_skips_redundant_runner_up():
+    from radient_spark.operators.retrieval import mmr_greedy
+
+    # id 2 has the 2nd-best relevance but duplicates id 1; id 3 is
+    # orthogonal with lower relevance — MMR must pick 3 over 2.
+    items = [
+        (1, 100, [10, 0]),
+        (2, 99, [10, 0]),
+        (3, 50, [0, 10]),
+    ]
+    out = mmr_greedy(items, k=2)
+    assert [(r, i) for r, i, _ in out] == [(1, 1), (2, 3)]
+    # marginals: first pick = rel; second = rel - dot([0,10],[10,0]) = 50.
+    assert out[0][2] == 100 and out[1][2] == 50
+
+
+def test_mmr_greedy_tiebreaks_toward_smaller_id():
+    from radient_spark.operators.retrieval import mmr_greedy
+
+    items = [(7, 10, [1]), (3, 10, [1]), (9, 10, [1])]
+    out = mmr_greedy(items, k=3)
+    assert [i for _, i, _ in out] == [3, 7, 9]
