@@ -346,8 +346,18 @@ def bigram_perplexity(
     per-row double from identical expressions, surprisal rounds to
     DECIMAL(18,6) so the per-doc SUM is exact in any aggregation order.
     """
-    base = df.filter(F.length(F.trim(text_col)) > 0)
-    tk = X.tokens(F.col(text_col))
+    from radient_spark.functions.stage import stage
+
+    # Stage the token array behind a Generate barrier: an inline
+    # tokens() expression would be re-split by CollapseProject once per
+    # element_at reference — O(T^2) regex splits per document
+    # (functions/stage.py; measured as the dominant cost of this
+    # operator's first cut).
+    base = stage(
+        df.filter(F.length(F.trim(text_col)) > 0),
+        __bp_toks=X.tokens(F.col(text_col)),
+    )
+    tk = F.col("__bp_toks")
     pairs = F.transform(
         F.sequence(F.lit(1), F.size(tk)),
         lambda i: F.struct(
@@ -359,30 +369,56 @@ def bigram_perplexity(
         F.col(id_col), F.col(strata_col), F.explode(pairs).alias("p")
     ).select(id_col, strata_col, "p.cur", "p.prev")
 
-    uni = stream.groupBy("cur").agg(F.count(F.lit(1)).alias("c_uni"))
-    totals = stream.agg(F.count(F.lit(1)).alias("n_total"))
-    bg = (
-        stream.filter(F.col("prev").isNotNull())
-        .groupBy("prev", "cur")
-        .agg(F.count(F.lit(1)).alias("c_bg"))
+    # Every count table derives from ONE aggregation of the token
+    # stream (pair_counts, with NULL prev marking first tokens); the
+    # re-aggregations below touch only vocabulary-sized rows. The
+    # naive alternative — separate groupBys for unigram/bigram/prefix
+    # plus three stream-wide joins — costs five materializations of
+    # the exploded stream; this shape costs two (counts + scoring).
+    pair_counts = stream.groupBy("prev", "cur").agg(
+        F.count(F.lit(1)).alias("c")
     )
-    prefix = (
-        stream.filter(F.col("prev").isNotNull())
-        .groupBy("prev")
-        .agg(F.count(F.lit(1)).alias("c_prefix"))
+    # Unigram, bigram-prefix and total counts all come out of
+    # pair_counts via WINDOWS over the vocabulary-sized table rather
+    # than separate groupBy branches: Spark shares no common subplans,
+    # so each extra branch would re-run the full corpus explode (the
+    # first cut of this operator had 5 Generate subtrees in its
+    # physical plan — the dominant cost). Only the scalar total needs
+    # a second derivation (a map-side-combined aggregate, broadcast
+    # back). c_uni(cur) sums ALL rows sharing cur (null-prev rows are
+    # first-token occurrences, so every token occurs exactly once as
+    # `cur`); c_prefix(prev) sums the non-null prev partition.
+    totals = pair_counts.agg(F.sum("c").alias("n_total"))
+    w_cur = Window.partitionBy("cur")
+    w_prev = Window.partitionBy("prev")
+    counted = pair_counts.crossJoin(F.broadcast(totals)).select(
+        "prev",
+        "cur",
+        F.col("c").alias("c_bg"),
+        F.sum("c").over(w_cur).alias("c_uni"),
+        F.sum("c").over(w_prev).alias("c_prefix"),
+        "n_total",
     )
-
     p_uni = F.col("c_uni").cast("double") / F.col("n_total").cast("double")
     p_bg = F.col("c_bg").cast("double") / F.col("c_prefix").cast("double")
-    p = F.when(F.col("prev").isNull(), p_uni).otherwise(
-        F.lit(lam) * p_bg + F.lit(1.0 - lam) * p_uni
+    surp = lambda p: F.round(-F.log(p), 6).cast("decimal(18,6)")  # noqa: E731
+    # Surprisal dictionary: one row per distinct (prev, cur) key —
+    # NULL-prev rows carry the first-token unigram surprisal. The
+    # stream then needs a single null-safe-key join instead of three.
+    sdict = counted.select(
+        F.col("prev").alias("dprev"),
+        F.col("cur").alias("dcur"),
+        F.when(F.col("prev").isNull(), surp(p_uni))
+        .otherwise(surp(F.lit(lam) * p_bg + F.lit(1.0 - lam) * p_uni))
+        .alias("surprisal"),
     )
+
     scored = (
-        stream.join(uni, "cur")
-        .crossJoin(F.broadcast(totals))
-        .join(bg, ["prev", "cur"], "left")
-        .join(prefix, "prev", "left")
-        .withColumn("surprisal", F.round(-F.log(p), 6).cast("decimal(18,6)"))
+        stream.join(
+            sdict,
+            F.col("prev").eqNullSafe(F.col("dprev"))
+            & (F.col("cur") == F.col("dcur")),
+        )
         .groupBy(id_col, strata_col)
         .agg(
             (F.sum("surprisal").cast("double") / F.count(F.lit(1))).alias(
