@@ -493,3 +493,95 @@ def paragraph_dedup(
             ).alias("clean_text"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Bloom-filter ingest gate
+
+
+def bloom_positions(key: F.Column, m_bits: int, k: int) -> F.Column:
+    """The k Bloom bit positions of a key, by Kirsch-Mitzenmacher double
+    hashing: pos_i = (h1 + i*h2) mod m from two independent 60-bit md5
+    slices. Portable: DuckDB reproduces every position bit-for-bit
+    (`('0x' || substring(md5(x), 1, 15))::BIGINT`), so the whole filter
+    is oracle-checkable. h2 is forced odd so the stride never collapses
+    to a single cell (and is coprime with power-of-two m)."""
+    h = F.md5(key)
+    h1 = F.conv(F.substring(h, 1, 15), 16, 10).cast("long") % m_bits
+    h2 = (
+        F.conv(F.substring(h, 17, 15), 16, 10).cast("long") % m_bits
+    ).bitwiseOR(F.lit(1).cast("long"))
+    i = F.sequence(F.lit(0), F.lit(k - 1))
+    return F.transform(i, lambda j: (h1 + j * h2) % m_bits)
+
+
+def _bit_mask(bit: F.Column) -> F.Column:
+    """1 << bit for a COLUMN shift amount (F.shiftleft only takes a
+    Python-int shift): pow(2, bit) is exact in double for bit <= 52,
+    far above the 0..31 range packed here."""
+    return F.pow(F.lit(2.0), bit).cast("long")
+
+
+def bloom_build(
+    df: DataFrame, key_col: str, m_bits: int = 1 << 18, k: int = 5
+) -> DataFrame:
+    """Build an m-bit Bloom filter over df[key_col] as a (word, bits)
+    bitmap table — 32 bits packed per BIGINT word (32, not 64, so the
+    `1 << bit` mask never touches the sign bit in either engine).
+
+    Scale shape: ONE aggregation over the corpus — explode k positions
+    per key (k rows of 16 bytes each), map-side-combined bit_or groupBy
+    on the word index. The result is at most m/32 rows REGARDLESS of
+    corpus size: a 10^9-key corpus at 10 bits/key compresses to a
+    ~40 MB table. That is the whole point — the probe side joins this
+    table instead of anti-joining 100 TB of corpus keys.
+    """
+    pos = df.select(
+        F.explode(bloom_positions(F.col(key_col), m_bits, k)).alias("pos")
+    )
+    return (
+        pos.withColumn("word", (F.col("pos") / 32).cast("long"))
+        .withColumn("bit", (F.col("pos") % 32).cast("int"))
+        .groupBy("word")
+        .agg(F.bit_or(_bit_mask(F.col("bit"))).alias("bits"))
+    )
+
+
+def bloom_gate(
+    batch: DataFrame,
+    bitmap: DataFrame,
+    key_col: str,
+    m_bits: int = 1 << 18,
+    k: int = 5,
+    out_col: str = "maybe_dup",
+) -> DataFrame:
+    """Gate an ingest batch against a Bloom bitmap: adds `maybe_dup`
+    (true = all k bits set — present OR false positive; false =
+    DEFINITELY new). The cheap pre-filter in front of exact/fuzzy dedup:
+    rows that fail the gate skip the expensive corpus anti-join
+    entirely; at a 1% FP rate, ~99% of genuinely-new data
+    short-circuits and the corpus itself is never touched.
+
+    Scale shape: the bitmap is collected into ONE literal array of
+    m/32 BIGINT words and the probe becomes a narrow map-only
+    projection — zero shuffle, zero join, whole-stage codegen. The
+    collect is the documented small-side contract of the operator:
+    the dense bitmap IS the compressed corpus (2^27 bits = 512 KB;
+    even 10 bits/key for 10^9 keys = ~40 MB, a normal broadcast). For
+    multi-GB filters, partition the bitmap by word range and join
+    exploded probe positions instead (bloom_gate_joined).
+    """
+    n_words = (m_bits + 31) // 32
+    words = [0] * n_words
+    for w, bits in bitmap.select("word", "bits").collect():
+        words[int(w)] = int(bits)
+    lit_words = F.lit(words)
+    pos = bloom_positions(F.col(key_col), m_bits, k)
+    hit_all = F.forall(
+        pos,
+        lambda p: F.element_at(lit_words, (p / 32).cast("int") + 1).bitwiseAND(
+            _bit_mask((p % 32).cast("int"))
+        )
+        != 0,
+    )
+    return batch.withColumn(out_col, hit_all)

@@ -4771,6 +4771,220 @@ FROM expanded e JOIN short s ON s.vec_id = e.id
 """
 
 
+def q_bloom_dedup_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter ingest gate audit: hold out every 10th document as an
+    ingest batch, build a Bloom filter over the remaining corpus, gate
+    the batch, and report per source how the gate did against exact
+    truth (definite-new vs maybe-dup vs true-dup vs false-positive).
+    The filter is deliberately undersized (m=2 Ki bits, k=3) so false
+    positives actually occur and the report exercises the interesting
+    path; production sizes m at ~10 bits/key for ~1% FP.
+
+    Scale shape: corpus -> ONE map-side-combined aggregation into an
+    m/32-word bitmap (corpus-size-independent output); gate = zero-
+    shuffle literal-array probe; exact-truth join is md5-key semi-join
+    only over the 10%% batch. No false negatives by construction.
+    """
+    from radient_spark.operators.dedup import bloom_build, bloom_gate
+
+    M, K = 2048, 3
+    docs = load_tables(spark, sf_dir)["documents"]
+    corpus = docs.filter(F.col("doc_id") % 10 != 0)
+    batch = docs.filter(F.col("doc_id") % 10 == 0).select(
+        "doc_id", "source", "text"
+    )
+    bitmap = bloom_build(corpus.select("text"), "text", M, K)
+    gated = bloom_gate(batch, bitmap, "text", M, K)
+    truth = corpus.select(F.md5("text").alias("__h")).distinct()
+    flagged = gated.withColumn("__h", F.md5("text")).join(
+        truth.withColumn("__dup", F.lit(True)), "__h", "left"
+    )
+    return flagged.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_batch"),
+        F.sum(F.col("maybe_dup").cast("long")).alias("n_flagged"),
+        F.sum(F.col("__dup").isNotNull().cast("long")).alias("n_true_dup"),
+        F.sum(
+            (F.col("maybe_dup") & F.col("__dup").isNull()).cast("long")
+        ).alias("n_false_pos"),
+    )
+
+
+_Q_BLOOM_GATE_SQL = """
+WITH corpus AS (
+  SELECT text FROM documents WHERE doc_id % 10 <> 0
+), batch AS (
+  SELECT doc_id, source, text FROM documents WHERE doc_id % 10 = 0
+), cpos AS (
+  SELECT DISTINCT (h1 + i * h2) % 2048 AS pos
+  FROM (
+    SELECT ('0x' || substring(md5(text), 1, 15))::BIGINT % 2048 AS h1,
+           (('0x' || substring(md5(text), 17, 15))::BIGINT % 2048) | 1 AS h2
+    FROM corpus
+  ), range(0, 3) t(i)
+), probes AS (
+  SELECT doc_id, source, text, (h1 + i * h2) % 2048 AS pos
+  FROM (
+    SELECT doc_id, source, text,
+           ('0x' || substring(md5(text), 1, 15))::BIGINT % 2048 AS h1,
+           (('0x' || substring(md5(text), 17, 15))::BIGINT % 2048) | 1 AS h2
+    FROM batch
+  ), range(0, 3) t(i)
+), gated AS (
+  SELECT doc_id, source, text, bool_and(c.pos IS NOT NULL) AS maybe_dup
+  FROM probes p LEFT JOIN cpos c USING (pos)
+  GROUP BY doc_id, source, text
+), truth AS (
+  SELECT DISTINCT md5(text) AS h FROM corpus
+), flagged AS (
+  SELECT g.source, g.maybe_dup, (t.h IS NOT NULL) AS is_dup
+  FROM gated g LEFT JOIN truth t ON md5(g.text) = t.h
+)
+SELECT source, COUNT(*) AS n_batch,
+  CAST(SUM(CASE WHEN maybe_dup THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged,
+  CAST(SUM(CASE WHEN is_dup THEN 1 ELSE 0 END) AS BIGINT) AS n_true_dup,
+  CAST(SUM(CASE WHEN maybe_dup AND NOT is_dup THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_false_pos
+FROM flagged GROUP BY source
+"""
+
+
+
+def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort-retention matrix: users grouped by first-activity
+    week (cohort), counted by how many are active N weeks later — the
+    standard growth-analytics triangle. Returned long-form
+    (cohort_week, week_offset, n_active, cohort_size, retention_pct).
+
+    Scale shape: one groupBy(user) min(ts) for cohorts (map-side
+    combined), one distinct on (user, week) for activity, one shuffle
+    join on user_id (both sides already hash-partitioned by user_id —
+    Exchange reuse), then a tiny (cohorts x offsets) aggregate. No
+    windows, no skew: user_id is uniform. retention_pct rounds to 4
+    decimals for cross-engine hash stability.
+    """
+    ev = load_tables(spark, sf_dir)["events"]
+    cohorts = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort_week")
+    )
+    active = ev.select(
+        "user_id", F.date_trunc("week", F.col("ts")).alias("week")
+    ).distinct()
+    joined = active.join(cohorts, "user_id")
+    per_cell = joined.groupBy(
+        "cohort_week",
+        (
+            F.datediff(F.col("week"), F.col("cohort_week")) / 7
+        ).cast("int").alias("week_offset"),
+    ).agg(F.countDistinct("user_id").alias("n_active"))
+    sizes = cohorts.groupBy("cohort_week").agg(
+        F.count(F.lit(1)).alias("cohort_size")
+    )
+    return (
+        per_cell.join(sizes, "cohort_week")
+        .select(
+            F.date_format("cohort_week", "yyyy-MM-dd").alias("cohort_week"),
+            "week_offset",
+            "n_active",
+            "cohort_size",
+            F.round(
+                F.col("n_active") / F.col("cohort_size") * 100, 4
+            ).alias("retention_pct"),
+        )
+    )
+
+
+_Q_COHORT_SQL = """
+WITH cohorts AS (
+  SELECT user_id, date_trunc('week', MIN(ts)) AS cohort_week
+  FROM events GROUP BY user_id
+), active AS (
+  SELECT DISTINCT user_id, date_trunc('week', ts) AS week FROM events
+), per_cell AS (
+  SELECT c.cohort_week,
+    CAST(date_diff('day', c.cohort_week, a.week) / 7 AS INT) AS week_offset,
+    COUNT(DISTINCT a.user_id) AS n_active
+  FROM active a JOIN cohorts c USING (user_id)
+  GROUP BY 1, 2
+), sizes AS (
+  SELECT cohort_week, COUNT(*) AS cohort_size FROM cohorts GROUP BY 1
+)
+SELECT strftime(p.cohort_week, '%Y-%m-%d') AS cohort_week,
+  p.week_offset, p.n_active, s.cohort_size,
+  ROUND(p.n_active * 100.0 / s.cohort_size, 4) AS retention_pct
+FROM per_cell p JOIN sizes s USING (cohort_week)
+"""
+
+
+
+def q_ngram_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lexical-diversity report per source: type-token ratio for unigrams
+    and trigrams (distinct / total) — the standard self-repetition
+    signal data-curation pipelines use to down-weight boilerplate-heavy
+    sources (low TTR = templated/duplicated content).
+
+    Scale shape: ONE posexplode of the token stream serves both gram
+    sizes — each exploded row carries its unigram plus the trigram
+    starting at its position (derived by element_at against the staged
+    token array, no second explode). One map-side-combined groupBy per
+    source. Shuffle carries (source, token, trigram) rows, linear in
+    corpus tokens. Ratios round to 6 decimals for hash stability.
+    """
+    from radient_spark.functions import text as X
+    from radient_spark.functions.stage import stage
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    toks = stage(
+        docs.select("doc_id", "source", "text"), toks=X.tokens(F.col("text"))
+    )
+    grams = toks.select(
+        "source",
+        "toks",
+        F.posexplode("toks").alias("pos", "tok"),
+        F.size("toks").alias("n"),
+    ).withColumn(
+        "tri",
+        F.when(
+            F.col("pos") + 2 < F.col("n"),
+            F.concat_ws(
+                " ",
+                F.col("tok"),
+                F.element_at(F.col("toks"), F.col("pos") + 2),
+                F.element_at(F.col("toks"), F.col("pos") + 3),
+            ),
+        ),
+    )
+    return grams.groupBy("source").agg(
+        F.count(F.lit(1)).alias("total_tokens"),
+        F.countDistinct("tok").alias("distinct_tokens"),
+        F.count("tri").alias("total_trigrams"),
+        F.countDistinct("tri").alias("distinct_trigrams"),
+        F.round(F.countDistinct("tok") / F.count(F.lit(1)), 6).alias("ttr_unigram"),
+        F.round(F.countDistinct("tri") / F.count("tri"), 6).alias("ttr_trigram"),
+    )
+
+
+_Q_NGRAM_DIVERSITY_SQL = """
+WITH toks AS (
+  SELECT doc_id, source, regexp_split_to_array(trim(text), '\\s+') AS toks
+  FROM documents
+), grams AS (
+  SELECT source, toks[i] AS tok,
+    CASE WHEN i + 2 <= len(toks)
+         THEN toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] END AS tri
+  FROM toks, unnest(generate_series(1, len(toks))) AS t(i)
+)
+SELECT source,
+  COUNT(*) AS total_tokens,
+  COUNT(DISTINCT tok) AS distinct_tokens,
+  COUNT(tri) AS total_trigrams,
+  COUNT(DISTINCT tri) AS distinct_trigrams,
+  ROUND(COUNT(DISTINCT tok)::DOUBLE / COUNT(*), 6) AS ttr_unigram,
+  ROUND(COUNT(DISTINCT tri)::DOUBLE / COUNT(tri), 6) AS ttr_trigram
+FROM grams GROUP BY source
+"""
+
+
+
 # ---------------------------------------------------------------------------
 # Registry
 
@@ -4900,6 +5114,9 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "q_embedding_drift": (q_embedding_drift, _Q_DRIFT_SQL),
     "q_epoch_interleave": (q_epoch_interleave, _Q_EPOCH_SQL),
     "q_mmr_rerank": (q_mmr_rerank, _Q_MMR_SQL),
+    "q_bloom_dedup_gate": (q_bloom_dedup_gate, _Q_BLOOM_GATE_SQL),
+    "q_cohort_retention": (q_cohort_retention, _Q_COHORT_SQL),
+    "q_ngram_diversity": (q_ngram_diversity, _Q_NGRAM_DIVERSITY_SQL),
 }
 
 

@@ -517,3 +517,36 @@ def test_youtube_incremental_source_one_per_call(spark, tmp_path):
     ]
     assert src.read() is None and src.read() is None
     assert downloaded == ["u/a", "u/b", "u/c"]
+
+
+def test_bloom_gate_no_false_negatives(spark):
+    """Every key present in the corpus MUST be flagged maybe_dup (Bloom
+    filters never false-negative); unseen keys may occasionally flag."""
+    from radient_spark.operators.dedup import bloom_build, bloom_gate
+
+    corpus = spark.createDataFrame(
+        [(f"doc-{i}",) for i in range(200)], ["text"]
+    )
+    batch = spark.createDataFrame(
+        [(f"doc-{i}",) for i in range(150, 250)], ["text"]
+    )
+    bitmap = bloom_build(corpus, "text", m_bits=4096, k=4)
+    out = {r["text"]: r["maybe_dup"] for r in bloom_gate(
+        batch, bitmap, "text", m_bits=4096, k=4
+    ).collect()}
+    assert all(out[f"doc-{i}"] for i in range(150, 200))
+    # at 200 keys * 4 hashes in 4096 bits the FP rate is ~0.1%: the
+    # 50 unseen keys should be overwhelmingly (not necessarily all) clean
+    unseen_flagged = sum(out[f"doc-{i}"] for i in range(200, 250))
+    assert unseen_flagged <= 5
+
+
+def test_bloom_bitmap_word_bounds(spark):
+    from radient_spark.operators.dedup import bloom_build
+
+    corpus = spark.createDataFrame([(f"k{i}",) for i in range(500)], ["text"])
+    rows = bloom_build(corpus, "text", m_bits=1024, k=3).collect()
+    assert all(0 <= r["word"] < 32 for r in rows)  # 1024/32 words
+    assert all(r["bits"] != 0 for r in rows)
+    # 32-bit packing: no mask may touch the sign bit or exceed 32 bits
+    assert all(0 < r["bits"] <= 0xFFFFFFFF for r in rows)
