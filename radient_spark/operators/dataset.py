@@ -10,6 +10,8 @@ check them value-for-value.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -743,3 +745,159 @@ def distributed_cumsum(
     return keyed.withColumn(
         out_col, off + F.sum(value_col).over(local)
     ).drop("__dcs_key", "__dcs_pid")
+
+
+def exact_group_quantiles(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    qs: list[float],
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """EXACT per-group quantiles (order statistic at rank ceil(q*n),
+    ascending) with NO single-reducer sort. Spark's exact `percentile`
+    aggregate buffers every value of a group on one reducer — with a
+    handful of giant groups (event types, languages) that is the
+    petabyte cliff. This computes the identical order statistics
+    distributed, one output row per (group, q):
+
+      1. GLOBAL approxQuantile boundaries over value split the key space
+         into ~P ranges — stateless literals, shared by all groups, so
+         recomputations of the lazy plan always agree.
+      2. One tiny job counts (group, range) occupancy — G*P rows to the
+         driver (documented small-side contract).
+      3. The driver turns each (group, q) into (range, local_rank):
+         rank ceil(q*n_g) minus the group's row count in earlier ranges.
+      4. Rows in targeted (group, range) cells get a row_number over a
+         window partitioned by (group, range) — each reducer sees one
+         range's slice of one group, ~N/(G*P) rows — and the broadcast
+         target table selects the matching rank. Untargeted cells are
+         filtered out BEFORE the window (at most |qs| cells per group
+         survive, so the window input is |qs|*N/P rows total).
+
+    Ties are immaterial: the value at a given rank of the sorted
+    multiset is unique even when row order among equal values is not.
+    """
+    spark = df.sparkSession
+    P = num_partitions or spark.sparkContext.defaultParallelism
+    keyed = df.select(
+        F.col(group_col).alias("__g"), F.col(value_col).alias("__v")
+    ).persist()
+    if P > 1:
+        probs = [i / P for i in range(1, P)]
+        bounds = sorted(set(keyed.stat.approxQuantile("__v", probs, 0.001)))
+    else:
+        bounds = []
+    pid = F.lit(0)
+    for b in bounds:
+        pid = pid + (F.col("__v") > F.lit(b)).cast("int")
+    keyed = keyed.withColumn("__pid", pid)
+    cell_counts = (
+        keyed.groupBy("__g", "__pid").agg(F.count(F.lit(1)).alias("cnt")).collect()
+    )
+    per_group: dict = {}
+    for r in cell_counts:
+        per_group.setdefault(r["__g"], {})[r["__pid"]] = r["cnt"]
+    targets = []  # (group, pid, local_rank, q)
+    for g, cells in per_group.items():
+        n_g = sum(cells.values())
+        for q in qs:
+            t = max(1, math.ceil(q * n_g))
+            acc = 0
+            for p in sorted(cells):
+                if acc + cells[p] >= t:
+                    targets.append((g, p, t - acc, float(q)))
+                    break
+                acc += cells[p]
+    if not targets:
+        return spark.createDataFrame(
+            [], f"{group_col} string, q double, value double"
+        )
+    tdf = spark.createDataFrame(
+        targets, ["__g", "__pid", "__lrank", "q"]
+    )
+    w = Window.partitionBy("__g", "__pid").orderBy("__v")
+    picks = tdf.select(
+        F.col("__g").alias("__tg"),
+        F.col("__pid").alias("__tpid"),
+        "__lrank",
+        "q",
+    )
+    hit = (
+        keyed.join(
+            F.broadcast(tdf.select("__g", "__pid").distinct()),
+            ["__g", "__pid"],
+        )
+        .withColumn("__rn", F.row_number().over(w))
+        .join(
+            F.broadcast(picks),
+            (F.col("__g") == F.col("__tg"))
+            & (F.col("__pid") == F.col("__tpid"))
+            & (F.col("__rn") == F.col("__lrank")),
+        )
+    )
+    return hit.select(
+        F.col("__g").alias(group_col), "q", F.col("__v").alias("value")
+    )
+
+
+_NUMERIC_PREFIXES = ("tinyint", "smallint", "int", "bigint", "float", "double", "decimal")
+
+
+def profile_table(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
+    """Data-profiling report, one row per column: row count, null count,
+    exact distinct count, and (numeric columns only) min/max rounded to
+    DECIMAL(18,6) — the dataset card a curation pipeline publishes next
+    to every corpus snapshot.
+
+    Scale shape: ONE aggregate over one scan. The exact multi-column
+    countDistinct goes through Spark's Expand (the corpus stream is
+    replicated once per distinct aggregate — C x row multiplication
+    before the map-side partial), identical to how any engine computes
+    C exact distincts in one statement; for wide tables at petabyte
+    scale swap countDistinct for approx_count_distinct and accept the
+    sketch error. The final melt to long form is a zero-cost Project
+    over the 1-row aggregate.
+    """
+    cols = cols or df.columns
+    dtypes = dict(df.dtypes)
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    for c in cols:
+        aggs.append(F.sum(F.col(c).isNull().cast("long")).alias(f"__null_{c}"))
+        aggs.append(F.countDistinct(c).alias(f"__dist_{c}"))
+        if dtypes[c].startswith(_NUMERIC_PREFIXES):
+            aggs.append(
+                F.round(F.min(F.col(c).cast("double")), 6)
+                .cast("decimal(18,6)")
+                .alias(f"__min_{c}")
+            )
+            aggs.append(
+                F.round(F.max(F.col(c).cast("double")), 6)
+                .cast("decimal(18,6)")
+                .alias(f"__max_{c}")
+            )
+    wide = df.agg(*aggs)
+    parts = []
+    for c in cols:
+        is_num = dtypes[c].startswith(_NUMERIC_PREFIXES)
+        parts.append(
+            F.struct(
+                F.lit(c).alias("col_name"),
+                F.col("__n").alias("n_rows"),
+                F.col(f"__null_{c}").alias("n_nulls"),
+                F.col(f"__dist_{c}").alias("n_distinct"),
+                (
+                    F.col(f"__min_{c}")
+                    if is_num
+                    else F.lit(None).cast("decimal(18,6)")
+                ).alias("min_num"),
+                (
+                    F.col(f"__max_{c}")
+                    if is_num
+                    else F.lit(None).cast("decimal(18,6)")
+                ).alias("max_num"),
+            )
+        )
+    return wide.select(
+        F.explode(F.array(*parts)).alias("p")
+    ).select("p.*")

@@ -4985,6 +4985,163 @@ FROM grams GROUP BY source
 
 
 
+def q_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact p50/p90/p99 of event value per event_type, computed by the
+    distributed order-statistic engine (operators/dataset.py
+    exact_group_quantiles) — NOT Spark's `percentile` aggregate, which
+    buffers a whole group on one reducer. The result is the value at
+    rank ceil(q*n) ascending, an existing cell value (no interpolation,
+    no float arithmetic), so it hash-matches the oracle exactly.
+
+    Scale shape: global stateless range boundaries + per-(group, range)
+    local windows; with G groups and P ranges the widest window input
+    is ~N/(G*P) rows. Spark's built-in percentile on the same data
+    funnels N/G rows through each group's single reducer.
+    """
+    from radient_spark.operators.dataset import exact_group_quantiles
+
+    ev = load_tables(spark, sf_dir)["events"]
+    long = exact_group_quantiles(ev, "event_type", "value", [0.5, 0.9, 0.99])
+    return (
+        long.groupBy("event_type")
+        .pivot("q", [0.5, 0.9, 0.99])
+        .agg(F.first("value"))
+        .select(
+            "event_type",
+            F.col("`0.5`").alias("p50"),
+            F.col("`0.9`").alias("p90"),
+            F.col("`0.99`").alias("p99"),
+        )
+    )
+
+
+_Q_VALUE_PCTL_SQL = """
+WITH ranked AS (
+  SELECT event_type, value,
+    row_number() OVER (PARTITION BY event_type ORDER BY value) AS rn,
+    COUNT(*) OVER (PARTITION BY event_type) AS n
+  FROM events
+)
+SELECT event_type,
+  MAX(CASE WHEN rn = GREATEST(1, CAST(ceil(0.5  * n) AS BIGINT)) THEN value END) AS p50,
+  MAX(CASE WHEN rn = GREATEST(1, CAST(ceil(0.9  * n) AS BIGINT)) THEN value END) AS p90,
+  MAX(CASE WHEN rn = GREATEST(1, CAST(ceil(0.99 * n) AS BIGINT)) THEN value END) AS p99
+FROM ranked GROUP BY event_type
+"""
+
+
+
+def q_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset-card profile of the orders table: per-column row/null/
+    exact-distinct counts plus numeric min/max, via the one-pass
+    profiler (operators/dataset.py profile_table). The report every
+    corpus snapshot ships with.
+    """
+    from radient_spark.operators.dataset import profile_table
+
+    return profile_table(load_tables(spark, sf_dir)["orders"])
+
+
+_Q_TABLE_PROFILE_SQL = """
+SELECT 'o_orderkey' AS col_name, COUNT(*) AS n_rows,
+  CAST(SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+  COUNT(DISTINCT o_orderkey) AS n_distinct,
+  CAST(ROUND(MIN(CAST(o_orderkey AS DOUBLE)), 6) AS DECIMAL(18,6)) AS min_num, CAST(ROUND(MAX(CAST(o_orderkey AS DOUBLE)), 6) AS DECIMAL(18,6)) AS max_num
+FROM orders
+UNION ALL
+SELECT 'o_custkey' AS col_name, COUNT(*) AS n_rows,
+  CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+  COUNT(DISTINCT o_custkey) AS n_distinct,
+  CAST(ROUND(MIN(CAST(o_custkey AS DOUBLE)), 6) AS DECIMAL(18,6)) AS min_num, CAST(ROUND(MAX(CAST(o_custkey AS DOUBLE)), 6) AS DECIMAL(18,6)) AS max_num
+FROM orders
+UNION ALL
+SELECT 'o_orderstatus' AS col_name, COUNT(*) AS n_rows,
+  CAST(SUM(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+  COUNT(DISTINCT o_orderstatus) AS n_distinct,
+  CAST(NULL AS DECIMAL(18,6)) AS min_num, CAST(NULL AS DECIMAL(18,6)) AS max_num
+FROM orders
+UNION ALL
+SELECT 'o_totalprice' AS col_name, COUNT(*) AS n_rows,
+  CAST(SUM(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+  COUNT(DISTINCT o_totalprice) AS n_distinct,
+  CAST(ROUND(MIN(CAST(o_totalprice AS DOUBLE)), 6) AS DECIMAL(18,6)) AS min_num, CAST(ROUND(MAX(CAST(o_totalprice AS DOUBLE)), 6) AS DECIMAL(18,6)) AS max_num
+FROM orders
+UNION ALL
+SELECT 'o_orderdate' AS col_name, COUNT(*) AS n_rows,
+  CAST(SUM(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+  COUNT(DISTINCT o_orderdate) AS n_distinct,
+  CAST(NULL AS DECIMAL(18,6)) AS min_num, CAST(NULL AS DECIMAL(18,6)) AS max_num
+FROM orders
+UNION ALL
+SELECT 'o_orderpriority' AS col_name, COUNT(*) AS n_rows,
+  CAST(SUM(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+  COUNT(DISTINCT o_orderpriority) AS n_distinct,
+  CAST(NULL AS DECIMAL(18,6)) AS min_num, CAST(NULL AS DECIMAL(18,6)) AS max_num
+FROM orders
+"""
+
+
+
+def q_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew diagnostics for lineitem.l_orderkey — the
+    pre-flight check before shuffling on a key at scale: distinct-key
+    count, total rows, max/mean group size, skew ratio (max/mean), and
+    the share of rows concentrated in the 10 heaviest keys. A skew
+    ratio near 1 means hash partitions balance; >>1 means salt the key
+    or enable AQE skew-join before the big shuffle.
+
+    Scale shape: one map-side-combined groupBy(key) count; the stats
+    aggregate reduces the per-key table; the top-10 share is a
+    TakeOrderedAndProject over per-key counts (never the raw rows) —
+    tiebroken by key for determinism.
+    """
+    li = load_tables(spark, sf_dir)["lineitem"]
+    counts = li.groupBy("l_orderkey").agg(F.count(F.lit(1)).alias("cnt"))
+    stats = counts.agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.sum("cnt").alias("n_rows"),
+        F.max("cnt").alias("max_group"),
+        F.round(F.avg("cnt"), 6).alias("mean_group"),
+        F.round(F.max("cnt") / F.avg("cnt"), 6).alias("skew_ratio"),
+    )
+    top10 = (
+        counts.orderBy(F.col("cnt").desc(), F.col("l_orderkey").asc())
+        .limit(10)
+        .agg(F.sum("cnt").alias("top10_rows"))
+    )
+    return stats.crossJoin(top10).select(
+        "n_keys",
+        "n_rows",
+        "max_group",
+        "mean_group",
+        "skew_ratio",
+        F.round(F.col("top10_rows") / F.col("n_rows") * 100, 6).alias(
+            "top10_pct"
+        ),
+    )
+
+
+_Q_SKEW_SQL = """
+WITH counts AS (
+  SELECT l_orderkey, COUNT(*) AS cnt FROM lineitem GROUP BY l_orderkey
+), stats AS (
+  SELECT COUNT(*) AS n_keys, CAST(SUM(cnt) AS BIGINT) AS n_rows,
+    MAX(cnt) AS max_group,
+    ROUND(AVG(cnt), 6) AS mean_group,
+    ROUND(MAX(cnt) / AVG(cnt), 6) AS skew_ratio
+  FROM counts
+), top10 AS (
+  SELECT CAST(SUM(cnt) AS BIGINT) AS top10_rows FROM (
+    SELECT cnt FROM counts ORDER BY cnt DESC, l_orderkey ASC LIMIT 10
+  )
+)
+SELECT n_keys, n_rows, max_group, mean_group, skew_ratio,
+  ROUND(top10_rows * 100.0 / n_rows, 6) AS top10_pct
+FROM stats, top10
+"""
+
+
+
 # ---------------------------------------------------------------------------
 # Registry
 
@@ -5117,6 +5274,9 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "q_bloom_dedup_gate": (q_bloom_dedup_gate, _Q_BLOOM_GATE_SQL),
     "q_cohort_retention": (q_cohort_retention, _Q_COHORT_SQL),
     "q_ngram_diversity": (q_ngram_diversity, _Q_NGRAM_DIVERSITY_SQL),
+    "q_value_percentiles": (q_value_percentiles, _Q_VALUE_PCTL_SQL),
+    "q_table_profile": (q_table_profile, _Q_TABLE_PROFILE_SQL),
+    "q_skew_report": (q_skew_report, _Q_SKEW_SQL),
 }
 
 

@@ -292,3 +292,25 @@ def test_distributed_cumsum_empty(spark):
         df, order_cols=[F.col("id")], range_col=F.col("id"), value_col="v"
     )
     assert out.count() == 0
+
+
+def test_exact_group_quantiles_matches_naive(spark):
+    """Distributed order statistics == naive sorted-list indexing at
+    rank ceil(q*n), including tiny groups and q near the edges."""
+    import math as _m
+    from radient_spark.operators.dataset import exact_group_quantiles
+
+    rows = [("a", float(v)) for v in [5, 1, 9, 3, 3, 7, 2]] + [
+        ("b", float(v)) for v in [10, 20]
+    ] + [("c", 4.0)]
+    df = spark.createDataFrame(rows, ["g", "v"]).repartition(4)
+    qs = [0.01, 0.5, 0.9, 1.0]
+    got = {
+        (r["g"], r["q"]): r["value"]
+        for r in exact_group_quantiles(df, "g", "v", qs).collect()
+    }
+    data = {"a": sorted([5, 1, 9, 3, 3, 7, 2]), "b": [10, 20], "c": [4]}
+    for g, vals in data.items():
+        for q in qs:
+            want = float(vals[max(1, _m.ceil(q * len(vals))) - 1])
+            assert got[(g, q)] == want, (g, q, got[(g, q)], want)
