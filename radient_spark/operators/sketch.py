@@ -1,22 +1,33 @@
-"""Count-min sketch: bounded-memory frequency estimation at stream scale.
+"""Portable HyperLogLog cardinality sketch (Flajolet et al. 2007).
 
-Complements the HLL++/quantile sketches surfaced in
-q_approx_cardinalities (rows-only) with a sketch whose build AND
-point-query are exact integer arithmetic — so a DuckDB oracle verifies
-the whole path hash-for-hash, closing the "sketches are unverifiable"
-gap.
+Spark ships approx_count_distinct (a JVM HLL++ whose register layout no
+other engine reproduces — the reason q_approx_cardinalities is a
+rows-only check). This implementation makes the SKETCH ITSELF
+oracle-checkable: every register value derives from portable md5
+arithmetic, the harmonic sum is computed in EXACT integer arithmetic
+(terms scaled by 2^50), and only the final division/ln touches floating
+point — so DuckDB reproduces the estimate to the rounded digit.
 
-Spark-first shape: the sketch IS a DataFrame of (row, slot, count)
-cells — built with one explode + one groupBy whose result is d*w rows
-regardless of corpus size (map-side combine does the heavy lifting).
-Cells merge across batches by summing (the CMS merge property), which
-is exactly a union + re-groupBy; estimates for a candidate set are a
-broadcast join of candidates against d cells each, taking min(count)
-over rows (the Cormode–Muthukrishnan bound: est >= true, with
-overestimate bounded by eps * N at confidence 1 - delta).
+Register math, per key:
+  h   = 60-bit md5 slice            (identical in both engines)
+  idx = h mod m                     (m = 2^p registers)
+  w   = h div m                     ((60-p)-bit suffix)
+  rho = leading zeros of w in (60-p) bits, plus 1
+      = (61-p) - bitlength(w)       (bitlength via base-2 string length
+                                     — integer-exact, no log2 rounding)
+  M[idx] = max(rho)
 
-Hashing: the portable md5 family used across the dedup module —
-h_i(x) = str_hash(i || '_' || x) % w — reproducible bit-for-bit in SQL.
+Estimate: alpha_m * m^2 / sum_j 2^(-M_j), with empty registers
+contributing 2^0 = 1. The sum is computed as S = sum_j 2^(50 - M_j)
+(an exact BIGINT; M_j <= 49 so every term >= 2, and m * 2^50 < 2^63),
+then E = alpha_m * m^2 * 2^50 / S. Small-range correction: E <= 2.5m
+and zero registers exist -> linear counting m * ln(m / zeros).
+
+Scale shape: ONE map-side-combined groupBy(idx) max — the shuffle is
+at most m 16-byte rows regardless of input size, and the final fold is
+a single m-row aggregate. Sketches for different columns/partitions
+merge by register-wise max, the property that makes HLL the standard
+distributed-distinct sketch.
 """
 
 from __future__ import annotations
@@ -24,78 +35,92 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from radient_spark.operators.dedup import str_hash
+
+def hll_alpha(m: int) -> float:
+    """Bias-correction constant (published values for m >= 128)."""
+    return 0.7213 / (1 + 1.079 / m)
 
 
-def _slot(token, row: int, width: int):
-    return str_hash(F.concat_ws("_", F.lit(row), token)) % width
+def hll_registers(df: DataFrame, key: F.Column, p: int = 12) -> DataFrame:
+    """The (idx, rho_max) register table of the HLL sketch of `key`."""
+    m = 1 << p
+    h = F.conv(F.substring(F.md5(key), 1, 15), 16, 10).cast("long")
+    idx = h % m
+    # h div m via shiftright: h does not survive a double round-trip
+    # (60 bits > the 53-bit mantissa), so no `/` anywhere near it
+    w = F.shiftright(h, p)
+    bitlen = F.length(F.conv(w, 10, 2))
+    rho = F.when(w == 0, F.lit(61 - p)).otherwise(F.lit(61 - p) - bitlen)
+    return (
+        df.select(idx.alias("idx"), rho.alias("rho"))
+        .groupBy("idx")
+        .agg(F.max("rho").alias("rho_max"))
+    )
 
 
-def cms_build(
-    df: DataFrame, col: str, depth: int = 4, width: int = 256
-) -> DataFrame:
-    """Build the (row, slot, c) cell table for one column of tokens.
-
-    One explode to d rows per token (d is tiny), one groupBy with
-    partial aggregation — the shuffle carries at most d*w cells per
-    map task, independent of input size.
+def hll_estimate(regs: DataFrame, p: int = 12, decimals: int = 4) -> DataFrame:
+    """Fold a register table into a 1-row (n_registers_set, estimate)
+    frame. The harmonic sum is exact-integer; only the final division
+    (and the small-range ln) is floating point, rounded to `decimals`.
     """
-    if depth < 1 or width < 1:
-        raise ValueError("depth and width must be >= 1")
-    cells = F.array(
-        *[
-            F.struct(
-                F.lit(r).alias("row"), _slot(F.col(col), r, width).alias("slot")
-            )
-            for r in range(depth)
-        ]
+    m = 1 << p
+    numer = hll_alpha(m) * m * m * float(1 << 50)
+    folded = regs.agg(
+        F.count(F.lit(1)).alias("n_set"),
+        F.sum(F.pow(F.lit(2.0), 50 - F.col("rho_max")).cast("long")).alias(
+            "s_set"
+        ),
     )
-    return (
-        df.select(F.explode(cells).alias("c"))
-        .select("c.row", "c.slot")
-        .groupBy("row", "slot")
-        .agg(F.count(F.lit(1)).alias("c"))
-    )
-
-
-def cms_merge(a: DataFrame, b: DataFrame) -> DataFrame:
-    """Merge two sketches built with the same (depth, width): cell-wise
-    sum — the property that makes CMS a distributed-aggregation citizen."""
-    return (
-        a.unionByName(b)
-        .groupBy("row", "slot")
-        .agg(F.sum("c").alias("c"))
+    s_total = F.col("s_set") + (F.lit(m) - F.col("n_set")) * F.lit(1 << 50)
+    zeros = F.lit(m) - F.col("n_set")
+    e_raw = F.lit(numer) / s_total.cast("double")
+    est = F.when(
+        (e_raw <= 2.5 * m) & (zeros > 0),
+        F.lit(float(m)) * F.log(F.lit(float(m)) / zeros.cast("double")),
+    ).otherwise(e_raw)
+    return folded.select(
+        F.col("n_set").cast("long").alias("n_registers_set"),
+        F.round(est, decimals).alias("estimate"),
     )
 
 
-def cms_estimate(
-    sketch: DataFrame,
-    candidates: DataFrame,
-    cand_col: str,
-    depth: int = 4,
-    width: int = 256,
+def hll_cardinality(
+    df: DataFrame, col: str, p: int = 12, decimals: int = 4
 ) -> DataFrame:
-    """Point-query estimates for a candidate-token DataFrame: for each
-    candidate, min over the d cells it hashes to (empty cells count 0,
-    though with N >> w every cell is occupied). Candidates are the small
-    side — broadcast; the sketch is d*w rows, also tiny. Output:
-    (cand_col, est)."""
-    probes = candidates.select(
-        F.col(cand_col),
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(r).alias("row"),
-                        _slot(F.col(cand_col), r, width).alias("slot"),
-                    )
-                    for r in range(depth)
-                ]
-            )
-        ).alias("p"),
-    ).select(cand_col, "p.row", "p.slot")
-    return (
-        probes.join(sketch, ["row", "slot"], "left")
-        .groupBy(cand_col)
-        .agg(F.min(F.coalesce(F.col("c"), F.lit(0))).alias("est"))
+    """One-row HLL distinct-count estimate of df[col]."""
+    return hll_estimate(
+        hll_registers(df, F.col(col).cast("string"), p), p, decimals
     )
+
+
+def hll_sql(table: str, col: str, p: int = 12, decimals: int = 4) -> str:
+    """The DuckDB oracle for hll_cardinality — the SAME register and
+    integer-sum arithmetic, emitted as SQL. Shared constants are
+    formatted from the same Python floats so neither engine parses a
+    different literal."""
+    m = 1 << p
+    numer = repr(hll_alpha(m) * m * m * float(1 << 50))
+    rho_cap = 61 - p
+    return f"""
+WITH regs AS (
+  SELECT h % {m} AS idx,
+    MAX(CASE WHEN h // {m} = 0 THEN {rho_cap}
+             ELSE {rho_cap} - length(to_base(h // {m}, 2)) END) AS rho_max
+  FROM (
+    SELECT ('0x' || substring(md5(CAST({col} AS VARCHAR)), 1, 15))::BIGINT AS h
+    FROM {table}
+  ) GROUP BY 1
+), folded AS (
+  SELECT COUNT(*) AS n_set,
+    SUM(CAST(2.0 ** (50 - rho_max) AS BIGINT)) AS s_set
+  FROM regs
+)
+SELECT CAST(n_set AS BIGINT) AS n_registers_set,
+  ROUND(CASE
+    WHEN {numer} / CAST(s_set + ({m} - n_set) * (1::BIGINT << 50) AS DOUBLE)
+           <= 2.5 * {m} AND ({m} - n_set) > 0
+    THEN {float(m)!r} * ln({float(m)!r} / CAST({m} - n_set AS DOUBLE))
+    ELSE {numer} / CAST(s_set + ({m} - n_set) * (1::BIGINT << 50) AS DOUBLE)
+  END, {decimals}) AS estimate
+FROM folded
+"""

@@ -5142,6 +5142,64 @@ FROM stats, top10
 
 
 
+def q_hll_cardinalities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct-count estimation with the PORTABLE HyperLogLog sketch
+    (operators/sketch.py): per audited events column, the exact distinct
+    count, the sketch registers set, the HLL estimate, and its relative
+    error. Unlike Spark's opaque approx_count_distinct (kept as the
+    rows-only q_approx_cardinalities), every register here is md5-
+    derived and the harmonic sum is exact-integer, so the DuckDB oracle
+    reproduces the estimate to the rounded digit — the sketch itself is
+    hash-verified.
+
+    Scale shape: per column, ONE map-side-combined groupBy over at most
+    2^p register rows — shuffle volume is sketch-size, not data-size;
+    sketches merge by register-wise max across partitions/batches. The
+    exact countDistinct rides along only as the audit baseline.
+    """
+    from radient_spark.operators.sketch import hll_cardinality
+
+    ev = load_tables(spark, sf_dir)["events"]
+    outs = []
+    for c in ["user_id", "event_type", "event_id"]:
+        est = hll_cardinality(ev, c, p=12)
+        exact = ev.agg(F.countDistinct(c).alias("exact_distinct"))
+        outs.append(
+            exact.crossJoin(est).select(
+                F.lit(c).alias("col_name"),
+                "exact_distinct",
+                "n_registers_set",
+                "estimate",
+                F.round(
+                    (F.col("estimate") - F.col("exact_distinct"))
+                    / F.col("exact_distinct")
+                    * 100,
+                    4,
+                ).alias("rel_err_pct"),
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionAll(o)
+    return out
+
+
+def _hll_audit_sql() -> str:
+    from radient_spark.operators.sketch import hll_sql
+
+    parts = []
+    for c in ["user_id", "event_type", "event_id"]:
+        parts.append(f"""
+SELECT '{c}' AS col_name,
+  (SELECT COUNT(DISTINCT {c}) FROM events) AS exact_distinct,
+  n_registers_set, estimate,
+  ROUND((estimate - (SELECT COUNT(DISTINCT {c}) FROM events))
+        / (SELECT COUNT(DISTINCT {c}) FROM events) * 100, 4) AS rel_err_pct
+FROM ({hll_sql("events", c, p=12)})""")
+    return "\nUNION ALL\n".join(parts)
+
+
+
 # ---------------------------------------------------------------------------
 # Registry
 
@@ -5277,6 +5335,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "q_value_percentiles": (q_value_percentiles, _Q_VALUE_PCTL_SQL),
     "q_table_profile": (q_table_profile, _Q_TABLE_PROFILE_SQL),
     "q_skew_report": (q_skew_report, _Q_SKEW_SQL),
+    "q_hll_cardinalities": (q_hll_cardinalities, _hll_audit_sql()),
 }
 
 

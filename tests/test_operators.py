@@ -550,3 +550,34 @@ def test_bloom_bitmap_word_bounds(spark):
     assert all(r["bits"] != 0 for r in rows)
     # 32-bit packing: no mask may touch the sign bit or exceed 32 bits
     assert all(0 < r["bits"] <= 0xFFFFFFFF for r in rows)
+
+
+def test_hll_error_within_bound(spark):
+    """HLL with 2^12 registers has relative standard error
+    1.04/sqrt(4096) ~ 1.6%; 20k distinct keys must estimate within ~5
+    sigma of truth."""
+    from radient_spark.operators.sketch import hll_cardinality
+
+    df = spark.range(20_000).selectExpr("CAST(id AS STRING) AS k")
+    est = hll_cardinality(df, "k", p=12).collect()[0]["estimate"]
+    assert abs(est - 20_000) / 20_000 < 0.08
+
+
+def test_hll_registers_merge_by_max(spark):
+    """Sketch of a union == register-wise max of the parts' sketches —
+    the mergeability contract that makes HLL distributable."""
+    from pyspark.sql import functions as F
+    from radient_spark.operators.sketch import hll_registers
+
+    a = spark.range(0, 3000).selectExpr("CAST(id AS STRING) AS k")
+    b = spark.range(2000, 5000).selectExpr("CAST(id AS STRING) AS k")
+    u = a.union(b)
+    merged = (
+        hll_registers(a, F.col("k"))
+        .union(hll_registers(b, F.col("k")))
+        .groupBy("idx")
+        .agg(F.max("rho_max").alias("rho_max"))
+    )
+    direct = hll_registers(u, F.col("k"))
+    assert merged.exceptAll(direct).count() == 0
+    assert direct.exceptAll(merged).count() == 0
