@@ -81,6 +81,12 @@ BENCH_QUERIES = [
     "q_embedding_drift",
     "q_epoch_interleave",
     "q_mmr_rerank",
+    "q_bloom_dedup_gate",
+    "q_cohort_retention",
+    "q_ngram_diversity",
+    "q_value_percentiles",
+    "q_table_profile",
+    "q_skew_report",
 ]
 
 
