@@ -124,3 +124,93 @@ SELECT CAST(n_set AS BIGINT) AS n_registers_set,
   END, {decimals}) AS estimate
 FROM folded
 """
+
+
+# ---------------------------------------------------------------------------
+# Count-min sketch: bounded-memory frequency estimation.
+#
+# Complements the HLL above with a sketch whose build AND point-query
+# are exact integer arithmetic — the DuckDB oracle verifies the whole
+# path hash-for-hash. The sketch IS a DataFrame of (row, slot, count)
+# cells: one explode + one groupBy whose result is d*w rows regardless
+# of corpus size. Cells merge across batches by summing (union +
+# re-groupBy); estimates take min(count) over a candidate's d cells
+# (the Cormode–Muthukrishnan bound: est >= true, overestimate bounded
+# by eps*N at confidence 1-delta). Hashing is the portable md5 family:
+# h_i(x) = str_hash(i || '_' || x) % w, reproducible bit-for-bit in SQL.
+
+
+def _slot(token, row: int, width: int):
+    from radient_spark.operators.dedup import str_hash
+
+    return str_hash(F.concat_ws("_", F.lit(row), token)) % width
+
+
+def cms_build(
+    df: DataFrame, col: str, depth: int = 4, width: int = 256
+) -> DataFrame:
+    """Build the (row, slot, c) cell table for one column of tokens.
+
+    One explode to d rows per token (d is tiny), one groupBy with
+    partial aggregation — the shuffle carries at most d*w cells per
+    map task, independent of input size.
+    """
+    if depth < 1 or width < 1:
+        raise ValueError("depth and width must be >= 1")
+    cells = F.array(
+        *[
+            F.struct(
+                F.lit(r).alias("row"), _slot(F.col(col), r, width).alias("slot")
+            )
+            for r in range(depth)
+        ]
+    )
+    return (
+        df.select(F.explode(cells).alias("c"))
+        .select("c.row", "c.slot")
+        .groupBy("row", "slot")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+
+
+def cms_merge(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Merge two sketches built with the same (depth, width): cell-wise
+    sum — the property that makes CMS a distributed-aggregation citizen."""
+    return (
+        a.unionByName(b)
+        .groupBy("row", "slot")
+        .agg(F.sum("c").alias("c"))
+    )
+
+
+def cms_estimate(
+    sketch: DataFrame,
+    candidates: DataFrame,
+    cand_col: str,
+    depth: int = 4,
+    width: int = 256,
+) -> DataFrame:
+    """Point-query estimates for a candidate-token DataFrame: for each
+    candidate, min over the d cells it hashes to (empty cells count 0,
+    though with N >> w every cell is occupied). Candidates are the small
+    side — broadcast; the sketch is d*w rows, also tiny. Output:
+    (cand_col, est)."""
+    probes = candidates.select(
+        F.col(cand_col),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(r).alias("row"),
+                        _slot(F.col(cand_col), r, width).alias("slot"),
+                    )
+                    for r in range(depth)
+                ]
+            )
+        ).alias("p"),
+    ).select(cand_col, "p.row", "p.slot")
+    return (
+        probes.join(sketch, ["row", "slot"], "left")
+        .groupBy(cand_col)
+        .agg(F.min(F.coalesce(F.col("c"), F.lit(0))).alias("est"))
+    )

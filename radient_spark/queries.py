@@ -5200,6 +5200,71 @@ FROM ({hll_sql("events", c, p=12)})""")
 
 
 
+def q_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min-sketch frequency audit: build a (4 x 256) CMS over the
+    corpus token stream, point-query the exact top-20 tokens, and report
+    estimate vs truth (CMS never underestimates; the overestimate is the
+    collision mass, bounded by eps*N). The whole path — build cells,
+    probe, min-fold — is exact integer arithmetic on portable md5
+    hashes, so the oracle verifies the sketch hash-for-hash.
+
+    Scale shape: the sketch build is one explode(d) + map-side-combined
+    groupBy to at most d*w cells regardless of corpus size; the exact
+    top-20 baseline is a token groupBy + TakeOrderedAndProject; probes
+    broadcast-join the d*w-row sketch.
+    """
+    from radient_spark.functions import text as X
+    from radient_spark.functions.stage import stage
+    from radient_spark.operators.sketch import cms_build, cms_estimate
+
+    DEPTH, WIDTH = 4, 256
+    docs = load_tables(spark, sf_dir)["documents"]
+    toks = stage(docs.select("text"), toks=X.tokens(F.col("text"))).select(
+        F.explode("toks").alias("tok")
+    )
+    sketch = cms_build(toks, "tok", DEPTH, WIDTH)
+    exact = (
+        toks.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("exact_count"))
+        .orderBy(F.col("exact_count").desc(), F.col("tok").asc())
+        .limit(20)
+    )
+    est = cms_estimate(sketch, exact.select("tok"), "tok", DEPTH, WIDTH)
+    return exact.join(est, "tok").select(
+        "tok",
+        "exact_count",
+        F.col("est").alias("cms_est"),
+        (F.col("est") - F.col("exact_count")).alias("overestimate"),
+    )
+
+
+_Q_CMS_SQL = """
+WITH toks AS (
+  SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok
+  FROM documents
+), cells AS (
+  SELECT r,
+    ('0x' || substring(md5(CAST(r AS VARCHAR) || '_' || tok), 1, 8))::BIGINT
+      % 256 AS slot,
+    COUNT(*) AS c
+  FROM toks, range(0, 4) t(r)
+  GROUP BY 1, 2
+), exact AS (
+  SELECT tok, COUNT(*) AS exact_count FROM toks GROUP BY tok
+  ORDER BY exact_count DESC, tok ASC LIMIT 20
+), probes AS (
+  SELECT e.tok, e.exact_count, c.c
+  FROM exact e JOIN cells c
+    ON c.slot = ('0x' || substring(md5(CAST(c.r AS VARCHAR) || '_' || e.tok),
+                 1, 8))::BIGINT % 256
+)
+SELECT tok, exact_count, MIN(c) AS cms_est,
+  MIN(c) - exact_count AS overestimate
+FROM probes GROUP BY tok, exact_count
+"""
+
+
+
 # ---------------------------------------------------------------------------
 # Registry
 
@@ -5336,6 +5401,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "q_table_profile": (q_table_profile, _Q_TABLE_PROFILE_SQL),
     "q_skew_report": (q_skew_report, _Q_SKEW_SQL),
     "q_hll_cardinalities": (q_hll_cardinalities, _hll_audit_sql()),
+    "q_cms_heavy_hitters": (q_cms_heavy_hitters, _Q_CMS_SQL),
 }
 
 

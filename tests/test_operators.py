@@ -581,3 +581,22 @@ def test_hll_registers_merge_by_max(spark):
     direct = hll_registers(u, F.col("k"))
     assert merged.exceptAll(direct).count() == 0
     assert direct.exceptAll(merged).count() == 0
+
+
+def test_cms_never_underestimates_and_merges(spark):
+    from pyspark.sql import functions as F
+    from radient_spark.operators.sketch import cms_build, cms_estimate, cms_merge
+
+    rows = [("a",)] * 50 + [("b",)] * 20 + [(f"noise{i}",) for i in range(300)]
+    df = spark.createDataFrame(rows, ["tok"])
+    sk = cms_build(df, "tok", depth=4, width=64)
+    cand = spark.createDataFrame([("a",), ("b",), ("absent",)], ["tok"])
+    est = {r["tok"]: r["est"] for r in cms_estimate(sk, cand, "tok", 4, 64).collect()}
+    assert est["a"] >= 50 and est["b"] >= 20 and est["absent"] >= 0
+    # merge(two disjoint halves) == build(whole): cell-wise identical
+    da = spark.createDataFrame(rows[:100], ["tok"])
+    db = spark.createDataFrame(rows[100:], ["tok"])
+    merged = cms_merge(cms_build(da, "tok", 4, 64), cms_build(db, "tok", 4, 64))
+    whole = cms_build(df, "tok", 4, 64)
+    assert merged.exceptAll(whole).count() == 0
+    assert whole.exceptAll(merged).count() == 0
