@@ -5265,6 +5265,249 @@ FROM probes GROUP BY tok, exact_count
 
 
 
+def q_integrity_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity audit across the warehouse FK graph: for
+    each child->parent edge, total child rows, orphaned rows (no parent
+    key), and null FK rows — the data-quality gate a pipeline runs
+    before publishing a snapshot.
+
+    Scale shape: each check is ONE left-anti join on the FK (broadcast
+    when the parent's key set is small, shuffle-hash otherwise — the
+    optimizer's call); counts are map-side-combined. No row data moves,
+    only keys.
+    """
+    t = load_tables(spark, sf_dir)
+    edges = [
+        ("lineitem.l_orderkey", t["lineitem"], "l_orderkey", t["orders"], "o_orderkey"),
+        ("orders.o_custkey", t["orders"], "o_custkey", t["customer"], "c_custkey"),
+        ("customer.c_nationkey", t["customer"], "c_nationkey", t["nation"], "n_nationkey"),
+        ("supplier.s_nationkey", t["supplier"], "s_nationkey", t["nation"], "n_nationkey"),
+        ("nation.n_regionkey", t["nation"], "n_regionkey", t["region"], "r_regionkey"),
+    ]
+    outs = []
+    for name, child, fk, parent, pk in edges:
+        total = child.agg(F.count(F.lit(1)).alias("n_rows"))
+        nulls = child.filter(F.col(fk).isNull()).agg(
+            F.count(F.lit(1)).alias("n_null_fk")
+        )
+        orphans = (
+            child.filter(F.col(fk).isNotNull())
+            .join(parent.select(pk), child[fk] == parent[pk], "left_anti")
+            .agg(F.count(F.lit(1)).alias("n_orphans"))
+        )
+        outs.append(
+            total.crossJoin(nulls)
+            .crossJoin(orphans)
+            .select(
+                F.lit(name).alias("fk_edge"), "n_rows", "n_null_fk", "n_orphans"
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionAll(o)
+    return out
+
+
+def _integrity_sql() -> str:
+    edges = [
+        ("lineitem.l_orderkey", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+        ("orders.o_custkey", "orders", "o_custkey", "customer", "c_custkey"),
+        ("customer.c_nationkey", "customer", "c_nationkey", "nation", "n_nationkey"),
+        ("supplier.s_nationkey", "supplier", "s_nationkey", "nation", "n_nationkey"),
+        ("nation.n_regionkey", "nation", "n_regionkey", "region", "r_regionkey"),
+    ]
+    parts = []
+    for name, child, fk, parent, pk in edges:
+        parts.append(f"""
+SELECT '{name}' AS fk_edge,
+  (SELECT COUNT(*) FROM {child}) AS n_rows,
+  (SELECT COUNT(*) FROM {child} WHERE {fk} IS NULL) AS n_null_fk,
+  (SELECT COUNT(*) FROM {child} c WHERE c.{fk} IS NOT NULL
+     AND NOT EXISTS (SELECT 1 FROM {parent} p WHERE p.{pk} = c.{fk}))
+    AS n_orphans""")
+    return "\nUNION ALL\n".join(parts)
+
+
+def q_cross_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source duplication matrix: for every ordered source pair
+    (a, b), how many of a's distinct document hashes also appear in b —
+    the provenance report that tells a curation team WHICH feeds
+    duplicate into which (mirrors, scrapes of scrapes) before they pick
+    a keep-priority order.
+
+    Scale shape: the corpus collapses to DISTINCT (source, md5) keys
+    first — everything after runs on 16-byte hash rows: one self-join
+    on the hash (co-occurring sources only; the join fan-out is the
+    duplication mass, not |corpus|^2), one groupBy per pair.
+    """
+    docs = load_tables(spark, sf_dir)["documents"]
+    keys = docs.select(
+        "source", F.md5("text").alias("h")
+    ).distinct()
+    a = keys.alias("a")
+    b = keys.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.h") == F.col("b.h")) & (F.col("a.source") != F.col("b.source")))
+        .groupBy(F.col("a.source").alias("source_a"), F.col("b.source").alias("source_b"))
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    sizes = keys.groupBy("source").agg(F.count(F.lit(1)).alias("n_distinct_a"))
+    return pairs.join(
+        sizes, pairs["source_a"] == sizes["source"]
+    ).select(
+        "source_a",
+        "source_b",
+        "n_shared",
+        "n_distinct_a",
+        F.round(F.col("n_shared") / F.col("n_distinct_a") * 100, 4).alias(
+            "overlap_pct"
+        ),
+    )
+
+
+_Q_CROSS_SOURCE_SQL = """
+WITH keys AS (
+  SELECT DISTINCT source, md5(text) AS h FROM documents
+), pairs AS (
+  SELECT a.source AS source_a, b.source AS source_b, COUNT(*) AS n_shared
+  FROM keys a JOIN keys b ON a.h = b.h AND a.source <> b.source
+  GROUP BY 1, 2
+), sizes AS (
+  SELECT source, COUNT(*) AS n_distinct_a FROM keys GROUP BY source
+)
+SELECT p.source_a, p.source_b, p.n_shared, s.n_distinct_a,
+  ROUND(p.n_shared * 100.0 / s.n_distinct_a, 4) AS overlap_pct
+FROM pairs p JOIN sizes s ON p.source_a = s.source
+"""
+
+
+def q_rolling_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling z-score anomaly detection: flag events whose value
+    deviates > 3 sigma from the trailing 50-event mean/stddev of their
+    user's stream, and report per event_type how many anomalies fired.
+    Population stddev over the trailing window keeps the statistic
+    defined (and identical cross-engine) from 2 observations up.
+
+    Scale shape: one shuffle on user_id for the ordered trailing
+    window (rowsBetween -50..-1 — bounded state per row), then a tiny
+    map-side-combined aggregate. Variance is computed from trailing
+    sum/sum-of-squares in DECIMAL-safe integer micro-units to stay
+    order-independent... in practice value has 2 decimals, so
+    quantizing to BIGINT cents makes every windowed sum exact.
+    """
+    ev = load_tables(spark, sf_dir)["events"]
+    cents = (F.col("value") * 100).cast("long")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-50, -1)
+    )
+    staged = (
+        ev.withColumn("c", cents)
+        .withColumn("n_prev", F.count("c").over(w))
+        .withColumn("s1", F.sum("c").over(w))
+        .withColumn("s2", F.sum(F.col("c") * F.col("c")).over(w))
+    )
+    mean = F.col("s1") / F.col("n_prev")
+    var = F.col("s2") / F.col("n_prev") - mean * mean
+    z = (F.col("c") - mean) / F.sqrt(var)
+    flagged = staged.withColumn(
+        "is_anom",
+        (F.col("n_prev") >= 2) & (var > 0) & (F.abs(z) > 3),
+    )
+    return flagged.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.col("is_anom").cast("long")).alias("n_anomalies"),
+    )
+
+
+_Q_ANOMALY_SQL = """
+WITH staged AS (
+  SELECT event_type, CAST(value * 100 AS BIGINT) AS c,
+    COUNT(CAST(value * 100 AS BIGINT)) OVER w AS n_prev,
+    SUM(CAST(value * 100 AS BIGINT)) OVER w AS s1,
+    SUM(CAST(value * 100 AS BIGINT) * CAST(value * 100 AS BIGINT)) OVER w AS s2
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN 50 PRECEDING AND 1 PRECEDING)
+), flagged AS (
+  SELECT event_type,
+    (n_prev >= 2
+     AND (CAST(s2 AS DOUBLE) / n_prev
+          - (CAST(s1 AS DOUBLE) / n_prev) * (CAST(s1 AS DOUBLE) / n_prev)) > 0
+     AND ABS((c - CAST(s1 AS DOUBLE) / n_prev)
+             / sqrt(CAST(s2 AS DOUBLE) / n_prev
+                    - (CAST(s1 AS DOUBLE) / n_prev)
+                      * (CAST(s1 AS DOUBLE) / n_prev))) > 3) AS is_anom
+  FROM staged
+)
+SELECT event_type, COUNT(*) AS n_events,
+  CAST(SUM(CASE WHEN is_anom THEN 1 ELSE 0 END) AS BIGINT) AS n_anomalies
+FROM flagged GROUP BY event_type
+"""
+
+
+
+def q_oov_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary-coverage audit: build the corpus top-25 token
+    vocabulary, then report per source the out-of-vocabulary token rate
+    — the tokenizer-fit signal (high OOV = the vocab/tokenizer was
+    trained on different data than this source).
+
+    Scale shape: ONE token explode feeds both the vocabulary aggregate
+    and the per-source scan; the 25-row vocabulary broadcasts into a
+    left join (null = OOV). Shuffles: token groupBy for the vocab,
+    source groupBy for the report — both map-side combined.
+    """
+    from radient_spark.functions import text as X
+    from radient_spark.functions.stage import stage
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    toks = stage(
+        docs.select("source", "text"), toks=X.tokens(F.col("text"))
+    ).select("source", F.explode("toks").alias("tok"))
+    vocab = (
+        toks.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.col("cnt").desc(), F.col("tok").asc())
+        .limit(25)
+        .select("tok", F.lit(True).alias("in_vocab"))
+    )
+    return (
+        toks.join(F.broadcast(vocab), "tok", "left")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("total_tokens"),
+            F.sum(F.col("in_vocab").isNull().cast("long")).alias("oov_tokens"),
+            F.round(
+                F.sum(F.col("in_vocab").isNull().cast("long"))
+                / F.count(F.lit(1))
+                * 100,
+                4,
+            ).alias("oov_pct"),
+        )
+    )
+
+
+_Q_OOV_SQL = """
+WITH toks AS (
+  SELECT source, unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok
+  FROM documents
+), vocab AS (
+  SELECT tok FROM toks GROUP BY tok
+  ORDER BY COUNT(*) DESC, tok ASC LIMIT 25
+)
+SELECT t.source, COUNT(*) AS total_tokens,
+  CAST(SUM(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+    AS oov_tokens,
+  ROUND(SUM(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) * 100.0 / COUNT(*), 4)
+    AS oov_pct
+FROM toks t LEFT JOIN vocab v USING (tok)
+GROUP BY t.source
+"""
+
+
+
 # ---------------------------------------------------------------------------
 # Registry
 
@@ -5402,6 +5645,10 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "q_skew_report": (q_skew_report, _Q_SKEW_SQL),
     "q_hll_cardinalities": (q_hll_cardinalities, _hll_audit_sql()),
     "q_cms_heavy_hitters": (q_cms_heavy_hitters, _Q_CMS_SQL),
+    "q_integrity_report": (q_integrity_report, _integrity_sql()),
+    "q_cross_source_overlap": (q_cross_source_overlap, _Q_CROSS_SOURCE_SQL),
+    "q_rolling_anomalies": (q_rolling_anomalies, _Q_ANOMALY_SQL),
+    "q_oov_report": (q_oov_report, _Q_OOV_SQL),
 }
 
 
