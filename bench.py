@@ -87,6 +87,12 @@ BENCH_QUERIES = [
     "q_value_percentiles",
     "q_table_profile",
     "q_skew_report",
+    "q_hll_cardinalities",
+    "q_cms_heavy_hitters",
+    "q_integrity_report",
+    "q_cross_source_overlap",
+    "q_rolling_anomalies",
+    "q_oov_report",
 ]
 
 
