@@ -343,3 +343,54 @@ def test_session_funnel_windows_share_session_shuffle(spark, sf_dir):
     session_id)-compatible partitioning, so exchanges stay bounded."""
     df = QUERIES["q_session_funnel"][0](spark, sf_dir)
     assert plans.shuffle_count(df) <= 3, plans.formatted_plan(df)
+
+
+def test_bloom_gate_probe_is_map_only(spark, sf_dir):
+    """After the bitmap collect, the gate itself must be a zero-shuffle
+    projection over the batch — the whole point of the Bloom pre-filter."""
+    from radient_spark.operators.dedup import bloom_build, bloom_gate
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    bitmap = bloom_build(docs.select("text"), "text", 2048, 3)
+    gated = bloom_gate(docs.select("doc_id", "text"), bitmap, "text", 2048, 3)
+    assert plans.shuffle_count(gated) == 0
+
+
+def test_hll_shuffles_only_register_rows(spark, sf_dir):
+    """One register-key exchange; the scan reads only the sketched column."""
+    from radient_spark.operators.sketch import hll_cardinality
+
+    ev = load_tables(spark, sf_dir)["events"]
+    est = hll_cardinality(ev, "user_id", p=12)
+    # register groupBy + the SinglePartition fold of <= 2^p rows; the
+    # data-sized scan feeds only the first
+    assert plans.shuffle_count(est) <= 2
+    assert plans.reads_only_columns(est, {"user_id"})
+
+
+def test_oov_single_token_explode(spark, sf_dir):
+    """The corpus must be tokenized/exploded once for the report scan —
+    the vocab side re-reads, but Generate must not nest per reference."""
+    df = QUERIES["q_oov_report"][0](spark, sf_dir)
+    plan = plans.formatted_plan(df)
+    # the probe side and the vocab side each explode once; 3+ Generates
+    # would mean CollapseProject re-inlined the token split
+    assert plan.count("Generate explode") <= 2
+
+
+def test_rolling_anomalies_single_user_shuffle(spark, sf_dir):
+    df = QUERIES["q_rolling_anomalies"][0](spark, sf_dir)
+    # one exchange for the user window, one for the event_type aggregate
+    assert plans.shuffle_count(df) <= 2
+
+
+def test_exact_group_quantiles_prunes_untargeted_cells(spark, sf_dir):
+    """The window input must be filtered by the broadcast target-cell
+    join BEFORE row_number — no global per-group sort anywhere."""
+    from radient_spark.operators.dataset import exact_group_quantiles
+
+    ev = load_tables(spark, sf_dir)["events"]
+    out = exact_group_quantiles(ev, "event_type", "value", [0.5, 0.99])
+    plan = plans.formatted_plan(out)
+    # both joins against the driver-built target table must broadcast
+    assert plan.count("BroadcastHashJoin") >= 2
