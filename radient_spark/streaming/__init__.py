@@ -315,3 +315,55 @@ def ivf_ingest_sink(
         index.append_save(df, index_path, id_col=id_col, vec_col=vec_col)
 
     return foreach_batch_sink(stream, checkpoint, batch_fn)
+
+
+def sketch_maintenance_sink(
+    stream: DataFrame,
+    sketch_dir: str,
+    checkpoint: str,
+    key_col: str,
+    p: int = 12,
+):
+    """Maintain an HLL cardinality sketch over a stream: per micro-batch,
+    sketch the batch's keys and merge into the persisted register table
+    by register-wise max — the streaming distinct-count monitor. State
+    is at most 2^p rows no matter how much data flows through, and the
+    merged table IS the batch sketch format, so `hll_estimate` reads it
+    directly at any time.
+
+    The overwrite of a <=2^p-row table per batch is deliberate: HLL
+    registers only ever grow, so replay after a crash (checkpoint gives
+    at-least-once into an idempotent max-merge) converges to the same
+    registers.
+    """
+    from radient_spark.operators.sketch import hll_registers
+
+    def _sketch_exists(spark) -> bool:
+        jvm = spark.sparkContext._jvm
+        hconf = spark.sparkContext._jsc.hadoopConfiguration()
+        path = jvm.org.apache.hadoop.fs.Path(sketch_dir)
+        fs = path.getFileSystem(hconf)
+        return fs.exists(path) and fs.globStatus(
+            jvm.org.apache.hadoop.fs.Path(sketch_dir + "/*.parquet")
+        )
+
+    def batch_fn(df: DataFrame, epoch_id: int) -> None:
+        spark = df.sparkSession
+        fresh = hll_registers(df, F.col(key_col).cast("string"), p)
+        if _sketch_exists(spark):
+            old = spark.read.parquet(sketch_dir)
+            merged = (
+                old.unionByName(fresh)
+                .groupBy("idx")
+                .agg(F.max("rho_max").alias("rho_max"))
+            )
+        else:
+            merged = fresh
+        # registers are tiny (<= 2^p rows): materialize before overwrite
+        # so the read side of the union is not clobbered mid-plan
+        rows = merged.collect()
+        spark.createDataFrame(rows, merged.schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(sketch_dir)
+
+    return foreach_batch_sink(stream, checkpoint, batch_fn)

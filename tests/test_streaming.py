@@ -357,3 +357,43 @@ def test_ivf_ingest_sink_grows_saved_index(spark, tmp_path):
     qid, qvec = vecs[35]
     got = {r["id"] for r in loaded.search([(qid, qvec)], k=1, n_probes=4).collect()}
     assert got == {qid}
+
+
+def test_sketch_maintenance_sink_converges_to_batch_sketch(spark, tmp_path):
+    """Streaming register maintenance across two micro-batch rounds must
+    produce EXACTLY the registers of a one-shot batch sketch over the
+    union — the HLL merge-by-max contract, end to end through the sink."""
+    from pyspark.sql import functions as F
+    from radient_spark.operators.sketch import hll_estimate, hll_registers
+
+    in_dir, sk_dir, ck = (
+        str(tmp_path / "in"),
+        str(tmp_path / "sketch"),
+        str(tmp_path / "ck_sketch"),
+    )
+    schema = "k string"
+    b1 = spark.createDataFrame([(f"u{i}",) for i in range(500)], schema)
+    b1.write.mode("overwrite").parquet(in_dir)
+    stream = spark.readStream.schema(b1.schema).parquet(in_dir)
+    q = streaming.sketch_maintenance_sink(stream, sk_dir, ck, "k", p=10)
+    q.awaitTermination(120)
+
+    spark.createDataFrame(
+        [(f"u{i}",) for i in range(300, 900)], schema
+    ).write.mode("append").parquet(in_dir)
+    stream2 = spark.readStream.schema(b1.schema).parquet(in_dir)
+    q2 = streaming.sketch_maintenance_sink(stream2, sk_dir, ck, "k", p=10)
+    q2.awaitTermination(120)
+
+    union = spark.createDataFrame([(f"u{i}",) for i in range(900)], schema)
+    want = {
+        (r["idx"], r["rho_max"])
+        for r in hll_registers(union, F.col("k"), 10).collect()
+    }
+    got = {
+        (r["idx"], r["rho_max"])
+        for r in spark.read.parquet(sk_dir).collect()
+    }
+    assert got == want
+    est = hll_estimate(spark.read.parquet(sk_dir), p=10).collect()[0]
+    assert abs(est["estimate"] - 900) / 900 < 0.15
