@@ -221,3 +221,31 @@ register("retrieval", "bm25")(
 register("retrieval", "rrf")(
     lambda **kw: functools.partial(_retrieval.rrf_fuse, **kw)
 )
+
+# --- sketches / gates / profiling (round-3 audit ops) ----------------------
+
+from radient_spark.operators import sketch as _sketch  # noqa: E402
+
+register("dedup", "bloom_gate")(
+    lambda bitmap, **kw: functools.partial(
+        dedup.bloom_gate, bitmap=bitmap, **kw
+    )
+)
+register("sketch", "hll")(
+    lambda **kw: functools.partial(_sketch.hll_cardinality, **kw)
+)
+register("sketch", "cms")(
+    lambda **kw: functools.partial(_sketch.cms_build, **kw)
+)
+register("dataset", "profile")(
+    lambda **kw: functools.partial(_dataset.profile_table, **kw)
+)
+register("dataset", "quantiles")(
+    lambda group_col, value_col, qs, **kw: functools.partial(
+        _dataset.exact_group_quantiles,
+        group_col=group_col,
+        value_col=value_col,
+        qs=qs,
+        **kw,
+    )
+)
