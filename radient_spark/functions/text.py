@@ -221,3 +221,42 @@ def quality_score(text: Column | str) -> Column:
         + F.lit(0.2) * F.least(stopword_ratio(text) * 5.0, F.lit(1.0)),
         6,
     )
+
+
+# Unicode punctuation folded to ASCII by normalize_text: curly quotes,
+# dashes, ellipsis, non-breaking/zero-width spaces. Kept as explicit
+# (pattern, replacement) pairs — identical literals feed the Spark
+# expression and the DuckDB oracle, so no engine-specific \p classes.
+NORMALIZE_RULES: tuple[tuple[str, str], ...] = (
+    ("[\u2018\u2019\u201a\u201b]", "'"),
+    ('[\u201c\u201d\u201e\u201f]', '"'),
+    ("[\u2013\u2014\u2015]", "-"),
+    ("\u2026", "..."),
+    ("[\u00a0\u2000-\u200a\u202f\u205f\u3000]", " "),
+    ("[\u200b\u200c\u200d\ufeff]", ""),
+)
+
+
+def normalize_text(col: Column | str, lowercase: bool = True) -> Column:
+    """Deterministic text normalization: fold common unicode punctuation
+    to ASCII, collapse whitespace runs to single spaces, trim, and
+    (optionally) lowercase — the canonicalization pass that runs before
+    hashing/dedup so cosmetic variants collide. Pure chained
+    regexp_replace: map-only, whole-stage codegen, and every pattern is
+    shared verbatim with the SQL oracle."""
+    out = _c(col)
+    for pat, rep in NORMALIZE_RULES:
+        out = F.regexp_replace(out, pat, rep)
+    out = F.trim(F.regexp_replace(out, r"\s+", " "))
+    return F.lower(out) if lowercase else out
+
+
+def normalize_sql_expr(col_sql: str, lowercase: bool = True) -> str:
+    """The DuckDB expression equivalent of normalize_text (RE2 needs the
+    explicit 'g' flag where Spark replaces globally by default)."""
+    out = col_sql
+    for pat, rep in NORMALIZE_RULES:
+        p_sql, r_sql = pat.replace("'", "''"), rep.replace("'", "''")
+        out = f"regexp_replace({out}, '{p_sql}', '{r_sql}', 'g')"
+    out = f"trim(regexp_replace({out}, '\\s+', ' ', 'g'))"
+    return f"lower({out})" if lowercase else out

@@ -214,3 +214,81 @@ def cms_estimate(
         .groupBy(cand_col)
         .agg(F.min(F.coalesce(F.col("c"), F.lit(0))).alias("est"))
     )
+
+
+def hll_group_cardinality(
+    df: DataFrame,
+    group_col: str,
+    col: str,
+    p: int = 12,
+    decimals: int = 4,
+) -> DataFrame:
+    """Per-group HLL distinct-count estimates — one sketch per group key
+    in a single pass (the "distinct users per dimension" dashboard
+    shape). Same register/estimate arithmetic as hll_cardinality, with
+    both aggregations keyed by the group: shuffle volume is at most
+    groups * 2^p register rows."""
+    m = 1 << p
+    numer = hll_alpha(m) * m * m * float(1 << 50)
+    key = F.col(col).cast("string")
+    h = F.conv(F.substring(F.md5(key), 1, 15), 16, 10).cast("long")
+    idx = h % m
+    w = F.shiftright(h, p)
+    bitlen = F.length(F.conv(w, 10, 2))
+    rho = F.when(w == 0, F.lit(61 - p)).otherwise(F.lit(61 - p) - bitlen)
+    regs = (
+        df.select(F.col(group_col).alias("g"), idx.alias("idx"), rho.alias("rho"))
+        .groupBy("g", "idx")
+        .agg(F.max("rho").alias("rho_max"))
+    )
+    folded = regs.groupBy("g").agg(
+        F.count(F.lit(1)).alias("n_set"),
+        F.sum(F.pow(F.lit(2.0), 50 - F.col("rho_max")).cast("long")).alias(
+            "s_set"
+        ),
+    )
+    s_total = F.col("s_set") + (F.lit(m) - F.col("n_set")) * F.lit(1 << 50)
+    zeros = F.lit(m) - F.col("n_set")
+    e_raw = F.lit(numer) / s_total.cast("double")
+    est = F.when(
+        (e_raw <= 2.5 * m) & (zeros > 0),
+        F.lit(float(m)) * F.log(F.lit(float(m)) / zeros.cast("double")),
+    ).otherwise(e_raw)
+    return folded.select(
+        F.col("g").alias(group_col),
+        F.col("n_set").cast("long").alias("n_registers_set"),
+        F.round(est, decimals).alias("estimate"),
+    )
+
+
+def hll_group_sql(
+    table: str, group_col: str, col: str, p: int = 12, decimals: int = 4
+) -> str:
+    """DuckDB oracle for hll_group_cardinality."""
+    m = 1 << p
+    numer = repr(hll_alpha(m) * m * m * float(1 << 50))
+    rho_cap = 61 - p
+    return f"""
+WITH regs AS (
+  SELECT g, h % {m} AS idx,
+    MAX(CASE WHEN h // {m} = 0 THEN {rho_cap}
+             ELSE {rho_cap} - length(to_base(h // {m}, 2)) END) AS rho_max
+  FROM (
+    SELECT {group_col} AS g,
+      ('0x' || substring(md5(CAST({col} AS VARCHAR)), 1, 15))::BIGINT AS h
+    FROM {table}
+  ) GROUP BY 1, 2
+), folded AS (
+  SELECT g, COUNT(*) AS n_set,
+    SUM(CAST(2.0 ** (50 - rho_max) AS BIGINT)) AS s_set
+  FROM regs GROUP BY g
+)
+SELECT g AS {group_col}, CAST(n_set AS BIGINT) AS n_registers_set,
+  ROUND(CASE
+    WHEN {numer} / CAST(s_set + ({m} - n_set) * (1::BIGINT << 50) AS DOUBLE)
+           <= 2.5 * {m} AND ({m} - n_set) > 0
+    THEN {float(m)!r} * ln({float(m)!r} / CAST({m} - n_set AS DOUBLE))
+    ELSE {numer} / CAST(s_set + ({m} - n_set) * (1::BIGINT << 50) AS DOUBLE)
+  END, {decimals}) AS estimate
+FROM folded
+"""

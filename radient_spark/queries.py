@@ -5508,6 +5508,104 @@ GROUP BY t.source
 
 
 
+def q_hll_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source distinct-document estimates from one grouped-HLL pass
+    (operators/sketch.py hll_group_cardinality) joined against the
+    exact countDistinct baseline — the per-dimension cardinality
+    dashboard, sketch-verified by the oracle like q_hll_cardinalities.
+    """
+    from radient_spark.operators.sketch import hll_group_cardinality
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    est = hll_group_cardinality(docs, "source", "text", p=12)
+    exact = docs.groupBy("source").agg(
+        F.countDistinct("text").alias("exact_distinct")
+    )
+    return est.join(exact, "source").select(
+        "source", "exact_distinct", "n_registers_set", "estimate"
+    )
+
+
+def _hll_by_source_sql() -> str:
+    from radient_spark.operators.sketch import hll_group_sql
+
+    return f"""
+WITH est AS ({hll_group_sql("documents", "source", "text", p=12)}),
+exact AS (
+  SELECT source, COUNT(DISTINCT text) AS exact_distinct
+  FROM documents GROUP BY source
+)
+SELECT e.source, x.exact_distinct, e.n_registers_set, e.estimate
+FROM est e JOIN exact x ON e.source = x.source
+"""
+
+
+
+def q_normalization_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text-canonicalization audit: run normalize_text over the corpus
+    and report per source how many documents change, the total
+    character delta, and how many NEW exact-dup collisions
+    normalization exposes (distinct raw texts that collapse to the same
+    canonical form — the reason the pass runs before hash dedup).
+
+    Scale shape: map-only normalization (chained codegen regexes), one
+    source aggregate, plus a canonical-hash groupBy whose shuffle
+    carries 16-byte keys.
+    """
+    from radient_spark.functions.text import normalize_text
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    staged = docs.select(
+        "source",
+        "text",
+        normalize_text(F.col("text")).alias("canon"),
+    )
+    per_doc = staged.select(
+        "source",
+        (F.col("text") != F.col("canon")).cast("long").alias("changed"),
+        (F.length("text") - F.length("canon")).alias("delta"),
+        F.md5("text").alias("raw_h"),
+        F.md5("canon").alias("canon_h"),
+    )
+    base = per_doc.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("changed").alias("n_changed"),
+        F.sum("delta").alias("chars_removed"),
+        F.countDistinct("raw_h").alias("distinct_raw"),
+        F.countDistinct("canon_h").alias("distinct_canon"),
+    )
+    return base.select(
+        "source",
+        "n_docs",
+        "n_changed",
+        "chars_removed",
+        (F.col("distinct_raw") - F.col("distinct_canon")).alias(
+            "new_collisions"
+        ),
+    )
+
+
+def _normalization_sql() -> str:
+    from radient_spark.functions.text import normalize_sql_expr
+
+    canon = normalize_sql_expr("text")
+    return f"""
+WITH per_doc AS (
+  SELECT source,
+    CASE WHEN text <> {canon} THEN 1 ELSE 0 END AS changed,
+    length(text) - length({canon}) AS delta,
+    md5(text) AS raw_h, md5({canon}) AS canon_h
+  FROM documents
+)
+SELECT source, COUNT(*) AS n_docs,
+  CAST(SUM(changed) AS BIGINT) AS n_changed,
+  CAST(SUM(delta) AS BIGINT) AS chars_removed,
+  COUNT(DISTINCT raw_h) - COUNT(DISTINCT canon_h) AS new_collisions
+FROM per_doc GROUP BY source
+"""
+
+
+
 # ---------------------------------------------------------------------------
 # Registry
 
@@ -5649,6 +5747,8 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "q_cross_source_overlap": (q_cross_source_overlap, _Q_CROSS_SOURCE_SQL),
     "q_rolling_anomalies": (q_rolling_anomalies, _Q_ANOMALY_SQL),
     "q_oov_report": (q_oov_report, _Q_OOV_SQL),
+    "q_hll_by_source": (q_hll_by_source, _hll_by_source_sql()),
+    "q_normalization_audit": (q_normalization_audit, _normalization_sql()),
 }
 
 

@@ -268,3 +268,28 @@ def test_binary_quantize_partial_last_word(spark):
     df = spark.createDataFrame([(1, [1.0, -1.0, 1.0])], "id long, v array<double>")
     out = df.select(V.binary_quantize("v", 3, 32).alias("c")).collect()[0]["c"]
     assert out == [0b101]  # 3 dims pack into one word, high bits zero
+
+
+def test_normalize_text_folds_unicode_and_whitespace(spark):
+    from radient_spark.functions.text import normalize_text
+
+    rows = [
+        ("“Hello” — World…  extra space",),
+        ("hello  world",),
+    ]
+    df = spark.createDataFrame(rows, ["t"])
+    got = [r["c"] for r in df.select(normalize_text("t").alias("c")).collect()]
+    assert got[0] == '"hello" - world... extra space'
+    assert got[1] == "hello world"
+
+
+def test_normalize_text_exposes_dup_collisions(spark):
+    """Cosmetic variants must collapse to one canonical form — the
+    pre-hash-dedup contract."""
+    from pyspark.sql import functions as F
+    from radient_spark.functions.text import normalize_text
+
+    rows = [("Same   doc",), ("same doc",), ("SAME DOC",)]
+    df = spark.createDataFrame(rows, ["t"])
+    n = df.select(normalize_text("t").alias("c")).distinct().count()
+    assert n == 1
