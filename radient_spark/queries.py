@@ -3477,6 +3477,8 @@ def _pq_sql(
     seed: int = 42,
     shortlist: int = 80,
     topk: int = 10,
+    extra_ctes: list[str] | None = None,
+    cand_join: str = "",
 ) -> str:
     """PQ oracle: the _kmeans_cte unrolled-Lloyd trick, restricted per
     subspace to its dim range, plus a query lookup table over the final
@@ -3548,9 +3550,11 @@ def _pq_sql(
         for s in finals
     )
     total = " + ".join(f"l{s}.ld" for s in finals)
+    parts.extend(extra_ctes or [])
     parts.append(f"""short AS (
   SELECT a0.vec_id, ({total})::BIGINT AS pq_dist
   {joins}
+  {cand_join}
   ORDER BY pq_dist ASC, a0.vec_id ASC
   LIMIT {shortlist}
 ), rerank AS (
@@ -5606,6 +5610,186 @@ FROM per_doc GROUP BY source
 
 
 
+def q_correlation_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Pearson correlations of the lineitem numeric measures
+    (quantity, extendedprice, discount, tax) — the feature-drift /
+    multicollinearity screen, computed from ONE aggregate pass of
+    integer-cent sums. corr = (n*Sxy - Sx*Sy) / sqrt((n*Sxx - Sx^2) *
+    (n*Syy - Sy^2)): every S is an exact BIGINT (values have <= 2
+    decimals, quantized to cents), so the only float op is the final
+    ratio — identical cross-engine, rounded to 6 decimals.
+
+    Scale shape: one map-side-combined aggregate produces all 4 sums,
+    4 squares, and 6 cross-products in a single scan; the matrix
+    assembly is a driver-free Project over the 1-row result.
+    """
+    li = load_tables(spark, sf_dir)["lineitem"]
+    cols = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+    cents = {c: (F.col(c) * 100).cast("long") for c in cols}
+    # moments route through DECIMAL(38,0): n * SS overflows BIGINT for
+    # price-scale cents already at sf0.01 (the per-row product still
+    # fits int64; only the sums and the n*SS - S^2 terms need 128-bit)
+    dec = "decimal(38,0)"
+    aggs = [F.count(F.lit(1)).cast(dec).alias("n")]
+    for c in cols:
+        aggs.append(F.sum(cents[c].cast(dec)).alias(f"s_{c}"))
+        aggs.append(F.sum((cents[c] * cents[c]).cast(dec)).alias(f"ss_{c}"))
+    for i, a in enumerate(cols):
+        for b in cols[i + 1 :]:
+            aggs.append(
+                F.sum((cents[a] * cents[b]).cast(dec)).alias(f"sp_{a}_{b}")
+            )
+    wide = li.agg(*aggs)
+    parts = []
+    for i, a in enumerate(cols):
+        for b in cols[i + 1 :]:
+            num = F.col("n") * F.col(f"sp_{a}_{b}") - F.col(f"s_{a}") * F.col(
+                f"s_{b}"
+            )
+            den = F.sqrt(
+                (
+                    F.col("n") * F.col(f"ss_{a}")
+                    - F.col(f"s_{a}") * F.col(f"s_{a}")
+                ).cast("double")
+                * (
+                    F.col("n") * F.col(f"ss_{b}")
+                    - F.col(f"s_{b}") * F.col(f"s_{b}")
+                ).cast("double")
+            )
+            parts.append(
+                F.struct(
+                    F.lit(a).alias("col_a"),
+                    F.lit(b).alias("col_b"),
+                    F.round(num.cast("double") / den, 6).alias("pearson_r"),
+                )
+            )
+    return wide.select(F.explode(F.array(*parts)).alias("p")).select("p.*")
+
+
+def _correlation_sql() -> str:
+    cols = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+    c = {x: f"CAST({x} * 100 AS BIGINT)" for x in cols}
+    parts = []
+    for i, a in enumerate(cols):
+        for b in cols[i + 1 :]:
+            parts.append(f"""
+SELECT '{a}' AS col_a, '{b}' AS col_b,
+  ROUND(CAST(COUNT(*) * SUM({c[a]} * {c[b]}) - SUM({c[a]}) * SUM({c[b]})
+        AS DOUBLE)
+    / sqrt(CAST(COUNT(*) * SUM({c[a]} * {c[a]}) - SUM({c[a]}) * SUM({c[a]})
+           AS DOUBLE)
+         * CAST(COUNT(*) * SUM({c[b]} * {c[b]}) - SUM({c[b]}) * SUM({c[b]})
+           AS DOUBLE)), 6) AS pearson_r
+FROM lineitem""")
+    return "\nUNION ALL\n".join(parts)
+
+
+
+def q_ivfpq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ composed search — the production ANN shape: an integer-
+    lattice coarse quantizer (8 cells, 1 Lloyd iteration) prunes the
+    corpus to the 3 cells nearest the query, then PQ asymmetric-distance
+    scan + exact rerank runs over ONLY those candidates. Unlike the
+    degenerate-configuration exact oracles, this verifies REAL pruning
+    end-to-end: the coarse k-means, the probed-cell choice, the
+    candidate set, the ADC shortlist, and the rerank are all exact
+    integer arithmetic, so the composed DuckDB oracle hash-matches.
+
+    Scale shape: coarse assignment is a zero-shuffle literal-codebook
+    argmin; the probed-cell set is driver-computed from centroid
+    integers (no data scan); candidates never shuffle — the ADC scan is
+    per-row folds + TakeOrderedAndProject over ~n_probes/n_cells of the
+    corpus, and the rerank joins the tiny broadcast shortlist.
+    """
+    from radient_spark.operators.cluster import assign_clusters, kmeans_fit
+    from radient_spark.operators.quantize import (
+        pq_fit,
+        pq_quantize_query,
+        pq_topk,
+    )
+
+    COARSE_K, COARSE_ITERS, N_PROBES = 8, 1, 3
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    cents = kmeans_fit(
+        emb, "embedding", "vec_id", k=COARSE_K, iters=COARSE_ITERS, seed=42
+    )
+    q_micro = pq_quantize_query(QUERY_VEC)
+    ranked = sorted(
+        (sum((cv - qv) ** 2 for cv, qv in zip(c, q_micro)), i)
+        for i, c in enumerate(cents)
+    )
+    probed = [i for _, i in ranked[:N_PROBES]]
+    assigned = assign_clusters(emb, "embedding", cents, out_col="cell_id")
+    cand = assigned.filter(F.col("cell_id").isin(probed)).drop("cell_id")
+    books = pq_fit(emb, "embedding", "vec_id", m=16, k=16, iters=1, seed=42)
+    return pq_topk(cand, books, QUERY_VEC, k=10, shortlist=40)
+
+
+def _ivfpq_sql(
+    coarse_k: int = 8,
+    coarse_iters: int = 1,
+    n_probes: int = 3,
+    m: int = 16,
+    k: int = 16,
+    iters: int = 1,
+    seed: int = 42,
+    shortlist: int = 40,
+    topk: int = 10,
+) -> str:
+    """IVF-PQ oracle: the coarse quantizer unrolls as g-prefixed Lloyd
+    CTEs over the SAME pts/sd/qm base the PQ subspace CTEs use, the
+    probed cells rank centroids against the query lattice literals, and
+    the PQ shortlist joins the candidate set — one composed statement
+    verifying the whole pruned pipeline."""
+    coarse = [
+        f"""g0 AS (
+  SELECT sd.c, p.dim, p.v AS cv FROM sd JOIN pts p USING (vec_id)
+  WHERE sd.c < {coarse_k}
+)"""
+    ]
+    prev = "g0"
+    for it in range(1, coarse_iters + 1):
+        assign, cur = f"ga{it}", f"g{it}"
+        coarse.append(f"""{assign} AS (
+  SELECT p.vec_id, {prev}.c, SUM((p.v - {prev}.cv) * (p.v - {prev}.cv)) AS d
+  FROM pts p JOIN {prev} ON p.dim = {prev}.dim
+  GROUP BY p.vec_id, {prev}.c
+  QUALIFY row_number() OVER (PARTITION BY p.vec_id ORDER BY d, c) = 1
+), {cur} AS (
+  SELECT u.c, u.dim, COALESCE(gm.mv, u.cv) AS cv
+  FROM {prev} u LEFT JOIN (
+    SELECT {assign}.c, p.dim, SUM(p.v) // COUNT(*) AS mv
+    FROM {assign} JOIN pts p USING (vec_id)
+    GROUP BY {assign}.c, p.dim
+  ) gm ON u.c = gm.c AND u.dim = gm.dim
+)""")
+        prev = cur
+    coarse.append(f"""gaf AS (
+  SELECT p.vec_id, {prev}.c, SUM((p.v - {prev}.cv) * (p.v - {prev}.cv)) AS d
+  FROM pts p JOIN {prev} ON p.dim = {prev}.dim
+  GROUP BY p.vec_id, {prev}.c
+  QUALIFY row_number() OVER (PARTITION BY p.vec_id ORDER BY d, c) = 1
+), probed AS (
+  SELECT {prev}.c FROM {prev} JOIN qm ON qm.dim = {prev}.dim
+  GROUP BY {prev}.c
+  ORDER BY SUM((qm.qv - {prev}.cv) * (qm.qv - {prev}.cv)) ASC, {prev}.c ASC
+  LIMIT {n_probes}
+), cand AS (
+  SELECT gaf.vec_id FROM gaf JOIN probed USING (c)
+)""")
+    return _pq_sql(
+        m,
+        k,
+        iters,
+        seed,
+        shortlist,
+        topk,
+        extra_ctes=coarse,
+        cand_join="JOIN cand ON cand.vec_id = a0.vec_id",
+    )
+
+
+
 # ---------------------------------------------------------------------------
 # Registry
 
@@ -5749,6 +5933,8 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "q_oov_report": (q_oov_report, _Q_OOV_SQL),
     "q_hll_by_source": (q_hll_by_source, _hll_by_source_sql()),
     "q_normalization_audit": (q_normalization_audit, _normalization_sql()),
+    "q_correlation_matrix": (q_correlation_matrix, _correlation_sql()),
+    "q_ivfpq_search": (q_ivfpq_search, _ivfpq_sql()),
 }
 
 

@@ -149,3 +149,35 @@ def test_pack_unpack_edge_codes(spark):
         for r in unpack_codes(pack_codes(df, "codes"), "codes").collect()
     }
     assert out == {1: [0, 255, 1, 128], 2: [], 3: None}
+
+
+def test_ivfpq_recall_vs_exact(spark):
+    """Pruned IVF-PQ (3 of 8 cells, shortlist 40) must recover a
+    majority of the exact lattice top-10. The synthetic embeddings are
+    near-uniform — IVF's worst case, since neighbors scatter across
+    cells — so the floor is 0.5 at sf0.01 (500 vectors), not the 0.9+
+    clustered real-world corpora give."""
+    sf_dir = "/root/testdata/sf0.01"
+    from pyspark.sql import functions as F
+    from radient_spark.catalog import load_tables
+    from radient_spark.operators.cluster import micro_vec
+    from radient_spark.queries import QUERIES, QUERY_VEC
+    from radient_spark.operators.quantize import pq_quantize_query
+
+    got = {r["vec_id"] for r in QUERIES["q_ivfpq_search"][0](spark, sf_dir).collect()}
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    q = pq_quantize_query(QUERY_VEC)
+    qa = F.array(*[F.lit(int(v)) for v in q])
+    exact_d = F.aggregate(
+        F.zip_with(micro_vec(F.col("embedding")), qa, lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("long"),
+        lambda a, z: a + z,
+    )
+    exact = {
+        r["vec_id"]
+        for r in emb.select("vec_id", exact_d.alias("d"))
+        .orderBy("d", "vec_id")
+        .limit(10)
+        .collect()
+    }
+    assert len(got & exact) >= 5
