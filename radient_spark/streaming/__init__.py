@@ -367,3 +367,83 @@ def sketch_maintenance_sink(
         ).parquet(sketch_dir)
 
     return foreach_batch_sink(stream, checkpoint, batch_fn)
+
+
+def bloom_ingest_sink(
+    stream: DataFrame,
+    corpus_dir: str,
+    bloom_dir: str,
+    checkpoint: str,
+    text_col: str = "text",
+    m_bits: int = 1 << 18,
+    k: int = 5,
+):
+    """Bloom-accelerated incremental ingest — the production composition
+    of the gate: per micro-batch, rows are gated against a PERSISTED
+    bitmap of everything ever ingested; rows that fail the gate are
+    DEFINITELY new and skip the corpus anti-join entirely, while only
+    the maybe-dup fraction (true dups + the ~1% false positives) pays
+    for exact hash verification against the corpus. The bitmap then
+    absorbs the appended rows' positions (bit_or merge — idempotent, so
+    at-least-once replay converges, like the HLL sink).
+
+    At steady state with mostly-new data, per-batch cost approaches one
+    scan of the batch + a bitmap read of m/32 rows — the corpus is only
+    touched for the maybe-dup slice.
+    """
+    from radient_spark.operators.dedup import bloom_build, bloom_gate
+
+    def _parquet_exists(spark, d) -> bool:
+        jvm = spark.sparkContext._jvm
+        hconf = spark.sparkContext._jsc.hadoopConfiguration()
+        path = jvm.org.apache.hadoop.fs.Path(d)
+        fs = path.getFileSystem(hconf)
+        return fs.exists(path) and fs.globStatus(
+            jvm.org.apache.hadoop.fs.Path(d + "/*.parquet")
+        )
+
+    def batch_fn(df: DataFrame, epoch_id: int) -> None:
+        spark = df.sparkSession
+        batch = df.dropDuplicates([text_col])
+        if _parquet_exists(spark, bloom_dir):
+            bitmap = spark.read.parquet(bloom_dir)
+            gated = bloom_gate(batch, bitmap, text_col, m_bits, k)
+            new = gated.filter(~F.col("maybe_dup")).drop("maybe_dup")
+            maybe = gated.filter(F.col("maybe_dup")).drop("maybe_dup")
+            if _parquet_exists(spark, corpus_dir):
+                seen = (
+                    spark.read.parquet(corpus_dir)
+                    .select(F.md5(text_col).alias("__h"))
+                    .distinct()
+                )
+                verified = (
+                    maybe.withColumn("__h", F.md5(text_col))
+                    .join(seen, "__h", "left_anti")
+                    .drop("__h")
+                )
+            else:
+                verified = maybe
+            fresh = new.unionByName(verified)
+        else:
+            fresh = batch
+        # materialize before the writes: both the corpus append and the
+        # bitmap merge consume `fresh`, and the bitmap overwrite below
+        # must not observe a half-updated corpus read
+        fresh = fresh.localCheckpoint(eager=True)
+        fresh.write.mode("append").parquet(corpus_dir)
+        add = bloom_build(fresh.select(text_col), text_col, m_bits, k)
+        if _parquet_exists(spark, bloom_dir):
+            merged = (
+                spark.read.parquet(bloom_dir)
+                .unionByName(add)
+                .groupBy("word")
+                .agg(F.bit_or("bits").alias("bits"))
+            )
+        else:
+            merged = add
+        rows = merged.collect()
+        spark.createDataFrame(rows, merged.schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(bloom_dir)
+
+    return foreach_batch_sink(stream, checkpoint, batch_fn)

@@ -397,3 +397,50 @@ def test_sketch_maintenance_sink_converges_to_batch_sketch(spark, tmp_path):
     assert got == want
     est = hll_estimate(spark.read.parquet(sk_dir), p=10).collect()[0]
     assert abs(est["estimate"] - 900) / 900 < 0.15
+
+
+def test_bloom_ingest_sink_dedups_and_maintains_bitmap(spark, tmp_path):
+    """Two rounds through the bloom-gated ingest: the corpus must end up
+    exactly the distinct union (no false negatives ever lose data), and
+    the persisted bitmap must equal a fresh bloom over the final corpus
+    (the idempotent-merge contract)."""
+    from radient_spark.operators.dedup import bloom_build
+
+    in_dir, corpus, bloom, ck = (
+        str(tmp_path / "in"),
+        str(tmp_path / "corpus"),
+        str(tmp_path / "bloom"),
+        str(tmp_path / "ck_bloom"),
+    )
+    schema = "doc_id long, text string"
+    b1 = spark.createDataFrame(
+        [(1, "doc A"), (2, "doc B"), (3, "doc A")], schema
+    )
+    b1.write.mode("overwrite").parquet(in_dir)
+    stream = spark.readStream.schema(b1.schema).parquet(in_dir)
+    q = streaming.bloom_ingest_sink(stream, corpus, bloom, ck, m_bits=4096, k=3)
+    q.awaitTermination(120)
+    assert sorted(
+        r["text"] for r in spark.read.parquet(corpus).collect()
+    ) == ["doc A", "doc B"]
+
+    spark.createDataFrame([(4, "doc B"), (5, "doc C")], schema).write.mode(
+        "append"
+    ).parquet(in_dir)
+    stream2 = spark.readStream.schema(b1.schema).parquet(in_dir)
+    q2 = streaming.bloom_ingest_sink(stream2, corpus, bloom, ck, m_bits=4096, k=3)
+    q2.awaitTermination(120)
+    got = sorted(r["text"] for r in spark.read.parquet(corpus).collect())
+    assert got == ["doc A", "doc B", "doc C"]
+
+    want_bits = {
+        (r["word"], r["bits"])
+        for r in bloom_build(
+            spark.read.parquet(corpus).select("text"), "text", 4096, 3
+        ).collect()
+    }
+    got_bits = {
+        (r["word"], r["bits"])
+        for r in spark.read.parquet(bloom).collect()
+    }
+    assert got_bits == want_bits
