@@ -93,6 +93,10 @@ BENCH_QUERIES = [
     "q_cross_source_overlap",
     "q_rolling_anomalies",
     "q_oov_report",
+    "q_hll_by_source",
+    "q_normalization_audit",
+    "q_correlation_matrix",
+    "q_ivfpq_search",
 ]
 
 

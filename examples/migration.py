@@ -289,6 +289,29 @@ def main() -> None:
     )
     print("binary-quantized nearest:", ham.orderBy("h", "vec_id").first()["vec_id"])
 
+    # ------------------------------------------------------------------
+    # round-3 audit/sketch surfaces: bloom-gated ingest, hash-verified
+    # sketches, exact distributed percentiles, dataset-card profiling.
+    from radient_spark.operators.dataset import (
+        exact_group_quantiles,
+        profile_table,
+    )
+    from radient_spark.operators.dedup import bloom_build, bloom_gate
+    from radient_spark.operators.sketch import cms_build, hll_cardinality
+
+    bitmap = bloom_build(docs.select("text"), "text", m_bits=1 << 14, k=4)
+    gated = bloom_gate(docs.select("doc_id", "text"), bitmap, "text", 1 << 14, 4)
+    print("bloom maybe-dup rows:", gated.filter("maybe_dup").count())
+    print(
+        "hll distinct docs ~=",
+        hll_cardinality(docs, "text").first()["estimate"],
+    )
+    print("cms cells:", cms_build(docs.select(F.col("source").alias("tok")), "tok").count())
+    ev = load_tables(spark, SF_DIR)["events"]
+    pcts = exact_group_quantiles(ev, "event_type", "value", [0.5, 0.99])
+    print("exact percentile rows:", pcts.count())
+    print("profile rows:", profile_table(load_tables(spark, SF_DIR)["orders"]).count())
+
     print("migration example: all flows OK")
 
 
