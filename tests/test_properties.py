@@ -104,3 +104,59 @@ def test_resample_length_contract(n_in, sr_pair):
     assert out.shape[0] == 1
     assert abs(out.shape[1] - round(n_in * target / orig)) <= 1
     assert np.isfinite(out).all()
+
+
+def _py_hll_registers(keys: list[str], p: int) -> dict[int, int]:
+    """Pure-Python reference of the portable HLL register math."""
+    import hashlib
+
+    m = 1 << p
+    regs: dict[int, int] = {}
+    for key in keys:
+        h = int(hashlib.md5(key.encode()).hexdigest()[:15], 16)
+        idx = h % m
+        w = h >> p
+        rho = (61 - p) if w == 0 else (61 - p) - w.bit_length()
+        regs[idx] = max(regs.get(idx, 0), rho)
+    return regs
+
+
+@given(
+    st.lists(st.text(alphabet="abcdefg0123456789", min_size=1, max_size=12),
+             min_size=1, max_size=60),
+    st.sampled_from([6, 8, 10]),
+)
+@settings(max_examples=20, deadline=None)
+def test_hll_registers_match_python_reference(spark, keys, p):
+    from pyspark.sql import functions as F
+    from radient_spark.operators.sketch import hll_registers
+
+    df = spark.createDataFrame([(k,) for k in keys], ["k"])
+    got = {
+        r["idx"]: r["rho_max"]
+        for r in hll_registers(df, F.col("k"), p).collect()
+    }
+    assert got == _py_hll_registers(keys, p)
+
+
+@given(
+    st.lists(st.sampled_from(["a", "b", "c", "dd", "ee"]),
+             min_size=1, max_size=80),
+)
+@settings(max_examples=15, deadline=None)
+def test_cms_estimate_upper_bounds_truth(spark, toks):
+    from collections import Counter
+    from radient_spark.operators.sketch import cms_build, cms_estimate
+
+    df = spark.createDataFrame([(t,) for t in toks], ["tok"])
+    sk = cms_build(df, "tok", depth=3, width=32)
+    cand = spark.createDataFrame(
+        [(t,) for t in set(toks)], ["tok"]
+    )
+    est = {
+        r["tok"]: r["est"]
+        for r in cms_estimate(sk, cand, "tok", 3, 32).collect()
+    }
+    truth = Counter(toks)
+    for t, c in truth.items():
+        assert est[t] >= c
