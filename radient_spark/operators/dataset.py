@@ -585,6 +585,81 @@ def dsir_logweights(
     )
 
 
+def _distributed_rank(
+    df: DataFrame,
+    order_cols: list,
+    range_col: F.Column,
+    num_partitions: int | None = None,
+) -> tuple[DataFrame, int]:
+    """Exact global 1-based row rank over `order_cols` with NO
+    single-reducer sort (the shared engine under distributed_ntile,
+    distributed_cumsum-style selection, and sorted-neighborhood dedup):
+    stateless approxQuantile range boundaries over `range_col`
+    (ASCENDING-aligned with `order_cols`), one P-row occupancy collect,
+    then broadcast offsets + a per-range local row_number. Returns
+    (df + __dnt_rank, n_rows)."""
+    spark = df.sparkSession
+    P = num_partitions or spark.sparkContext.defaultParallelism
+    # Persist the keyed table: the boundary and count jobs plus the final
+    # action would otherwise each recompute the (possibly heavy) upstream
+    # lineage. Because bucket assignment is stateless given the collected
+    # boundary literals, cache EVICTION only costs recompute time, never
+    # correctness — so the cache is left to the session's LRU rather than
+    # eagerly unpersisted under the still-lazy result plan.
+    keyed = df.withColumn("__dnt_key", range_col.cast("double")).persist()
+    if P > 1:
+        probs = [i / P for i in range(1, P)]
+        bounds = sorted(
+            set(keyed.stat.approxQuantile("__dnt_key", probs, 0.001))
+        )
+    else:
+        bounds = []
+    pid = F.lit(0)
+    for b in bounds:
+        pid = pid + (F.col("__dnt_key") > F.lit(b)).cast("int")
+    keyed = keyed.withColumn("__dnt_pid", pid)
+    counts = {
+        r["__dnt_pid"]: r["cnt"]
+        for r in keyed.groupBy("__dnt_pid")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .collect()
+    }
+    n_rows = sum(counts.values())
+    if n_rows == 0:
+        return keyed.withColumn("__dnt_rank", F.lit(None).cast("long")), 0
+    offsets, acc = {}, 0
+    for p in sorted(counts):
+        offsets[p] = acc
+        acc += counts[p]
+    off = F.coalesce(
+        F.element_at(
+            F.create_map(
+                *[F.lit(x) for p_o in sorted(offsets.items()) for x in p_o]
+            ),
+            F.col("__dnt_pid"),
+        ),
+        F.lit(0),
+    )
+    local = Window.partitionBy("__dnt_pid").orderBy(*order_cols)
+    ranked = keyed.withColumn("__dnt_rank", off + F.row_number().over(local))
+    return ranked, n_rows
+
+
+def distributed_rank(
+    df: DataFrame,
+    order_cols: list,
+    range_col: F.Column,
+    out_col: str = "rank",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Public exact global rank: 1..N over `order_cols` (must be a total
+    order), never funneling the table through one reducer."""
+    ranked, _ = _distributed_rank(df, order_cols, range_col, num_partitions)
+    return ranked.withColumn(
+        out_col, F.col("__dnt_rank").cast("long")
+    ).drop("__dnt_key", "__dnt_pid", "__dnt_rank")
+
+
 def distributed_ntile(
     df: DataFrame,
     n_buckets: int,
@@ -619,50 +694,9 @@ def distributed_ntile(
     the tie); a fully-constant column degenerates to one reducer, the
     same cost NTILE pays always.
     """
-    spark = df.sparkSession
-    P = num_partitions or spark.sparkContext.defaultParallelism
-    # Persist the keyed table: the boundary and count jobs plus the final
-    # action would otherwise each recompute the (possibly heavy) upstream
-    # lineage. Because bucket assignment is stateless given the collected
-    # boundary literals, cache EVICTION only costs recompute time, never
-    # correctness — so the cache is left to the session's LRU rather than
-    # eagerly unpersisted under the still-lazy result plan.
-    keyed = df.withColumn("__dnt_key", range_col.cast("double")).persist()
-    if P > 1:
-        probs = [i / P for i in range(1, P)]
-        bounds = sorted(
-            set(keyed.stat.approxQuantile("__dnt_key", probs, 0.001))
-        )
-    else:
-        bounds = []
-    pid = F.lit(0)
-    for b in bounds:
-        pid = pid + (F.col("__dnt_key") > F.lit(b)).cast("int")
-    keyed = keyed.withColumn("__dnt_pid", pid)
-    counts = {
-        r["__dnt_pid"]: r["cnt"]
-        for r in keyed.groupBy("__dnt_pid")
-        .agg(F.count(F.lit(1)).alias("cnt"))
-        .collect()
-    }
-    n_rows = sum(counts.values())
+    ranked, n_rows = _distributed_rank(df, order_cols, range_col, num_partitions)
     if n_rows == 0:
         return df.withColumn(out_col, F.lit(None).cast("int"))
-    offsets, acc = {}, 0
-    for p in sorted(counts):
-        offsets[p] = acc
-        acc += counts[p]
-    off = F.coalesce(
-        F.element_at(
-            F.create_map(
-                *[F.lit(x) for p_o in sorted(offsets.items()) for x in p_o]
-            ),
-            F.col("__dnt_pid"),
-        ),
-        F.lit(0),
-    )
-    local = Window.partitionBy("__dnt_pid").orderBy(*order_cols)
-    ranked = keyed.withColumn("__dnt_rank", off + F.row_number().over(local))
     q, r = divmod(n_rows, n_buckets)
     if q == 0:
         bucket = F.col("__dnt_rank")  # N < n: NTILE assigns rank itself

@@ -585,3 +585,61 @@ def bloom_gate(
         != 0,
     )
     return batch.withColumn(out_col, hit_all)
+
+
+def sorted_neighborhood_pairs(
+    df: DataFrame,
+    key_col: str,
+    id_col: str,
+    window: int = 5,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Sorted-neighborhood candidate generation (Hernandez & Stolfo
+    1995), the third blocking strategy in the dedup family (besides
+    LSH-band bucketing and embedding clusters): order the corpus by a
+    blocking key and emit every pair within `window` positions —
+    near-duplicates with similar keys become neighbors regardless of
+    their hash buckets.
+
+    Distributed shape: the global order comes from the shared
+    distributed-rank engine (stateless range boundaries + per-range
+    windows — no single-reducer sort); neighbor pairs then join on
+    rank-block ids of width `window` (each left row duplicated into its
+    own and the next block), so the shuffle carries 2 rows per input
+    row and each joined cell compares only ~window^2 local candidates.
+    Output: (id_a, id_b, gap) with id_a earlier in key order.
+    """
+    from radient_spark.operators.dataset import distributed_rank
+
+    # order-preserving numeric proxy of the key's first 7 bytes (hex of
+    # a prefix is monotone in the string for ASCII keys); it only
+    # balances ranges — order correctness comes from order_cols
+    proxy = F.conv(F.hex(F.substring(F.col(key_col), 1, 7)), 16, 10)
+    ranked = distributed_rank(
+        df.select(F.col(id_col), F.col(key_col)),
+        [F.col(key_col).asc(), F.col(id_col).asc()],
+        proxy,
+        out_col="__rank",
+        num_partitions=num_partitions,
+    )
+    blk = ((F.col("__rank") - 1) / window).cast("long")
+    left = ranked.select(
+        F.col(id_col).alias("id_a"),
+        F.col("__rank").alias("rank_a"),
+        F.explode(F.array(blk, blk + 1)).alias("__blk"),
+    )
+    right = ranked.select(
+        F.col(id_col).alias("id_b"),
+        F.col("__rank").alias("rank_b"),
+        blk.alias("__blk"),
+    )
+    return (
+        left.join(right, "__blk")
+        .filter(
+            (F.col("rank_b") - F.col("rank_a") >= 1)
+            & (F.col("rank_b") - F.col("rank_a") <= window)
+        )
+        .select(
+            "id_a", "id_b", (F.col("rank_b") - F.col("rank_a")).alias("gap")
+        )
+    )

@@ -5790,6 +5790,80 @@ def _ivfpq_sql(
 
 
 
+def q_snm_dedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sorted-neighborhood dedup: block on the first 24 chars of the
+    canonical (normalized) text, emit candidate pairs within 5 positions
+    of the global key order, and verify each candidate by token-set
+    Jaccard >= 0.5 — the third blocking strategy in the dedup family
+    (key-locality, vs LSH hash-locality and embedding clusters), which
+    catches near-dups whose edits fall outside shingle windows.
+
+    Scale shape: the global key order comes from the distributed-rank
+    engine (no single-reducer sort); the neighbor join shuffles 2 small
+    rows per input row on rank-block ids; only candidate pairs (~window
+    per row) pay the token-set verify joins.
+    """
+    from radient_spark.functions.text import normalize_text
+    from radient_spark.operators.dedup import sorted_neighborhood_pairs
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    canon = docs.select(
+        "doc_id", normalize_text(F.col("text")).alias("canon")
+    )
+    keyed = canon.select(
+        "doc_id", F.substring("canon", 1, 24).alias("bkey")
+    )
+    pairs = sorted_neighborhood_pairs(keyed, "bkey", "doc_id", window=5)
+    toks = canon.select(
+        "doc_id",
+        F.array_distinct(F.split(F.trim("canon"), r"\s+")).alias("t"),
+    )
+    ta = toks.select(F.col("doc_id").alias("id_a"), F.col("t").alias("ta"))
+    tb = toks.select(F.col("doc_id").alias("id_b"), F.col("t").alias("tb"))
+    inter = F.size(F.array_intersect("ta", "tb"))
+    union = F.size("ta") + F.size("tb") - inter
+    return (
+        pairs.join(ta, "id_a")
+        .join(tb, "id_b")
+        .withColumn("jaccard", F.round(inter / union, 6))
+        .filter(F.col("jaccard") >= 0.5)
+        .select("id_a", "id_b", "gap", "jaccard")
+    )
+
+
+_Q_SNM_SQL_TEMPLATE = """
+WITH canon AS (
+  SELECT doc_id, {CANON} AS canon FROM documents
+), ranked AS (
+  SELECT doc_id, substring(canon, 1, 24) AS bkey,
+    row_number() OVER (ORDER BY substring(canon, 1, 24), doc_id) AS rn
+  FROM canon
+), pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, b.rn - a.rn AS gap
+  FROM ranked a JOIN ranked b ON b.rn - a.rn BETWEEN 1 AND 5
+), toks AS (
+  SELECT doc_id, list_distinct(regexp_split_to_array(trim(canon), '\\s+')) AS t
+  FROM canon
+), scored AS (
+  SELECT p.id_a, p.id_b, p.gap,
+    ROUND(len(list_intersect(ta.t, tb.t))::DOUBLE
+      / (len(ta.t) + len(tb.t) - len(list_intersect(ta.t, tb.t))), 6)
+      AS jaccard
+  FROM pairs p JOIN toks ta ON ta.doc_id = p.id_a
+  JOIN toks tb ON tb.doc_id = p.id_b
+)
+SELECT id_a, id_b, CAST(gap AS BIGINT) AS gap, jaccard
+FROM scored WHERE jaccard >= 0.5
+"""
+
+
+def _snm_sql() -> str:
+    from radient_spark.functions.text import normalize_sql_expr
+
+    return _Q_SNM_SQL_TEMPLATE.replace("{CANON}", normalize_sql_expr("text"))
+
+
+
 # ---------------------------------------------------------------------------
 # Registry
 
@@ -5935,6 +6009,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "q_normalization_audit": (q_normalization_audit, _normalization_sql()),
     "q_correlation_matrix": (q_correlation_matrix, _correlation_sql()),
     "q_ivfpq_search": (q_ivfpq_search, _ivfpq_sql()),
+    "q_snm_dedup_pairs": (q_snm_dedup_pairs, _snm_sql()),
 }
 
 

@@ -600,3 +600,24 @@ def test_cms_never_underestimates_and_merges(spark):
     whole = cms_build(df, "tok", 4, 64)
     assert merged.exceptAll(whole).count() == 0
     assert whole.exceptAll(merged).count() == 0
+
+
+def test_sorted_neighborhood_pairs_match_bruteforce(spark):
+    """Distributed rank-block pair generation == brute-force window
+    pairs over the sorted key order, including duplicate keys."""
+    from radient_spark.operators.dedup import sorted_neighborhood_pairs
+
+    rows = [(i, f"key{(i * 7) % 40:03d}") for i in range(120)]
+    df = spark.createDataFrame(rows, ["id", "k"]).repartition(8)
+    w = 4
+    got = {
+        (r["id_a"], r["id_b"], r["gap"])
+        for r in sorted_neighborhood_pairs(df, "k", "id", window=w).collect()
+    }
+    order = sorted(rows, key=lambda r: (r[1], r[0]))
+    want = {
+        (order[i][0], order[j][0], j - i)
+        for i in range(len(order))
+        for j in range(i + 1, min(i + w + 1, len(order)))
+    }
+    assert got == want
