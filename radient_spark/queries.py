@@ -5864,6 +5864,76 @@ def _snm_sql() -> str:
 
 
 
+def q_event_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Path mining: the 20 most common 3-step event-type sequences
+    inside 30-minute sessions (view>click>purchase and friends) — the
+    funnel-discovery complement to q_session_funnel's fixed funnel.
+
+    Scale shape: sessionization + the two lead() steps share ONE
+    user_id shuffle (same window partitioning, Exchange reuse), the
+    path count is map-side combined, and the top-20 is a
+    TakeOrderedAndProject — no global sort. Tie-broken by path string
+    for determinism.
+    """
+    ev = load_tables(spark, sf_dir)["events"]
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    flagged = (
+        ev.withColumn("prev_ts", F.lag("ts").over(w))
+        .withColumn(
+            "new_session",
+            F.when(
+                F.col("prev_ts").isNull()
+                | (F.col("ts") > F.col("prev_ts") + F.expr("INTERVAL 30 MINUTES")),
+                1,
+            ).otherwise(0),
+        )
+        .withColumn("session_id", F.sum("new_session").over(w))
+    )
+    ws = Window.partitionBy("user_id", "session_id").orderBy("ts", "event_id")
+    paths = (
+        flagged.withColumn("n1", F.lead("event_type", 1).over(ws))
+        .withColumn("n2", F.lead("event_type", 2).over(ws))
+        .filter(F.col("n2").isNotNull())
+        .withColumn(
+            "path",
+            F.concat_ws(">", F.col("event_type"), F.col("n1"), F.col("n2")),
+        )
+    )
+    return (
+        paths.groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n_occurrences"))
+        .orderBy(F.col("n_occurrences").desc(), F.col("path").asc())
+        .limit(20)
+    )
+
+
+_Q_EVENT_PATHS_SQL = """
+WITH flagged AS (
+  SELECT user_id, event_id, ts, event_type,
+    CASE WHEN lag(ts) OVER w IS NULL
+           OR ts > lag(ts) OVER w + INTERVAL 30 MINUTE
+         THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), sess AS (
+  SELECT *, SUM(new_session)
+      OVER (PARTITION BY user_id ORDER BY ts, event_id) AS session_id
+  FROM flagged
+), paths AS (
+  SELECT event_type || '>' || lead(event_type, 1) OVER ws
+           || '>' || lead(event_type, 2) OVER ws AS path,
+    lead(event_type, 2) OVER ws AS third
+  FROM sess
+  WINDOW ws AS (PARTITION BY user_id, session_id ORDER BY ts, event_id)
+)
+SELECT path, COUNT(*) AS n_occurrences
+FROM paths WHERE third IS NOT NULL
+GROUP BY path
+ORDER BY n_occurrences DESC, path ASC LIMIT 20
+"""
+
+
+
 # ---------------------------------------------------------------------------
 # Registry
 
@@ -6010,6 +6080,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "q_correlation_matrix": (q_correlation_matrix, _correlation_sql()),
     "q_ivfpq_search": (q_ivfpq_search, _ivfpq_sql()),
     "q_snm_dedup_pairs": (q_snm_dedup_pairs, _snm_sql()),
+    "q_event_paths": (q_event_paths, _Q_EVENT_PATHS_SQL),
 }
 
 
