@@ -643,3 +643,66 @@ def sorted_neighborhood_pairs(
             "id_a", "id_b", (F.col("rank_b") - F.col("rank_a")).alias("gap")
         )
     )
+
+
+def simhash_near_pairs(
+    sigs: DataFrame,
+    id_col: str = "doc_id",
+    sim_col: str = "simhash",
+    n_bits: int = 32,
+    bands: int = 4,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Near-duplicate pairs under a SimHash Hamming radius, by pigeonhole
+    banding: split the n-bit fingerprint into `bands` equal slices — two
+    fingerprints within Hamming distance `max_hamming` < bands MUST agree
+    on at least one whole slice (pigeonhole), so an equality self-join on
+    (band_idx, band_value) finds every qualifying pair, then an exact
+    bit_count(xor) filter keeps the true ones. No false negatives; the
+    only waste is band-collision verification.
+
+    Shuffle profile: like MinHash LSH — the self-join carries
+    (id, band_idx, band_value) 24-byte rows, `bands` per document,
+    independent of document size.
+    """
+    if bands <= max_hamming:
+        raise ValueError(
+            f"bands={bands} must exceed max_hamming={max_hamming} for the "
+            "pigeonhole guarantee (d < bands forces one untouched band)"
+        )
+    width = n_bits // bands
+    mask = (1 << width) - 1
+    banded = sigs.select(
+        F.col(id_col).alias("__id"),
+        F.col(sim_col).alias("__sh"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("bi"),
+                        F.shiftright(F.col(sim_col), i * width)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("bv"),
+                    )
+                    for i in range(bands)
+                ]
+            )
+        ).alias("b"),
+    ).select("__id", "__sh", "b.bi", "b.bv")
+    left = banded.alias("l")
+    right = banded.alias("r")
+    return (
+        left.join(
+            right,
+            (F.col("l.bi") == F.col("r.bi"))
+            & (F.col("l.bv") == F.col("r.bv"))
+            & (F.col("l.__id") < F.col("r.__id")),
+        )
+        .select(
+            F.col("l.__id").alias("id_a"),
+            F.col("r.__id").alias("id_b"),
+            hamming64(F.col("l.__sh"), F.col("r.__sh")).alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )

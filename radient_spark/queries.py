@@ -5934,6 +5934,56 @@ ORDER BY n_occurrences DESC, path ASC LIMIT 20
 
 
 
+def q_simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-duplicate pairs within Hamming distance 3, generated
+    by pigeonhole banding (4 x 8-bit slices of the 32-bit fingerprint:
+    d <= 3 forces one untouched slice, so band-equality join has NO
+    false negatives) and verified by exact bit_count(xor). Completes the
+    SimHash path from fingerprints (q_simhash_fingerprints) to pairs,
+    the same way MinHash goes signatures -> LSH bands -> pairs.
+    """
+    docs = load_tables(spark, sf_dir)["documents"]
+    sigs = D.with_simhash(
+        docs.filter(F.length(F.trim("text")) > 0),
+        text_col="text",
+        n_bits=32,
+        out_col="simhash32",
+    ).select("doc_id", "simhash32")
+    return D.simhash_near_pairs(
+        sigs, "doc_id", "simhash32", n_bits=32, bands=4, max_hamming=3
+    )
+
+
+_Q_SIMHASH_PAIRS_SQL = r"""
+WITH tk AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+  FROM documents WHERE length(trim(text)) > 0
+), h AS (
+  SELECT doc_id,
+    list_transform(toks, t -> ('0x' || substring(md5(t), 1, 8))::BIGINT) AS hs
+  FROM tk
+), sig AS (
+  SELECT doc_id,
+    CAST(list_sum(list_transform(generate_series(0, 31), b ->
+      CASE WHEN list_sum(list_transform(hs,
+             x -> CASE WHEN (x >> b) & 1 = 1 THEN 1 ELSE -1 END)) > 0
+           THEN (1::BIGINT << b) ELSE 0 END)) AS BIGINT) AS sh
+  FROM h
+), banded AS (
+  SELECT doc_id, sh, i AS bi, (sh >> (i * 8)) & 255 AS bv
+  FROM sig, unnest([0, 1, 2, 3]) AS t(i)
+), cand AS (
+  SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b,
+    bit_count(xor(l.sh, r.sh)) AS hamming
+  FROM banded l JOIN banded r
+    ON l.bi = r.bi AND l.bv = r.bv AND l.doc_id < r.doc_id
+)
+SELECT id_a, id_b, CAST(hamming AS INT) AS hamming
+FROM cand WHERE hamming <= 3
+"""
+
+
+
 # ---------------------------------------------------------------------------
 # Registry
 
@@ -6081,6 +6131,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "q_ivfpq_search": (q_ivfpq_search, _ivfpq_sql()),
     "q_snm_dedup_pairs": (q_snm_dedup_pairs, _snm_sql()),
     "q_event_paths": (q_event_paths, _Q_EVENT_PATHS_SQL),
+    "q_simhash_near_pairs": (q_simhash_near_pairs, _Q_SIMHASH_PAIRS_SQL),
 }
 
 

@@ -621,3 +621,31 @@ def test_sorted_neighborhood_pairs_match_bruteforce(spark):
         for j in range(i + 1, min(i + w + 1, len(order)))
     }
     assert got == want
+
+
+def test_simhash_near_pairs_complete_vs_bruteforce(spark):
+    """Pigeonhole banding must find EVERY pair within the Hamming radius
+    (no false negatives) and nothing outside it."""
+    from itertools import combinations
+    from radient_spark.operators.dedup import simhash_near_pairs
+
+    sigs = [
+        (1, 0b10101010101010101010101010101010),
+        (2, 0b10101010101010101010101010101011),  # d=1 from 1
+        (3, 0b10101010101010101010101010111011),  # d=2 from 2
+        (4, 0b01010101010101010101010101010101),  # far from all
+        (5, 0b10101010101010101010101010101010),  # d=0 from 1
+    ]
+    df = spark.createDataFrame(sigs, ["doc_id", "simhash"])
+    got = {
+        (r["id_a"], r["id_b"], r["hamming"])
+        for r in simhash_near_pairs(df, "doc_id", "simhash", 32, 4, 3).collect()
+    }
+    want = set()
+    d = dict(sigs)
+    for a, b in combinations(sorted(d), 2):
+        h = bin(d[a] ^ d[b]).count("1")
+        if h <= 3:
+            want.add((a, b, h))
+    assert got == want
+    assert (1, 5, 0) in got and not any(4 in (a, b) for a, b, _ in got)
