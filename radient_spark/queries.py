@@ -5984,6 +5984,79 @@ FROM cand WHERE hamming <= 3
 
 
 
+def q_hll_set_algebra(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch set algebra: distinct-document estimates for two sources,
+    their union (register-wise max — exact HLL union), and the
+    inclusion-exclusion intersection estimate |A|+|B|-|A∪B|, audited
+    against the exact intersection — how sketch pipelines answer
+    "how much do these feeds overlap?" without ever joining raw data.
+
+    Scale shape: three register-sized aggregations (the union sketch
+    merges the same pass); the exact audit is a distinct-hash
+    intersection only for the report.
+    """
+    from radient_spark.operators.sketch import hll_cardinality
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    a = docs.filter(F.col("source") == "src0").select("text")
+    b = docs.filter(F.col("source") == "src1").select("text")
+    est_a = hll_cardinality(a, "text").select(
+        F.col("estimate").alias("est_a")
+    )
+    est_b = hll_cardinality(b, "text").select(
+        F.col("estimate").alias("est_b")
+    )
+    est_u = hll_cardinality(a.unionAll(b), "text").select(
+        F.col("estimate").alias("est_union")
+    )
+    ka = a.select(F.md5("text").alias("h")).distinct()
+    kb = b.select(F.md5("text").alias("h")).distinct()
+    exact = ka.join(kb, "h").agg(
+        F.count(F.lit(1)).alias("exact_intersect")
+    )
+    return (
+        est_a.crossJoin(est_b)
+        .crossJoin(est_u)
+        .crossJoin(exact)
+        .select(
+            "est_a",
+            "est_b",
+            "est_union",
+            F.round(
+                F.col("est_a") + F.col("est_b") - F.col("est_union"), 4
+            ).alias("est_intersect"),
+            "exact_intersect",
+        )
+    )
+
+
+def _hll_set_algebra_sql() -> str:
+    from radient_spark.operators.sketch import hll_sql
+
+    sub_a = "(SELECT text FROM documents WHERE source = 'src0')"
+    sub_b = "(SELECT text FROM documents WHERE source = 'src1')"
+    sub_u = (
+        "(SELECT text FROM documents WHERE source = 'src0' "
+        "UNION ALL SELECT text FROM documents WHERE source = 'src1')"
+    )
+    return f"""
+WITH ea AS (SELECT estimate AS est_a FROM ({hll_sql(sub_a, "text")})),
+eb AS (SELECT estimate AS est_b FROM ({hll_sql(sub_b, "text")})),
+eu AS (SELECT estimate AS est_union FROM ({hll_sql(sub_u, "text")})),
+exact AS (
+  SELECT COUNT(*) AS exact_intersect FROM (
+    SELECT DISTINCT md5(text) AS h FROM documents WHERE source = 'src0'
+  ) a JOIN (
+    SELECT DISTINCT md5(text) AS h FROM documents WHERE source = 'src1'
+  ) b USING (h)
+)
+SELECT est_a, est_b, est_union,
+  ROUND(est_a + est_b - est_union, 4) AS est_intersect, exact_intersect
+FROM ea, eb, eu, exact
+"""
+
+
+
 # ---------------------------------------------------------------------------
 # Registry
 
@@ -6132,6 +6205,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "q_snm_dedup_pairs": (q_snm_dedup_pairs, _snm_sql()),
     "q_event_paths": (q_event_paths, _Q_EVENT_PATHS_SQL),
     "q_simhash_near_pairs": (q_simhash_near_pairs, _Q_SIMHASH_PAIRS_SQL),
+    "q_hll_set_algebra": (q_hll_set_algebra, _hll_set_algebra_sql()),
 }
 
 
