@@ -96,7 +96,10 @@ BENCH_QUERIES = [
     "q_hll_by_source",
     "q_normalization_audit",
     "q_correlation_matrix",
-    "q_ivfpq_search",
+    "q_snm_dedup_pairs",
+    "q_event_paths",
+    "q_simhash_near_pairs",
+    "q_hll_set_algebra",
 ]
 
 
@@ -189,6 +192,35 @@ def main() -> None:
         "noop"
     ).mode("overwrite").save()
     timings["q_pq_search"] = round(time.perf_counter() - start, 3)
+
+    # IVF-PQ is fit-once / search-many like ANN and PQ: the registry
+    # entry q_ivfpq_search re-fits both quantizers per call (the oracle
+    # needs the full deterministic pipeline); here the amortizable fits
+    # and the steady-state pruned search are timed separately.
+    from radient_spark.operators.cluster import assign_clusters, kmeans_fit
+    from radient_spark.operators.quantize import pq_quantize_query
+
+    start = time.perf_counter()
+    coarse = kmeans_fit(emb_pq, "embedding", "vec_id", k=8, iters=1, seed=42)
+    books_ivf = pq_fit(emb_pq, "embedding", "vec_id", m=16, k=16, iters=1, seed=42)
+    timings["q_ivfpq_fit"] = round(time.perf_counter() - start, 3)
+
+    start = time.perf_counter()
+    q_micro = pq_quantize_query(QUERY_VEC)
+    ranked = sorted(
+        (sum((cv - qv) ** 2 for cv, qv in zip(c, q_micro)), i)
+        for i, c in enumerate(coarse)
+    )
+    probed = [i for _, i in ranked[:3]]
+    cand = (
+        assign_clusters(emb_pq, "embedding", coarse, out_col="cell_id")
+        .filter(F.col("cell_id").isin(probed))
+        .drop("cell_id")
+    )
+    pq_topk(cand, books_ivf, QUERY_VEC, k=10, shortlist=40).write.format(
+        "noop"
+    ).mode("overwrite").save()
+    timings["q_ivfpq_search"] = round(time.perf_counter() - start, 3)
 
     print(
         json.dumps(
