@@ -935,3 +935,40 @@ def profile_table(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
     return wide.select(
         F.explode(F.array(*parts)).alias("p")
     ).select("p.*")
+
+
+def weighted_sample(
+    df: DataFrame,
+    weight_col: str,
+    id_col: str,
+    k: int,
+    seed: int = 42,
+    key_col: str = "sample_key",
+) -> DataFrame:
+    """Exact-k weighted sampling WITHOUT replacement (Efraimidis &
+    Spirakis 2006): each row draws u ~ U(0,1) and ranks by u^(1/w) —
+    the top-k keys are a weighted sample, with inclusion probability
+    proportional to weight. The training-data mixture sampler for
+    "sample 10M docs, long documents proportionally more often".
+
+    Determinism contract: u derives from the portable md5 bucket
+    ((bucket + 0.5) / SPLIT_BUCKETS — never exactly 0 or 1), the rank
+    key is ln(u)/w ROUNDED to 9 decimals (so both engines order the
+    same decimals; ties broken by id), and selection is top-k by
+    (key DESC, id) — a TakeOrderedAndProject, no shuffle of the data.
+    Stateless per row: append-consistent like hash_split.
+    """
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    bucket = str_hash(
+        F.concat_ws("_", F.lit(seed), F.col(id_col))
+    ) % SPLIT_BUCKETS
+    u = (bucket.cast("double") + 0.5) / SPLIT_BUCKETS
+    key = F.round(
+        F.log(u) / F.col(weight_col).cast("double"), 9
+    )
+    return (
+        df.withColumn(key_col, key)
+        .orderBy(F.col(key_col).desc(), F.col(id_col).asc())
+        .limit(k)
+    )

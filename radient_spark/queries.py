@@ -6057,6 +6057,40 @@ FROM ea, eb, eu, exact
 
 
 
+def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-20 weighted sample of documents, inclusion probability
+    proportional to document length (operators/dataset.py
+    weighted_sample — Efraimidis-Spirakis keys on portable md5 draws,
+    rounded so both engines order identical decimals). The "sample the
+    mixture, long docs more often" primitive of training-data
+    pipelines, as a TakeOrderedAndProject with zero data shuffle.
+    """
+    from radient_spark.operators.dataset import weighted_sample
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    return weighted_sample(
+        docs.select("doc_id", "source", "n_chars"),
+        "n_chars",
+        "doc_id",
+        k=20,
+    ).select("doc_id", "source", "n_chars", "sample_key")
+
+
+_Q_WEIGHTED_SAMPLE_SQL = """
+WITH keyed AS (
+  SELECT doc_id, source, n_chars,
+    ROUND(
+      ln((('0x' || substring(md5(concat_ws('_', 42, doc_id)), 1, 8))::BIGINT
+          % 10000 + 0.5) / 10000)
+      / CAST(n_chars AS DOUBLE), 9) AS sample_key
+  FROM documents
+)
+SELECT doc_id, source, n_chars, sample_key
+FROM keyed ORDER BY sample_key DESC, doc_id ASC LIMIT 20
+"""
+
+
+
 # ---------------------------------------------------------------------------
 # Registry
 
@@ -6206,6 +6240,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "q_event_paths": (q_event_paths, _Q_EVENT_PATHS_SQL),
     "q_simhash_near_pairs": (q_simhash_near_pairs, _Q_SIMHASH_PAIRS_SQL),
     "q_hll_set_algebra": (q_hll_set_algebra, _hll_set_algebra_sql()),
+    "q_weighted_sample": (q_weighted_sample, _Q_WEIGHTED_SAMPLE_SQL),
 }
 
 

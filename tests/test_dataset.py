@@ -314,3 +314,19 @@ def test_exact_group_quantiles_matches_naive(spark):
         for q in qs:
             want = float(vals[max(1, _m.ceil(q * len(vals))) - 1])
             assert got[(g, q)] == want, (g, q, got[(g, q)], want)
+
+
+def test_weighted_sample_biases_toward_heavy_rows(spark):
+    """Exact-k, deterministic, and weight-biased: the average weight of
+    the selected rows must exceed the population average, and repeated
+    runs select the identical set."""
+    from radient_spark.operators.dataset import weighted_sample
+
+    rows = [(i, 1 + (i % 10) * 100) for i in range(500)]
+    df = spark.createDataFrame(rows, ["id", "w"])
+    s1 = [r["id"] for r in weighted_sample(df, "w", "id", k=50).collect()]
+    s2 = [r["id"] for r in weighted_sample(df, "w", "id", k=50).collect()]
+    assert s1 == s2 and len(s1) == 50
+    avg_sel = sum(dict(rows)[i] for i in s1) / 50
+    avg_all = sum(w for _, w in rows) / 500
+    assert avg_sel > avg_all * 1.3
