@@ -611,10 +611,18 @@ def sorted_neighborhood_pairs(
     """
     from radient_spark.operators.dataset import distributed_rank
 
-    # order-preserving numeric proxy of the key's first 7 bytes (hex of
-    # a prefix is monotone in the string for ASCII keys); it only
-    # balances ranges — order correctness comes from order_cols
-    proxy = F.conv(F.hex(F.substring(F.col(key_col), 1, 7)), 16, 10)
+    # Order-preserving numeric proxy of the key's first 7 UTF-8 BYTES,
+    # zero-padded to fixed width: both Spark and DuckDB order strings by
+    # UTF-8 byte sequence, and 0x00-padding keeps prefixes sorting
+    # before their extensions — so the proxy is monotone for ANY key,
+    # variable-length and non-ASCII included. (_distributed_rank
+    # REQUIRES range alignment with order_cols; an unpadded hex proxy
+    # would rank every short key below every longer one.)
+    proxy = F.conv(
+        F.rpad(F.hex(F.substring(F.encode(F.col(key_col), "UTF-8"), 1, 7)), 14, "0"),
+        16,
+        10,
+    )
     ranked = distributed_rank(
         df.select(F.col(id_col), F.col(key_col)),
         [F.col(key_col).asc(), F.col(id_col).asc()],

@@ -649,3 +649,19 @@ def test_simhash_near_pairs_complete_vs_bruteforce(spark):
             want.add((a, b, h))
     assert got == want
     assert (1, 5, 0) in got and not any(4 in (a, b) for a, b, _ in got)
+
+
+def test_sorted_neighborhood_handles_variable_length_keys(spark):
+    """Zero-padded byte proxy must keep ranks correct when keys have
+    different lengths (an unpadded proxy ranks all short keys first)."""
+    from radient_spark.operators.dedup import sorted_neighborhood_pairs
+
+    rows = [(1, "ab"), (2, "zz"), (3, "abc"), (4, "aa"), (5, "zzz")]
+    df = spark.createDataFrame(rows, ["id", "k"]).repartition(3)
+    got = {
+        (r["id_a"], r["id_b"], r["gap"])
+        for r in sorted_neighborhood_pairs(df, "k", "id", window=1).collect()
+    }
+    # sorted key order: aa(4), ab(1), abc(3), zz(2), zzz(5)
+    want = {(4, 1, 1), (1, 3, 1), (3, 2, 1), (2, 5, 1)}
+    assert got == want
