@@ -222,12 +222,23 @@ def fastrp_embeddings(
         # acceptable for embedding dims; posexplode+two-shuffle variant is
         # the fallback for extreme skew.
         x = msgs.groupBy("node").agg(F.collect_list("vec").alias("vs"))
+        # Order-independent elementwise sum: each neighbor contribution
+        # casts to a fixed-scale DECIMAL before accumulation, so the sum
+        # is EXACT (bit-identical in any partition order and in the SQL
+        # oracle) and only then returns to double. A double fold's
+        # ~1e-15 order jitter is invisible at sf0.01 but at larger
+        # degree it lands values on the 6-decimal rounding grid — the
+        # scale-dependent hash-drift class the sf0.1 sweep caught.
+        dec = "decimal(30,15)"
         x = x.withColumn(
             "vec",
             F.aggregate(
                 "vs",
-                F.array_repeat(F.lit(0.0), dim),
-                lambda a, b: F.zip_with(a, b, lambda p, q: p + q),
+                F.array_repeat(F.lit(0).cast(dec), dim),
+                lambda a, b: F.zip_with(
+                    a, b, lambda p, q: (p + q.cast(dec)).cast(dec)
+                ),
+                lambda a: F.transform(a, lambda v: v.cast("double")),
             ),
         ).select("node", "vec")
         term = x.withColumn(

@@ -1397,11 +1397,13 @@ WITH edges AS (
       * 0.5 * 1.0 / (SELECT n_nodes FROM n) AS val
   FROM nodes CROSS JOIN dims
 ), x1 AS (
-  SELECT s.src AS node, x.j, SUM(x.val) AS val
+  SELECT s.src AS node, x.j,
+    CAST(SUM(CAST(x.val AS DECIMAL(30,15))) AS DOUBLE) AS val
   FROM sym s JOIN x0 x ON x.node = s.dst
   GROUP BY 1, 2
 ), x2 AS (
-  SELECT s.src AS node, x.j, SUM(x.val) AS val
+  SELECT s.src AS node, x.j,
+    CAST(SUM(CAST(x.val AS DECIMAL(30,15))) AS DOUBLE) AS val
   FROM sym s JOIN x1 x ON x.node = s.dst
   GROUP BY 1, 2
 )
