@@ -6093,6 +6093,98 @@ FROM keyed ORDER BY sample_key DESC, doc_id ASC LIMIT 20
 
 
 
+def q_timeseries_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series continuity audit: materialize the full hourly grid
+    over the events span x every event_type, left-join the actual
+    hourly counts, and report per type how many grid hours are silent
+    and the longest consecutive silent run — the monitoring query that
+    catches dead pipelines (a growing gap run) vs normal sparsity.
+
+    Scale shape: the grid is hours x types (time-bounded, data-size
+    independent) built by ONE sequence explode from a 1-row bounds
+    aggregate — no driver collect; the gap-run detection is a
+    gaps-and-islands window per type over grid rows (each reducer sees
+    one type's hours).
+    """
+    ev = load_tables(spark, sf_dir)["events"]
+    hours = ev.select(F.date_trunc("hour", "ts").alias("h"), "event_type")
+    bounds = hours.agg(
+        F.min("h").alias("h0"), F.max("h").alias("h1")
+    )
+    grid_h = bounds.select(
+        F.explode(
+            F.sequence(F.col("h0"), F.col("h1"), F.expr("INTERVAL 1 HOUR"))
+        ).alias("h")
+    )
+    types = hours.select("event_type").distinct()
+    grid = grid_h.crossJoin(types)
+    counts = hours.groupBy("event_type", "h").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    filled = grid.join(counts, ["event_type", "h"], "left").withColumn(
+        "is_gap", F.col("cnt").isNull().cast("int")
+    )
+    w = Window.partitionBy("event_type").orderBy("h")
+    islands = filled.withColumn(
+        "grp", F.sum(1 - F.col("is_gap")).over(w)
+    )
+    gap_runs = (
+        islands.filter(F.col("is_gap") == 1)
+        .groupBy("event_type", "grp")
+        .agg(F.count(F.lit(1)).alias("run"))
+    )
+    per_type = filled.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_hours"),
+        F.sum("is_gap").alias("n_gap_hours"),
+    )
+    max_runs = gap_runs.groupBy("event_type").agg(
+        F.max("run").alias("max_gap_run")
+    )
+    return per_type.join(max_runs, "event_type", "left").select(
+        "event_type",
+        "n_hours",
+        "n_gap_hours",
+        F.coalesce("max_gap_run", F.lit(0)).alias("max_gap_run"),
+    )
+
+
+_Q_GAPFILL_SQL = """
+WITH hours AS (
+  SELECT date_trunc('hour', ts) AS h, event_type FROM events
+), bounds AS (
+  SELECT MIN(h) AS h0, MAX(h) AS h1 FROM hours
+), grid_h AS (
+  SELECT unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS h FROM bounds
+), grid AS (
+  SELECT g.h, t.event_type
+  FROM grid_h g CROSS JOIN (SELECT DISTINCT event_type FROM hours) t
+), counts AS (
+  SELECT event_type, h, COUNT(*) AS cnt FROM hours GROUP BY 1, 2
+), filled AS (
+  SELECT g.event_type, g.h,
+    CASE WHEN c.cnt IS NULL THEN 1 ELSE 0 END AS is_gap
+  FROM grid g LEFT JOIN counts c USING (event_type, h)
+), islands AS (
+  SELECT event_type, h, is_gap,
+    SUM(1 - is_gap) OVER (PARTITION BY event_type ORDER BY h) AS grp
+  FROM filled
+), gap_runs AS (
+  SELECT event_type, grp, COUNT(*) AS run
+  FROM islands WHERE is_gap = 1 GROUP BY 1, 2
+), per_type AS (
+  SELECT event_type, COUNT(*) AS n_hours,
+    CAST(SUM(is_gap) AS BIGINT) AS n_gap_hours
+  FROM filled GROUP BY event_type
+), max_runs AS (
+  SELECT event_type, MAX(run) AS max_gap_run FROM gap_runs GROUP BY 1
+)
+SELECT p.event_type, p.n_hours, p.n_gap_hours,
+  COALESCE(m.max_gap_run, 0) AS max_gap_run
+FROM per_type p LEFT JOIN max_runs m USING (event_type)
+"""
+
+
+
 # ---------------------------------------------------------------------------
 # Registry
 
@@ -6243,6 +6335,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "q_simhash_near_pairs": (q_simhash_near_pairs, _Q_SIMHASH_PAIRS_SQL),
     "q_hll_set_algebra": (q_hll_set_algebra, _hll_set_algebra_sql()),
     "q_weighted_sample": (q_weighted_sample, _Q_WEIGHTED_SAMPLE_SQL),
+    "q_timeseries_gapfill": (q_timeseries_gapfill, _Q_GAPFILL_SQL),
 }
 
 
