@@ -67,9 +67,12 @@ def hll_estimate(regs: DataFrame, p: int = 12, decimals: int = 4) -> DataFrame:
     numer = hll_alpha(m) * m * m * float(1 << 50)
     folded = regs.agg(
         F.count(F.lit(1)).alias("n_set"),
-        F.sum(F.pow(F.lit(2.0), 50 - F.col("rho_max")).cast("long")).alias(
-            "s_set"
-        ),
+        # coalesce: an EMPTY sketch sums no rows -> all-zero registers,
+        # which the linear-counting branch turns into estimate 0
+        F.coalesce(
+            F.sum(F.pow(F.lit(2.0), 50 - F.col("rho_max")).cast("long")),
+            F.lit(0).cast("long"),
+        ).alias("s_set"),
     )
     s_total = F.col("s_set") + (F.lit(m) - F.col("n_set")) * F.lit(1 << 50)
     zeros = F.lit(m) - F.col("n_set")
@@ -112,7 +115,7 @@ WITH regs AS (
   ) GROUP BY 1
 ), folded AS (
   SELECT COUNT(*) AS n_set,
-    SUM(CAST(2.0 ** (50 - rho_max) AS BIGINT)) AS s_set
+    COALESCE(SUM(CAST(2.0 ** (50 - rho_max) AS BIGINT)), 0) AS s_set
   FROM regs
 )
 SELECT CAST(n_set AS BIGINT) AS n_registers_set,

@@ -356,3 +356,70 @@ def test_paragraph_dedup_partial_tail_chunk(spark):
     # 5 tokens -> chunks "p q", "r s", "t"
     assert r["n_chunks"] == 3 and r["n_kept"] == 3
     assert r["clean_text"] == "p q r s t"
+
+
+def test_bloom_empty_corpus_flags_nothing(spark):
+    from radient_spark.operators.dedup import bloom_build, bloom_gate
+
+    empty = spark.createDataFrame([], "text string")
+    batch = spark.createDataFrame([("a",), ("b",)], ["text"])
+    bitmap = bloom_build(empty, "text", 1024, 3)
+    out = bloom_gate(batch, bitmap, "text", 1024, 3).collect()
+    assert all(not r["maybe_dup"] for r in out)
+
+
+def test_hll_empty_and_single(spark):
+    from radient_spark.operators.sketch import hll_cardinality
+
+    empty = spark.createDataFrame([], "k string")
+    r = hll_cardinality(empty, "k", p=8).collect()[0]
+    assert r["n_registers_set"] == 0 and r["estimate"] == 0.0
+    one = spark.createDataFrame([("x",)], ["k"])
+    r1 = hll_cardinality(one, "k", p=8).collect()[0]
+    assert r1["n_registers_set"] == 1 and 0.5 < r1["estimate"] < 1.5
+
+
+def test_exact_group_quantiles_empty(spark):
+    from radient_spark.operators.dataset import exact_group_quantiles
+
+    empty = spark.createDataFrame([], "g string, v double")
+    assert exact_group_quantiles(empty, "g", "v", [0.5]).count() == 0
+
+
+def test_snm_window_exceeds_rows(spark):
+    from radient_spark.operators.dedup import sorted_neighborhood_pairs
+
+    df = spark.createDataFrame([(1, "a"), (2, "b")], ["id", "k"])
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in sorted_neighborhood_pairs(df, "k", "id", window=10).collect()
+    }
+    assert got == {(1, 2)}
+
+
+def test_simhash_pairs_validation_and_empty(spark):
+    import pytest as _pt
+    from radient_spark.operators.dedup import simhash_near_pairs
+
+    df = spark.createDataFrame([], "doc_id long, simhash long")
+    assert simhash_near_pairs(df, "doc_id", "simhash").count() == 0
+    with _pt.raises(ValueError, match="pigeonhole"):
+        simhash_near_pairs(df, "doc_id", "simhash", bands=3, max_hamming=3)
+
+
+def test_weighted_sample_k_exceeds_rows(spark):
+    from radient_spark.operators.dataset import weighted_sample
+
+    df = spark.createDataFrame([(1, 10), (2, 20)], ["id", "w"])
+    assert weighted_sample(df, "w", "id", k=50).count() == 2
+
+
+def test_profile_table_all_null_column(spark):
+    from radient_spark.operators.dataset import profile_table
+
+    df = spark.createDataFrame(
+        [(1, None), (2, None)], "id long, v double"
+    )
+    rows = {r["col_name"]: r for r in profile_table(df).collect()}
+    assert rows["v"]["n_nulls"] == 2 and rows["v"]["n_distinct"] == 0
+    assert rows["v"]["min_num"] is None
