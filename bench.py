@@ -100,6 +100,8 @@ BENCH_QUERIES = [
     "q_event_paths",
     "q_simhash_near_pairs",
     "q_hll_set_algebra",
+    "q_weighted_sample",
+    "q_timeseries_gapfill",
 ]
 
 
