@@ -21,7 +21,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from radient_spark.catalog import load_tables
+from radient_spark.catalog import load_tables, register_views
 from radient_spark.functions import vector as V
 from radient_spark.operators import dedup as D
 from radient_spark.operators.asof import asof_join
@@ -6185,6 +6185,132 @@ FROM per_type p LEFT JOIN max_runs m USING (event_type)
 
 
 
+def q_sql_api_nation_margin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The engine's second front door: ANSI SQL over registered views
+    (catalog.register_views + spark.sql) instead of the DataFrame DSL —
+    per-nation order margin with a window share. Catalyst compiles both
+    surfaces to the same plans, so everything in this registry could be
+    written either way; this query exists to exercise and pin the SQL
+    path itself.
+    """
+    register_views(spark, sf_dir)
+    return spark.sql("""
+        SELECT n.n_name AS nation,
+          COUNT(DISTINCT o.o_orderkey) AS n_orders,
+          CAST(SUM(CAST(ROUND(l.l_extendedprice * (1 - l.l_discount) * 100, 0) AS BIGINT))
+               AS DECIMAL(38,0)) AS revenue_cents,
+          ROUND(SUM(CAST(ROUND(l.l_extendedprice * (1 - l.l_discount) * 100, 0) AS BIGINT))
+                / SUM(SUM(CAST(ROUND(l.l_extendedprice * (1 - l.l_discount)
+                               * 100, 0) AS BIGINT))) OVER () * 100, 6)
+            AS revenue_share_pct
+        FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+        GROUP BY n.n_name
+    """)
+
+
+_Q_SQL_API_SQL = """
+SELECT n.n_name AS nation,
+  COUNT(DISTINCT o.o_orderkey) AS n_orders,
+  CAST(SUM(CAST(ROUND(l.l_extendedprice * (1 - l.l_discount) * 100, 0) AS BIGINT))
+       AS DECIMAL(38,0)) AS revenue_cents,
+  ROUND(SUM(CAST(ROUND(l.l_extendedprice * (1 - l.l_discount) * 100, 0) AS BIGINT))
+        / SUM(SUM(CAST(ROUND(l.l_extendedprice * (1 - l.l_discount)
+                       * 100, 0) AS BIGINT))) OVER () * 100, 6)
+    AS revenue_share_pct
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+GROUP BY n.n_name
+"""
+
+
+def q_cms_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language CMS frequency audit: one 4x128 sketch per language
+    over its token stream (cells keyed by (lang, row, slot) — the
+    grouped form, like q_hll_by_source), point-querying each language's
+    exact top-5 tokens. Shuffle is at most langs * d * w cells.
+    """
+    from radient_spark.functions import text as X
+    from radient_spark.functions.stage import stage
+    from radient_spark.operators.dedup import str_hash
+
+    DEPTH, WIDTH = 4, 128
+    docs = load_tables(spark, sf_dir)["documents"]
+    toks = stage(docs.select("lang", "text"), toks=X.tokens(F.col("text"))).select(
+        "lang", F.explode("toks").alias("tok")
+    )
+    cells = F.array(
+        *[
+            F.struct(
+                F.lit(r).alias("row"),
+                (
+                    str_hash(F.concat_ws("_", F.lit(r), F.col("tok"))) % WIDTH
+                ).alias("slot"),
+            )
+            for r in range(DEPTH)
+        ]
+    )
+    sketch = (
+        toks.select("lang", F.explode(cells).alias("c"))
+        .select("lang", "c.row", "c.slot")
+        .groupBy("lang", "row", "slot")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    w = Window.partitionBy("lang").orderBy(
+        F.col("exact_count").desc(), F.col("tok").asc()
+    )
+    top = (
+        toks.groupBy("lang", "tok")
+        .agg(F.count(F.lit(1)).alias("exact_count"))
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= 5)
+        .drop("__rn")
+    )
+    probes = top.select(
+        "lang", "tok", "exact_count", F.explode(cells).alias("p")
+    ).select("lang", "tok", "exact_count", "p.row", "p.slot")
+    return (
+        probes.join(F.broadcast(sketch), ["lang", "row", "slot"])
+        .groupBy("lang", "tok", "exact_count")
+        .agg(F.min("c").alias("cms_est"))
+    )
+
+
+_Q_CMS_LANG_SQL = """
+WITH toks AS (
+  SELECT lang, unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok
+  FROM documents
+), cells AS (
+  SELECT lang, r,
+    ('0x' || substring(md5(CAST(r AS VARCHAR) || '_' || tok), 1, 8))::BIGINT
+      % 128 AS slot,
+    COUNT(*) AS c
+  FROM toks, range(0, 4) t(r)
+  GROUP BY 1, 2, 3
+), top AS (
+  SELECT lang, tok, exact_count FROM (
+    SELECT lang, tok, COUNT(*) AS exact_count,
+      row_number() OVER (PARTITION BY lang
+                         ORDER BY COUNT(*) DESC, tok ASC) AS rn
+    FROM toks GROUP BY lang, tok
+  ) WHERE rn <= 5
+), probes AS (
+  SELECT t.lang, t.tok, t.exact_count, c.c
+  FROM top t, range(0, 4) r(r)
+  JOIN cells c ON c.lang = t.lang AND c.r = r.r
+    AND c.slot = ('0x' || substring(md5(CAST(r.r AS VARCHAR) || '_' || t.tok),
+                  1, 8))::BIGINT % 128
+)
+SELECT lang, tok, exact_count, MIN(c) AS cms_est
+FROM probes GROUP BY lang, tok, exact_count
+"""
+
+
+
 # ---------------------------------------------------------------------------
 # Registry
 
@@ -6336,6 +6462,8 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "q_hll_set_algebra": (q_hll_set_algebra, _hll_set_algebra_sql()),
     "q_weighted_sample": (q_weighted_sample, _Q_WEIGHTED_SAMPLE_SQL),
     "q_timeseries_gapfill": (q_timeseries_gapfill, _Q_GAPFILL_SQL),
+    "q_sql_api_nation_margin": (q_sql_api_nation_margin, _Q_SQL_API_SQL),
+    "q_cms_by_lang": (q_cms_by_lang, _Q_CMS_LANG_SQL),
 }
 
 
