@@ -102,6 +102,8 @@ BENCH_QUERIES = [
     "q_hll_set_algebra",
     "q_weighted_sample",
     "q_timeseries_gapfill",
+    "q_sql_api_nation_margin",
+    "q_cms_by_lang",
 ]
 
 
