@@ -699,6 +699,19 @@ def simhash_near_pairs(
     ).select("__id", "__sh", "b.bi", "b.bv")
     left = banded.alias("l")
     right = banded.alias("r")
+
+    def band(col, j):
+        return F.shiftright(col, j * width).bitwiseAND(F.lit(mask))
+
+    # first-collision rule replaces a distinct: both fingerprints ride
+    # the join, so "every band BEFORE bi differs" emits each pair from
+    # exactly one band — no dedup shuffle over the candidate pairs
+    first_collision = F.lit(True)
+    for j in range(bands - 1):
+        first_collision = first_collision & (
+            (F.col("l.bi") <= j)
+            | (band(F.col("l.__sh"), j) != band(F.col("r.__sh"), j))
+        )
     return (
         left.join(
             right,
@@ -706,11 +719,11 @@ def simhash_near_pairs(
             & (F.col("l.bv") == F.col("r.bv"))
             & (F.col("l.__id") < F.col("r.__id")),
         )
+        .filter(first_collision)
         .select(
             F.col("l.__id").alias("id_a"),
             F.col("r.__id").alias("id_b"),
             hamming64(F.col("l.__sh"), F.col("r.__sh")).alias("hamming"),
         )
-        .distinct()
         .filter(F.col("hamming") <= max_hamming)
     )
