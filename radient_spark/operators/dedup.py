@@ -146,32 +146,51 @@ def lsh_pairs_from_signatures(
     bucket-size cap can be added with a count filter before the join.
     """
     _validate_banding(bands, num_hashes)
+
+    def band_key(i):
+        return F.array_join(
+            F.transform(
+                F.slice(
+                    F.col(sig_col),
+                    F.lit(i) * (F.size(F.col(sig_col)) / bands).cast("int") + 1,
+                    (F.size(F.col(sig_col)) / bands).cast("int"),
+                ),
+                lambda x: x.cast("string"),
+            ),
+            "_",
+        )
+
+    # every band key rides along so the join can apply the
+    # first-collision rule (see below) without a second lookup
     banded = sigs.select(
         F.col(id_col).alias("__id"),
+        F.array(*[band_key(i) for i in range(bands)]).alias("__keys"),
         F.explode(
             F.array(
                 *[
                     F.struct(
-                        F.lit(i).alias("band_idx"),
-                        F.array_join(
-                            F.transform(
-                                F.slice(
-                                    F.col(sig_col),
-                                    F.lit(i) * (F.size(F.col(sig_col)) / bands).cast("int") + 1,
-                                    (F.size(F.col(sig_col)) / bands).cast("int"),
-                                ),
-                                lambda x: x.cast("string"),
-                            ),
-                            "_",
-                        ).alias("band_key"),
+                        F.lit(i).alias("band_idx"), band_key(i).alias("band_key")
                     )
                     for i in range(bands)
                 ]
             )
         ).alias("b"),
-    ).select("__id", "b.band_idx", "b.band_key")
+    ).select("__id", "__keys", "b.band_idx", "b.band_key")
     left = banded.alias("l")
     right = banded.alias("r")
+    # first-collision rule instead of a distinct: a pair sharing k bands
+    # would otherwise surface k times and pay a dedup shuffle over the
+    # whole candidate set; requiring every EARLIER band to differ emits
+    # each pair from exactly one band
+    first_collision = F.lit(True)
+    for j in range(bands - 1):
+        first_collision = first_collision & (
+            (F.col("l.band_idx") <= j)
+            | (
+                F.element_at(F.col("l.__keys"), j + 1)
+                != F.element_at(F.col("r.__keys"), j + 1)
+            )
+        )
     pairs = (
         left.join(
             right,
@@ -179,8 +198,8 @@ def lsh_pairs_from_signatures(
             & (F.col("l.band_key") == F.col("r.band_key"))
             & (F.col("l.__id") < F.col("r.__id")),
         )
+        .filter(first_collision)
         .select(F.col("l.__id").alias("id_a"), F.col("r.__id").alias("id_b"))
-        .distinct()
     )
     return pairs
 
