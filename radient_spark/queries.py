@@ -6311,6 +6311,79 @@ FROM probes GROUP BY lang, tok, exact_count
 
 
 
+def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix of event types within
+    30-minute sessions: P(next = b | current = a), the generative
+    summary behind path mining (q_event_paths gives the top raw
+    sequences; this gives the normalized model).
+
+    Scale shape: sessionization + one lead() share a single user_id
+    shuffle; the (a, b) count and per-a normalization are map-side
+    combined aggregates over |types|^2 rows. Probabilities round to 6
+    decimals from exact integer counts.
+    """
+    ev = load_tables(spark, sf_dir)["events"]
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    flagged = (
+        ev.withColumn("prev_ts", F.lag("ts").over(w))
+        .withColumn(
+            "new_session",
+            F.when(
+                F.col("prev_ts").isNull()
+                | (F.col("ts") > F.col("prev_ts") + F.expr("INTERVAL 30 MINUTES")),
+                1,
+            ).otherwise(0),
+        )
+        .withColumn("session_id", F.sum("new_session").over(w))
+    )
+    ws = Window.partitionBy("user_id", "session_id").orderBy("ts", "event_id")
+    steps = flagged.withColumn(
+        "next_type", F.lead("event_type").over(ws)
+    ).filter(F.col("next_type").isNotNull())
+    counts = steps.groupBy(
+        F.col("event_type").alias("from_type"),
+        F.col("next_type").alias("to_type"),
+    ).agg(F.count(F.lit(1)).alias("n_transitions"))
+    wa = Window.partitionBy("from_type")
+    return counts.select(
+        "from_type",
+        "to_type",
+        "n_transitions",
+        F.round(
+            F.col("n_transitions") / F.sum("n_transitions").over(wa), 6
+        ).alias("probability"),
+    )
+
+
+_Q_TRANSITIONS_SQL = """
+WITH flagged AS (
+  SELECT user_id, event_id, ts, event_type,
+    CASE WHEN lag(ts) OVER w IS NULL
+           OR ts > lag(ts) OVER w + INTERVAL 30 MINUTE
+         THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), sess AS (
+  SELECT *, SUM(new_session)
+      OVER (PARTITION BY user_id ORDER BY ts, event_id) AS session_id
+  FROM flagged
+), steps AS (
+  SELECT event_type AS from_type,
+    lead(event_type) OVER (PARTITION BY user_id, session_id
+                           ORDER BY ts, event_id) AS to_type
+  FROM sess
+), counts AS (
+  SELECT from_type, to_type, COUNT(*) AS n_transitions
+  FROM steps WHERE to_type IS NOT NULL GROUP BY 1, 2
+)
+SELECT from_type, to_type, n_transitions,
+  ROUND(n_transitions::DOUBLE
+        / SUM(n_transitions) OVER (PARTITION BY from_type), 6) AS probability
+FROM counts
+"""
+
+
+
 # ---------------------------------------------------------------------------
 # Registry
 
@@ -6464,6 +6537,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "q_timeseries_gapfill": (q_timeseries_gapfill, _Q_GAPFILL_SQL),
     "q_sql_api_nation_margin": (q_sql_api_nation_margin, _Q_SQL_API_SQL),
     "q_cms_by_lang": (q_cms_by_lang, _Q_CMS_LANG_SQL),
+    "q_event_transitions": (q_event_transitions, _Q_TRANSITIONS_SQL),
 }
 
 
