@@ -104,6 +104,8 @@ BENCH_QUERIES = [
     "q_timeseries_gapfill",
     "q_sql_api_nation_margin",
     "q_cms_by_lang",
+    "q_event_transitions",
+    "q_curation_pipeline_v3",
 ]
 
 

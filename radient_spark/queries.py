@@ -6384,6 +6384,144 @@ FROM counts
 
 
 
+def q_curation_pipeline_v3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-3 flagship composition — the bloom-gated ingest funnel as
+    ONE lazy plan: canonicalize (normalize_text) -> Bloom-gate the
+    ingest batch against the existing corpus -> exact-verify the
+    maybe-dups -> quality-gate the survivors -> weighted-sample the
+    final training slice (length-proportional, exact-k). Reports the
+    per-source funnel: batch size, gate-passed (definitely new), truly
+    new, quality-passed, selected.
+
+    Every stage is an operator with its own oracle-verified query
+    (q_normalization_audit, q_bloom_dedup_gate, q_quality_filter_report,
+    q_weighted_sample); this pins their COMPOSITION under one oracle.
+    Scale shape: map-only canonicalization + gate, md5-key anti
+    semantics via one broadcast-able seen-join, TakeOrderedAndProject
+    selection — the corpus is touched once to build the bitmap and the
+    seen keys.
+    """
+    from radient_spark.functions.text import normalize_text, quality_score
+    from radient_spark.operators.dataset import weighted_sample
+    from radient_spark.operators.dedup import bloom_build, bloom_gate
+
+    M, K = 2048, 3
+    docs = load_tables(spark, sf_dir)["documents"]
+    canon_all = docs.select(
+        "doc_id",
+        "source",
+        "n_chars",
+        normalize_text(F.col("text")).alias("canon"),
+    )
+    corpus = canon_all.filter(F.col("doc_id") % 10 != 0)
+    batch = canon_all.filter(F.col("doc_id") % 10 == 0)
+    bitmap = bloom_build(corpus.select("canon"), "canon", M, K)
+    gated = bloom_gate(batch, bitmap, "canon", M, K)
+    seen = corpus.select(F.md5("canon").alias("__h")).distinct()
+    flags = (
+        gated.withColumn("__h", F.md5("canon"))
+        .join(seen.withColumn("__seen", F.lit(True)), "__h", "left")
+        .withColumn("is_new", F.col("__seen").isNull())
+        .withColumn("quality", quality_score(F.col("canon")))
+        .withColumn("q_ok", F.col("is_new") & (F.col("quality") >= 0.5))
+    )
+    selected = weighted_sample(
+        flags.filter("q_ok").select("doc_id", "n_chars"),
+        "n_chars",
+        "doc_id",
+        k=40,
+    ).select("doc_id", F.lit(True).alias("sel"))
+    return (
+        flags.join(F.broadcast(selected), "doc_id", "left")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_batch"),
+            F.sum((~F.col("maybe_dup")).cast("long")).alias("n_def_new"),
+            F.sum(F.col("is_new").cast("long")).alias("n_true_new"),
+            F.sum(F.col("q_ok").cast("long")).alias("n_quality"),
+            F.sum(F.col("sel").isNotNull().cast("long")).alias("n_selected"),
+        )
+    )
+
+
+def _curation_v3_sql() -> str:
+    from radient_spark.functions.text import normalize_sql_expr
+
+    canon = normalize_sql_expr("text")
+    sw = ", ".join("'" + w + "'" for w in _SW)
+    quality = rf"""round(0.4 * least(CAST(
+      CASE WHEN length(trim(canon)) = 0 THEN 0
+           ELSE len(regexp_split_to_array(trim(canon), '\s+')) END
+      AS DOUBLE) / 50.0, 1.0)
+    + 0.4 * (CASE WHEN length(canon) = 0 THEN 0.0
+             ELSE CAST(length(regexp_replace(canon, '[^A-Za-z]', '', 'g')) AS DOUBLE)
+                  / length(canon) END)
+    + 0.2 * least((CASE WHEN
+        (CASE WHEN length(trim(canon)) = 0 THEN 0
+              ELSE len(regexp_split_to_array(trim(canon), '\s+')) END) = 0
+        THEN 0.0
+        ELSE CAST(len(list_filter(regexp_split_to_array(trim(lower(canon)), '\s+'),
+                                  x -> x IN ({sw}))) AS DOUBLE)
+             / (CASE WHEN length(trim(canon)) = 0 THEN 0
+                     ELSE len(regexp_split_to_array(trim(canon), '\s+')) END)
+        END) * 5.0, 1.0), 6)"""
+    return f"""
+WITH canon_all AS (
+  SELECT doc_id, source, n_chars, {canon} AS canon FROM documents
+), corpus AS (
+  SELECT * FROM canon_all WHERE doc_id % 10 <> 0
+), batch AS (
+  SELECT * FROM canon_all WHERE doc_id % 10 = 0
+), cpos AS (
+  SELECT DISTINCT (h1 + i * h2) % 2048 AS pos
+  FROM (
+    SELECT ('0x' || substring(md5(canon), 1, 15))::BIGINT % 2048 AS h1,
+           (('0x' || substring(md5(canon), 17, 15))::BIGINT % 2048) | 1 AS h2
+    FROM corpus
+  ), range(0, 3) t(i)
+), probes AS (
+  SELECT doc_id, (h1 + i * h2) % 2048 AS pos
+  FROM (
+    SELECT doc_id,
+           ('0x' || substring(md5(canon), 1, 15))::BIGINT % 2048 AS h1,
+           (('0x' || substring(md5(canon), 17, 15))::BIGINT % 2048) | 1 AS h2
+    FROM batch
+  ), range(0, 3) t(i)
+), gated AS (
+  SELECT p.doc_id, bool_and(c.pos IS NOT NULL) AS maybe_dup
+  FROM probes p LEFT JOIN cpos c USING (pos)
+  GROUP BY p.doc_id
+), seen AS (
+  SELECT DISTINCT md5(canon) AS h FROM corpus
+), flags AS (
+  SELECT b.doc_id, b.source, b.n_chars, g.maybe_dup,
+    (s.h IS NULL) AS is_new,
+    {quality} AS quality
+  FROM batch b
+  JOIN gated g USING (doc_id)
+  LEFT JOIN seen s ON md5(b.canon) = s.h
+), qok AS (
+  SELECT *, (is_new AND quality >= 0.5) AS q_ok FROM flags
+), selected AS (
+  SELECT doc_id FROM (
+    SELECT doc_id,
+      ROUND(ln((('0x' || substring(md5(concat_ws('_', 42, doc_id)), 1, 8))::BIGINT
+              % 10000 + 0.5) / 10000) / CAST(n_chars AS DOUBLE), 9) AS k
+    FROM qok WHERE q_ok
+  ) ORDER BY k DESC, doc_id ASC LIMIT 40
+)
+SELECT q.source, COUNT(*) AS n_batch,
+  CAST(SUM(CASE WHEN NOT q.maybe_dup THEN 1 ELSE 0 END) AS BIGINT) AS n_def_new,
+  CAST(SUM(CASE WHEN q.is_new THEN 1 ELSE 0 END) AS BIGINT) AS n_true_new,
+  CAST(SUM(CASE WHEN q.q_ok THEN 1 ELSE 0 END) AS BIGINT) AS n_quality,
+  CAST(SUM(CASE WHEN sel.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_selected
+FROM qok q LEFT JOIN selected sel ON q.doc_id = sel.doc_id
+GROUP BY q.source
+"""
+
+
+
 # ---------------------------------------------------------------------------
 # Registry
 
@@ -6538,6 +6676,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "q_sql_api_nation_margin": (q_sql_api_nation_margin, _Q_SQL_API_SQL),
     "q_cms_by_lang": (q_cms_by_lang, _Q_CMS_LANG_SQL),
     "q_event_transitions": (q_event_transitions, _Q_TRANSITIONS_SQL),
+    "q_curation_pipeline_v3": (q_curation_pipeline_v3, _curation_v3_sql()),
 }
 
 
