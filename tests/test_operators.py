@@ -665,3 +665,37 @@ def test_sorted_neighborhood_handles_variable_length_keys(spark):
     # sorted key order: aa(4), ab(1), abc(3), zz(2), zzz(5)
     want = {(4, 1, 1), (1, 3, 1), (3, 2, 1), (2, 5, 1)}
     assert got == want
+
+
+def test_workflow_composes_round3_audit_ops(spark):
+    """The reference's Workflow surface drives the round-3 operators
+    through the factory registry: canonical source -> bloom gate ->
+    profile, all as one lazy chain."""
+    from pyspark.sql import functions as F
+    from radient_spark.factory import make_operator
+    from radient_spark.operators.dedup import bloom_build
+
+    corpus = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(50)], "doc_id long, text string"
+    )
+    batch = spark.createDataFrame(
+        [(100 + i, f"doc {i * 2}") for i in range(30)],
+        "doc_id long, text string",
+    )
+    bitmap = bloom_build(corpus.select("text"), "text", 4096, 4)
+    gate = make_operator(
+        "dedup", "bloom_gate", bitmap=bitmap, key_col="text",
+        m_bits=4096, k=4,
+    )
+    profile = make_operator("dataset", "profile")
+    wf = (
+        Workflow()
+        .add(lambda **kw: kw["df"], "source")
+        .add(gate, "gate")
+        .add(lambda df: df.filter(~F.col("maybe_dup")).drop("maybe_dup"), "new_only")
+        .add(profile, "profile")
+    )
+    out = {r["col_name"]: r for r in wf.run(df=batch).collect()}
+    # docs 0..29 step2 -> "doc 0..58 even": those < 50 (25 rows) are dups
+    assert out["doc_id"]["n_rows"] == 5
+    assert out["text"]["n_distinct"] == 5
