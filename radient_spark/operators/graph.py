@@ -141,3 +141,54 @@ def pagerank_integer(
         ranks = new.cache()
         old.unpersist()
     return ranks.select("node", F.col("__r").cast("long").alias(rank_col))
+
+
+def triangle_count(
+    edges: DataFrame, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """Global triangle count by degree-ordered edge orientation (the
+    standard bounded-fanout formulation): orient every undirected edge
+    from its lower-(degree, id) endpoint to the higher one, join
+    oriented wedges a->b, b->c, and close them against oriented a->c.
+    Orientation bounds every node's out-degree by O(sqrt(|E|)) on any
+    graph, so the wedge join never explodes on hubs — the reason this
+    beats the naive three-way self-join at scale.
+
+    Returns a 1-row DataFrame (n_nodes, n_edges, n_triangles).
+    """
+    und = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .filter(F.col("a") != F.col("b"))
+        .select(
+            F.least("a", "b").alias("a"), F.greatest("a", "b").alias("b")
+        )
+        .distinct()
+    )
+    deg = (
+        und.select(F.col("a").alias("n"))
+        .union(und.select(F.col("b").alias("n")))
+        .groupBy("n")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    with_deg = (
+        und.join(deg.withColumnRenamed("n", "a").withColumnRenamed("d", "da"), "a")
+        .join(deg.withColumnRenamed("n", "b").withColumnRenamed("d", "db"), "b")
+    )
+    lower_first = (F.col("da") < F.col("db")) | (
+        (F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))
+    )
+    oriented = with_deg.select(
+        F.when(lower_first, F.col("a")).otherwise(F.col("b")).alias("u"),
+        F.when(lower_first, F.col("b")).otherwise(F.col("a")).alias("v"),
+    )
+    e1 = oriented.select(F.col("u").alias("x"), F.col("v").alias("y"))
+    e2 = oriented.select(F.col("u").alias("y"), F.col("v").alias("z"))
+    e3 = oriented.select(F.col("u").alias("x"), F.col("v").alias("z"))
+    wedges = e1.join(e2, "y")
+    tris = wedges.join(e3, ["x", "z"]).agg(
+        F.count(F.lit(1)).alias("n_triangles")
+    )
+    stats = und.agg(F.count(F.lit(1)).alias("n_edges")).crossJoin(
+        deg.agg(F.count(F.lit(1)).alias("n_nodes"))
+    )
+    return stats.crossJoin(tris).select("n_nodes", "n_edges", "n_triangles")

@@ -6522,6 +6522,74 @@ GROUP BY q.source
 
 
 
+def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle census of the supplier co-supply graph: suppliers are
+    linked when they ship the same part (hub parts with > 20 suppliers
+    are dropped — the standard projection cap that keeps co-occurrence
+    graphs from densifying at scale), counted by degree-ordered edge
+    orientation (operators/graph.py triangle_count — wedge fan-out
+    bounded by O(sqrt(E)) per node regardless of hubs).
+    """
+    from radient_spark.operators.graph import triangle_count
+
+    li = load_tables(spark, sf_dir)["lineitem"]
+    sp = li.select("l_suppkey", "l_partkey").distinct()
+    part_deg = sp.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("ns"))
+    small = sp.join(
+        part_deg.filter(F.col("ns") <= 20).select("l_partkey"), "l_partkey"
+    )
+    a = small.alias("a")
+    b = small.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.l_partkey") == F.col("b.l_partkey"))
+            & (F.col("a.l_suppkey") < F.col("b.l_suppkey")),
+        )
+        .select(
+            F.col("a.l_suppkey").alias("src"), F.col("b.l_suppkey").alias("dst")
+        )
+        .distinct()
+    )
+    return triangle_count(edges)
+
+
+_Q_TRIANGLE_SQL = """
+WITH sp AS (
+  SELECT DISTINCT l_suppkey, l_partkey FROM lineitem
+), small AS (
+  SELECT sp.* FROM sp JOIN (
+    SELECT l_partkey FROM sp GROUP BY l_partkey HAVING COUNT(*) <= 20
+  ) ok USING (l_partkey)
+), und AS (
+  SELECT DISTINCT a.l_suppkey AS a, b.l_suppkey AS b
+  FROM small a JOIN small b
+    ON a.l_partkey = b.l_partkey AND a.l_suppkey < b.l_suppkey
+), deg AS (
+  SELECT n, COUNT(*) AS d FROM (
+    SELECT a AS n FROM und UNION ALL SELECT b AS n FROM und
+  ) GROUP BY n
+), oriented AS (
+  SELECT CASE WHEN da < db OR (da = db AND a < b) THEN a ELSE b END AS u,
+         CASE WHEN da < db OR (da = db AND a < b) THEN b ELSE a END AS v
+  FROM und
+  JOIN deg x ON x.n = und.a
+  JOIN deg y ON y.n = und.b,
+  LATERAL (SELECT x.d AS da, y.d AS db)
+), tris AS (
+  SELECT COUNT(*) AS n_triangles
+  FROM oriented e1
+  JOIN oriented e2 ON e2.u = e1.v
+  JOIN oriented e3 ON e3.u = e1.u AND e3.v = e2.v
+)
+SELECT (SELECT COUNT(*) FROM deg) AS n_nodes,
+  (SELECT COUNT(*) FROM und) AS n_edges,
+  n_triangles
+FROM tris
+"""
+
+
+
 # ---------------------------------------------------------------------------
 # Registry
 
@@ -6677,6 +6745,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "q_cms_by_lang": (q_cms_by_lang, _Q_CMS_LANG_SQL),
     "q_event_transitions": (q_event_transitions, _Q_TRANSITIONS_SQL),
     "q_curation_pipeline_v3": (q_curation_pipeline_v3, _curation_v3_sql()),
+    "q_triangle_count": (q_triangle_count, _Q_TRIANGLE_SQL),
 }
 
 

@@ -60,3 +60,18 @@ def test_pagerank_empty_edges(spark):
     df = spark.createDataFrame([], "src long, dst long")
     assert pagerank(df).count() == 0
     assert pagerank_integer(df).count() == 0
+
+
+def test_triangle_count_known_graphs(spark):
+    from radient_spark.operators.graph import triangle_count
+
+    # K4 has 4 triangles; adding an isolated edge adds none
+    k4 = [(a, b) for a in range(4) for b in range(4) if a < b]
+    df = spark.createDataFrame(k4 + [(10, 11)], ["src", "dst"])
+    r = triangle_count(df).collect()[0]
+    assert (r["n_nodes"], r["n_edges"], r["n_triangles"]) == (6, 7, 4)
+
+    # duplicate + reversed edges must not inflate the count
+    noisy = k4 + [(b, a) for a, b in k4] + k4
+    r2 = triangle_count(spark.createDataFrame(noisy, ["src", "dst"])).collect()[0]
+    assert r2["n_triangles"] == 4
