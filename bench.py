@@ -106,6 +106,7 @@ BENCH_QUERIES = [
     "q_cms_by_lang",
     "q_event_transitions",
     "q_curation_pipeline_v3",
+    "q_triangle_count",
 ]
 
 
