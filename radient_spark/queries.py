@@ -6590,6 +6590,63 @@ FROM tris
 
 
 
+def q_native_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session statistics via Spark's NATIVE session_window aggregation
+    (the Catalyst operator batch and Structured Streaming share) rather
+    than the manual lag/sum sessionization the other session queries
+    pin — per user-session: event count and span seconds, rolled up to
+    a per-user session census. The oracle reproduces the identical
+    30-minute gap semantics with the manual windowing, proving the two
+    formulations equivalent.
+
+    Scale shape: one shuffle on the session-window grouping (user_id
+    co-partitioned), then a per-user rollup on the same key — Exchange
+    reuse, no extra sort.
+    """
+    ev = load_tables(spark, sf_dir)["events"]
+    sessions = ev.groupBy(
+        "user_id", F.session_window("ts", "30 minutes").alias("w")
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        (
+            F.unix_timestamp(F.max("ts")) - F.unix_timestamp(F.min("ts"))
+        ).alias("span_s"),
+    )
+    return sessions.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.sum("n_events").alias("n_events"),
+        F.max("span_s").alias("max_span_s"),
+        F.sum((F.col("n_events") == 1).cast("long")).alias("n_singletons"),
+    )
+
+
+_Q_NATIVE_SESSION_SQL = """
+WITH flagged AS (
+  SELECT user_id, ts, event_id,
+    CASE WHEN lag(ts) OVER w IS NULL
+           OR ts >= lag(ts) OVER w + INTERVAL 30 MINUTE
+         THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), sess AS (
+  SELECT user_id, ts, SUM(new_session)
+      OVER (PARTITION BY user_id ORDER BY ts, event_id) AS session_id
+  FROM flagged
+), per_session AS (
+  SELECT user_id, session_id, COUNT(*) AS n_events,
+    CAST(date_diff('second', MIN(ts), MAX(ts)) AS BIGINT) AS span_s
+  FROM sess GROUP BY user_id, session_id
+)
+SELECT user_id, COUNT(*) AS n_sessions,
+  CAST(SUM(n_events) AS BIGINT) AS n_events,
+  MAX(span_s) AS max_span_s,
+  CAST(SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_singletons
+FROM per_session GROUP BY user_id
+"""
+
+
+
 # ---------------------------------------------------------------------------
 # Registry
 
@@ -6746,6 +6803,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "q_event_transitions": (q_event_transitions, _Q_TRANSITIONS_SQL),
     "q_curation_pipeline_v3": (q_curation_pipeline_v3, _curation_v3_sql()),
     "q_triangle_count": (q_triangle_count, _Q_TRIANGLE_SQL),
+    "q_native_session_windows": (q_native_session_windows, _Q_NATIVE_SESSION_SQL),
 }
 
 
