@@ -6647,6 +6647,51 @@ FROM per_session GROUP BY user_id
 
 
 
+def q_weekly_p95_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly p50/p95 trend of purchase values — the SLA/spend monitor,
+    computed by the distributed order-statistic engine over a COMPOSITE
+    group key (event_type fixed, week varying): exact_group_quantiles
+    generalizes to any grouping by keying on a derived column, no
+    single-reducer percentile anywhere.
+    """
+    from radient_spark.operators.dataset import exact_group_quantiles
+
+    ev = load_tables(spark, sf_dir)["events"]
+    weekly = ev.filter(F.col("event_type") == "purchase").select(
+        F.date_format(F.date_trunc("week", "ts"), "yyyy-MM-dd").alias("week"),
+        "value",
+    )
+    long = exact_group_quantiles(weekly, "week", "value", [0.5, 0.95])
+    return (
+        long.groupBy("week")
+        .pivot("q", [0.5, 0.95])
+        .agg(F.first("value"))
+        .select(
+            "week",
+            F.col("`0.5`").alias("p50"),
+            F.col("`0.95`").alias("p95"),
+        )
+    )
+
+
+_Q_WEEKLY_P95_SQL = """
+WITH weekly AS (
+  SELECT strftime(date_trunc('week', ts), '%Y-%m-%d') AS week, value
+  FROM events WHERE event_type = 'purchase'
+), ranked AS (
+  SELECT week, value,
+    row_number() OVER (PARTITION BY week ORDER BY value) AS rn,
+    COUNT(*) OVER (PARTITION BY week) AS n
+  FROM weekly
+)
+SELECT week,
+  MAX(CASE WHEN rn = GREATEST(1, CAST(ceil(0.5  * n) AS BIGINT)) THEN value END) AS p50,
+  MAX(CASE WHEN rn = GREATEST(1, CAST(ceil(0.95 * n) AS BIGINT)) THEN value END) AS p95
+FROM ranked GROUP BY week
+"""
+
+
+
 # ---------------------------------------------------------------------------
 # Registry
 
@@ -6804,6 +6849,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "q_curation_pipeline_v3": (q_curation_pipeline_v3, _curation_v3_sql()),
     "q_triangle_count": (q_triangle_count, _Q_TRIANGLE_SQL),
     "q_native_session_windows": (q_native_session_windows, _Q_NATIVE_SESSION_SQL),
+    "q_weekly_p95_trend": (q_weekly_p95_trend, _Q_WEEKLY_P95_SQL),
 }
 
 
