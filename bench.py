@@ -107,6 +107,8 @@ BENCH_QUERIES = [
     "q_event_transitions",
     "q_curation_pipeline_v3",
     "q_triangle_count",
+    "q_native_session_windows",
+    "q_weekly_p95_trend",
 ]
 
 
