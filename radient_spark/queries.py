@@ -6692,6 +6692,146 @@ FROM ranked GROUP BY week
 
 
 
+def q_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier census per event_type: median and MAD (median
+    absolute deviation) via TWO passes of the distributed
+    order-statistic engine, then a count of values beyond
+    median +/- 3 * 1.4826 * MAD — the outlier detector that, unlike the
+    rolling z-score (q_rolling_anomalies), is immune to the outliers
+    inflating their own threshold.
+
+    Exactness contract: medians are exact order statistics of the
+    2-decimal values; |x - median| stays on the cent lattice, so the
+    MAD is exact too; the threshold comparison rounds the scaled MAD to
+    6 decimals on both engines.
+    """
+    from radient_spark.operators.dataset import exact_group_quantiles
+
+    ev = load_tables(spark, sf_dir)["events"]
+    med = exact_group_quantiles(ev, "event_type", "value", [0.5]).select(
+        F.col("event_type"), F.col("value").alias("med")
+    )
+    dev = ev.join(F.broadcast(med), "event_type").withColumn(
+        "adev", F.abs(F.col("value") - F.col("med"))
+    )
+    mad = exact_group_quantiles(dev, "event_type", "adev", [0.5]).select(
+        F.col("event_type"), F.col("value").alias("mad")
+    )
+    thresh = med.join(mad, "event_type").withColumn(
+        "cut", F.round(F.lit(3.0) * 1.4826 * F.col("mad"), 6)
+    )
+    return (
+        ev.join(F.broadcast(thresh), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.first("med").alias("median"),
+            F.first("mad").alias("mad"),
+            F.sum(
+                (F.abs(F.col("value") - F.col("med")) > F.col("cut")).cast(
+                    "long"
+                )
+            ).alias("n_outliers"),
+        )
+    )
+
+
+_Q_MAD_SQL = """
+WITH med AS (
+  SELECT event_type,
+    MAX(CASE WHEN rn = GREATEST(1, CAST(ceil(0.5 * n) AS BIGINT))
+        THEN value END) AS med
+  FROM (
+    SELECT event_type, value,
+      row_number() OVER (PARTITION BY event_type ORDER BY value) AS rn,
+      COUNT(*) OVER (PARTITION BY event_type) AS n
+    FROM events
+  ) GROUP BY event_type
+), dev AS (
+  SELECT e.event_type, e.value, m.med, ABS(e.value - m.med) AS adev
+  FROM events e JOIN med m USING (event_type)
+), mad AS (
+  SELECT event_type,
+    MAX(CASE WHEN rn = GREATEST(1, CAST(ceil(0.5 * n) AS BIGINT))
+        THEN adev END) AS mad
+  FROM (
+    SELECT event_type, adev,
+      row_number() OVER (PARTITION BY event_type ORDER BY adev) AS rn,
+      COUNT(*) OVER (PARTITION BY event_type) AS n
+    FROM dev
+  ) GROUP BY event_type
+), thresh AS (
+  SELECT m.event_type, m.med, d.mad,
+    ROUND(3.0 * 1.4826 * d.mad, 6) AS cut
+  FROM med m JOIN mad d USING (event_type)
+)
+SELECT e.event_type, COUNT(*) AS n_events,
+  MAX(t.med) AS median, MAX(t.mad) AS mad,
+  CAST(SUM(CASE WHEN ABS(e.value - t.med) > t.cut THEN 1 ELSE 0 END)
+       AS BIGINT) AS n_outliers
+FROM events e JOIN thresh t USING (event_type)
+GROUP BY e.event_type
+"""
+
+
+
+def q_negative_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic uniform negative sampling for contrastive training:
+    for each of the 10 anchor vectors, 5 candidates with a DIFFERENT
+    label, chosen by md5 rank — the random-negative half of the pair
+    miner (q_hard_negatives supplies the hard half). Stateless and
+    append-consistent like every sampler here: re-runs, engines, and
+    partitionings agree on the exact sample.
+
+    Scale shape: the anchor set broadcasts (10 rows); the corpus
+    streams through one join + a per-anchor row_number window whose
+    partitions are the anchors — each reducer ranks one anchor's
+    candidate hashes. For huge anchor batches, swap the window for a
+    per-anchor TakeOrdered via groupBy-aggregate of a bounded heap.
+    """
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    anchors = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("anchor_id"), F.col("label").alias("a_label")
+    )
+    cands = emb.select(F.col("vec_id").alias("neg_id"), "label")
+    paired = cands.join(
+        F.broadcast(anchors), F.col("label") != F.col("a_label")
+    )
+    key = F.conv(
+        F.substring(
+            F.md5(F.concat_ws("_", F.lit(42), "anchor_id", "neg_id")), 1, 15
+        ),
+        16,
+        10,
+    ).cast("long")
+    w = Window.partitionBy("anchor_id").orderBy(key.asc(), F.col("neg_id").asc())
+    return (
+        paired.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select("anchor_id", "neg_id", "rank")
+    )
+
+
+_Q_NEG_SAMPLES_SQL = """
+WITH anchors AS (
+  SELECT vec_id AS anchor_id, label AS a_label FROM embeddings
+  WHERE vec_id < 10
+), paired AS (
+  SELECT a.anchor_id, c.vec_id AS neg_id,
+    ('0x' || substring(md5(concat_ws('_', 42, a.anchor_id, c.vec_id)),
+             1, 15))::BIGINT AS k
+  FROM embeddings c JOIN anchors a ON c.label <> a.a_label
+)
+SELECT anchor_id, neg_id, CAST(rank AS INT) AS rank FROM (
+  SELECT anchor_id, neg_id,
+    row_number() OVER (PARTITION BY anchor_id ORDER BY k ASC, neg_id ASC)
+      AS rank
+  FROM paired
+) WHERE rank <= 5
+"""
+
+
+
 # ---------------------------------------------------------------------------
 # Registry
 
@@ -6850,6 +6990,8 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "q_triangle_count": (q_triangle_count, _Q_TRIANGLE_SQL),
     "q_native_session_windows": (q_native_session_windows, _Q_NATIVE_SESSION_SQL),
     "q_weekly_p95_trend": (q_weekly_p95_trend, _Q_WEEKLY_P95_SQL),
+    "q_mad_outliers": (q_mad_outliers, _Q_MAD_SQL),
+    "q_negative_samples": (q_negative_samples, _Q_NEG_SAMPLES_SQL),
 }
 
 
