@@ -6832,6 +6832,84 @@ SELECT anchor_id, neg_id, CAST(rank AS INT) AS rank FROM (
 
 
 
+def q_lang_drift_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-drift monitor: per source, the chi-square statistic
+    of its language distribution against the corpus-wide distribution —
+    the alarm that fires when one feed's language mix shifts (scraper
+    broke, geo rollout, injected spam).
+
+    Determinism: observed/expected derive from exact integer counts;
+    each (obs - exp)^2 / exp term rounds to 9 decimals and sums as
+    DECIMAL(28,9) — order-independent — then the statistic rounds to 6.
+
+    Scale shape: two map-side-combined aggregates (source x lang, and
+    lang) plus a broadcast of the ~|langs|-row corpus shares.
+    """
+    docs = load_tables(spark, sf_dir)["documents"]
+    sl = docs.groupBy("source", "lang").agg(F.count(F.lit(1)).alias("obs"))
+    totals = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n_lang"))
+    n_all = docs.agg(F.count(F.lit(1)).alias("n_all"))
+    src_tot = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n_src"))
+    # grid: every (source, lang) cell, zero-filled, so missing languages
+    # still contribute their expected mass
+    grid = src_tot.crossJoin(F.broadcast(totals)).crossJoin(
+        F.broadcast(n_all)
+    )
+    cells = grid.join(sl, ["source", "lang"], "left").withColumn(
+        "obs", F.coalesce("obs", F.lit(0))
+    )
+    exp = (
+        F.col("n_src").cast("double")
+        * F.col("n_lang").cast("double")
+        / F.col("n_all").cast("double")
+    )
+    term = F.round(
+        (F.col("obs").cast("double") - exp) * (F.col("obs").cast("double") - exp)
+        / exp,
+        9,
+    ).cast("decimal(28,9)")
+    return (
+        cells.withColumn("term", term)
+        .groupBy("source")
+        .agg(
+            F.first("n_src").alias("n_docs"),
+            F.round(F.sum("term").cast("double"), 6).alias("chi2"),
+        )
+    )
+
+
+_Q_LANG_DRIFT_SQL = """
+WITH sl AS (
+  SELECT source, lang, COUNT(*) AS obs FROM documents GROUP BY 1, 2
+), totals AS (
+  SELECT lang, COUNT(*) AS n_lang FROM documents GROUP BY 1
+), n_all AS (
+  SELECT COUNT(*) AS n_all FROM documents
+), src_tot AS (
+  SELECT source, COUNT(*) AS n_src FROM documents GROUP BY 1
+), cells AS (
+  SELECT s.source, t.lang, s.n_src, t.n_lang, a.n_all,
+    COALESCE(x.obs, 0) AS obs
+  FROM src_tot s CROSS JOIN totals t CROSS JOIN n_all a
+  LEFT JOIN sl x ON x.source = s.source AND x.lang = t.lang
+), terms AS (
+  SELECT source, n_src,
+    CAST(ROUND(
+      (CAST(obs AS DOUBLE) - CAST(n_src AS DOUBLE) * CAST(n_lang AS DOUBLE)
+         / CAST(n_all AS DOUBLE))
+      * (CAST(obs AS DOUBLE) - CAST(n_src AS DOUBLE) * CAST(n_lang AS DOUBLE)
+         / CAST(n_all AS DOUBLE))
+      / (CAST(n_src AS DOUBLE) * CAST(n_lang AS DOUBLE) / CAST(n_all AS DOUBLE)),
+      9) AS DECIMAL(28,9)) AS term
+  FROM cells
+)
+SELECT source, MAX(n_src) AS n_docs,
+  ROUND(CAST(SUM(term) AS DOUBLE), 6) AS chi2
+FROM terms GROUP BY source
+"""
+
+
+
 # ---------------------------------------------------------------------------
 # Registry
 
@@ -6992,6 +7070,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "q_weekly_p95_trend": (q_weekly_p95_trend, _Q_WEEKLY_P95_SQL),
     "q_mad_outliers": (q_mad_outliers, _Q_MAD_SQL),
     "q_negative_samples": (q_negative_samples, _Q_NEG_SAMPLES_SQL),
+    "q_lang_drift_chi2": (q_lang_drift_chi2, _Q_LANG_DRIFT_SQL),
 }
 
 
