@@ -109,6 +109,9 @@ BENCH_QUERIES = [
     "q_triangle_count",
     "q_native_session_windows",
     "q_weekly_p95_trend",
+    "q_mad_outliers",
+    "q_negative_samples",
+    "q_lang_drift_chi2",
 ]
 
 
