@@ -249,3 +249,26 @@ register("dataset", "quantiles")(
         **kw,
     )
 )
+
+register("dedup", "sorted_neighborhood")(
+    lambda **kw: functools.partial(dedup.sorted_neighborhood_pairs, **kw)
+)
+register("dedup", "simhash_pairs")(
+    lambda **kw: functools.partial(dedup.simhash_near_pairs, **kw)
+)
+register("dataset", "weighted_sample")(
+    lambda weight_col, id_col, k, **kw: functools.partial(
+        _dataset.weighted_sample, weight_col=weight_col, id_col=id_col, k=k, **kw
+    )
+)
+register("dataset", "rank")(
+    lambda order_cols, range_col, **kw: functools.partial(
+        _dataset.distributed_rank,
+        order_cols=order_cols,
+        range_col=range_col,
+        **kw,
+    )
+)
+register("graph", "triangles")(
+    lambda **kw: functools.partial(_graph.triangle_count, **kw)
+)
