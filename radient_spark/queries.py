@@ -6910,6 +6910,49 @@ FROM terms GROUP BY source
 
 
 
+def q_quantile_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile (percentile-rank) normalization of purchase values: each
+    value maps to (rank - 0.5) / n over the global sorted order — the
+    rank-gaussianization front half ML feature pipelines use for heavy-
+    tailed inputs. Ranks come from the distributed-rank engine: no
+    single-reducer sort at any size.
+    """
+    from radient_spark.operators.dataset import distributed_rank
+
+    ev = load_tables(spark, sf_dir)["events"]
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "value"
+    )
+    ranked = distributed_rank(
+        purchases,
+        [F.col("value").asc(), F.col("event_id").asc()],
+        F.col("value"),
+        out_col="rank",
+    )
+    n = ranked.agg(F.count(F.lit(1)).alias("n"))
+    return ranked.crossJoin(F.broadcast(n)).select(
+        "event_id",
+        "value",
+        F.round((F.col("rank") - 0.5) / F.col("n"), 6).alias("pct_rank"),
+    )
+
+
+_Q_QUANTILE_TRANSFORM_SQL = """
+WITH purchases AS (
+  SELECT event_id, value FROM events WHERE event_type = 'purchase'
+), ranked AS (
+  SELECT event_id, value,
+    row_number() OVER (ORDER BY value, event_id) AS rank,
+    COUNT(*) OVER () AS n
+  FROM purchases
+)
+SELECT event_id, value,
+  ROUND((rank - 0.5) / n, 6) AS pct_rank
+FROM ranked
+"""
+
+
+
 # ---------------------------------------------------------------------------
 # Registry
 
@@ -7071,6 +7114,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "q_mad_outliers": (q_mad_outliers, _Q_MAD_SQL),
     "q_negative_samples": (q_negative_samples, _Q_NEG_SAMPLES_SQL),
     "q_lang_drift_chi2": (q_lang_drift_chi2, _Q_LANG_DRIFT_SQL),
+    "q_quantile_transform": (q_quantile_transform, _Q_QUANTILE_TRANSFORM_SQL),
 }
 
 
