@@ -112,6 +112,8 @@ BENCH_QUERIES = [
     "q_mad_outliers",
     "q_negative_samples",
     "q_lang_drift_chi2",
+    "q_quantile_transform",
+    "q_token_pmi",
 ]
 
 

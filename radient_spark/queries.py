@@ -6953,6 +6953,109 @@ FROM ranked
 
 
 
+def q_token_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Association mining over token co-occurrence: among the corpus
+    top-50 tokens, the 20 pairs with highest pointwise mutual
+    information (PMI = ln(P(a,b) / P(a)P(b)) at document granularity,
+    support >= 5 docs) — the query-expansion / collocation-discovery
+    primitive.
+
+    Scale shape: the candidate vocabulary caps at 50 broadcast tokens,
+    so the per-doc pair explode is bounded at C(50,2) regardless of
+    document length; presence sets use array_intersect against the
+    broadcast vocab — the corpus is scanned once. PMI is one ln of an
+    exact integer ratio, rounded to 6.
+    """
+    from radient_spark.functions import text as X
+    from radient_spark.functions.stage import stage
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    toks = stage(
+        docs.select("doc_id", "text"), toks=X.tokens(F.col("text"))
+    )
+    flat = toks.select("doc_id", F.explode("toks").alias("tok"))
+    vocab = (
+        flat.select("doc_id", "tok")
+        .distinct()
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .orderBy(F.col("df").desc(), F.col("tok").asc())
+        .limit(50)
+    )
+    present = (
+        flat.join(F.broadcast(vocab.select("tok")), "tok")
+        .select("doc_id", "tok")
+        .distinct()
+    )
+    n_docs = docs.agg(F.count(F.lit(1)).alias("n"))
+    a = present.alias("a")
+    b = present.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.doc_id") == F.col("b.doc_id"))
+            & (F.col("a.tok") < F.col("b.tok")),
+        )
+        .groupBy(
+            F.col("a.tok").alias("tok_a"), F.col("b.tok").alias("tok_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+        .filter(F.col("n_ab") >= 5)
+    )
+    da = vocab.select(F.col("tok").alias("tok_a"), F.col("df").alias("n_a"))
+    db = vocab.select(F.col("tok").alias("tok_b"), F.col("df").alias("n_b"))
+    scored = (
+        pairs.join(F.broadcast(da), "tok_a")
+        .join(F.broadcast(db), "tok_b")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "pmi",
+            F.round(
+                F.log(
+                    (F.col("n_ab") * F.col("n")).cast("double")
+                    / (F.col("n_a") * F.col("n_b")).cast("double")
+                ),
+                6,
+            ),
+        )
+    )
+    return (
+        scored.select("tok_a", "tok_b", "n_ab", "pmi")
+        .orderBy(F.col("pmi").desc(), F.col("tok_a").asc(), F.col("tok_b").asc())
+        .limit(20)
+    )
+
+
+_Q_TOKEN_PMI_SQL = """
+WITH flat AS (
+  SELECT DISTINCT doc_id,
+    unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok
+  FROM documents
+), vocab AS (
+  SELECT tok, COUNT(*) AS df FROM flat GROUP BY tok
+  ORDER BY df DESC, tok ASC LIMIT 50
+), present AS (
+  SELECT f.doc_id, f.tok FROM flat f JOIN vocab v USING (tok)
+), n_docs AS (
+  SELECT COUNT(*) AS n FROM documents
+), pairs AS (
+  SELECT a.tok AS tok_a, b.tok AS tok_b, COUNT(*) AS n_ab
+  FROM present a JOIN present b
+    ON a.doc_id = b.doc_id AND a.tok < b.tok
+  GROUP BY 1, 2 HAVING COUNT(*) >= 5
+)
+SELECT p.tok_a, p.tok_b, p.n_ab,
+  ROUND(ln(CAST(p.n_ab * n.n AS DOUBLE)
+           / CAST(va.df * vb.df AS DOUBLE)), 6) AS pmi
+FROM pairs p
+JOIN vocab va ON va.tok = p.tok_a
+JOIN vocab vb ON vb.tok = p.tok_b
+CROSS JOIN n_docs n
+ORDER BY pmi DESC, tok_a ASC, tok_b ASC LIMIT 20
+"""
+
+
+
 # ---------------------------------------------------------------------------
 # Registry
 
@@ -7115,6 +7218,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "q_negative_samples": (q_negative_samples, _Q_NEG_SAMPLES_SQL),
     "q_lang_drift_chi2": (q_lang_drift_chi2, _Q_LANG_DRIFT_SQL),
     "q_quantile_transform": (q_quantile_transform, _Q_QUANTILE_TRANSFORM_SQL),
+    "q_token_pmi": (q_token_pmi, _Q_TOKEN_PMI_SQL),
 }
 
 
