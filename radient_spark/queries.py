@@ -7056,6 +7056,67 @@ ORDER BY pmi DESC, tok_a ASC, tok_b ASC LIMIT 20
 
 
 
+def q_trend_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type OLS trend of value over time: slope (cents per
+    day) and intercept from one aggregate pass of exact integer moments
+    (x = epoch days since 2024-01-01 as integers, y = value cents;
+    sums route through DECIMAL(38,0) like the correlation matrix, so
+    the only float ops are the two final divisions, rounded to 6).
+    The drift detector behind "is this feed's spend trending?".
+    """
+    ev = load_tables(spark, sf_dir)["events"]
+    dec = "decimal(38,0)"
+    x = F.datediff(F.col("ts").cast("date"), F.lit("2024-01-01").cast("date")).cast(
+        "long"
+    )
+    y = F.round(F.col("value") * 100, 0).cast("long")
+    m = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast(dec).alias("n"),
+        F.sum(x.cast(dec)).alias("sx"),
+        F.sum(y.cast(dec)).alias("sy"),
+        F.sum((x * x).cast(dec)).alias("sxx"),
+        F.sum((x * y).cast(dec)).alias("sxy"),
+    )
+    den = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    slope = (
+        (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+        / den
+    )
+    intercept = (
+        F.col("sy").cast("double") - slope * F.col("sx").cast("double")
+    ) / F.col("n").cast("double")
+    return m.select(
+        "event_type",
+        F.col("n").cast("long").alias("n_events"),
+        F.round(slope, 6).alias("slope_cents_per_day"),
+        F.round(intercept, 6).alias("intercept_cents"),
+    )
+
+
+_Q_TREND_SQL = """
+WITH m AS (
+  SELECT event_type, COUNT(*) AS n,
+    SUM(CAST(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS HUGEINT))
+      AS sx,
+    SUM(CAST(CAST(ROUND(value * 100, 0) AS BIGINT) AS HUGEINT)) AS sy,
+    SUM(CAST(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS HUGEINT)
+        * date_diff('day', DATE '2024-01-01', CAST(ts AS DATE))) AS sxx,
+    SUM(CAST(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS HUGEINT)
+        * CAST(ROUND(value * 100, 0) AS BIGINT)) AS sxy
+  FROM events GROUP BY event_type
+)
+SELECT event_type, CAST(n AS BIGINT) AS n_events,
+  ROUND(CAST(n * sxy - sx * sy AS DOUBLE)
+        / CAST(n * sxx - sx * sx AS DOUBLE), 6) AS slope_cents_per_day,
+  ROUND((CAST(sy AS DOUBLE)
+         - CAST(n * sxy - sx * sy AS DOUBLE)
+           / CAST(n * sxx - sx * sx AS DOUBLE) * CAST(sx AS DOUBLE))
+        / CAST(n AS DOUBLE), 6) AS intercept_cents
+FROM m
+"""
+
+
+
 # ---------------------------------------------------------------------------
 # Registry
 
@@ -7219,6 +7280,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "q_lang_drift_chi2": (q_lang_drift_chi2, _Q_LANG_DRIFT_SQL),
     "q_quantile_transform": (q_quantile_transform, _Q_QUANTILE_TRANSFORM_SQL),
     "q_token_pmi": (q_token_pmi, _Q_TOKEN_PMI_SQL),
+    "q_trend_regression": (q_trend_regression, _Q_TREND_SQL),
 }
 
 
