@@ -114,6 +114,7 @@ BENCH_QUERIES = [
     "q_lang_drift_chi2",
     "q_quantile_transform",
     "q_token_pmi",
+    "q_trend_regression",
 ]
 
 
