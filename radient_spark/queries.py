@@ -7117,6 +7117,61 @@ FROM m
 
 
 
+def q_edit_distance_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Record-linkage fuzzy matching: sorted-neighborhood candidates
+    verified by Levenshtein edit distance <= 15 on the canonical text —
+    the character-level near-dup complement to token-set Jaccard
+    (q_snm_dedup_pairs): it catches small in-word edits Jaccard's
+    whitespace tokens miss. Both engines implement the same classic DP
+    levenshtein, so the distances are exact integers.
+
+    Scale shape: candidate generation is the distributed-rank
+    neighborhood join; the O(len^2) edit-distance DP runs ONLY on
+    candidate pairs (~window per row), never all pairs.
+    """
+    from radient_spark.functions.text import normalize_text
+    from radient_spark.operators.dedup import sorted_neighborhood_pairs
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    canon = docs.select(
+        "doc_id", normalize_text(F.col("text")).alias("canon")
+    )
+    keyed = canon.select(
+        "doc_id", F.substring("canon", 1, 24).alias("bkey")
+    )
+    pairs = sorted_neighborhood_pairs(keyed, "bkey", "doc_id", window=5)
+    ta = canon.select(F.col("doc_id").alias("id_a"), F.col("canon").alias("ca"))
+    tb = canon.select(F.col("doc_id").alias("id_b"), F.col("canon").alias("cb"))
+    return (
+        pairs.join(ta, "id_a")
+        .join(tb, "id_b")
+        .withColumn("edit_dist", F.levenshtein("ca", "cb"))
+        .filter(F.col("edit_dist") <= 15)
+        .select("id_a", "id_b", "edit_dist")
+    )
+
+
+def _edit_distance_sql() -> str:
+    from radient_spark.functions.text import normalize_sql_expr
+
+    canon = normalize_sql_expr("text")
+    return f"""
+WITH canon AS (
+  SELECT doc_id, {canon} AS canon FROM documents
+), ranked AS (
+  SELECT doc_id, canon,
+    row_number() OVER (ORDER BY substring(canon, 1, 24), doc_id) AS rn
+  FROM canon
+), pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.canon AS ca, b.canon AS cb
+  FROM ranked a JOIN ranked b ON b.rn - a.rn BETWEEN 1 AND 5
+)
+SELECT id_a, id_b, CAST(levenshtein(ca, cb) AS INT) AS edit_dist
+FROM pairs WHERE levenshtein(ca, cb) <= 15
+"""
+
+
+
 # ---------------------------------------------------------------------------
 # Registry
 
@@ -7281,6 +7336,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "q_quantile_transform": (q_quantile_transform, _Q_QUANTILE_TRANSFORM_SQL),
     "q_token_pmi": (q_token_pmi, _Q_TOKEN_PMI_SQL),
     "q_trend_regression": (q_trend_regression, _Q_TREND_SQL),
+    "q_edit_distance_pairs": (q_edit_distance_pairs, _edit_distance_sql()),
 }
 
 
