@@ -115,6 +115,7 @@ BENCH_QUERIES = [
     "q_quantile_transform",
     "q_token_pmi",
     "q_trend_regression",
+    "q_edit_distance_pairs",
 ]
 
 
