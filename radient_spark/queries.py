@@ -7119,7 +7119,9 @@ FROM m
 
 def q_edit_distance_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Record-linkage fuzzy matching: sorted-neighborhood candidates
-    verified by Levenshtein edit distance <= 15 on the canonical text —
+    verified by Levenshtein edit distance <= 15 on the first 200
+    canonical characters (the DP is O(L^2) per pair; the prefix cap
+    bounds it at 40k cells regardless of document length) —
     the character-level near-dup complement to token-set Jaccard
     (q_snm_dedup_pairs): it catches small in-word edits Jaccard's
     whitespace tokens miss. Both engines implement the same classic DP
@@ -7145,7 +7147,12 @@ def q_edit_distance_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         pairs.join(ta, "id_a")
         .join(tb, "id_b")
-        .withColumn("edit_dist", F.levenshtein("ca", "cb"))
+        .withColumn(
+            "edit_dist",
+            F.levenshtein(
+                F.substring("ca", 1, 200), F.substring("cb", 1, 200)
+            ),
+        )
         .filter(F.col("edit_dist") <= 15)
         .select("id_a", "id_b", "edit_dist")
     )
@@ -7166,8 +7173,11 @@ WITH canon AS (
   SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.canon AS ca, b.canon AS cb
   FROM ranked a JOIN ranked b ON b.rn - a.rn BETWEEN 1 AND 5
 )
-SELECT id_a, id_b, CAST(levenshtein(ca, cb) AS INT) AS edit_dist
-FROM pairs WHERE levenshtein(ca, cb) <= 15
+SELECT id_a, id_b,
+  CAST(levenshtein(substring(ca, 1, 200), substring(cb, 1, 200)) AS INT)
+    AS edit_dist
+FROM pairs
+WHERE levenshtein(substring(ca, 1, 200), substring(cb, 1, 200)) <= 15
 """
 
 
