@@ -394,3 +394,27 @@ def test_exact_group_quantiles_prunes_untargeted_cells(spark, sf_dir):
     plan = plans.formatted_plan(out)
     # both joins against the driver-built target table must broadcast
     assert plan.count("BroadcastHashJoin") >= 2
+
+
+def test_lsh_pairs_no_distinct_after_band_join(spark, sf_dir):
+    """The first-collision rule replaced the distinct: no aggregate-
+    based dedup may reappear downstream of the band self-join."""
+    from radient_spark.operators.dedup import lsh_candidate_pairs
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    pairs = lsh_candidate_pairs(docs, num_hashes=16, bands=4)
+    # a distinct would compile to HashAggregate over [id_a, id_b]; the
+    # whole pair plan must contain NO aggregate at all
+    assert plans.formatted_plan(pairs).count("HashAggregate") == 0
+
+
+def test_simhash_pairs_no_distinct_after_band_join(spark, sf_dir):
+    from radient_spark.operators.dedup import simhash_near_pairs, with_simhash
+    from pyspark.sql import functions as F
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    sigs = with_simhash(
+        docs.filter(F.length(F.trim("text")) > 0), "text", 32, "simhash32"
+    ).select("doc_id", "simhash32")
+    pairs = simhash_near_pairs(sigs, "doc_id", "simhash32", 32, 4, 3)
+    assert plans.formatted_plan(pairs).count("HashAggregate") == 0
