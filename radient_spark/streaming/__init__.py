@@ -447,3 +447,47 @@ def bloom_ingest_sink(
         ).parquet(bloom_dir)
 
     return foreach_batch_sink(stream, checkpoint, batch_fn)
+
+
+def cms_maintenance_sink(
+    stream: DataFrame,
+    sketch_dir: str,
+    checkpoint: str,
+    token_col: str,
+    depth: int = 4,
+    width: int = 256,
+):
+    """Maintain a count-min frequency sketch over a stream: per
+    micro-batch, sketch the batch tokens and merge into the persisted
+    cell table by cell-wise SUM (the CMS merge law) — the streaming
+    heavy-hitter monitor, state bounded at d*w rows forever.
+
+    Unlike the HLL sink's max-merge, SUM is NOT idempotent, so
+    exactly-once matters: the checkpoint guarantees each input file is
+    processed once, and the read-merge-overwrite of the tiny cell
+    table happens inside that per-batch boundary.
+    """
+    from radient_spark.operators.sketch import cms_build, cms_merge
+
+    def _sketch_exists(spark) -> bool:
+        jvm = spark.sparkContext._jvm
+        hconf = spark.sparkContext._jsc.hadoopConfiguration()
+        path = jvm.org.apache.hadoop.fs.Path(sketch_dir)
+        fs = path.getFileSystem(hconf)
+        return fs.exists(path) and fs.globStatus(
+            jvm.org.apache.hadoop.fs.Path(sketch_dir + "/*.parquet")
+        )
+
+    def batch_fn(df: DataFrame, epoch_id: int) -> None:
+        spark = df.sparkSession
+        fresh = cms_build(df, token_col, depth, width)
+        if _sketch_exists(spark):
+            merged = cms_merge(spark.read.parquet(sketch_dir), fresh)
+        else:
+            merged = fresh
+        rows = merged.collect()
+        spark.createDataFrame(rows, merged.schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(sketch_dir)
+
+    return foreach_batch_sink(stream, checkpoint, batch_fn)

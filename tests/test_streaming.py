@@ -444,3 +444,43 @@ def test_bloom_ingest_sink_dedups_and_maintains_bitmap(spark, tmp_path):
         for r in spark.read.parquet(bloom).collect()
     }
     assert got_bits == want_bits
+
+
+def test_cms_maintenance_sink_equals_batch_sketch(spark, tmp_path):
+    """Two micro-batch rounds of CMS maintenance must equal a one-shot
+    batch sketch over the concatenated stream (cell-wise sum merge)."""
+    from radient_spark.operators.sketch import cms_build
+
+    in_dir, sk_dir, ck = (
+        str(tmp_path / "in"),
+        str(tmp_path / "cms"),
+        str(tmp_path / "ck_cms"),
+    )
+    schema = "tok string"
+    b1 = spark.createDataFrame([("a",)] * 30 + [("b",)] * 10, schema)
+    b1.write.mode("overwrite").parquet(in_dir)
+    q = streaming.cms_maintenance_sink(
+        spark.readStream.schema(b1.schema).parquet(in_dir), sk_dir, ck,
+        "tok", depth=3, width=32,
+    )
+    q.awaitTermination(120)
+    spark.createDataFrame([("a",)] * 5 + [("c",)] * 20, schema).write.mode(
+        "append"
+    ).parquet(in_dir)
+    q2 = streaming.cms_maintenance_sink(
+        spark.readStream.schema(b1.schema).parquet(in_dir), sk_dir, ck,
+        "tok", depth=3, width=32,
+    )
+    q2.awaitTermination(120)
+    whole = spark.createDataFrame(
+        [("a",)] * 35 + [("b",)] * 10 + [("c",)] * 20, schema
+    )
+    want = {
+        (r["row"], r["slot"], r["c"])
+        for r in cms_build(whole, "tok", 3, 32).collect()
+    }
+    got = {
+        (r["row"], r["slot"], r["c"])
+        for r in spark.read.parquet(sk_dir).collect()
+    }
+    assert got == want
