@@ -116,6 +116,7 @@ BENCH_QUERIES = [
     "q_token_pmi",
     "q_trend_regression",
     "q_edit_distance_pairs",
+    "q_attribution_first_touch",
 ]
 
 

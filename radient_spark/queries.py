@@ -7182,6 +7182,90 @@ WHERE levenshtein(substring(ca, 1, 200), substring(cb, 1, 200)) <= 15
 
 
 
+def q_attribution_first_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-touch revenue attribution: every 30-minute session's
+    purchase value is credited to the session's FIRST event type (the
+    acquisition channel) — the marketing-attribution counterpart of the
+    funnel queries. Reports per channel: sessions, purchasing sessions,
+    attributed cents.
+
+    Scale shape: sessionization, the first-event window, and the
+    session rollup share the user_id-compatible shuffle; the channel
+    aggregate is tiny. Revenue quantizes to exact cents (round-then-
+    cast) before any summation.
+    """
+    ev = load_tables(spark, sf_dir)["events"]
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    flagged = (
+        ev.withColumn("prev_ts", F.lag("ts").over(w))
+        .withColumn(
+            "new_session",
+            F.when(
+                F.col("prev_ts").isNull()
+                | (F.col("ts") > F.col("prev_ts") + F.expr("INTERVAL 30 MINUTES")),
+                1,
+            ).otherwise(0),
+        )
+        .withColumn("session_id", F.sum("new_session").over(w))
+    )
+    ws = Window.partitionBy("user_id", "session_id").orderBy("ts", "event_id")
+    staged = flagged.withColumn(
+        "first_type", F.first("event_type").over(ws)
+    ).withColumn(
+        "purchase_cents",
+        F.when(
+            F.col("event_type") == "purchase",
+            F.round(F.col("value") * 100, 0).cast("long"),
+        ).otherwise(F.lit(0)),
+    )
+    sessions = staged.groupBy("user_id", "session_id").agg(
+        F.first("first_type").alias("first_type"),
+        F.sum("purchase_cents").alias("cents"),
+        F.max((F.col("event_type") == "purchase").cast("int")).alias("bought"),
+    )
+    return sessions.groupBy(F.col("first_type").alias("channel")).agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.sum("bought").cast("long").alias("n_purchasing"),
+        F.sum("cents").alias("attributed_cents"),
+    )
+
+
+_Q_ATTRIBUTION_SQL = """
+WITH flagged AS (
+  SELECT user_id, event_id, ts, event_type, value,
+    CASE WHEN lag(ts) OVER w IS NULL
+           OR ts > lag(ts) OVER w + INTERVAL 30 MINUTE
+         THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), sess AS (
+  SELECT *, SUM(new_session)
+      OVER (PARTITION BY user_id ORDER BY ts, event_id) AS session_id
+  FROM flagged
+), staged AS (
+  SELECT user_id, session_id, event_type, value,
+    first_value(event_type)
+      OVER (PARTITION BY user_id, session_id ORDER BY ts, event_id)
+      AS first_type,
+    CASE WHEN event_type = 'purchase'
+         THEN CAST(ROUND(value * 100, 0) AS BIGINT) ELSE 0 END
+      AS purchase_cents
+  FROM sess
+), sessions AS (
+  SELECT user_id, session_id,
+    MIN(first_type) AS first_type,
+    SUM(purchase_cents) AS cents,
+    MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS bought
+  FROM staged GROUP BY user_id, session_id
+)
+SELECT first_type AS channel, COUNT(*) AS n_sessions,
+  CAST(SUM(bought) AS BIGINT) AS n_purchasing,
+  CAST(SUM(cents) AS BIGINT) AS attributed_cents
+FROM sessions GROUP BY first_type
+"""
+
+
+
 # ---------------------------------------------------------------------------
 # Registry
 
@@ -7347,6 +7431,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "q_token_pmi": (q_token_pmi, _Q_TOKEN_PMI_SQL),
     "q_trend_regression": (q_trend_regression, _Q_TREND_SQL),
     "q_edit_distance_pairs": (q_edit_distance_pairs, _edit_distance_sql()),
+    "q_attribution_first_touch": (q_attribution_first_touch, _Q_ATTRIBUTION_SQL),
 }
 
 
