@@ -117,6 +117,7 @@ BENCH_QUERIES = [
     "q_trend_regression",
     "q_edit_distance_pairs",
     "q_attribution_first_touch",
+    "q_bloom_calibration",
 ]
 
 

@@ -7266,6 +7266,100 @@ FROM sessions GROUP BY first_type
 
 
 
+def q_bloom_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter sizing calibration: build the corpus filter at three
+    bitmap sizes, gate a disjoint probe set (documents guaranteed NOT
+    in the corpus), and report observed vs theoretical false-positive
+    rate (1 - e^(-kn/m))^k per configuration — the table an ingest
+    pipeline consults to pick m for its corpus size.
+
+    Scale shape: three bitmap aggregations over one cached corpus-key
+    pass; probes are zero-shuffle literal-array gates. Theoretical
+    rates are driver-computed floats injected as literals, so both
+    engines compare the same constants.
+    """
+    import math as _m
+
+    from radient_spark.operators.dedup import bloom_build, bloom_gate
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    corpus = docs.filter(F.col("doc_id") % 2 == 0).select("text")
+    # probe texts are salted so they are NEVER corpus members: every
+    # flagged probe is a false positive by construction
+    probes = docs.filter(F.col("doc_id") % 2 == 1).select(
+        F.concat(F.lit("probe::"), F.col("text")).alias("text")
+    )
+    n_keys = corpus.distinct().count()
+    outs = []
+    for m_bits, k in [(1024, 3), (4096, 3), (16384, 3)]:
+        bitmap = bloom_build(corpus, "text", m_bits, k)
+        gated = bloom_gate(probes, bitmap, "text", m_bits, k)
+        theo = (1.0 - _m.exp(-k * n_keys / m_bits)) ** k
+        outs.append(
+            gated.agg(
+                F.lit(m_bits).alias("m_bits"),
+                F.lit(k).alias("k"),
+                F.count(F.lit(1)).alias("n_probes"),
+                F.sum(F.col("maybe_dup").cast("long")).alias("n_false_pos"),
+                F.round(
+                    F.sum(F.col("maybe_dup").cast("long"))
+                    / F.count(F.lit(1)),
+                    6,
+                ).alias("observed_fp"),
+                F.round(F.lit(theo), 6).alias("theoretical_fp"),
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionAll(o)
+    return out
+
+
+def _bloom_calibration_sql() -> str:
+    import math as _m
+
+    parts = []
+    for m_bits, k in [(1024, 3), (4096, 3), (16384, 3)]:
+        parts.append(f"""
+SELECT {m_bits} AS m_bits, {k} AS k, COUNT(*) AS n_probes,
+  CAST(SUM(CASE WHEN maybe_dup THEN 1 ELSE 0 END) AS BIGINT) AS n_false_pos,
+  ROUND(SUM(CASE WHEN maybe_dup THEN 1 ELSE 0 END) * 1.0 / COUNT(*), 6)
+    AS observed_fp,
+  ROUND((SELECT (1.0 - exp(-{k} * COUNT(DISTINCT text)::DOUBLE / {m_bits}))
+                ** {k}
+         FROM documents WHERE doc_id % 2 = 0), 6) AS theoretical_fp
+FROM (
+  WITH corpus AS (
+    SELECT text FROM documents WHERE doc_id % 2 = 0
+  ), cpos AS (
+    SELECT DISTINCT (h1 + i * h2) % {m_bits} AS pos
+    FROM (
+      SELECT ('0x' || substring(md5(text), 1, 15))::BIGINT % {m_bits} AS h1,
+             (('0x' || substring(md5(text), 17, 15))::BIGINT % {m_bits}) | 1
+               AS h2
+      FROM corpus
+    ), range(0, {k}) t(i)
+  ), probes AS (
+    SELECT doc_id, ('probe::' || text) AS ptext
+    FROM documents WHERE doc_id % 2 = 1
+  ), ppos AS (
+    SELECT doc_id, (h1 + i * h2) % {m_bits} AS pos
+    FROM (
+      SELECT doc_id,
+             ('0x' || substring(md5(ptext), 1, 15))::BIGINT % {m_bits} AS h1,
+             (('0x' || substring(md5(ptext), 17, 15))::BIGINT % {m_bits}) | 1
+               AS h2
+      FROM probes
+    ), range(0, {k}) t(i)
+  )
+  SELECT p.doc_id, bool_and(c.pos IS NOT NULL) AS maybe_dup
+  FROM ppos p LEFT JOIN cpos c USING (pos)
+  GROUP BY p.doc_id
+)""")
+    return "\nUNION ALL\n".join(parts)
+
+
+
 # ---------------------------------------------------------------------------
 # Registry
 
@@ -7432,6 +7526,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "q_trend_regression": (q_trend_regression, _Q_TREND_SQL),
     "q_edit_distance_pairs": (q_edit_distance_pairs, _edit_distance_sql()),
     "q_attribution_first_touch": (q_attribution_first_touch, _Q_ATTRIBUTION_SQL),
+    "q_bloom_calibration": (q_bloom_calibration, _bloom_calibration_sql()),
 }
 
 
