@@ -192,3 +192,109 @@ def triangle_count(
         deg.agg(F.count(F.lit(1)).alias("n_nodes"))
     )
     return stats.crossJoin(tris).select("n_nodes", "n_edges", "n_triangles")
+
+
+def connected_components_star(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_rounds: int = 12,
+) -> DataFrame:
+    """Connected components via alternating large-star / small-star
+    (Kiveris et al. 2014, "Connected Components in MapReduce and
+    Beyond") — converges in O(log n) ROUNDS on any graph, where the
+    min-label propagation in dedup.connected_duplicate_groups needs
+    O(diameter) rounds (a 10^6-node chain: ~20 vs 10^6). Each round is
+    two windowed min-aggregations + a distinct; no driver state beyond
+    the per-round convergence checksum.
+
+    large-star: every node points its LARGER neighbors at the minimum
+    of its neighborhood (incl. itself); small-star: every node points
+    its smaller neighbors (and itself) at that minimum. At the fixed
+    point the edge set IS the star (child -> component-minimum), which
+    this returns as (id, group_id) labels — the same contract as
+    connected_duplicate_groups, so the recursive-CTE DuckDB oracle is
+    shared.
+
+    Scale shape: both stars shuffle the CURRENT edge set once on the
+    hub node (window min + emit); edge count never exceeds the input
+    edge count (large-star emits only larger-neighbor edges, small-star
+    only smaller-neighbor ones), and lineage is truncated with
+    localCheckpoint per round.
+    """
+    from pyspark.sql import Window
+
+    e = (
+        pairs.select(F.col(id_a).alias("a"), F.col(id_b).alias("b"))
+        .filter(F.col("a") != F.col("b"))
+        .select(F.least("a", "b").alias("a"), F.greatest("a", "b").alias("b"))
+        .distinct()
+    )
+    spark = pairs.sparkSession
+    if e.isEmpty():
+        return spark.createDataFrame([], "id long, group_id long")
+
+    prev_sig = None
+    for _ in range(max_rounds):
+        # large-star: bidirectional neighborhoods; larger neighbors -> m
+        bidir = e.select("a", "b").union(
+            e.select(F.col("b").alias("a"), F.col("a").alias("b"))
+        )
+        w = Window.partitionBy("a")
+        ls = (
+            bidir.withColumn(
+                "m", F.least(F.col("a"), F.min("b").over(w))
+            )
+            .filter(F.col("b") > F.col("a"))
+            .select(F.col("m").alias("a"), F.col("b"))
+            .filter(F.col("a") != F.col("b"))
+            .select(F.least("a", "b").alias("a"), F.greatest("a", "b").alias("b"))
+            .distinct()
+        )
+        # small-star: orient big -> small, smaller neighbors AND self -> m
+        ori = ls.select(F.col("b").alias("u"), F.col("a").alias("n"))
+        wu = Window.partitionBy("u")
+        with_m = ori.withColumn("m", F.min("n").over(wu))
+        ss = (
+            with_m.select(F.col("m").alias("a"), F.col("n").alias("b"))
+            .union(with_m.select(F.col("m").alias("a"), F.col("u").alias("b")))
+            .filter(F.col("a") != F.col("b"))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        sig_row = ss.agg(
+            F.count(F.lit(1)).alias("n"),
+            # order-independent edge-set checksum; decimal sum of modded
+            # hashes cannot overflow under ANSI arithmetic
+            F.coalesce(
+                F.sum(
+                    (F.xxhash64(F.col("a"), F.col("b")) % F.lit(1_000_000_007))
+                    .cast("decimal(38,0)")
+                ),
+                F.lit(0).cast("decimal(38,0)"),
+            ).alias("h"),
+        ).collect()[0]
+        sig = (sig_row["n"], sig_row["h"])
+        e = ss
+        if prev_sig == sig:
+            break
+        prev_sig = sig
+
+    labels = e.select(
+        F.col("b").alias("id"), F.col("a").alias("group_id")
+    ).union(
+        e.select(F.col("a").alias("id")).distinct().withColumn(
+            "group_id", F.col("id")
+        )
+    )
+    # nodes appearing ONLY in self-pairs still label themselves — the
+    # connected_duplicate_groups contract, so the two engines (and the
+    # shared recursive-CTE oracle) agree on the node universe
+    nodes = (
+        pairs.select(F.col(id_a).alias("id"))
+        .union(pairs.select(F.col(id_b).alias("id")))
+        .distinct()
+    )
+    return nodes.join(labels, "id", "left").select(
+        "id", F.coalesce(F.col("group_id"), F.col("id")).alias("group_id")
+    )

@@ -295,3 +295,120 @@ SELECT g AS {group_col}, CAST(n_set AS BIGINT) AS n_registers_set,
   END, {decimals}) AS estimate
 FROM folded
 """
+
+
+# ---------------------------------------------------------------------------
+# Log-scale histogram quantile sketch (HdrHistogram-style)
+
+
+def hist_build(
+    df: DataFrame,
+    value: F.Column,
+    by: str | None = None,
+    sub_bits: int = 5,
+) -> DataFrame:
+    """Build the (hkey, cnt) histogram sketch of `value` (optionally per
+    `by` group), HdrHistogram-style (Tene, HdrHistogram; same layout as
+    Prometheus native histograms): values clamp to >= 1, the octave is
+    the bit length, and each octave refines into 2^sub_bits sub-buckets
+    by the value's top sub_bits+1 bits — bounded RELATIVE error
+    2^-sub_bits at any scale, with small values (< 2^(sub_bits+1))
+    stored exactly.
+
+    hkey = shift * 2^20 + (v >> shift), shift = max(bitlen(v)-1-sub_bits, 0)
+    is monotone in v, and [key << shift, (key+1) << shift) recovers the
+    bucket's value range. All arithmetic is integer (bit length via the
+    base-2 string, the same trick the HLL registers use), so a DuckDB
+    oracle reproduces every key and estimate bit-for-bit.
+
+    ONE map-side-combined groupBy; the shuffle carries at
+    most ~(63 - sub_bits) * 2^sub_bits + 2^(sub_bits+1) bucket rows per
+    group regardless of input size (about 2k rows at sub_bits=5).
+    Sketches merge by summing cnt per hkey (hist_merge) — the mergeable
+    building block for cross-partition / cross-batch composition.
+    """
+    cols = ([F.col(by).alias("g")] if by else []) + [
+        F.greatest(value.cast("long"), F.lit(1)).alias("__v")
+    ]
+    staged = df.select(*cols).withColumn(
+        "__sh",
+        F.greatest(
+            F.length(F.conv(F.col("__v"), 10, 2)) - F.lit(1 + sub_bits),
+            F.lit(0),
+        ),
+    )
+    keyed = staged.select(
+        *(["g"] if by else []),
+        (
+            F.col("__sh").cast("long") * F.lit(1048576)
+            + F.expr("shiftright(__v, __sh)")
+        ).alias("hkey"),
+    )
+    return keyed.groupBy(*(["g"] if by else []), "hkey").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+
+
+def hist_merge(a: DataFrame, b: DataFrame, by: str | None = None) -> DataFrame:
+    """Merge two histogram sketches: union + per-key cnt sum."""
+    keys = (["g"] if by else []) + ["hkey"]
+    return a.unionByName(b).groupBy(*keys).agg(F.sum("cnt").alias("cnt"))
+
+
+def hist_quantiles(
+    sketch: DataFrame,
+    qs: list[tuple[str, int, int]],
+    by: str | None = None,
+) -> DataFrame:
+    """Quantile estimates from a histogram sketch. `qs` is a list of
+    (label, num, den) with q = num/den; the target rank is the exact
+    integer ceil(num * n / den) so both engines agree bit-for-bit.
+    Returns (group?, quantile, est_lo, est_hi, n): the value range of
+    the bucket containing the target order statistic — est_lo <= true
+    value <= est_hi with (est_hi - est_lo + 1) / est_lo <= 2^-sub_bits.
+
+    Scale shape: the cumulative window runs over the SKETCH (<= ~2k
+    rows per group), never the data; with `by` the window partitions by
+    group, without it the single partition holds one sketch.
+    """
+    from pyspark.sql import Window
+
+    part = Window.partitionBy(*(["g"] if by else [])).orderBy("hkey")
+    cum = sketch.withColumn(
+        "__cum",
+        F.sum("cnt").over(part.rowsBetween(Window.unboundedPreceding, 0)),
+    ).withColumn(
+        "__n",
+        F.sum("cnt").over(
+            Window.partitionBy(*(["g"] if by else [])).rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ),
+    )
+    spark = sketch.sparkSession
+    qdf = spark.createDataFrame(qs, "quantile string, num long, den long")
+    hit = (
+        cum.crossJoin(F.broadcast(qdf))
+        # target = ceil(num*n/den) in pure integers
+        .withColumn("__t", (F.col("num") * F.col("__n") + F.col("den") - 1) / F.col("den"))
+        .withColumn("__t", F.floor(F.col("__t")).cast("long"))
+        .filter(
+            (F.col("__cum") >= F.col("__t"))
+            & (F.col("__cum") - F.col("cnt") < F.col("__t"))
+        )
+    )
+    out = hit.select(
+        *([F.col("g")] if by else []),
+        F.col("quantile"),
+        F.expr(
+            "shiftleft(hkey % 1048576, cast(floor(hkey / 1048576) as int))"
+        ).alias("est_lo"),
+        (
+            F.expr(
+                "shiftleft(hkey % 1048576 + 1, cast(floor(hkey / 1048576) as int))"
+            )
+            - F.lit(1)
+        ).alias("est_hi"),
+        F.col("__n").alias("n"),
+    )
+    return out

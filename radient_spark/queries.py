@@ -7360,6 +7360,98 @@ FROM (
 
 
 
+def q_star_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The q_dup_groups pipeline (MinHash -> LSH -> verify -> connected
+    components -> canonical groups) with the component step swapped for
+    alternating large-star/small-star (operators/graph.py
+    connected_components_star, Kiveris et al. 2014): O(log n)
+    convergence ROUNDS instead of O(component diameter) — the variant a
+    100 TB corpus with long duplicate chains (boilerplate carried
+    across crawls) needs. Same fixed point, so the recursive-CTE DuckDB
+    oracle is shared with q_dup_groups verbatim."""
+    from radient_spark.operators.graph import connected_components_star
+
+    pairs = q_minhash_dup_pairs(spark, sf_dir)
+    labels = connected_components_star(pairs)
+    return (
+        labels.groupBy("group_id")
+        .agg(
+            F.count(F.lit(1)).alias("group_size"),
+            F.min("id").alias("canonical_id"),
+        )
+        .filter(F.col("group_size") > 1)
+    )
+
+
+def q_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type latency-style quantiles (p50/p90/p95/p99 of event value
+    cents) from the mergeable log-histogram sketch (operators/sketch.py
+    hist_build — HdrHistogram bucket layout, relative error <= 2^-5).
+    Completes the portable-sketch family: HLL (distincts), CMS (heavy
+    hitters), Bloom (membership), histogram (quantiles).
+
+    Unlike the exact order-statistic engine (q_value_percentiles), the
+    sketch answers EVERY quantile from one O(buckets)-sized state that
+    merges across partitions, batches, and days — the shape a metrics
+    pipeline needs. Shuffle is bucket counts (~2k rows/group max),
+    never data; the quantile lookup windows run over the sketch only.
+    Integer bucket arithmetic end-to-end makes the DuckDB oracle exact.
+    """
+    from radient_spark.operators.sketch import hist_build, hist_quantiles
+
+    ev = load_tables(spark, sf_dir)["events"]
+    vals = ev.select(
+        "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    sk = hist_build(vals, F.col("cents"), by="event_type")
+    out = hist_quantiles(
+        sk,
+        [("p50", 1, 2), ("p90", 9, 10), ("p95", 19, 20), ("p99", 99, 100)],
+        by="event_type",
+    )
+    return out.select(
+        F.col("g").alias("event_type"),
+        "quantile",
+        "est_lo",
+        "est_hi",
+        F.col("n").cast("long").alias("n"),
+    ).orderBy("event_type", "quantile")
+
+
+_Q_HIST_QUANTILES_SQL = """
+WITH vals AS (
+  SELECT event_type,
+         GREATEST(CAST(ROUND(value * 100) AS BIGINT), 1) AS v
+  FROM events
+), keyed AS (
+  SELECT event_type, v,
+    CASE WHEN length(bin(v)) - 6 > 0 THEN length(bin(v)) - 6 ELSE 0 END AS sh
+  FROM vals
+), sk AS (
+  SELECT event_type, CAST(sh AS BIGINT) * 1048576 + (v >> sh) AS hkey,
+         COUNT(*) AS cnt
+  FROM keyed GROUP BY 1, 2
+), cum AS (
+  SELECT event_type, hkey, cnt,
+    SUM(cnt) OVER (PARTITION BY event_type ORDER BY hkey) AS c,
+    SUM(cnt) OVER (PARTITION BY event_type) AS n
+  FROM sk
+), qs AS (
+  SELECT * FROM (VALUES ('p50', 1, 2), ('p90', 9, 10), ('p95', 19, 20),
+                        ('p99', 99, 100)) t(quantile, num, den)
+)
+SELECT event_type, quantile,
+  ((hkey % 1048576) << (hkey // 1048576)) AS est_lo,
+  (((hkey % 1048576) + 1) << (hkey // 1048576)) - 1 AS est_hi,
+  CAST(n AS BIGINT) AS n
+FROM cum, qs
+WHERE c >= (num * n + den - 1) // den
+  AND c - cnt < (num * n + den - 1) // den
+ORDER BY event_type, quantile
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 
@@ -7527,6 +7619,8 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "q_edit_distance_pairs": (q_edit_distance_pairs, _edit_distance_sql()),
     "q_attribution_first_touch": (q_attribution_first_touch, _Q_ATTRIBUTION_SQL),
     "q_bloom_calibration": (q_bloom_calibration, _bloom_calibration_sql()),
+    "q_histogram_quantiles": (q_histogram_quantiles, _Q_HIST_QUANTILES_SQL),
+    "q_star_dup_groups": (q_star_dup_groups, _cc_groups_sql(_minhash_dup_pairs_sql())),
 }
 
 

@@ -75,3 +75,38 @@ def test_triangle_count_known_graphs(spark):
     noisy = k4 + [(b, a) for a, b in k4] + k4
     r2 = triangle_count(spark.createDataFrame(noisy, ["src", "dst"])).collect()[0]
     assert r2["n_triangles"] == 4
+
+
+def test_star_components_match_label_propagation(spark):
+    """Alternating large/small-star labels == min-label propagation
+    fixed point, on a chain (the propagation worst case), a random
+    blob, and a self-loop-only node."""
+    import random
+
+    from radient_spark.operators.dedup import connected_duplicate_groups
+    from radient_spark.operators.graph import connected_components_star
+
+    random.seed(7)
+    edges = [(i, i + 1) for i in range(0, 40)]
+    edges += [
+        (1000 + random.randrange(40), 1000 + random.randrange(40))
+        for _ in range(80)
+    ]
+    edges += [(2000, 2001), (2002, 2001), (2003, 2003)]
+    random.shuffle(edges)
+    df = spark.createDataFrame(edges, ["id_a", "id_b"])
+    star = {
+        (r.id, r.group_id) for r in connected_components_star(df).collect()
+    }
+    prop = {
+        (r.id, r.group_id)
+        for r in connected_duplicate_groups(df, max_iter=100).collect()
+    }
+    assert star == prop
+
+
+def test_star_components_empty(spark):
+    from radient_spark.operators.graph import connected_components_star
+
+    empty = spark.createDataFrame([], "id_a long, id_b long")
+    assert connected_components_star(empty).count() == 0

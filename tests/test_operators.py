@@ -699,3 +699,36 @@ def test_workflow_composes_round3_audit_ops(spark):
     # docs 0..29 step2 -> "doc 0..58 even": those < 50 (25 rows) are dups
     assert out["doc_id"]["n_rows"] == 5
     assert out["text"]["n_distinct"] == 5
+
+
+def test_hist_sketch_brackets_exact_quantiles_and_merges(spark):
+    """Histogram-sketch quantile buckets bracket the exact order
+    statistic with relative width <= 2^-sub_bits, and sketches of
+    disjoint halves merge (cnt-sum) into the sketch of the whole."""
+    from pyspark.sql import functions as F
+    from radient_spark.operators.sketch import (
+        hist_build,
+        hist_merge,
+        hist_quantiles,
+    )
+
+    vals = [((i * 37) % 9973) + 1 for i in range(3000)]
+    df = spark.createDataFrame([(v,) for v in vals], ["v"])
+    sk = hist_build(df, F.col("v"))
+    qs = [("p50", 1, 2), ("p90", 9, 10), ("p99", 99, 100)]
+    got = {r["quantile"]: r for r in hist_quantiles(sk, qs).collect()}
+    sv = sorted(vals)
+    for lbl, num, den in qs:
+        t = -(-num * len(sv) // den)
+        true = sv[t - 1]
+        r = got[lbl]
+        assert r["est_lo"] <= true <= r["est_hi"], (lbl, true, r)
+        # exact singleton buckets below 2^(sub_bits+1); 2^-5 bound above
+        width = r["est_hi"] - r["est_lo"] + 1
+        assert width == 1 or width <= r["est_lo"] / 32 + 1
+    da = spark.createDataFrame([(v,) for v in vals[:1500]], ["v"])
+    db = spark.createDataFrame([(v,) for v in vals[1500:]], ["v"])
+    merged = hist_merge(hist_build(da, F.col("v")), hist_build(db, F.col("v")))
+    whole = hist_build(df, F.col("v"))
+    assert merged.exceptAll(whole).count() == 0
+    assert whole.exceptAll(merged).count() == 0
