@@ -112,3 +112,54 @@ def merge_summary(
         .groupBy("action")
         .agg(F.count(F.lit(1)).alias("n_rows"))
     )
+
+
+def scd2_history(
+    df: DataFrame,
+    key: str,
+    attr: str,
+    order_col: str,
+    tiebreak_col: str,
+) -> DataFrame:
+    """Slowly-changing-dimension Type 2 reconstruction: collapse an
+    attribute-change event stream into versioned validity windows —
+    (key, attr, valid_from, valid_to, n_rows, version, is_current),
+    with half-open [valid_from, valid_to) ranges chained so each
+    version's valid_to is the next version's valid_from and the last
+    version is open-ended (valid_to NULL, is_current true). This is the
+    dimension-table history a warehouse MERGE pipeline materializes;
+    combined with merge_upsert it gives the full SCD2 write path.
+
+    Consecutive runs of the same attribute value collapse into ONE
+    version (gaps-and-islands: change flag -> running version number),
+    so re-observations without a change never fork a version.
+
+    Scale shape: one shuffle on `key` shared by every window (lag,
+    version cumsum, lead) plus the run groupBy — windows and aggregate
+    are all partition-compatible, so Exchange is reused. Ordering ties
+    break on `tiebreak_col` to stay deterministic across engines.
+    """
+    w = Window.partitionBy(key).orderBy(order_col, tiebreak_col)
+    chg = (
+        F.lag(attr).over(w).isNull()
+        | (F.col(attr) != F.lag(attr).over(w))
+    ).cast("long")
+    runs = df.withColumn(
+        "__v",
+        F.sum(chg).over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    versions = runs.groupBy(key, "__v").agg(
+        F.first(attr).alias(attr),
+        F.min(order_col).alias("valid_from"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+    wv = Window.partitionBy(key).orderBy("__v")
+    return versions.select(
+        key,
+        attr,
+        "valid_from",
+        F.lead("valid_from").over(wv).alias("valid_to"),
+        "n_rows",
+        F.col("__v").cast("long").alias("version"),
+        F.lead("valid_from").over(wv).isNull().alias("is_current"),
+    )

@@ -7452,6 +7452,356 @@ ORDER BY event_type, quantile
 """
 
 
+def q_scd2_status_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD Type-2 dimension history: each customer's order-status
+    timeline collapsed into versioned validity windows
+    (operators/merge.py scd2_history) — consecutive orders with the
+    same status share one version; valid_to chains to the next
+    version's valid_from; the open-ended last version is current. The
+    read side of a warehouse MERGE/SCD2 pipeline, complementing
+    merge_upsert (the write side). Restricted to custkey % 5 = 0 to
+    keep the audited history reviewable."""
+    from radient_spark.operators.merge import scd2_history
+
+    orders = load_tables(spark, sf_dir)["orders"].filter(
+        F.col("o_custkey") % 5 == 0
+    )
+    return scd2_history(
+        orders, "o_custkey", "o_orderstatus", "o_orderdate", "o_orderkey"
+    ).orderBy("o_custkey", "version")
+
+
+_Q_SCD2_SQL = """
+WITH runs AS (
+  SELECT o_custkey, o_orderstatus, o_orderdate,
+    SUM(CASE WHEN prev IS NULL OR o_orderstatus <> prev THEN 1 ELSE 0 END)
+      OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS v
+  FROM (
+    SELECT o_custkey, o_orderstatus, o_orderdate, o_orderkey,
+      LAG(o_orderstatus) OVER (
+        PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS prev
+    FROM orders WHERE o_custkey % 5 = 0
+  )
+), versions AS (
+  SELECT o_custkey, v, MIN(o_orderstatus) AS o_orderstatus,
+         MIN(o_orderdate) AS valid_from, COUNT(*) AS n_rows
+  FROM runs GROUP BY o_custkey, v
+)
+SELECT o_custkey, o_orderstatus, valid_from,
+  LEAD(valid_from) OVER (PARTITION BY o_custkey ORDER BY v) AS valid_to,
+  CAST(n_rows AS BIGINT) AS n_rows,
+  CAST(v AS BIGINT) AS version,
+  LEAD(valid_from) OVER (PARTITION BY o_custkey ORDER BY v) IS NULL
+    AS is_current
+FROM versions
+ORDER BY o_custkey, version
+"""
+
+
+def q_delete_cascade_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right-to-erasure (GDPR/CCPA) cascade audit: given a deletion
+    cohort of customers, count the rows each table would lose when the
+    delete cascades through the FK graph (customer -> orders ->
+    lineitem) — the blast-radius report a compliance job emits BEFORE
+    executing the erasure. Pure key-semi-join plumbing: the cohort is
+    a broadcast key set; lineitem never joins more than order keys."""
+    t = load_tables(spark, sf_dir)
+    cohort = t["customer"].filter(F.col("c_custkey") % 97 == 0).select(
+        "c_custkey"
+    )
+    orders = t["orders"].join(
+        F.broadcast(cohort), t["orders"].o_custkey == cohort.c_custkey, "semi"
+    )
+    li = t["lineitem"].join(
+        orders.select("o_orderkey"),
+        t["lineitem"].l_orderkey == F.col("o_orderkey"),
+        "semi",
+    )
+    rows = [
+        cohort.agg(
+            F.lit("customer").alias("table_name"),
+            F.count(F.lit(1)).alias("n_rows_deleted"),
+        ),
+        orders.agg(
+            F.lit("orders").alias("table_name"),
+            F.count(F.lit(1)).alias("n_rows_deleted"),
+        ),
+        li.agg(
+            F.lit("lineitem").alias("table_name"),
+            F.count(F.lit(1)).alias("n_rows_deleted"),
+        ),
+    ]
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionAll(r)
+    return out
+
+
+_Q_CASCADE_SQL = """
+WITH cohort AS (
+  SELECT c_custkey FROM customer WHERE c_custkey % 97 = 0
+), co AS (
+  SELECT o_orderkey FROM orders
+  WHERE o_custkey IN (SELECT c_custkey FROM cohort)
+)
+SELECT 'customer' AS table_name,
+       CAST((SELECT COUNT(*) FROM cohort) AS BIGINT) AS n_rows_deleted
+UNION ALL
+SELECT 'orders', CAST((SELECT COUNT(*) FROM co) AS BIGINT)
+UNION ALL
+SELECT 'lineitem', CAST((SELECT COUNT(*) FROM lineitem
+  WHERE l_orderkey IN (SELECT o_orderkey FROM co)) AS BIGINT)
+"""
+
+
+def q_semantic_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space decontamination: flag corpus vectors whose
+    cosine to ANY eval-set vector reaches 0.45 — the semantic
+    complement of the n-gram overlap check (q_decontamination_report),
+    catching paraphrased benchmark leakage that exact n-grams miss
+    (the scrubbing step OLMo/Dolma-style corpus builds run against
+    eval suites). Per label: corpus size, contaminated count, and the
+    hottest eval-similarity seen.
+
+    Scale shape: the bipartite block GEMM (operators/topk.py
+    knn_join_blocked) with corpus_blocks=1 — the small eval side
+    replicates across query blocks while the CORPUS never replicates
+    and never collects; top-1 per corpus vector bounds the candidate
+    set at one row per corpus row. Scores round to 4 decimals (the
+    GEMM determinism contract) so the DuckDB oracle is exact."""
+    from radient_spark.operators.topk import knn_join_blocked
+
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    ev = emb.filter(F.col("vec_id") % 20 == 0).select(
+        F.col("vec_id").alias("eval_id"), F.col("embedding")
+    )
+    corpus = emb.filter(F.col("vec_id") % 20 != 0)
+    best = knn_join_blocked(
+        ev,
+        corpus.select("vec_id", "embedding"),
+        corpus_vec="embedding",
+        query_vec="embedding",
+        k=1,
+        corpus_id="eval_id",
+        query_id="vec_id",
+        corpus_blocks=1,
+        query_blocks=8,
+    ).select("vec_id", F.col("score").alias("top_eval_score"))
+    return (
+        corpus.join(best, "vec_id", "left")
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.sum(
+                (F.col("top_eval_score") >= 0.45).cast("long")
+            ).alias("n_contaminated"),
+            F.max("top_eval_score").alias("max_eval_score"),
+        )
+        .orderBy("label")
+    )
+
+
+_Q_SEMANTIC_DECON_SQL = """
+WITH ev AS (
+  SELECT vec_id AS eval_id, embedding::DOUBLE[] AS e
+  FROM embeddings WHERE vec_id % 20 = 0
+), corpus AS (
+  SELECT vec_id, label, embedding::DOUBLE[] AS v
+  FROM embeddings WHERE vec_id % 20 <> 0
+), best AS (
+  SELECT c.vec_id, c.label,
+    MAX(ROUND(list_dot_product(c.v, ev.e)
+        / (sqrt(list_dot_product(c.v, c.v))
+           * sqrt(list_dot_product(ev.e, ev.e))), 4)) AS top_eval_score
+  FROM corpus c CROSS JOIN ev
+  GROUP BY c.vec_id, c.label
+)
+SELECT label, COUNT(*) AS n_vecs,
+  CAST(SUM(CASE WHEN top_eval_score >= 0.45 THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_contaminated,
+  MAX(top_eval_score) AS max_eval_score
+FROM best GROUP BY label ORDER BY label
+"""
+
+
+def q_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH S-curve calibration: per exact-Jaccard decile, the observed
+    band-collision rate of the REAL 16-hash/4-band MinHash signatures
+    vs the theoretical 1-(1-s^4)^4 curve — the table that tells a dedup
+    pipeline which (bands, rows) to pick for its similarity target,
+    measured instead of assumed (companion to q_bloom_calibration's
+    FP-rate table).
+
+    Pair universe: co-shingled pairs among a fixed doc_id < 160 slice
+    (pairs sharing zero shingles have s = 0 and are omitted — the
+    calibration is over pairs the inverted index can see), so the
+    audit is constant-size at any corpus scale. Exactness: Jaccard
+    stays (intersect, union) integers; the theoretical curve avoids
+    pow() — one IEEE division then explicit squarings, bit-identical
+    across engines; per-pair values round to 6 decimals and sum as
+    DECIMAL."""
+    from radient_spark.functions import text as X
+    from radient_spark.functions.stage import stage
+    from radient_spark.operators.dedup import with_minhash
+
+    docs = (
+        load_tables(spark, sf_dir)["documents"]
+        .filter((F.col("doc_id") < 160) & (F.length(F.trim(F.col("text"))) > 0))
+        .select("doc_id", "text")
+    )
+    staged = stage(docs, __toks=X.tokens(F.col("text")))
+    sh = staged.select(
+        "doc_id",
+        F.explode(X.shingles_from_tokens(F.col("__toks"), 3)).alias("sh"),
+    ).distinct()
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    inter = (
+        sh.alias("a")
+        .join(
+            sh.alias("b"),
+            (F.col("a.sh") == F.col("b.sh"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b")
+        )
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    pairs = (
+        inter.join(
+            sizes.select(F.col("doc_id").alias("id_a"), F.col("sz").alias("sza")),
+            "id_a",
+        )
+        .join(
+            sizes.select(F.col("doc_id").alias("id_b"), F.col("sz").alias("szb")),
+            "id_b",
+        )
+        .withColumn("u", F.col("sza") + F.col("szb") - F.col("i"))
+    )
+    sigs = with_minhash(docs, num_hashes=16, shingle_k=3).select(
+        "doc_id", "minhash"
+    )
+    joined = (
+        pairs.join(
+            sigs.select(
+                F.col("doc_id").alias("id_a"), F.col("minhash").alias("siga")
+            ),
+            "id_a",
+        )
+        .join(
+            sigs.select(
+                F.col("doc_id").alias("id_b"), F.col("minhash").alias("sigb")
+            ),
+            "id_b",
+        )
+        .withColumn(
+            "collided",
+            F.exists(
+                F.sequence(F.lit(0), F.lit(3)),
+                lambda bi: F.slice(F.col("siga"), bi * 4 + 1, 4)
+                == F.slice(F.col("sigb"), bi * 4 + 1, 4),
+            ),
+        )
+        .withColumn("s", F.col("i").cast("double") / F.col("u"))
+        .withColumn("s4", (F.col("s") * F.col("s")) * (F.col("s") * F.col("s")))
+        .withColumn("t", F.lit(1.0) - F.col("s4"))
+        .withColumn(
+            "theo",
+            F.round(
+                F.lit(1.0)
+                - (F.col("t") * F.col("t")) * (F.col("t") * F.col("t")),
+                6,
+            ),
+        )
+        .withColumn("sim_decile", F.expr("(i * 10) div u"))
+    )
+    return (
+        joined.groupBy("sim_decile")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.sum(F.col("collided").cast("long")).alias("n_collided"),
+            F.round(
+                F.sum(F.col("collided").cast("long")).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("observed_rate"),
+            F.sum(F.col("theo").cast("decimal(18,6)"))
+            .cast("decimal(28,6)")
+            .alias("sum_theoretical"),
+        )
+        .orderBy("sim_decile")
+    )
+
+
+def _minhash_calibration_sql(num_hashes: int = 16, bands: int = 4) -> str:
+    params = D.hash_params(num_hashes)
+    mins = ",\n      ".join(
+        f"COALESCE(list_aggregate(list_transform(hs, x -> ({a} * x + {b}) % {MINHASH_P}), 'min'), {MINHASH_P})"
+        for a, b in params
+    )
+    r = num_hashes // bands
+    return rf"""
+WITH base AS (
+  SELECT doc_id, text FROM documents
+  WHERE doc_id < 160 AND length(trim(text)) > 0
+), tk AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks FROM base
+), shl AS (
+  SELECT doc_id,
+    CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+         ELSE list_transform(generate_series(1, len(toks) - 2),
+                             i -> array_to_string(toks[i:i+2], ' '))
+    END AS shingles
+  FROM tk
+), sh AS (
+  SELECT DISTINCT doc_id, unnest(shingles) AS sh FROM shl
+), sizes AS (
+  SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id
+), inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS i
+  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+), pairs AS (
+  SELECT id_a, id_b, i, sa.sz + sb.sz - i AS u
+  FROM inter
+  JOIN sizes sa ON sa.doc_id = id_a
+  JOIN sizes sb ON sb.doc_id = id_b
+), h AS (
+  SELECT doc_id,
+    list_transform(shingles,
+                   s -> ('0x' || substring(md5(s), 1, 8))::BIGINT % {MINHASH_P}) AS hs
+  FROM shl
+), sig AS (
+  SELECT doc_id, [
+      {mins}
+  ] AS sig FROM h
+), scored AS (
+  SELECT p.i, p.u,
+    EXISTS (
+      SELECT 1 FROM range(0, {bands}) t(bi)
+      WHERE sa.sig[bi * {r} + 1 : (bi + 1) * {r}]
+          = sb.sig[bi * {r} + 1 : (bi + 1) * {r}]
+    ) AS collided,
+    (CAST(p.i AS DOUBLE) / p.u) AS s
+  FROM pairs p
+  JOIN sig sa ON sa.doc_id = p.id_a
+  JOIN sig sb ON sb.doc_id = p.id_b
+), curved AS (
+  SELECT i, u, collided,
+    ROUND(1.0 - ((1.0 - (s*s)*(s*s)) * (1.0 - (s*s)*(s*s)))
+              * ((1.0 - (s*s)*(s*s)) * (1.0 - (s*s)*(s*s))), 6) AS theo,
+    (i * 10) // u AS sim_decile
+  FROM scored
+)
+SELECT sim_decile, COUNT(*) AS n_pairs,
+  CAST(SUM(CASE WHEN collided THEN 1 ELSE 0 END) AS BIGINT) AS n_collided,
+  ROUND(CAST(SUM(CASE WHEN collided THEN 1 ELSE 0 END) AS DOUBLE)
+        / COUNT(*), 6) AS observed_rate,
+  CAST(SUM(CAST(theo AS DECIMAL(18,6))) AS DECIMAL(28,6)) AS sum_theoretical
+FROM curved GROUP BY sim_decile ORDER BY sim_decile
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 
@@ -7621,6 +7971,10 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "q_bloom_calibration": (q_bloom_calibration, _bloom_calibration_sql()),
     "q_histogram_quantiles": (q_histogram_quantiles, _Q_HIST_QUANTILES_SQL),
     "q_star_dup_groups": (q_star_dup_groups, _cc_groups_sql(_minhash_dup_pairs_sql())),
+    "q_scd2_status_history": (q_scd2_status_history, _Q_SCD2_SQL),
+    "q_delete_cascade_audit": (q_delete_cascade_audit, _Q_CASCADE_SQL),
+    "q_semantic_decontamination": (q_semantic_decontamination, _Q_SEMANTIC_DECON_SQL),
+    "q_minhash_calibration": (q_minhash_calibration, _minhash_calibration_sql()),
 }
 
 

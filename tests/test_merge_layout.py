@@ -137,3 +137,29 @@ def test_zorder_keep_zcol_is_sorted_within_partitions(spark):
             yield pdf[["x"]]
 
     out.mapInPandas(check, "x long").count()
+
+
+def test_scd2_history_collapses_runs_and_chains_windows(spark):
+    """A A B A per key -> 3 versions; valid_to chains to the next
+    valid_from; only the last version is current."""
+    from radient_spark.operators.merge import scd2_history
+
+    rows = [
+        (1, "A", 10, 100),
+        (1, "A", 20, 101),
+        (1, "B", 30, 102),
+        (1, "A", 40, 103),
+        (2, "X", 15, 200),
+    ]
+    df = spark.createDataFrame(rows, ["k", "attr", "ts", "seq"])
+    out = {
+        (r.k, r.version): r
+        for r in scd2_history(df, "k", "attr", "ts", "seq").collect()
+    }
+    assert len(out) == 4
+    v1, v2, v3 = out[(1, 1)], out[(1, 2)], out[(1, 3)]
+    assert (v1.attr, v1.valid_from, v1.valid_to, v1.n_rows) == ("A", 10, 30, 2)
+    assert (v2.attr, v2.valid_from, v2.valid_to) == ("B", 30, 40)
+    assert (v3.attr, v3.valid_to, bool(v3.is_current)) == ("A", None, True)
+    assert not v1.is_current and not v2.is_current
+    assert bool(out[(2, 1)].is_current)
