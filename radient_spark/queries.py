@@ -7802,6 +7802,65 @@ FROM curved GROUP BY sim_decile ORDER BY sim_decile
 """
 
 
+def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer training over the document corpus: the first 4
+    learned merges with their weighted pair counts (operators/bpe.py
+    bpe_learn — corpus collapses to the word-frequency vocab in ONE
+    pass, merge rounds run on vocab-sized data with a 1-row argmax
+    driver sync per round, and the merge itself is a Catalyst aggregate
+    fold, no UDF). The DuckDB oracle unrolls the same rounds with
+    list_reduce folds, pinning pair counts, tie-breaks, and the greedy
+    leftmost-nonoverlapping merge semantics bit-for-bit."""
+    from radient_spark.operators.bpe import bpe_learn
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    return bpe_learn(docs, rounds=4).orderBy("round")
+
+
+def _bpe_sql(rounds: int = 4) -> str:
+    ctes = [
+        r"""w0 AS (
+  SELECT rtrim(regexp_replace(w, '(.)', '\1 ', 'g')) || ' </w>' AS sym,
+         COUNT(*) AS freq
+  FROM (
+    SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS w
+    FROM documents WHERE length(trim(text)) > 0
+  ) GROUP BY 1
+)"""
+    ]
+    for r in range(1, rounds + 1):
+        ctes.append(
+            f"""p{r} AS (
+  SELECT pair[1] AS l, pair[2] AS r2, SUM(freq) AS cnt FROM (
+    SELECT unnest(list_zip(toks[1:len(toks)-1], toks[2:len(toks)])) AS pair,
+           freq
+    FROM (SELECT string_split(sym, ' ') AS toks, freq FROM w{r - 1})
+  ) GROUP BY 1, 2
+), b{r} AS (
+  SELECT l, r2, cnt FROM p{r} ORDER BY cnt DESC, l, r2 LIMIT 1
+), w{r} AS (
+  SELECT freq, list_reduce(string_split(sym, ' '),
+    (acc, x) -> CASE
+      WHEN x = B.r2 AND (acc = B.l OR right(acc, length(B.l) + 1) = ' ' || B.l)
+      THEN left(acc, length(acc) - length(B.l)) || B.l || B.r2
+      ELSE acc || ' ' || x END) AS sym
+  FROM w{r - 1}, b{r} B
+)"""
+        )
+    finals = "\nUNION ALL\n".join(
+        f"SELECT CAST({r} AS BIGINT) AS round, l AS left_sym, "
+        f"r2 AS right_sym, CAST(cnt AS BIGINT) AS pair_count FROM b{r}"
+        for r in range(1, rounds + 1)
+    )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + "\nSELECT * FROM (\n"
+        + finals
+        + "\n) ORDER BY round"
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry
 
@@ -7975,6 +8034,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "q_delete_cascade_audit": (q_delete_cascade_audit, _Q_CASCADE_SQL),
     "q_semantic_decontamination": (q_semantic_decontamination, _Q_SEMANTIC_DECON_SQL),
     "q_minhash_calibration": (q_minhash_calibration, _minhash_calibration_sql()),
+    "q_bpe_merges": (q_bpe_merges, _bpe_sql()),
 }
 
 
