@@ -118,6 +118,13 @@ BENCH_QUERIES = [
     "q_edit_distance_pairs",
     "q_attribution_first_touch",
     "q_bloom_calibration",
+    "q_histogram_quantiles",
+    "q_star_dup_groups",
+    "q_scd2_status_history",
+    "q_delete_cascade_audit",
+    "q_semantic_decontamination",
+    "q_minhash_calibration",
+    "q_bpe_merges",
 ]
 
 
