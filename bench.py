@@ -125,6 +125,7 @@ BENCH_QUERIES = [
     "q_semantic_decontamination",
     "q_minhash_calibration",
     "q_bpe_merges",
+    "q_bpe_vocab_stats",
 ]
 
 

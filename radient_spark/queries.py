@@ -7817,7 +7817,7 @@ def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_learn(docs, rounds=4).orderBy("round")
 
 
-def _bpe_sql(rounds: int = 4) -> str:
+def _bpe_ctes(rounds: int = 4) -> str:
     ctes = [
         r"""w0 AS (
   SELECT rtrim(regexp_replace(w, '(.)', '\1 ', 'g')) || ' </w>' AS sym,
@@ -7847,17 +7847,78 @@ def _bpe_sql(rounds: int = 4) -> str:
   FROM w{r - 1}, b{r} B
 )"""
         )
+    return "WITH " + ",\n".join(ctes)
+
+
+def _bpe_sql(rounds: int = 4) -> str:
     finals = "\nUNION ALL\n".join(
         f"SELECT CAST({r} AS BIGINT) AS round, l AS left_sym, "
         f"r2 AS right_sym, CAST(cnt AS BIGINT) AS pair_count FROM b{r}"
         for r in range(1, rounds + 1)
     )
     return (
-        "WITH "
-        + ",\n".join(ctes)
+        _bpe_ctes(rounds)
         + "\nSELECT * FROM (\n"
         + finals
         + "\n) ORDER BY round"
+    )
+
+
+def q_bpe_vocab_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The trained tokenizer's effective vocabulary: after the 4
+    learned BPE merges, the top-20 subword symbols by corpus-weighted
+    occurrence (with the distinct-word support of each) — the
+    vocabulary report a tokenizer-training job emits alongside the
+    merge list, and the query that pins the MERGE-APPLY fold (the
+    bpe_apply path) under the oracle: the DuckDB side re-applies the
+    same 4 folds via list_reduce before aggregating."""
+    from radient_spark.functions import text as X
+    from radient_spark.operators.bpe import (
+        _merge_fold,
+        bpe_learn,
+        words_to_symbols,
+    )
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    merges = sorted(
+        (
+            (r["round"], r["left_sym"], r["right_sym"])
+            for r in bpe_learn(docs, rounds=4).collect()
+        )
+    )
+    words = (
+        docs.select(F.explode(X.tokens(F.col("text"))).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    vocab = words_to_symbols(words).select("sym", "freq")
+    for _, left, right in merges:
+        vocab = vocab.withColumn("sym", _merge_fold(left, right))
+    return (
+        vocab.select(
+            "freq", F.explode(F.split(F.col("sym"), " ")).alias("symbol")
+        )
+        .groupBy("symbol")
+        .agg(
+            F.sum("freq").alias("occurrences"),
+            F.count(F.lit(1)).alias("n_words"),
+        )
+        .orderBy(F.col("occurrences").desc(), F.col("symbol").asc())
+        .limit(20)
+    )
+
+
+def _bpe_vocab_sql(rounds: int = 4) -> str:
+    return (
+        _bpe_ctes(rounds)
+        + f"""
+SELECT symbol, CAST(SUM(freq) AS BIGINT) AS occurrences,
+       COUNT(*) AS n_words
+FROM (SELECT freq, unnest(string_split(sym, ' ')) AS symbol FROM w{rounds})
+GROUP BY symbol
+ORDER BY occurrences DESC, symbol ASC
+LIMIT 20
+"""
     )
 
 
@@ -8035,6 +8096,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "q_semantic_decontamination": (q_semantic_decontamination, _Q_SEMANTIC_DECON_SQL),
     "q_minhash_calibration": (q_minhash_calibration, _minhash_calibration_sql()),
     "q_bpe_merges": (q_bpe_merges, _bpe_sql()),
+    "q_bpe_vocab_stats": (q_bpe_vocab_stats, _bpe_vocab_sql()),
 }
 
 

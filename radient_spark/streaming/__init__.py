@@ -491,3 +491,47 @@ def cms_maintenance_sink(
         ).parquet(sketch_dir)
 
     return foreach_batch_sink(stream, checkpoint, batch_fn)
+
+
+def hist_maintenance_sink(
+    stream: DataFrame,
+    sketch_dir: str,
+    checkpoint: str,
+    value_col: str,
+    sub_bits: int = 5,
+):
+    """Maintain a log-histogram quantile sketch over a stream: per
+    micro-batch, bucket the batch values and merge into the persisted
+    (hkey, cnt) table by per-key cnt-SUM (the histogram merge law) —
+    the streaming latency/size-quantile monitor, state bounded at a
+    few thousand bucket rows forever. `hist_quantiles` reads the
+    merged table directly at any time for any quantile.
+
+    Like the CMS sink (SUM is not idempotent), the checkpoint's
+    exactly-once per-batch boundary guards the read-merge-overwrite of
+    the tiny bucket table.
+    """
+    from radient_spark.operators.sketch import hist_build, hist_merge
+
+    def _sketch_exists(spark) -> bool:
+        jvm = spark.sparkContext._jvm
+        hconf = spark.sparkContext._jsc.hadoopConfiguration()
+        path = jvm.org.apache.hadoop.fs.Path(sketch_dir)
+        fs = path.getFileSystem(hconf)
+        return fs.exists(path) and fs.globStatus(
+            jvm.org.apache.hadoop.fs.Path(sketch_dir + "/*.parquet")
+        )
+
+    def batch_fn(df: DataFrame, epoch_id: int) -> None:
+        spark = df.sparkSession
+        fresh = hist_build(df, F.col(value_col), sub_bits=sub_bits)
+        if _sketch_exists(spark):
+            merged = hist_merge(spark.read.parquet(sketch_dir), fresh)
+        else:
+            merged = fresh
+        rows = merged.collect()
+        spark.createDataFrame(rows, merged.schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(sketch_dir)
+
+    return foreach_batch_sink(stream, checkpoint, batch_fn)

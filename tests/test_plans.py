@@ -418,3 +418,49 @@ def test_simhash_pairs_no_distinct_after_band_join(spark, sf_dir):
     ).select("doc_id", "simhash32")
     pairs = simhash_near_pairs(sigs, "doc_id", "simhash32", 32, 4, 3)
     assert plans.formatted_plan(pairs).count("HashAggregate") == 0
+
+
+def test_hist_sketch_single_bucket_shuffle(spark, sf_dir):
+    """Histogram build: one map-side-combined groupBy on bucket keys;
+    the scan reads only the sketched column (+ the group column)."""
+    from radient_spark.operators.sketch import hist_build
+
+    ev = load_tables(spark, sf_dir)["events"]
+    sk = hist_build(
+        ev.select("event_type", F.round(F.col("value") * 100).cast("long").alias("c")),
+        F.col("c"),
+        by="event_type",
+    )
+    assert plans.shuffle_count(sk) == 1, plans.formatted_plan(sk)
+    assert plans.reads_only_columns(sk, {"event_type", "value"})
+
+
+def test_scd2_windows_share_one_key_shuffle(spark, sf_dir):
+    """lag + version-cumsum + run groupBy + lead are all partitioned on
+    the dimension key: ONE exchange end to end."""
+    from radient_spark.operators.merge import scd2_history
+
+    orders = load_tables(spark, sf_dir)["orders"]
+    df = scd2_history(
+        orders, "o_custkey", "o_orderstatus", "o_orderdate", "o_orderkey"
+    )
+    assert plans.shuffle_count(df) == 1, plans.formatted_plan(df)
+
+
+def test_bpe_pair_counts_vocab_only_shuffles(spark, sf_dir):
+    """The corpus-sized shuffle is the word groupBy; pair counting adds
+    one vocab-sized exchange — nothing else."""
+    from pyspark.sql import functions as F2
+
+    from radient_spark.functions import text as X
+    from radient_spark.operators.bpe import pair_counts, words_to_symbols
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    words = (
+        docs.select(F2.explode(X.tokens(F2.col("text"))).alias("w"))
+        .groupBy("w")
+        .agg(F2.count(F2.lit(1)).alias("freq"))
+    )
+    pc = pair_counts(words_to_symbols(words).select("sym", "freq"))
+    assert plans.shuffle_count(pc) == 2, plans.formatted_plan(pc)
+    assert plans.reads_only_columns(pc, {"text"})

@@ -484,3 +484,51 @@ def test_cms_maintenance_sink_equals_batch_sketch(spark, tmp_path):
         for r in spark.read.parquet(sk_dir).collect()
     }
     assert got == want
+
+
+def test_hist_maintenance_sink_equals_batch_sketch(spark, tmp_path):
+    """Streaming histogram maintenance across two micro-batch rounds ==
+    the one-shot batch sketch of the union (cnt-sum merge law), and the
+    merged table answers quantiles directly."""
+    from pyspark.sql import functions as F
+    from radient_spark.operators.sketch import hist_build, hist_quantiles
+
+    in_dir, sk_dir, ck = (
+        str(tmp_path / "in"),
+        str(tmp_path / "hist"),
+        str(tmp_path / "ck_hist"),
+    )
+    schema = "v long"
+    b1 = spark.createDataFrame([(i % 997 + 1,) for i in range(600)], schema)
+    b1.write.mode("overwrite").parquet(in_dir)
+    stream = spark.readStream.schema(b1.schema).parquet(in_dir)
+    q = streaming.hist_maintenance_sink(stream, sk_dir, ck, "v")
+    q.awaitTermination(120)
+
+    spark.createDataFrame(
+        [(i % 499 + 3000,) for i in range(400)], schema
+    ).write.mode("append").parquet(in_dir)
+    stream2 = spark.readStream.schema(b1.schema).parquet(in_dir)
+    q2 = streaming.hist_maintenance_sink(stream2, sk_dir, ck, "v")
+    q2.awaitTermination(120)
+
+    union = spark.createDataFrame(
+        [(i % 997 + 1,) for i in range(600)]
+        + [(i % 499 + 3000,) for i in range(400)],
+        schema,
+    )
+    want = {
+        (r["hkey"], r["cnt"])
+        for r in hist_build(union, F.col("v")).collect()
+    }
+    got = {
+        (r["hkey"], r["cnt"]) for r in spark.read.parquet(sk_dir).collect()
+    }
+    assert got == want
+    est = {
+        r["quantile"]: r
+        for r in hist_quantiles(
+            spark.read.parquet(sk_dir), [("p50", 1, 2)]
+        ).collect()
+    }
+    assert est["p50"]["n"] == 1000
