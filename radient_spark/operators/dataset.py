@@ -972,3 +972,103 @@ def weighted_sample(
         .orderBy(F.col(key_col).desc(), F.col(id_col).asc())
         .limit(k)
     )
+
+
+def water_fill_allocation(
+    counts: DataFrame,
+    key_col: str,
+    count_col: str,
+    budget_col: str = "__wf_budget",
+) -> DataFrame:
+    """Water-filling token-budget allocation: given per-source token
+    counts and a total budget B (a column constant on every row),
+    allocate min(count, lambda) tokens per source where the water
+    level lambda is the largest integer with sum(min(count, lambda))
+    <= B, then hand the remaining (B - consumed) tokens one each to
+    the first capped sources in key order — so sum(allocated) == B
+    EXACTLY. Small sources keep everything; big sources are capped at
+    a common ceiling: the fair multilingual/multi-domain mixture rule
+    (the hard-budget complement of temperature mixing, which rescales
+    rates but cannot hit an exact token target).
+
+    Pure integer arithmetic over the per-source table (windows over
+    #sources rows — corpus-size independent after the counts
+    aggregate). Returns (key, n_tokens, allocated, capped).
+    """
+    w_rank = Window.orderBy(F.col(count_col).asc(), F.col(key_col).asc())
+    n_src = Window.partitionBy()
+    ranked = (
+        counts.select(
+            F.col(key_col), F.col(count_col), F.col(budget_col)
+        )
+        .withColumn("__k", F.row_number().over(w_rank))
+        .withColumn(
+            "__cum",
+            F.sum(count_col).over(
+                w_rank.rowsBetween(Window.unboundedPreceding, 0)
+            ),
+        )
+        .withColumn("__n", F.count(F.lit(1)).over(n_src))
+    )
+    # k* = the largest rank whose own count survives uncapped:
+    # cum_k + c_k * (n - k) <= B. Rows with rank <= k* keep everything.
+    fits = ranked.withColumn(
+        "__fits",
+        (
+            F.col("__cum")
+            + F.col(count_col) * (F.col("__n") - F.col("__k"))
+            <= F.col(budget_col)
+        ).cast("long"),
+    )
+    kstar = fits.agg(
+        F.coalesce(
+            F.max(F.when(F.col("__fits") == 1, F.col("__k"))), F.lit(0)
+        ).alias("__kstar"),
+        F.coalesce(
+            F.max(F.when(F.col("__fits") == 1, F.col("__cum"))), F.lit(0)
+        ).alias("__cumstar"),
+        F.first("__n").alias("__nn"),
+        F.first(budget_col).alias("__b"),
+    )
+    lam = F.when(
+        F.col("__kstar") >= F.col("__nn"), F.lit(None).cast("long")
+    ).otherwise(
+        # integer division — no float anywhere near the level
+        F.expr("(__b - __cumstar) div (__nn - __kstar)")
+    )
+    rem = F.when(F.col("__kstar") >= F.col("__nn"), F.lit(0)).otherwise(
+        F.col("__b")
+        - F.col("__cumstar")
+        - F.col("__lam") * (F.col("__nn") - F.col("__kstar"))
+    )
+    levels = kstar.withColumn("__lam", lam).withColumn("__rem", rem)
+    out = (
+        fits.crossJoin(F.broadcast(levels))
+        .withColumn("__iscapped", F.col("__k") > F.col("__kstar"))
+        .withColumn(
+            "__cap_rank",
+            F.when(
+                F.col("__iscapped"),
+                F.row_number().over(
+                    Window.partitionBy("__iscapped").orderBy(
+                        F.col(key_col).asc()
+                    )
+                ),
+            ),
+        )
+        .withColumn(
+            "allocated",
+            F.when(~F.col("__iscapped"), F.col(count_col)).otherwise(
+                F.col("__lam")
+                + F.when(
+                    F.col("__cap_rank") <= F.col("__rem"), F.lit(1)
+                ).otherwise(F.lit(0))
+            ),
+        )
+    )
+    return out.select(
+        F.col(key_col),
+        F.col(count_col).alias("n_tokens"),
+        F.col("allocated").cast("long").alias("allocated"),
+        F.col("__iscapped").alias("capped"),
+    )

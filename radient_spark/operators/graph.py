@@ -224,11 +224,16 @@ def connected_components_star(
     """
     from pyspark.sql import Window
 
+    # materialize the (possibly expensive) pair pipeline ONCE: the
+    # emptiness probe, round 1, and the final node-universe scan would
+    # otherwise each recompute it (an LSH or edit-distance candidate
+    # generator is far costlier than this checkpoint)
     e = (
         pairs.select(F.col(id_a).alias("a"), F.col(id_b).alias("b"))
         .filter(F.col("a") != F.col("b"))
         .select(F.least("a", "b").alias("a"), F.greatest("a", "b").alias("b"))
         .distinct()
+        .localCheckpoint(eager=True)
     )
     spark = pairs.sparkSession
     if e.isEmpty():

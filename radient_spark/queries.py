@@ -7922,6 +7922,219 @@ LIMIT 20
     )
 
 
+def q_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end entity resolution: sorted-neighborhood blocking ->
+    Levenshtein verification (the q_edit_distance_pairs stack) ->
+    O(log n) star connected components -> per-entity report
+    (entity_id, n_members, canonical_id, n_pairs, max_edit_dist).
+    The full record-linkage pipeline (Hernandez & Stolfo's merge/purge
+    shape) as ONE composition: blocking bounds candidate pairs, the DP
+    runs only on candidates, and component resolution is O(log n)
+    rounds. Oracle: the same pair SQL under the shared recursive-CTE
+    closure, plus a pair-stats join."""
+    from radient_spark.operators.graph import connected_components_star
+
+    # one materialization of the blocking+DP pipeline; the component
+    # loop, node scan, and pair-stats join all reuse it
+    pairs = q_edit_distance_pairs(spark, sf_dir).localCheckpoint(eager=True)
+    labels = connected_components_star(pairs)
+    members = labels.groupBy("group_id").agg(
+        F.count(F.lit(1)).alias("n_members"),
+        F.min("id").alias("canonical_id"),
+    )
+    pair_stats = (
+        pairs.join(labels, pairs.id_a == labels.id)
+        .groupBy("group_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.max("edit_dist").alias("max_edit_dist"),
+        )
+    )
+    return (
+        members.join(pair_stats, "group_id")
+        .filter(F.col("n_members") > 1)
+        .select(
+            F.col("group_id").alias("entity_id"),
+            "n_members",
+            "canonical_id",
+            "n_pairs",
+            "max_edit_dist",
+        )
+        .orderBy("entity_id")
+    )
+
+
+def _entity_resolution_sql() -> str:
+    pairs_sql = _edit_distance_sql()
+    return f"""{_cc_labels_with(pairs_sql)}
+SELECT l.group_id AS entity_id,
+       COUNT(DISTINCT l.id) AS n_members,
+       MIN(l.id) AS canonical_id,
+       (SELECT COUNT(*) FROM pairs p
+         JOIN labels la ON p.id_a = la.id
+        WHERE la.group_id = l.group_id) AS n_pairs,
+       (SELECT MAX(p.edit_dist) FROM pairs p
+         JOIN labels la ON p.id_a = la.id
+        WHERE la.group_id = l.group_id) AS max_edit_dist
+FROM labels l
+GROUP BY l.group_id
+HAVING COUNT(DISTINCT l.id) > 1
+ORDER BY entity_id
+"""
+
+
+def q_token_budget_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Water-filling token-budget allocation across sources: a 60%
+    budget of the corpus's tokens, allocated min(count, lambda) per
+    source with the largest integer water level that fits, remainder
+    distributed deterministically — sum(allocated) == budget EXACTLY
+    (operators/dataset.py water_fill_allocation). The hard-budget
+    mixture planner that complements temperature mixing
+    (q_temperature_mix rescales rates; this hits a token target):
+    small sources keep everything, big sources share a common cap.
+    All integer arithmetic; windows run over the per-source table."""
+    from radient_spark.functions import text as X
+    from radient_spark.operators.dataset import water_fill_allocation
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    counts = docs.groupBy("source").agg(
+        F.sum(X.token_count(F.col("text"))).alias("n_tokens")
+    )
+    budgeted = counts.withColumn(
+        "__wf_budget",
+        F.expr(
+            "(6 * sum(n_tokens) over (rows between unbounded preceding"
+            " and unbounded following)) div 10"
+        ),
+    )
+    return water_fill_allocation(budgeted, "source", "n_tokens").orderBy(
+        "source"
+    )
+
+
+_Q_WATER_FILL_SQL = r"""
+WITH counts AS (
+  SELECT source,
+    SUM(CASE WHEN length(trim(text)) = 0 THEN 0
+             ELSE len(regexp_split_to_array(trim(text), '\s+')) END)
+      AS n_tokens
+  FROM documents GROUP BY source
+), budgeted AS (
+  SELECT *, (6 * SUM(n_tokens) OVER ()) // 10 AS bud FROM counts
+), ranked AS (
+  SELECT *,
+    row_number() OVER (ORDER BY n_tokens ASC, source ASC) AS k,
+    SUM(n_tokens) OVER (ORDER BY n_tokens ASC, source ASC
+                        ROWS UNBOUNDED PRECEDING) AS cum,
+    COUNT(*) OVER () AS n
+  FROM budgeted
+), fits AS (
+  SELECT *, (cum + n_tokens * (n - k) <= bud) AS fit FROM ranked
+), lv AS (
+  SELECT COALESCE(MAX(CASE WHEN fit THEN k END), 0) AS kstar,
+         COALESCE(MAX(CASE WHEN fit THEN cum END), 0) AS cumstar,
+         ANY_VALUE(n) AS nn, ANY_VALUE(bud) AS b
+  FROM fits
+), lv2 AS (
+  SELECT *,
+    CASE WHEN kstar >= nn THEN NULL
+         ELSE (b - cumstar) // (nn - kstar) END AS lam,
+    CASE WHEN kstar >= nn THEN 0
+         ELSE b - cumstar
+              - ((b - cumstar) // (nn - kstar)) * (nn - kstar) END AS rem
+  FROM lv
+), capped AS (
+  SELECT f.source, f.n_tokens, f.k, l.kstar, l.lam, l.rem,
+         (f.k > l.kstar) AS iscapped,
+         CASE WHEN f.k > l.kstar THEN
+           row_number() OVER (PARTITION BY (f.k > l.kstar)
+                              ORDER BY f.source ASC) END AS cap_rank
+  FROM fits f, lv2 l
+)
+SELECT source, CAST(n_tokens AS BIGINT) AS n_tokens,
+  CAST(CASE WHEN NOT iscapped THEN n_tokens
+            ELSE lam + CASE WHEN cap_rank <= rem THEN 1 ELSE 0 END
+       END AS BIGINT) AS allocated,
+  iscapped AS capped
+FROM capped ORDER BY source
+"""
+
+
+def q_winsorized_means(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized means per event type: exact p05/p95 order statistics
+    (the distributed rank engine — no per-group reducer buffer) clamp
+    the tails before averaging, the robust mean that completes the
+    robust-statistics family (MAD outliers, quantile-rank transform).
+    Reports raw vs winsorized mean and the clamp count — the gap
+    between the two IS the outlier influence a naive mean absorbs.
+
+    Exactness: sums run on the integer cent lattice (DECIMAL-safe in
+    any partial-aggregation order); the only float ops are the final
+    two divisions, rounded to 6 decimals on both engines."""
+    from radient_spark.operators.dataset import exact_group_quantiles
+
+    ev = load_tables(spark, sf_dir)["events"]
+    qs = exact_group_quantiles(ev, "event_type", "value", [0.05, 0.95])
+    bounds = qs.groupBy("event_type").agg(
+        F.max(F.when(F.col("q") == 0.05, F.col("value"))).alias("lo"),
+        F.max(F.when(F.col("q") == 0.95, F.col("value"))).alias("hi"),
+    )
+    cents = F.round(F.col("value") * 100).cast("long")
+    lo_c = F.round(F.col("lo") * 100).cast("long")
+    hi_c = F.round(F.col("hi") * 100).cast("long")
+    clamped = F.least(F.greatest(cents, lo_c), hi_c)
+    return (
+        ev.join(F.broadcast(bounds), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.first("lo").alias("p05"),
+            F.first("hi").alias("p95"),
+            F.round(
+                F.sum(cents).cast("double") / (F.count(F.lit(1)) * 100), 6
+            ).alias("mean"),
+            F.round(
+                F.sum(clamped).cast("double") / (F.count(F.lit(1)) * 100), 6
+            ).alias("winsorized_mean"),
+            F.sum(((cents < lo_c) | (cents > hi_c)).cast("long")).alias(
+                "n_clamped"
+            ),
+        )
+        .orderBy("event_type")
+    )
+
+
+_Q_WINSOR_SQL = """
+WITH ranked AS (
+  SELECT event_type, value,
+    row_number() OVER (PARTITION BY event_type ORDER BY value) AS rn,
+    COUNT(*) OVER (PARTITION BY event_type) AS n
+  FROM events
+), bounds AS (
+  SELECT event_type,
+    MAX(CASE WHEN rn = GREATEST(1, CAST(ceil(0.05 * n) AS BIGINT))
+        THEN value END) AS lo,
+    MAX(CASE WHEN rn = GREATEST(1, CAST(ceil(0.95 * n) AS BIGINT))
+        THEN value END) AS hi
+  FROM ranked GROUP BY event_type
+), cents AS (
+  SELECT e.event_type, b.lo, b.hi,
+    CAST(ROUND(e.value * 100) AS BIGINT) AS c,
+    CAST(ROUND(b.lo * 100) AS BIGINT) AS loc,
+    CAST(ROUND(b.hi * 100) AS BIGINT) AS hic
+  FROM events e JOIN bounds b USING (event_type)
+)
+SELECT event_type, COUNT(*) AS n_events,
+  MAX(lo) AS p05, MAX(hi) AS p95,
+  ROUND(CAST(SUM(c) AS DOUBLE) / (COUNT(*) * 100), 6) AS mean,
+  ROUND(CAST(SUM(LEAST(GREATEST(c, loc), hic)) AS DOUBLE)
+        / (COUNT(*) * 100), 6) AS winsorized_mean,
+  CAST(SUM(CASE WHEN c < loc OR c > hic THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_clamped
+FROM cents GROUP BY event_type ORDER BY event_type
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 
@@ -8097,6 +8310,9 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "q_minhash_calibration": (q_minhash_calibration, _minhash_calibration_sql()),
     "q_bpe_merges": (q_bpe_merges, _bpe_sql()),
     "q_bpe_vocab_stats": (q_bpe_vocab_stats, _bpe_vocab_sql()),
+    "q_entity_resolution": (q_entity_resolution, _entity_resolution_sql()),
+    "q_token_budget_allocation": (q_token_budget_allocation, _Q_WATER_FILL_SQL),
+    "q_winsorized_means": (q_winsorized_means, _Q_WINSOR_SQL),
 }
 
 

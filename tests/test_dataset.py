@@ -330,3 +330,39 @@ def test_weighted_sample_biases_toward_heavy_rows(spark):
     avg_sel = sum(dict(rows)[i] for i in s1) / 50
     avg_all = sum(w for _, w in rows) / 500
     assert avg_sel > avg_all * 1.3
+
+
+def test_water_fill_allocation_exact_budget_and_edges(spark):
+    """sum(allocated) == budget exactly; small sources keep everything;
+    budget >= total means nobody is capped; budget below n*min still
+    splits deterministically."""
+    from pyspark.sql import functions as F
+
+    from radient_spark.operators.dataset import water_fill_allocation
+
+    rows = [("a", 100), ("b", 500), ("c", 1000), ("d", 70)]
+
+    def run(budget):
+        df = spark.createDataFrame(rows, ["src", "cnt"]).withColumn(
+            "__wf_budget", F.lit(budget)
+        )
+        out = {
+            r.src: r for r in water_fill_allocation(df, "src", "cnt").collect()
+        }
+        return out
+
+    out = run(1000)
+    assert sum(r.allocated for r in out.values()) == 1000
+    assert not out["d"].capped and out["d"].allocated == 70
+    assert not out["a"].capped and out["a"].allocated == 100
+    assert out["b"].capped and out["c"].capped
+    # water level: 1000 - 170 = 830 over 2 capped -> 415 each
+    assert {out["b"].allocated, out["c"].allocated} == {415}
+
+    out = run(10_000)  # budget >= total: everyone keeps everything
+    assert all(not r.capped for r in out.values())
+    assert sum(r.allocated for r in out.values()) == 1670
+
+    out = run(7)  # below n*min: lam = 1, remainder 3 by key order
+    assert sum(r.allocated for r in out.values()) == 7
+    assert [out[s].allocated for s in "abcd"] == [2, 2, 2, 1]
