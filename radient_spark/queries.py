@@ -7144,16 +7144,20 @@ def q_edit_distance_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = sorted_neighborhood_pairs(keyed, "bkey", "doc_id", window=5)
     ta = canon.select(F.col("doc_id").alias("id_a"), F.col("canon").alias("ca"))
     tb = canon.select(F.col("doc_id").alias("id_b"), F.col("canon").alias("cb"))
+    pa = F.substring("ca", 1, 200)
+    pb = F.substring("cb", 1, 200)
     return (
         pairs.join(ta, "id_a")
         .join(tb, "id_b")
-        .withColumn(
-            "edit_dist",
-            F.levenshtein(
-                F.substring("ca", 1, 200), F.substring("cb", 1, 200)
-            ),
+        # levenshtein >= |len(a) - len(b)|: the length prune discards
+        # most candidates before the DP without changing results, and
+        # the threshold arg switches the JVM kernel to the banded
+        # O(L * 15) DP that bails out early (-1 = over threshold)
+        .filter(
+            F.abs(F.length(pa) - F.length(pb)) <= 15
         )
-        .filter(F.col("edit_dist") <= 15)
+        .withColumn("edit_dist", F.levenshtein(pa, pb, 15))
+        .filter((F.col("edit_dist") >= 0) & (F.col("edit_dist") <= 15))
         .select("id_a", "id_b", "edit_dist")
     )
 
