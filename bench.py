@@ -126,6 +126,9 @@ BENCH_QUERIES = [
     "q_minhash_calibration",
     "q_bpe_merges",
     "q_bpe_vocab_stats",
+    "q_entity_resolution",
+    "q_token_budget_allocation",
+    "q_winsorized_means",
 ]
 
 
