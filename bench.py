@@ -129,6 +129,7 @@ BENCH_QUERIES = [
     "q_entity_resolution",
     "q_token_budget_allocation",
     "q_winsorized_means",
+    "q_cluster_silhouette",
 ]
 
 

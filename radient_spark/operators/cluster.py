@@ -245,3 +245,66 @@ def semdedup_pairs(
     return assigned.groupBy("cluster_id").applyInPandas(
         gen, "id_a long, id_b long, cluster_id int, score double"
     )
+
+
+def silhouette_report(
+    df: DataFrame,
+    vec_col: str,
+    centroids: list[list[int]],
+    out_cluster: str = "cluster_id",
+) -> DataFrame:
+    """Per-cluster simplified silhouette (centroid-based, the standard
+    large-n variant: a = squared lattice distance to the OWN centroid,
+    b = min over OTHER centroids; s = (b - a) / max(a, b)) — the
+    clustering-quality gauge that tells a SemDeDup/curation pipeline
+    whether its k actually separates the embedding space.
+
+    Zero shuffle for the scoring itself (the k x d codebook is a
+    literal, per-row arithmetic is exact integers on the micro-unit
+    lattice, one IEEE division rounded to 6 decimals); the only
+    exchange is the final per-cluster aggregate. Returns (cluster_id,
+    n_points, mean_silhouette)."""
+    books = F.array(
+        *[F.array(*[F.lit(int(v)) for v in c]) for c in centroids]
+    )
+    micro = micro_vec(F.col(vec_col))
+    dists = F.transform(
+        books,
+        lambda c, i: F.struct(
+            F.aggregate(
+                F.zip_with(micro, c, lambda x, y: (x - y) * (x - y)),
+                F.lit(0).cast("long"),
+                lambda acc, z: acc + z,
+            ).alias("d"),
+            i.alias("c"),
+        ),
+    )
+    staged = df.withColumn("__ds", dists).withColumn(
+        "__best", F.array_min(F.col("__ds"))
+    )
+    second = F.array_min(
+        F.filter(
+            F.col("__ds"), lambda s: s["c"] != F.col("__best")["c"]
+        )
+    )
+    a = F.col("__best")["d"]
+    b = second["d"]
+    s = F.when(F.greatest(a, b) == 0, F.lit(0.0)).otherwise(
+        F.round(
+            (b - a).cast("double") / F.greatest(a, b).cast("double"), 6
+        )
+    )
+    scored = staged.select(
+        F.col("__best")["c"].alias(out_cluster), s.alias("__s")
+    )
+    return (
+        scored.groupBy(out_cluster)
+        .agg(
+            F.count(F.lit(1)).alias("n_points"),
+            F.round(
+                F.sum(F.col("__s").cast("decimal(18,6)")).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("mean_silhouette"),
+        )
+    )

@@ -8139,6 +8139,51 @@ FROM cents GROUP BY event_type ORDER BY event_type
 """
 
 
+def q_cluster_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Clustering-quality evaluation for the semantic-curation stack:
+    per-cluster simplified silhouette (centroid-based a vs min-other
+    b, s = (b-a)/max(a,b)) over the same k=10 / 2-iteration lattice
+    k-means as q_kmeans_embedding_clusters — the metric that says
+    whether SemDeDup's clusters actually separate before you trust
+    within-cluster dedup. Integer lattice distances + one rounded IEEE
+    division per point, so the unrolled-Lloyd oracle extends to the
+    silhouette bit-for-bit."""
+    from radient_spark.operators.cluster import kmeans_fit, silhouette_report
+
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    cents = kmeans_fit(emb, "embedding", "vec_id", k=10, iters=2, seed=42)
+    return silhouette_report(emb, "embedding", cents).orderBy("cluster_id")
+
+
+def _silhouette_sql(k: int = 10, iters: int = 2, seed: int = 42) -> str:
+    with_clause, cfinal, _afinal = _kmeans_cte(k, iters, seed)
+    return f"""{with_clause},
+dall AS (
+  SELECT p.vec_id, cf.c, SUM((p.v - cf.cv) * (p.v - cf.cv)) AS d
+  FROM pts p JOIN {cfinal} cf ON p.dim = cf.dim
+  GROUP BY p.vec_id, cf.c
+), own AS (
+  SELECT vec_id, c, d FROM dall
+  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d, c) = 1
+), nxt AS (
+  SELECT dall.vec_id, MIN(dall.d) AS b
+  FROM dall JOIN own USING (vec_id)
+  WHERE dall.c <> own.c
+  GROUP BY dall.vec_id
+), scored AS (
+  SELECT own.c AS cluster_id,
+    CASE WHEN GREATEST(own.d, nxt.b) = 0 THEN 0.0
+         ELSE ROUND(CAST(nxt.b - own.d AS DOUBLE)
+                    / CAST(GREATEST(own.d, nxt.b) AS DOUBLE), 6) END AS s
+  FROM own JOIN nxt USING (vec_id)
+)
+SELECT cluster_id, COUNT(*) AS n_points,
+  ROUND(CAST(SUM(CAST(s AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 6)
+    AS mean_silhouette
+FROM scored GROUP BY cluster_id ORDER BY cluster_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 
@@ -8317,6 +8362,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "q_entity_resolution": (q_entity_resolution, _entity_resolution_sql()),
     "q_token_budget_allocation": (q_token_budget_allocation, _Q_WATER_FILL_SQL),
     "q_winsorized_means": (q_winsorized_means, _Q_WINSOR_SQL),
+    "q_cluster_silhouette": (q_cluster_silhouette, _silhouette_sql()),
 }
 
 
