@@ -312,6 +312,41 @@ def main() -> None:
     print("exact percentile rows:", pcts.count())
     print("profile rows:", profile_table(load_tables(spark, SF_DIR)["orders"]).count())
 
+    # ------------------------------------------------------------------
+    # round-4 surfaces: BPE tokenizer training, histogram quantile
+    # sketch, O(log n) components, SCD2 history, water-fill budgets.
+    from radient_spark.operators.bpe import bpe_apply, bpe_learn
+    from radient_spark.operators.graph import connected_components_star
+    from radient_spark.operators.merge import scd2_history
+    from radient_spark.operators.sketch import hist_build, hist_quantiles
+
+    merges = bpe_learn(docs, rounds=3).collect()
+    print("bpe merges:", [(m.left_sym, m.right_sym) for m in merges])
+    toks = bpe_apply(
+        docs.limit(5), [(m.left_sym, m.right_sym) for m in merges]
+    )
+    print("bpe-tokenized rows:", toks.count())
+
+    sk = hist_build(
+        ev.select(F.round(F.col("value") * 100).cast("long").alias("c")),
+        F.col("c"),
+    )
+    print(
+        "hist p95 bucket:",
+        hist_quantiles(sk, [("p95", 19, 20)]).first()["est_lo"],
+    )
+
+    star = connected_components_star(
+        spark.createDataFrame([(1, 2), (2, 3), (9, 9)], ["id_a", "id_b"])
+    )
+    print("star components:", star.count())
+
+    orders = load_tables(spark, SF_DIR)["orders"]
+    hist = scd2_history(
+        orders, "o_custkey", "o_orderstatus", "o_orderdate", "o_orderkey"
+    )
+    print("scd2 versions:", hist.count())
+
     print("migration example: all flows OK")
 
 

@@ -455,6 +455,10 @@ def test_bpe_pair_counts_vocab_only_shuffles(spark, sf_dir):
     from radient_spark.functions import text as X
     from radient_spark.operators.bpe import pair_counts, words_to_symbols
 
+    # earlier tests may leave persisted lineages over the same parquet
+    # scan; a cache hit swaps FileScan for InMemoryTableScan and breaks
+    # the plan-shape assertions below
+    spark.catalog.clearCache()
     docs = load_tables(spark, sf_dir)["documents"]
     words = (
         docs.select(F2.explode(X.tokens(F2.col("text"))).alias("w"))
