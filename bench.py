@@ -130,6 +130,7 @@ BENCH_QUERIES = [
     "q_token_budget_allocation",
     "q_winsorized_means",
     "q_cluster_silhouette",
+    "q_join_size_estimates",
 ]
 
 

@@ -412,3 +412,31 @@ def hist_quantiles(
         F.col("__n").alias("n"),
     )
     return out
+
+
+def cms_inner_product(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Join-size estimation from two count-min sketches built with the
+    same (depth, width): the classic CM inner-product estimator
+    (Cormode & Muthukrishnan 2005, §4.3) — for each hash row r,
+    sum_w a[r,w] * b[r,w] upper-bounds |A JOIN B| on the sketched key
+    (colliding keys only ADD mass), and the estimate is the MIN over
+    rows. a == b gives the self-join size sum_k c_k^2, the quantity a
+    shuffle planner needs to predict join blow-up and key skew BEFORE
+    paying for the join.
+
+    Input cell tables are d*w rows each; the join/aggregate here is
+    sketch-sized, never data-sized. Exact integer arithmetic — the
+    estimate itself is oracle-checkable. Returns one row
+    (est_join_size)."""
+    pa = a.select(
+        F.col("row"), F.col("slot"), F.col("c").alias("__ca")
+    )
+    pb = b.select(
+        F.col("row"), F.col("slot"), F.col("c").alias("__cb")
+    )
+    per_row = (
+        pa.join(pb, ["row", "slot"])
+        .groupBy("row")
+        .agg(F.sum(F.col("__ca") * F.col("__cb")).alias("__ip"))
+    )
+    return per_row.agg(F.min("__ip").alias("est_join_size"))

@@ -8184,6 +8184,110 @@ FROM scored GROUP BY cluster_id ORDER BY cluster_id
 """
 
 
+def q_join_size_estimates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-based join-size estimation (Cormode-Muthukrishnan CM
+    inner product): predict |A JOIN B| from two d*w count-min cell
+    tables BEFORE paying for the join — the planner input that decides
+    broadcast vs shuffle vs salt. Audited against the exact join size
+    (computed keys-only: groupBy counts on both sides, never the full
+    join) for the warehouse's three shapes: an FK join, a dimension
+    join, and the skew-sensitive self-join sum(c_k^2).
+
+    Estimates are exact integer arithmetic over sketch-sized tables
+    (the only float is the final audit ratio), so the oracle verifies
+    the ESTIMATOR itself, not just the audit. Expected additive error
+    is (sum_a)(sum_b)/width — the ratio column IS the signal that the
+    width needs resizing for a key domain, which is exactly what this
+    audit exists to surface."""
+    from radient_spark.operators.sketch import cms_build, cms_inner_product
+
+    t = load_tables(spark, sf_dir)
+    edges = [
+        ("lineitem_join_orders", t["lineitem"], "l_orderkey", t["orders"], "o_orderkey"),
+        ("orders_join_customer", t["orders"], "o_custkey", t["customer"], "c_custkey"),
+        ("orders_self_join_custkey", t["orders"], "o_custkey", t["orders"], "o_custkey"),
+    ]
+    outs = []
+    for name, dfa, ka, dfb, kb in edges:
+        ska = cms_build(
+            dfa.select(F.col(ka).cast("string").alias("tok")), "tok", 4, 4096
+        )
+        skb = cms_build(
+            dfb.select(F.col(kb).cast("string").alias("tok")), "tok", 4, 4096
+        )
+        est = cms_inner_product(ska, skb)
+        ca = dfa.groupBy(F.col(ka).alias("k")).agg(
+            F.count(F.lit(1)).alias("na")
+        )
+        cb = dfb.groupBy(F.col(kb).alias("k")).agg(
+            F.count(F.lit(1)).alias("nb")
+        )
+        actual = ca.join(cb, "k").agg(
+            F.coalesce(F.sum(F.col("na") * F.col("nb")), F.lit(0)).alias(
+                "actual_join_size"
+            )
+        )
+        outs.append(
+            est.crossJoin(actual).select(
+                F.lit(name).alias("join_name"),
+                F.col("est_join_size"),
+                F.col("actual_join_size"),
+                F.round(
+                    F.col("est_join_size").cast("double")
+                    / F.col("actual_join_size"),
+                    6,
+                ).alias("overestimate_ratio"),
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionAll(o)
+    return out
+
+
+def _join_size_sql(depth: int = 4, width: int = 4096) -> str:
+    def block(name: str, ta: str, ka: str, tb: str, kb: str) -> str:
+        return f"""
+SELECT '{name}' AS join_name,
+  (SELECT MIN(ip) FROM (
+     SELECT a.row, SUM(a.c * b.c) AS ip
+     FROM (
+       SELECT r.i AS row,
+         ('0x' || substring(md5(r.i || '_' || CAST({ka} AS VARCHAR)), 1, 8))::BIGINT
+           % {width} AS slot,
+         COUNT(*) AS c
+       FROM {ta}, range(0, {depth}) r(i) GROUP BY 1, 2
+     ) a JOIN (
+       SELECT r.i AS row,
+         ('0x' || substring(md5(r.i || '_' || CAST({kb} AS VARCHAR)), 1, 8))::BIGINT
+           % {width} AS slot,
+         COUNT(*) AS c
+       FROM {tb}, range(0, {depth}) r(i) GROUP BY 1, 2
+     ) b USING (row, slot)
+     GROUP BY a.row
+  )) AS est_join_size,
+  (SELECT COALESCE(SUM(na * nb), 0) FROM
+     (SELECT {ka} AS k, COUNT(*) AS na FROM {ta} GROUP BY 1) ca
+     JOIN (SELECT {kb} AS k, COUNT(*) AS nb FROM {tb} GROUP BY 1) cb
+     USING (k)) AS actual_join_size
+"""
+
+    blocks = "\nUNION ALL\n".join(
+        [
+            block("lineitem_join_orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+            block("orders_join_customer", "orders", "o_custkey", "customer", "c_custkey"),
+            block("orders_self_join_custkey", "orders", "o_custkey", "orders", "o_custkey"),
+        ]
+    )
+    return f"""
+SELECT join_name, CAST(est_join_size AS BIGINT) AS est_join_size,
+  CAST(actual_join_size AS BIGINT) AS actual_join_size,
+  ROUND(CAST(est_join_size AS DOUBLE) / actual_join_size, 6)
+    AS overestimate_ratio
+FROM ({blocks})
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 
@@ -8363,6 +8467,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "q_token_budget_allocation": (q_token_budget_allocation, _Q_WATER_FILL_SQL),
     "q_winsorized_means": (q_winsorized_means, _Q_WINSOR_SQL),
     "q_cluster_silhouette": (q_cluster_silhouette, _silhouette_sql()),
+    "q_join_size_estimates": (q_join_size_estimates, _join_size_sql()),
 }
 
 

@@ -535,3 +535,59 @@ def hist_maintenance_sink(
         ).parquet(sketch_dir)
 
     return foreach_batch_sink(stream, checkpoint, batch_fn)
+
+
+def agg_maintenance_sink(
+    stream: DataFrame,
+    state_dir: str,
+    checkpoint: str,
+    key_col: str,
+    value_col: str,
+):
+    """Incremental materialized-view maintenance for distributive
+    aggregates: per micro-batch, aggregate the batch to per-key
+    (cnt, total) partials and merge into the persisted state table by
+    key-wise sum — the streaming equivalent of a grouped COUNT/SUM/AVG
+    rollup that never re-reads history. State is one row per key;
+    reading the table at any time gives the exact aggregate of
+    everything ingested (avg = total/cnt at read time — any
+    algebraic aggregate over distributive partials works this way).
+
+    Like the CMS/histogram sinks, sum-merge is not idempotent, so the
+    checkpoint's exactly-once per-batch boundary guards the
+    read-merge-overwrite cycle.
+    """
+
+    def _state_exists(spark) -> bool:
+        jvm = spark.sparkContext._jvm
+        hconf = spark.sparkContext._jsc.hadoopConfiguration()
+        path = jvm.org.apache.hadoop.fs.Path(state_dir)
+        fs = path.getFileSystem(hconf)
+        return fs.exists(path) and fs.globStatus(
+            jvm.org.apache.hadoop.fs.Path(state_dir + "/*.parquet")
+        )
+
+    def batch_fn(df: DataFrame, epoch_id: int) -> None:
+        spark = df.sparkSession
+        fresh = df.groupBy(F.col(key_col).alias("k")).agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum(F.col(value_col)).alias("total"),
+        )
+        if _state_exists(spark):
+            merged = (
+                spark.read.parquet(state_dir)
+                .unionByName(fresh)
+                .groupBy("k")
+                .agg(
+                    F.sum("cnt").alias("cnt"),
+                    F.sum("total").alias("total"),
+                )
+            )
+        else:
+            merged = fresh
+        rows = merged.collect()
+        spark.createDataFrame(rows, merged.schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(state_dir)
+
+    return foreach_batch_sink(stream, checkpoint, batch_fn)

@@ -532,3 +532,52 @@ def test_hist_maintenance_sink_equals_batch_sketch(spark, tmp_path):
         ).collect()
     }
     assert est["p50"]["n"] == 1000
+
+
+def test_agg_maintenance_sink_equals_batch_aggregate(spark, tmp_path):
+    """Two micro-batch rounds of per-key (cnt, total) maintenance ==
+    the one-shot grouped aggregate of the union — incremental
+    materialized-view maintenance without re-reading history."""
+    from pyspark.sql import functions as F
+
+    in_dir, st_dir, ck = (
+        str(tmp_path / "in"),
+        str(tmp_path / "state"),
+        str(tmp_path / "ck_agg"),
+    )
+    schema = "k string, v long"
+    b1 = spark.createDataFrame(
+        [(f"g{i % 7}", i) for i in range(300)], schema
+    )
+    b1.write.mode("overwrite").parquet(in_dir)
+    q = streaming.agg_maintenance_sink(
+        spark.readStream.schema(b1.schema).parquet(in_dir),
+        st_dir, ck, "k", "v",
+    )
+    q.awaitTermination(120)
+
+    spark.createDataFrame(
+        [(f"g{i % 11}", i * 3) for i in range(200)], schema
+    ).write.mode("append").parquet(in_dir)
+    q2 = streaming.agg_maintenance_sink(
+        spark.readStream.schema(b1.schema).parquet(in_dir),
+        st_dir, ck, "k", "v",
+    )
+    q2.awaitTermination(120)
+
+    union = spark.createDataFrame(
+        [(f"g{i % 7}", i) for i in range(300)]
+        + [(f"g{i % 11}", i * 3) for i in range(200)],
+        schema,
+    )
+    want = {
+        (r["k"], r["cnt"], r["total"])
+        for r in union.groupBy(F.col("k"))
+        .agg(F.count(F.lit(1)).alias("cnt"), F.sum("v").alias("total"))
+        .collect()
+    }
+    got = {
+        (r["k"], r["cnt"], r["total"])
+        for r in spark.read.parquet(st_dir).collect()
+    }
+    assert got == want
