@@ -131,6 +131,8 @@ BENCH_QUERIES = [
     "q_winsorized_means",
     "q_cluster_silhouette",
     "q_join_size_estimates",
+    "q_keyword_extraction",
+    "q_attribution_linear",
 ]
 
 

@@ -8288,6 +8288,175 @@ FROM ({blocks})
 """
 
 
+def q_keyword_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document keyword extraction: top-3 terms by TF-IDF
+    (tf integer, idf = round(ln((N+1)/(df+1)) + 1, 6) — the
+    rounded-transcendental discipline BM25/DSIR use), ties broken on
+    term text. The document-level counterpart of the corpus-level
+    sparse TF-IDF (q_sparse_tfidf_terms): what a search/RAG indexer
+    stores as document keywords.
+
+    One tokenize pass feeds both tf and df (Generate-barrier staged);
+    the per-doc top-3 is a window over (doc, term) rows."""
+    from radient_spark.functions import text as X
+    from radient_spark.functions.stage import stage
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    staged = stage(
+        docs.select("doc_id", "text"), __toks=X.tokens(F.col("text"))
+    ).filter(F.size("__toks") > 0)
+    tf = (
+        staged.select("doc_id", F.explode("__toks").alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    n_docs = staged.agg(F.count(F.lit(1)).alias("__n"))
+    df_t = tf.groupBy("term").agg(
+        F.countDistinct("doc_id").alias("df")
+    )
+    idf = F.round(
+        F.log((F.col("__n") + 1.0) / (F.col("df") + 1.0)) + 1.0, 6
+    )
+    scored = (
+        tf.join(F.broadcast(df_t), "term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn("tfidf", F.round(F.col("tf") * idf, 6))
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("tfidf").desc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("doc_id", "rank", "term", "tf", "tfidf")
+    )
+
+
+_Q_KEYWORDS_SQL = r"""
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS term
+  FROM documents WHERE length(trim(text)) > 0
+), tf AS (
+  SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY doc_id, term
+), dft AS (
+  SELECT term, COUNT(DISTINCT doc_id) AS df FROM tf GROUP BY term
+), nd AS (
+  SELECT COUNT(DISTINCT doc_id) AS n FROM toks
+), scored AS (
+  SELECT tf.doc_id, tf.term, tf.tf,
+    ROUND(tf.tf * ROUND(ln((nd.n + 1.0) / (dft.df + 1.0)) + 1.0, 6), 6)
+      AS tfidf
+  FROM tf JOIN dft USING (term), nd
+)
+SELECT doc_id, rank, term, CAST(tf AS BIGINT) AS tf, tfidf FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY doc_id ORDER BY tfidf DESC, term ASC) AS rank
+  FROM scored
+) WHERE rank <= 3
+"""
+
+
+def q_attribution_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear (multi-touch) revenue attribution: every purchase's cents
+    split EQUALLY across all session touchpoints up to and including
+    the purchase, integer base + remainder cents to the earliest
+    touchpoints — so per-purchase credits sum to the purchase exactly,
+    and per-channel totals reconcile to total revenue to the cent
+    (the property float splits lose). Completes the attribution family
+    next to first-touch (q_attribution_first_touch).
+
+    Scale shape: sessionization shares the user shuffle; the
+    touchpoint fan-out joins events to purchases within one session
+    only (bounded by session length, not corpus size)."""
+    ev = load_tables(spark, sf_dir)["events"]
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    flagged = (
+        ev.withColumn("prev_ts", F.lag("ts").over(w))
+        .withColumn(
+            "new_session",
+            F.when(
+                F.col("prev_ts").isNull()
+                | (
+                    F.col("ts")
+                    > F.col("prev_ts") + F.expr("INTERVAL 30 MINUTES")
+                ),
+                1,
+            ).otherwise(0),
+        )
+        .withColumn("session_id", F.sum("new_session").over(w))
+        .select("user_id", "session_id", "event_id", "ts", "event_type", "value")
+    )
+    purchases = flagged.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id"),
+        F.col("session_id"),
+        F.col("event_id").alias("p_eid"),
+        F.col("ts").alias("p_ts"),
+        F.round(F.col("value") * 100, 0).cast("long").alias("cents"),
+    )
+    touches = (
+        flagged.join(purchases, ["user_id", "session_id"])
+        .filter(
+            (F.col("ts") < F.col("p_ts"))
+            | ((F.col("ts") == F.col("p_ts")) & (F.col("event_id") <= F.col("p_eid")))
+        )
+    )
+    wp = Window.partitionBy("user_id", "session_id", "p_eid")
+    wo = wp.orderBy("ts", "event_id")
+    credited = (
+        touches.withColumn("n_t", F.count(F.lit(1)).over(wp))
+        .withColumn("pos", F.row_number().over(wo))
+        .withColumn(
+            "credit",
+            F.expr("cents div n_t")
+            + (F.col("pos") <= F.col("cents") % F.col("n_t")).cast("long"),
+        )
+    )
+    return (
+        credited.groupBy(F.col("event_type").alias("channel"))
+        .agg(
+            F.count(F.lit(1)).alias("n_touchpoints"),
+            F.sum("credit").alias("attributed_cents"),
+        )
+        .orderBy("channel")
+    )
+
+
+_Q_ATTRIBUTION_LINEAR_SQL = """
+WITH flagged AS (
+  SELECT user_id, event_id, ts, event_type, value,
+    SUM(CASE WHEN prev_ts IS NULL
+             OR ts > prev_ts + INTERVAL 30 MINUTE THEN 1 ELSE 0 END)
+      OVER (PARTITION BY user_id ORDER BY ts, event_id) AS session_id
+  FROM (
+    SELECT *, LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+      AS prev_ts
+    FROM events
+  )
+), purchases AS (
+  SELECT user_id, session_id, event_id AS p_eid, ts AS p_ts,
+    CAST(ROUND(value * 100, 0) AS BIGINT) AS cents
+  FROM flagged WHERE event_type = 'purchase'
+), touches AS (
+  SELECT f.event_type, f.ts, f.event_id,
+         p.user_id, p.session_id, p.p_eid, p.cents
+  FROM flagged f JOIN purchases p USING (user_id, session_id)
+  WHERE f.ts < p.p_ts OR (f.ts = p.p_ts AND f.event_id <= p.p_eid)
+), credited AS (
+  SELECT event_type,
+    cents // COUNT(*) OVER (PARTITION BY user_id, session_id, p_eid)
+    + CASE WHEN row_number() OVER (
+              PARTITION BY user_id, session_id, p_eid
+              ORDER BY ts, event_id)
+           <= cents % COUNT(*) OVER (PARTITION BY user_id, session_id, p_eid)
+      THEN 1 ELSE 0 END AS credit
+  FROM touches
+)
+SELECT event_type AS channel, COUNT(*) AS n_touchpoints,
+  CAST(SUM(credit) AS BIGINT) AS attributed_cents
+FROM credited GROUP BY event_type ORDER BY channel
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 
@@ -8468,6 +8637,8 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "q_winsorized_means": (q_winsorized_means, _Q_WINSOR_SQL),
     "q_cluster_silhouette": (q_cluster_silhouette, _silhouette_sql()),
     "q_join_size_estimates": (q_join_size_estimates, _join_size_sql()),
+    "q_keyword_extraction": (q_keyword_extraction, _Q_KEYWORDS_SQL),
+    "q_attribution_linear": (q_attribution_linear, _Q_ATTRIBUTION_LINEAR_SQL),
 }
 
 

@@ -732,3 +732,22 @@ def test_hist_sketch_brackets_exact_quantiles_and_merges(spark):
     whole = hist_build(df, F.col("v"))
     assert merged.exceptAll(whole).count() == 0
     assert whole.exceptAll(merged).count() == 0
+
+
+def test_linear_attribution_reconciles_to_total_revenue(spark, sf_dir):
+    """Integer base+remainder splitting means per-channel attributed
+    cents sum EXACTLY to total purchase cents — the invariant float
+    splits lose."""
+    from pyspark.sql import functions as F
+    from radient_spark.catalog import load_tables
+    from radient_spark.queries import QUERIES
+
+    out = QUERIES["q_attribution_linear"][0](spark, sf_dir)
+    got = out.agg(F.sum("attributed_cents")).collect()[0][0]
+    ev = load_tables(spark, sf_dir)["events"]
+    want = (
+        ev.filter(F.col("event_type") == "purchase")
+        .agg(F.sum(F.round(F.col("value") * 100, 0).cast("long")))
+        .collect()[0][0]
+    )
+    assert got == want
