@@ -133,6 +133,7 @@ BENCH_QUERIES = [
     "q_join_size_estimates",
     "q_keyword_extraction",
     "q_attribution_linear",
+    "q_curation_pipeline_v4",
 ]
 
 

@@ -8457,6 +8457,179 @@ FROM credited GROUP BY event_type ORDER BY channel
 """
 
 
+def q_curation_pipeline_v4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-4 flagship composition — budget-governed corpus curation
+    as ONE lazy plan: exact dedup (keep the globally-first copy) ->
+    quality gate -> per-source token counts -> WATER-FILL a 50% token
+    budget across sources (exact integer level + remainder) -> greedy
+    in-source selection (doc_id order, running token cumsum up to the
+    source's allocation). Reports the full funnel per source: docs in,
+    unique, quality-passed, surviving tokens, allocated tokens,
+    selected docs, selected tokens.
+
+    The fairness property the composition pins: big sources are capped
+    at a common ceiling while small sources keep everything, and the
+    per-source selections sum to at most the global budget — mixture
+    planning (q_token_budget_allocation) driving an actual document
+    selection, end to end under one CTE-chain oracle.
+
+    Scale shape: one md5-key window for dedup, one source-key window
+    for selection; the allocation windows run over the per-source
+    table. No collects, no data-sized broadcast."""
+    from radient_spark.functions import text as X
+    from radient_spark.functions.text import quality_score
+    from radient_spark.operators.dataset import water_fill_allocation
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    wdup = Window.partitionBy("__h").orderBy("doc_id")
+    staged = (
+        docs.select("doc_id", "source", "text")
+        .withColumn("__h", F.md5("text"))
+        .withColumn("is_canonical", F.row_number().over(wdup) == 1)
+        .withColumn("quality", quality_score(F.col("text")))
+        .withColumn(
+            "q_ok", F.col("is_canonical") & (F.col("quality") >= 0.5)
+        )
+        .withColumn("tc", X.token_count(F.col("text")))
+    )
+    survivors = staged.filter("q_ok")
+    counts = survivors.groupBy("source").agg(
+        F.sum("tc").alias("n_tokens")
+    )
+    budgeted = counts.withColumn(
+        "__wf_budget",
+        F.expr(
+            "(5 * sum(n_tokens) over (rows between unbounded preceding"
+            " and unbounded following)) div 10"
+        ),
+    )
+    alloc = water_fill_allocation(budgeted, "source", "n_tokens").select(
+        "source", F.col("allocated")
+    )
+    wsel = Window.partitionBy("source").orderBy("doc_id")
+    sel = (
+        survivors.withColumn(
+            "cum", F.sum("tc").over(wsel.rowsBetween(Window.unboundedPreceding, 0))
+        )
+        .join(F.broadcast(alloc), "source")
+        .withColumn("is_sel", F.col("cum") <= F.col("allocated"))
+        .select("doc_id", "is_sel")
+    )
+    return (
+        staged.join(sel, "doc_id", "left")
+        .join(F.broadcast(alloc.withColumnRenamed("allocated", "alloc_tokens")), "source", "left")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.col("is_canonical").cast("long")).alias("n_unique"),
+            F.sum(F.col("q_ok").cast("long")).alias("n_quality"),
+            F.sum(F.when(F.col("q_ok"), F.col("tc")).otherwise(0)).alias(
+                "n_tokens"
+            ),
+            F.coalesce(F.first("alloc_tokens"), F.lit(0)).alias(
+                "allocated_tokens"
+            ),
+            F.sum(F.coalesce(F.col("is_sel").cast("long"), F.lit(0))).alias(
+                "n_selected"
+            ),
+            F.sum(
+                F.when(F.coalesce(F.col("is_sel"), F.lit(False)), F.col("tc"))
+                .otherwise(0)
+            ).alias("selected_tokens"),
+        )
+        .orderBy("source")
+    )
+
+
+def _curation_v4_sql() -> str:
+    sw = ", ".join("'" + w + "'" for w in _SW)
+    quality = rf"""round(0.4 * least(CAST(
+      CASE WHEN length(trim(text)) = 0 THEN 0
+           ELSE len(regexp_split_to_array(trim(text), '\s+')) END
+      AS DOUBLE) / 50.0, 1.0)
+    + 0.4 * (CASE WHEN length(text) = 0 THEN 0.0
+             ELSE CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE)
+                  / length(text) END)
+    + 0.2 * least((CASE WHEN
+        (CASE WHEN length(trim(text)) = 0 THEN 0
+              ELSE len(regexp_split_to_array(trim(text), '\s+')) END) = 0
+        THEN 0.0
+        ELSE CAST(len(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+                                  x -> x IN ({sw}))) AS DOUBLE)
+             / (CASE WHEN length(trim(text)) = 0 THEN 0
+                     ELSE len(regexp_split_to_array(trim(text), '\s+')) END)
+        END) * 5.0, 1.0), 6)"""
+    return rf"""
+WITH staged AS (
+  SELECT doc_id, source, text,
+    (row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) = 1)
+      AS is_canonical,
+    {quality} AS quality,
+    CASE WHEN length(trim(text)) = 0 THEN 0
+         ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS tc
+  FROM documents
+), flags AS (
+  SELECT *, (is_canonical AND quality >= 0.5) AS q_ok FROM staged
+), survivors AS (
+  SELECT * FROM flags WHERE q_ok
+), counts AS (
+  SELECT source, SUM(tc) AS n_tokens FROM survivors GROUP BY source
+), budgeted AS (
+  SELECT *, (5 * SUM(n_tokens) OVER ()) // 10 AS bud FROM counts
+), ranked AS (
+  SELECT *,
+    row_number() OVER (ORDER BY n_tokens ASC, source ASC) AS k,
+    SUM(n_tokens) OVER (ORDER BY n_tokens ASC, source ASC
+                        ROWS UNBOUNDED PRECEDING) AS cum,
+    COUNT(*) OVER () AS n
+  FROM budgeted
+), fits AS (
+  SELECT *, (cum + n_tokens * (n - k) <= bud) AS fit FROM ranked
+), lv AS (
+  SELECT COALESCE(MAX(CASE WHEN fit THEN k END), 0) AS kstar,
+         COALESCE(MAX(CASE WHEN fit THEN cum END), 0) AS cumstar,
+         ANY_VALUE(n) AS nn, ANY_VALUE(bud) AS b
+  FROM fits
+), lv2 AS (
+  SELECT *,
+    CASE WHEN kstar >= nn THEN NULL
+         ELSE (b - cumstar) // (nn - kstar) END AS lam,
+    CASE WHEN kstar >= nn THEN 0
+         ELSE b - cumstar
+              - ((b - cumstar) // (nn - kstar)) * (nn - kstar) END AS rem
+  FROM lv
+), alloc AS (
+  SELECT f.source,
+    CAST(CASE WHEN f.k <= l.kstar THEN f.n_tokens
+         ELSE l.lam + CASE WHEN
+             (CASE WHEN f.k > l.kstar THEN
+                row_number() OVER (PARTITION BY (f.k > l.kstar)
+                                   ORDER BY f.source ASC) END) <= l.rem
+           THEN 1 ELSE 0 END
+         END AS BIGINT) AS allocated
+  FROM fits f, lv2 l
+), sel AS (
+  SELECT s.doc_id,
+    (SUM(s.tc) OVER (PARTITION BY s.source ORDER BY s.doc_id
+                     ROWS UNBOUNDED PRECEDING) <= a.allocated) AS is_sel,
+    s.tc
+  FROM survivors s JOIN alloc a USING (source)
+)
+SELECT f.source, COUNT(*) AS n_docs,
+  CAST(SUM(CASE WHEN f.is_canonical THEN 1 ELSE 0 END) AS BIGINT) AS n_unique,
+  CAST(SUM(CASE WHEN f.q_ok THEN 1 ELSE 0 END) AS BIGINT) AS n_quality,
+  CAST(SUM(CASE WHEN f.q_ok THEN f.tc ELSE 0 END) AS BIGINT) AS n_tokens,
+  CAST(COALESCE(ANY_VALUE(a.allocated), 0) AS BIGINT) AS allocated_tokens,
+  CAST(SUM(CASE WHEN sel.is_sel THEN 1 ELSE 0 END) AS BIGINT) AS n_selected,
+  CAST(SUM(CASE WHEN sel.is_sel THEN f.tc ELSE 0 END) AS BIGINT)
+    AS selected_tokens
+FROM flags f
+LEFT JOIN sel ON f.doc_id = sel.doc_id
+LEFT JOIN alloc a ON f.source = a.source
+GROUP BY f.source ORDER BY f.source
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 
@@ -8639,6 +8812,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "q_join_size_estimates": (q_join_size_estimates, _join_size_sql()),
     "q_keyword_extraction": (q_keyword_extraction, _Q_KEYWORDS_SQL),
     "q_attribution_linear": (q_attribution_linear, _Q_ATTRIBUTION_LINEAR_SQL),
+    "q_curation_pipeline_v4": (q_curation_pipeline_v4, _curation_v4_sql()),
 }
 
 
