@@ -134,6 +134,8 @@ BENCH_QUERIES = [
     "q_keyword_extraction",
     "q_attribution_linear",
     "q_curation_pipeline_v4",
+    "q_clustering_coefficients",
+    "q_time_to_convert",
 ]
 
 

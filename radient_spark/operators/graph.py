@@ -303,3 +303,71 @@ def connected_components_star(
     return nodes.join(labels, "id", "left").select(
         "id", F.coalesce(F.col("group_id"), F.col("id")).alias("group_id")
     )
+
+
+def local_clustering(
+    edges: DataFrame, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """Per-node local clustering coefficient: cc(v) = 2*t(v) /
+    (d(v)*(d(v)-1)) where t(v) counts triangles through v — the
+    node-level refinement of triangle_count (same degree-ordered
+    orientation, so wedge fan-out stays O(sqrt(E)) per node; each
+    closed triangle is found once and credited to its three corners).
+
+    Returns (node, degree, n_triangles, clustering_coeff) for every
+    node with degree >= 2; the coefficient is one IEEE division of
+    exact integers rounded to 6 decimals.
+    """
+    und = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .filter(F.col("a") != F.col("b"))
+        .select(
+            F.least("a", "b").alias("a"), F.greatest("a", "b").alias("b")
+        )
+        .distinct()
+    )
+    deg = (
+        und.select(F.col("a").alias("n"))
+        .union(und.select(F.col("b").alias("n")))
+        .groupBy("n")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    with_deg = (
+        und.join(
+            deg.withColumnRenamed("n", "a").withColumnRenamed("d", "da"), "a"
+        ).join(
+            deg.withColumnRenamed("n", "b").withColumnRenamed("d", "db"), "b"
+        )
+    )
+    lower_first = (F.col("da") < F.col("db")) | (
+        (F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))
+    )
+    oriented = with_deg.select(
+        F.when(lower_first, F.col("a")).otherwise(F.col("b")).alias("u"),
+        F.when(lower_first, F.col("b")).otherwise(F.col("a")).alias("v"),
+    )
+    e1 = oriented.select(F.col("u").alias("x"), F.col("v").alias("y"))
+    e2 = oriented.select(F.col("u").alias("y"), F.col("v").alias("z"))
+    e3 = oriented.select(F.col("u").alias("x"), F.col("v").alias("z"))
+    tris = e1.join(e2, "y").join(e3, ["x", "z"])
+    per_node = (
+        tris.select(F.col("x").alias("node"))
+        .union(tris.select(F.col("y").alias("node")))
+        .union(tris.select(F.col("z").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
+    return (
+        deg.filter(F.col("d") >= 2)
+        .join(per_node, deg.n == per_node.node, "left")
+        .select(
+            F.col("n").alias("node"),
+            F.col("d").alias("degree"),
+            F.coalesce(F.col("n_triangles"), F.lit(0)).alias("n_triangles"),
+            F.round(
+                (F.coalesce(F.col("n_triangles"), F.lit(0)) * 2).cast("double")
+                / (F.col("d") * (F.col("d") - 1)),
+                6,
+            ).alias("clustering_coeff"),
+        )
+    )

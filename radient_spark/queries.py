@@ -8630,6 +8630,173 @@ GROUP BY f.source ORDER BY f.source
 """
 
 
+def q_clustering_coefficients(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 suppliers by local clustering coefficient in the
+    co-supply graph (same hub-capped projection as q_triangle_count):
+    cc(v) = 2*t(v)/(d(v)*(d(v)-1)) — the node-level cohesion signal
+    (who sits inside a tight supplier clique vs a star hub). Triangles
+    come from one degree-ordered orientation pass credited to all
+    three corners; the coefficient is one rounded IEEE division of
+    exact integers."""
+    from radient_spark.operators.graph import local_clustering
+
+    li = load_tables(spark, sf_dir)["lineitem"]
+    sp = li.select("l_suppkey", "l_partkey").distinct()
+    part_deg = sp.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("ns"))
+    small = sp.join(
+        part_deg.filter(F.col("ns") <= 20).select("l_partkey"), "l_partkey"
+    )
+    a = small.alias("a")
+    b = small.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.l_partkey") == F.col("b.l_partkey"))
+            & (F.col("a.l_suppkey") < F.col("b.l_suppkey")),
+        )
+        .select(
+            F.col("a.l_suppkey").alias("src"), F.col("b.l_suppkey").alias("dst")
+        )
+        .distinct()
+    )
+    return (
+        local_clustering(edges)
+        .orderBy(F.col("clustering_coeff").desc(), F.col("node").asc())
+        .limit(10)
+    )
+
+
+_Q_CLUSTERING_COEF_SQL = """
+WITH sp AS (
+  SELECT DISTINCT l_suppkey, l_partkey FROM lineitem
+), small AS (
+  SELECT sp.* FROM sp JOIN (
+    SELECT l_partkey FROM sp GROUP BY l_partkey HAVING COUNT(*) <= 20
+  ) ok USING (l_partkey)
+), und AS (
+  SELECT DISTINCT a.l_suppkey AS a, b.l_suppkey AS b
+  FROM small a JOIN small b
+    ON a.l_partkey = b.l_partkey AND a.l_suppkey < b.l_suppkey
+), deg AS (
+  SELECT n, COUNT(*) AS d FROM (
+    SELECT a AS n FROM und UNION ALL SELECT b AS n FROM und
+  ) GROUP BY n
+), oriented AS (
+  SELECT CASE WHEN da < db OR (da = db AND a < b) THEN a ELSE b END AS u,
+         CASE WHEN da < db OR (da = db AND a < b) THEN b ELSE a END AS v
+  FROM und
+  JOIN deg x ON x.n = und.a
+  JOIN deg y ON y.n = und.b,
+  LATERAL (SELECT x.d AS da, y.d AS db)
+), tri AS (
+  SELECT e1.u AS x, e1.v AS y, e2.v AS z
+  FROM oriented e1
+  JOIN oriented e2 ON e2.u = e1.v
+  JOIN oriented e3 ON e3.u = e1.u AND e3.v = e2.v
+), per_node AS (
+  SELECT node, COUNT(*) AS t FROM (
+    SELECT x AS node FROM tri
+    UNION ALL SELECT y FROM tri
+    UNION ALL SELECT z FROM tri
+  ) GROUP BY node
+)
+SELECT deg.n AS node, CAST(deg.d AS BIGINT) AS degree,
+  CAST(COALESCE(per_node.t, 0) AS BIGINT) AS n_triangles,
+  ROUND(CAST(COALESCE(per_node.t, 0) * 2 AS DOUBLE)
+        / (deg.d * (deg.d - 1)), 6) AS clustering_coeff
+FROM deg LEFT JOIN per_node ON deg.n = per_node.node
+WHERE deg.d >= 2
+ORDER BY clustering_coeff DESC, node ASC
+LIMIT 10
+"""
+
+
+def q_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversion-latency percentiles: exact p50/p90 of milliseconds
+    from session start to each purchase, per acquisition channel (the
+    session's first event type) — the funnel-speed metric combining
+    the sessionization family with the distributed order-statistic
+    engine. Deltas are exact integer epoch-milliseconds; the
+    percentile is an order statistic, no averaging floats."""
+    from radient_spark.operators.dataset import exact_group_quantiles
+
+    ev = load_tables(spark, sf_dir)["events"]
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    flagged = (
+        ev.withColumn("prev_ts", F.lag("ts").over(w))
+        .withColumn(
+            "new_session",
+            F.when(
+                F.col("prev_ts").isNull()
+                | (
+                    F.col("ts")
+                    > F.col("prev_ts") + F.expr("INTERVAL 30 MINUTES")
+                ),
+                1,
+            ).otherwise(0),
+        )
+        .withColumn("session_id", F.sum("new_session").over(w))
+    )
+    ws = Window.partitionBy("user_id", "session_id").orderBy("ts", "event_id")
+    # ts is TIMESTAMP_NTZ; the catalog pins the session tz to UTC, so
+    # the cast to TIMESTAMP is the identity instant both engines use
+    ms = lambda c: F.unix_millis(c.cast("timestamp"))  # noqa: E731
+    deltas = (
+        flagged.withColumn("first_type", F.first("event_type").over(ws))
+        .withColumn("start_ms", ms(F.first("ts").over(ws)))
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("first_type").alias("channel"),
+            (ms(F.col("ts")) - F.col("start_ms")).alias("delta_ms"),
+        )
+    )
+    out = exact_group_quantiles(deltas, "channel", "delta_ms", [0.5, 0.9])
+    return out.select(
+        "channel", "q", F.col("value").cast("long").alias("delta_ms")
+    ).orderBy("channel", "q")
+
+
+_Q_TIME_TO_CONVERT_SQL = """
+WITH flagged AS (
+  SELECT user_id, event_id, ts, event_type,
+    SUM(CASE WHEN prev_ts IS NULL
+             OR ts > prev_ts + INTERVAL 30 MINUTE THEN 1 ELSE 0 END)
+      OVER (PARTITION BY user_id ORDER BY ts, event_id) AS session_id
+  FROM (
+    SELECT *, LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+      AS prev_ts
+    FROM events
+  )
+), deltas AS (
+  SELECT
+    first_value(event_type) OVER w AS channel,
+    epoch_ms(ts) - epoch_ms(first_value(ts) OVER w) AS delta_ms,
+    event_type
+  FROM flagged
+  WINDOW w AS (PARTITION BY user_id, session_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+), purchases AS (
+  SELECT channel, delta_ms FROM deltas WHERE event_type = 'purchase'
+), ranked AS (
+  SELECT channel, delta_ms,
+    row_number() OVER (PARTITION BY channel ORDER BY delta_ms) AS rn,
+    COUNT(*) OVER (PARTITION BY channel) AS n
+  FROM purchases
+)
+SELECT channel, q, CAST(MAX(v) AS BIGINT) AS delta_ms FROM (
+  SELECT channel, CAST(0.5 AS DOUBLE) AS q,
+    CASE WHEN rn = GREATEST(1, CAST(ceil(0.5 * n) AS BIGINT))
+         THEN delta_ms END AS v
+  FROM ranked
+  UNION ALL
+  SELECT channel, CAST(0.9 AS DOUBLE),
+    CASE WHEN rn = GREATEST(1, CAST(ceil(0.9 * n) AS BIGINT))
+         THEN delta_ms END
+  FROM ranked
+) GROUP BY channel, q ORDER BY channel, q
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 
@@ -8813,6 +8980,8 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "q_keyword_extraction": (q_keyword_extraction, _Q_KEYWORDS_SQL),
     "q_attribution_linear": (q_attribution_linear, _Q_ATTRIBUTION_LINEAR_SQL),
     "q_curation_pipeline_v4": (q_curation_pipeline_v4, _curation_v4_sql()),
+    "q_clustering_coefficients": (q_clustering_coefficients, _Q_CLUSTERING_COEF_SQL),
+    "q_time_to_convert": (q_time_to_convert, _Q_TIME_TO_CONVERT_SQL),
 }
 
 
