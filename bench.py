@@ -136,6 +136,7 @@ BENCH_QUERIES = [
     "q_curation_pipeline_v4",
     "q_clustering_coefficients",
     "q_time_to_convert",
+    "q_ngram_novelty",
 ]
 
 

@@ -8797,6 +8797,101 @@ SELECT channel, q, CAST(MAX(v) AS BIGINT) AS delta_ms FROM (
 """
 
 
+def q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source novelty audit for incremental crawls: a document's
+    novelty is the fraction of its distinct 3-gram shingles whose
+    FIRST occurrence (by doc_id ingestion order) is the document
+    itself — repeated boilerplate scores near 0, fresh content near 1.
+    Reported per source: docs, mean novelty, and how many docs are
+    >= 90% novel. The signal a crawl scheduler uses to decide which
+    sources still yield new text.
+
+    One tokenize+shingle explode; first-seen is a gram-key min
+    aggregate (shuffle carries 8-byte gram hashes); per-doc novelty is
+    exact integer counts with one rounded division."""
+    from radient_spark.functions import text as X
+    from radient_spark.functions.stage import stage
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    staged = stage(
+        docs.select("doc_id", "source", "text"),
+        __toks=X.tokens(F.col("text")),
+    ).filter(F.size("__toks") > 0)
+    grams = staged.select(
+        "doc_id",
+        "source",
+        F.explode(
+            X.shingles_from_tokens(F.col("__toks"), 3)
+        ).alias("gram"),
+    ).select(
+        "doc_id", "source", F.md5("gram").alias("gh")
+    ).distinct()
+    first_seen = grams.groupBy("gh").agg(F.min("doc_id").alias("first_doc"))
+    per_doc = (
+        grams.join(first_seen, "gh")
+        .groupBy("doc_id", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum(
+                (F.col("first_doc") == F.col("doc_id")).cast("long")
+            ).alias("n_novel"),
+        )
+        .withColumn(
+            "novelty",
+            F.round(
+                F.col("n_novel").cast("double") / F.col("n_grams"), 6
+            ),
+        )
+    )
+    return (
+        per_doc.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(
+                F.sum(F.col("novelty").cast("decimal(18,6)")).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("mean_novelty"),
+            F.sum((F.col("novelty") >= 0.9).cast("long")).alias(
+                "n_mostly_novel"
+            ),
+        )
+        .orderBy("source")
+    )
+
+
+_Q_NOVELTY_SQL = r"""
+WITH tk AS (
+  SELECT doc_id, source, regexp_split_to_array(trim(text), '\s+') AS toks
+  FROM documents WHERE length(trim(text)) > 0
+), shl AS (
+  SELECT doc_id, source,
+    CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+         ELSE list_transform(generate_series(1, len(toks) - 2),
+                             i -> array_to_string(toks[i:i+2], ' '))
+    END AS shingles
+  FROM tk
+), grams AS (
+  SELECT DISTINCT doc_id, source, md5(unnest(shingles)) AS gh FROM shl
+), first_seen AS (
+  SELECT gh, MIN(doc_id) AS first_doc FROM grams GROUP BY gh
+), per_doc AS (
+  SELECT g.doc_id, g.source, COUNT(*) AS n_grams,
+    SUM(CASE WHEN f.first_doc = g.doc_id THEN 1 ELSE 0 END) AS n_novel,
+    ROUND(CAST(SUM(CASE WHEN f.first_doc = g.doc_id THEN 1 ELSE 0 END)
+               AS DOUBLE) / COUNT(*), 6) AS novelty
+  FROM grams g JOIN first_seen f USING (gh)
+  GROUP BY g.doc_id, g.source
+)
+SELECT source, COUNT(*) AS n_docs,
+  ROUND(CAST(SUM(CAST(novelty AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 6)
+    AS mean_novelty,
+  CAST(SUM(CASE WHEN novelty >= 0.9 THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_mostly_novel
+FROM per_doc GROUP BY source ORDER BY source
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 
@@ -8982,6 +9077,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "q_curation_pipeline_v4": (q_curation_pipeline_v4, _curation_v4_sql()),
     "q_clustering_coefficients": (q_clustering_coefficients, _Q_CLUSTERING_COEF_SQL),
     "q_time_to_convert": (q_time_to_convert, _Q_TIME_TO_CONVERT_SQL),
+    "q_ngram_novelty": (q_ngram_novelty, _Q_NOVELTY_SQL),
 }
 
 

@@ -751,3 +751,37 @@ def test_linear_attribution_reconciles_to_total_revenue(spark, sf_dir):
         .collect()[0][0]
     )
     assert got == want
+
+
+def test_csv_json_source_format_roundtrip(spark, sf_dir, tmp_path):
+    """SURVEY §2.1 format claim: the documents table written to CSV and
+    JSON and read back through spark.read yields the same rows as the
+    parquet original (schema applied on read; CSV quoting survives the
+    free-text column)."""
+    from pyspark.sql import functions as F
+    from radient_spark.catalog import load_tables
+
+    docs = load_tables(spark, sf_dir)["documents"].select(
+        "doc_id", "text", "lang", "source", "n_chars"
+    )
+    want = {tuple(r) for r in docs.collect()}
+
+    csv_dir, json_dir = str(tmp_path / "csv"), str(tmp_path / "json")
+    docs.write.mode("overwrite").option("header", True).option(
+        "quoteAll", True
+    ).csv(csv_dir)
+    docs.write.mode("overwrite").json(json_dir)
+
+    got_csv = {
+        tuple(r)
+        for r in spark.read.schema(docs.schema)
+        .option("header", True)
+        .csv(csv_dir)
+        .collect()
+    }
+    got_json = {
+        tuple(r)
+        for r in spark.read.schema(docs.schema).json(json_dir).collect()
+    }
+    assert got_csv == want
+    assert got_json == want
