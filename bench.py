@@ -137,6 +137,7 @@ BENCH_QUERIES = [
     "q_clustering_coefficients",
     "q_time_to_convert",
     "q_ngram_novelty",
+    "q_zipf_exponent",
 ]
 
 

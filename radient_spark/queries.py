@@ -8892,6 +8892,87 @@ FROM per_doc GROUP BY source ORDER BY source
 """
 
 
+def q_zipf_exponent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus power-law audit: the Zipf exponent from an OLS fit of
+    ln(freq) on ln(rank) over the top-100 tokens — the one-number
+    check that a (synthetic or crawled) corpus has a natural-language
+    frequency profile (natural text: exponent near 1; uniform word
+    soup: near 0). ln values quantize to an integer micro-lattice
+    (round(ln*1e6)) so the moment sums are exact DECIMAL like
+    q_trend_regression; the two final divisions are the only floats.
+    """
+    from radient_spark.functions import text as X
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    freqs = (
+        docs.select(F.explode(X.tokens(F.col("text"))).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    w = Window.orderBy(F.col("freq").desc(), F.col("tok").asc())
+    top = freqs.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= 100
+    )
+    dec = "decimal(38,0)"
+    xl = F.round(F.log(F.col("rank").cast("double")) * 1e6, 0).cast("long")
+    yl = F.round(F.log(F.col("freq").cast("double")) * 1e6, 0).cast("long")
+    m = top.agg(
+        F.count(F.lit(1)).cast(dec).alias("n"),
+        F.sum(xl.cast(dec)).alias("sx"),
+        F.sum(yl.cast(dec)).alias("sy"),
+        F.sum((xl * xl).cast(dec)).alias("sxx"),
+        F.sum((xl * yl).cast(dec)).alias("sxy"),
+    )
+    den = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast(
+        "double"
+    )
+    slope = (
+        F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    ).cast("double") / den
+    intercept = (
+        (F.col("sy").cast("double") - slope * F.col("sx").cast("double"))
+        / F.col("n").cast("double")
+        / 1e6
+    )
+    return m.select(
+        F.col("n").cast("long").alias("n_tokens"),
+        F.round(-slope, 6).alias("zipf_exponent"),
+        F.round(intercept, 6).alias("intercept_ln"),
+    )
+
+
+_Q_ZIPF_SQL = r"""
+WITH freqs AS (
+  SELECT tok, COUNT(*) AS freq FROM (
+    SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
+    FROM documents WHERE length(trim(text)) > 0
+  ) GROUP BY tok
+), top AS (
+  SELECT freq, row_number() OVER (ORDER BY freq DESC, tok ASC) AS rank
+  FROM freqs QUALIFY rank <= 100
+), lat AS (
+  SELECT CAST(ROUND(ln(CAST(rank AS DOUBLE)) * 1e6, 0) AS BIGINT) AS xl,
+         CAST(ROUND(ln(CAST(freq AS DOUBLE)) * 1e6, 0) AS BIGINT) AS yl
+  FROM top
+), m AS (
+  SELECT CAST(COUNT(*) AS DECIMAL(38,0)) AS n,
+    SUM(CAST(xl AS DECIMAL(38,0))) AS sx,
+    SUM(CAST(yl AS DECIMAL(38,0))) AS sy,
+    SUM(CAST(xl * xl AS DECIMAL(38,0))) AS sxx,
+    SUM(CAST(xl * yl AS DECIMAL(38,0))) AS sxy
+  FROM lat
+)
+SELECT CAST(n AS BIGINT) AS n_tokens,
+  ROUND(-(CAST(n * sxy - sx * sy AS DOUBLE)
+          / CAST(n * sxx - sx * sx AS DOUBLE)), 6) AS zipf_exponent,
+  ROUND((CAST(sy AS DOUBLE)
+         - (CAST(n * sxy - sx * sy AS DOUBLE)
+            / CAST(n * sxx - sx * sx AS DOUBLE)) * CAST(sx AS DOUBLE))
+        / CAST(n AS DOUBLE) / 1e6, 6) AS intercept_ln
+FROM m
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 
@@ -9078,6 +9159,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "q_clustering_coefficients": (q_clustering_coefficients, _Q_CLUSTERING_COEF_SQL),
     "q_time_to_convert": (q_time_to_convert, _Q_TIME_TO_CONVERT_SQL),
     "q_ngram_novelty": (q_ngram_novelty, _Q_NOVELTY_SQL),
+    "q_zipf_exponent": (q_zipf_exponent, _Q_ZIPF_SQL),
 }
 
 
