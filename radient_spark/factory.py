@@ -272,3 +272,53 @@ register("dataset", "rank")(
 register("graph", "triangles")(
     lambda **kw: functools.partial(_graph.triangle_count, **kw)
 )
+
+# --- round-4 operators -----------------------------------------------------
+
+from radient_spark.operators import bpe as _bpe  # noqa: E402
+from radient_spark.operators import cluster as _cluster  # noqa: E402
+from radient_spark.operators import merge as _merge  # noqa: E402
+from pyspark.sql import functions as _F  # noqa: E402
+
+register("sketch", "histogram")(
+    lambda value_col, **kw: functools.partial(
+        _sketch.hist_build, value=_F.col(value_col), **kw
+    )
+)
+register("graph", "components_star")(
+    lambda **kw: functools.partial(_graph.connected_components_star, **kw)
+)
+register("graph", "local_clustering")(
+    lambda **kw: functools.partial(_graph.local_clustering, **kw)
+)
+register("dataset", "water_fill")(
+    lambda key_col, count_col, **kw: functools.partial(
+        _dataset.water_fill_allocation,
+        key_col=key_col,
+        count_col=count_col,
+        **kw,
+    )
+)
+register("dedup", "bpe_learn")(
+    lambda **kw: functools.partial(_bpe.bpe_learn, **kw)
+)
+register("transform", "bpe_apply")(
+    lambda merges, **kw: functools.partial(
+        _bpe.bpe_apply, merges=merges, **kw
+    )
+)
+register("dataset", "scd2")(
+    lambda key, attr, order_col, tiebreak_col, **kw: functools.partial(
+        _merge.scd2_history,
+        key=key,
+        attr=attr,
+        order_col=order_col,
+        tiebreak_col=tiebreak_col,
+        **kw,
+    )
+)
+register("cluster", "silhouette")(
+    lambda centroids, **kw: functools.partial(
+        _cluster.silhouette_report, centroids=centroids, **kw
+    )
+)

@@ -785,3 +785,62 @@ def test_csv_json_source_format_roundtrip(spark, sf_dir, tmp_path):
     }
     assert got_csv == want
     assert got_json == want
+
+
+def test_workflow_composes_round4_ops(spark):
+    """The Workflow surface drives round-4 operators through the
+    factory: word-soup source -> BPE tokenize (learned merges) ->
+    histogram sketch of token counts -> quantile lookup, one chain."""
+    from pyspark.sql import functions as F
+    from radient_spark.factory import make_operator
+    from radient_spark.operators.bpe import bpe_learn
+    from radient_spark.operators.sketch import hist_quantiles
+
+    docs = spark.createDataFrame(
+        [(i, "the fast fastest " * (1 + i % 5)) for i in range(60)],
+        "doc_id long, text string",
+    )
+    merges = [
+        (r.left_sym, r.right_sym)
+        for r in bpe_learn(docs, rounds=3).collect()
+    ]
+    tokenize = make_operator("transform", "bpe_apply", merges=merges)
+    sketch = make_operator("sketch", "histogram", value_col="n_sub")
+    wf = (
+        Workflow()
+        .add(lambda **kw: kw["df"], "source")
+        .add(tokenize, "bpe")
+        .add(
+            lambda df: df.select(
+                F.size("bpe_tokens").cast("long").alias("n_sub")
+            ),
+            "counts",
+        )
+        .add(sketch, "sketch")
+    )
+    sk = wf.run(df=docs)
+    got = hist_quantiles(sk, [("p50", 1, 2)]).collect()[0]
+    assert got["n"] == 60
+    assert got["est_lo"] <= got["est_hi"]
+
+
+def test_factory_round4_star_components_and_scd2(spark):
+    from radient_spark.factory import make_operator
+
+    star = make_operator("graph", "components_star")
+    labels = star(
+        spark.createDataFrame([(1, 2), (2, 3), (7, 8)], ["id_a", "id_b"])
+    )
+    got = {(r.id, r.group_id) for r in labels.collect()}
+    assert got == {(1, 1), (2, 1), (3, 1), (7, 7), (8, 7)}
+
+    scd2 = make_operator(
+        "dataset", "scd2", key="k", attr="a", order_col="t",
+        tiebreak_col="s",
+    )
+    hist = scd2(
+        spark.createDataFrame(
+            [(1, "A", 1, 1), (1, "B", 2, 2)], ["k", "a", "t", "s"]
+        )
+    )
+    assert hist.count() == 2
