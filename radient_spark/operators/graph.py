@@ -350,10 +350,15 @@ def local_clustering(
     e2 = oriented.select(F.col("u").alias("y"), F.col("v").alias("z"))
     e3 = oriented.select(F.col("u").alias("x"), F.col("v").alias("z"))
     tris = e1.join(e2, "y").join(e3, ["x", "z"])
+    # ONE pass over the triangle set: exploding the corner array credits
+    # all three nodes without re-executing the wedge join per corner
+    # (a 3-way union of selects would run the join three times)
     per_node = (
-        tris.select(F.col("x").alias("node"))
-        .union(tris.select(F.col("y").alias("node")))
-        .union(tris.select(F.col("z").alias("node")))
+        tris.select(
+            F.explode(F.array(F.col("x"), F.col("y"), F.col("z"))).alias(
+                "node"
+            )
+        )
         .groupBy("node")
         .agg(F.count(F.lit(1)).alias("n_triangles"))
     )
