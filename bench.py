@@ -138,6 +138,7 @@ BENCH_QUERIES = [
     "q_time_to_convert",
     "q_ngram_novelty",
     "q_zipf_exponent",
+    "q_embedding_srp_pairs",
 ]
 
 

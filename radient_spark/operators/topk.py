@@ -366,3 +366,66 @@ def similarity_self_join(
         return pd.DataFrame({"id_a": id_a, "id_b": id_b, score_col: sc})
 
     return expanded.groupBy("__pi", "__pj").applyInPandas(gen, out_schema)
+
+
+def srp_signs(dim: int, n_bits: int = 16, seed: int = 7) -> list[list[int]]:
+    """The +-1 hyperplane matrix for sign-random-projection LSH,
+    derived from md5 so BOTH engines (and the SQL oracle generator)
+    materialize the identical literal matrix from the seed."""
+    import hashlib
+
+    return [
+        [
+            1
+            if int(
+                hashlib.md5(f"{seed}_{j}_{i}".encode()).hexdigest()[:8], 16
+            )
+            % 2
+            == 1
+            else -1
+            for i in range(dim)
+        ]
+        for j in range(n_bits)
+    ]
+
+
+def srp_signature(
+    vec_col: str, dim: int, n_bits: int = 16, seed: int = 7
+) -> F.Column:
+    """Sign-random-projection (SRP) LSH code of an embedding (Charikar
+    2002, SimHash for vectors): bit j = [<v, h_j> >= 0] for md5-seeded
+    +-1 hyperplanes — Hamming distance between codes estimates the
+    ANGLE between vectors, so pigeonhole banding over the code blocks
+    candidate pairs for cosine similarity exactly like text SimHash
+    blocks token sets.
+
+    Exactness: the vector quantizes to unshifted integer micro-units
+    (round(x * 1e6)); dots against +-1 are integer sums far below
+    2^53, so the bit pattern is engine-independent. Zero shuffle —
+    pure per-row Catalyst expressions over a literal sign matrix.
+    """
+    signs = srp_signs(dim, n_bits, seed)
+    micro = F.transform(
+        F.col(vec_col),
+        lambda x: F.round(x.cast("double") * 1_000_000, 0).cast("long"),
+    )
+    books = F.array(
+        *[F.array(*[F.lit(s) for s in row]) for row in signs]
+    )
+    bits = F.transform(
+        books,
+        lambda srow: (
+            F.aggregate(
+                F.zip_with(micro, srow, lambda x, s: x * s),
+                F.lit(0).cast("long"),
+                lambda acc, z: acc + z,
+            )
+            >= 0
+        ).cast("long"),
+    )
+    powers = F.array(*[F.lit(1 << j) for j in range(n_bits)])
+    return F.aggregate(
+        F.zip_with(bits, powers, lambda b, p: b * p),
+        F.lit(0).cast("long"),
+        lambda acc, z: acc + z,
+    )

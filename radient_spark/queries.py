@@ -8973,6 +8973,82 @@ FROM m
 """
 
 
+def q_embedding_srp_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The fourth vector-blocking strategy: sign-random-projection LSH
+    (Charikar SimHash for embeddings — operators/topk.py
+    srp_signature). 16-bit angle codes from md5-seeded hyperplanes,
+    pigeonhole banding (Hamming <= 3 over 4 bands forces one equal
+    4-bit slice), then exact cosine verification at the round-4
+    contract. Complements exact all-pairs (block GEMM), SemDeDup
+    (cluster blocking), and MinHash/SimHash (token blocking): this one
+    blocks on ANGLE without training a codebook.
+
+    Shuffle: (vec_id, band) 16-byte rows — the corpus's vectors join
+    only within band buckets; the verify join touches candidates
+    only."""
+    from radient_spark.operators.dedup import simhash_near_pairs
+    from radient_spark.operators.topk import srp_signature
+
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    sigs = emb.select(
+        "vec_id", srp_signature("embedding", dim=64).alias("srp")
+    )
+    cand = simhash_near_pairs(
+        sigs, id_col="vec_id", sim_col="srp", n_bits=16, bands=4,
+        max_hamming=3,
+    )
+    va = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
+    vb = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))
+    return (
+        cand.join(va, "id_a")
+        .join(vb, "id_b")
+        .withColumn(
+            "score", F.round(V.cosine_similarity(F.col("va"), F.col("vb")), 4)
+        )
+        .filter(F.col("score") >= 0.4)
+        .select("id_a", "id_b", "hamming", "score")
+    )
+
+
+def _srp_pairs_sql(n_bits: int = 16, bands: int = 4, seed: int = 7) -> str:
+    from radient_spark.operators.topk import srp_signs
+
+    signs = srp_signs(64, n_bits, seed)
+    rows = ", ".join("[" + ", ".join(str(s) for s in r) + "]" for r in signs)
+    width = n_bits // bands
+    mask = (1 << width) - 1
+    return f"""
+WITH micro AS (
+  SELECT vec_id,
+    list_transform(embedding, x -> CAST(ROUND(CAST(x AS DOUBLE) * 1000000, 0)
+                                        AS BIGINT)) AS mv,
+    embedding::DOUBLE[] AS ve
+  FROM embeddings
+), sig AS (
+  SELECT vec_id, ve,
+    CAST(list_sum(list_transform(generate_series(1, {n_bits}), j ->
+      CASE WHEN list_dot_product(
+             list_transform(mv, x -> CAST(x AS DOUBLE)),
+             list_transform([{rows}][j], s -> CAST(s AS DOUBLE))) >= 0
+           THEN (1::BIGINT << (j - 1)) ELSE 0 END)) AS BIGINT) AS srp
+  FROM micro
+), banded AS (
+  SELECT vec_id, srp, ve, i AS bi, (srp >> (i * {width})) & {mask} AS bv
+  FROM sig, unnest([0, 1, 2, 3]) AS t(i)
+), cand AS (
+  SELECT DISTINCT l.vec_id AS id_a, r.vec_id AS id_b,
+    bit_count(xor(l.srp, r.srp)) AS hamming,
+    ROUND(list_dot_product(l.ve, r.ve)
+          / (sqrt(list_dot_product(l.ve, l.ve))
+             * sqrt(list_dot_product(r.ve, r.ve))), 4) AS score
+  FROM banded l JOIN banded r
+    ON l.bi = r.bi AND l.bv = r.bv AND l.vec_id < r.vec_id
+)
+SELECT id_a, id_b, CAST(hamming AS INT) AS hamming, score
+FROM cand WHERE hamming <= 3 AND score >= 0.4
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 
@@ -9160,6 +9236,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "q_time_to_convert": (q_time_to_convert, _Q_TIME_TO_CONVERT_SQL),
     "q_ngram_novelty": (q_ngram_novelty, _Q_NOVELTY_SQL),
     "q_zipf_exponent": (q_zipf_exponent, _Q_ZIPF_SQL),
+    "q_embedding_srp_pairs": (q_embedding_srp_pairs, _srp_pairs_sql()),
 }
 
 

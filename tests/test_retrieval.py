@@ -86,3 +86,31 @@ def test_mmr_greedy_tiebreaks_toward_smaller_id():
     items = [(7, 10, [1]), (3, 10, [1]), (9, 10, [1])]
     out = mmr_greedy(items, k=3)
     assert [i for _, i, _ in out] == [3, 7, 9]
+
+
+def test_srp_pairs_sound_and_recall_floor(spark, sf_dir):
+    """SRP-LSH candidates are verified exact cosines (soundness), and
+    the angle blocking recovers a reasonable fraction of the truly
+    near-identical pairs (cos >= 0.9 -> expected Hamming ~2 of 16)."""
+    from pyspark.sql import functions as F
+    from radient_spark.operators.topk import similarity_self_join
+    from radient_spark.queries import QUERIES
+
+    srp = {
+        (r.id_a, r.id_b): r.score
+        for r in QUERIES["q_embedding_srp_pairs"][0](spark, sf_dir).collect()
+    }
+    from radient_spark.catalog import load_tables
+
+    emb = load_tables(spark, sf_dir)["embeddings"].select(
+        F.col("vec_id").alias("id"), F.col("embedding").alias("vec")
+    )
+    exact = {
+        (r.id_a, r.id_b): r.score
+        for r in similarity_self_join(emb, "vec", "id", threshold=0.9).collect()
+    }
+    # soundness: every reported score is a real >= 0.4 cosine
+    assert all(s >= 0.4 for s in srp.values())
+    if exact:
+        hits = sum(1 for p in exact if p in srp)
+        assert hits / len(exact) >= 0.3, (hits, len(exact))
