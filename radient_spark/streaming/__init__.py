@@ -591,3 +591,57 @@ def agg_maintenance_sink(
         ).parquet(state_dir)
 
     return foreach_batch_sink(stream, checkpoint, batch_fn)
+
+
+def cc_maintenance_sink(
+    stream: DataFrame,
+    labels_dir: str,
+    checkpoint: str,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+):
+    """Incremental connected-components maintenance over an edge
+    stream: per micro-batch, the persisted (id, group_id) labels are
+    re-expressed as star edges (child -> component minimum) — a
+    connectivity-preserving summary with ONE row per node — unioned
+    with the batch's new edges, and re-resolved with the O(log n)
+    alternating-star algorithm. Components therefore merge across
+    batches (duplicate clusters grow as a crawl streams in) while each
+    batch's work scales with nodes + batch edges, never the full
+    historical edge set — the streaming form of the dedup pipeline's
+    group assignment.
+
+    The label overwrite is idempotent given the checkpoint's per-batch
+    boundary: replaying a batch re-unions edges whose connectivity is
+    already folded into the star summary.
+    """
+    from radient_spark.operators.graph import connected_components_star
+
+    def _labels_exist(spark) -> bool:
+        jvm = spark.sparkContext._jvm
+        hconf = spark.sparkContext._jsc.hadoopConfiguration()
+        path = jvm.org.apache.hadoop.fs.Path(labels_dir)
+        fs = path.getFileSystem(hconf)
+        return fs.exists(path) and fs.globStatus(
+            jvm.org.apache.hadoop.fs.Path(labels_dir + "/*.parquet")
+        )
+
+    def batch_fn(df: DataFrame, epoch_id: int) -> None:
+        spark = df.sparkSession
+        new_edges = df.select(
+            F.col(id_a).alias("id_a"), F.col(id_b).alias("id_b")
+        )
+        if _labels_exist(spark):
+            prior = spark.read.parquet(labels_dir).select(
+                F.col("group_id").alias("id_a"), F.col("id").alias("id_b")
+            )
+            edges = prior.unionByName(new_edges)
+        else:
+            edges = new_edges
+        labels = connected_components_star(edges)
+        rows = labels.collect()
+        spark.createDataFrame(rows, labels.schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(labels_dir)
+
+    return foreach_batch_sink(stream, checkpoint, batch_fn)

@@ -581,3 +581,44 @@ def test_agg_maintenance_sink_equals_batch_aggregate(spark, tmp_path):
         for r in spark.read.parquet(st_dir).collect()
     }
     assert got == want
+
+
+def test_cc_maintenance_sink_merges_components_across_batches(spark, tmp_path):
+    """Components discovered in separate micro-batches merge when a
+    later edge bridges them: final labels == one-shot star CC of the
+    cumulative edge union."""
+    from radient_spark.operators.graph import connected_components_star
+
+    in_dir, lb_dir, ck = (
+        str(tmp_path / "in"),
+        str(tmp_path / "labels"),
+        str(tmp_path / "ck_cc"),
+    )
+    schema = "id_a long, id_b long"
+    b1 = spark.createDataFrame([(1, 2), (3, 4), (10, 11)], schema)
+    b1.write.mode("overwrite").parquet(in_dir)
+    q = streaming.cc_maintenance_sink(
+        spark.readStream.schema(b1.schema).parquet(in_dir), lb_dir, ck
+    )
+    q.awaitTermination(120)
+
+    # batch 2 bridges {1,2} and {3,4}; adds a new component {20,21}
+    spark.createDataFrame([(2, 3), (20, 21)], schema).write.mode(
+        "append"
+    ).parquet(in_dir)
+    q2 = streaming.cc_maintenance_sink(
+        spark.readStream.schema(b1.schema).parquet(in_dir), lb_dir, ck
+    )
+    q2.awaitTermination(120)
+
+    got = {
+        (r.id, r.group_id) for r in spark.read.parquet(lb_dir).collect()
+    }
+    union = spark.createDataFrame(
+        [(1, 2), (3, 4), (10, 11), (2, 3), (20, 21)], schema
+    )
+    want = {
+        (r.id, r.group_id) for r in connected_components_star(union).collect()
+    }
+    assert got == want
+    assert (2, 1) in got and (4, 1) in got and (21, 20) in got
