@@ -645,3 +645,101 @@ def cc_maintenance_sink(
         ).parquet(labels_dir)
 
     return foreach_batch_sink(stream, checkpoint, batch_fn)
+
+
+def stateful_sessions(
+    stream: DataFrame,
+    gap_minutes: int = 30,
+    watermark: str = "1 hour",
+    inactivity_timeout_ms: int = 3_600_000,
+):
+    """Custom stateful SESSIONIZER via applyInPandasWithState — the
+    operator shape native session_window cannot express: per-user
+    session summaries (start, end, event count, purchase count) where
+    COMPLETED sessions flush eagerly as soon as a later event proves
+    the gap (no waiting for window finalization), and only the
+    still-open trailing session rides the state until the inactivity
+    timeout closes it.
+
+    State per user: the open session tuple. Bounded by users with
+    open sessions; events inside each Arrow batch are sorted and
+    gap-split in pandas (the per-group imperative logic that justifies
+    the Pandas-with-state API over built-in windows).
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = (
+        "user_id long, session_start timestamp, session_end timestamp,"
+        " n_events long, n_purchases long"
+    )
+    state_schema = "start long, last long, n long, np long"
+    gap_us = gap_minutes * 60 * 1_000_000
+
+    def update(key, pdfs, state: GroupState):
+        import pandas as pd
+
+        def emit(rows):
+            return pd.DataFrame(
+                {
+                    "user_id": pd.Series(
+                        [key[0]] * len(rows), dtype="int64"
+                    ),
+                    "session_start": pd.Series(
+                        [r[0] for r in rows], dtype="datetime64[us]"
+                    ),
+                    "session_end": pd.Series(
+                        [r[1] for r in rows], dtype="datetime64[us]"
+                    ),
+                    "n_events": pd.Series(
+                        [r[2] for r in rows], dtype="int64"
+                    ),
+                    "n_purchases": pd.Series(
+                        [r[3] for r in rows], dtype="int64"
+                    ),
+                }
+            )
+
+        if state.hasTimedOut:
+            start, last, n, np_ = state.get
+            state.remove()
+            yield emit([(start, last, n, np_)])
+            return
+
+        rows = []
+        cur = state.get if state.exists else None
+        events = pd.concat(list(pdfs)).sort_values("ts")
+        for ts, etype in zip(events["ts"], events["event_type"]):
+            us = int(pd.Timestamp(ts).value // 1_000)
+            is_p = 1 if etype == "purchase" else 0
+            if cur is None:
+                cur = (us, us, 1, is_p)
+            elif us - cur[1] > gap_us:
+                rows.append(cur)
+                cur = (us, us, 1, is_p)
+            else:
+                cur = (cur[0], us, cur[2] + 1, cur[3] + is_p)
+        if cur is not None:
+            state.update(tuple(int(x) for x in cur))
+            state.setTimeoutDuration(inactivity_timeout_ms)
+        completed = [
+            (
+                pd.Timestamp(s, unit="us"),
+                pd.Timestamp(e, unit="us"),
+                n,
+                np_,
+            )
+            for s, e, n, np_ in rows
+        ]
+        yield emit(completed)
+
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+        )
+    )

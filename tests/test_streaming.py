@@ -622,3 +622,56 @@ def test_cc_maintenance_sink_merges_components_across_batches(spark, tmp_path):
     }
     assert got == want
     assert (2, 1) in got and (4, 1) in got and (21, 20) in got
+
+
+def test_stateful_sessionizer_flushes_completed_sessions(spark, tmp_path):
+    """The applyInPandasWithState sessionizer emits every session that
+    a later event has CLOSED (gap proven inside the state), matching
+    batch sessionization for all but each user's trailing open
+    session."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    base = dt.datetime(2024, 1, 1)
+    rows = []
+    # user 1: two closed sessions + one trailing open one
+    for mins, et in [(0, "view"), (5, "purchase"), (60, "view"),
+                     (65, "click"), (140, "view")]:
+        rows.append((1, base + dt.timedelta(minutes=mins), et))
+    # user 2: one closed, one open
+    for mins, et in [(0, "click"), (90, "purchase")]:
+        rows.append((2, base + dt.timedelta(minutes=mins), et))
+    in_dir, out_dir, ck = (
+        str(tmp_path / "in"),
+        str(tmp_path / "out"),
+        str(tmp_path / "ck_sess"),
+    )
+    df = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, event_type string"
+    )
+    df.write.mode("overwrite").parquet(in_dir)
+    stream = spark.readStream.schema(df.schema).parquet(in_dir)
+    q = (
+        streaming.stateful_sessions(stream, gap_minutes=30)
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointPath", ck)
+        .option("checkpointLocation", ck)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    got = {
+        (r.user_id, r.session_start, r.session_end, r.n_events, r.n_purchases)
+        for r in spark.read.parquet(out_dir).collect()
+    }
+    want = {
+        (1, base, base + dt.timedelta(minutes=5), 2, 1),
+        (1, base + dt.timedelta(minutes=60),
+         base + dt.timedelta(minutes=65), 2, 0),
+        (2, base, base, 1, 0),
+    }
+    assert got == want
