@@ -8491,6 +8491,11 @@ def q_curation_pipeline_v4(spark: SparkSession, sf_dir: str) -> DataFrame:
             "q_ok", F.col("is_canonical") & (F.col("quality") >= 0.5)
         )
         .withColumn("tc", X.token_count(F.col("text")))
+        .drop("text")
+        # the funnel fans out into four branches (counts, allocation,
+        # selection, report) that would otherwise each replay the scan
+        # + md5 window; one cached pass feeds them all
+        .persist()
     )
     survivors = staged.filter("q_ok")
     counts = survivors.groupBy("source").agg(
