@@ -84,11 +84,16 @@ def pair_counts(vocab: DataFrame) -> DataFrame:
     (left_sym, right_sym, pair_count). One explode + one groupBy, both
     over vocab-sized data."""
     toks = F.split(F.col("sym"), " ")
+    # guard the single-symbol case (a fully-merged word): sequence(1, 0)
+    # would generate a DESCENDING [1, 0] and index past the array
+    idx = F.when(
+        F.size(toks) >= 2, F.sequence(F.lit(1), F.size(toks) - 1)
+    ).otherwise(F.array().cast("array<int>"))
     pairs = vocab.select(
         F.col("freq"),
         F.explode(
             F.transform(
-                F.sequence(F.lit(1), F.size(toks) - 1),
+                idx,
                 lambda i: F.struct(
                     F.element_at(toks, i).alias("l"),
                     F.element_at(toks, i + 1).alias("r"),

@@ -74,3 +74,33 @@ def test_bpe_learn_empty_corpus(spark):
 
     df = spark.createDataFrame([("",), ("   ",)], ["text"])
     assert bpe_learn(df, rounds=3).count() == 0
+
+
+def test_bpe_learn_matches_reference_random_corpora(spark):
+    """Randomized sweep: small corpora from a 3-letter alphabet maximize
+    merge-tie and overlapping-pair edge cases (aaa..., ababab...); the
+    distributed trainer must match the reference on every draw."""
+    import random
+
+    random.seed(1234)
+    for trial in range(6):
+        words = [
+            "".join(random.choice("aab") for _ in range(random.randint(1, 6)))
+            for _ in range(random.randint(3, 12))
+        ]
+        texts = [
+            " ".join(random.choice(words) for _ in range(random.randint(1, 8)))
+            for _ in range(3)
+        ]
+        df = spark.createDataFrame([(t,) for t in texts], ["text"])
+        got = [
+            (r["round"], r.left_sym, r.right_sym, r.pair_count)
+            for r in bpe_learn_for_test(df).orderBy("round").collect()
+        ]
+        assert got == _ref_bpe(texts, 4), (trial, texts)
+
+
+def bpe_learn_for_test(df):
+    from radient_spark.operators.bpe import bpe_learn
+
+    return bpe_learn(df, rounds=4)
