@@ -844,3 +844,100 @@ def test_factory_round4_star_components_and_scd2(spark):
         )
     )
     assert hist.count() == 2
+
+
+def test_water_fill_random_invariants(spark):
+    """Randomized counts/budgets: sum(allocated) == min(budget, total),
+    0 <= allocated <= count, capped iff allocated < count, and
+    monotonicity — a source with a larger count is never allocated
+    less than a smaller one."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from radient_spark.operators.dataset import water_fill_allocation
+
+    random.seed(99)
+    for trial in range(5):
+        n = random.randint(1, 9)
+        rows = [
+            (f"s{i:02d}", random.randint(0, 2000)) for i in range(n)
+        ]
+        total = sum(c for _, c in rows)
+        budget = random.randint(0, total + 500)
+        df = spark.createDataFrame(rows, ["src", "cnt"]).withColumn(
+            "__wf_budget", F.lit(budget)
+        )
+        out = {
+            r.src: r
+            for r in water_fill_allocation(df, "src", "cnt").collect()
+        }
+        assert sum(r.allocated for r in out.values()) == min(budget, total), (
+            trial, rows, budget,
+        )
+        for (s, c) in rows:
+            r = out[s]
+            assert 0 <= r.allocated <= c
+            assert bool(r.capped) == (r.allocated < c)
+        by_cnt = sorted(rows, key=lambda rc: rc[1])
+        for (s1, c1), (s2, c2) in zip(by_cnt, by_cnt[1:]):
+            if c1 <= c2:
+                assert out[s1].allocated <= out[s2].allocated + 1, (
+                    trial, rows, budget,
+                )
+
+
+def test_hist_sketch_extreme_values(spark):
+    """Clamp and high-octave paths: zeros/negatives land in bucket 1,
+    values near 2^62 keep exact integer bounds, and every bucket
+    brackets its member values."""
+    from pyspark.sql import functions as F
+
+    from radient_spark.operators.sketch import hist_build, hist_quantiles
+
+    vals = [0, -5, 1, 2, 3, 63, 64, 65, (1 << 62) - 1, 1 << 61, 12345678901234]
+    df = spark.createDataFrame([(v,) for v in vals], ["v"])
+    sk = hist_build(df, F.col("v"))
+    qs = [("p50", 1, 2), ("p99", 99, 100)]
+    got = {r["quantile"]: r for r in hist_quantiles(sk, qs).collect()}
+    clamped = sorted(max(v, 1) for v in vals)
+    for lbl, num, den in qs:
+        t = -(-num * len(clamped) // den)
+        true = clamped[t - 1]
+        r = got[lbl]
+        assert r["est_lo"] <= true <= r["est_hi"], (lbl, true, dict(r.asDict()))
+        assert r["est_lo"] >= 1 and r["est_hi"] < (1 << 63)
+
+
+def test_scd2_random_streams_match_reference(spark):
+    """Randomized attribute streams vs a pure-Python run collapse."""
+    import random
+
+    from radient_spark.operators.merge import scd2_history
+
+    random.seed(5)
+    for trial in range(4):
+        rows = []
+        for k in range(3):
+            for s in range(random.randint(1, 8)):
+                rows.append((k, random.choice("XYZ"), s * 10, s))
+        df = spark.createDataFrame(rows, ["k", "a", "t", "s"])
+        got = {
+            (r.k, r.version): (r.a, r.valid_from, r.valid_to, r.n_rows,
+                               bool(r.is_current))
+            for r in scd2_history(df, "k", "a", "t", "s").collect()
+        }
+        # reference
+        want = {}
+        for k in {r[0] for r in rows}:
+            seq = sorted([r for r in rows if r[0] == k], key=lambda r: (r[2], r[3]))
+            runs = []
+            for _, a, t, _ in seq:
+                if runs and runs[-1][0] == a:
+                    runs[-1][2] += 1
+                else:
+                    runs.append([a, t, 1])
+            for v, (a, start, n) in enumerate(runs, 1):
+                nxt = runs[v][1] if v < len(runs) else None
+                want[(k, v)] = (a, start, nxt, n, nxt is None)
+        assert got == want, (trial, rows)
