@@ -139,6 +139,7 @@ BENCH_QUERIES = [
     "q_ngram_novelty",
     "q_zipf_exponent",
     "q_embedding_srp_pairs",
+    "q_dedup_strategy_comparison",
 ]
 
 

@@ -9054,6 +9054,64 @@ FROM cand WHERE hamming <= 3 AND score >= 0.4
 """
 
 
+def q_dedup_strategy_comparison(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup-blocking scorecard: candidate-pair yield of four
+    strategies over the same corpus in one table — exact (md5 groups,
+    the ground floor), MinHash-LSH (token-set locality), SimHash
+    pigeonhole (Hamming locality), and sorted-neighborhood +
+    edit-distance (key + character locality). The number a pipeline
+    owner reads before picking a blocker: how much does each strategy
+    surface beyond exact equality, at what candidate volume.
+
+    Each leg is the already-oracle-verified pipeline reduced to its
+    pair count, so the comparison composes audited parts; the oracle
+    unions the same four pair SQLs."""
+    docs = load_tables(spark, sf_dir)["documents"]
+    exact_pairs = (
+        docs.groupBy(F.md5("text").alias("__h"))
+        .agg(F.count(F.lit(1)).alias("c"))
+        .agg(
+            F.coalesce(
+                F.sum(F.expr("c * (c - 1) div 2")), F.lit(0)
+            ).alias("n_pairs")
+        )
+        .select(F.lit("exact_md5").alias("strategy"), "n_pairs")
+    )
+    legs = [
+        exact_pairs,
+        q_minhash_dup_pairs(spark, sf_dir).agg(
+            F.lit("minhash_lsh").alias("strategy"),
+            F.count(F.lit(1)).alias("n_pairs"),
+        ),
+        q_simhash_near_pairs(spark, sf_dir).agg(
+            F.lit("simhash_bands").alias("strategy"),
+            F.count(F.lit(1)).alias("n_pairs"),
+        ),
+        q_edit_distance_pairs(spark, sf_dir).agg(
+            F.lit("snm_edit_distance").alias("strategy"),
+            F.count(F.lit(1)).alias("n_pairs"),
+        ),
+    ]
+    out = legs[0]
+    for leg in legs[1:]:
+        out = out.unionAll(leg)
+    return out
+
+
+def _dedup_comparison_sql() -> str:
+    return f"""
+SELECT 'exact_md5' AS strategy,
+  CAST(COALESCE(SUM(c * (c - 1) // 2), 0) AS BIGINT) AS n_pairs
+FROM (SELECT COUNT(*) AS c FROM documents GROUP BY md5(text))
+UNION ALL
+SELECT 'minhash_lsh', COUNT(*) FROM ({_minhash_dup_pairs_sql()})
+UNION ALL
+SELECT 'simhash_bands', COUNT(*) FROM ({_Q_SIMHASH_PAIRS_SQL})
+UNION ALL
+SELECT 'snm_edit_distance', COUNT(*) FROM ({_edit_distance_sql()})
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 
@@ -9242,6 +9300,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "q_ngram_novelty": (q_ngram_novelty, _Q_NOVELTY_SQL),
     "q_zipf_exponent": (q_zipf_exponent, _Q_ZIPF_SQL),
     "q_embedding_srp_pairs": (q_embedding_srp_pairs, _srp_pairs_sql()),
+    "q_dedup_strategy_comparison": (q_dedup_strategy_comparison, _dedup_comparison_sql()),
 }
 
 
