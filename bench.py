@@ -140,6 +140,9 @@ BENCH_QUERIES = [
     "q_zipf_exponent",
     "q_embedding_srp_pairs",
     "q_dedup_strategy_comparison",
+    "q_source_freshness",
+    "q_session_bounce_rate",
+    "q_repeat_purchase_interval",
 ]
 
 

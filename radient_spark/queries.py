@@ -9112,6 +9112,186 @@ SELECT 'snm_edit_distance', COUNT(*) FROM ({_edit_distance_sql()})
 """
 
 
+def q_source_freshness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feed-freshness monitor: per event type, the last event seen,
+    its staleness in minutes behind the freshest feed, and volume in
+    the trailing 24 h of stream time — the first dashboard a pipeline
+    operator checks when a producer dies quietly. One aggregate pass +
+    a broadcast of the 1-row global max; integer epoch arithmetic."""
+    ev = load_tables(spark, sf_dir)["events"]
+    ms = F.unix_millis(F.col("ts").cast("timestamp"))
+    per_type = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.max("ts").alias("last_seen"),
+        F.max(ms).alias("__last_ms"),
+    )
+    gmax = ev.agg(F.max(ms).alias("__gmax"))
+    day_ms = 24 * 3600 * 1000
+    trailing = (
+        ev.crossJoin(F.broadcast(gmax))
+        .filter(ms > F.col("__gmax") - day_ms)
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_last_day"))
+    )
+    return (
+        per_type.crossJoin(F.broadcast(gmax))
+        .join(trailing, "event_type", "left")
+        .select(
+            "event_type",
+            "n_events",
+            "last_seen",
+            F.expr("(__gmax - __last_ms) div 60000").alias(
+                "staleness_minutes"
+            ),
+            F.coalesce(F.col("n_last_day"), F.lit(0)).alias("n_last_day"),
+        )
+        .orderBy("event_type")
+    )
+
+
+_Q_FRESHNESS_SQL = """
+WITH g AS (SELECT MAX(epoch_ms(ts)) AS gmax FROM events),
+per_type AS (
+  SELECT event_type, COUNT(*) AS n_events, MAX(ts) AS last_seen,
+         MAX(epoch_ms(ts)) AS last_ms
+  FROM events GROUP BY event_type
+),
+recent AS (
+  SELECT event_type, COUNT(*) AS n_last_day
+  FROM events, g WHERE epoch_ms(ts) > g.gmax - 86400000
+  GROUP BY event_type
+)
+SELECT p.event_type, p.n_events, p.last_seen,
+  (g.gmax - p.last_ms) // 60000 AS staleness_minutes,
+  CAST(COALESCE(t.n_last_day, 0) AS BIGINT) AS n_last_day
+FROM per_type p CROSS JOIN g
+LEFT JOIN recent t ON p.event_type = t.event_type
+ORDER BY p.event_type
+"""
+
+
+def q_session_bounce_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounce-rate analytics: per weekday, sessions that contained a
+    single event vs total sessions — the engagement ratio the session
+    family (funnel, paths, transitions) reports on. Sessionization
+    shares the standard 30-minute user windows; the ratio is one
+    rounded division of exact counts."""
+    ev = load_tables(spark, sf_dir)["events"]
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    flagged = (
+        ev.withColumn("prev_ts", F.lag("ts").over(w))
+        .withColumn(
+            "new_session",
+            F.when(
+                F.col("prev_ts").isNull()
+                | (
+                    F.col("ts")
+                    > F.col("prev_ts") + F.expr("INTERVAL 30 MINUTES")
+                ),
+                1,
+            ).otherwise(0),
+        )
+        .withColumn("session_id", F.sum("new_session").over(w))
+    )
+    sessions = flagged.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("ts").alias("start_ts"),
+    )
+    return (
+        sessions.groupBy(F.dayofweek("start_ts").alias("weekday"))
+        .agg(
+            F.count(F.lit(1)).alias("n_sessions"),
+            F.sum((F.col("n_events") == 1).cast("long")).alias("n_bounces"),
+            F.round(
+                F.sum((F.col("n_events") == 1).cast("long")).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("bounce_rate"),
+        )
+        .orderBy("weekday")
+    )
+
+
+_Q_BOUNCE_SQL = """
+WITH flagged AS (
+  SELECT user_id, ts,
+    SUM(CASE WHEN prev_ts IS NULL
+             OR ts > prev_ts + INTERVAL 30 MINUTE THEN 1 ELSE 0 END)
+      OVER (PARTITION BY user_id ORDER BY ts, event_id) AS session_id
+  FROM (
+    SELECT *, LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+      AS prev_ts
+    FROM events
+  )
+), sessions AS (
+  SELECT user_id, session_id, COUNT(*) AS n_events, MIN(ts) AS start_ts
+  FROM flagged GROUP BY user_id, session_id
+)
+SELECT CAST(dayofweek(start_ts) + 1 AS INT) AS weekday,
+  COUNT(*) AS n_sessions,
+  CAST(SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_bounces,
+  ROUND(CAST(SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+        / COUNT(*), 6) AS bounce_rate
+FROM sessions GROUP BY 1 ORDER BY weekday
+"""
+
+
+def q_repeat_purchase_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repeat-purchase cadence: exact p50/p90 of the gap (in minutes)
+    between a user's consecutive purchases — lag windows feeding the
+    distributed order-statistic engine; the retention metric behind
+    replenishment forecasting. Integer epoch arithmetic end to end."""
+    from radient_spark.operators.dataset import exact_group_quantiles
+
+    ev = load_tables(spark, sf_dir)["events"]
+    purchases = ev.filter(F.col("event_type") == "purchase")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ms = F.unix_millis(F.col("ts").cast("timestamp"))
+    gaps = (
+        purchases.withColumn("prev_ms", F.lag(ms).over(w))
+        .filter(F.col("prev_ms").isNotNull())
+        .select(
+            F.lit("all").alias("cohort"),
+            F.expr(
+                "(unix_millis(cast(ts as timestamp)) - prev_ms) div 60000"
+            ).alias("gap_minutes"),
+        )
+    )
+    out = exact_group_quantiles(gaps, "cohort", "gap_minutes", [0.5, 0.9])
+    return out.select(
+        "cohort", "q", F.col("value").cast("long").alias("gap_minutes")
+    ).orderBy("q")
+
+
+_Q_REPEAT_PURCHASE_SQL = """
+WITH gaps AS (
+  SELECT 'all' AS cohort,
+    (epoch_ms(ts) - epoch_ms(LAG(ts) OVER (
+       PARTITION BY user_id ORDER BY ts, event_id))) // 60000 AS gap_minutes
+  FROM events WHERE event_type = 'purchase'
+), g2 AS (
+  SELECT cohort, gap_minutes FROM gaps WHERE gap_minutes IS NOT NULL
+), ranked AS (
+  SELECT cohort, gap_minutes,
+    row_number() OVER (PARTITION BY cohort ORDER BY gap_minutes) AS rn,
+    COUNT(*) OVER (PARTITION BY cohort) AS n
+  FROM g2
+)
+SELECT cohort, q, CAST(MAX(v) AS BIGINT) AS gap_minutes FROM (
+  SELECT cohort, CAST(0.5 AS DOUBLE) AS q,
+    CASE WHEN rn = GREATEST(1, CAST(ceil(0.5 * n) AS BIGINT))
+         THEN gap_minutes END AS v
+  FROM ranked
+  UNION ALL
+  SELECT cohort, CAST(0.9 AS DOUBLE),
+    CASE WHEN rn = GREATEST(1, CAST(ceil(0.9 * n) AS BIGINT))
+         THEN gap_minutes END
+  FROM ranked
+) GROUP BY cohort, q ORDER BY q
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 
@@ -9301,6 +9481,9 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "q_zipf_exponent": (q_zipf_exponent, _Q_ZIPF_SQL),
     "q_embedding_srp_pairs": (q_embedding_srp_pairs, _srp_pairs_sql()),
     "q_dedup_strategy_comparison": (q_dedup_strategy_comparison, _dedup_comparison_sql()),
+    "q_source_freshness": (q_source_freshness, _Q_FRESHNESS_SQL),
+    "q_session_bounce_rate": (q_session_bounce_rate, _Q_BOUNCE_SQL),
+    "q_repeat_purchase_interval": (q_repeat_purchase_interval, _Q_REPEAT_PURCHASE_SQL),
 }
 
 
