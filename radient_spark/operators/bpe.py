@@ -128,7 +128,12 @@ def bpe_learn(
         .groupBy("w")
         .agg(F.count(F.lit(1)).alias("freq"))
     )
-    vocab = words_to_symbols(words).select("sym", "freq").persist()
+    # keep the persisted base in its own variable: `vocab` is rebound
+    # to localCheckpoint results inside the loop, so unpersisting
+    # `vocab` in the finally block would release the final checkpoint
+    # and leak the word-symbol cache for the session lifetime
+    base = words_to_symbols(words).select("sym", "freq").persist()
+    vocab = base
     try:
         merges: list[tuple[int, str, str, int]] = []
         for rnd in range(1, rounds + 1):
@@ -156,7 +161,7 @@ def bpe_learn(
             "round long, left_sym string, right_sym string, pair_count long",
         )
     finally:
-        vocab.unpersist()
+        base.unpersist()
 
 
 def bpe_apply(

@@ -317,10 +317,17 @@ def perplexity_buckets(
             ).alias("logppl")
         )
     )
-    w = Window.partitionBy(strata_col).orderBy(
-        F.col("logppl").asc(), F.col(id_col).asc()
-    )
-    return scored.withColumn("ppl_bucket", F.ntile(n_buckets).over(w))
+    # exact per-stratum NTILE semantics WITHOUT the per-language
+    # single-reducer window sort (each language's full document set in
+    # ONE reducer — the 100 TB cliff); same engine as DSIR's deciles
+    return distributed_ntile_grouped(
+        scored,
+        n_buckets,
+        strata_col,
+        [F.col("logppl").asc(), F.col(id_col).asc()],
+        range_col=F.col("logppl"),
+        out_col="ppl_bucket",
+    ).select(id_col, strata_col, "logppl", "ppl_bucket")
 
 
 def bigram_perplexity(
@@ -428,10 +435,16 @@ def bigram_perplexity(
             )
         )
     )
-    w = Window.partitionBy(strata_col).orderBy(
-        F.col("logppl").asc(), F.col(id_col).asc()
-    )
-    return scored.withColumn("ppl_bucket", F.ntile(n_buckets).over(w))
+    # per-stratum NTILE via the distributed range-bucket engine — no
+    # per-language single-reducer sort (see perplexity_buckets)
+    return distributed_ntile_grouped(
+        scored,
+        n_buckets,
+        strata_col,
+        [F.col("logppl").asc(), F.col(id_col).asc()],
+        range_col=F.col("logppl"),
+        out_col="ppl_bucket",
+    ).select(id_col, strata_col, "logppl", "ppl_bucket")
 
 
 def chunk_documents(
@@ -708,6 +721,94 @@ def distributed_ntile(
         ).otherwise(r + F.floor((F.col("__dnt_rank") - head - 1) / q) + 1)
     return ranked.withColumn(out_col, bucket.cast("int")).drop(
         "__dnt_key", "__dnt_pid", "__dnt_rank"
+    )
+
+
+def distributed_ntile_grouped(
+    df: DataFrame,
+    n_buckets: int,
+    strata_col: str,
+    order_cols: list,
+    range_col: F.Column,
+    out_col: str = "bucket",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Exact NTILE(n) OVER (PARTITION BY strata ORDER BY ...) with NO
+    single-reducer per-stratum sort. A bare
+    ``Window.partitionBy(lang).orderBy(...)`` funnels each stratum's
+    ENTIRE row set through one reducer — with ~5 languages over 100 TB
+    that is five ~20 TB single-reducer sorts. Same discipline as
+    `distributed_ntile`, stratified:
+
+      1. ONE set of global approxQuantile boundaries over `range_col`
+         splits the key space (boundaries only balance work — any fixed
+         boundaries are correct — and they are collected once as
+         literals, so every recomputation agrees).
+      2. One tiny job counts rows per (stratum, range): at most
+         n_strata * P rows to the driver (the documented small-side
+         contract; #languages x partitions, never data-sized).
+      3. Per-stratum global rank = broadcast (stratum, range) offset +
+         local row_number over a window partitioned by (stratum,
+         range) — each reducer sees one range's slice of one stratum.
+      4. SQL NTILE arithmetic on (rank, stratum row count) as column
+         expressions against the broadcast per-stratum totals.
+
+    `order_cols` must total-order rows WITHIN a stratum (add an id
+    tiebreak) and `range_col` must be ASCENDING-aligned with them."""
+    spark = df.sparkSession
+    P = num_partitions or spark.sparkContext.defaultParallelism
+    keyed = df.withColumn("__dnt_key", range_col.cast("double")).persist()
+    if P > 1:
+        probs = [i / P for i in range(1, P)]
+        bounds = sorted(
+            set(keyed.stat.approxQuantile("__dnt_key", probs, 0.001))
+        )
+    else:
+        bounds = []
+    pid = F.lit(0)
+    for b in bounds:
+        pid = pid + (F.col("__dnt_key") > F.lit(b)).cast("int")
+    keyed = keyed.withColumn("__dnt_pid", pid)
+    counts = (
+        keyed.groupBy(strata_col, "__dnt_pid")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .collect()
+    )
+    per_stratum: dict = {}
+    for r in counts:
+        per_stratum.setdefault(r[strata_col], {})[r["__dnt_pid"]] = r["cnt"]
+    offset_rows = []
+    for s, pids in per_stratum.items():
+        acc = 0
+        n_s = sum(pids.values())
+        for p in sorted(pids):
+            offset_rows.append((s, p, acc, n_s))
+            acc += pids[p]
+    if not offset_rows:
+        return keyed.withColumn(out_col, F.lit(None).cast("int")).drop(
+            "__dnt_key", "__dnt_pid"
+        )
+    strata_type = df.schema[strata_col].dataType.simpleString()
+    offsets = spark.createDataFrame(
+        offset_rows,
+        f"{strata_col} {strata_type}, __dnt_pid int, __dnt_off long,"
+        " __dnt_n long",
+    )
+    local = Window.partitionBy(strata_col, "__dnt_pid").orderBy(*order_cols)
+    ranked = keyed.join(
+        F.broadcast(offsets), [strata_col, "__dnt_pid"]
+    ).withColumn("__dnt_rank", F.col("__dnt_off") + F.row_number().over(local))
+    rank, n = F.col("__dnt_rank"), F.col("__dnt_n")
+    q = F.floor(n / n_buckets)
+    r = n % n_buckets
+    head = r * (q + 1)
+    bucket = (
+        F.when(q == 0, rank)  # N < n: NTILE assigns rank itself
+        .when(rank <= head, F.floor((rank - 1) / (q + 1)) + 1)
+        .otherwise(r + F.floor((rank - head - 1) / q) + 1)
+    )
+    return ranked.withColumn(out_col, bucket.cast("int")).drop(
+        "__dnt_key", "__dnt_pid", "__dnt_rank", "__dnt_off", "__dnt_n"
     )
 
 

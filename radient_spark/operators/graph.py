@@ -235,11 +235,20 @@ def connected_components_star(
         .distinct()
         .localCheckpoint(eager=True)
     )
-    spark = pairs.sparkSession
     if e.isEmpty():
-        return spark.createDataFrame([], "id long, group_id long")
+        # no non-self edges: every node (incl. self-pair-only ones) is
+        # its own component — the connected_duplicate_groups contract;
+        # an empty frame here would silently drop singleton labels from
+        # cc_maintenance_sink's persisted state
+        return (
+            pairs.select(F.col(id_a).alias("id"))
+            .union(pairs.select(F.col(id_b).alias("id")))
+            .distinct()
+            .select("id", F.col("id").alias("group_id"))
+        )
 
     prev_sig = None
+    converged = False
     for _ in range(max_rounds):
         # large-star: bidirectional neighborhoods; larger neighbors -> m
         bidir = e.select("a", "b").union(
@@ -282,6 +291,7 @@ def connected_components_star(
         sig = (sig_row["n"], sig_row["h"])
         e = ss
         if prev_sig == sig:
+            converged = True
             break
         prev_sig = sig
 
@@ -292,6 +302,21 @@ def connected_components_star(
             "group_id", F.col("id")
         )
     )
+    if not converged:
+        # max_rounds exhausted before the edge-set fixed point: the
+        # star may still have multi-parent nodes, which would emit
+        # duplicate ids.  Warn and resolve each id to its minimum
+        # group_id — correct labels require O(log n) rounds, so this is
+        # a best-effort partition, not component equality.
+        import warnings
+
+        warnings.warn(
+            "connected_components_star: no fixed point within "
+            f"max_rounds={max_rounds}; labels deduplicated to min "
+            "group_id per node (components may be split)",
+            stacklevel=2,
+        )
+        labels = labels.groupBy("id").agg(F.min("group_id").alias("group_id"))
     # nodes appearing ONLY in self-pairs still label themselves — the
     # connected_duplicate_groups contract, so the two engines (and the
     # shared recursive-CTE oracle) agree on the node universe

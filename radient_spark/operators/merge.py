@@ -140,9 +140,16 @@ def scd2_history(
     break on `tiebreak_col` to stay deterministic across engines.
     """
     w = Window.partitionBy(key).orderBy(order_col, tiebreak_col)
+    # null-safe change flag: (attr != lag(attr)) is NULL when either
+    # side is NULL, which would silently merge a NULL observation into
+    # the previous version AND fork a spurious version on the next
+    # non-NULL re-observation.  eqNullSafe treats NULL as a value
+    # (NULL==NULL, NULL!=x), and the first row is flagged explicitly
+    # (lag(attr).isNull() cannot distinguish "first row" from "prior
+    # value was NULL").
     chg = (
-        F.lag(attr).over(w).isNull()
-        | (F.col(attr) != F.lag(attr).over(w))
+        (F.row_number().over(w) == F.lit(1))
+        | ~F.col(attr).eqNullSafe(F.lag(attr).over(w))
     ).cast("long")
     runs = df.withColumn(
         "__v",

@@ -439,4 +439,21 @@ def cms_inner_product(a: DataFrame, b: DataFrame) -> DataFrame:
         .groupBy("row")
         .agg(F.sum(F.col("__ca") * F.col("__cb")).alias("__ip"))
     )
-    return per_row.agg(F.min("__ip").alias("est_join_size"))
+    # The cell tables are sparse (occupied slots only), so a hash row
+    # whose occupied slots are fully disjoint between the two sketches
+    # has true inner product 0 but NO row in the inner join — it must
+    # still participate in the MIN (otherwise disjoint sketches yield
+    # NULL and partial overlaps overestimate).  Left-join the per-row
+    # sums against the full row universe, coalescing absences to 0.
+    all_rows = (
+        pa.select("row").union(pb.select("row")).distinct()
+    )
+    return (
+        all_rows.join(per_row, "row", "left")
+        .select(F.coalesce(F.col("__ip"), F.lit(0)).alias("__ip"))
+        .agg(
+            F.coalesce(F.min("__ip"), F.lit(0).cast("long")).alias(
+                "est_join_size"
+            )
+        )
+    )

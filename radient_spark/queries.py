@@ -7478,12 +7478,15 @@ def q_scd2_status_history(spark: SparkSession, sf_dir: str) -> DataFrame:
 _Q_SCD2_SQL = """
 WITH runs AS (
   SELECT o_custkey, o_orderstatus, o_orderdate,
-    SUM(CASE WHEN prev IS NULL OR o_orderstatus <> prev THEN 1 ELSE 0 END)
+    SUM(CASE WHEN rn = 1 OR o_orderstatus IS DISTINCT FROM prev
+             THEN 1 ELSE 0 END)
       OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS v
   FROM (
     SELECT o_custkey, o_orderstatus, o_orderdate, o_orderkey,
       LAG(o_orderstatus) OVER (
-        PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS prev
+        PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS prev,
+      ROW_NUMBER() OVER (
+        PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS rn
     FROM orders WHERE o_custkey % 5 = 0
   )
 ), versions AS (

@@ -585,10 +585,15 @@ def agg_maintenance_sink(
             )
         else:
             merged = fresh
-        rows = merged.collect()
-        spark.createDataFrame(rows, merged.schema).coalesce(1).write.mode(
-            "overwrite"
-        ).parquet(state_dir)
+        # localCheckpoint (eager) materializes the merged state on the
+        # executors and severs lineage to the state_dir files, so the
+        # overwrite below never reads-while-writing.  State stays
+        # distributed — no O(distinct keys) driver materialization (a
+        # collect() here was the round-4 scale cliff).  Executor loss
+        # mid-batch drops the checkpoint blocks, but the streaming
+        # checkpoint replays the batch, so the merge is recovered.
+        merged = merged.localCheckpoint(eager=True)
+        merged.write.mode("overwrite").parquet(state_dir)
 
     return foreach_batch_sink(stream, checkpoint, batch_fn)
 
@@ -639,10 +644,12 @@ def cc_maintenance_sink(
         else:
             edges = new_edges
         labels = connected_components_star(edges)
-        rows = labels.collect()
-        spark.createDataFrame(rows, labels.schema).coalesce(1).write.mode(
-            "overwrite"
-        ).parquet(labels_dir)
+        # Sever lineage to labels_dir before overwriting it (same
+        # eager-localCheckpoint pattern as bloom/agg maintenance):
+        # labels stay distributed on the executors, so a 10^9-node
+        # label table never rides the driver.
+        labels = labels.localCheckpoint(eager=True)
+        labels.write.mode("overwrite").parquet(labels_dir)
 
     return foreach_batch_sink(stream, checkpoint, batch_fn)
 

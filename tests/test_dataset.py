@@ -366,3 +366,63 @@ def test_water_fill_allocation_exact_budget_and_edges(spark):
     out = run(7)  # below n*min: lam = 1, remainder 3 by key order
     assert sum(r.allocated for r in out.values()) == 7
     assert [out[s].allocated for s in "abcd"] == [2, 2, 2, 1]
+
+
+def test_distributed_ntile_grouped_equals_window_ntile(spark):
+    """distributed_ntile_grouped must reproduce
+    NTILE(n) OVER (PARTITION BY stratum ORDER BY ...) bucket-for-bucket
+    — uneven buckets, N < n strata, tied range values — without a
+    per-stratum single-reducer window."""
+    import random
+
+    from pyspark.sql import Window
+
+    from radient_spark.operators.dataset import distributed_ntile_grouped
+
+    rng = random.Random(11)
+    rows = [
+        (i, rng.choice(["en", "de", "fr", "tiny"][: 3 if i < 290 else 4]),
+         rng.choice([1.0, 2.5, 3.25, 7.5]))
+        for i in range(293)
+    ]
+    df = spark.createDataFrame(rows, ["id", "lang", "w"]).repartition(8)
+    got = {
+        r["id"]: r["b"]
+        for r in distributed_ntile_grouped(
+            df,
+            10,
+            "lang",
+            [F.col("w").asc(), F.col("id").asc()],
+            range_col=F.col("w"),
+            out_col="b",
+            num_partitions=4,
+        ).collect()
+    }
+    w = Window.partitionBy("lang").orderBy(F.col("w").asc(), F.col("id").asc())
+    want = {
+        r["id"]: r["b"]
+        for r in df.withColumn("b", F.ntile(10).over(w)).collect()
+    }
+    assert got == want
+
+
+def test_perplexity_plan_has_no_perstratum_window_sort(spark, sf_dir):
+    """Round-5 scale fix: perplexity_buckets must not contain an ntile
+    window — bucket assignment rides the distributed range-bucket
+    engine (windows partitioned by (stratum, range id) only)."""
+    from radient_spark.catalog import load_tables
+    from radient_spark.operators.dataset import (
+        perplexity_buckets,
+        unigram_surprisal_vocab,
+    )
+
+    spark.catalog.clearCache()
+    docs = load_tables(spark, sf_dir)["documents"]
+    vocab = unigram_surprisal_vocab(docs, "text")
+    plan = (
+        perplexity_buckets(docs, vocab, "text", "doc_id", "lang")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "ntile" not in plan.lower()

@@ -110,3 +110,35 @@ def test_star_components_empty(spark):
 
     empty = spark.createDataFrame([], "id_a long, id_b long")
     assert connected_components_star(empty).count() == 0
+
+
+def test_star_components_self_pairs_only(spark):
+    """Self-pair-only input must self-label every node (the
+    connected_duplicate_groups contract) — round-4 ADVICE: an empty
+    frame here would drop singleton labels from cc_maintenance_sink's
+    persisted state."""
+    from radient_spark.operators.graph import connected_components_star
+
+    df = spark.createDataFrame([(5, 5), (9, 9), (5, 5)], ["id_a", "id_b"])
+    got = {
+        (r.id, r.group_id) for r in connected_components_star(df).collect()
+    }
+    assert got == {(5, 5), (9, 9)}
+
+
+def test_star_components_unconverged_dedups(spark):
+    """With max_rounds too small to converge, labels must still be one
+    row per node (min group_id), and a warning must fire."""
+    import warnings
+
+    from radient_spark.operators.graph import connected_components_star
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(0, 200)], ["id_a", "id_b"]
+    )
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        labels = connected_components_star(chain, max_rounds=1).collect()
+    ids = [r.id for r in labels]
+    assert len(ids) == len(set(ids)) == 201
+    assert any("fixed point" in str(x.message) for x in w)

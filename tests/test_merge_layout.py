@@ -163,3 +163,30 @@ def test_scd2_history_collapses_runs_and_chains_windows(spark):
     assert (v3.attr, v3.valid_to, bool(v3.is_current)) == ("A", None, True)
     assert not v1.is_current and not v2.is_current
     assert bool(out[(2, 1)].is_current)
+
+
+def test_scd2_history_null_attr_versions(spark):
+    """NULL attribute observations are versions of their own (null-safe
+    change detection): A, NULL, A must produce three versions, and a
+    NULL re-observation must not fork (round-4 ADVICE)."""
+    from radient_spark.operators.merge import scd2_history
+
+    rows = [
+        (1, "A", 10, 1),
+        (1, None, 20, 2),
+        (1, None, 30, 3),
+        (1, "A", 40, 4),
+        (2, None, 10, 1),
+        (2, None, 20, 2),
+    ]
+    df = spark.createDataFrame(rows, "k long, attr string, ts long, seq long")
+    got = sorted(
+        (r["k"], r["version"], r["attr"], r["n_rows"], r["is_current"])
+        for r in scd2_history(df, "k", "attr", "ts", "seq").collect()
+    )
+    assert got == [
+        (1, 1, "A", 1, False),
+        (1, 2, None, 2, False),
+        (1, 3, "A", 1, True),
+        (2, 1, None, 2, True),
+    ]

@@ -941,3 +941,23 @@ def test_scd2_random_streams_match_reference(spark):
                 nxt = runs[v][1] if v < len(runs) else None
                 want[(k, v)] = (a, start, nxt, n, nxt is None)
         assert got == want, (trial, rows)
+
+
+def test_cms_inner_product_disjoint_is_zero(spark):
+    """Two sketches whose occupied slots are fully disjoint on some (or
+    all) hash rows: rows with no overlap contribute inner product 0, so
+    the MIN-over-rows estimate is 0 — not NULL, not an overestimate
+    from surviving rows only (round-4 ADVICE)."""
+    from radient_spark.operators.sketch import cms_build, cms_inner_product
+
+    a = spark.createDataFrame([("alpha",)] * 3, ["t"])
+    b = spark.createDataFrame([("omega",)] * 5, ["t"])
+    ska = cms_build(a, "t", depth=4, width=256)
+    skb = cms_build(b, "t", depth=4, width=256)
+    [row] = cms_inner_product(ska, skb).collect()
+    # distinct single tokens: slot collision across all 4 rows has
+    # probability (1/256)^4 — the estimate must be exactly 0
+    assert row["est_join_size"] == 0
+    # self inner product of a 3-occurrence token is 9 on every row
+    [self_row] = cms_inner_product(ska, ska).collect()
+    assert self_row["est_join_size"] == 9
