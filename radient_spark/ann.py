@@ -123,10 +123,26 @@ class _Tree:
         return node
 
 
-def _two_means_hyperplane(X: np.ndarray, seed: int) -> np.ndarray:
+def _unit_rows(X: np.ndarray) -> np.ndarray:
+    return X / (np.linalg.norm(X, axis=1, keepdims=True) + 1e-12)
+
+
+def _two_means_hyperplane(
+    X: np.ndarray, seed: int, metric: str = "euclidean"
+) -> np.ndarray:
     """2-means on a sample -> separating direction w = c1 - c0
-    (gann.py:151-156). Degenerate samples fall back to a seeded random
-    direction so the split still halves the leaf."""
+    (gann.py:151-156; kernel surface mirrors the reference's GKMeans
+    euclidean/cosine distance kernels, _gkmeans.py:74-98). Degenerate
+    samples fall back to a seeded random direction so the split still
+    halves the leaf.
+
+    metric="cosine" runs SPHERICAL 2-means: rows are unit-normalized
+    and centroids re-normalized each Lloyd step, so the split direction
+    separates by angle, not magnitude — the right build kernel when the
+    search metric is cosine and the corpus is NOT pre-normalized
+    (for unit vectors the two kernels coincide)."""
+    if metric == "cosine":
+        X = _unit_rows(np.asarray(X, dtype=np.float64))
     rng = np.random.RandomState(seed)
     n = len(X)
     if n < 4:
@@ -140,6 +156,8 @@ def _two_means_hyperplane(X: np.ndarray, seed: int) -> np.ndarray:
         if m.all() or (~m).all():
             break
         nc = np.stack([X[~m].mean(0), X[m].mean(0)])
+        if metric == "cosine":
+            nc = _unit_rows(nc)
         if np.allclose(nc, c):
             c = nc
             break
@@ -376,10 +394,20 @@ class IvfIndex:
 class AnnIndex:
     """Forest index over a (id BIGINT, vector ARRAY<FLOAT>) DataFrame."""
 
-    def __init__(self, index_df: DataFrame, trees: list[_Tree], dim: int):
+    def __init__(
+        self,
+        index_df: DataFrame,
+        trees: list[_Tree],
+        dim: int,
+        build_metric: str = "euclidean",
+    ):
         self.index_df = index_df
         self.trees = trees
         self.dim = dim
+        # the forest is metric-specific: cosine-built trees partition by
+        # angle (projections of UNIT vectors), so queries must be
+        # normalized before descent — recorded here and in forest.json
+        self.build_metric = build_metric
 
     # ------------------------------------------------------------- build
     @staticmethod
@@ -392,8 +420,16 @@ class AnnIndex:
         sample_cap: int = 4096,
         spill: float = 0.1,
         seed: int = 42,
+        metric: str = "euclidean",
     ) -> "AnnIndex":
         """Iterative balanced-bisection build — ALL trees in one DataFrame.
+
+        `metric` selects the split kernel ("euclidean" | "cosine",
+        mirroring the reference's GKMeans kernels, _gkmeans.py:74-98):
+        cosine builds spherical 2-means hyperplanes and projects
+        unit-normalized vectors, so tree structure depends on angle only
+        — the right default when searches will use cosine over an
+        unnormalized corpus.
 
         Per level (for the whole forest at once): one hash-sample collect
         (VC-bounded, no shuffle), one projection pass + per-(tree,leaf)
@@ -452,7 +488,9 @@ class AnnIndex:
                 k = t * KEY + leaf
                 X = np.asarray(samples.get(k) or [[0.0] * dim], dtype=np.float64)
                 hyper[k] = _two_means_hyperplane(
-                    X, seed=hash((seed, t, level, leaf)) & 0x7FFFFFFF
+                    X,
+                    seed=hash((seed, t, level, leaf)) & 0x7FFFFFFF,
+                    metric=metric,
                 )
             bc = spark.sparkContext.broadcast(
                 {k: v.tolist() for k, v in hyper.items()}
@@ -464,12 +502,14 @@ class AnnIndex:
             # costs exactly TWO driver round-trips (sample, cuts) and the
             # projection is computed once, not re-derived during
             # reassignment (which is now pure Catalyst below).
-            def project(batches, _bc=bc, _KEY=KEY):
+            def project(batches, _bc=bc, _KEY=KEY, _metric=metric):
                 H = {k: np.asarray(v) for k, v in _bc.value.items()}
                 for pdf in batches:
                     if len(pdf) == 0:
                         continue
                     M = np.array(pdf["vector"].tolist(), dtype=np.float64)
+                    if _metric == "cosine":
+                        M = _unit_rows(M)
                     keys = (
                         pdf["tree_id"].to_numpy() * _KEY + pdf["leaf_id"].to_numpy()
                     )
@@ -547,7 +587,10 @@ class AnnIndex:
                 for c in (0, 1)
             }
         return AnnIndex(
-            cur.select("tree_id", "leaf_id", "id", "vector"), trees, dim
+            cur.select("tree_id", "leaf_id", "id", "vector"),
+            trees,
+            dim,
+            build_metric=metric,
         )
 
     # ----------------------------------------------------------- persist
@@ -559,6 +602,7 @@ class AnnIndex:
         ).parquet(f"{path}/leaves")
         meta = {
             "dim": self.dim,
+            "build_metric": self.build_metric,
             "trees": [
                 {
                     "depth": t.depth,
@@ -585,7 +629,10 @@ class AnnIndex:
                 t.nodes[(int(lvl), int(node))] = (v["w"], v["cut"])
             trees.append(t)
         return AnnIndex(
-            spark.read.parquet(f"{path}/leaves"), trees, meta["dim"]
+            spark.read.parquet(f"{path}/leaves"),
+            trees,
+            meta["dim"],
+            build_metric=meta.get("build_metric", "euclidean"),
         )
 
     # ------------------------------------------------------------ search
@@ -610,6 +657,11 @@ class AnnIndex:
         hits = []
         for qid, vec in queries:
             q = np.asarray(vec, dtype=np.float64)
+            if self.build_metric == "cosine":
+                # angular forest: cuts were taken on unit-vector
+                # projections, so descent must see the unit query
+                # (rerank below still scores the original qvec)
+                q = q / (np.linalg.norm(q) + 1e-12)
             for t, tree in enumerate(self.trees):
                 hits.append((qid, t, tree.descend(q), [float(x) for x in vec]))
         qdf = spark.createDataFrame(
@@ -650,6 +702,8 @@ class AnnIndex:
             [(t.depth, t.nodes) for t in self.trees]
         )
 
+        build_metric = self.build_metric
+
         def descend(batches):
             import pandas as pd
 
@@ -658,6 +712,8 @@ class AnnIndex:
                 if len(pdf) == 0:
                     continue
                 Q = np.array(pdf["qvec"].tolist(), dtype=np.float64)
+                if build_metric == "cosine":
+                    Q = _unit_rows(Q)
                 frames = []
                 for t, tree in enumerate(trees):
                     leaf = _descend_batch(Q, tree)

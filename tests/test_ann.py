@@ -214,3 +214,39 @@ def test_ivf_incremental_add_and_append_save(spark, emb, tmp_path):
         got2.setdefault(r["qid"], set()).add(r["id"])
     for q, _ in queries:
         assert got2[q] == exact[q]
+
+
+def test_cosine_build_kernel_recall_unnormalized(spark, emb):
+    """Round-5 item: angular (spherical 2-means) build kernel. Scale
+    each corpus vector by a per-row magnitude so euclidean and angular
+    geometry disagree, build with metric="cosine", and check cosine
+    recall holds the same floor as the euclidean kernel holds on the
+    unscaled corpus — descent must normalize queries (the forest cuts
+    live in unit space)."""
+    rows = emb.collect()
+    rng = np.random.RandomState(3)
+    scales = rng.uniform(0.1, 50.0, size=len(rows))
+    scaled = [
+        (int(r["id"]), [float(x * s) for x in r["vector"]])
+        for r, s in zip(rows, scales)
+    ]
+    df = spark.createDataFrame(scaled, "id long, vector array<float>")
+    idx = AnnIndex.build(
+        df, n_trees=4, max_leaf_size=100, seed=42, metric="cosine"
+    )
+    assert idx.build_metric == "cosine"
+    qidx = rng.choice(len(scaled), 15, replace=False)
+    queries = [(int(i), scaled[i][1]) for i in qidx]
+    exact = _exact_topk(df.collect(), queries, k=10)
+    ann = {}
+    for r in idx.search(queries, k=10, metric="cosine").collect():
+        ann.setdefault(r["qid"], set()).add(r["id"])
+    recalls = [len(ann.get(q, set()) & exact[q]) / 10 for q, _ in queries]
+    assert float(np.mean(recalls)) >= 0.5, recalls
+    # round-trip keeps the metric (old indexes load as euclidean)
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        idx.save(f"{d}/ix")
+        loaded = AnnIndex.load(spark, f"{d}/ix")
+        assert loaded.build_metric == "cosine"

@@ -116,10 +116,11 @@ def test_approx_sketches_within_bounds(spark, sf_dir):
     rows = QUERIES["q_approx_cardinalities"][0](spark, sf_dir).collect()
     assert len(rows) > 0
     for r in rows:
-        # HLL++ at rsd=0.02 should land within a few percent
-        err = abs(r["approx_orders"] - r["exact_orders"]) / max(1, r["exact_orders"])
-        assert err < 0.1, (r["l_returnflag"], r["approx_orders"], r["exact_orders"])
-        assert r["approx_median_price"] > 0
+        # the query now emits error-bound certificates directly (round-5:
+        # oracle-checkable instead of rows-only)
+        assert r["hll_within_5pct"], r["l_returnflag"]
+        assert r["median_within_1pct"], r["l_returnflag"]
+        assert r["exact_orders"] > 0 and r["n_rows"] > 0
 
 
 def test_rolling_fingerprint_paths_agree(spark):
