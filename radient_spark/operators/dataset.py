@@ -1173,3 +1173,84 @@ def water_fill_allocation(
         F.col("allocated").cast("long").alias("allocated"),
         F.col("__iscapped").alias("capped"),
     )
+
+
+def uniform_sample_exact_k(
+    df: DataFrame,
+    id_col: str,
+    k: int,
+    seed: int = 42,
+    rank_col: str = "sample_rank",
+) -> DataFrame:
+    """EXACT-k uniform sample without replacement: rank every row by a
+    portable md5 hash of (seed, id) and keep the k smallest — the
+    deterministic distributed equivalent of a k-row reservoir.  Unlike
+    `df.sample(fraction)` the realized size is exactly min(k, n), and
+    unlike a reservoir the result is independent of encounter order,
+    stable across runs/partitionings/engines, and fully reproducible
+    from (seed, k).
+
+    Scale shape: orderBy(limit) compiles to TakeOrderedAndProject —
+    each partition keeps its local top-k and the driver merges P*k
+    ranks, so no global sort shuffle ever happens; k is the documented
+    small side.  NOT append-consistent (a new smaller-hash row evicts
+    the largest kept rank) — that is inherent to exact-k; use
+    hash_split for append-stable subsets.
+    """
+    if k < 0:
+        raise ValueError("k must be >= 0")
+    key = str_hash(F.concat_ws("_", F.lit(seed), F.col(id_col)))
+    return (
+        df.withColumn(rank_col, key)
+        .orderBy(F.col(rank_col).asc(), F.col(id_col).asc())
+        .limit(k)
+    )
+
+
+def partition_plan(
+    df: DataFrame,
+    group_col: str,
+    bytes_col,
+    target_bytes: int,
+) -> DataFrame:
+    """Layout advisor: per group, the file/partition plan a compaction
+    or initial-load job should use — row count, payload bytes, number
+    of output files at `target_bytes` each (ceil), rows per file, and
+    a skew ratio (largest row / mean row, one IEEE division rounded 6)
+    flagging groups where row-size skew breaks the uniform plan.
+
+    One map-side-combined aggregate over the group key; the plan table
+    is group-sized, broadcastable back next to a
+    repartition/partitionBy write.  This is the arithmetic behind
+    "size spark.sql.files.maxPartitionBytes so partitions fit" done
+    per data group instead of globally.
+    """
+    if target_bytes <= 0:
+        raise ValueError("target_bytes must be > 0")
+    b = F.col("__pp_bytes")
+    agg = (
+        df.withColumn("__pp_bytes", bytes_col.cast("long"))
+        .groupBy(group_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(b).alias("total_bytes"),
+            F.max(b).alias("max_row_bytes"),
+        )
+    )
+    n_files = F.greatest(
+        F.lit(1),
+        F.ceil(F.col("total_bytes") / F.lit(target_bytes)).cast("long"),
+    )
+    return agg.select(
+        group_col,
+        "n_rows",
+        "total_bytes",
+        n_files.alias("n_files"),
+        F.ceil(F.col("n_rows") / n_files).cast("long").alias("rows_per_file"),
+        F.round(
+            F.col("max_row_bytes").cast("double")
+            * F.col("n_rows").cast("double")
+            / F.col("total_bytes").cast("double"),
+            6,
+        ).alias("skew_ratio"),
+    )

@@ -426,3 +426,40 @@ def test_perplexity_plan_has_no_perstratum_window_sort(spark, sf_dir):
         .toString()
     )
     assert "ntile" not in plan.lower()
+
+
+def test_uniform_sample_exact_k_properties(spark):
+    from radient_spark.operators.dataset import uniform_sample_exact_k
+
+    df = spark.range(0, 1000).withColumnRenamed("id", "rid").repartition(8)
+    got = uniform_sample_exact_k(df, "rid", k=50, seed=1).collect()
+    assert len(got) == 50
+    again = uniform_sample_exact_k(df, "rid", k=50, seed=1).collect()
+    assert sorted(r["rid"] for r in got) == sorted(r["rid"] for r in again)
+    other = uniform_sample_exact_k(df, "rid", k=50, seed=2).collect()
+    assert sorted(r["rid"] for r in got) != sorted(r["rid"] for r in other)
+    # k > n degenerates to the full table
+    assert uniform_sample_exact_k(df, "rid", k=5000, seed=1).count() == 1000
+    # physical plan is per-partition top-k, not a global sort shuffle
+    spark.catalog.clearCache()
+    plan = (
+        uniform_sample_exact_k(df, "rid", k=50, seed=1)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_partition_plan_arithmetic(spark):
+    from radient_spark.operators.dataset import partition_plan
+
+    rows = [("a", 100), ("a", 300), ("b", 50)]
+    df = spark.createDataFrame(rows, ["g", "sz"])
+    got = {
+        r["g"]: r
+        for r in partition_plan(df, "g", F.col("sz"), target_bytes=128).collect()
+    }
+    assert got["a"]["n_files"] == 4 and got["a"]["rows_per_file"] == 1
+    assert got["b"]["n_files"] == 1 and got["b"]["rows_per_file"] == 1
+    assert got["a"]["skew_ratio"] == 1.5  # 300 / mean(200)
