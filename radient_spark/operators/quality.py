@@ -154,3 +154,128 @@ def gopher_report(docs: DataFrame, text_col: str = "text") -> DataFrame:
         ).alias("n_pass")
     )
     return r.groupBy("source").agg(*agg)
+
+
+def luhn_valid(num: Column) -> Column:
+    """TRUE iff a digits-only string passes the Luhn checksum (ISO/IEC
+    7812) — the payment-card validity test that separates real PANs
+    from arbitrary digit runs in PII audits.  Pure Catalyst: one
+    aggregate fold over the reversed digit positions (doubling every
+    second digit, subtracting 9 on overflow); identical arithmetic is
+    expressible in ANSI SQL, so audits are oracle-checkable."""
+    rev = F.reverse(num)
+    d = lambda i: F.substr(rev, i, F.lit(1)).cast("int")  # noqa: E731
+    total = F.aggregate(
+        F.sequence(F.lit(1), F.length(rev)),
+        F.lit(0),
+        lambda acc, i: acc
+        + F.when(
+            i % 2 == 0,
+            F.when(d(i) * 2 > 9, d(i) * 2 - 9).otherwise(d(i) * 2),
+        ).otherwise(d(i)),
+    )
+    # guard: sequence(1, 0) would generate DESCENDING [1, 0]
+    return F.when(F.length(num) == 0, F.lit(False)).otherwise(total % 10 == 0)
+
+
+def card_number_audit(
+    df: DataFrame,
+    text_col: str = "text",
+    group_col: str = "source",
+) -> DataFrame:
+    """Payment-card PII audit: extract maximal digit runs, keep the
+    13-19-digit candidates (PAN lengths), Luhn-validate each, and
+    report per group — the detector a takedown/scrub pipeline runs
+    BEFORE masking.  Maximal-run extraction (\\d+ then length filter)
+    instead of lookarounds keeps the regex RE2-compatible (DuckDB).
+
+    Zero shuffles beyond the group aggregate; per-row work is one
+    regex scan + a fold per candidate."""
+    runs = F.filter(
+        F.regexp_extract_all(F.col(text_col), F.lit(r"\d+"), 0),
+        lambda s: (F.length(s) >= 13) & (F.length(s) <= 19),
+    )
+    per_doc = df.select(
+        F.col(group_col),
+        F.size(runs).alias("__n_runs"),
+        F.size(F.filter(runs, luhn_valid)).alias("__n_valid"),
+    )
+    return per_doc.groupBy(group_col).agg(
+        F.sum("__n_runs").cast("long").alias("n_card_candidates"),
+        F.sum("__n_valid").cast("long").alias("n_luhn_valid"),
+        F.sum((F.col("__n_valid") > 0).cast("long")).alias(
+            "n_docs_with_valid"
+        ),
+    )
+
+
+C4_BANNED = ("cookie", "javascript", "lorem ipsum", "terms of use")
+C4_TERMINAL = (".", "!", "?", '"')
+
+
+def c4_line_classify(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_words: int = 5,
+    banned: tuple = C4_BANNED,
+) -> DataFrame:
+    """C4-style line-level cleaning (Raffel et al. 2020 §2.2): split
+    documents on newlines and classify every line —
+
+      banned   : contains a blocklisted phrase (policy/boilerplate)
+      short    : fewer than `min_words` words
+      no_punct : does not end in terminal punctuation
+      dup      : an earlier surviving line (corpus-WIDE, C4's rule)
+                 with identical text exists — first occurrence by
+                 (doc, line index) wins
+      kept     : survives all four
+
+    Precedence is the listed order; only lines passing the three
+    per-line rules compete in dedup.  Scale shape: the per-line rules
+    are stateless row expressions; dedup shuffles (line md5, 16 bytes)
+    once with a min-position window — corpus-wide line dedup without
+    materializing line text twice.
+
+    Returns (id_col, line_idx, line, status)."""
+    lines = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias(
+            "line_idx", "line"
+        ),
+    )
+    low = F.lower(F.col("line"))
+    is_banned = F.lit(False)
+    for b in banned:
+        is_banned = is_banned | low.contains(b)
+    stripped = F.rtrim(F.col("line"))
+    ends_ok = F.lit(False)
+    for t in C4_TERMINAL:
+        ends_ok = ends_ok | stripped.endswith(t)
+    n_words = F.size(tokens(F.col("line")))
+    pre = lines.withColumn(
+        "__pre",
+        F.when(is_banned, F.lit("banned"))
+        .when(n_words < min_words, F.lit("short"))
+        .when(~ends_ok, F.lit("no_punct")),
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(F.md5("line")).orderBy(
+        F.col(id_col).asc(), F.col("line_idx").asc()
+    )
+    survivors = (
+        pre.filter(F.col("__pre").isNull())
+        .withColumn("__rn", F.row_number().over(w))
+        .withColumn(
+            "status",
+            F.when(F.col("__rn") == 1, F.lit("kept")).otherwise(F.lit("dup")),
+        )
+        .drop("__rn")
+    )
+    failed = pre.filter(F.col("__pre").isNotNull()).withColumn(
+        "status", F.col("__pre")
+    )
+    return survivors.unionByName(failed).select(
+        id_col, "line_idx", "line", "status"
+    )

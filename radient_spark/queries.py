@@ -9476,6 +9476,184 @@ ORDER BY scope
 """
 
 
+def q_pii_luhn_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Payment-card PII audit (operators/quality.py card_number_audit):
+    the corpus contains no digit runs, so card-like numbers are
+    synthesized deterministically (the q_pii_scrub_stats discipline) —
+    a Luhn-VALID PAN on doc_id%4==0, an invalid 16-digit run on
+    %4==1, a too-short run on %4==2 — then maximal digit runs are
+    extracted, 13-19-digit candidates Luhn-folded, and counts
+    reported per source.  The Luhn checksum arithmetic is reproduced
+    digit-for-digit in the DuckDB oracle."""
+    from radient_spark.operators.quality import card_number_audit
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    salted = docs.withColumn(
+        "text",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 4 == 0, F.lit(" card 4539578763621486 ok")
+            )
+            .when(
+                F.col("doc_id") % 4 == 1, F.lit(" ref 4539578763621487 end")
+            )
+            .when(F.col("doc_id") % 4 == 2, F.lit(" id 123456789 short"))
+            .otherwise(F.lit("")),
+        ),
+    )
+    return card_number_audit(salted, "text", "source").orderBy("source")
+
+
+_Q_LUHN_SQL = r"""
+WITH salted AS (
+  SELECT source,
+    text || CASE
+      WHEN doc_id % 4 = 0 THEN ' card 4539578763621486 ok'
+      WHEN doc_id % 4 = 1 THEN ' ref 4539578763621487 end'
+      WHEN doc_id % 4 = 2 THEN ' id 123456789 short'
+      ELSE '' END AS text
+  FROM documents
+), runs AS (
+  SELECT source,
+    list_filter(regexp_extract_all(text, '\d+'),
+                s -> length(s) BETWEEN 13 AND 19) AS cands
+  FROM salted
+), per_doc AS (
+  SELECT source, len(cands) AS n_runs,
+    len(list_filter(cands, s ->
+      list_sum(list_transform(range(1, length(s) + 1), i ->
+        CASE WHEN i % 2 = 0 THEN
+          CASE WHEN 2 * CAST(reverse(s)[i] AS INT) > 9
+               THEN 2 * CAST(reverse(s)[i] AS INT) - 9
+               ELSE 2 * CAST(reverse(s)[i] AS INT) END
+        ELSE CAST(reverse(s)[i] AS INT) END)) % 10 = 0
+    )) AS n_valid
+  FROM runs
+)
+SELECT source,
+  CAST(SUM(n_runs) AS BIGINT) AS n_card_candidates,
+  CAST(SUM(n_valid) AS BIGINT) AS n_luhn_valid,
+  CAST(SUM(CASE WHEN n_valid > 0 THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_docs_with_valid
+FROM per_doc GROUP BY source ORDER BY source
+"""
+
+
+def q_c4_line_filter_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style line-level cleaning scorecard (operators/quality.py
+    c4_line_classify): documents carry no newlines, so line structure
+    is synthesized deterministically — line 1 = first 8 tokens + '.',
+    line 2 = tokens 9-14 (no terminal punctuation), a banned
+    cookie-notice line on doc_id%7==0, and a duplicate of line 1 on
+    doc_id%5==0 — then every line is classified
+    banned/short/no_punct/dup/kept (corpus-wide first-occurrence
+    dedup, C4's rule) and counts roll up per source."""
+    from radient_spark.operators.quality import c4_line_classify
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    l1 = F.concat(F.array_join(F.slice(toks, 1, 8), " "), F.lit("."))
+    l2 = F.array_join(F.slice(toks, 9, 6), " ")
+    lined = docs.withColumn(
+        "text",
+        F.concat_ws(
+            "\n",
+            l1,
+            l2,
+            F.when(
+                F.col("doc_id") % 7 == 0,
+                F.lit("this site uses cookie tracking."),
+            ),
+            F.when(F.col("doc_id") % 5 == 0, l1),
+        ),
+    )
+    classified = c4_line_classify(
+        lined, "text", "doc_id", min_words=5
+    ).join(docs.select("doc_id", "source"), "doc_id")
+    return (
+        classified.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum((F.col("status") == "kept").cast("long")).alias("n_kept"),
+            F.sum((F.col("status") == "dup").cast("long")).alias("n_dup"),
+            F.sum((F.col("status") == "banned").cast("long")).alias(
+                "n_banned"
+            ),
+            F.sum((F.col("status") == "short").cast("long")).alias("n_short"),
+            F.sum((F.col("status") == "no_punct").cast("long")).alias(
+                "n_no_punct"
+            ),
+            F.sum(
+                F.when(F.col("status") == "kept", F.length("line")).otherwise(
+                    0
+                )
+            ).alias("chars_kept"),
+        )
+        .orderBy("source")
+    )
+
+
+_Q_C4_SQL = r"""
+WITH toks AS (
+  SELECT doc_id, source, regexp_split_to_array(trim(text), '\s+') AS tk
+  FROM documents
+), lined AS (
+  SELECT doc_id, source,
+    concat_ws(chr(10),
+      array_to_string(tk[1:8], ' ') || '.',
+      array_to_string(tk[9:14], ' '),
+      CASE WHEN doc_id % 7 = 0 THEN 'this site uses cookie tracking.' END,
+      CASE WHEN doc_id % 5 = 0
+           THEN array_to_string(tk[1:8], ' ') || '.' END
+    ) AS text
+  FROM toks
+), lines AS (
+  SELECT doc_id, source,
+    generate_subscripts(regexp_split_to_array(text, chr(10)), 1) - 1
+      AS line_idx,
+    unnest(regexp_split_to_array(text, chr(10))) AS line
+  FROM lined
+), pre AS (
+  SELECT doc_id, source, line_idx, line,
+    CASE
+      WHEN lower(line) LIKE '%cookie%' OR lower(line) LIKE '%javascript%'
+        OR lower(line) LIKE '%lorem ipsum%'
+        OR lower(line) LIKE '%terms of use%' THEN 'banned'
+      WHEN CASE WHEN length(trim(line)) = 0 THEN 0
+                ELSE len(regexp_split_to_array(trim(line), '\s+')) END < 5
+        THEN 'short'
+      WHEN NOT (rtrim(line) LIKE '%.' OR rtrim(line) LIKE '%!'
+                OR rtrim(line) LIKE '%?' OR rtrim(line) LIKE '%"')
+        THEN 'no_punct'
+    END AS pre
+  FROM lines
+), survivors AS (
+  SELECT doc_id, source, line_idx, line,
+    CASE WHEN row_number() OVER (
+        PARTITION BY md5(line) ORDER BY doc_id, line_idx) = 1
+      THEN 'kept' ELSE 'dup' END AS status
+  FROM pre WHERE pre IS NULL
+), classified AS (
+  SELECT doc_id, source, line, status FROM survivors
+  UNION ALL
+  SELECT doc_id, source, line, pre FROM pre WHERE pre IS NOT NULL
+)
+SELECT source, COUNT(*) AS n_lines,
+  CAST(SUM(CASE WHEN status = 'kept' THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+  CAST(SUM(CASE WHEN status = 'dup' THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
+  CAST(SUM(CASE WHEN status = 'banned' THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_banned,
+  CAST(SUM(CASE WHEN status = 'short' THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_short,
+  CAST(SUM(CASE WHEN status = 'no_punct' THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_no_punct,
+  CAST(SUM(CASE WHEN status = 'kept' THEN length(line) ELSE 0 END)
+    AS BIGINT) AS chars_kept
+FROM classified GROUP BY source ORDER BY source
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 
@@ -9672,6 +9850,8 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "q_uniform_sample_k": (q_uniform_sample_k, _Q_UNIFORM_SAMPLE_SQL),
     "q_partition_plan": (q_partition_plan, _Q_PARTITION_PLAN_SQL),
     "q_heaps_law": (q_heaps_law, _Q_HEAPS_SQL),
+    "q_pii_luhn_audit": (q_pii_luhn_audit, _Q_LUHN_SQL),
+    "q_c4_line_filter_report": (q_c4_line_filter_report, _Q_C4_SQL),
 }
 
 # The correctness driver oracle-checks exactly the FIRST 50 keys of ``queries()``

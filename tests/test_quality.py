@@ -87,3 +87,44 @@ def test_bigram_perplexity_single_token_doc_scores_unigram(spark):
     out = {r["doc_id"]: r for r in bigram_perplexity(df).collect()}
     # corpus = 3 "solo" tokens; doc 1 = first-token surprisal -ln(3/3) = 0.
     assert math.isclose(out[1]["logppl"], 0.0, abs_tol=1e-9)
+
+
+def test_luhn_valid_known_numbers(spark):
+    from radient_spark.operators.quality import luhn_valid
+
+    cases = [
+        ("4539578763621486", True),
+        ("6011000990139424", True),
+        ("371449635398431", True),
+        ("79927398713", True),
+        ("4539578763621487", False),
+        ("1234567812345678", False),
+        ("", False),
+    ]
+    df = spark.createDataFrame([(s,) for s, _ in cases], ["n"])
+    got = {r["n"]: r["v"] for r in df.select("n", luhn_valid(F.col("n")).alias("v")).collect()}
+    for s, want in cases:
+        assert got[s] == want, s
+
+
+def test_c4_line_classify_statuses(spark):
+    from radient_spark.operators.quality import c4_line_classify
+
+    docs = [
+        (1, "the quick brown fox jumps high today.\nshort line\n"
+            "this uses javascript everywhere fine.\n"
+            "a long line with no terminal punctuation here"),
+        (2, "the quick brown fox jumps high today.\n"
+            "another perfectly fine sentence stands here."),
+    ]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    got = {
+        (r["doc_id"], r["line_idx"]): r["status"]
+        for r in c4_line_classify(df, "text", "doc_id", min_words=5).collect()
+    }
+    assert got[(1, 0)] == "kept"
+    assert got[(1, 1)] == "short"
+    assert got[(1, 2)] == "banned"
+    assert got[(1, 3)] == "no_punct"
+    assert got[(2, 0)] == "dup"  # corpus-wide: doc 1 line 0 came first
+    assert got[(2, 1)] == "kept"
