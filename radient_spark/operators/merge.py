@@ -170,3 +170,135 @@ def scd2_history(
         F.col("__v").cast("long").alias("version"),
         F.lead("valid_from").over(wv).isNull().alias("is_current"),
     )
+
+
+def scd2_merge(
+    history: DataFrame,
+    new_obs: DataFrame,
+    key: str,
+    attr: str,
+    order_col: str,
+    tiebreak_col: str,
+) -> DataFrame:
+    """INCREMENTAL SCD2 maintenance: apply a batch of new observations
+    to an existing `scd2_history` table without replaying untouched
+    keys' history — the nightly-merge form of the SCD2 write path.
+    Result is row-identical to `scd2_history(all observations)` when
+    each key's new observations are not older than its last recorded
+    observation (the in-order warehouse-arrival contract; collapsed
+    versions cannot be split retroactively).
+
+    Shape at scale: untouched keys pass through with ZERO recompute
+    (one anti-join on the batch's key set); touched keys re-run
+    gaps-and-islands over (their collapsed runs + the new rows) — work
+    proportional to the delta's key count, never the history size.
+    One key shuffle shared by the window chain.
+    """
+    touched = new_obs.select(key).distinct()
+    untouched = history.join(touched, key, "left_anti")
+    old_runs = history.join(touched, key, "semi").select(
+        F.col(key),
+        F.col(attr),
+        F.col("valid_from").alias("__ord"),
+        F.col("n_rows").alias("__w"),
+        F.lit(0).alias("__src"),
+        F.col("version").alias("__seq"),
+    )
+    fresh = new_obs.select(
+        F.col(key),
+        F.col(attr),
+        F.col(order_col).alias("__ord"),
+        F.lit(1).alias("__w"),
+        F.lit(1).alias("__src"),
+        F.col(tiebreak_col).alias("__seq"),
+    )
+    obs = old_runs.unionByName(fresh)
+    w = Window.partitionBy(key).orderBy("__ord", "__src", "__seq")
+    chg = (
+        (F.row_number().over(w) == F.lit(1))
+        | ~F.col(attr).eqNullSafe(F.lag(attr).over(w))
+    ).cast("long")
+    runs = obs.withColumn(
+        "__v", F.sum(chg).over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    versions = runs.groupBy(key, "__v").agg(
+        F.first(attr).alias(attr),
+        F.min("__ord").alias("valid_from"),
+        F.sum("__w").cast("long").alias("n_rows"),
+    )
+    wv = Window.partitionBy(key).orderBy("__v")
+    merged = versions.select(
+        key,
+        attr,
+        "valid_from",
+        F.lead("valid_from").over(wv).alias("valid_to"),
+        "n_rows",
+        F.col("__v").cast("long").alias("version"),
+        F.lead("valid_from").over(wv).isNull().alias("is_current"),
+    )
+    return untouched.unionByName(merged)
+
+
+def golden_record(
+    df: DataFrame,
+    cluster_col: str,
+    rules: dict[str, str],
+    order_col: str,
+    tiebreak_col: str,
+) -> DataFrame:
+    """Survivorship: collapse each entity cluster's conflicting
+    observations into ONE golden record, attribute by attribute —
+    the step after entity resolution that master-data pipelines call
+    merge rules.  Strategies per attribute:
+
+      most_recent : value of the max (order_col, tiebreak_col) row
+      max / min   : extreme value across the cluster
+      mode        : most frequent value (count desc, then value asc —
+                    deterministic across engines)
+
+    Shape at scale: most_recent/max/min ride ONE groupBy over the
+    cluster key (max-of-struct argmax, no window, no join).  mode
+    attrs each add one (cluster, value) count aggregate + a max-of-
+    struct reduce — still key-shuffles, never row windows.  Output is
+    one row per cluster: (cluster_col, <attr> per rule).
+    """
+    allowed = {"most_recent", "max", "min", "mode"}
+    bad = {a: s for a, s in rules.items() if s not in allowed}
+    if bad:
+        raise ValueError(f"unknown survivorship strategies: {bad}")
+    aggs = []
+    for a, strat in rules.items():
+        if strat == "most_recent":
+            aggs.append(
+                F.max(
+                    F.struct(
+                        F.col(order_col).alias("o"),
+                        F.col(tiebreak_col).alias("t"),
+                        F.col(a).alias("v"),
+                    )
+                )["v"].alias(a)
+            )
+        elif strat == "max":
+            aggs.append(F.max(a).alias(a))
+        elif strat == "min":
+            aggs.append(F.min(a).alias(a))
+    base = df.groupBy(cluster_col).agg(*aggs) if aggs else (
+        df.select(cluster_col).distinct()
+    )
+    for a, strat in rules.items():
+        if strat != "mode":
+            continue
+        counts = (
+            df.groupBy(cluster_col, a)
+            .agg(F.count(F.lit(1)).alias("__c"))
+            .groupBy(cluster_col)
+            .agg(
+                F.min(
+                    F.struct(
+                        (-F.col("__c")).alias("nc"), F.col(a).alias("v")
+                    )
+                )["v"].alias(a)
+            )
+        )
+        base = base.join(counts, cluster_col)
+    return base

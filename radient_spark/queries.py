@@ -9654,6 +9654,106 @@ FROM classified GROUP BY source ORDER BY source
 """
 
 
+def q_scd2_incremental_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental SCD2 maintenance (operators/merge.py scd2_merge):
+    history is built from pre-1995 observations, the 1995+ batch is
+    MERGED in (untouched keys pass through; touched keys re-run
+    gaps-and-islands over collapsed runs + new rows), and the result
+    must be row-identical to the full recompute — which IS the DuckDB
+    oracle (the same SQL as q_scd2_status_history).  This is the
+    equivalence contract of warehouse nightly merges: delta-cost
+    maintenance, full-rebuild semantics."""
+    from radient_spark.operators.merge import scd2_history, scd2_merge
+
+    orders = load_tables(spark, sf_dir)["orders"].filter(
+        F.col("o_custkey") % 5 == 0
+    )
+    cut = F.lit("1995-01-01").cast("date")
+    history = scd2_history(
+        orders.filter(F.col("o_orderdate") < cut),
+        "o_custkey",
+        "o_orderstatus",
+        "o_orderdate",
+        "o_orderkey",
+    )
+    merged = scd2_merge(
+        history,
+        orders.filter(F.col("o_orderdate") >= cut),
+        "o_custkey",
+        "o_orderstatus",
+        "o_orderdate",
+        "o_orderkey",
+    )
+    return merged.orderBy("o_custkey", "version")
+
+
+def q_golden_record(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Survivorship / golden record (operators/merge.py golden_record):
+    collapse every customer's order observations into one master row —
+    most-recent status, max price, first-seen date, and the modal
+    order priority (count desc, value asc — deterministic) — the
+    merge-rules step master-data pipelines run after entity
+    resolution.  argmax rides max-of-struct (no window, no join);
+    mode adds one (cluster, value) count aggregate."""
+    from radient_spark.operators.merge import golden_record
+
+    orders = (
+        load_tables(spark, sf_dir)["orders"]
+        .filter(F.col("o_custkey") % 7 == 0)
+        .select(
+            F.col("o_custkey"),
+            F.col("o_orderdate"),
+            F.col("o_orderkey"),
+            F.col("o_orderstatus").alias("latest_status"),
+            F.col("o_totalprice").alias("max_price"),
+            F.col("o_orderdate").alias("first_seen"),
+            F.col("o_orderpriority").alias("top_priority"),
+        )
+    )
+    return golden_record(
+        orders,
+        "o_custkey",
+        {
+            "latest_status": "most_recent",
+            "max_price": "max",
+            "first_seen": "min",
+            "top_priority": "mode",
+        },
+        "o_orderdate",
+        "o_orderkey",
+    ).orderBy("o_custkey")
+
+
+_Q_GOLDEN_SQL = """
+WITH obs AS (
+  SELECT * FROM orders WHERE o_custkey % 7 = 0
+), latest AS (
+  SELECT o_custkey, o_orderstatus AS latest_status FROM (
+    SELECT o_custkey, o_orderstatus,
+      row_number() OVER (PARTITION BY o_custkey
+        ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+    FROM obs
+  ) WHERE rn = 1
+), extremes AS (
+  SELECT o_custkey, MAX(o_totalprice) AS max_price,
+         MIN(o_orderdate) AS first_seen
+  FROM obs GROUP BY o_custkey
+), modal AS (
+  SELECT o_custkey, o_orderpriority AS top_priority FROM (
+    SELECT o_custkey, o_orderpriority,
+      row_number() OVER (PARTITION BY o_custkey
+        ORDER BY COUNT(*) DESC, o_orderpriority ASC) AS rn
+    FROM obs GROUP BY o_custkey, o_orderpriority
+  ) WHERE rn = 1
+)
+SELECT l.o_custkey, l.latest_status, e.max_price, e.first_seen,
+       m.top_priority
+FROM latest l JOIN extremes e ON l.o_custkey = e.o_custkey
+JOIN modal m ON l.o_custkey = m.o_custkey
+ORDER BY l.o_custkey
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 
@@ -9852,6 +9952,10 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "q_heaps_law": (q_heaps_law, _Q_HEAPS_SQL),
     "q_pii_luhn_audit": (q_pii_luhn_audit, _Q_LUHN_SQL),
     "q_c4_line_filter_report": (q_c4_line_filter_report, _Q_C4_SQL),
+    # incremental merge must equal the FULL recompute: same oracle SQL
+    # as q_scd2_status_history
+    "q_scd2_incremental_merge": (q_scd2_incremental_merge, _Q_SCD2_SQL),
+    "q_golden_record": (q_golden_record, _Q_GOLDEN_SQL),
 }
 
 # The correctness driver oracle-checks exactly the FIRST 50 keys of ``queries()``

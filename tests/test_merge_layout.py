@@ -190,3 +190,60 @@ def test_scd2_history_null_attr_versions(spark):
         (1, 3, "A", 1, True),
         (2, 1, None, 2, True),
     ]
+
+
+def test_scd2_merge_equals_full_recompute(spark):
+    """Incremental merge ≡ scd2_history(all), including a key that only
+    appears in the new batch, a key untouched by it, and a same-attr
+    continuation that must extend (not fork) the last version."""
+    from radient_spark.operators.merge import scd2_history, scd2_merge
+
+    old = [
+        (1, "A", 10, 1), (1, "B", 20, 2),        # touched key
+        (2, "X", 10, 1), (2, "X", 30, 2),        # untouched key
+    ]
+    new = [
+        (1, "B", 40, 3),                          # continuation: no fork
+        (1, "C", 50, 4),                          # change: new version
+        (3, "Z", 5, 1),                           # brand-new key
+    ]
+    schema = "k long, attr string, ts long, seq long"
+    old_df = spark.createDataFrame(old, schema)
+    new_df = spark.createDataFrame(new, schema)
+    hist = scd2_history(old_df, "k", "attr", "ts", "seq")
+    merged = scd2_merge(hist, new_df, "k", "attr", "ts", "seq")
+    full = scd2_history(
+        old_df.unionByName(new_df), "k", "attr", "ts", "seq"
+    )
+    key = lambda r: (r["k"], r["version"])  # noqa: E731
+    got = sorted((tuple(r) for r in merged.collect()), key=lambda t: t[:2])
+    want = sorted((tuple(r) for r in full.collect()), key=lambda t: t[:2])
+    assert got == want
+
+
+def test_golden_record_strategies(spark):
+    from radient_spark.operators.merge import golden_record
+
+    rows = [
+        (1, 10, 1, "new", 5, "b"),
+        (1, 20, 2, "newest", 9, "a"),
+        (1, 5, 3, "old", 7, "a"),
+        (2, 1, 1, "only", 3, "c"),
+    ]
+    df = spark.createDataFrame(
+        rows, "c long, ts long, seq long, status string, price long, pri string"
+    )
+    got = {
+        r["c"]: r
+        for r in golden_record(
+            df,
+            "c",
+            {"status": "most_recent", "price": "max", "pri": "mode"},
+            "ts",
+            "seq",
+        ).collect()
+    }
+    assert got[1]["status"] == "newest"
+    assert got[1]["price"] == 9
+    assert got[1]["pri"] == "a"  # 2 x 'a' beats 1 x 'b'
+    assert got[2]["status"] == "only" and got[2]["pri"] == "c"
