@@ -397,3 +397,61 @@ def pq_topk(
         .orderBy(F.col("exact_dist").asc(), F.col(id_col).asc())
         .limit(k)
     )
+
+
+def sq8_topk_batch(
+    df: DataFrame,
+    stats: list[tuple[float, float]],
+    queries: list[tuple[int, list[float]]],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    score_col: str = "qscore",
+) -> DataFrame:
+    """Multi-query ADC search: identical per-term arithmetic to
+    `sq8_topk` (decimal-routed integer micro-unit fold), but the
+    per-query weight vectors ride a BROADCAST (qid, w) table so the
+    corpus is scanned and encoded ONCE for the whole query batch —
+    the batched form of "broadcast the model, stream the data".
+    Per-query top-k via a (qid)-partitioned rank window.
+
+    Returns (qid, id, rank, qscore): rank is 1-based by (score desc,
+    id asc) — deterministic across engines."""
+    from pyspark.sql import Window
+
+    spark = df.sparkSession
+    encoded = sq8_encode(df, stats, vec_col)
+    wrows = [
+        (
+            int(qid),
+            [float(q * (mx - mn) / 255.0) for q, (mn, mx) in zip(vec, stats)],
+        )
+        for qid, vec in queries
+    ]
+    qdf = spark.createDataFrame(wrows, "qid long, __w array<double>")
+    score = (
+        F.aggregate(
+            F.zip_with(
+                F.col("codes"),
+                F.col("__w"),
+                lambda c, w: (
+                    (c.cast("double") * w).cast("decimal(18,6)")
+                    * F.lit(1_000_000)
+                ).cast("long"),
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ).cast("double")
+        / F.lit(1_000_000.0)
+    )
+    scored = encoded.join(F.broadcast(qdf)).select(
+        "qid", F.col(id_col).alias("id"), score.alias(score_col)
+    )
+    w = Window.partitionBy("qid").orderBy(
+        F.col(score_col).desc(), F.col("id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("qid", "id", "rank", score_col)
+    )

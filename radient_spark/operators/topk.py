@@ -429,3 +429,44 @@ def srp_signature(
         F.lit(0).cast("long"),
         lambda acc, z: acc + z,
     )
+
+
+def retrieval_metrics(
+    cand: DataFrame,
+    truth: DataFrame,
+    k: int,
+) -> DataFrame:
+    """Retrieval-quality scorecard: grade a RANKED candidate list
+    against a ground-truth relevant set, per query — the recall@k /
+    MRR evaluation an ANN or quantized index runs against exact
+    brute-force results before shipping a recall/latency trade-off.
+
+    cand:  (qid, id, rank) — 1-based rank, k rows per query
+    truth: (qid, id)       — the relevant set (e.g. exact top-k)
+
+    recall_at_k = |cand ∩ truth| / k; mrr = 1/rank of the FIRST
+    relevant candidate (0.0 when none).  Both are one IEEE division
+    rounded to 6 — oracle-exact.  One broadcast-joinable key join +
+    one groupBy; metrics tables are query-batch-sized."""
+    rel = truth.select("qid", "id").withColumn("__rel", F.lit(1))
+    joined = cand.join(rel, ["qid", "id"], "left")
+    return (
+        joined.groupBy("qid")
+        .agg(
+            F.round(
+                F.sum(F.coalesce(F.col("__rel"), F.lit(0))).cast("double")
+                / F.lit(float(k)),
+                6,
+            ).alias("recall_at_k"),
+            F.coalesce(
+                F.round(
+                    F.lit(1.0)
+                    / F.min(
+                        F.when(F.col("__rel") == 1, F.col("rank"))
+                    ).cast("double"),
+                    6,
+                ),
+                F.lit(0.0),
+            ).alias("mrr"),
+        )
+    )

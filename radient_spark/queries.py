@@ -9754,6 +9754,97 @@ ORDER BY l.o_custkey
 """
 
 
+def q_retrieval_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index-quality scorecard (operators/topk.py retrieval_metrics):
+    recall@10 and MRR of the SQ8-quantized ADC search against exact
+    cosine top-10, for the first 10 corpus vectors as queries — the
+    evaluation that justifies shipping a 4x-compressed index.  The
+    corpus is scanned once per side (batch ADC via broadcast weights;
+    exact via broadcast query join); metrics are one key join +
+    groupBy over 100 candidate rows."""
+    from radient_spark.ann import _rerank_topk
+    from radient_spark.operators.quantize import sq8_minmax, sq8_topk_batch
+    from radient_spark.operators.topk import retrieval_metrics
+
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    rows = (
+        emb.orderBy("vec_id")
+        .limit(10)
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    queries = [(int(r["vec_id"]), list(r["embedding"])) for r in rows]
+    qdf = spark.createDataFrame(
+        [(q, [float(x) for x in v]) for q, v in queries],
+        "qid long, qvec array<float>",
+    )
+    corpus = emb.select(
+        F.col("vec_id").alias("id"), F.col("embedding").alias("vector")
+    )
+    truth = _rerank_topk(corpus.join(F.broadcast(qdf)), 10, "cosine")
+    stats = sq8_minmax(emb, "embedding")
+    cand = sq8_topk_batch(emb, stats, queries, k=10)
+    return retrieval_metrics(cand, truth, k=10).orderBy("qid")
+
+
+_Q_RETRIEVAL_METRICS_SQL = """
+WITH q AS (
+  SELECT vec_id AS qid, embedding AS qvec
+  FROM embeddings ORDER BY vec_id LIMIT 10
+), truth AS (
+  SELECT qid, id FROM (
+    SELECT q.qid, e.vec_id AS id,
+      row_number() OVER (PARTITION BY q.qid ORDER BY
+        round(list_dot_product(e.embedding::DOUBLE[], q.qvec::DOUBLE[])
+          / (sqrt(list_dot_product(e.embedding::DOUBLE[],
+                                   e.embedding::DOUBLE[]))
+             * sqrt(list_dot_product(q.qvec::DOUBLE[], q.qvec::DOUBLE[]))),
+          6) DESC, e.vec_id ASC) AS rn
+    FROM embeddings e CROSS JOIN q
+  ) WHERE rn <= 10
+), dims AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) AS dim,
+         unnest(embedding)::DOUBLE AS v
+  FROM embeddings
+), stats AS (
+  SELECT dim, MIN(v) AS mn, MAX(v) AS mx FROM dims GROUP BY dim
+), codes AS (
+  SELECT vec_id, d.dim,
+    CASE WHEN mx = mn THEN 0
+         ELSE GREATEST(0, LEAST(255,
+                FLOOR((v - mn) * 255.0 / (mx - mn) + 0.5)))::BIGINT
+    END AS c
+  FROM dims d JOIN stats USING (dim)
+), qdims AS (
+  SELECT qid, generate_subscripts(qvec, 1) AS dim,
+         unnest(qvec)::DOUBLE AS qx
+  FROM q
+), wts AS (
+  SELECT qid, qdims.dim,
+    CASE WHEN mx = mn THEN 0.0 ELSE qx * (mx - mn) / 255.0 END AS wt
+  FROM qdims JOIN stats ON qdims.dim = stats.dim
+), cand AS (
+  SELECT qid, id, rnk AS rank FROM (
+    SELECT w.qid, codes.vec_id AS id,
+      row_number() OVER (PARTITION BY w.qid ORDER BY
+        SUM((CAST(codes.c::DOUBLE * w.wt AS DECIMAL(18,6))
+             * 1000000)::BIGINT) DESC, codes.vec_id ASC) AS rnk
+    FROM codes JOIN wts w ON codes.dim = w.dim
+    GROUP BY w.qid, codes.vec_id
+  ) WHERE rnk <= 10
+), graded AS (
+  SELECT c.qid, c.rank,
+    CASE WHEN t.id IS NOT NULL THEN 1 ELSE 0 END AS rel
+  FROM cand c LEFT JOIN truth t ON c.qid = t.qid AND c.id = t.id
+)
+SELECT qid,
+  round(CAST(SUM(rel) AS DOUBLE) / 10.0, 6) AS recall_at_k,
+  COALESCE(round(1.0 / CAST(MIN(CASE WHEN rel = 1 THEN rank END)
+                            AS DOUBLE), 6), 0.0) AS mrr
+FROM graded GROUP BY qid ORDER BY qid
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 
@@ -9956,6 +10047,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     # as q_scd2_status_history
     "q_scd2_incremental_merge": (q_scd2_incremental_merge, _Q_SCD2_SQL),
     "q_golden_record": (q_golden_record, _Q_GOLDEN_SQL),
+    "q_retrieval_metrics": (q_retrieval_metrics, _Q_RETRIEVAL_METRICS_SQL),
 }
 
 # The correctness driver oracle-checks exactly the FIRST 50 keys of ``queries()``

@@ -114,3 +114,48 @@ def test_srp_pairs_sound_and_recall_floor(spark, sf_dir):
     if exact:
         hits = sum(1 for p in exact if p in srp)
         assert hits / len(exact) >= 0.3, (hits, len(exact))
+
+
+def test_retrieval_metrics_hand_case(spark):
+    from radient_spark.operators.topk import retrieval_metrics
+
+    cand = spark.createDataFrame(
+        [(1, 10, 1), (1, 11, 2), (1, 12, 3),
+         (2, 20, 1), (2, 21, 2), (2, 22, 3)],
+        "qid long, id long, rank long",
+    )
+    truth = spark.createDataFrame(
+        [(1, 11), (1, 12), (1, 99),      # 2 of 3 found, first at rank 2
+         (2, 77), (2, 88), (2, 99)],     # nothing found
+        "qid long, id long",
+    )
+    got = {r["qid"]: r for r in retrieval_metrics(cand, truth, k=3).collect()}
+    assert got[1]["recall_at_k"] == round(2 / 3, 6)
+    assert got[1]["mrr"] == 0.5
+    assert got[2]["recall_at_k"] == 0.0 and got[2]["mrr"] == 0.0
+
+
+def test_sq8_topk_batch_matches_single(spark, sf_dir):
+    """The broadcast-weights batch ADC must score identically to the
+    single-query sq8_topk for each query."""
+    from radient_spark.catalog import load_tables
+    from radient_spark.operators.quantize import (
+        sq8_minmax,
+        sq8_topk,
+        sq8_topk_batch,
+    )
+
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    stats = sq8_minmax(emb, "embedding")
+    rows = emb.orderBy("vec_id").limit(3).collect()
+    queries = [(int(r["vec_id"]), list(r["embedding"])) for r in rows]
+    batch = sq8_topk_batch(emb, stats, queries, k=5).collect()
+    by_q = {}
+    for r in batch:
+        by_q.setdefault(r["qid"], []).append((r["id"], r["qscore"]))
+    for qid, vec in queries:
+        single = [
+            (r["vec_id"], r["qscore"])
+            for r in sq8_topk(emb, stats, vec, k=5).collect()
+        ]
+        assert sorted(by_q[qid]) == sorted(single), qid
