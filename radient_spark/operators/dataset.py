@@ -1254,3 +1254,66 @@ def partition_plan(
             6,
         ).alias("skew_ratio"),
     )
+
+
+def domain_mixture_weights(
+    df: DataFrame,
+    domain_col: str,
+    loss_lattice: F.Column,
+    rounds: int = 3,
+) -> DataFrame:
+    """Domain mixture reweighting by MULTIPLICATIVE WEIGHTS (Hedge /
+    Freund-Schapire; the DoReMi recipe's update skeleton): starting
+    uniform, each round down-weights domains whose loss exceeds the
+    current mixture's weighted mean loss and up-weights the rest —
+    after T rounds the normalized weights are the training-mixture
+    proportions a data-budget planner feeds into water-fill /
+    temperature sampling.
+
+    EXACT-ARITHMETIC contract (the repo's oracle discipline): the
+    per-domain loss arrives as an integer micro-lattice column
+    (0..1e6, e.g. ``((a - b) * 1_000_000) div a``); every round is
+    pure integer arithmetic —
+
+        e_t,s   = loss_s - (sum_s w*loss) div (sum_s w)     (excess)
+        f_t,s   = 2e6 - ((e + 2e6) div 2)                   (1e6 - e/2,
+                  via nonnegative floor-div only, so Spark's `div` and
+                  DuckDB's `//` agree)
+        w_{t+1} = (w_t * f) div 1e6
+
+    — and the ONE float is the final normalization division, rounded
+    to 6.  Domains: the aggregate table is domain-count-sized; each
+    round is a broadcast of two scalars (sum w, sum w*loss), so T
+    rounds cost T tiny jobs over an already-aggregated table.
+
+    Returns (domain_col, loss_lat, mix_weight)."""
+    base = df.select(
+        F.col(domain_col), loss_lattice.cast("long").alias("loss_lat")
+    ).withColumn("w", F.lit(1_000_000).cast("long"))
+    for _ in range(rounds):
+        tot = base.agg(
+            F.sum("w").alias("__sw"),
+            F.sum(F.col("w") * F.col("loss_lat")).alias("__swl"),
+        )
+        base = (
+            base.crossJoin(F.broadcast(tot))
+            .withColumn(
+                "w",
+                F.expr(
+                    "(w * (2000000 - ((loss_lat - (__swl div __sw)"
+                    " + 2000000) div 2))) div 1000000"
+                ).cast("long"),
+            )
+            .drop("__sw", "__swl")
+        )
+    total = base.agg(F.sum("w").alias("__tw"))
+    return (
+        base.crossJoin(F.broadcast(total))
+        .select(
+            domain_col,
+            "loss_lat",
+            F.round(
+                F.col("w").cast("double") / F.col("__tw").cast("double"), 6
+            ).alias("mix_weight"),
+        )
+    )

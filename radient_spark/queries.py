@@ -9845,6 +9845,81 @@ FROM graded GROUP BY qid ORDER BY qid
 """
 
 
+def q_domain_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-mixture reweighting (operators/dataset.py
+    domain_mixture_weights): 3 multiplicative-weights rounds over
+    per-source lexical-diversity losses (loss = 1 - TTR on the integer
+    micro-lattice) — the DoReMi-style step that turns per-domain
+    quality signals into mixture proportions.  All-round arithmetic is
+    exact integer (nonnegative floor-divs only); the single float is
+    the final normalization, so the unrolled DuckDB oracle
+    hash-matches."""
+    from radient_spark.functions import text as X
+    from radient_spark.operators.dataset import domain_mixture_weights
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    per_src = (
+        docs.select("source", F.explode(X.tokens(F.col("text"))).alias("tok"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.countDistinct("tok").alias("n_distinct"),
+        )
+    )
+    return domain_mixture_weights(
+        per_src,
+        "source",
+        F.expr("((n_tokens - n_distinct) * 1000000) div n_tokens"),
+        rounds=3,
+    ).orderBy("source")
+
+
+_Q_DOMAIN_MIX_SQL = r"""
+WITH tok AS (
+  SELECT source, unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
+  FROM documents WHERE length(trim(text)) > 0
+), per_src AS (
+  SELECT source, COUNT(*) AS n_tokens, COUNT(DISTINCT tok) AS n_distinct
+  FROM tok GROUP BY source
+), base0 AS (
+  SELECT source,
+    CAST(((n_tokens - n_distinct) * 1000000) // n_tokens AS BIGINT)
+      AS loss_lat,
+    CAST(1000000 AS BIGINT) AS w
+  FROM per_src
+), t1 AS (
+  SELECT CAST(SUM(w) AS BIGINT) AS sw,
+         CAST(SUM(w * loss_lat) AS BIGINT) AS swl FROM base0
+), base1 AS (
+  SELECT source, loss_lat,
+    CAST((w * (2000000 - ((loss_lat - (swl // sw) + 2000000) // 2)))
+         // 1000000 AS BIGINT) AS w
+  FROM base0, t1
+), t2 AS (
+  SELECT CAST(SUM(w) AS BIGINT) AS sw,
+         CAST(SUM(w * loss_lat) AS BIGINT) AS swl FROM base1
+), base2 AS (
+  SELECT source, loss_lat,
+    CAST((w * (2000000 - ((loss_lat - (swl // sw) + 2000000) // 2)))
+         // 1000000 AS BIGINT) AS w
+  FROM base1, t2
+), t3 AS (
+  SELECT CAST(SUM(w) AS BIGINT) AS sw,
+         CAST(SUM(w * loss_lat) AS BIGINT) AS swl FROM base2
+), base3 AS (
+  SELECT source, loss_lat,
+    CAST((w * (2000000 - ((loss_lat - (swl // sw) + 2000000) // 2)))
+         // 1000000 AS BIGINT) AS w
+  FROM base2, t3
+), tot AS (
+  SELECT CAST(SUM(w) AS BIGINT) AS tw FROM base3
+)
+SELECT source, loss_lat,
+  round(CAST(w AS DOUBLE) / CAST(tw AS DOUBLE), 6) AS mix_weight
+FROM base3, tot ORDER BY source
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 
@@ -10048,6 +10123,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "q_scd2_incremental_merge": (q_scd2_incremental_merge, _Q_SCD2_SQL),
     "q_golden_record": (q_golden_record, _Q_GOLDEN_SQL),
     "q_retrieval_metrics": (q_retrieval_metrics, _Q_RETRIEVAL_METRICS_SQL),
+    "q_domain_mixture": (q_domain_mixture, _Q_DOMAIN_MIX_SQL),
 }
 
 # The correctness driver oracle-checks exactly the FIRST 50 keys of ``queries()``

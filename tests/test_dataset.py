@@ -463,3 +463,37 @@ def test_partition_plan_arithmetic(spark):
     assert got["a"]["n_files"] == 4 and got["a"]["rows_per_file"] == 1
     assert got["b"]["n_files"] == 1 and got["b"]["rows_per_file"] == 1
     assert got["a"]["skew_ratio"] == 1.5  # 300 / mean(200)
+
+
+def test_domain_mixture_weights_direction_and_sum(spark):
+    """MW must down-weight high-loss domains, up-weight low-loss ones,
+    keep a mid domain near uniform, and normalize to ~1.  Also check
+    against a literal python re-implementation of the integer update."""
+    from radient_spark.operators.dataset import domain_mixture_weights
+
+    rows = [("bad", 900_000), ("mid", 500_000), ("good", 100_000)]
+    df = spark.createDataFrame(rows, "d string, loss long")
+    got = {
+        r["d"]: r["mix_weight"]
+        for r in domain_mixture_weights(
+            df, "d", F.col("loss"), rounds=3
+        ).collect()
+    }
+    assert got["good"] > got["mid"] > got["bad"]
+    assert abs(sum(got.values()) - 1.0) < 1e-5
+
+    # python mirror of the exact integer recurrence
+    w = {d: 1_000_000 for d, _ in rows}
+    loss = dict(rows)
+    for _ in range(3):
+        sw = sum(w.values())
+        swl = sum(w[d] * loss[d] for d in w)
+        mean = swl // sw
+        w = {
+            d: (w[d] * (2_000_000 - ((loss[d] - mean + 2_000_000) // 2)))
+            // 1_000_000
+            for d in w
+        }
+    tw = sum(w.values())
+    for d in w:
+        assert got[d] == round(w[d] / tw, 6), d
