@@ -49,6 +49,38 @@ from pyspark.sql import functions as F
 MAX_LEAF_SIZE = 200  # gann.py:15
 
 
+def _local_parquet_exists(d: str) -> bool:
+    """True iff the driver-local directory holds at least one parquet
+    part file (index save/load paths are driver-local, like the JSON
+    sidecars this module already open()s)."""
+    import glob
+
+    return bool(glob.glob(os.path.join(d, "*.parquet"))) or bool(
+        glob.glob(os.path.join(d, "*", "*.parquet"))
+    )
+
+
+class _dynamic_partition_overwrite:
+    """Scope spark.sql.sources.partitionOverwriteMode=dynamic so a
+    partitioned overwrite rewrites ONLY the partitions present in the
+    written frame, restoring the prior mode on exit."""
+
+    def __init__(self, spark: SparkSession):
+        self.spark = spark
+
+    def __enter__(self):
+        conf = self.spark.conf
+        self.prev = conf.get(
+            "spark.sql.sources.partitionOverwriteMode", "static"
+        )
+        conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+
+    def __exit__(self, *exc):
+        self.spark.conf.set(
+            "spark.sql.sources.partitionOverwriteMode", self.prev
+        )
+
+
 def _rerank_topk(cand: DataFrame, k: int, metric: str) -> DataFrame:
     """Shared exact-rerank tail: score candidates, per-query window top-k
     with the deterministic (score desc, id asc) criterion."""
@@ -302,6 +334,62 @@ class IvfIndex:
             "cell_id"
         ).parquet(f"{path}/cells")
 
+    def delete(self, ids: DataFrame, id_col: str = "id") -> "IvfIndex":
+        """Incremental DELETE without rebuild: anti-join the id set out
+        of the inverted file — the in-memory half of the tombstone
+        contract. Centroids are untouched (they are a quantizer, not a
+        summary of live rows), so recall semantics are unchanged."""
+        gone = ids.select(F.col(id_col).alias("id"))
+        return IvfIndex(
+            self.index_df.join(gone, "id", "left_anti"), self.centroids
+        )
+
+    def tombstone_save(
+        self, ids: DataFrame, path: str, id_col: str = "id"
+    ) -> None:
+        """Incremental delete against a SAVED index: append the ids to
+        a tombstone sidecar instead of rewriting any cell file — O(1)
+        in index size, the deletion analogue of append_save.  `load`
+        applies tombstones lazily (anti-join), so searches never see
+        deleted rows; `compact` folds them into the cell files and
+        rewrites ONLY the touched partitions."""
+        ids.select(F.col(id_col).alias("id")).write.mode("append").parquet(
+            f"{path}/tombstones"
+        )
+
+    @staticmethod
+    def compact(spark: SparkSession, path: str) -> None:
+        """Fold tombstones into the cell files: rewrite only the
+        partitions that contain a tombstoned row (dynamic partition
+        overwrite), then drop the sidecar.  Untouched cells' files are
+        never read or rewritten — compaction cost scales with the
+        deleted set's cell footprint, not the index."""
+        import shutil
+
+        tomb_dir = f"{path}/tombstones"
+        if not _local_parquet_exists(tomb_dir):
+            return
+        tombs = spark.read.parquet(tomb_dir)
+        cells = spark.read.parquet(f"{path}/cells")
+        touched = [
+            r["cell_id"]
+            for r in cells.join(tombs, "id", "semi")
+            .select("cell_id")
+            .distinct()
+            .collect()
+        ]
+        if touched:
+            kept = (
+                cells.filter(F.col("cell_id").isin(touched))
+                .join(tombs, "id", "left_anti")
+                .localCheckpoint(eager=True)
+            )
+            with _dynamic_partition_overwrite(spark):
+                kept.write.mode("overwrite").partitionBy("cell_id").parquet(
+                    f"{path}/cells"
+                )
+        shutil.rmtree(tomb_dir, ignore_errors=True)
+
     def save(self, path: str) -> None:
         """Parquet partitioned by cell_id + centroid JSON — same layout
         contract as AnnIndex.save (cells ≡ leaves)."""
@@ -315,10 +403,12 @@ class IvfIndex:
     def load(spark: SparkSession, path: str) -> "IvfIndex":
         with open(f"{path}/centroids.json") as f:
             meta = json.load(f)
-        return IvfIndex(
-            spark.read.parquet(f"{path}/cells"),
-            np.asarray(meta["centroids"], dtype=np.float64),
-        )
+        df = spark.read.parquet(f"{path}/cells")
+        if _local_parquet_exists(f"{path}/tombstones"):
+            df = df.join(
+                spark.read.parquet(f"{path}/tombstones"), "id", "left_anti"
+            )
+        return IvfIndex(df, np.asarray(meta["centroids"], dtype=np.float64))
 
     def search(
         self,

@@ -250,3 +250,37 @@ def test_cosine_build_kernel_recall_unnormalized(spark, emb):
         idx.save(f"{d}/ix")
         loaded = AnnIndex.load(spark, f"{d}/ix")
         assert loaded.build_metric == "cosine"
+
+
+def test_ivf_delete_and_tombstones(spark, emb, tmp_path):
+    """Round-5: IVF deletion — in-memory anti-join, lazy tombstones on
+    a saved index, and compaction that rewrites only touched cells."""
+    from radient_spark.ann import IvfIndex, _local_parquet_exists
+
+    idx = IvfIndex.build(emb, n_cells=8, seed=42)
+    n = emb.count()
+    gone = emb.select("id").orderBy("id").limit(5)
+
+    # in-memory delete
+    idx2 = idx.delete(gone)
+    assert idx2.index_df.count() == n - 5
+    qrow = emb.orderBy(F.col("id").desc()).first()
+    hits = idx2.search([(0, list(qrow["vector"]))], k=5, n_probes=8).collect()
+    gone_ids = {r["id"] for r in gone.collect()}
+    assert not ({r["id"] for r in hits} & gone_ids)
+
+    # tombstones on a saved index: load applies them lazily
+    p = str(tmp_path / "ivf")
+    idx.save(p)
+    idx.tombstone_save(gone, p)
+    loaded = IvfIndex.load(spark, p)
+    assert loaded.index_df.count() == n - 5
+
+    # compaction folds them in and drops the sidecar
+    IvfIndex.compact(spark, p)
+    assert not _local_parquet_exists(f"{p}/tombstones")
+    again = IvfIndex.load(spark, p)
+    assert again.index_df.count() == n - 5
+    assert not (
+        {r["id"] for r in again.index_df.select("id").collect()} & gone_ids
+    )
