@@ -9920,6 +9920,219 @@ FROM base3, tot ORDER BY source
 """
 
 
+def q_frequent_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket mining (operators/itemsets.py frequent_pairs):
+    parts co-ordered within an order, Apriori-pruned before the basket
+    self-join, with support/confidence/lift — top 50 rules by pair
+    support."""
+    from radient_spark.operators.itemsets import frequent_pairs
+
+    li = load_tables(spark, sf_dir)["lineitem"]
+    return (
+        frequent_pairs(li, "l_orderkey", "l_partkey", min_support=2)
+        .orderBy(
+            F.col("pair_support").desc(),
+            F.col("item_a").asc(),
+            F.col("item_b").asc(),
+        )
+        .limit(50)
+    )
+
+
+_Q_FREQ_PAIRS_SQL = """
+WITH items AS (
+  SELECT DISTINCT l_orderkey AS basket, l_partkey AS item FROM lineitem
+), supports AS (
+  SELECT item, COUNT(*) AS support FROM items GROUP BY item
+), frequent AS (
+  SELECT item, support FROM supports WHERE support >= 2
+), pruned AS (
+  SELECT basket, item FROM items SEMI JOIN frequent USING (item)
+), pairs AS (
+  SELECT a.item AS item_a, b.item AS item_b, COUNT(*) AS pair_support
+  FROM pruned a JOIN pruned b
+    ON a.basket = b.basket AND a.item < b.item
+  GROUP BY a.item, b.item
+  HAVING COUNT(*) >= 2
+), nb AS (
+  SELECT COUNT(DISTINCT basket) AS n_baskets FROM items
+)
+SELECT item_a, item_b,
+  fa.support AS support_a, fb.support AS support_b, pair_support,
+  round(CAST(pair_support AS DOUBLE) / CAST(fa.support AS DOUBLE), 6)
+    AS confidence,
+  round(CAST(pair_support * n_baskets AS DOUBLE)
+        / CAST(fa.support * fb.support AS DOUBLE), 6) AS lift
+FROM pairs
+JOIN frequent fa ON pairs.item_a = fa.item
+JOIN frequent fb ON pairs.item_b = fb.item
+CROSS JOIN nb
+ORDER BY pair_support DESC, item_a ASC, item_b ASC
+LIMIT 50
+"""
+
+
+def q_classifier_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability diagram for the Catalyst-served quality classifier
+    (operators/classify.py + q_quality_classifier_scores): score
+    deciles (exact NTILE via the distributed range-bucket engine — no
+    single-reducer sort) vs the realized positive rate, positives
+    defined as lang == 'en'.  The MLOps table that says whether a
+    score of 0.9 means 90%: per decile, doc count, positive count,
+    positive rate (one rounded division), and the exact integer score
+    mass."""
+    from radient_spark.functions import text as X
+    from radient_spark.operators.classify import linear_classifier_score
+    from radient_spark.operators.dataset import distributed_ntile
+
+    dim = 64
+    weights = [float((i * 2654435761) % 1001 - 500) for i in range(dim)]
+    docs = (
+        load_tables(spark, sf_dir)["documents"]
+        .filter(F.length(F.trim("text")) > 0)
+        .select("doc_id", "lang", "text")
+    )
+    scored = linear_classifier_score(
+        docs, weights, bias=0.0, out_col="__raw", mean=False
+    ).select(
+        "doc_id",
+        (F.col("lang") == "en").cast("long").alias("is_pos"),
+        F.col("__raw").cast("long").alias("total_w"),
+    )
+    deciled = distributed_ntile(
+        scored,
+        10,
+        [F.col("total_w").desc(), F.col("doc_id").asc()],
+        range_col=-F.col("total_w"),
+        out_col="decile",
+    )
+    return (
+        deciled.groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("is_pos").alias("n_pos"),
+            F.round(
+                F.sum("is_pos").cast("double")
+                / F.count(F.lit(1)).cast("double"),
+                6,
+            ).alias("pos_rate"),
+            F.sum("total_w").alias("sum_score"),
+        )
+        .orderBy("decile")
+    )
+
+
+_Q_CALIBRATION_SQL = r"""
+WITH slots AS (
+  SELECT doc_id, lang,
+    CAST(('0x' || substring(md5(unnest(
+      regexp_split_to_array(trim(text), '\s+'))), 1, 8))::BIGINT % 64
+      AS BIGINT) AS slot
+  FROM documents WHERE length(trim(text)) > 0
+), scored AS (
+  SELECT doc_id, CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS is_pos,
+    CAST(SUM((slot * 2654435761) % 1001 - 500) AS BIGINT) AS total_w
+  FROM slots GROUP BY doc_id, lang
+), deciled AS (
+  SELECT is_pos, total_w,
+    NTILE(10) OVER (ORDER BY total_w DESC, doc_id ASC) AS decile
+  FROM scored
+)
+SELECT decile, COUNT(*) AS n_docs,
+  CAST(SUM(is_pos) AS BIGINT) AS n_pos,
+  round(CAST(SUM(is_pos) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6)
+    AS pos_rate,
+  CAST(SUM(total_w) AS BIGINT) AS sum_score
+FROM deciled GROUP BY decile ORDER BY decile
+"""
+
+
+def q_ewma_spikes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EWMA spike monitor over hourly event counts: an exponentially
+    weighted moving average with dyadic weights (alpha = 1/2 over the
+    trailing 8 hours: 128,64,...,1 in 1/256 units) so the smoothing is
+    EXACT integer arithmetic — num/den stay integers, the spike test
+    (count - ewma)^2 > 9*ewma (Poisson 3-sigma) cross-multiplies to
+    the integer inequality (c*den - num)^2 > 9*num*den, and only the
+    REPORTED ewma pays one rounded division.  The lag-chain form (8
+    explicit lags, no UDAF) keeps the whole monitor in one
+    (event_type)-partitioned window; per-type hourly series are
+    bounded (years x 8760 rows), the documented small-per-group
+    contract."""
+    ev = load_tables(spark, sf_dir)["events"]
+    hourly = (
+        ev.groupBy(
+            "event_type", F.date_trunc("hour", F.col("ts")).alias("hour_ts")
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    w = Window.partitionBy("event_type").orderBy("hour_ts")
+    weights = [128, 64, 32, 16, 8, 4, 2, 1]
+    num = F.lit(0).cast("long")
+    den = F.lit(0).cast("long")
+    for i, wt in enumerate(weights):
+        lag_i = F.lag("n_events", i).over(w)
+        num = num + F.coalesce(lag_i * wt, F.lit(0)).cast("long")
+        den = den + F.when(lag_i.isNotNull(), F.lit(wt)).otherwise(
+            F.lit(0)
+        ).cast("long")
+    c = F.col("n_events")
+    spike = (
+        (c * F.col("__den") - F.col("__num"))
+        * (c * F.col("__den") - F.col("__num"))
+    ) > (F.lit(9) * F.col("__num") * F.col("__den"))
+    return (
+        hourly.withColumn("__num", num)
+        .withColumn("__den", den)
+        .select(
+            "event_type",
+            "hour_ts",
+            "n_events",
+            F.round(
+                F.col("__num").cast("double") / F.col("__den").cast("double"),
+                6,
+            ).alias("ewma"),
+            spike.alias("is_spike"),
+        )
+        .orderBy("event_type", "hour_ts")
+    )
+
+
+_Q_EWMA_SQL = """
+WITH hourly AS (
+  SELECT event_type, date_trunc('hour', ts) AS hour_ts,
+         COUNT(*) AS n_events
+  FROM events GROUP BY event_type, date_trunc('hour', ts)
+), lagged AS (
+  SELECT event_type, hour_ts, n_events,
+    COALESCE(LAG(n_events, 0) OVER w * 128, 0)
+      + COALESCE(LAG(n_events, 1) OVER w * 64, 0)
+      + COALESCE(LAG(n_events, 2) OVER w * 32, 0)
+      + COALESCE(LAG(n_events, 3) OVER w * 16, 0)
+      + COALESCE(LAG(n_events, 4) OVER w * 8, 0)
+      + COALESCE(LAG(n_events, 5) OVER w * 4, 0)
+      + COALESCE(LAG(n_events, 6) OVER w * 2, 0)
+      + COALESCE(LAG(n_events, 7) OVER w * 1, 0) AS num,
+    CASE WHEN LAG(n_events, 0) OVER w IS NOT NULL THEN 128 ELSE 0 END
+      + CASE WHEN LAG(n_events, 1) OVER w IS NOT NULL THEN 64 ELSE 0 END
+      + CASE WHEN LAG(n_events, 2) OVER w IS NOT NULL THEN 32 ELSE 0 END
+      + CASE WHEN LAG(n_events, 3) OVER w IS NOT NULL THEN 16 ELSE 0 END
+      + CASE WHEN LAG(n_events, 4) OVER w IS NOT NULL THEN 8 ELSE 0 END
+      + CASE WHEN LAG(n_events, 5) OVER w IS NOT NULL THEN 4 ELSE 0 END
+      + CASE WHEN LAG(n_events, 6) OVER w IS NOT NULL THEN 2 ELSE 0 END
+      + CASE WHEN LAG(n_events, 7) OVER w IS NOT NULL THEN 1 ELSE 0 END
+      AS den
+  FROM hourly
+  WINDOW w AS (PARTITION BY event_type ORDER BY hour_ts)
+)
+SELECT event_type, hour_ts, n_events,
+  round(CAST(num AS DOUBLE) / CAST(den AS DOUBLE), 6) AS ewma,
+  (n_events * den - num) * (n_events * den - num) > 9 * num * den
+    AS is_spike
+FROM lagged ORDER BY event_type, hour_ts
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 
@@ -10124,6 +10337,9 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "q_golden_record": (q_golden_record, _Q_GOLDEN_SQL),
     "q_retrieval_metrics": (q_retrieval_metrics, _Q_RETRIEVAL_METRICS_SQL),
     "q_domain_mixture": (q_domain_mixture, _Q_DOMAIN_MIX_SQL),
+    "q_frequent_part_pairs": (q_frequent_part_pairs, _Q_FREQ_PAIRS_SQL),
+    "q_classifier_calibration": (q_classifier_calibration, _Q_CALIBRATION_SQL),
+    "q_ewma_spikes": (q_ewma_spikes, _Q_EWMA_SQL),
 }
 
 # The correctness driver oracle-checks exactly the FIRST 50 keys of ``queries()``
