@@ -10059,6 +10059,8 @@ def q_ewma_spikes(spark: SparkSession, sf_dir: str) -> DataFrame:
     (event_type)-partitioned window; per-type hourly series are
     bounded (years x 8760 rows), the documented small-per-group
     contract."""
+    from radient_spark.operators.timeseries import ewma_spikes
+
     ev = load_tables(spark, sf_dir)["events"]
     hourly = (
         ev.groupBy(
@@ -10066,36 +10068,7 @@ def q_ewma_spikes(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count(F.lit(1)).alias("n_events"))
     )
-    w = Window.partitionBy("event_type").orderBy("hour_ts")
-    weights = [128, 64, 32, 16, 8, 4, 2, 1]
-    num = F.lit(0).cast("long")
-    den = F.lit(0).cast("long")
-    for i, wt in enumerate(weights):
-        lag_i = F.lag("n_events", i).over(w)
-        num = num + F.coalesce(lag_i * wt, F.lit(0)).cast("long")
-        den = den + F.when(lag_i.isNotNull(), F.lit(wt)).otherwise(
-            F.lit(0)
-        ).cast("long")
-    c = F.col("n_events")
-    spike = (
-        (c * F.col("__den") - F.col("__num"))
-        * (c * F.col("__den") - F.col("__num"))
-    ) > (F.lit(9) * F.col("__num") * F.col("__den"))
-    return (
-        hourly.withColumn("__num", num)
-        .withColumn("__den", den)
-        .select(
-            "event_type",
-            "hour_ts",
-            "n_events",
-            F.round(
-                F.col("__num").cast("double") / F.col("__den").cast("double"),
-                6,
-            ).alias("ewma"),
-            spike.alias("is_spike"),
-        )
-        .orderBy("event_type", "hour_ts")
-    )
+    return ewma_spikes(hourly).orderBy("event_type", "hour_ts")
 
 
 _Q_EWMA_SQL = """
@@ -10130,6 +10103,65 @@ SELECT event_type, hour_ts, n_events,
   (n_events * den - num) * (n_events * den - num) > 9 * num * den
     AS is_spike
 FROM lagged ORDER BY event_type, hour_ts
+"""
+
+
+def q_k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Privacy re-identification audit: k-anonymity of the customer
+    table under the quasi-identifier (nation, market segment, account
+    balance rounded to $1000) — for k in {2, 5, 10}, how many equivalence
+    classes and how many ROWS fall below k (re-identifiable at that
+    adversary strength).  The pre-release check a privacy pipeline
+    runs before publishing joined microdata.  One groupBy over the
+    quasi-identifier (class table is tiny), then a broadcast-sized
+    threshold rollup."""
+    cust = load_tables(spark, sf_dir)["customer"]
+    classes = cust.groupBy(
+        F.col("c_nationkey"),
+        F.col("c_mktsegment"),
+        F.floor(F.col("c_acctbal") / 1000).cast("long").alias("bal_bucket"),
+    ).agg(F.count(F.lit(1)).alias("class_size"))
+    ks = spark.range(0, 3).select(
+        F.element_at(
+            F.array(F.lit(2), F.lit(5), F.lit(10)), (F.col("id") + 1).cast("int")
+        )
+        .cast("long")
+        .alias("k")
+    )
+    return (
+        classes.crossJoin(F.broadcast(ks))
+        .groupBy("k")
+        .agg(
+            F.count(F.lit(1)).alias("n_classes"),
+            F.sum((F.col("class_size") < F.col("k")).cast("long")).alias(
+                "n_classes_below_k"
+            ),
+            F.sum(
+                F.when(
+                    F.col("class_size") < F.col("k"), F.col("class_size")
+                ).otherwise(0)
+            ).alias("n_rows_below_k"),
+        )
+        .orderBy("k")
+    )
+
+
+_Q_K_ANON_SQL = """
+WITH classes AS (
+  SELECT c_nationkey, c_mktsegment,
+         CAST(floor(c_acctbal / 1000) AS BIGINT) AS bal_bucket,
+         COUNT(*) AS class_size
+  FROM customer GROUP BY c_nationkey, c_mktsegment,
+       CAST(floor(c_acctbal / 1000) AS BIGINT)
+), ks AS (
+  SELECT unnest([2, 5, 10]) AS k
+)
+SELECT CAST(k AS BIGINT) AS k, COUNT(*) AS n_classes,
+  CAST(SUM(CASE WHEN class_size < k THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_classes_below_k,
+  CAST(SUM(CASE WHEN class_size < k THEN class_size ELSE 0 END) AS BIGINT)
+    AS n_rows_below_k
+FROM classes CROSS JOIN ks GROUP BY k ORDER BY k
 """
 
 
@@ -10340,6 +10372,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "q_frequent_part_pairs": (q_frequent_part_pairs, _Q_FREQ_PAIRS_SQL),
     "q_classifier_calibration": (q_classifier_calibration, _Q_CALIBRATION_SQL),
     "q_ewma_spikes": (q_ewma_spikes, _Q_EWMA_SQL),
+    "q_k_anonymity_audit": (q_k_anonymity_audit, _Q_K_ANON_SQL),
 }
 
 # The correctness driver oracle-checks exactly the FIRST 50 keys of ``queries()``

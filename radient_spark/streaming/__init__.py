@@ -750,3 +750,53 @@ def stateful_sessions(
             timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
         )
     )
+
+
+def hourly_count_sink(
+    stream: DataFrame,
+    state_dir: str,
+    checkpoint: str,
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+):
+    """Streaming feed for the EWMA spike monitor: maintain per-(key,
+    hour) event counts across micro-batches by key-wise sum-merge —
+    the count table `operators/timeseries.ewma_spikes` turns into the
+    spike dashboard at read time, so the stream-maintained monitor is
+    IDENTICAL to the batch recompute (stream ≡ batch test).
+
+    State is one row per (key, hour) — bounded by keys x elapsed
+    hours, and merged DISTRIBUTED via the eager-localCheckpoint
+    overwrite pattern (no driver materialization).  Sum-merge is not
+    idempotent, so the checkpoint's exactly-once batch boundary guards
+    the read-merge-overwrite cycle, like the CMS/agg sinks.
+    """
+
+    def _state_exists(spark) -> bool:
+        jvm = spark.sparkContext._jvm
+        hconf = spark.sparkContext._jsc.hadoopConfiguration()
+        path = jvm.org.apache.hadoop.fs.Path(state_dir)
+        fs = path.getFileSystem(hconf)
+        return fs.exists(path) and fs.globStatus(
+            jvm.org.apache.hadoop.fs.Path(state_dir + "/*.parquet")
+        )
+
+    def batch_fn(df: DataFrame, epoch_id: int) -> None:
+        spark = df.sparkSession
+        fresh = df.groupBy(
+            F.col(key_col),
+            F.date_trunc("hour", F.col(ts_col)).alias("hour_ts"),
+        ).agg(F.count(F.lit(1)).alias("n_events"))
+        if _state_exists(spark):
+            merged = (
+                spark.read.parquet(state_dir)
+                .unionByName(fresh)
+                .groupBy(key_col, "hour_ts")
+                .agg(F.sum("n_events").alias("n_events"))
+            )
+        else:
+            merged = fresh
+        merged = merged.localCheckpoint(eager=True)
+        merged.write.mode("overwrite").parquet(state_dir)
+
+    return foreach_batch_sink(stream, checkpoint, batch_fn)

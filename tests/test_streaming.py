@@ -675,3 +675,65 @@ def test_stateful_sessionizer_flushes_completed_sessions(spark, tmp_path):
         (2, base, base, 1, 0),
     }
     assert got == want
+
+
+def test_hourly_count_sink_ewma_equals_batch(spark, tmp_path):
+    """Two micro-batch rounds of hourly-count maintenance, read through
+    ewma_spikes, must equal the batch monitor over the concatenated
+    events — the streaming feed of q_ewma_spikes."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from radient_spark.operators.timeseries import ewma_spikes
+
+    in_dir, st_dir, ck = (
+        str(tmp_path / "in"),
+        str(tmp_path / "hours"),
+        str(tmp_path / "ck_hours"),
+    )
+    schema = "event_type string, ts timestamp"
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+
+    def rows(kind, hours_counts):
+        out = []
+        for h, n in hours_counts:
+            out += [(kind, t0 + dt.timedelta(hours=h, minutes=i % 60))
+                    for i in range(n)]
+        return out
+
+    b1 = spark.createDataFrame(
+        rows("click", [(0, 3), (1, 4), (2, 2)]) + rows("error", [(0, 1)]),
+        schema,
+    )
+    b1.write.mode("overwrite").parquet(in_dir)
+    q = streaming.hourly_count_sink(
+        spark.readStream.schema(b1.schema).parquet(in_dir), st_dir, ck
+    )
+    q.awaitTermination(120)
+    b2 = spark.createDataFrame(
+        rows("click", [(2, 5), (3, 40)]) + rows("error", [(1, 2)]), schema
+    )
+    b2.write.mode("append").parquet(in_dir)
+    q2 = streaming.hourly_count_sink(
+        spark.readStream.schema(b1.schema).parquet(in_dir), st_dir, ck
+    )
+    q2.awaitTermination(120)
+
+    whole = b1.unionByName(b2)
+    batch_hourly = whole.groupBy(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("hour_ts")
+    ).agg(F.count(F.lit(1)).alias("n_events"))
+    want = {tuple(r) for r in ewma_spikes(batch_hourly).collect()}
+    got = {
+        tuple(r)
+        for r in ewma_spikes(spark.read.parquet(st_dir)).collect()
+    }
+    assert got == want
+    # the hour-3 click burst (40 after ~3/hr) must flag as a spike
+    flags = {
+        (r["event_type"], r["hour_ts"].hour): r["is_spike"]
+        for r in ewma_spikes(spark.read.parquet(st_dir)).collect()
+    }
+    assert flags[("click", 3)] is True
+    assert flags[("click", 1)] is False
