@@ -143,6 +143,21 @@ BENCH_QUERIES = [
     "q_source_freshness",
     "q_session_bounce_rate",
     "q_repeat_purchase_interval",
+    # round 5
+    "q_approx_cardinalities",
+    "q_uniform_sample_k",
+    "q_partition_plan",
+    "q_heaps_law",
+    "q_pii_luhn_audit",
+    "q_c4_line_filter_report",
+    "q_scd2_incremental_merge",
+    "q_golden_record",
+    "q_retrieval_metrics",
+    "q_domain_mixture",
+    "q_frequent_part_pairs",
+    "q_classifier_calibration",
+    "q_ewma_spikes",
+    "q_k_anonymity_audit",
 ]
 
 
