@@ -158,6 +158,7 @@ BENCH_QUERIES = [
     "q_classifier_calibration",
     "q_ewma_spikes",
     "q_k_anonymity_audit",
+    "q_incremental_join_view",
 ]
 
 

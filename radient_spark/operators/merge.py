@@ -302,3 +302,33 @@ def golden_record(
         )
         base = base.join(counts, cluster_col)
     return base
+
+
+def join_view_delta(
+    base_a: DataFrame,
+    delta_a: DataFrame,
+    base_b: DataFrame,
+    delta_b: DataFrame,
+    on: Sequence[str],
+) -> DataFrame:
+    """Incremental JOIN-view maintenance (append-only deltas): the new
+    rows a materialized view A ⋈ B gains when batches dA and dB land,
+    via the delta-join identity
+
+        d(A ⋈ B) = dA ⋈ B  ∪  A ⋈ dB  ∪  dA ⋈ dB
+
+    — so refreshing the view costs three joins whose LEFT sides are
+    delta-sized, never a recompute of A ⋈ B.  Appending the result to
+    the old view equals the full recompute (A∪dA) ⋈ (B∪dB); that
+    equality is this operator's oracle contract.
+
+    Scale shape: dA ⋈ B and A ⋈ dB broadcast the delta side when small
+    (AQE decides), and dA ⋈ dB is delta×delta.  The base tables are
+    each scanned once; nothing re-joins base×base.
+    """
+    cols = on if isinstance(on, list) else list(on)
+    return (
+        delta_a.join(base_b, cols)
+        .unionByName(base_a.join(delta_b, cols))
+        .unionByName(delta_a.join(delta_b, cols))
+    )

@@ -10200,6 +10200,63 @@ FROM classes CROSS JOIN ks GROUP BY k ORDER BY k
 """
 
 
+def q_incremental_join_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental materialized-view maintenance for a JOIN view
+    (operators/merge.py join_view_delta): the customer ⋈ orders
+    revenue view is split at 1995-06-01 / custkey%3 into base + delta
+    batches, the delta-join identity produces the view's new rows, and
+    old-view ∪ delta must equal the full recompute — which IS the
+    DuckDB oracle.  Refresh cost: three delta-sided joins, never
+    base ⋈ base again."""
+    from radient_spark.operators.merge import join_view_delta
+
+    t = load_tables(spark, sf_dir)
+    cust = t["customer"].select(
+        F.col("c_custkey").alias("custkey"), "c_mktsegment"
+    )
+    orders = t["orders"].select(
+        F.col("o_custkey").alias("custkey"),
+        "o_orderkey",
+        "o_totalprice",
+        "o_orderdate",
+    )
+    cut = F.lit("1995-06-01").cast("timestamp")
+    base_a, delta_a = (
+        cust.filter(F.col("custkey") % 3 != 0),
+        cust.filter(F.col("custkey") % 3 == 0),
+    )
+    base_b, delta_b = (
+        orders.filter(F.col("o_orderdate") < cut),
+        orders.filter(F.col("o_orderdate") >= cut),
+    )
+    old_view = base_a.join(base_b, "custkey")
+    new_rows = join_view_delta(base_a, delta_a, base_b, delta_b, ["custkey"])
+    refreshed = old_view.unionByName(new_rows)
+    return (
+        refreshed.groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias(
+                "revenue"
+            ),
+            F.countDistinct("custkey").alias("n_customers"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+_Q_INCR_JOIN_SQL = """
+WITH view_full AS (
+  SELECT c.c_mktsegment, o.o_totalprice, c.c_custkey
+  FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+)
+SELECT c_mktsegment, COUNT(*) AS n_rows,
+  SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS revenue,
+  CAST(COUNT(DISTINCT c_custkey) AS BIGINT) AS n_customers
+FROM view_full GROUP BY c_mktsegment ORDER BY c_mktsegment
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 
@@ -10408,6 +10465,8 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "q_classifier_calibration": (q_classifier_calibration, _Q_CALIBRATION_SQL),
     "q_ewma_spikes": (q_ewma_spikes, _Q_EWMA_SQL),
     "q_k_anonymity_audit": (q_k_anonymity_audit, _Q_K_ANON_SQL),
+    # delta-join refresh must equal the full-view recompute (the oracle)
+    "q_incremental_join_view": (q_incremental_join_view, _Q_INCR_JOIN_SQL),
 }
 
 # The correctness driver oracle-checks exactly the FIRST 50 keys of ``queries()``

@@ -247,3 +247,30 @@ def test_golden_record_strategies(spark):
     assert got[1]["price"] == 9
     assert got[1]["pri"] == "a"  # 2 x 'a' beats 1 x 'b'
     assert got[2]["status"] == "only" and got[2]["pri"] == "c"
+
+
+def test_join_view_delta_identity(spark):
+    """old view ∪ join_view_delta == full recompute, including rows
+    produced by delta×delta (a key present only in both deltas)."""
+    from radient_spark.operators.merge import join_view_delta
+
+    base_a = spark.createDataFrame([(1, "a1"), (2, "a2")], "k long, a string")
+    delta_a = spark.createDataFrame([(3, "a3")], "k long, a string")
+    base_b = spark.createDataFrame([(1, "b1"), (3, "b3x")], "k long, b string")
+    delta_b = spark.createDataFrame(
+        [(2, "b2"), (3, "b3y")], "k long, b string"
+    )
+    old = base_a.join(base_b, ["k"])
+    got = sorted(
+        tuple(r)
+        for r in old.unionByName(
+            join_view_delta(base_a, delta_a, base_b, delta_b, ["k"])
+        ).collect()
+    )
+    full = sorted(
+        tuple(r)
+        for r in base_a.unionByName(delta_a)
+        .join(base_b.unionByName(delta_b), ["k"])
+        .collect()
+    )
+    assert got == full
