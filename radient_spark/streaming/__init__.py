@@ -800,3 +800,71 @@ def hourly_count_sink(
         merged.write.mode("overwrite").parquet(state_dir)
 
     return foreach_batch_sink(stream, checkpoint, batch_fn)
+
+
+def scd2_maintenance_sink(
+    stream: DataFrame,
+    history_dir: str,
+    checkpoint: str,
+    key: str,
+    attr: str,
+    order_col: str,
+    tiebreak_col: str,
+):
+    """Streaming SCD2 dimension maintenance: every micro-batch of
+    attribute observations is folded into the persisted version
+    history with `operators/merge.scd2_merge` — untouched keys pass
+    through untouched, touched keys re-run gaps-and-islands over
+    (collapsed runs + batch rows).  The result table always equals
+    `scd2_history(all observations so far)` under in-order per-key
+    arrival (stream ≡ batch test), which makes this the streaming
+    writer of the warehouse dimension table.
+
+    State is the history itself (one row per key-version), merged
+    DISTRIBUTED via the eager-localCheckpoint overwrite pattern.  The
+    merge is not idempotent (n_rows sums), so the checkpoint's
+    exactly-once batch boundary guards the read-merge-overwrite cycle.
+    """
+    from radient_spark.operators.merge import scd2_history, scd2_merge
+
+    def _state_exists(spark) -> bool:
+        jvm = spark.sparkContext._jvm
+        hconf = spark.sparkContext._jsc.hadoopConfiguration()
+        path = jvm.org.apache.hadoop.fs.Path(history_dir)
+        fs = path.getFileSystem(hconf)
+        return fs.exists(path) and fs.globStatus(
+            jvm.org.apache.hadoop.fs.Path(history_dir + "/*.parquet")
+        )
+
+    def batch_fn(df: DataFrame, epoch_id: int) -> None:
+        spark = df.sparkSession
+        if _state_exists(spark):
+            history = spark.read.parquet(history_dir)
+            merged = scd2_merge(history, df, key, attr, order_col, tiebreak_col)
+        else:
+            merged = scd2_history(df, key, attr, order_col, tiebreak_col)
+        merged = merged.localCheckpoint(eager=True)
+        merged.write.mode("overwrite").parquet(history_dir)
+
+    return foreach_batch_sink(stream, checkpoint, batch_fn)
+
+
+def join_view_sink(
+    stream: DataFrame,
+    base_b: DataFrame,
+    view_dir: str,
+    checkpoint: str,
+    on: list[str],
+):
+    """Streaming JOIN-view maintenance for an append-only stream joined
+    to a STATIC dimension: each micro-batch dA appends dA ⋈ B to the
+    persisted view — the streaming half of the delta-join identity
+    (operators/merge.join_view_delta; B static makes A ⋈ dB and
+    dA ⋈ dB vanish).  The view always equals (all batches) ⋈ B
+    (stream ≡ batch test); appends never read or rewrite existing view
+    files, so refresh cost is delta-sized."""
+
+    def batch_fn(df: DataFrame, epoch_id: int) -> None:
+        df.join(base_b, on).write.mode("append").parquet(view_dir)
+
+    return foreach_batch_sink(stream, checkpoint, batch_fn)

@@ -737,3 +737,74 @@ def test_hourly_count_sink_ewma_equals_batch(spark, tmp_path):
     }
     assert flags[("click", 3)] is True
     assert flags[("click", 1)] is False
+
+
+def test_scd2_maintenance_sink_equals_batch_history(spark, tmp_path):
+    """Two micro-batch rounds of streaming SCD2 maintenance == the
+    one-shot scd2_history over the concatenated observations."""
+    from radient_spark.operators.merge import scd2_history
+
+    in_dir, hist_dir, ck = (
+        str(tmp_path / "in"),
+        str(tmp_path / "hist"),
+        str(tmp_path / "ck_scd2"),
+    )
+    schema = "k long, attr string, ts long, seq long"
+    b1 = spark.createDataFrame(
+        [(1, "A", 10, 1), (1, "B", 20, 2), (2, "X", 10, 1)], schema
+    )
+    b1.write.mode("overwrite").parquet(in_dir)
+    q = streaming.scd2_maintenance_sink(
+        spark.readStream.schema(b1.schema).parquet(in_dir),
+        hist_dir, ck, "k", "attr", "ts", "seq",
+    )
+    q.awaitTermination(120)
+    b2 = spark.createDataFrame(
+        [(1, "B", 30, 3), (1, "C", 40, 4), (3, "Z", 5, 1)], schema
+    )
+    b2.write.mode("append").parquet(in_dir)
+    q2 = streaming.scd2_maintenance_sink(
+        spark.readStream.schema(b1.schema).parquet(in_dir),
+        hist_dir, ck, "k", "attr", "ts", "seq",
+    )
+    q2.awaitTermination(120)
+    want = sorted(
+        tuple(r)
+        for r in scd2_history(
+            b1.unionByName(b2), "k", "attr", "ts", "seq"
+        ).collect()
+    )
+    got = sorted(tuple(r) for r in spark.read.parquet(hist_dir).collect())
+    assert got == want
+
+
+def test_join_view_sink_equals_batch_join(spark, tmp_path):
+    """Streamed dA ⋈ B appends must equal (all batches) ⋈ B."""
+    in_dir, view_dir, ck = (
+        str(tmp_path / "in"),
+        str(tmp_path / "view"),
+        str(tmp_path / "ck_view"),
+    )
+    schema = "k long, a string"
+    dim = spark.createDataFrame(
+        [(1, "b1"), (2, "b2"), (3, "b3")], "k long, b string"
+    )
+    b1 = spark.createDataFrame([(1, "a1"), (2, "a2")], schema)
+    b1.write.mode("overwrite").parquet(in_dir)
+    q = streaming.join_view_sink(
+        spark.readStream.schema(b1.schema).parquet(in_dir),
+        dim, view_dir, ck, ["k"],
+    )
+    q.awaitTermination(120)
+    b2 = spark.createDataFrame([(3, "a3"), (9, "a9")], schema)
+    b2.write.mode("append").parquet(in_dir)
+    q2 = streaming.join_view_sink(
+        spark.readStream.schema(b1.schema).parquet(in_dir),
+        dim, view_dir, ck, ["k"],
+    )
+    q2.awaitTermination(120)
+    want = sorted(
+        tuple(r) for r in b1.unionByName(b2).join(dim, ["k"]).collect()
+    )
+    got = sorted(tuple(r) for r in spark.read.parquet(view_dir).collect())
+    assert got == want
