@@ -160,7 +160,7 @@ def _unit_rows(X: np.ndarray) -> np.ndarray:
 
 
 def _two_means_hyperplane(
-    X: np.ndarray, seed: int, metric: str = "euclidean"
+    X: np.ndarray, seed: int, metric: str = "euclidean", p: float = 2.0
 ) -> np.ndarray:
     """2-means on a sample -> separating direction w = c1 - c0
     (gann.py:151-156; kernel surface mirrors the reference's GKMeans
@@ -172,7 +172,11 @@ def _two_means_hyperplane(
     and centroids re-normalized each Lloyd step, so the split direction
     separates by angle, not magnitude — the right build kernel when the
     search metric is cosine and the corpus is NOT pre-normalized
-    (for unit vectors the two kernels coincide)."""
+    (for unit vectors the two kernels coincide).
+
+    metric="lp" assigns by the p-norm (default p=2 ≡ euclidean; the
+    reference's torch.cdist kernel, _gkmeans.py:84-89); heavy-tailed
+    dimensions split differently under p=1."""
     if metric == "cosine":
         X = _unit_rows(np.asarray(X, dtype=np.float64))
     rng = np.random.RandomState(seed)
@@ -181,9 +185,15 @@ def _two_means_hyperplane(
         w = rng.randn(X.shape[1])
         return w / (np.linalg.norm(w) + 1e-12)
     c = X[rng.choice(n, 2, replace=False)].astype(np.float64)
+
+    def dists(center):
+        if metric == "lp":
+            return np.abs(X - center).__pow__(p).sum(1)
+        return ((X - center) ** 2).sum(1)
+
     for _ in range(20):
-        d0 = ((X - c[0]) ** 2).sum(1)
-        d1 = ((X - c[1]) ** 2).sum(1)
+        d0 = dists(c[0])
+        d1 = dists(c[1])
         m = d1 < d0
         if m.all() or (~m).all():
             break

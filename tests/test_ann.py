@@ -284,3 +284,17 @@ def test_ivf_delete_and_tombstones(spark, emb, tmp_path):
     assert not (
         {r["id"] for r in again.index_df.select("id").collect()} & gone_ids
     )
+
+
+def test_lp_build_kernel_splits(spark):
+    """metric='lp' with p=1 must produce a valid unit split direction
+    and differ from the euclidean kernel on heavy-tailed data."""
+    from radient_spark.ann import _two_means_hyperplane
+
+    rng = np.random.RandomState(5)
+    X = rng.standard_cauchy((200, 16))  # heavy tails: p=1 vs p=2 differ
+    w_l1 = _two_means_hyperplane(X, seed=1, metric="lp", p=1.0)
+    w_l2 = _two_means_hyperplane(X, seed=1, metric="euclidean")
+    for w in (w_l1, w_l2):
+        assert abs(np.linalg.norm(w) - 1.0) < 1e-9
+    assert not np.allclose(w_l1, w_l2)
