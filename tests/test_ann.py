@@ -298,3 +298,30 @@ def test_lp_build_kernel_splits(spark):
     for w in (w_l1, w_l2):
         assert abs(np.linalg.norm(w) - 1.0) < 1e-9
     assert not np.allclose(w_l1, w_l2)
+
+
+def test_ivf_recall_curve_monotone(spark, emb):
+    """Recall@10 must be non-decreasing in n_probes and reach 1.0 at
+    full probing — the recall/latency trade the IVF index sells."""
+    from radient_spark.ann import IvfIndex
+
+    idx = IvfIndex.build(emb, n_cells=16, seed=42)
+    rows = emb.collect()
+    rng = np.random.RandomState(2)
+    qidx = rng.choice(len(rows), 10, replace=False)
+    queries = [(int(i), list(rows[i]["vector"])) for i in qidx]
+    exact = _exact_topk(rows, queries, k=10)
+    recalls = []
+    for probes in (1, 4, 16):
+        ann = {}
+        for r in idx.search(queries, k=10, n_probes=probes).collect():
+            ann.setdefault(r["qid"], set()).add(r["id"])
+        recalls.append(
+            float(
+                np.mean(
+                    [len(ann.get(q, set()) & exact[q]) / 10 for q, _ in queries]
+                )
+            )
+        )
+    assert recalls == sorted(recalls), recalls
+    assert recalls[-1] == 1.0
