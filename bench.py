@@ -159,6 +159,8 @@ BENCH_QUERIES = [
     "q_ewma_spikes",
     "q_k_anonymity_audit",
     "q_incremental_join_view",
+    "q_approx_groupby_certificate",
+    "q_curation_pipeline_v5",
 ]
 
 

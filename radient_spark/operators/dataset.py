@@ -1261,6 +1261,7 @@ def domain_mixture_weights(
     domain_col: str,
     loss_lattice: F.Column,
     rounds: int = 3,
+    raw_col: str | None = None,
 ) -> DataFrame:
     """Domain mixture reweighting by MULTIPLICATIVE WEIGHTS (Hedge /
     Freund-Schapire; the DoReMi recipe's update skeleton): starting
@@ -1307,13 +1308,16 @@ def domain_mixture_weights(
             .drop("__sw", "__swl")
         )
     total = base.agg(F.sum("w").alias("__tw"))
-    return (
-        base.crossJoin(F.broadcast(total))
-        .select(
-            domain_col,
-            "loss_lat",
-            F.round(
-                F.col("w").cast("double") / F.col("__tw").cast("double"), 6
-            ).alias("mix_weight"),
-        )
-    )
+    cols = [
+        F.col(domain_col),
+        F.col("loss_lat"),
+        F.round(
+            F.col("w").cast("double") / F.col("__tw").cast("double"), 6
+        ).alias("mix_weight"),
+    ]
+    if raw_col is not None:
+        # expose the EXACT integer weight for downstream integer
+        # allocation (largest-remainder quotas) — the float mix_weight
+        # is display-only
+        cols.append(F.col("w").alias(raw_col))
+    return base.crossJoin(F.broadcast(total)).select(*cols)

@@ -10319,6 +10319,328 @@ FROM s GROUP BY l_returnflag ORDER BY l_returnflag
 """
 
 
+def q_curation_pipeline_v5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-5 flagship composition — the C4-to-mixture curation funnel
+    as ONE lazy plan: C4 line-level cleaning (banned/short/no-punct +
+    corpus-wide line dedup, kept lines reassembled in order) ->
+    payment-card PII gate (drop docs carrying a Luhn-valid PAN) ->
+    exact dedup of the CLEANED text (globally-first copy wins) ->
+    multiplicative-weights domain mixture from per-source
+    lexical-diversity losses -> integer largest-remainder quotas over
+    a 60% document budget.  Reports the full funnel per source:
+    docs in, after line cleaning, after the PII gate, after dedup,
+    mixture weight, quota, selected.
+
+    The property pinned end-to-end: quotas sum EXACTLY to the budget
+    (largest remainder), are proportional to MW weights learned from
+    the cleaned survivors, and every stage's loss is attributable in
+    the report — line rules, PII, and duplication each take their own
+    bite before mixture planning sees the corpus.
+
+    Scale shape: one (line-hash) shuffle for line dedup, one (doc
+    md5) window for doc dedup, token aggregates per source; the MW
+    rounds and quota windows run over the source-count-sized table.
+    No collects, no data-sized broadcast; the staged frame is cached
+    once for the four report branches."""
+    from radient_spark.operators.dataset import domain_mixture_weights
+    from radient_spark.operators.quality import c4_line_classify, luhn_valid
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    l1 = F.concat(F.array_join(F.slice(toks, 1, 8), " "), F.lit("."))
+    l2 = F.array_join(F.slice(toks, 9, 6), " ")
+    lined = docs.withColumn(
+        "text",
+        F.concat_ws(
+            "\n",
+            l1,
+            l2,
+            F.when(
+                F.col("doc_id") % 7 == 0,
+                F.lit("this site uses cookie tracking."),
+            ),
+            F.when(F.col("doc_id") % 5 == 0, l1),
+        ),
+    )
+    kept_lines = c4_line_classify(lined, "text", "doc_id", min_words=5).filter(
+        F.col("status") == "kept"
+    )
+    clean = kept_lines.groupBy("doc_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("line_idx", "line"))
+                ),
+                lambda s: s["line"],
+            ),
+            "\n",
+        ).alias("clean_text")
+    )
+    staged = (
+        clean.join(docs.select("doc_id", "source"), "doc_id")
+        .withColumn(
+            "__t2",
+            F.concat(
+                F.col("clean_text"),
+                F.when(
+                    F.col("doc_id") % 4 == 0,
+                    F.lit(" card 4539578763621486 ok"),
+                )
+                .when(
+                    F.col("doc_id") % 4 == 1,
+                    F.lit(" ref 4539578763621487 end"),
+                )
+                .otherwise(F.lit("")),
+            ),
+        )
+        .withColumn(
+            "pii_ok",
+            F.size(
+                F.filter(
+                    F.filter(
+                        F.regexp_extract_all(
+                            F.col("__t2"), F.lit(r"\d+"), 0
+                        ),
+                        lambda s: (F.length(s) >= 13) & (F.length(s) <= 19),
+                    ),
+                    luhn_valid,
+                )
+            )
+            == 0,
+        )
+        .withColumn(
+            "is_canonical",
+            F.row_number().over(
+                Window.partitionBy(F.md5("clean_text")).orderBy("doc_id")
+            )
+            == 1,
+        )
+        .withColumn("survives", F.col("pii_ok") & F.col("is_canonical"))
+        .persist()
+    )
+    per_src_tokens = (
+        staged.filter("survives")
+        .select("source", F.explode(F.split("clean_text", r"\s+")).alias("tk"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.countDistinct("tk").alias("n_distinct"),
+        )
+    )
+    mw = domain_mixture_weights(
+        per_src_tokens,
+        "source",
+        F.expr("((n_tokens - n_distinct) * 1000000) div n_tokens"),
+        rounds=3,
+        raw_col="w",
+    )
+    survivor_counts = (
+        staged.filter("survives")
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_after_dedup"))
+    )
+    totals = survivor_counts.agg(
+        F.sum("n_after_dedup").alias("__n_surv")
+    ).crossJoin(mw.agg(F.sum("w").alias("__W")))
+    budget = F.expr("(__n_surv * 6) div 10")
+    alloc = (
+        mw.join(survivor_counts, "source")
+        .crossJoin(F.broadcast(totals))
+        .withColumn("__B", budget)
+        .withColumn("base", F.expr("(w * __B) div __W"))
+        .withColumn("rem", F.expr("(w * __B) % __W"))
+    )
+    wrem = Window.orderBy(F.col("rem").desc(), F.col("source").asc())
+    alloc = (
+        alloc.crossJoin(
+            F.broadcast(
+                alloc.agg(
+                    (F.first("__B") - F.sum("base")).alias("__leftover")
+                )
+            )
+        )
+        .withColumn(
+            "quota",
+            F.col("base")
+            + (F.row_number().over(wrem) <= F.col("__leftover")).cast(
+                "long"
+            ),
+        )
+    )
+    funnel = (
+        docs.groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_in"))
+        .join(
+            staged.groupBy("source").agg(
+                F.count(F.lit(1)).alias("n_after_lines"),
+                F.sum(F.col("pii_ok").cast("long")).alias("n_after_pii"),
+            ),
+            "source",
+        )
+        .join(
+            alloc.select(
+                "source", "mix_weight", "n_after_dedup", "quota"
+            ),
+            "source",
+        )
+    )
+    return funnel.select(
+        "source",
+        "n_in",
+        "n_after_lines",
+        "n_after_pii",
+        "n_after_dedup",
+        "mix_weight",
+        "quota",
+        F.least(F.col("quota"), F.col("n_after_dedup")).alias("n_selected"),
+    ).orderBy("source")
+
+
+def _curation_v5_sql() -> str:
+    return r"""
+WITH toks AS (
+  SELECT doc_id, source, regexp_split_to_array(trim(text), '\s+') AS tk
+  FROM documents
+), lined AS (
+  SELECT doc_id, source,
+    concat_ws(chr(10),
+      array_to_string(tk[1:8], ' ') || '.',
+      array_to_string(tk[9:14], ' '),
+      CASE WHEN doc_id % 7 = 0 THEN 'this site uses cookie tracking.' END,
+      CASE WHEN doc_id % 5 = 0
+           THEN array_to_string(tk[1:8], ' ') || '.' END
+    ) AS text
+  FROM toks
+), lines AS (
+  SELECT doc_id, source,
+    generate_subscripts(regexp_split_to_array(text, chr(10)), 1) - 1
+      AS line_idx,
+    unnest(regexp_split_to_array(text, chr(10))) AS line
+  FROM lined
+), pre AS (
+  SELECT doc_id, source, line_idx, line,
+    CASE
+      WHEN lower(line) LIKE '%cookie%' OR lower(line) LIKE '%javascript%'
+        OR lower(line) LIKE '%lorem ipsum%'
+        OR lower(line) LIKE '%terms of use%' THEN 'banned'
+      WHEN CASE WHEN length(trim(line)) = 0 THEN 0
+                ELSE len(regexp_split_to_array(trim(line), '\s+')) END < 5
+        THEN 'short'
+      WHEN NOT (rtrim(line) LIKE '%.' OR rtrim(line) LIKE '%!'
+                OR rtrim(line) LIKE '%?' OR rtrim(line) LIKE '%"')
+        THEN 'no_punct'
+    END AS pre
+  FROM lines
+), kept AS (
+  SELECT doc_id, source, line_idx, line
+  FROM (
+    SELECT doc_id, source, line_idx, line,
+      row_number() OVER (PARTITION BY md5(line)
+                         ORDER BY doc_id, line_idx) AS rn
+    FROM pre WHERE pre IS NULL
+  ) WHERE rn = 1
+), clean AS (
+  SELECT k.doc_id, MIN(k.source) AS source,
+    string_agg(line, chr(10) ORDER BY line_idx) AS clean_text
+  FROM kept k GROUP BY k.doc_id
+), gated AS (
+  SELECT doc_id, source, clean_text,
+    len(list_filter(
+      list_filter(regexp_extract_all(
+        clean_text || CASE
+          WHEN doc_id % 4 = 0 THEN ' card 4539578763621486 ok'
+          WHEN doc_id % 4 = 1 THEN ' ref 4539578763621487 end'
+          ELSE '' END, '\d+'),
+        s -> length(s) BETWEEN 13 AND 19),
+      s -> list_sum(list_transform(range(1, length(s) + 1), i ->
+        CASE WHEN i % 2 = 0 THEN
+          CASE WHEN 2 * CAST(reverse(s)[i] AS INT) > 9
+               THEN 2 * CAST(reverse(s)[i] AS INT) - 9
+               ELSE 2 * CAST(reverse(s)[i] AS INT) END
+        ELSE CAST(reverse(s)[i] AS INT) END)) % 10 = 0
+    )) = 0 AS pii_ok,
+    row_number() OVER (PARTITION BY md5(clean_text) ORDER BY doc_id) = 1
+      AS is_canonical
+  FROM clean
+), survivors AS (
+  SELECT * FROM gated WHERE pii_ok AND is_canonical
+), per_src AS (
+  SELECT source, COUNT(*) AS n_tokens, COUNT(DISTINCT t.tok) AS n_distinct
+  FROM (
+    SELECT source,
+      unnest(regexp_split_to_array(clean_text, '\s+')) AS tok
+    FROM survivors
+  ) t GROUP BY source
+), base0 AS (
+  SELECT source,
+    CAST(((n_tokens - n_distinct) * 1000000) // n_tokens AS BIGINT)
+      AS loss_lat,
+    CAST(1000000 AS BIGINT) AS w
+  FROM per_src
+), t1 AS (
+  SELECT CAST(SUM(w) AS BIGINT) AS sw,
+         CAST(SUM(w * loss_lat) AS BIGINT) AS swl FROM base0
+), base1 AS (
+  SELECT source, loss_lat,
+    CAST((w * (2000000 - ((loss_lat - (swl // sw) + 2000000) // 2)))
+         // 1000000 AS BIGINT) AS w
+  FROM base0, t1
+), t2 AS (
+  SELECT CAST(SUM(w) AS BIGINT) AS sw,
+         CAST(SUM(w * loss_lat) AS BIGINT) AS swl FROM base1
+), base2 AS (
+  SELECT source, loss_lat,
+    CAST((w * (2000000 - ((loss_lat - (swl // sw) + 2000000) // 2)))
+         // 1000000 AS BIGINT) AS w
+  FROM base1, t2
+), t3 AS (
+  SELECT CAST(SUM(w) AS BIGINT) AS sw,
+         CAST(SUM(w * loss_lat) AS BIGINT) AS swl FROM base2
+), base3 AS (
+  SELECT source, loss_lat,
+    CAST((w * (2000000 - ((loss_lat - (swl // sw) + 2000000) // 2)))
+         // 1000000 AS BIGINT) AS w
+  FROM base2, t3
+), mwt AS (
+  SELECT CAST(SUM(w) AS BIGINT) AS W FROM base3
+), surv_counts AS (
+  SELECT source, COUNT(*) AS n_after_dedup FROM survivors GROUP BY source
+), btot AS (
+  SELECT CAST((SUM(n_after_dedup) * 6) // 10 AS BIGINT) AS B
+  FROM surv_counts
+), alloc0 AS (
+  SELECT b3.source, b3.w,
+    round(CAST(b3.w AS DOUBLE) / CAST(mwt.W AS DOUBLE), 6) AS mix_weight,
+    CAST((b3.w * btot.B) // mwt.W AS BIGINT) AS base,
+    CAST((b3.w * btot.B) % mwt.W AS BIGINT) AS rem,
+    btot.B AS B
+  FROM base3 b3, mwt, btot
+), alloc AS (
+  SELECT source, mix_weight,
+    base + CASE WHEN row_number() OVER (ORDER BY rem DESC, source ASC)
+                   <= B - (SELECT SUM(base) FROM alloc0)
+                THEN 1 ELSE 0 END AS quota
+  FROM alloc0
+), funnel AS (
+  SELECT d.source, COUNT(*) AS n_in
+  FROM documents d GROUP BY d.source
+), stage1 AS (
+  SELECT source, COUNT(*) AS n_after_lines,
+         CAST(SUM(CASE WHEN pii_ok THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_after_pii
+  FROM gated GROUP BY source
+)
+SELECT f.source, f.n_in, s1.n_after_lines, s1.n_after_pii,
+  sc.n_after_dedup, a.mix_weight, a.quota,
+  LEAST(a.quota, sc.n_after_dedup) AS n_selected
+FROM funnel f
+JOIN stage1 s1 ON f.source = s1.source
+JOIN surv_counts sc ON f.source = sc.source
+JOIN alloc a ON f.source = a.source
+ORDER BY f.source
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 
@@ -10533,6 +10855,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
         q_approx_groupby_certificate,
         _Q_AQP_SQL,
     ),
+    "q_curation_pipeline_v5": (q_curation_pipeline_v5, _curation_v5_sql()),
 }
 
 # The correctness driver oracle-checks exactly the FIRST 50 keys of ``queries()``

@@ -497,3 +497,18 @@ def test_domain_mixture_weights_direction_and_sum(spark):
     tw = sum(w.values())
     for d in w:
         assert got[d] == round(w[d] / tw, 6), d
+
+
+def test_curation_v5_quota_properties(spark, sf_dir):
+    """v5 funnel invariants: quotas sum exactly to the 60% budget
+    (largest remainder), each stage monotonically shrinks, and
+    selected <= quota and <= survivors."""
+    from radient_spark.queries import QUERIES
+
+    rows = QUERIES["q_curation_pipeline_v5"][0](spark, sf_dir).collect()
+    assert rows
+    n_surv = sum(r["n_after_dedup"] for r in rows)
+    assert sum(r["quota"] for r in rows) == (n_surv * 6) // 10
+    for r in rows:
+        assert r["n_in"] >= r["n_after_lines"] >= r["n_after_pii"] >= r["n_after_dedup"]
+        assert r["n_selected"] == min(r["quota"], r["n_after_dedup"])
