@@ -128,3 +128,56 @@ def test_c4_line_classify_statuses(spark):
     assert got[(1, 3)] == "no_punct"
     assert got[(2, 0)] == "dup"  # corpus-wide: doc 1 line 0 came first
     assert got[(2, 1)] == "kept"
+
+
+def test_c4_line_classify_randomized_vs_python(spark):
+    """Randomized corpus differential: the Spark classifier must match
+    a pure-python re-implementation (precedence, word counting,
+    terminal punctuation, corpus-wide first-occurrence dedup)."""
+    import random
+
+    from radient_spark.operators.quality import C4_BANNED, c4_line_classify
+
+    rng = random.Random(23)
+    words = ["alpha", "beta", "gamma", "delta", "cookie", "x"]
+    docs = []
+    for d in range(30):
+        lines = []
+        for _ in range(rng.randrange(1, 6)):
+            n = rng.randrange(0, 9)
+            line = " ".join(rng.choice(words) for _ in range(n))
+            if rng.random() < 0.6:
+                line += rng.choice([".", "!", "?", '"'])
+            lines.append(line)
+        docs.append((d, "\n".join(lines)))
+
+    def py_classify(docs, min_words=5):
+        out = {}
+        pre = []
+        for d, text in docs:
+            for idx, line in enumerate(text.split("\n")):
+                low = line.lower()
+                if any(b in low for b in C4_BANNED):
+                    out[(d, idx)] = "banned"
+                elif len([w for w in line.split() if w]) < min_words:
+                    out[(d, idx)] = "short"
+                elif not line.rstrip().endswith((".", "!", "?", '"')):
+                    out[(d, idx)] = "no_punct"
+                else:
+                    pre.append((d, idx, line))
+        seen = {}
+        for d, idx, line in sorted(pre):
+            if line in seen:
+                out[(d, idx)] = "dup"
+            else:
+                seen[line] = (d, idx)
+                out[(d, idx)] = "kept"
+        return out
+
+    want = py_classify(docs)
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        (r["doc_id"], r["line_idx"]): r["status"]
+        for r in c4_line_classify(df, "text", "doc_id", min_words=5).collect()
+    }
+    assert got == want
