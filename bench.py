@@ -161,6 +161,8 @@ BENCH_QUERIES = [
     "q_incremental_join_view",
     "q_approx_groupby_certificate",
     "q_curation_pipeline_v5",
+    "q_weighted_sample_k",
+    "q_embedding_variance",
 ]
 
 HEADLINE = [

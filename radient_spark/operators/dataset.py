@@ -1321,3 +1321,38 @@ def domain_mixture_weights(
         # is display-only
         cols.append(F.col("w").alias(raw_col))
     return base.crossJoin(F.broadcast(total)).select(*cols)
+
+
+def weighted_sample_exact_k(
+    df: DataFrame,
+    id_col: str,
+    weight_col,
+    k: int,
+    seed: int = 42,
+    key_col: str = "es_key",
+) -> DataFrame:
+    """EXACT-k weighted sample without replacement — Efraimidis &
+    Spirakis (2006): each row draws u ~ U(0,1] and keys on u^(1/w);
+    the k largest keys are a weighted sample without replacement.
+    Implemented deterministically on the oracle lattice: u comes from
+    a portable md5 bucket ((h % 10000)+1)/10000, its ln quantizes to
+    the integer micro-lattice, and the ranking key is the ONE rounded
+    IEEE division ln_lat / w (maximizing ln(u)/w ≡ maximizing
+    u^(1/w); w > 0 required).  Ties break on id.
+
+    Scale shape: stateless per-row key + orderBy(limit k) — compiles
+    to TakeOrderedAndProject like uniform_sample_exact_k; k is the
+    documented small side."""
+    if k < 0:
+        raise ValueError("k must be >= 0")
+    h = str_hash(F.concat_ws("_", F.lit(seed), F.col(id_col)))
+    u = ((h % 10_000) + 1).cast("double") / F.lit(10_000.0)
+    ln_lat = F.round(F.log(u) * 1e6, 0).cast("long")
+    key = F.round(
+        ln_lat.cast("double") / weight_col.cast("double"), 6
+    )
+    return (
+        df.withColumn(key_col, key)
+        .orderBy(F.col(key_col).desc(), F.col(id_col).asc())
+        .limit(k)
+    )

@@ -10641,6 +10641,100 @@ ORDER BY f.source
 """
 
 
+def q_weighted_sample_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-k WEIGHTED sample without replacement (operators/dataset.py
+    weighted_sample_exact_k, Efraimidis-Spirakis 2006): documents drawn
+    proportionally to n_chars, deterministically — ln(u) on the md5
+    micro-lattice, ranking key = one rounded division, per-partition
+    top-k plan.  Complements q_uniform_sample_k (uniform) and
+    q_weighted_sample (rate-based, size-approximate)."""
+    from radient_spark.operators.dataset import weighted_sample_exact_k
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    return (
+        weighted_sample_exact_k(docs, "doc_id", F.col("n_chars"), k=100)
+        .select("doc_id", "source", "n_chars", "es_key")
+        .orderBy(F.col("es_key").desc(), F.col("doc_id").asc())
+    )
+
+
+_Q_ES_SAMPLE_SQL = """
+WITH keyed AS (
+  SELECT doc_id, source, n_chars,
+    round(CAST(CAST(round(ln((((('0x' || substring(md5('42_' ||
+        CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 10000) + 1)
+        / 10000.0)) * 1e6, 0) AS BIGINT) AS DOUBLE)
+      / CAST(n_chars AS DOUBLE), 6) AS es_key
+  FROM documents
+)
+SELECT doc_id, source, n_chars, es_key
+FROM keyed ORDER BY es_key DESC, doc_id ASC LIMIT 100
+"""
+
+
+def q_embedding_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension embedding moments — the whitening/PCA precursor
+    and the drift monitor's second moment: component mean and variance
+    on the integer micro-lattice (values quantize to round(x*1e6)
+    BIGINTs, moment sums are exact DECIMAL in any order, and mean /
+    variance are one rounded IEEE division each over exact operands).
+    Top-10 dimensions by variance: where the embedding's energy lives.
+
+    Scale shape: posexplode -> map-side-combined (dim) aggregate —
+    shuffle cardinality is the dimensionality, corpus-independent;
+    DECIMAL(38) sums survive 1e9+ rows where BIGINT x micro^2 would
+    overflow."""
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    dec = "decimal(38,0)"
+    dims = emb.select(F.posexplode("embedding").alias("dim", "x")).select(
+        "dim",
+        F.round(F.col("x").cast("double") * 1e6, 0).cast("long").alias("m"),
+    )
+    agg = dims.groupBy("dim").agg(
+        F.count(F.lit(1)).cast(dec).alias("n"),
+        F.sum(F.col("m").cast(dec)).alias("sx"),
+        F.sum((F.col("m") * F.col("m")).cast(dec)).alias("sxx"),
+    )
+    mean = F.round(
+        F.col("sx").cast("double") / F.col("n").cast("double") / 1e6, 6
+    )
+    var = F.round(
+        (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+        / (F.col("n") * F.col("n")).cast("double")
+        / 1e12,
+        6,
+    )
+    return (
+        agg.select(
+            "dim",
+            F.col("n").cast("long").alias("n_vecs"),
+            mean.alias("mean"),
+            var.alias("variance"),
+        )
+        .orderBy(F.col("variance").desc(), F.col("dim").asc())
+        .limit(10)
+    )
+
+
+_Q_EMB_VAR_SQL = """
+WITH dims AS (
+  SELECT generate_subscripts(embedding, 1) - 1 AS dim,
+    CAST(round(unnest(embedding)::DOUBLE * 1e6, 0) AS BIGINT) AS m
+  FROM embeddings
+), agg AS (
+  SELECT dim, CAST(COUNT(*) AS DECIMAL(38,0)) AS n,
+    CAST(SUM(CAST(m AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sx,
+    CAST(SUM(CAST(m AS DECIMAL(38,0)) * m) AS DECIMAL(38,0)) AS sxx
+  FROM dims GROUP BY dim
+)
+SELECT dim, CAST(n AS BIGINT) AS n_vecs,
+  round(CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) / 1e6, 6) AS mean,
+  round(CAST(n * sxx - sx * sx AS DOUBLE)
+        / CAST(n * n AS DOUBLE) / 1e12, 6) AS variance
+FROM agg ORDER BY variance DESC, dim ASC LIMIT 10
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 
@@ -10856,6 +10950,8 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
         _Q_AQP_SQL,
     ),
     "q_curation_pipeline_v5": (q_curation_pipeline_v5, _curation_v5_sql()),
+    "q_weighted_sample_k": (q_weighted_sample_k, _Q_ES_SAMPLE_SQL),
+    "q_embedding_variance": (q_embedding_variance, _Q_EMB_VAR_SQL),
 }
 
 # The correctness driver oracle-checks exactly the FIRST 50 keys of ``queries()``

@@ -868,3 +868,51 @@ def join_view_sink(
         df.join(base_b, on).write.mode("append").parquet(view_dir)
 
     return foreach_batch_sink(stream, checkpoint, batch_fn)
+
+
+def sample_maintenance_sink(
+    stream: DataFrame,
+    state_dir: str,
+    checkpoint: str,
+    id_col: str,
+    k: int,
+    seed: int = 42,
+):
+    """Streaming EXACT-k uniform sample: maintain the k smallest
+    portable md5 ranks across micro-batches — rank-merge is
+    associative, so the persisted state always equals
+    `uniform_sample_exact_k` over everything ingested (stream ≡ batch
+    test).  State is EXACTLY k rows forever — the true streaming
+    reservoir, with none of a reservoir's order dependence.
+
+    Per batch: key the batch, union with state, keep the k smallest
+    (TakeOrderedAndProject), overwrite via the eager-localCheckpoint
+    pattern.  Replays are idempotent (ranks are stateless functions of
+    ids), so exactly-once is not even required for correctness."""
+    from radient_spark.operators.dedup import str_hash
+
+    def _state_exists(spark) -> bool:
+        jvm = spark.sparkContext._jvm
+        hconf = spark.sparkContext._jsc.hadoopConfiguration()
+        path = jvm.org.apache.hadoop.fs.Path(state_dir)
+        fs = path.getFileSystem(hconf)
+        return fs.exists(path) and fs.globStatus(
+            jvm.org.apache.hadoop.fs.Path(state_dir + "/*.parquet")
+        )
+
+    def batch_fn(df: DataFrame, epoch_id: int) -> None:
+        spark = df.sparkSession
+        keyed = df.withColumn(
+            "sample_rank",
+            str_hash(F.concat_ws("_", F.lit(seed), F.col(id_col))),
+        )
+        if _state_exists(spark):
+            keyed = spark.read.parquet(state_dir).unionByName(keyed)
+        merged = (
+            keyed.orderBy(F.col("sample_rank").asc(), F.col(id_col).asc())
+            .limit(k)
+            .localCheckpoint(eager=True)
+        )
+        merged.write.mode("overwrite").parquet(state_dir)
+
+    return foreach_batch_sink(stream, checkpoint, batch_fn)

@@ -808,3 +808,42 @@ def test_join_view_sink_equals_batch_join(spark, tmp_path):
     )
     got = sorted(tuple(r) for r in spark.read.parquet(view_dir).collect())
     assert got == want
+
+
+def test_sample_maintenance_sink_equals_batch_sample(spark, tmp_path):
+    """Two micro-batch rounds of streaming k-sample maintenance must
+    equal uniform_sample_exact_k over the concatenated input, and the
+    state must hold exactly k rows."""
+    from radient_spark.operators.dataset import uniform_sample_exact_k
+
+    in_dir, st_dir, ck = (
+        str(tmp_path / "in"),
+        str(tmp_path / "sample"),
+        str(tmp_path / "ck_sample"),
+    )
+    schema = "rid long, payload string"
+    b1 = spark.createDataFrame([(i, f"p{i}") for i in range(200)], schema)
+    b1.write.mode("overwrite").parquet(in_dir)
+    q = streaming.sample_maintenance_sink(
+        spark.readStream.schema(b1.schema).parquet(in_dir),
+        st_dir, ck, "rid", k=25, seed=9,
+    )
+    q.awaitTermination(120)
+    b2 = spark.createDataFrame(
+        [(i, f"p{i}") for i in range(200, 450)], schema
+    )
+    b2.write.mode("append").parquet(in_dir)
+    q2 = streaming.sample_maintenance_sink(
+        spark.readStream.schema(b1.schema).parquet(in_dir),
+        st_dir, ck, "rid", k=25, seed=9,
+    )
+    q2.awaitTermination(120)
+    got = sorted(r["rid"] for r in spark.read.parquet(st_dir).collect())
+    assert len(got) == 25
+    want = sorted(
+        r["rid"]
+        for r in uniform_sample_exact_k(
+            b1.unionByName(b2), "rid", k=25, seed=9
+        ).collect()
+    )
+    assert got == want
