@@ -163,6 +163,7 @@ BENCH_QUERIES = [
     "q_curation_pipeline_v5",
     "q_weighted_sample_k",
     "q_embedding_variance",
+    "q_embedding_covariance",
 ]
 
 HEADLINE = [

@@ -308,3 +308,59 @@ def silhouette_report(
             ).alias("mean_silhouette"),
         )
     )
+
+
+def embedding_gram(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    dim: int | None = None,
+) -> DataFrame:
+    """Exact Gram matrix of micro-quantized embeddings via Arrow-batch
+    GEMM — the covariance/whitening/PCA precursor computed the way a
+    100 TB corpus must: each Arrow batch contributes an integer d x d
+    partial (M_micro^T @ M_micro, int64 BLAS), partials SUM exactly in
+    DECIMAL, and no (row, dim_i, dim_j) explosion ever exists (the
+    naive explode is d^2 rows per vector — 4096x shuffle volume at
+    d=64).
+
+    Exactness: values quantize to round(x*1e6) int64 BEFORE the
+    multiply, so every partial is exact integer and the cross-batch
+    sum is order-independent — the oracle can recompute the same
+    sums from the (tiny at test scale) explode formulation.  Overflow
+    headroom: int64 partials hold ~1e18 / (1e6*1e6) = 1e6 rows per
+    batch at |x|<=1; DECIMAL(38) carries the global sum past 1e9 rows.
+
+    Returns (dim_i, dim_j, n, sxy) for i <= j (the Gram upper
+    triangle); covariance = (n*sxy - sx_i*sx_j)/n^2 downstream."""
+    import numpy as np
+    import pandas as pd
+
+    first = df.select(vec_col).first()
+    d = dim or len(first[0])
+
+    def gram(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            M = np.round(
+                np.array(pdf[vec_col].tolist(), dtype=np.float64) * 1e6
+            ).astype(np.int64)
+            G = M.T @ M
+            iu = np.triu_indices(d)
+            yield pd.DataFrame(
+                {
+                    "dim_i": iu[0].astype("int32"),
+                    "dim_j": iu[1].astype("int32"),
+                    "n": np.full(len(iu[0]), len(pdf), dtype="int64"),
+                    "sxy": G[iu],
+                }
+            )
+
+    partials = df.select(vec_col).mapInPandas(
+        gram, "dim_i int, dim_j int, n long, sxy long"
+    )
+    dec = "decimal(38,0)"
+    return partials.groupBy("dim_i", "dim_j").agg(
+        F.sum(F.col("n").cast(dec)).cast("long").alias("n"),
+        F.sum(F.col("sxy").cast(dec)).alias("sxy"),
+    )

@@ -10735,6 +10735,86 @@ FROM agg ORDER BY variance DESC, dim ASC LIMIT 10
 """
 
 
+def q_embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 off-diagonal embedding covariances by magnitude — which
+    dimension PAIRS move together (the PCA/whitening signal).  The
+    Gram matrix comes from `operators/cluster.embedding_gram`:
+    Arrow-batch int64 GEMM partials (micro-lattice exact) summed in
+    DECIMAL — never the (row, dim_i, dim_j) explode, which is 4096x
+    the shuffle volume at d=64.  The DuckDB oracle recomputes the
+    identical integer sums from the explode formulation (affordable
+    at test scale), so the GEMM path is value-verified end to end."""
+    from radient_spark.operators.cluster import embedding_gram
+
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    gram = embedding_gram(emb, "embedding")
+    dec = "decimal(38,0)"
+    sums = (
+        emb.select(F.posexplode("embedding").alias("dim", "x"))
+        .select(
+            "dim",
+            F.round(F.col("x").cast("double") * 1e6, 0)
+            .cast("long")
+            .alias("m"),
+        )
+        .groupBy("dim")
+        .agg(F.sum(F.col("m").cast(dec)).alias("sx"))
+    )
+    si = sums.select(
+        F.col("dim").alias("dim_i"), F.col("sx").alias("sx_i")
+    )
+    sj = sums.select(
+        F.col("dim").alias("dim_j"), F.col("sx").alias("sx_j")
+    )
+    cov = F.round(
+        (
+            F.col("n").cast(dec) * F.col("sxy")
+            - F.col("sx_i") * F.col("sx_j")
+        ).cast("double")
+        / (F.col("n").cast(dec) * F.col("n")).cast("double")
+        / 1e12,
+        6,
+    )
+    return (
+        gram.filter(F.col("dim_i") < F.col("dim_j"))
+        .join(F.broadcast(si), "dim_i")
+        .join(F.broadcast(sj), "dim_j")
+        .select("dim_i", "dim_j", "n", cov.alias("cov"))
+        .orderBy(
+            F.abs(F.col("cov")).desc(),
+            F.col("dim_i").asc(),
+            F.col("dim_j").asc(),
+        )
+        .limit(10)
+    )
+
+
+_Q_EMB_COV_SQL = """
+WITH dims AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS dim,
+    CAST(round(unnest(embedding)::DOUBLE * 1e6, 0) AS BIGINT) AS m
+  FROM embeddings
+), pairs AS (
+  SELECT a.dim AS dim_i, b.dim AS dim_j,
+    CAST(COUNT(*) AS DECIMAL(38,0)) AS n,
+    CAST(SUM(CAST(a.m AS DECIMAL(38,0)) * b.m) AS DECIMAL(38,0)) AS sxy
+  FROM dims a JOIN dims b
+    ON a.vec_id = b.vec_id AND a.dim < b.dim
+  GROUP BY a.dim, b.dim
+), sums AS (
+  SELECT dim, CAST(SUM(CAST(m AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sx
+  FROM dims GROUP BY dim
+)
+SELECT dim_i, dim_j, CAST(p.n AS BIGINT) AS n,
+  round(CAST(p.n * p.sxy - si.sx * sj.sx AS DOUBLE)
+        / CAST(p.n * p.n AS DOUBLE) / 1e12, 6) AS cov
+FROM pairs p
+JOIN sums si ON p.dim_i = si.dim
+JOIN sums sj ON p.dim_j = sj.dim
+ORDER BY abs(cov) DESC, dim_i ASC, dim_j ASC LIMIT 10
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 
@@ -10952,6 +11032,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "q_curation_pipeline_v5": (q_curation_pipeline_v5, _curation_v5_sql()),
     "q_weighted_sample_k": (q_weighted_sample_k, _Q_ES_SAMPLE_SQL),
     "q_embedding_variance": (q_embedding_variance, _Q_EMB_VAR_SQL),
+    "q_embedding_covariance": (q_embedding_covariance, _Q_EMB_COV_SQL),
 }
 
 # The correctness driver oracle-checks exactly the FIRST 50 keys of ``queries()``

@@ -148,3 +148,31 @@ def test_cluster_balanced_sample_caps_and_keeps_rare(spark):
     counts = sorted(by_cluster.values())
     # dominant mode capped at 10, rare mode survives whole
     assert counts == [3, 10]
+
+
+def test_embedding_gram_matches_numpy(spark, sf_dir):
+    """The Arrow-GEMM Gram partials must sum to the exact numpy Gram of
+    the micro-quantized matrix, regardless of partitioning."""
+    import numpy as np
+
+    from radient_spark.catalog import load_tables
+    from radient_spark.operators.cluster import embedding_gram
+
+    emb = load_tables(spark, sf_dir)["embeddings"].limit(500).repartition(7)
+    got = {
+        (r["dim_i"], r["dim_j"]): (r["n"], int(r["sxy"]))
+        for r in embedding_gram(emb, "embedding").collect()
+    }
+    M = np.round(
+        np.array(
+            [r["embedding"] for r in emb.select("embedding").collect()],
+            dtype=np.float64,
+        )
+        * 1e6
+    ).astype(np.int64)
+    G = M.T @ M
+    iu = np.triu_indices(M.shape[1])
+    for i, j in zip(*iu):
+        n, sxy = got[(int(i), int(j))]
+        assert n == len(M)
+        assert sxy == int(G[i, j]), (i, j)
