@@ -1291,6 +1291,14 @@ def domain_mixture_weights(
     base = df.select(
         F.col(domain_col), loss_lattice.cast("long").alias("loss_lat")
     ).withColumn("w", F.lit(1_000_000).cast("long"))
+    # materialize the (domain-count-sized) table ONCE: each round's
+    # scalar aggregate is a lazy subtree referencing the previous
+    # round, so without truncation the final plan embeds the upstream
+    # lineage ~2^rounds times — measured 44 s vs 3 s on
+    # q_curation_pipeline_v5, whose upstream is the whole C4+dedup
+    # funnel.  After the checkpoint the duplicated subtrees are all
+    # reads of a tiny cached table.
+    base = base.localCheckpoint(eager=True)
     for _ in range(rounds):
         tot = base.agg(
             F.sum("w").alias("__sw"),
