@@ -164,6 +164,7 @@ BENCH_QUERIES = [
     "q_weighted_sample_k",
     "q_embedding_variance",
     "q_embedding_covariance",
+    "q_multipass_snm_pairs",
 ]
 
 HEADLINE = [

@@ -746,3 +746,42 @@ def simhash_near_pairs(
         )
         .filter(F.col("hamming") <= max_hamming)
     )
+
+
+def multipass_snm_pairs(
+    df: DataFrame,
+    key_cols: list[str],
+    id_col: str,
+    window: int = 5,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """MULTI-PASS sorted-neighborhood (the full Hernandez & Stolfo 1995
+    method): one sorted-neighborhood pass per blocking key, candidate
+    sets UNIONed and deduplicated — a record whose corruption defeats
+    one sort key (typo in the leading tokens) is usually caught by
+    another (reversed field order, different prefix), which is why the
+    published method specifies multiple passes over cheap keys rather
+    than one pass over a clever key.
+
+    Output: (id_a, id_b, n_passes, min_gap) with id_a < id_b —
+    n_passes counts how many keys proposed the pair (a cheap
+    confidence prior for the verify stage).  Each pass costs one
+    distributed-rank + block join; the union shuffles candidate pairs
+    only (never the corpus), and the dedup groupBy is
+    candidate-sized."""
+    if not key_cols:
+        raise ValueError("key_cols must be non-empty")
+    all_pairs = None
+    for key_col in key_cols:
+        pairs = sorted_neighborhood_pairs(
+            df, key_col, id_col, window=window, num_partitions=num_partitions
+        ).select(
+            F.least("id_a", "id_b").alias("id_a"),
+            F.greatest("id_a", "id_b").alias("id_b"),
+            "gap",
+        )
+        all_pairs = pairs if all_pairs is None else all_pairs.unionByName(pairs)
+    return all_pairs.groupBy("id_a", "id_b").agg(
+        F.count(F.lit(1)).alias("n_passes"),
+        F.min("gap").alias("min_gap"),
+    )

@@ -10815,6 +10815,101 @@ ORDER BY abs(cov) DESC, dim_i ASC, dim_j ASC LIMIT 10
 """
 
 
+def q_multipass_snm_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MULTI-PASS sorted-neighborhood dedup (operators/dedup.py
+    multipass_snm_pairs — the full Hernandez & Stolfo method): pass 1
+    sorts on the canonical text's 24-char prefix, pass 2 on the
+    REVERSED-token canon's prefix (the 'different field order' key that
+    catches records whose corruption defeats the first sort), unioned
+    candidates verified by token-set Jaccard >= 0.5.  n_passes (how
+    many keys proposed the pair) rides along as the verify-stage
+    confidence prior."""
+    from radient_spark.functions.text import normalize_text
+    from radient_spark.operators.dedup import multipass_snm_pairs
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    canon = docs.select(
+        "doc_id", normalize_text(F.col("text")).alias("canon")
+    )
+    rev = F.array_join(
+        F.reverse(F.split(F.trim("canon"), r"\s+")), " "
+    )
+    keyed = canon.select(
+        "doc_id",
+        F.substring("canon", 1, 24).alias("k_fwd"),
+        F.substring(rev, 1, 24).alias("k_rev"),
+    )
+    pairs = multipass_snm_pairs(keyed, ["k_fwd", "k_rev"], "doc_id", window=5)
+    toks = canon.select(
+        "doc_id",
+        F.array_distinct(F.split(F.trim("canon"), r"\s+")).alias("t"),
+    )
+    ta = toks.select(F.col("doc_id").alias("id_a"), F.col("t").alias("ta"))
+    tb = toks.select(F.col("doc_id").alias("id_b"), F.col("t").alias("tb"))
+    inter = F.size(F.array_intersect("ta", "tb"))
+    union = F.size("ta") + F.size("tb") - inter
+    return (
+        pairs.join(ta, "id_a")
+        .join(tb, "id_b")
+        .withColumn("jaccard", F.round(inter / union, 6))
+        .filter(F.col("jaccard") >= 0.5)
+        .select("id_a", "id_b", "n_passes", "min_gap", "jaccard")
+    )
+
+
+_Q_MULTIPASS_SNM_TEMPLATE = """
+WITH canon AS (
+  SELECT doc_id, {CANON} AS canon FROM documents
+), keyed AS (
+  SELECT doc_id, substring(canon, 1, 24) AS k_fwd,
+    substring(array_to_string(
+      list_reverse(regexp_split_to_array(trim(canon), '\\s+')), ' '),
+      1, 24) AS k_rev
+  FROM canon
+), r1 AS (
+  SELECT doc_id, row_number() OVER (ORDER BY k_fwd, doc_id) AS rn
+  FROM keyed
+), r2 AS (
+  SELECT doc_id, row_number() OVER (ORDER BY k_rev, doc_id) AS rn
+  FROM keyed
+), p1 AS (
+  SELECT LEAST(a.doc_id, b.doc_id) AS id_a,
+         GREATEST(a.doc_id, b.doc_id) AS id_b, b.rn - a.rn AS gap
+  FROM r1 a JOIN r1 b ON b.rn - a.rn BETWEEN 1 AND 5
+), p2 AS (
+  SELECT LEAST(a.doc_id, b.doc_id) AS id_a,
+         GREATEST(a.doc_id, b.doc_id) AS id_b, b.rn - a.rn AS gap
+  FROM r2 a JOIN r2 b ON b.rn - a.rn BETWEEN 1 AND 5
+), merged AS (
+  SELECT id_a, id_b, CAST(COUNT(*) AS BIGINT) AS n_passes,
+         CAST(MIN(gap) AS BIGINT) AS min_gap
+  FROM (SELECT * FROM p1 UNION ALL SELECT * FROM p2)
+  GROUP BY id_a, id_b
+), toks AS (
+  SELECT doc_id,
+    list_distinct(regexp_split_to_array(trim(canon), '\\s+')) AS t
+  FROM canon
+), scored AS (
+  SELECT m.id_a, m.id_b, m.n_passes, m.min_gap,
+    ROUND(len(list_intersect(ta.t, tb.t))::DOUBLE
+      / (len(ta.t) + len(tb.t) - len(list_intersect(ta.t, tb.t))), 6)
+      AS jaccard
+  FROM merged m JOIN toks ta ON ta.doc_id = m.id_a
+  JOIN toks tb ON tb.doc_id = m.id_b
+)
+SELECT id_a, id_b, n_passes, min_gap, jaccard
+FROM scored WHERE jaccard >= 0.5
+"""
+
+
+def _multipass_snm_sql() -> str:
+    from radient_spark.functions.text import normalize_sql_expr
+
+    return _Q_MULTIPASS_SNM_TEMPLATE.replace(
+        "{CANON}", normalize_sql_expr("text")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry
 
@@ -11033,6 +11128,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "q_weighted_sample_k": (q_weighted_sample_k, _Q_ES_SAMPLE_SQL),
     "q_embedding_variance": (q_embedding_variance, _Q_EMB_VAR_SQL),
     "q_embedding_covariance": (q_embedding_covariance, _Q_EMB_COV_SQL),
+    "q_multipass_snm_pairs": (q_multipass_snm_pairs, _multipass_snm_sql()),
 }
 
 # The correctness driver oracle-checks exactly the FIRST 50 keys of ``queries()``

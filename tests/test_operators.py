@@ -961,3 +961,37 @@ def test_cms_inner_product_disjoint_is_zero(spark):
     # self inner product of a 3-occurrence token is 9 on every row
     [self_row] = cms_inner_product(ska, ska).collect()
     assert self_row["est_join_size"] == 9
+
+
+def test_multipass_snm_catches_reordered_duplicates(spark):
+    """A pair identical up to token-order reversal must be proposed by
+    the reverse-key pass even when the forward keys are far apart, and
+    n_passes must count both passes for near-identical records."""
+    from radient_spark.operators.dedup import multipass_snm_pairs
+
+    rows = [
+        (1, "alpha beta gamma delta", "alpha beta gamma delta"),
+        (2, "alpha beta gamma delta", "alpha beta gamma delta"),  # same
+        # token-reversed twin of doc 1: forward keys diverge, reversed
+        # keys collide
+        (3, "delta gamma beta alpha", "delta gamma beta alpha"),
+        (4, "zzz completely different text", "zzz completely different"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, canon string, pad string")
+    keyed = df.select(
+        "doc_id",
+        F.substring("canon", 1, 24).alias("k_fwd"),
+        F.substring(
+            F.array_join(F.reverse(F.split(F.trim("canon"), r"\s+")), " "),
+            1,
+            24,
+        ).alias("k_rev"),
+    )
+    got = {
+        (r["id_a"], r["id_b"]): r["n_passes"]
+        for r in multipass_snm_pairs(
+            keyed, ["k_fwd", "k_rev"], "doc_id", window=1
+        ).collect()
+    }
+    assert got[(1, 2)] == 2          # identical: both passes adjacent
+    assert (1, 3) in got or (2, 3) in got  # reversal caught by k_rev
