@@ -274,3 +274,39 @@ def test_join_view_delta_identity(spark):
         .collect()
     )
     assert got == full
+
+
+def test_scd2_merge_randomized_equals_recompute(spark):
+    """Randomized in-order batches (per-key split points chosen at
+    random, NULL attrs included) — incremental merge must equal the
+    full recompute for every seed."""
+    import random
+
+    from radient_spark.operators.merge import scd2_history, scd2_merge
+
+    schema = "k long, attr string, ts long, seq long"
+    for seed in (3, 11, 29):
+        rng = random.Random(seed)
+        old_rows, new_rows = [], []
+        for k in range(12):
+            n = rng.randrange(1, 9)
+            obs = [
+                (k, rng.choice(["A", "B", "C", None]), 10 * (t + 1), t + 1)
+                for t in range(n)
+            ]
+            cut = rng.randrange(0, n + 1)  # in-order split per key
+            old_rows += obs[:cut]
+            new_rows += obs[cut:]
+        old_df = spark.createDataFrame(old_rows or [(99, "X", 1, 1)], schema)
+        new_df = spark.createDataFrame(new_rows or [(98, "Y", 1, 1)], schema)
+        hist = scd2_history(old_df, "k", "attr", "ts", "seq")
+        merged = scd2_merge(hist, new_df, "k", "attr", "ts", "seq")
+        full = scd2_history(
+            old_df.unionByName(new_df), "k", "attr", "ts", "seq"
+        )
+        skey = lambda t: tuple(  # noqa: E731 - None-safe tuple sort
+            (v is None, v) for v in t
+        )
+        got = sorted((tuple(r) for r in merged.collect()), key=skey)
+        want = sorted((tuple(r) for r in full.collect()), key=skey)
+        assert got == want, f"seed {seed}"
