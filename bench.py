@@ -165,6 +165,7 @@ BENCH_QUERIES = [
     "q_embedding_variance",
     "q_embedding_covariance",
     "q_multipass_snm_pairs",
+    "q_srp_multiprobe_pairs",
 ]
 
 HEADLINE = [

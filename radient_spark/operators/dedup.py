@@ -785,3 +785,82 @@ def multipass_snm_pairs(
         F.count(F.lit(1)).alias("n_passes"),
         F.min("gap").alias("min_gap"),
     )
+
+
+def simhash_multiprobe_pairs(
+    sigs: DataFrame,
+    id_col: str = "doc_id",
+    sim_col: str = "simhash",
+    n_bits: int = 16,
+    bands: int = 4,
+    max_hamming: int = 7,
+) -> DataFrame:
+    """MULTIPROBE banded near-dup pairs: besides its exact band values,
+    each fingerprint also probes every 1-bit-flipped variant of each
+    band — extending the pigeonhole guarantee from Hamming < bands to
+    Hamming <= 2*bands - 1 (if every band differs but the total is
+    <= 2b-1, some band differs in EXACTLY one bit, and that band's
+    flip probe collides).  This is the classic multiprobe-LSH recall
+    lever: more probes instead of more tables — index size unchanged,
+    probe fan-out x(width+1).
+
+    Shuffle profile: probe side carries bands*(width+1) 24-byte rows
+    per fingerprint; the equality join matches probes against EXACT
+    band values (one-sided probing avoids double expansion), then the
+    exact bit_count(xor) radius filter keeps true pairs — still no
+    false negatives within the radius, no corpus-sized shuffle.
+    """
+    if max_hamming > 2 * bands - 1:
+        raise ValueError(
+            f"max_hamming={max_hamming} exceeds the multiprobe guarantee "
+            f"2*bands-1={2 * bands - 1}"
+        )
+    width = n_bits // bands
+    mask = (1 << width) - 1
+
+    def band_structs(flips: bool):
+        out = []
+        for i in range(bands):
+            bv = F.shiftright(F.col(sim_col), i * width).bitwiseAND(
+                F.lit(mask)
+            )
+            variants = [bv] + (
+                [bv.bitwiseXOR(F.lit(1 << b)) for b in range(width)]
+                if flips
+                else []
+            )
+            out += [
+                F.struct(F.lit(i).alias("bi"), v.alias("bv"))
+                for v in variants
+            ]
+        return F.explode(F.array(*out)).alias("b")
+
+    exact = sigs.select(
+        F.col(id_col).alias("__id"),
+        F.col(sim_col).alias("__sh"),
+        band_structs(False),
+    ).select("__id", "__sh", "b.bi", "b.bv")
+    probes = sigs.select(
+        F.col(id_col).alias("__id"),
+        F.col(sim_col).alias("__sh"),
+        band_structs(True),
+    ).select("__id", "__sh", "b.bi", "b.bv")
+    l, r = probes.alias("l"), exact.alias("r")
+    pairs = (
+        l.join(
+            r,
+            (F.col("l.bi") == F.col("r.bi"))
+            & (F.col("l.bv") == F.col("r.bv"))
+            & (F.col("l.__id") < F.col("r.__id")),
+        )
+        .select(
+            F.col("l.__id").alias("id_a"),
+            F.col("r.__id").alias("id_b"),
+            F.bit_count(
+                F.col("l.__sh").bitwiseXOR(F.col("r.__sh"))
+            ).alias("hamming"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+        .filter(F.col("hamming") <= max_hamming)
+    )
+    return pairs

@@ -9117,6 +9117,82 @@ FROM cand WHERE hamming <= 3 AND score >= 0.4
 """
 
 
+def q_srp_multiprobe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiprobe SRP-LSH near-neighbor pairs (operators/dedup.py
+    simhash_multiprobe_pairs): each 16-bit angle code also probes its
+    1-bit-flipped band variants, extending the pigeonhole guarantee
+    from Hamming <= 3 to Hamming <= 7 with the SAME index — the
+    multiprobe recall lever (more probes, not more tables).  Exact
+    cosine verify at the family contract; compare row counts with
+    q_embedding_srp_pairs to see the recall the extra probes buy."""
+    from radient_spark.operators.dedup import simhash_multiprobe_pairs
+    from radient_spark.operators.topk import srp_signature
+
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    sigs = emb.select(
+        "vec_id", srp_signature("embedding", dim=64).alias("srp")
+    )
+    cand = simhash_multiprobe_pairs(
+        sigs, id_col="vec_id", sim_col="srp", n_bits=16, bands=4,
+        max_hamming=7,
+    )
+    va = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
+    vb = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))
+    return (
+        cand.join(va, "id_a")
+        .join(vb, "id_b")
+        .withColumn(
+            "score", F.round(V.cosine_similarity(F.col("va"), F.col("vb")), 4)
+        )
+        .filter(F.col("score") >= 0.4)
+        .select("id_a", "id_b", "hamming", "score")
+    )
+
+
+def _srp_multiprobe_sql(n_bits: int = 16, bands: int = 4, seed: int = 7) -> str:
+    from radient_spark.operators.topk import srp_signs
+
+    signs = srp_signs(64, n_bits, seed)
+    rows = ", ".join("[" + ", ".join(str(s) for s in r) + "]" for r in signs)
+    width = n_bits // bands
+    mask = (1 << width) - 1
+    flips = ", ".join(str(1 << b) for b in range(width))
+    return f"""
+WITH micro AS (
+  SELECT vec_id,
+    list_transform(embedding, x -> CAST(ROUND(CAST(x AS DOUBLE) * 1000000, 0)
+                                        AS BIGINT)) AS mv,
+    embedding::DOUBLE[] AS ve
+  FROM embeddings
+), sig AS (
+  SELECT vec_id, ve,
+    CAST(list_sum(list_transform(generate_series(1, {n_bits}), j ->
+      CASE WHEN list_dot_product(
+             list_transform(mv, x -> CAST(x AS DOUBLE)),
+             list_transform([{rows}][j], s -> CAST(s AS DOUBLE))) >= 0
+           THEN (1::BIGINT << (j - 1)) ELSE 0 END)) AS BIGINT) AS srp
+  FROM micro
+), banded AS (
+  SELECT vec_id, srp, ve, i AS bi, (srp >> (i * {width})) & {mask} AS bv
+  FROM sig, unnest([0, 1, 2, 3]) AS t(i)
+), probes AS (
+  SELECT vec_id, srp, bi, xor(bv, f) AS bv
+  FROM banded, unnest([0, {flips}]) AS fl(f)
+), cand AS (
+  SELECT DISTINCT p.vec_id AS id_a, r.vec_id AS id_b,
+    bit_count(xor(p.srp, r.srp)) AS hamming,
+    ROUND(list_dot_product(l.ve, r.ve)
+          / (sqrt(list_dot_product(l.ve, l.ve))
+             * sqrt(list_dot_product(r.ve, r.ve))), 4) AS score
+  FROM probes p
+  JOIN banded r ON p.bi = r.bi AND p.bv = r.bv AND p.vec_id < r.vec_id
+  JOIN sig l ON l.vec_id = p.vec_id
+)
+SELECT id_a, id_b, CAST(hamming AS INT) AS hamming, score
+FROM cand WHERE hamming <= 7 AND score >= 0.4
+"""
+
+
 def q_dedup_strategy_comparison(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The dedup-blocking scorecard: candidate-pair yield of four
     strategies over the same corpus in one table — exact (md5 groups,
@@ -11129,6 +11205,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "q_embedding_variance": (q_embedding_variance, _Q_EMB_VAR_SQL),
     "q_embedding_covariance": (q_embedding_covariance, _Q_EMB_COV_SQL),
     "q_multipass_snm_pairs": (q_multipass_snm_pairs, _multipass_snm_sql()),
+    "q_srp_multiprobe_pairs": (q_srp_multiprobe_pairs, _srp_multiprobe_sql()),
 }
 
 # The correctness driver oracle-checks exactly the FIRST 50 keys of ``queries()``

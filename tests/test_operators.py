@@ -995,3 +995,37 @@ def test_multipass_snm_catches_reordered_duplicates(spark):
     }
     assert got[(1, 2)] == 2          # identical: both passes adjacent
     assert (1, 3) in got or (2, 3) in got  # reversal caught by k_rev
+
+
+def test_multiprobe_extends_pigeonhole_guarantee(spark):
+    """Hand-built 16-bit codes at Hamming 4..7 (every band touched, so
+    plain banding misses them) must ALL be found by multiprobe; plain
+    banding at max_hamming=3 must find none of them."""
+    from radient_spark.operators.dedup import (
+        simhash_multiprobe_pairs,
+        simhash_near_pairs,
+    )
+
+    base = 0b1010_0110_0101_1001
+    cases = []
+    # flip exactly one bit in h of the 4 bands (h = 4..7 needs some
+    # band with 2 flips for h>4: craft h=4 (1/1/1/1), h=7 (2/2/2/1))
+    c4 = base ^ 0b0001_0001_0001_0001                      # 1 per band
+    c7 = base ^ 0b0011_0011_0011_0001                      # 2,2,2,1
+    cases = [(1, base), (2, c4), (3, c7)]
+    df = spark.createDataFrame(cases, "doc_id long, sh long")
+    multi = {
+        (r["id_a"], r["id_b"], r["hamming"])
+        for r in simhash_multiprobe_pairs(
+            df, "doc_id", "sh", n_bits=16, bands=4, max_hamming=7
+        ).collect()
+    }
+    assert (1, 2, 4) in multi
+    assert (1, 3, 7) in multi
+    plain = {
+        (r["id_a"], r["id_b"])
+        for r in simhash_near_pairs(
+            df, "doc_id", "sh", n_bits=16, bands=4, max_hamming=3
+        ).collect()
+    }
+    assert (1, 2) not in plain and (1, 3) not in plain
