@@ -916,3 +916,65 @@ def sample_maintenance_sink(
         merged.write.mode("overwrite").parquet(state_dir)
 
     return foreach_batch_sink(stream, checkpoint, batch_fn)
+
+
+def late_data_audit_sink(
+    stream: DataFrame,
+    audit_dir: str,
+    checkpoint: str,
+    ts_col: str = "ts",
+    lateness: str = "1 hour",
+):
+    """Watermark observability: per micro-batch, count rows that arrive
+    LATER than (max event time seen so far - lateness) — exactly the
+    rows a watermarked stateful operator at that threshold would drop.
+    The audit row (epoch, n_rows, n_late, max_ts_before, max_ts_after)
+    appends to a parquet log, giving the lateness distribution needed
+    to SIZE watermarks from evidence instead of folklore.
+
+    State is ONE row (the running max event time), re-read per batch;
+    appends never rewrite.  This measures would-be-dropped rows
+    without turning on dropping — run it before tightening a
+    production watermark."""
+
+    def _max_state(spark):
+        try:
+            rows = spark.read.parquet(f"{audit_dir}/state").collect()
+            return rows[0]["max_ts"] if rows else None
+        except Exception:
+            return None
+
+    def batch_fn(df: DataFrame, epoch_id: int) -> None:
+        spark = df.sparkSession
+        prev_max = _max_state(spark)
+        agg = df.agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.max(ts_col).alias("batch_max"),
+            F.sum(
+                (
+                    F.col(ts_col)
+                    < (
+                        F.lit(prev_max).cast("timestamp")
+                        - F.expr(f"INTERVAL {lateness}")
+                    )
+                ).cast("long")
+                if prev_max is not None
+                else F.lit(0).cast("long")
+            ).alias("n_late"),
+        ).collect()[0]
+        new_max = (
+            max(prev_max, agg["batch_max"])
+            if prev_max is not None and agg["batch_max"] is not None
+            else (agg["batch_max"] or prev_max)
+        )
+        spark.createDataFrame(
+            [(int(epoch_id), agg["n_rows"], agg["n_late"] or 0,
+              prev_max, new_max)],
+            "epoch long, n_rows long, n_late long,"
+            " max_ts_before timestamp, max_ts_after timestamp",
+        ).coalesce(1).write.mode("append").parquet(f"{audit_dir}/log")
+        spark.createDataFrame(
+            [(new_max,)], "max_ts timestamp"
+        ).coalesce(1).write.mode("overwrite").parquet(f"{audit_dir}/state")
+
+    return foreach_batch_sink(stream, checkpoint, batch_fn)

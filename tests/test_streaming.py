@@ -847,3 +847,42 @@ def test_sample_maintenance_sink_equals_batch_sample(spark, tmp_path):
         ).collect()
     )
     assert got == want
+
+
+def test_late_data_audit_sink_counts_late_rows(spark, tmp_path):
+    """Rows older than (prior max ts - 1 hour) must be counted late in
+    the batch where they arrive; on-time rows must not."""
+    import datetime as dt
+
+    in_dir, audit_dir, ck = (
+        str(tmp_path / "in"),
+        str(tmp_path / "audit"),
+        str(tmp_path / "ck_late"),
+    )
+    schema = "event_id long, ts timestamp"
+    t0 = dt.datetime(2024, 3, 1, 12, 0, 0)
+    b1 = spark.createDataFrame(
+        [(1, t0), (2, t0 + dt.timedelta(minutes=30))], schema
+    )
+    b1.write.mode("overwrite").parquet(in_dir)
+    q = streaming.late_data_audit_sink(
+        spark.readStream.schema(b1.schema).parquet(in_dir), audit_dir, ck
+    )
+    q.awaitTermination(120)
+    b2 = spark.createDataFrame(
+        [
+            (3, t0 - dt.timedelta(hours=2)),   # late vs 12:30 - 1h
+            (4, t0 + dt.timedelta(minutes=45)),  # on time
+        ],
+        schema,
+    )
+    b2.write.mode("append").parquet(in_dir)
+    q2 = streaming.late_data_audit_sink(
+        spark.readStream.schema(b1.schema).parquet(in_dir), audit_dir, ck
+    )
+    q2.awaitTermination(120)
+    log = sorted(
+        (r["epoch"], r["n_rows"], r["n_late"])
+        for r in spark.read.parquet(f"{audit_dir}/log").collect()
+    )
+    assert [x[1:] for x in log] == [(2, 0), (2, 1)]
