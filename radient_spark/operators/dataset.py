@@ -1364,3 +1364,75 @@ def weighted_sample_exact_k(
         .orderBy(F.col(key_col).desc(), F.col(id_col).asc())
         .limit(k)
     )
+
+
+def greedy_max_coverage(
+    docs: DataFrame,
+    k: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Greedy maximum-coverage document selection: pick ``k`` documents
+    one at a time, each round choosing the document that adds the most
+    not-yet-covered distinct tokens (ties break on the smaller id).
+    This is the classic (1 - 1/e)-approximate submodular selection used
+    to seed diverse training subsets and dedup-aware eval slices —
+    facility location on token coverage.
+
+    Scale shape per round: marginal gains are ONE left-anti join of the
+    (doc, token) posting table against the covered-token set followed
+    by a map-side-combined count per doc — both distributed; the only
+    driver traffic is the 1-row argmax per round (TakeOrderedAndProject,
+    the same inherent sequential step as the BPE merge loop,
+    operators/bpe.py). The covered set is localCheckpoint'ed each round
+    so the union chain cannot stack lineage. Rounds = k is a constant
+    chosen by the caller, independent of corpus size.
+
+    Returns (round, doc_id, gain, covered_total) — one row per pick, in
+    pick order; stops early if no document adds coverage.
+    """
+    spark = docs.sparkSession
+    toks = (
+        docs.filter(F.length(F.trim(text_col)) > 0)
+        .select(
+            F.col(id_col).alias("__doc"),
+            F.explode(
+                F.array_distinct(F.split(F.trim(text_col), r"\s+"))
+            ).alias("__token"),
+        )
+        .persist()
+    )
+    toks.count()
+    covered: DataFrame | None = None
+    covered_total = 0
+    picks: list[tuple[int, int, int, int]] = []
+    try:
+        for i in range(1, k + 1):
+            marg = (
+                toks
+                if covered is None
+                else toks.join(covered, "__token", "left_anti")
+            )
+            top = (
+                marg.groupBy("__doc")
+                .agg(F.count(F.lit(1)).alias("__gain"))
+                .orderBy(F.col("__gain").desc(), F.col("__doc").asc())
+                .limit(1)
+                .collect()
+            )
+            if not top:
+                break
+            doc, gain = top[0]["__doc"], top[0]["__gain"]
+            covered_total += int(gain)
+            picks.append((i, int(doc), int(gain), covered_total))
+            new_tokens = toks.filter(F.col("__doc") == doc).select("__token")
+            covered = (
+                new_tokens
+                if covered is None
+                else covered.unionByName(new_tokens)
+            ).localCheckpoint(eager=True)
+    finally:
+        toks.unpersist()
+    return spark.createDataFrame(
+        picks, "round_no INT, doc_id BIGINT, gain BIGINT, covered_total BIGINT"
+    )

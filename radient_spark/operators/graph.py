@@ -401,3 +401,66 @@ def local_clustering(
             ).alias("clustering_coeff"),
         )
     )
+
+
+def kcore(
+    edges: DataFrame,
+    k: int,
+    src: str = "src",
+    dst: str = "dst",
+    rounds: int = 8,
+) -> DataFrame:
+    """k-core decomposition by synchronized peeling: repeatedly drop
+    every node whose degree in the surviving subgraph is below ``k``
+    until a fixed point. The k-core is the standard density filter for
+    co-occurrence graphs (spam-farm pruning in web-crawl curation,
+    dense-community extraction before entity resolution).
+
+    Spark-first shape per round: one map-side-combined degree groupBy
+    and one semi-join of the edge list against surviving nodes per
+    endpoint — no driver state, no collect. Each round shrinks the edge
+    set monotonically, so rounds cost less as peeling proceeds; lineage
+    is truncated with localCheckpoint per round (the loop would
+    otherwise triple the plan each iteration — the multiplicative-
+    weights lesson, SCALING.md).
+
+    Runs exactly ``rounds`` synchronized rounds (peeling is idempotent
+    at the fixed point, so extra rounds are no-ops); tests assert
+    convergence within the budget at every test scale, and the registry
+    oracle unrolls the identical rounds in SQL. Peeling needs at most
+    O(peel-depth) rounds — bounded by the graph's degeneracy, which for
+    real co-occurrence graphs is tiny relative to size and INDEPENDENT
+    of row count, so a fixed budget survives the 100 TB scale-up where
+    per-node sequential peeling would not.
+
+    Returns (node, degree) for nodes in the k-core, with degree counted
+    inside the core subgraph.
+    """
+    und = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .filter(F.col("a") != F.col("b"))
+        .select(F.least("a", "b").alias("a"), F.greatest("a", "b").alias("b"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    cur = und
+    for _ in range(rounds):
+        deg = (
+            cur.select(F.col("a").alias("n"))
+            .unionByName(cur.select(F.col("b").alias("n")))
+            .groupBy("n")
+            .agg(F.count(F.lit(1)).alias("d"))
+        )
+        alive = deg.filter(F.col("d") >= k).select("n")
+        cur = (
+            cur.join(alive.withColumnRenamed("n", "a"), "a", "left_semi")
+            .join(alive.withColumnRenamed("n", "b"), "b", "left_semi")
+            .localCheckpoint(eager=True)
+        )
+    final_deg = (
+        cur.select(F.col("a").alias("node"))
+        .unionByName(cur.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("degree"))
+    )
+    return final_deg.filter(F.col("degree") >= k)

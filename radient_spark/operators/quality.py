@@ -279,3 +279,58 @@ def c4_line_classify(
     return survivors.unionByName(failed).select(
         id_col, "line_idx", "line", "status"
     )
+
+
+# log10(1 + 1/d) in parts-per-million, d = 1..9 — Benford's law first-
+# digit frequencies as exact integer literals (computed once here, the
+# same constants appear in the registry oracle SQL, so no engine ever
+# evaluates a logarithm at query time).
+BENFORD_PPM = [301030, 176091, 124939, 96910, 79181, 66947, 57992, 51153, 45757]
+
+
+def benford_report(
+    df: DataFrame, amount_col: str, digit_col: str = "digit"
+) -> DataFrame:
+    """First-digit (Benford's law) audit of a positive numeric column —
+    the standard screen for fabricated or truncated monetary data in a
+    freshly ingested table.
+
+    Determinism contract: the leading digit comes from FLOOR → BIGINT →
+    string (floor is identical in Spark and DuckDB, unlike double→int
+    casts which truncate in Spark but round-half-even in DuckDB), and
+    all ratios are nonnegative integer floor divisions in ppm, so every
+    output cell is exact integer arithmetic. Expected frequencies are
+    the precomputed BENFORD_PPM literals.
+
+    Scale shape: one scan → 9-group aggregate; the 1-row total joins
+    back by broadcast cross join. Returns
+    (digit, n, observed_ppm, expected_ppm, abs_err_ppm).
+    """
+    expected = F.element_at(
+        F.array(*[F.lit(p) for p in BENFORD_PPM]), F.col(digit_col)
+    )
+    digits = (
+        df.filter(F.col(amount_col) >= 1)
+        .select(
+            F.substring(
+                F.floor(F.col(amount_col)).cast("long").cast("string"), 1, 1
+            )
+            .cast("int")
+            .alias(digit_col)
+        )
+        .groupBy(digit_col)
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    total = digits.agg(F.sum("n").alias("__total"))
+    return (
+        digits.crossJoin(F.broadcast(total))
+        .select(
+            digit_col,
+            "n",
+            F.expr("(n * 1000000L) div __total").alias("observed_ppm"),
+            expected.cast("long").alias("expected_ppm"),
+            F.abs(
+                F.expr("(n * 1000000L) div __total") - expected
+            ).cast("long").alias("abs_err_ppm"),
+        )
+    )

@@ -1,0 +1,71 @@
+"""Cross-system table fingerprints for snapshot reconciliation.
+
+After any large copy, migration, or incremental-maintenance step the
+first question is "does the replica hold exactly the rows the source
+holds?" — at 100 TB the only affordable answer is an order-insensitive
+fingerprint both systems can compute independently and compare as two
+scalars. This module implements the standard construction: hash each
+row's canonical string with a hash both engines share (md5), fold a
+fixed-width prefix to an integer, and SUM — addition is commutative, so
+the fingerprint is independent of partitioning, task order, and row
+order, and any single-row difference changes it.
+
+Spark-first shape: one scan, whole-stage-codegen md5 + conv, one
+map-side-combined global SUM — no shuffle beyond the 1-row aggregate,
+no driver state, trivially parallel at any scale. The same fingerprint
+is expressible in ANSI SQL (DuckDB: CAST('0x'||substr(md5(s),1,15) AS
+BIGINT)), which is exactly what makes it a CROSS-system check — the
+registry oracle is the other system.
+
+Canonicalization contract (what makes the two engines agree):
+  * caller passes explicit per-column string expressions — integers and
+    strings cast natively, timestamps through an explicit format
+    pattern (engine-default timestamp rendering is not portable);
+  * NULL encodes as the literal token ``\\0null`` (concat_ws silently
+    drops NULLs, which would collide ('a', NULL) with ('a',''));
+  * columns join with '|' in the caller's declared order.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# 15 hex chars = 60 bits, so each term < 2^60; sums ride DECIMAL(38,0)
+# (no overflow below ~10^20 rows) and fold mod 2^60 back into a BIGINT.
+_HEX_CHARS = 15
+_MOD = 1 << 60
+
+
+def table_fingerprint(
+    df: DataFrame, cols: list[Column], n_rows_col: str = "n_rows",
+    checksum_col: str = "checksum",
+) -> DataFrame:
+    """1-row (n_rows, checksum) order-insensitive fingerprint of the
+    canonical row strings built from ``cols`` (see module contract)."""
+    canon = F.concat_ws(
+        "|", *[F.coalesce(c.cast("string"), F.lit("\0null")) for c in cols]
+    )
+    h = F.conv(F.substring(F.md5(canon), 1, _HEX_CHARS), 16, 10).cast(
+        "decimal(38,0)"
+    )
+    return df.select(h.alias("__h")).agg(
+        F.count(F.lit(1)).alias(n_rows_col),
+        F.coalesce((F.sum("__h") % F.lit(_MOD)).cast("long"), F.lit(0))
+        .alias(checksum_col),
+    )
+
+
+def fingerprint_sql(table: str, col_exprs: list[str]) -> str:
+    """The identical fingerprint as ANSI/DuckDB SQL — the comparison
+    target a second system would run. ``col_exprs`` are SQL string
+    expressions matching the Spark columns one-for-one."""
+    canon = " || '|' || ".join(
+        f"coalesce(CAST({e} AS VARCHAR), chr(0) || 'null')" for e in col_exprs
+    )
+    return (
+        f"SELECT COUNT(*) AS n_rows, "
+        f"COALESCE(CAST(SUM(CAST(('0x' || substr(md5({canon}), 1, "
+        f"{_HEX_CHARS})) AS BIGINT)) % {_MOD} AS BIGINT), 0) AS checksum "
+        f"FROM {table}"
+    )

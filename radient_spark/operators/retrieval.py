@@ -190,3 +190,50 @@ def rank_by(
     single-partition sort and is meant for already-truncated lists."""
     w = Window.orderBy(F.col(score_col).desc(), F.col(id_col).asc())
     return df.withColumn(rank_col, F.row_number().over(w))
+
+
+def inverted_index_topk(
+    postings: DataFrame,
+    qpostings: DataFrame,
+    k: int = 5,
+    id_col: str = "doc_id",
+    q_col: str = "q_id",
+    term_col: str = "term",
+    wt_col: str = "wt",
+    qwt_col: str = "qwt",
+    score_col: str = "dot",
+) -> DataFrame:
+    """Batch sparse dot-product retrieval over an inverted index — the
+    document-at-a-time (DAAT) evaluation every lexical search engine
+    runs, expressed relationally: postings (doc, term, weight) join the
+    broadcast query postings on term, and a map-side-combined groupBy
+    sums the per-term weight products into the dot score.
+
+    Scale shape: the corpus side never shuffles whole documents — only
+    (query, doc, product) rows for terms the query actually contains,
+    and the per-query top-k window partitions by query. Weights are
+    caller-supplied integers (e.g. tf * floor(1e6/df)), so the score is
+    exact integer arithmetic in any summation order: the product sum
+    rides DECIMAL(38,0) and lands as BIGINT. Ties break on doc id.
+
+    Returns (q_col, id_col, score_col, rank) with rank <= k.
+    """
+    prod = (
+        postings.join(F.broadcast(qpostings), term_col)
+        .groupBy(q_col, id_col)
+        .agg(
+            F.sum(
+                F.col(wt_col).cast("decimal(38,0)") * F.col(qwt_col)
+            ).alias("__s")
+        )
+        .select(
+            q_col, id_col, F.col("__s").cast("long").alias(score_col)
+        )
+    )
+    w = Window.partitionBy(q_col).orderBy(
+        F.col(score_col).desc(), F.col(id_col).asc()
+    )
+    return (
+        prod.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )

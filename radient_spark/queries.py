@@ -10986,6 +10986,288 @@ def _multipass_snm_sql() -> str:
     )
 
 
+def q_kcore_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-core of the supplier co-supply graph (operators/graph.py
+    kcore): iterative synchronized peeling — drop every supplier with
+    fewer than 3 surviving co-supply partners until the fixed point.
+    The density filter used to prune spam farms / isolated tendrils
+    before community extraction; same projection-capped graph as
+    q_triangle_count. Runs a fixed 8 peel rounds (idempotent at the
+    fixed point; tests assert convergence well inside the budget), and
+    the oracle unrolls the identical rounds."""
+    from radient_spark.operators.graph import kcore
+
+    li = load_tables(spark, sf_dir)["lineitem"]
+    sp = li.select("l_suppkey", "l_partkey").distinct()
+    part_deg = sp.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("ns"))
+    small = sp.join(
+        part_deg.filter(F.col("ns") <= 20).select("l_partkey"), "l_partkey"
+    )
+    a = small.alias("a")
+    b = small.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.l_partkey") == F.col("b.l_partkey"))
+            & (F.col("a.l_suppkey") < F.col("b.l_suppkey")),
+        )
+        .select(
+            F.col("a.l_suppkey").alias("src"), F.col("b.l_suppkey").alias("dst")
+        )
+        .distinct()
+    )
+    return kcore(edges, k=3, rounds=_KCORE_ROUNDS)
+
+
+_KCORE_ROUNDS = 8
+_KCORE_K = 3
+
+
+def _kcore_sql(k: int = _KCORE_K, rounds: int = _KCORE_ROUNDS) -> str:
+    """Unrolled synchronized-peeling oracle: round i recomputes degrees
+    over e{i-1} and keeps edges whose both endpoints have degree >= k.
+    Exactly the rounds the Spark operator runs, so the outputs agree
+    whether or not the fixed point is reached inside the budget."""
+    parts = [
+        r"""WITH sp AS (
+  SELECT DISTINCT l_suppkey, l_partkey FROM lineitem
+), small AS (
+  SELECT sp.* FROM sp JOIN (
+    SELECT l_partkey FROM sp GROUP BY l_partkey HAVING COUNT(*) <= 20
+  ) ok USING (l_partkey)
+), e0 AS MATERIALIZED (
+  SELECT DISTINCT a.l_suppkey AS a, b.l_suppkey AS b
+  FROM small a JOIN small b
+    ON a.l_partkey = b.l_partkey AND a.l_suppkey < b.l_suppkey
+)"""
+    ]
+    # each e{i} is referenced three times by round i+1; without
+    # MATERIALIZED DuckDB inlines the CTEs and the plan grows 3^rounds
+    for i in range(1, rounds + 1):
+        prev = f"e{i - 1}"
+        parts.append(
+            f""", d{i} AS MATERIALIZED (
+  SELECT n, COUNT(*) AS d FROM (
+    SELECT a AS n FROM {prev} UNION ALL SELECT b AS n FROM {prev}
+  ) GROUP BY n
+), a{i} AS (SELECT n FROM d{i} WHERE d >= {k}
+), e{i} AS MATERIALIZED (
+  SELECT {prev}.a, {prev}.b FROM {prev}
+  JOIN a{i} x ON {prev}.a = x.n JOIN a{i} y ON {prev}.b = y.n
+)"""
+        )
+    last = f"e{rounds}"
+    parts.append(
+        f"""
+SELECT n AS node, CAST(d AS BIGINT) AS degree FROM (
+  SELECT n, COUNT(*) AS d FROM (
+    SELECT a AS n FROM {last} UNION ALL SELECT b AS n FROM {last}
+  ) GROUP BY n
+) WHERE d >= {k}"""
+    )
+    return "".join(parts)
+
+
+def q_sparse_dot_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lexical sparse retrieval via an inverted index (operators/
+    retrieval.py inverted_index_topk): tf x integer-idf postings,
+    document-at-a-time dot products against a broadcast query batch,
+    per-query top-5. Weights are tf * (1e6 div df) — exact integer
+    idf lattice, so scores are bit-exact in any summation order (no
+    logarithm evaluated at query time). Complements q_bm25_search
+    (single query, float BM25) with the batched integer-exact DAAT
+    shape."""
+    from radient_spark.operators.retrieval import inverted_index_topk
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    tf = (
+        docs.filter(F.length(F.trim("text")) > 0)
+        .select(
+            "doc_id",
+            F.explode(F.split(F.trim("text"), r"\s+")).alias("term"),
+        )
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    postings = tf.join(dfreq, "term").select(
+        "doc_id", "term", F.expr("tf * (1000000L div df)").alias("wt")
+    )
+    qpost = postings.filter(F.col("doc_id") < 8).select(
+        F.col("doc_id").alias("q_id"), "term", F.col("wt").alias("qwt")
+    )
+    return inverted_index_topk(postings, qpost, k=5)
+
+
+_Q_SPARSE_DOT_SQL = r"""
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS term
+  FROM documents WHERE length(trim(text)) > 0
+), tf AS (
+  SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY doc_id, term
+), df AS (
+  SELECT term, COUNT(*) AS df FROM tf GROUP BY term
+), w AS (
+  SELECT t.doc_id, t.term, t.tf * (1000000 // d.df) AS wt
+  FROM tf t JOIN df d USING (term)
+), q AS (
+  SELECT doc_id AS q_id, term, wt AS qwt FROM w WHERE doc_id < 8
+), dots AS (
+  SELECT q.q_id, w.doc_id,
+    CAST(SUM(CAST(w.wt AS DECIMAL(38,0)) * q.qwt) AS BIGINT) AS dot
+  FROM w JOIN q USING (term) GROUP BY q.q_id, w.doc_id
+)
+SELECT q_id, doc_id, dot, CAST(rank AS INT) AS rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY dot DESC, doc_id)
+    AS rank
+  FROM dots
+) WHERE rank <= 5
+"""
+
+
+def q_benford_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford first-digit audit of lineitem extended prices
+    (operators/quality.py benford_report) — the standard fabricated-
+    data screen on a freshly ingested fact table. All-integer ppm
+    arithmetic; expected frequencies are precomputed literals. (TPC-H
+    prices are formula-generated, so the audit correctly reports a
+    non-Benford profile — the point is the exact per-digit deviation
+    table.)"""
+    from radient_spark.operators.quality import benford_report
+
+    li = load_tables(spark, sf_dir)["lineitem"]
+    return benford_report(li, "l_extendedprice")
+
+
+def _benford_sql() -> str:
+    from radient_spark.operators.quality import BENFORD_PPM
+
+    arr = ", ".join(str(p) for p in BENFORD_PPM)
+    return f"""
+WITH d AS (
+  SELECT CAST(substr(CAST(CAST(FLOOR(l_extendedprice) AS BIGINT) AS VARCHAR),
+              1, 1) AS INT) AS digit
+  FROM lineitem WHERE l_extendedprice >= 1
+), g AS (
+  SELECT digit, COUNT(*) AS n FROM d GROUP BY digit
+), t AS (SELECT SUM(n) AS total FROM g)
+SELECT digit, CAST(n AS BIGINT) AS n,
+  CAST((n * 1000000) // t.total AS BIGINT) AS observed_ppm,
+  CAST(([{arr}])[digit] AS BIGINT) AS expected_ppm,
+  CAST(abs((n * 1000000) // t.total - ([{arr}])[digit]) AS BIGINT)
+    AS abs_err_ppm
+FROM g, t
+"""
+
+
+def q_greedy_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy maximum-coverage selection of 4 documents (operators/
+    dataset.py greedy_max_coverage): the (1-1/e)-approximate submodular
+    pick used to seed diverse training subsets — each round takes the
+    document adding the most uncovered distinct tokens. Oracle unrolls
+    the identical 4 rounds as a CTE chain."""
+    from radient_spark.operators.dataset import greedy_max_coverage
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    return greedy_max_coverage(docs, k=_GREEDY_COV_K)
+
+
+_GREEDY_COV_K = 4
+
+
+def _greedy_cov_sql(k: int = _GREEDY_COV_K) -> str:
+    parts = [
+        r"""WITH toks AS MATERIALIZED (
+  SELECT DISTINCT doc_id AS doc,
+    unnest(regexp_split_to_array(trim(text), '\s+')) AS token
+  FROM documents WHERE length(trim(text)) > 0
+), p1 AS (
+  SELECT doc, COUNT(*) AS gain FROM toks GROUP BY doc
+  ORDER BY gain DESC, doc LIMIT 1
+), c1 AS MATERIALIZED (
+  SELECT DISTINCT token FROM toks WHERE doc = (SELECT doc FROM p1)
+)"""
+    ]
+    for i in range(2, k + 1):
+        parts.append(
+            f""", p{i} AS (
+  SELECT doc, COUNT(*) AS gain FROM toks
+  WHERE token NOT IN (SELECT token FROM c{i - 1})
+  GROUP BY doc ORDER BY gain DESC, doc LIMIT 1
+), c{i} AS MATERIALIZED (
+  SELECT token FROM c{i - 1}
+  UNION
+  SELECT token FROM toks WHERE doc = (SELECT doc FROM p{i})
+)"""
+        )
+    selects = [
+        f"""SELECT {i} AS round_no, doc AS doc_id, CAST(gain AS BIGINT) AS gain,
+  (SELECT COUNT(*) FROM c{i}) AS covered_total FROM p{i}"""
+        for i in range(1, k + 1)
+    ]
+    return "".join(parts) + "\n" + "\nUNION ALL\n".join(selects)
+
+
+def q_snapshot_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-insensitive per-table fingerprints (operators/reconcile.py
+    table_fingerprint) for cross-system snapshot reconciliation — the
+    scalar pair (n_rows, checksum) both ends of a 100 TB copy compute
+    independently and diff. The oracle IS the second system: DuckDB
+    evaluates the identical md5-fold over the same canonical row
+    strings."""
+    from radient_spark.operators.reconcile import table_fingerprint
+
+    t = load_tables(spark, sf_dir)
+    specs = {
+        "orders": (
+            t["orders"],
+            [
+                F.col("o_orderkey"),
+                F.col("o_custkey"),
+                F.col("o_orderstatus"),
+                F.col("o_orderpriority"),
+                F.date_format("o_orderdate", "yyyy-MM-dd HH:mm:ss"),
+            ],
+        ),
+        "customer": (
+            t["customer"],
+            [F.col("c_custkey"), F.col("c_nationkey"), F.col("c_mktsegment")],
+        ),
+        "nation": (
+            t["nation"],
+            [F.col("n_nationkey"), F.col("n_name"), F.col("n_regionkey")],
+        ),
+    }
+    out = None
+    for name, (df, cols) in specs.items():
+        fp = table_fingerprint(df, cols).select(
+            F.lit(name).alias("table_name"), "n_rows", "checksum"
+        )
+        out = fp if out is None else out.unionByName(fp)
+    return out
+
+
+def _snapshot_fp_sql() -> str:
+    from radient_spark.operators.reconcile import fingerprint_sql
+
+    specs = {
+        "orders": [
+            "o_orderkey",
+            "o_custkey",
+            "o_orderstatus",
+            "o_orderpriority",
+            "strftime(o_orderdate, '%Y-%m-%d %H:%M:%S')",
+        ],
+        "customer": ["c_custkey", "c_nationkey", "c_mktsegment"],
+        "nation": ["n_nationkey", "n_name", "n_regionkey"],
+    }
+    selects = [
+        f"SELECT '{name}' AS table_name, * FROM ({fingerprint_sql(name, cols)})"
+        for name, cols in specs.items()
+    ]
+    return "\nUNION ALL\n".join(selects)
+
+
 # ---------------------------------------------------------------------------
 # Registry
 
@@ -11206,6 +11488,11 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "q_embedding_covariance": (q_embedding_covariance, _Q_EMB_COV_SQL),
     "q_multipass_snm_pairs": (q_multipass_snm_pairs, _multipass_snm_sql()),
     "q_srp_multiprobe_pairs": (q_srp_multiprobe_pairs, _srp_multiprobe_sql()),
+    "q_kcore_suppliers": (q_kcore_suppliers, _kcore_sql()),
+    "q_sparse_dot_topk": (q_sparse_dot_topk, _Q_SPARSE_DOT_SQL),
+    "q_benford_prices": (q_benford_prices, _benford_sql()),
+    "q_greedy_coverage": (q_greedy_coverage, _greedy_cov_sql()),
+    "q_snapshot_fingerprints": (q_snapshot_fingerprints, _snapshot_fp_sql()),
 }
 
 # The correctness driver oracle-checks exactly the FIRST 50 keys of ``queries()``
@@ -11222,6 +11509,11 @@ _DRIVER_PRIORITY = [
     "q_minhash_signatures",
     "q_ann_search_exact",
     "q_ivf_search_exact",
+    "q_kcore_suppliers",
+    "q_sparse_dot_topk",
+    "q_benford_prices",
+    "q_greedy_coverage",
+    "q_snapshot_fingerprints",
     "q_fuzzy_dedup_keep_report",
     "q_bpe_token_stats",
     "q_rolling_fingerprints",

@@ -512,3 +512,38 @@ def test_curation_v5_quota_properties(spark, sf_dir):
     for r in rows:
         assert r["n_in"] >= r["n_after_lines"] >= r["n_after_pii"] >= r["n_after_dedup"]
         assert r["n_selected"] == min(r["quota"], r["n_after_dedup"])
+
+
+def test_greedy_max_coverage_picks_and_totals(spark):
+    from radient_spark.operators.dataset import greedy_max_coverage
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d"),        # 4 distinct
+            (2, "a b c d e"),      # 5 distinct -> picked first
+            (3, "x y"),            # disjoint 2 -> picked second
+            (4, "a e x"),          # fully covered after rounds 1+2 except none
+            (5, "q"),              # 1 new -> picked third
+        ],
+        "doc_id long, text string",
+    )
+    rows = greedy_max_coverage(docs, k=4).collect()
+    picks = [(r["round_no"], r["doc_id"], r["gain"], r["covered_total"]) for r in rows]
+    # round 3 tie between doc 5 (q) and nothing else with gain 1; doc 4
+    # contributes 0 new after a,e,x? a,e covered; x covered by doc 3 -> 0.
+    assert picks[0] == (1, 2, 5, 5)
+    assert picks[1] == (2, 3, 2, 7)
+    assert picks[2] == (3, 5, 1, 8)
+    # round 4: docs 1,4 add nothing; greedy still returns the max (gain 0
+    # docs vanish from the anti-joined posting table) -> early stop.
+    assert len(picks) == 3
+
+
+def test_greedy_max_coverage_tiebreak_min_doc_id(spark):
+    from radient_spark.operators.dataset import greedy_max_coverage
+
+    docs = spark.createDataFrame(
+        [(7, "a b"), (3, "c d"), (9, "e f")], "doc_id long, text string"
+    )
+    rows = greedy_max_coverage(docs, k=1).collect()
+    assert rows[0]["doc_id"] == 3

@@ -142,3 +142,54 @@ def test_star_components_unconverged_dedups(spark):
     ids = [r.id for r in labels]
     assert len(ids) == len(set(ids)) == 201
     assert any("fixed point" in str(x.message) for x in w)
+
+
+def test_kcore_peels_tendrils_keeps_clique(spark):
+    from radient_spark.operators.graph import kcore
+
+    # 4-clique (each degree 3) + a tail 10-11-12 hanging off node 0:
+    # the 3-core is exactly the clique; the tail peels off in 2 rounds.
+    clique = [(a, b) for a in range(4) for b in range(a + 1, 4)]
+    tail = [(0, 10), (10, 11), (11, 12)]
+    df = spark.createDataFrame(clique + tail, "src long, dst long")
+    got = {r["node"]: r["degree"] for r in kcore(df, k=3, rounds=4).collect()}
+    assert got == {0: 3, 1: 3, 2: 3, 3: 3}
+
+
+def test_kcore_empty_when_no_core(spark):
+    from radient_spark.operators.graph import kcore
+
+    # a path graph has max core number 1
+    path = [(i, i + 1) for i in range(6)]
+    df = spark.createDataFrame(path, "src long, dst long")
+    assert kcore(df, k=2, rounds=4).count() == 0
+
+
+def test_kcore_fixed_budget_converges_on_registry_graph(spark, sf_dir):
+    """The registry query runs exactly _KCORE_ROUNDS synchronized
+    rounds; assert the fixed point is reached strictly inside that
+    budget (peel depth is bounded by degeneracy, not graph size)."""
+    from pyspark.sql import functions as F2
+
+    from radient_spark.operators.graph import kcore
+    from radient_spark.queries import _KCORE_K, _KCORE_ROUNDS, load_tables
+
+    li = load_tables(spark, sf_dir)["lineitem"]
+    sp = li.select("l_suppkey", "l_partkey").distinct()
+    deg = sp.groupBy("l_partkey").agg(F2.count(F2.lit(1)).alias("ns"))
+    small = sp.join(deg.filter(F2.col("ns") <= 20).select("l_partkey"), "l_partkey")
+    a, b = small.alias("a"), small.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F2.col("a.l_partkey") == F2.col("b.l_partkey"))
+            & (F2.col("a.l_suppkey") < F2.col("b.l_suppkey")),
+        )
+        .select(F2.col("a.l_suppkey").alias("src"), F2.col("b.l_suppkey").alias("dst"))
+        .distinct()
+    )
+    at_budget = kcore(edges, k=_KCORE_K, rounds=_KCORE_ROUNDS)
+    one_short = kcore(edges, k=_KCORE_K, rounds=_KCORE_ROUNDS - 1)
+    rows_a = {tuple(r) for r in at_budget.collect()}
+    rows_b = {tuple(r) for r in one_short.collect()}
+    assert rows_a == rows_b, "peeling had not converged one round early"

@@ -181,3 +181,29 @@ def test_c4_line_classify_randomized_vs_python(spark):
         for r in c4_line_classify(df, "text", "doc_id", min_words=5).collect()
     }
     assert got == want
+
+
+def test_benford_report_exact_counts(spark):
+    from radient_spark.operators.quality import BENFORD_PPM, benford_report
+
+    # 1000 rows, first digits forced: 600 ones, 300 twos, 100 nines;
+    # sub-1 values are excluded by contract.
+    vals = [1.5] * 600 + [25.0] * 300 + [900.25] * 100 + [0.4] * 7
+    df = spark.createDataFrame([(v,) for v in vals], "amount double")
+    rows = {r["digit"]: r for r in benford_report(df, "amount").collect()}
+    assert set(rows) == {1, 2, 9}
+    assert rows[1]["n"] == 600 and rows[1]["observed_ppm"] == 600000
+    assert rows[2]["observed_ppm"] == 300000
+    assert rows[9]["observed_ppm"] == 100000
+    assert rows[1]["expected_ppm"] == BENFORD_PPM[0]
+    assert rows[9]["abs_err_ppm"] == abs(100000 - BENFORD_PPM[8])
+
+
+def test_benford_ppm_constants_are_log10_lattice():
+    import math
+
+    from radient_spark.operators.quality import BENFORD_PPM
+
+    assert len(BENFORD_PPM) == 9 and sum(BENFORD_PPM) == 1000000
+    for d, p in enumerate(BENFORD_PPM, start=1):
+        assert p == round(math.log10(1 + 1 / d) * 1e6)

@@ -1,0 +1,58 @@
+"""Table fingerprints (operators/reconcile.py): order insensitivity,
+single-row sensitivity, NULL canonicalization, and the Spark<->DuckDB
+agreement that makes it a cross-system check (the registry oracle
+exercises the same at table scale)."""
+
+from __future__ import annotations
+
+import duckdb
+from pyspark.sql import functions as F
+
+from radient_spark.operators.reconcile import fingerprint_sql, table_fingerprint
+
+
+def _fp(df, cols):
+    return table_fingerprint(df, cols).collect()[0]
+
+
+def test_fingerprint_is_order_insensitive(spark):
+    rows = [(i, f"name-{i}") for i in range(50)]
+    a = spark.createDataFrame(rows, "id long, name string")
+    b = spark.createDataFrame(list(reversed(rows)), "id long, name string").repartition(7)
+    cols = [F.col("id"), F.col("name")]
+    assert _fp(a, cols) == _fp(b, cols)
+
+
+def test_fingerprint_detects_single_row_change(spark):
+    rows = [(i, f"name-{i}") for i in range(50)]
+    mutated = rows[:25] + [(25, "name-25x")] + rows[26:]
+    a = spark.createDataFrame(rows, "id long, name string")
+    b = spark.createDataFrame(mutated, "id long, name string")
+    cols = [F.col("id"), F.col("name")]
+    fa, fb = _fp(a, cols), _fp(b, cols)
+    assert fa["n_rows"] == fb["n_rows"] and fa["checksum"] != fb["checksum"]
+
+
+def test_fingerprint_null_does_not_collide_with_empty(spark):
+    a = spark.createDataFrame([("x", None)], "k string, v string")
+    b = spark.createDataFrame([("x", "")], "k string, v string")
+    cols = [F.col("k"), F.col("v")]
+    assert _fp(a, cols)["checksum"] != _fp(b, cols)["checksum"]
+
+
+def test_fingerprint_empty_table_is_zero(spark):
+    a = spark.createDataFrame([], "k string, v string")
+    fp = _fp(a, [F.col("k"), F.col("v")])
+    assert fp["n_rows"] == 0 and fp["checksum"] == 0
+
+
+def test_fingerprint_matches_duckdb_on_mixed_types(spark):
+    rows = [(i, f"s{i}" if i % 3 else None) for i in range(40)]
+    df = spark.createDataFrame(rows, "id long, s string")
+    got = _fp(df, [F.col("id"), F.col("s")])
+    con = duckdb.connect()
+    con.sql("CREATE TABLE t (id BIGINT, s VARCHAR)")
+    con.executemany("INSERT INTO t VALUES (?, ?)", rows)
+    exp = con.sql(fingerprint_sql("t", ["id", "s"])).fetchall()[0]
+    con.close()
+    assert (got["n_rows"], got["checksum"]) == exp

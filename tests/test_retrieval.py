@@ -159,3 +159,45 @@ def test_sq8_topk_batch_matches_single(spark, sf_dir):
             for r in sq8_topk(emb, stats, vec, k=5).collect()
         ]
         assert sorted(by_q[qid]) == sorted(single), qid
+
+
+def test_inverted_index_topk_matches_bruteforce(spark):
+    import itertools
+
+    from pyspark.sql import functions as F2
+
+    from radient_spark.operators.retrieval import inverted_index_topk
+
+    # small sparse corpus with controlled overlaps
+    post = [
+        (d, t, w)
+        for d, tws in {
+            1: [("a", 3), ("b", 1)],
+            2: [("a", 2), ("c", 5)],
+            3: [("b", 4), ("c", 1), ("d", 2)],
+            4: [("d", 7)],
+        }.items()
+        for t, w in tws
+    ]
+    postings = spark.createDataFrame(post, "doc_id long, term string, wt long")
+    qpost = spark.createDataFrame(
+        [(10, "a", 2), (10, "d", 1), (11, "c", 3)],
+        "q_id long, term string, qwt long",
+    )
+    got = {
+        (r["q_id"], r["rank"]): (r["doc_id"], r["dot"])
+        for r in inverted_index_topk(postings, qpost, k=2).collect()
+    }
+    # brute force
+    docs = {1: {"a": 3, "b": 1}, 2: {"a": 2, "c": 5}, 3: {"b": 4, "c": 1, "d": 2}, 4: {"d": 7}}
+    queries = {10: {"a": 2, "d": 1}, 11: {"c": 3}}
+    for q, qv in queries.items():
+        scored = sorted(
+            (
+                (-sum(w * qv.get(t, 0) for t, w in dv.items()), d)
+                for d, dv in docs.items()
+                if any(t in qv for t in dv)
+            ),
+        )
+        for rank, (neg, d) in enumerate(scored[:2], start=1):
+            assert got[(q, rank)] == (d, -neg)
