@@ -166,6 +166,13 @@ BENCH_QUERIES = [
     "q_embedding_covariance",
     "q_multipass_snm_pairs",
     "q_srp_multiprobe_pairs",
+    "q_kcore_suppliers",
+    "q_lpa_communities",
+    "q_wl_structural_classes",
+    "q_sparse_dot_topk",
+    "q_benford_prices",
+    "q_greedy_coverage",
+    "q_snapshot_fingerprints",
 ]
 
 HEADLINE = [

@@ -464,3 +464,124 @@ def kcore(
         .agg(F.count(F.lit(1)).alias("degree"))
     )
     return final_deg.filter(F.col("degree") >= k)
+
+
+def label_propagation(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    rounds: int = 4,
+) -> DataFrame:
+    """Synchronized mode-label propagation (community detection): every
+    node starts labeled with its own id; each round it adopts the most
+    frequent label among its neighbors, ties broken by the smaller
+    label. Deterministic by construction (no random visit order — the
+    synchronized variant), so a fixed round count is exactly
+    reproducible in SQL, unlike classic asynchronous LPA.
+
+    Communities are the standard curation lens on link graphs (domain
+    clusters in a crawl, co-purchase segments) — coarser than connected
+    components, finer than the whole graph.
+
+    Scale shape per round: one edge-label join on the neighbor key, one
+    map-side-combined (node, label) count, one per-node argmax via
+    max_by on the (count, -label) order — three key-partitioned
+    shuffles, no driver state; lineage truncated per round. ``rounds``
+    is a constant: LPA is used as a fixed-sweep refinement, not run to
+    convergence (it may oscillate — the known two-coloring artifact).
+
+    Returns (node, community).
+    """
+    bidir = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .unionByName(
+            edges.select(F.col(dst).alias("u"), F.col(src).alias("v"))
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    labels = (
+        bidir.select(F.col("u").alias("node"))
+        .distinct()
+        .withColumn("lbl", F.col("node"))
+    )
+    for _ in range(rounds):
+        neigh = bidir.join(
+            labels.withColumnRenamed("node", "v"), "v"
+        ).select(F.col("u").alias("node"), "lbl")
+        counts = neigh.groupBy("node", "lbl").agg(
+            F.count(F.lit(1)).alias("c")
+        )
+        # argmax by (count desc, label asc): max_by over a struct whose
+        # order matches — negate the label so the smaller wins inside max
+        labels = (
+            counts.groupBy("node")
+            .agg(
+                F.max(F.struct(F.col("c"), (-F.col("lbl")).alias("nl"))).alias(
+                    "__m"
+                )
+            )
+            .select("node", (-F.col("__m.nl")).alias("lbl"))
+            .localCheckpoint(eager=True)
+        )
+    return labels.select("node", F.col("lbl").alias("community"))
+
+
+def wl_colors(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    rounds: int = 2,
+    hash_chars: int = 16,
+) -> DataFrame:
+    """Weisfeiler-Lehman color refinement: node colors start as the
+    degree; each round a node's color becomes
+    md5(own_color | ',' joined sorted neighbor colors). After t rounds
+    two nodes share a color ONLY if their t-hop neighborhoods are
+    WL-indistinguishable — the standard structural-equivalence sketch,
+    here used as a dedup primitive for linked records (two suppliers
+    with identical co-supply neighborhoods collapse to one color
+    class).
+
+    Portable by construction: md5 + ordered string aggregation exist
+    identically in Spark and ANSI/DuckDB SQL, so the registry oracle
+    replays the refinement exactly. Scale shape per round: one
+    edge-color join + one sorted collect_list per node (the multiset
+    sort is per-node, bounded by degree — no global sort), lineage
+    truncated per round.
+
+    Returns (node, wl_color).
+    """
+    bidir = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .unionByName(
+            edges.select(F.col(dst).alias("u"), F.col(src).alias("v"))
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    colors = (
+        bidir.groupBy(F.col("u").alias("node"))
+        .agg(F.count(F.lit(1)).alias("__d"))
+        .select("node", F.col("__d").cast("string").alias("color"))
+    )
+    for _ in range(rounds):
+        neigh = bidir.join(
+            colors.withColumnRenamed("node", "v"), "v"
+        ).select(F.col("u").alias("node"), F.col("color").alias("nc"))
+        agg = neigh.groupBy("node").agg(
+            F.concat_ws(",", F.sort_array(F.collect_list("nc"))).alias("__ns")
+        )
+        colors = (
+            colors.join(agg, "node")
+            .select(
+                "node",
+                F.substring(
+                    F.md5(F.concat_ws("|", "color", "__ns")), 1, hash_chars
+                ).alias("color"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return colors.select("node", F.col("color").alias("wl_color"))

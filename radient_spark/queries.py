@@ -11268,6 +11268,147 @@ def _snapshot_fp_sql() -> str:
     return "\nUNION ALL\n".join(selects)
 
 
+def _co_supply_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supplier co-supply edge list (src < dst), hub parts capped at 20
+    suppliers — the shared projection for the graph query family
+    (q_triangle_count / q_kcore_suppliers / LPA / WL)."""
+    li = load_tables(spark, sf_dir)["lineitem"]
+    sp = li.select("l_suppkey", "l_partkey").distinct()
+    part_deg = sp.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("ns"))
+    small = sp.join(
+        part_deg.filter(F.col("ns") <= 20).select("l_partkey"), "l_partkey"
+    )
+    a = small.alias("a")
+    b = small.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.l_partkey") == F.col("b.l_partkey"))
+            & (F.col("a.l_suppkey") < F.col("b.l_suppkey")),
+        )
+        .select(
+            F.col("a.l_suppkey").alias("src"), F.col("b.l_suppkey").alias("dst")
+        )
+        .distinct()
+    )
+
+
+_CO_SUPPLY_SQL_PREFIX = r"""WITH sp AS (
+  SELECT DISTINCT l_suppkey, l_partkey FROM lineitem
+), small AS (
+  SELECT sp.* FROM sp JOIN (
+    SELECT l_partkey FROM sp GROUP BY l_partkey HAVING COUNT(*) <= 20
+  ) ok USING (l_partkey)
+), und AS MATERIALIZED (
+  SELECT DISTINCT a.l_suppkey AS a, b.l_suppkey AS b
+  FROM small a JOIN small b
+    ON a.l_partkey = b.l_partkey AND a.l_suppkey < b.l_suppkey
+), bidir AS MATERIALIZED (
+  SELECT a AS u, b AS v FROM und UNION ALL SELECT b AS u, a AS v FROM und
+)"""
+
+
+def q_lpa_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community detection by synchronized mode-label propagation
+    (operators/graph.py label_propagation) over the supplier co-supply
+    graph: 4 deterministic sweeps, each node adopting its neighbors'
+    most frequent label (ties to the smaller label). Communities are
+    the curation lens between connected components (too coarse on
+    dense projections) and k-core (a density filter, not a
+    partition). Oracle unrolls the identical sweeps."""
+    from radient_spark.operators.graph import label_propagation
+
+    edges = _co_supply_edges(spark, sf_dir)
+    labels = label_propagation(edges, rounds=_LPA_ROUNDS)
+    return labels.groupBy(F.col("community")).agg(
+        F.count(F.lit(1)).alias("n_nodes"),
+        F.min("node").alias("min_node"),
+    )
+
+
+_LPA_ROUNDS = 4
+
+
+def _lpa_sql(rounds: int = _LPA_ROUNDS) -> str:
+    parts = [
+        _CO_SUPPLY_SQL_PREFIX,
+        """, l0 AS MATERIALIZED (
+  SELECT DISTINCT u AS node, u AS lbl FROM bidir
+)""",
+    ]
+    for i in range(1, rounds + 1):
+        parts.append(
+            f""", l{i} AS MATERIALIZED (
+  SELECT node, lbl FROM (
+    SELECT e.u AS node, l.lbl, COUNT(*) AS c,
+      row_number() OVER (PARTITION BY e.u ORDER BY COUNT(*) DESC, l.lbl)
+        AS rn
+    FROM bidir e JOIN l{i - 1} l ON e.v = l.node
+    GROUP BY e.u, l.lbl
+  ) WHERE rn = 1
+)"""
+        )
+    parts.append(
+        f"""
+SELECT lbl AS community, CAST(COUNT(*) AS BIGINT) AS n_nodes,
+  MIN(node) AS min_node
+FROM l{rounds} GROUP BY lbl"""
+    )
+    return "".join(parts)
+
+
+def q_wl_structural_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weisfeiler-Lehman structural-duplicate classes (operators/
+    graph.py wl_colors): after 2 color-refinement rounds, suppliers
+    sharing a WL color have indistinguishable 2-hop co-supply
+    neighborhoods — the dedup primitive for LINKED records, where
+    row-level fields match but the question is whether the structure
+    around them does. md5 + ordered string aggregation are portable,
+    so the oracle replays the refinement exactly."""
+    from radient_spark.operators.graph import wl_colors
+
+    edges = _co_supply_edges(spark, sf_dir)
+    colors = wl_colors(edges, rounds=_WL_ROUNDS)
+    return (
+        colors.groupBy("wl_color")
+        .agg(
+            F.count(F.lit(1)).alias("n_nodes"),
+            F.min("node").alias("min_node"),
+        )
+        .filter(F.col("n_nodes") >= 2)
+    )
+
+
+_WL_ROUNDS = 2
+
+
+def _wl_sql(rounds: int = _WL_ROUNDS) -> str:
+    parts = [
+        _CO_SUPPLY_SQL_PREFIX,
+        """, c0 AS MATERIALIZED (
+  SELECT u AS node, CAST(COUNT(*) AS VARCHAR) AS color
+  FROM bidir GROUP BY u
+)""",
+    ]
+    for i in range(1, rounds + 1):
+        parts.append(
+            f""", c{i} AS MATERIALIZED (
+  SELECT c.node, substr(md5(c.color || '|' || n.ns), 1, 16) AS color
+  FROM c{i - 1} c JOIN (
+    SELECT e.u AS node, string_agg(l.color, ',' ORDER BY l.color) AS ns
+    FROM bidir e JOIN c{i - 1} l ON e.v = l.node GROUP BY e.u
+  ) n ON n.node = c.node
+)"""
+        )
+    parts.append(
+        f"""
+SELECT color AS wl_color, CAST(COUNT(*) AS BIGINT) AS n_nodes,
+  MIN(node) AS min_node
+FROM c{rounds} GROUP BY color HAVING COUNT(*) >= 2"""
+    )
+    return "".join(parts)
+
+
 # ---------------------------------------------------------------------------
 # Registry
 
@@ -11493,6 +11634,8 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "q_benford_prices": (q_benford_prices, _benford_sql()),
     "q_greedy_coverage": (q_greedy_coverage, _greedy_cov_sql()),
     "q_snapshot_fingerprints": (q_snapshot_fingerprints, _snapshot_fp_sql()),
+    "q_lpa_communities": (q_lpa_communities, _lpa_sql()),
+    "q_wl_structural_classes": (q_wl_structural_classes, _wl_sql()),
 }
 
 # The correctness driver oracle-checks exactly the FIRST 50 keys of ``queries()``
@@ -11510,6 +11653,8 @@ _DRIVER_PRIORITY = [
     "q_ann_search_exact",
     "q_ivf_search_exact",
     "q_kcore_suppliers",
+    "q_lpa_communities",
+    "q_wl_structural_classes",
     "q_sparse_dot_topk",
     "q_benford_prices",
     "q_greedy_coverage",

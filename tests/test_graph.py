@@ -193,3 +193,43 @@ def test_kcore_fixed_budget_converges_on_registry_graph(spark, sf_dir):
     rows_a = {tuple(r) for r in at_budget.collect()}
     rows_b = {tuple(r) for r in one_short.collect()}
     assert rows_a == rows_b, "peeling had not converged one round early"
+
+
+def test_label_propagation_two_cliques_with_bridge(spark):
+    from radient_spark.operators.graph import label_propagation
+
+    # two 4-cliques joined by one bridge edge: LPA should settle each
+    # clique on its minimum id, and the bridge must not merge them
+    c1 = [(a, b) for a in range(4) for b in range(a + 1, 4)]
+    c2 = [(a, b) for a in range(10, 14) for b in range(a + 1, 14)]
+    df = spark.createDataFrame(c1 + c2 + [(3, 10)], "src long, dst long")
+    got = {r["node"]: r["community"] for r in label_propagation(df, rounds=4).collect()}
+    assert {got[n] for n in range(4)} == {0}
+    assert {got[n] for n in range(10, 14)} == {10}
+
+
+def test_wl_colors_distinguish_structure_not_ids(spark):
+    from radient_spark.operators.graph import wl_colors
+
+    # two disjoint paths of 3: endpoints are structurally identical,
+    # middles are structurally identical, endpoints != middles
+    df = spark.createDataFrame(
+        [(1, 2), (2, 3), (11, 12), (12, 13)], "src long, dst long"
+    )
+    got = {r["node"]: r["wl_color"] for r in wl_colors(df, rounds=2).collect()}
+    assert got[1] == got[3] == got[11] == got[13]
+    assert got[2] == got[12]
+    assert got[1] != got[2]
+
+
+def test_wl_colors_separate_different_neighborhoods(spark):
+    from radient_spark.operators.graph import wl_colors
+
+    # star center (degree 3) vs triangle nodes (degree 2): all differ
+    star = [(0, 1), (0, 2), (0, 3)]
+    tri = [(10, 11), (11, 12), (10, 12)]
+    df = spark.createDataFrame(star + tri, "src long, dst long")
+    got = {r["node"]: r["wl_color"] for r in wl_colors(df, rounds=2).collect()}
+    assert got[0] != got[10]
+    assert len({got[10], got[11], got[12]}) == 1  # triangle is vertex-transitive
+    assert got[1] == got[2] == got[3]  # leaves identical
