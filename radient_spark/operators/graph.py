@@ -444,6 +444,7 @@ def kcore(
         .localCheckpoint(eager=True)
     )
     cur = und
+    n_edges = cur.count()
     for _ in range(rounds):
         deg = (
             cur.select(F.col("a").alias("n"))
@@ -457,6 +458,12 @@ def kcore(
             .join(alive.withColumnRenamed("n", "b"), "b", "left_semi")
             .localCheckpoint(eager=True)
         )
+        # unchanged edge count == no node dropped == fixed point; every
+        # further round is the identity, so stopping early returns
+        # exactly what the full (and the oracle's unrolled) budget would
+        prev, n_edges = n_edges, cur.count()
+        if n_edges == prev:
+            break
     final_deg = (
         cur.select(F.col("a").alias("node"))
         .unionByName(cur.select(F.col("b").alias("node")))
