@@ -11409,6 +11409,79 @@ FROM c{rounds} GROUP BY color HAVING COUNT(*) >= 2"""
     return "".join(parts)
 
 
+def q_data_contract_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-contract validation of the orders feed
+    (operators/validate.py): all row-level rules (not-null, enum,
+    range, regex) fuse into ONE conditional-aggregate scan; the unique
+    rule runs as its own pass (countDistinct fused with other heavy
+    aggregates would force Catalyst's Expand). One row per rule with
+    exact violation counts — the ingest gate every downstream consumer
+    reads first."""
+    from radient_spark.operators.validate import validate
+
+    orders = load_tables(spark, sf_dir)["orders"]
+    rules = [
+        {"name": "custkey_not_null", "type": "not_null", "column": "o_custkey"},
+        {
+            "name": "status_enum",
+            "type": "accepted_values",
+            "column": "o_orderstatus",
+            "values": ["O", "F", "P"],
+        },
+        {
+            "name": "price_range",
+            "type": "range",
+            "column": "o_totalprice",
+            "lo": 1.0,
+            "hi": 600000.0,
+        },
+        {
+            "name": "priority_format",
+            "type": "regex",
+            "column": "o_orderpriority",
+            "pattern": "^[1-5]-[A-Z]+$",
+        },
+        {"name": "orderkey_unique", "type": "unique", "column": "o_orderkey"},
+    ]
+    return validate(orders, rules)
+
+
+_Q_CONTRACT_SQL = """
+SELECT 'custkey_not_null' AS rule_name, 'not_null' AS rule_type,
+  'o_custkey' AS column_name,
+  CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_violations,
+  CAST(COUNT(*) AS BIGINT) AS n_checked
+FROM orders
+UNION ALL
+SELECT 'status_enum', 'accepted_values', 'o_orderstatus',
+  CAST(SUM(CASE WHEN o_orderstatus IS NULL
+                  OR o_orderstatus NOT IN ('O', 'F', 'P')
+            THEN 1 ELSE 0 END) AS BIGINT),
+  CAST(COUNT(*) AS BIGINT)
+FROM orders
+UNION ALL
+SELECT 'price_range', 'range', 'o_totalprice',
+  CAST(SUM(CASE WHEN o_totalprice IS NULL OR o_totalprice < 1.0
+                  OR o_totalprice > 600000.0
+            THEN 1 ELSE 0 END) AS BIGINT),
+  CAST(COUNT(*) AS BIGINT)
+FROM orders
+UNION ALL
+SELECT 'priority_format', 'regex', 'o_orderpriority',
+  CAST(SUM(CASE WHEN o_orderpriority IS NULL
+                  OR NOT regexp_matches(o_orderpriority, '^[1-5]-[A-Z]+$')
+            THEN 1 ELSE 0 END) AS BIGINT),
+  CAST(COUNT(*) AS BIGINT)
+FROM orders
+UNION ALL
+SELECT 'orderkey_unique', 'unique', 'o_orderkey',
+  CAST(COUNT(o_orderkey) - COUNT(DISTINCT o_orderkey) AS BIGINT),
+  CAST(COUNT(*) AS BIGINT)
+FROM orders
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 
@@ -11636,6 +11709,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "q_snapshot_fingerprints": (q_snapshot_fingerprints, _snapshot_fp_sql()),
     "q_lpa_communities": (q_lpa_communities, _lpa_sql()),
     "q_wl_structural_classes": (q_wl_structural_classes, _wl_sql()),
+    "q_data_contract_report": (q_data_contract_report, _Q_CONTRACT_SQL),
 }
 
 # The correctness driver oracle-checks exactly the FIRST 50 keys of ``queries()``
@@ -11656,6 +11730,7 @@ _DRIVER_PRIORITY = [
     "q_lpa_communities",
     "q_wl_structural_classes",
     "q_sparse_dot_topk",
+    "q_data_contract_report",
     "q_benford_prices",
     "q_greedy_coverage",
     "q_snapshot_fingerprints",

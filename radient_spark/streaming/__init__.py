@@ -978,3 +978,46 @@ def late_data_audit_sink(
         ).coalesce(1).write.mode("overwrite").parquet(f"{audit_dir}/state")
 
     return foreach_batch_sink(stream, checkpoint, batch_fn)
+
+
+def fingerprint_maintenance_sink(
+    stream: DataFrame,
+    state_dir: str,
+    checkpoint: str,
+    cols,
+):
+    """Stream-maintained table fingerprint (operators/reconcile.py):
+    every micro-batch folds its rows' md5 hashes into a running
+    (n_rows, checksum) pair. The fold is a commutative modular sum, so
+    the streamed fingerprint is IDENTICAL to table_fingerprint over
+    the union of all batches — reconciliation of an append-only feed
+    without ever rescanning it (stream ≡ batch test).
+
+    State is exactly ONE row regardless of volume; the merge is two
+    integer additions. Appends-only contract: updates/deletes upstream
+    need the batch fingerprint instead (additive folds can't unsee a
+    row)."""
+    from radient_spark.operators.reconcile import _MOD, table_fingerprint
+
+    def _state(spark):
+        try:
+            rows = spark.read.parquet(state_dir).collect()
+            return rows[0] if rows else None
+        except Exception:
+            return None
+
+    def batch_fn(df: DataFrame, epoch_id: int) -> None:
+        spark = df.sparkSession
+        fresh = table_fingerprint(df, [c if not isinstance(c, str) else F.col(c) for c in cols])
+        prev = _state(spark)
+        if prev is not None:
+            fresh = fresh.select(
+                (F.col("n_rows") + F.lit(prev["n_rows"])).alias("n_rows"),
+                (
+                    (F.col("checksum") + F.lit(prev["checksum"])) % F.lit(_MOD)
+                ).alias("checksum"),
+            )
+        out = fresh.localCheckpoint(eager=True)
+        out.write.mode("overwrite").parquet(state_dir)
+
+    return foreach_batch_sink(stream, checkpoint, batch_fn)

@@ -886,3 +886,39 @@ def test_late_data_audit_sink_counts_late_rows(spark, tmp_path):
         for r in spark.read.parquet(f"{audit_dir}/log").collect()
     )
     assert [x[1:] for x in log] == [(2, 0), (2, 1)]
+
+
+def test_fingerprint_maintenance_sink_equals_batch(spark, tmp_path):
+    """Two micro-batch rounds of fingerprint folding must equal
+    table_fingerprint over the concatenated rows — the additive-fold
+    contract that makes streamed reconciliation exact."""
+    from pyspark.sql import functions as F
+
+    from radient_spark.operators.reconcile import table_fingerprint
+
+    in_dir, st_dir, ck = (
+        str(tmp_path / "fp_in"),
+        str(tmp_path / "fp_state"),
+        str(tmp_path / "fp_ck"),
+    )
+    schema = "id bigint, name string"
+    b1 = spark.createDataFrame([(i, f"n{i}") for i in range(40)], schema)
+    b1.write.mode("overwrite").parquet(in_dir)
+    q = streaming.fingerprint_maintenance_sink(
+        spark.readStream.schema(b1.schema).parquet(in_dir),
+        st_dir, ck, cols=["id", "name"],
+    )
+    q.awaitTermination(120)
+    b2 = spark.createDataFrame([(i, f"n{i}") for i in range(40, 65)], schema)
+    b2.write.mode("append").parquet(in_dir)
+    q2 = streaming.fingerprint_maintenance_sink(
+        spark.readStream.schema(b1.schema).parquet(in_dir),
+        st_dir, ck, cols=["id", "name"],
+    )
+    q2.awaitTermination(120)
+
+    got = spark.read.parquet(st_dir).collect()[0]
+    exp = table_fingerprint(
+        b1.unionByName(b2), [F.col("id"), F.col("name")]
+    ).collect()[0]
+    assert (got["n_rows"], got["checksum"]) == (exp["n_rows"], exp["checksum"])
