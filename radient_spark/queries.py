@@ -11482,6 +11482,50 @@ FROM orders
 """
 
 
+def q_temporal_dedup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Burst (temporal) deduplication census: an event is a duplicate
+    when the SAME (user, event_type) fired again within 10 minutes of
+    the immediately preceding occurrence — retry storms, double
+    clicks, at-least-once replays. The batch analogue of
+    streaming.dedup_stream's keep-first contract, reported per event
+    type. One key-partitioned window (lag over (user, type)); the gap
+    test is exact microsecond INTERVAL arithmetic — portable on the
+    TIMESTAMP_NTZ the feed carries, where epoch conversions would drag
+    in a session timezone."""
+    events = load_tables(spark, sf_dir)["events"]
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    flagged = events.withColumn(
+        "prev_ts", F.lag(F.col("ts")).over(w)
+    ).withColumn(
+        "is_dup",
+        F.when(
+            F.col("prev_ts").isNotNull()
+            & (F.col("ts") < F.col("prev_ts") + F.expr("INTERVAL 10 MINUTES")),
+            F.lit(1),
+        ).otherwise(F.lit(0)),
+    )
+    return flagged.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum("is_dup").cast("long").alias("n_dups"),
+        (F.count(F.lit(1)) - F.sum("is_dup")).cast("long").alias("n_kept"),
+    )
+
+
+_Q_TEMPORAL_DEDUP_SQL = """
+WITH flagged AS (
+  SELECT event_type,
+    CASE WHEN ts < lag(ts) OVER (
+           PARTITION BY user_id, event_type ORDER BY ts, event_id
+         ) + INTERVAL '10 minutes' THEN 1 ELSE 0 END AS is_dup
+  FROM events
+)
+SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_events,
+  CAST(SUM(is_dup) AS BIGINT) AS n_dups,
+  CAST(COUNT(*) - SUM(is_dup) AS BIGINT) AS n_kept
+FROM flagged GROUP BY event_type
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 
@@ -11710,6 +11754,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "q_lpa_communities": (q_lpa_communities, _lpa_sql()),
     "q_wl_structural_classes": (q_wl_structural_classes, _wl_sql()),
     "q_data_contract_report": (q_data_contract_report, _Q_CONTRACT_SQL),
+    "q_temporal_dedup_report": (q_temporal_dedup_report, _Q_TEMPORAL_DEDUP_SQL),
 }
 
 # The correctness driver oracle-checks exactly the FIRST 50 keys of ``queries()``
@@ -11731,6 +11776,7 @@ _DRIVER_PRIORITY = [
     "q_wl_structural_classes",
     "q_sparse_dot_topk",
     "q_data_contract_report",
+    "q_temporal_dedup_report",
     "q_benford_prices",
     "q_greedy_coverage",
     "q_snapshot_fingerprints",
