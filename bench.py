@@ -172,6 +172,7 @@ BENCH_QUERIES = [
     "q_sparse_dot_topk",
     "q_data_contract_report",
     "q_temporal_dedup_report",
+    "q_pareto_parts",
     "q_benford_prices",
     "q_greedy_coverage",
     "q_snapshot_fingerprints",

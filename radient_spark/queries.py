@@ -11526,6 +11526,34 @@ FROM flagged GROUP BY event_type
 """
 
 
+def q_pareto_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-brand Pareto frontier of parts: cheapest-AND-largest shortlist
+    (minimize p_retailprice, maximize p_size) via the distributed 2-D
+    skyline (operators/skyline.py) — per-(group, x) min-y summary,
+    strict prefix-min window over SUMMARY rows only, join back. The
+    oracle is the quadratic NOT EXISTS dominance definition, so the
+    scale plan is checked against the textbook semantics."""
+    from radient_spark.operators.skyline import skyline_2d
+
+    part = load_tables(spark, sf_dir)["part"]
+    sky = skyline_2d(
+        part, "p_retailprice", "p_size", ["p_brand"], maximize_y=True
+    )
+    return sky.select("p_brand", "p_partkey", "p_retailprice", "p_size")
+
+
+_Q_PARETO_SQL = """
+SELECT a.p_brand, a.p_partkey, a.p_retailprice, a.p_size
+FROM part a
+WHERE NOT EXISTS (
+  SELECT 1 FROM part b
+  WHERE b.p_brand = a.p_brand
+    AND b.p_retailprice <= a.p_retailprice AND b.p_size >= a.p_size
+    AND (b.p_retailprice < a.p_retailprice OR b.p_size > a.p_size)
+)
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 
@@ -11755,6 +11783,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "q_wl_structural_classes": (q_wl_structural_classes, _wl_sql()),
     "q_data_contract_report": (q_data_contract_report, _Q_CONTRACT_SQL),
     "q_temporal_dedup_report": (q_temporal_dedup_report, _Q_TEMPORAL_DEDUP_SQL),
+    "q_pareto_parts": (q_pareto_parts, _Q_PARETO_SQL),
 }
 
 # The correctness driver oracle-checks exactly the FIRST 50 keys of ``queries()``
@@ -11777,6 +11806,7 @@ _DRIVER_PRIORITY = [
     "q_sparse_dot_topk",
     "q_data_contract_report",
     "q_temporal_dedup_report",
+    "q_pareto_parts",
     "q_benford_prices",
     "q_greedy_coverage",
     "q_snapshot_fingerprints",

@@ -1029,3 +1029,44 @@ def test_multiprobe_extends_pigeonhole_guarantee(spark):
         ).collect()
     }
     assert (1, 2) not in plain and (1, 3) not in plain
+
+
+def test_skyline_2d_matches_bruteforce(spark):
+    """Random grid, skyline per group vs quadratic dominance check."""
+    import random
+
+    from radient_spark.operators.skyline import skyline_2d
+
+    rng = random.Random(11)
+    rows = [
+        (g, i, rng.randint(0, 20), rng.randint(0, 20))
+        for g in ("a", "b")
+        for i in range(120)
+    ]
+    df = spark.createDataFrame(rows, "g string, id long, x long, y long")
+    got = {
+        (r["g"], r["id"])
+        for r in skyline_2d(df, "x", "y", ["g"], maximize_y=True).collect()
+    }
+    exp = set()
+    for g, i, x, y in rows:
+        dominated = any(
+            g2 == g
+            and x2 <= x
+            and y2 >= y
+            and (x2 < x or y2 > y)
+            for g2, _, x2, y2 in rows
+        )
+        if not dominated:
+            exp.add((g, i))
+    assert got == exp
+
+
+def test_skyline_2d_keeps_duplicate_points(spark):
+    from radient_spark.operators.skyline import skyline_2d
+
+    df = spark.createDataFrame(
+        [(1, 5, 5), (2, 5, 5), (3, 9, 9)], "id long, x long, y long"
+    )
+    got = {r["id"] for r in skyline_2d(df, "x", "y").collect()}
+    assert got == {1, 2}
