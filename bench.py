@@ -173,6 +173,8 @@ BENCH_QUERIES = [
     "q_data_contract_report",
     "q_temporal_dedup_report",
     "q_pareto_parts",
+    "q_snapshot_diff_report",
+    "q_id_gap_audit",
     "q_benford_prices",
     "q_greedy_coverage",
     "q_snapshot_fingerprints",

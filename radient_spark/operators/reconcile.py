@@ -28,7 +28,7 @@ Canonicalization contract (what makes the two engines agree):
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 # 15 hex chars = 60 bits, so each term < 2^60; sums ride DECIMAL(38,0)
@@ -68,4 +68,85 @@ def fingerprint_sql(table: str, col_exprs: list[str]) -> str:
         f"COALESCE(CAST(SUM(CAST(('0x' || substr(md5({canon}), 1, "
         f"{_HEX_CHARS})) AS BIGINT)) % {_MOD} AS BIGINT), 0) AS checksum "
         f"FROM {table}"
+    )
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    key_cols: list[str],
+    cols: list[Column],
+    status_col: str = "status",
+) -> DataFrame:
+    """Row-level reconciliation between two snapshots of a table: full
+    outer join on the key, canonical-string md5 comparison on the
+    payload. Returns one row per differing key with status in
+    {'added', 'removed', 'changed'} — the drill-down companion to
+    table_fingerprint (the scalar says WHETHER the snapshots diverged;
+    this says WHERE).
+
+    Scale shape: one key-partitioned full outer join; payloads travel
+    as one fixed-width hash, not as the row (changed-detection never
+    widens the shuffle). ``cols`` uses the same canonicalization
+    contract as table_fingerprint.
+    """
+    canon = F.md5(
+        F.concat_ws(
+            "|", *[F.coalesce(c.cast("string"), F.lit("\0null")) for c in cols]
+        )
+    )
+    o = old.select(*key_cols, canon.alias("__ho"))
+    n = new.select(*key_cols, canon.alias("__hn"))
+    joined = o.join(n, key_cols, "full_outer")
+    status = (
+        F.when(F.col("__ho").isNull(), F.lit("added"))
+        .when(F.col("__hn").isNull(), F.lit("removed"))
+        .when(F.col("__ho") != F.col("__hn"), F.lit("changed"))
+    )
+    return (
+        joined.withColumn(status_col, status)
+        .filter(F.col(status_col).isNotNull())
+        .select(*key_cols, status_col)
+    )
+
+
+def sequence_gaps(
+    df: DataFrame,
+    key_col: str,
+    bucket_width: int = 1024,
+) -> DataFrame:
+    """Gap census of a surrogate-key sequence: for every missing run in
+    the key space, one (gap_len, n_gaps) histogram row — the data-loss
+    tripwire for append-only feeds (a dropped producer batch shows up
+    as a gap spike at its batch size).
+
+    A global lead() window would sort every key in ONE reducer; instead
+    keys bucket by ``key div bucket_width`` so consecutive-pair
+    detection runs as parallel per-bucket windows, and only the
+    per-bucket (min, max) SUMMARY — span/bucket_width rows, not keys —
+    passes through the tiny cross-bucket boundary window. Empty buckets
+    never materialize; boundary pairs skip them naturally because the
+    summary window orders nonempty buckets.
+    """
+    keys = df.select(F.col(key_col).cast("long").alias("k")).distinct()
+    keys = keys.withColumn("b", F.expr(f"k div {int(bucket_width)}"))
+    win = Window.partitionBy("b").orderBy("k")
+    within = keys.withColumn("nk", F.lead("k").over(win)).filter(
+        F.col("nk").isNotNull()
+    )
+    summary = keys.groupBy("b").agg(
+        F.min("k").alias("mn"), F.max("k").alias("mx")
+    )
+    sw = Window.orderBy("b")
+    boundary = (
+        summary.withColumn("nmn", F.lead("mn").over(sw))
+        .filter(F.col("nmn").isNotNull())
+        .select(F.col("mx").alias("k"), F.col("nmn").alias("nk"))
+    )
+    pairs = within.select("k", "nk").unionByName(boundary)
+    return (
+        pairs.withColumn("gap_len", F.col("nk") - F.col("k") - 1)
+        .filter(F.col("gap_len") > 0)
+        .groupBy("gap_len")
+        .agg(F.count(F.lit(1)).alias("n_gaps"))
     )

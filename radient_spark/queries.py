@@ -11554,6 +11554,78 @@ WHERE NOT EXISTS (
 """
 
 
+def q_snapshot_diff_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level snapshot reconciliation (operators/reconcile.py
+    snapshot_diff): two deterministic views of orders — the "old"
+    snapshot missing keys = 0 (mod 10), the "new" missing keys = 5 and
+    restating every mod-7 price — full-outer-joined on the key with
+    md5 payload comparison, reported as per-status counts. The
+    drill-down companion to q_snapshot_fingerprints."""
+    from radient_spark.operators.reconcile import snapshot_diff
+
+    orders = load_tables(spark, sf_dir)["orders"]
+    old = orders.filter(F.col("o_orderkey") % 10 != 0)
+    new = orders.filter(F.col("o_orderkey") % 10 != 5).withColumn(
+        "o_totalprice",
+        F.when(
+            F.col("o_orderkey") % 7 == 0, F.col("o_totalprice") + F.lit(1.0)
+        ).otherwise(F.col("o_totalprice")),
+    )
+    payload = [F.col("o_orderstatus"), F.col("o_totalprice")]
+    diff = snapshot_diff(old, new, ["o_orderkey"], payload)
+    return diff.groupBy("status").agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.min("o_orderkey").alias("min_key"),
+        F.max("o_orderkey").alias("max_key"),
+    )
+
+
+_Q_SNAPDIFF_SQL = """
+WITH old AS (
+  SELECT o_orderkey AS k, o_orderstatus AS st, o_totalprice AS pr
+  FROM orders WHERE o_orderkey % 10 != 0
+), new AS (
+  SELECT o_orderkey AS k, o_orderstatus AS st,
+    CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice + 1.0
+         ELSE o_totalprice END AS pr
+  FROM orders WHERE o_orderkey % 10 != 5
+), tagged AS (
+  SELECT COALESCE(o.k, n.k) AS k,
+    CASE WHEN o.k IS NULL THEN 'added'
+         WHEN n.k IS NULL THEN 'removed'
+         WHEN o.st != n.st OR o.pr != n.pr THEN 'changed' END AS status
+  FROM old o FULL OUTER JOIN new n ON o.k = n.k
+)
+SELECT status, CAST(COUNT(*) AS BIGINT) AS n_keys,
+  MIN(k) AS min_key, MAX(k) AS max_key
+FROM tagged WHERE status IS NOT NULL GROUP BY status
+"""
+
+
+def q_id_gap_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Surrogate-key gap census of the orders feed (operators/
+    reconcile.py sequence_gaps): histogram of missing-run lengths in
+    o_orderkey (TPC-H keys are sparse by construction, so the shape is
+    rich). The Spark plan is the bucketed formulation — per-bucket
+    windows + a summary-only boundary window; the oracle is the
+    single-reducer lead() spec it must equal."""
+    from radient_spark.operators.reconcile import sequence_gaps
+
+    orders = load_tables(spark, sf_dir)["orders"]
+    return sequence_gaps(orders, "o_orderkey")
+
+
+_Q_ID_GAP_SQL = """
+WITH p AS (
+  SELECT o_orderkey AS k,
+    lead(o_orderkey) OVER (ORDER BY o_orderkey) AS nk
+  FROM (SELECT DISTINCT o_orderkey FROM orders)
+)
+SELECT nk - k - 1 AS gap_len, CAST(COUNT(*) AS BIGINT) AS n_gaps
+FROM p WHERE nk > k + 1 GROUP BY gap_len
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 
@@ -11784,6 +11856,8 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "q_data_contract_report": (q_data_contract_report, _Q_CONTRACT_SQL),
     "q_temporal_dedup_report": (q_temporal_dedup_report, _Q_TEMPORAL_DEDUP_SQL),
     "q_pareto_parts": (q_pareto_parts, _Q_PARETO_SQL),
+    "q_snapshot_diff_report": (q_snapshot_diff_report, _Q_SNAPDIFF_SQL),
+    "q_id_gap_audit": (q_id_gap_audit, _Q_ID_GAP_SQL),
 }
 
 # The correctness driver oracle-checks exactly the FIRST 50 keys of ``queries()``
@@ -11807,6 +11881,8 @@ _DRIVER_PRIORITY = [
     "q_data_contract_report",
     "q_temporal_dedup_report",
     "q_pareto_parts",
+    "q_snapshot_diff_report",
+    "q_id_gap_audit",
     "q_benford_prices",
     "q_greedy_coverage",
     "q_snapshot_fingerprints",

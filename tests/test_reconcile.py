@@ -56,3 +56,48 @@ def test_fingerprint_matches_duckdb_on_mixed_types(spark):
     exp = con.sql(fingerprint_sql("t", ["id", "s"])).fetchall()[0]
     con.close()
     assert (got["n_rows"], got["checksum"]) == exp
+
+
+def test_snapshot_diff_statuses(spark):
+    from radient_spark.operators.reconcile import snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "k long, v string"
+    )
+    new = spark.createDataFrame(
+        [(2, "b"), (3, "CHANGED"), (4, "d")], "k long, v string"
+    )
+    got = {
+        r["k"]: r["status"]
+        for r in snapshot_diff(old, new, ["k"], [F.col("v")]).collect()
+    }
+    assert got == {1: "removed", 3: "changed", 4: "added"}
+
+
+def test_sequence_gaps_crosses_bucket_boundaries(spark):
+    from radient_spark.operators.reconcile import sequence_gaps
+
+    # bucket_width=4: keys 1..3 | gap of 6 spanning buckets | 10,11 |
+    # huge gap spanning several EMPTY buckets | 30
+    keys = [1, 2, 3, 10, 11, 30]
+    df = spark.createDataFrame([(k,) for k in keys], "id long")
+    got = {
+        (r["gap_len"], r["n_gaps"])
+        for r in sequence_gaps(df, "id", bucket_width=4).collect()
+    }
+    assert got == {(6, 1), (18, 1)}
+
+
+def test_sequence_gaps_matches_naive_on_random_keys(spark):
+    import random
+
+    from radient_spark.operators.reconcile import sequence_gaps
+
+    rng = random.Random(3)
+    keys = sorted(rng.sample(range(0, 3000), 400))
+    df = spark.createDataFrame([(k,) for k in keys], "id long")
+    got = {(r["gap_len"], r["n_gaps"])
+           for r in sequence_gaps(df, "id", bucket_width=64).collect()}
+    from collections import Counter
+    gaps = Counter(b - a - 1 for a, b in zip(keys, keys[1:]) if b > a + 1)
+    assert got == set(gaps.items())
