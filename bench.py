@@ -175,6 +175,7 @@ BENCH_QUERIES = [
     "q_pareto_parts",
     "q_snapshot_diff_report",
     "q_id_gap_audit",
+    "q_classifier_pr_curve",
     "q_benford_prices",
     "q_greedy_coverage",
     "q_snapshot_fingerprints",

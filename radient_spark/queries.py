@@ -11626,6 +11626,119 @@ FROM p WHERE nk > k + 1 GROUP BY gap_len
 """
 
 
+def q_classifier_pr_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Precision/recall/F1 threshold sweep for the Catalyst-served
+    quality classifier (same integer scoring as
+    q_classifier_calibration, positives = lang == 'en'): 15 thresholds
+    on an exact integer grid between the observed score min and max,
+    all confusion counts in ONE conditional-aggregate pass over the
+    scored table cross-joined with the broadcast 15-row grid (map-side
+    combine collapses the 15x fan-out to 15 rows). Every ratio is a
+    nonnegative integer floor division in ppm — the operating-point
+    table you pick a production threshold from."""
+    from radient_spark.operators.classify import linear_classifier_score
+
+    dim = 64
+    weights = [float((i * 2654435761) % 1001 - 500) for i in range(dim)]
+    docs = (
+        load_tables(spark, sf_dir)["documents"]
+        .filter(F.length(F.trim("text")) > 0)
+        .select("doc_id", "lang", "text")
+    )
+    scored = linear_classifier_score(
+        docs, weights, bias=0.0, out_col="__raw", mean=False
+    ).select(
+        (F.col("lang") == "en").cast("long").alias("is_pos"),
+        F.col("__raw").cast("long").alias("total_w"),
+    )
+    stats = scored.agg(
+        F.min("total_w").alias("mn"), F.max("total_w").alias("mx")
+    )
+    grid = stats.select(
+        F.explode(F.sequence(F.lit(0), F.lit(14))).alias("__i"),
+        "mn",
+        "mx",
+    ).select(
+        F.col("__i").cast("long").alias("thr_idx"),
+        "mn",
+        "mx",
+    ).select(
+        "thr_idx",
+        F.expr("mn + ((mx - mn) * thr_idx) div 15").alias("threshold"),
+    )
+    agg = (
+        scored.crossJoin(F.broadcast(grid))
+        .groupBy("thr_idx", "threshold")
+        .agg(
+            F.sum(
+                (F.col("total_w") >= F.col("threshold")).cast("long")
+            ).alias("n_pred_pos"),
+            F.sum(
+                F.when(
+                    F.col("total_w") >= F.col("threshold"), F.col("is_pos")
+                ).otherwise(F.lit(0))
+            ).cast("long").alias("tp"),
+            F.sum("is_pos").cast("long").alias("n_pos"),
+        )
+    )
+    scored_out = agg.select(
+        "thr_idx",
+        "threshold",
+        "n_pred_pos",
+        "tp",
+        F.expr("tp * 1000000L div n_pred_pos").alias("precision_ppm"),
+        F.when(
+            F.col("n_pos") > 0, F.expr("tp * 1000000L div n_pos")
+        ).alias("recall_ppm"),
+    )
+    f1 = F.expr(
+        "CASE WHEN precision_ppm + coalesce(recall_ppm, 0L) > 0 "
+        "THEN (2 * precision_ppm * coalesce(recall_ppm, 0L)) "
+        "div (precision_ppm + coalesce(recall_ppm, 0L)) ELSE 0L END"
+    )
+    return scored_out.withColumn("f1_ppm", f1.cast("long"))
+
+
+_Q_PR_CURVE_SQL = r"""
+WITH slots AS (
+  SELECT doc_id, lang,
+    CAST(('0x' || substring(md5(unnest(
+      regexp_split_to_array(trim(text), '\s+'))), 1, 8))::BIGINT % 64
+      AS BIGINT) AS slot
+  FROM documents WHERE length(trim(text)) > 0
+), scored AS (
+  SELECT doc_id, CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS is_pos,
+    CAST(SUM((slot * 2654435761) % 1001 - 500) AS BIGINT) AS total_w
+  FROM slots GROUP BY doc_id, lang
+), stats AS (
+  SELECT MIN(total_w) AS mn, MAX(total_w) AS mx FROM scored
+), idx AS (
+  SELECT unnest(generate_series(0, 14)) AS thr_idx, mn, mx FROM stats
+), grid AS (
+  SELECT thr_idx, mn + ((mx - mn) * thr_idx) // 15 AS threshold FROM idx
+), agg AS (
+  SELECT g.thr_idx, g.threshold,
+    CAST(SUM(CASE WHEN s.total_w >= g.threshold THEN 1 ELSE 0 END)
+      AS BIGINT) AS n_pred_pos,
+    CAST(SUM(CASE WHEN s.total_w >= g.threshold THEN s.is_pos ELSE 0 END)
+      AS BIGINT) AS tp,
+    CAST(SUM(s.is_pos) AS BIGINT) AS n_pos
+  FROM scored s, grid g GROUP BY g.thr_idx, g.threshold
+)
+SELECT thr_idx, threshold, n_pred_pos, tp,
+  tp * 1000000 // n_pred_pos AS precision_ppm,
+  CASE WHEN n_pos > 0 THEN tp * 1000000 // n_pos END AS recall_ppm,
+  CASE WHEN tp * 1000000 // n_pred_pos
+         + COALESCE(CASE WHEN n_pos > 0 THEN tp * 1000000 // n_pos END, 0) > 0
+    THEN (2 * (tp * 1000000 // n_pred_pos)
+          * COALESCE(CASE WHEN n_pos > 0 THEN tp * 1000000 // n_pos END, 0))
+      // (tp * 1000000 // n_pred_pos
+          + COALESCE(CASE WHEN n_pos > 0 THEN tp * 1000000 // n_pos END, 0))
+    ELSE 0 END AS f1_ppm
+FROM agg
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 
@@ -11858,6 +11971,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "q_pareto_parts": (q_pareto_parts, _Q_PARETO_SQL),
     "q_snapshot_diff_report": (q_snapshot_diff_report, _Q_SNAPDIFF_SQL),
     "q_id_gap_audit": (q_id_gap_audit, _Q_ID_GAP_SQL),
+    "q_classifier_pr_curve": (q_classifier_pr_curve, _Q_PR_CURVE_SQL),
 }
 
 # The correctness driver oracle-checks exactly the FIRST 50 keys of ``queries()``
@@ -11883,6 +11997,7 @@ _DRIVER_PRIORITY = [
     "q_pareto_parts",
     "q_snapshot_diff_report",
     "q_id_gap_audit",
+    "q_classifier_pr_curve",
     "q_benford_prices",
     "q_greedy_coverage",
     "q_snapshot_fingerprints",
