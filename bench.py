@@ -176,6 +176,8 @@ BENCH_QUERIES = [
     "q_snapshot_diff_report",
     "q_id_gap_audit",
     "q_classifier_pr_curve",
+    "q_grouped_fingerprints",
+    "q_containment_pairs",
     "q_benford_prices",
     "q_greedy_coverage",
     "q_snapshot_fingerprints",

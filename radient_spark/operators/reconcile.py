@@ -150,3 +150,33 @@ def sequence_gaps(
         .groupBy("gap_len")
         .agg(F.count(F.lit(1)).alias("n_gaps"))
     )
+
+
+def grouped_fingerprint(
+    df: DataFrame,
+    group_cols: list[str],
+    cols: list[Column],
+    n_rows_col: str = "n_rows",
+    checksum_col: str = "checksum",
+) -> DataFrame:
+    """table_fingerprint per group: one (n_rows, checksum) row per key
+    of ``group_cols``. The binary-search layer between the scalar
+    fingerprint (did ANYTHING diverge?) and snapshot_diff (which keys?)
+    — compare per-partition/per-source checksums first and run the
+    key-level diff only inside the groups that disagree, so a 100 TB
+    reconciliation touches keys only where the damage is."""
+    canon = F.concat_ws(
+        "|", *[F.coalesce(c.cast("string"), F.lit("\0null")) for c in cols]
+    )
+    h = F.conv(F.substring(F.md5(canon), 1, _HEX_CHARS), 16, 10).cast(
+        "decimal(38,0)"
+    )
+    return (
+        df.select(*group_cols, h.alias("__h"))
+        .groupBy(*group_cols)
+        .agg(
+            F.count(F.lit(1)).alias(n_rows_col),
+            F.coalesce((F.sum("__h") % F.lit(_MOD)).cast("long"), F.lit(0))
+            .alias(checksum_col),
+        )
+    )

@@ -11739,6 +11739,91 @@ FROM agg
 """
 
 
+def q_grouped_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source fingerprints of the documents corpus (operators/
+    reconcile.py grouped_fingerprint) — the binary-search layer of a
+    100 TB reconciliation: compare per-source checksums first, run the
+    key-level snapshot_diff only inside sources that disagree."""
+    from radient_spark.operators.reconcile import grouped_fingerprint
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    return grouped_fingerprint(
+        docs, ["source"], [F.col("doc_id"), F.col("lang"), F.col("text")]
+    )
+
+
+_Q_GROUPED_FP_SQL = """
+SELECT source, CAST(COUNT(*) AS BIGINT) AS n_rows,
+  CAST(SUM(CAST(('0x' || substr(md5(
+    coalesce(CAST(doc_id AS VARCHAR), chr(0) || 'null') || '|' ||
+    coalesce(CAST(lang AS VARCHAR), chr(0) || 'null') || '|' ||
+    coalesce(CAST(text AS VARCHAR), chr(0) || 'null')), 1, 15))
+    AS BIGINT)) % 1152921504606846976 AS BIGINT) AS checksum
+FROM documents GROUP BY source
+"""
+
+
+def q_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric CONTAINMENT near-dup pairs: containment =
+    |A intersect B| / min(|A|, |B|) — catches subset duplication
+    (quote-and-extend, aggregation pages) that symmetric Jaccard
+    misses: a doc fully contained in a 10x larger one has Jaccard
+    ~0.1 but containment 1.0 (Broder's resemblance-vs-containment
+    distinction). Same inverted-index posting join as
+    q_ngram_jaccard_pairs — shared-token counts per candidate pair,
+    sizes broadcast back — with the asymmetric denominator; exact
+    integer-ratio division."""
+    docs = load_tables(spark, sf_dir)["documents"]
+    toks = docs.filter(F.length(F.trim("text")) > 0).select(
+        "doc_id",
+        "source",
+        F.array_distinct(F.split(F.trim("text"), r"\s+")).alias("toks"),
+    )
+    sizes = toks.select("doc_id", F.size("toks").alias("n_toks"))
+    posting = toks.select("source", "doc_id", F.explode("toks").alias("token"))
+    a = posting.select("source", F.col("doc_id").alias("id_a"), "token")
+    b = posting.select(
+        F.col("source").alias("source_b"),
+        F.col("doc_id").alias("id_b"),
+        F.col("token").alias("token_b"),
+    )
+    shared = (
+        a.join(
+            b,
+            (F.col("source") == F.col("source_b"))
+            & (F.col("token") == F.col("token_b"))
+            & (F.col("id_a") < F.col("id_b")),
+        )
+        .groupBy("source", "id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    na = sizes.select(F.col("doc_id").alias("id_a"), F.col("n_toks").alias("na"))
+    nb = sizes.select(F.col("doc_id").alias("id_b"), F.col("n_toks").alias("nb"))
+    cont = F.col("shared") / F.least("na", "nb")
+    return (
+        shared.join(F.broadcast(na), "id_a")
+        .join(F.broadcast(nb), "id_b")
+        .withColumn("containment", cont)
+        .filter(F.col("containment") >= 0.8)
+        .select("source", "id_a", "id_b", "containment")
+    )
+
+
+_Q_CONTAINMENT_SQL = r"""
+WITH toks AS (
+  SELECT doc_id, source,
+    list_distinct(regexp_split_to_array(trim(text), '\s+')) AS t
+  FROM documents WHERE length(trim(text)) > 0
+)
+SELECT a.source, a.doc_id AS id_a, b.doc_id AS id_b,
+  CAST(len(list_distinct(list_intersect(a.t, b.t))) AS DOUBLE)
+    / LEAST(len(a.t), len(b.t)) AS containment
+FROM toks a JOIN toks b ON a.source = b.source AND a.doc_id < b.doc_id
+WHERE CAST(len(list_distinct(list_intersect(a.t, b.t))) AS DOUBLE)
+    / LEAST(len(a.t), len(b.t)) >= 0.8
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 
@@ -11972,6 +12057,8 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "q_snapshot_diff_report": (q_snapshot_diff_report, _Q_SNAPDIFF_SQL),
     "q_id_gap_audit": (q_id_gap_audit, _Q_ID_GAP_SQL),
     "q_classifier_pr_curve": (q_classifier_pr_curve, _Q_PR_CURVE_SQL),
+    "q_grouped_fingerprints": (q_grouped_fingerprints, _Q_GROUPED_FP_SQL),
+    "q_containment_pairs": (q_containment_pairs, _Q_CONTAINMENT_SQL),
 }
 
 # The correctness driver oracle-checks exactly the FIRST 50 keys of ``queries()``
@@ -11998,6 +12085,8 @@ _DRIVER_PRIORITY = [
     "q_snapshot_diff_report",
     "q_id_gap_audit",
     "q_classifier_pr_curve",
+    "q_grouped_fingerprints",
+    "q_containment_pairs",
     "q_benford_prices",
     "q_greedy_coverage",
     "q_snapshot_fingerprints",
