@@ -178,6 +178,7 @@ BENCH_QUERIES = [
     "q_classifier_pr_curve",
     "q_grouped_fingerprints",
     "q_containment_pairs",
+    "q_rolling_distinct_users",
     "q_benford_prices",
     "q_greedy_coverage",
     "q_snapshot_fingerprints",

@@ -457,3 +457,117 @@ def cms_inner_product(a: DataFrame, b: DataFrame) -> DataFrame:
             )
         )
     )
+
+
+def hll_rolling_cardinality(
+    df: DataFrame,
+    ts_col: str,
+    col: str,
+    window_days: int = 7,
+    p: int = 12,
+    decimals: int = 4,
+) -> DataFrame:
+    """Rolling N-day distinct-count estimates — the "7-day active
+    users" dashboard — by MERGING daily HLL sketches instead of
+    rescanning N days per output point. Mergeability is the whole
+    point of the register representation: the rolling sketch for day D
+    is the register-wise MAX of days (D-N, D], so after ONE pass
+    builds the per-day register table (bounded by days x 2^p rows,
+    independent of event volume), every downstream step touches
+    sketches only: a range join of the day spine against daily
+    registers, a (day, idx) max, and the standard fold. Same register
+    and estimate arithmetic as hll_cardinality, so the DuckDB oracle
+    replays it bit-for-bit.
+
+    Returns (day, n_registers_set, estimate) per observed day.
+    """
+    m = 1 << p
+    day = F.date_trunc("day", F.col(ts_col))
+    key = F.col(col).cast("string")
+    h = F.conv(F.substring(F.md5(key), 1, 15), 16, 10).cast("long")
+    idx = h % m
+    w = F.shiftright(h, p)
+    bitlen = F.length(F.conv(w, 10, 2))
+    rho = F.when(w == 0, F.lit(61 - p)).otherwise(F.lit(61 - p) - bitlen)
+    daily = (
+        df.select(day.alias("rday"), idx.alias("idx"), rho.alias("rho"))
+        .groupBy("rday", "idx")
+        .agg(F.max("rho").alias("rho_max"))
+    )
+    days = daily.select(F.col("rday").alias("day")).distinct()
+    merged = (
+        days.join(
+            daily,
+            (F.col("rday") <= F.col("day"))
+            & (
+                F.col("rday")
+                > F.col("day") - F.expr(f"INTERVAL {int(window_days)} DAYS")
+            ),
+        )
+        .groupBy("day", "idx")
+        .agg(F.max("rho_max").alias("rho_max"))
+    )
+    numer = hll_alpha(m) * m * m * float(1 << 50)
+    folded = merged.groupBy("day").agg(
+        F.count(F.lit(1)).alias("n_set"),
+        F.sum(F.pow(F.lit(2.0), 50 - F.col("rho_max")).cast("long")).alias(
+            "s_set"
+        ),
+    )
+    s_total = F.col("s_set") + (F.lit(m) - F.col("n_set")) * F.lit(1 << 50)
+    zeros = F.lit(m) - F.col("n_set")
+    e_raw = F.lit(numer) / s_total.cast("double")
+    est = F.when(
+        (e_raw <= 2.5 * m) & (zeros > 0),
+        F.lit(float(m)) * F.log(F.lit(float(m)) / zeros.cast("double")),
+    ).otherwise(e_raw)
+    return folded.select(
+        "day",
+        F.col("n_set").cast("long").alias("n_registers_set"),
+        F.round(est, decimals).alias("estimate"),
+    )
+
+
+def hll_rolling_sql(
+    table: str,
+    ts_col: str,
+    col: str,
+    window_days: int = 7,
+    p: int = 12,
+    decimals: int = 4,
+) -> str:
+    """DuckDB oracle for hll_rolling_cardinality."""
+    m = 1 << p
+    numer = repr(hll_alpha(m) * m * m * float(1 << 50))
+    rho_cap = 61 - p
+    return f"""
+WITH daily AS MATERIALIZED (
+  SELECT rday, h % {m} AS idx,
+    MAX(CASE WHEN h // {m} = 0 THEN {rho_cap}
+             ELSE {rho_cap} - length(to_base(h // {m}, 2)) END) AS rho_max
+  FROM (
+    SELECT date_trunc('day', {ts_col}) AS rday,
+      ('0x' || substring(md5(CAST({col} AS VARCHAR)), 1, 15))::BIGINT AS h
+    FROM {table}
+  ) GROUP BY 1, 2
+), days AS (
+  SELECT DISTINCT rday AS day FROM daily
+), merged AS (
+  SELECT d.day, r.idx, MAX(r.rho_max) AS rho_max
+  FROM days d JOIN daily r
+    ON r.rday <= d.day AND r.rday > d.day - INTERVAL {int(window_days)} DAY
+  GROUP BY d.day, r.idx
+), folded AS (
+  SELECT day, COUNT(*) AS n_set,
+    SUM(CAST(2.0 ** (50 - rho_max) AS BIGINT)) AS s_set
+  FROM merged GROUP BY day
+)
+SELECT day, CAST(n_set AS BIGINT) AS n_registers_set,
+  ROUND(CASE
+    WHEN {numer} / CAST(s_set + ({m} - n_set) * (1::BIGINT << 50) AS DOUBLE)
+           <= 2.5 * {m} AND ({m} - n_set) > 0
+    THEN {float(m)!r} * ln({float(m)!r} / CAST({m} - n_set AS DOUBLE))
+    ELSE {numer} / CAST(s_set + ({m} - n_set) * (1::BIGINT << 50) AS DOUBLE)
+  END, {decimals}) AS estimate
+FROM folded
+"""

@@ -11824,6 +11824,62 @@ WHERE CAST(len(list_distinct(list_intersect(a.t, b.t))) AS DOUBLE)
 """
 
 
+def q_rolling_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 7-day distinct-user estimates from merged daily HLL
+    sketches (operators/sketch.py hll_rolling_cardinality) — the N-day
+    active-users dashboard computed the only way that scales: ONE scan
+    builds per-day registers (days x 2^p rows regardless of event
+    volume); every rolling point merges sketches, never rescans
+    events. Exact rolling countDistinct joined alongside shows the
+    sketch error; both columns oracle-replayed."""
+    from radient_spark.operators.sketch import hll_rolling_cardinality
+
+    ev = load_tables(spark, sf_dir)["events"]
+    est = hll_rolling_cardinality(ev, "ts", "user_id", window_days=7, p=12)
+    daily_users = (
+        ev.select(
+            F.date_trunc("day", F.col("ts")).alias("uday"), "user_id"
+        ).distinct()
+    )
+    days = daily_users.select(F.col("uday").alias("day")).distinct()
+    exact = (
+        days.join(
+            daily_users,
+            (F.col("uday") <= F.col("day"))
+            & (F.col("uday") > F.col("day") - F.expr("INTERVAL 7 DAYS")),
+        )
+        .groupBy("day")
+        .agg(F.countDistinct("user_id").alias("exact_distinct"))
+    )
+    return est.join(exact, "day").select(
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        "exact_distinct",
+        "n_registers_set",
+        "estimate",
+    )
+
+
+def _rolling_hll_sql() -> str:
+    from radient_spark.operators.sketch import hll_rolling_sql
+
+    return f"""
+WITH est AS ({hll_rolling_sql("events", "ts", "user_id", 7, 12)}),
+daily_users AS MATERIALIZED (
+  SELECT DISTINCT date_trunc('day', ts) AS uday, user_id FROM events
+),
+days AS (SELECT DISTINCT uday AS day FROM daily_users),
+exact AS (
+  SELECT d.day, COUNT(DISTINCT u.user_id) AS exact_distinct
+  FROM days d JOIN daily_users u
+    ON u.uday <= d.day AND u.uday > d.day - INTERVAL 7 DAY
+  GROUP BY d.day
+)
+SELECT CAST(e.day AS VARCHAR) AS day, x.exact_distinct,
+  e.n_registers_set, e.estimate
+FROM est e JOIN exact x ON e.day = x.day
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 
@@ -12059,6 +12115,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "q_classifier_pr_curve": (q_classifier_pr_curve, _Q_PR_CURVE_SQL),
     "q_grouped_fingerprints": (q_grouped_fingerprints, _Q_GROUPED_FP_SQL),
     "q_containment_pairs": (q_containment_pairs, _Q_CONTAINMENT_SQL),
+    "q_rolling_distinct_users": (q_rolling_distinct_users, _rolling_hll_sql()),
 }
 
 # The correctness driver oracle-checks exactly the FIRST 50 keys of ``queries()``
@@ -12087,6 +12144,7 @@ _DRIVER_PRIORITY = [
     "q_classifier_pr_curve",
     "q_grouped_fingerprints",
     "q_containment_pairs",
+    "q_rolling_distinct_users",
     "q_benford_prices",
     "q_greedy_coverage",
     "q_snapshot_fingerprints",
