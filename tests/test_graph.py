@@ -233,3 +233,77 @@ def test_wl_colors_separate_different_neighborhoods(spark):
     assert got[0] != got[10]
     assert len({got[10], got[11], got[12]}) == 1  # triangle is vertex-transitive
     assert got[1] == got[2] == got[3]  # leaves identical
+
+
+def test_kcore_matches_python_reference_on_random_graph(spark):
+    import random
+
+    from radient_spark.operators.graph import kcore
+
+    rng = random.Random(7)
+    edges = sorted(
+        {
+            (a, b)
+            for a, b in (
+                sorted(rng.sample(range(40), 2)) for _ in range(180)
+            )
+        }
+    )
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r["node"]: r["degree"] for r in kcore(df, k=3, rounds=40).collect()}
+
+    # reference: repeated peeling to fixpoint
+    cur = set(edges)
+    while True:
+        deg: dict[int, int] = {}
+        for a, b in cur:
+            deg[a] = deg.get(a, 0) + 1
+            deg[b] = deg.get(b, 0) + 1
+        alive = {n for n, d in deg.items() if d >= 3}
+        nxt = {(a, b) for a, b in cur if a in alive and b in alive}
+        if nxt == cur:
+            break
+        cur = nxt
+    exp: dict[int, int] = {}
+    for a, b in cur:
+        exp[a] = exp.get(a, 0) + 1
+        exp[b] = exp.get(b, 0) + 1
+    exp = {n: d for n, d in exp.items() if d >= 3}
+    assert got == exp
+
+
+def test_label_propagation_matches_python_reference(spark):
+    import random
+    from collections import Counter, defaultdict
+
+    from radient_spark.operators.graph import label_propagation
+
+    rng = random.Random(13)
+    edges = sorted(
+        {
+            (a, b)
+            for a, b in (
+                sorted(rng.sample(range(30), 2)) for _ in range(90)
+            )
+        }
+    )
+    df = spark.createDataFrame(edges, "src long, dst long")
+    rounds = 3
+    got = {
+        r["node"]: r["community"]
+        for r in label_propagation(df, rounds=rounds).collect()
+    }
+
+    adj = defaultdict(set)
+    for a, b in edges:
+        adj[a].add(b)
+        adj[b].add(a)
+    lbl = {n: n for n in adj}
+    for _ in range(rounds):
+        new = {}
+        for n in adj:
+            freq = Counter(lbl[v] for v in adj[n])
+            top = max(freq.values())
+            new[n] = min(l for l, c in freq.items() if c == top)
+        lbl = new
+    assert got == lbl
