@@ -592,3 +592,56 @@ def wl_colors(
             .localCheckpoint(eager=True)
         )
     return colors.select("node", F.col("color").alias("wl_color"))
+
+
+def bfs_layers(
+    edges: DataFrame,
+    seeds: DataFrame,
+    max_depth: int = 3,
+    src: str = "src",
+    dst: str = "dst",
+    node_col: str = "node",
+) -> DataFrame:
+    """Bounded-depth BFS from a seed set over an undirected edge list:
+    returns (node, depth) for every node within ``max_depth`` hops,
+    depth = hop distance to the NEAREST seed (seeds are depth 0). The
+    reachability primitive behind influence radii, contamination
+    blast-zones, and crawl frontier analysis.
+
+    Spark-first shape per level: one frontier-edge join (frontier
+    shrinks or grows but is always a node set, never paths), one
+    anti-join against the visited set, lineage truncated per level.
+    Level count is the constant ``max_depth`` — each level is one
+    synchronized superstep, the Pregel discipline; no per-node
+    recursion, no driver state.
+    """
+    bidir = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .unionByName(
+            edges.select(F.col(dst).alias("u"), F.col(src).alias("v"))
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    frontier = seeds.select(F.col(node_col).alias("n")).distinct()
+    visited = frontier.withColumn("depth", F.lit(0)).localCheckpoint(
+        eager=True
+    )
+    frontier = visited.select("n")
+    for d in range(1, max_depth + 1):
+        neighbors = (
+            bidir.join(frontier.withColumnRenamed("n", "u"), "u")
+            .select(F.col("v").alias("n"))
+            .distinct()
+        )
+        fresh = neighbors.join(
+            visited.select("n"), "n", "left_anti"
+        ).localCheckpoint(eager=True)
+        if fresh.isEmpty():
+            break
+        visited = visited.unionByName(
+            fresh.withColumn("depth", F.lit(d))
+        ).localCheckpoint(eager=True)
+        frontier = fresh
+    return visited.select(F.col("n").alias(node_col), "depth")

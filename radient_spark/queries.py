@@ -11880,6 +11880,63 @@ FROM est e JOIN exact x ON e.day = x.day
 """
 
 
+def q_bfs_reach_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blast-zone census: BFS layers (operators/graph.py bfs_layers)
+    from the 3 highest-degree suppliers over the co-supply graph —
+    how many suppliers sit within 1, 2, 3 hops of the hubs (the
+    contamination-radius / influence-reach question). One synchronized
+    frontier superstep per depth, Pregel-style; oracle unrolls the
+    identical levels."""
+    from radient_spark.operators.graph import bfs_layers
+
+    edges = _co_supply_edges(spark, sf_dir)
+    bidir = edges.select(F.col("src").alias("u"), F.col("dst").alias("v"))
+    deg = (
+        bidir.unionByName(
+            edges.select(F.col("dst").alias("u"), F.col("src").alias("v"))
+        )
+        .groupBy("u")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    seeds = (
+        deg.orderBy(F.col("d").desc(), F.col("u").asc())
+        .limit(3)
+        .select(F.col("u").alias("node"))
+    )
+    layers = bfs_layers(edges, seeds, max_depth=_BFS_DEPTH)
+    return layers.groupBy("depth").agg(F.count(F.lit(1)).alias("n_nodes"))
+
+
+_BFS_DEPTH = 3
+
+
+def _bfs_sql(depth: int = _BFS_DEPTH) -> str:
+    parts = [
+        _CO_SUPPLY_SQL_PREFIX,
+        """, degt AS (
+  SELECT u AS n, COUNT(*) AS d FROM bidir GROUP BY u
+), seeds AS (
+  SELECT n FROM degt ORDER BY d DESC, n LIMIT 3
+), v0 AS MATERIALIZED (SELECT n, 0 AS depth FROM seeds
+), f0 AS MATERIALIZED (SELECT n FROM v0)""",
+    ]
+    for i in range(1, depth + 1):
+        parts.append(
+            f""", f{i} AS MATERIALIZED (
+  SELECT DISTINCT e.v AS n FROM bidir e JOIN f{i - 1} s ON e.u = s.n
+  WHERE e.v NOT IN (SELECT n FROM v{i - 1})
+), v{i} AS MATERIALIZED (
+  SELECT * FROM v{i - 1} UNION ALL SELECT n, {i} AS depth FROM f{i}
+)"""
+        )
+    parts.append(
+        f"""
+SELECT depth, CAST(COUNT(*) AS BIGINT) AS n_nodes
+FROM v{depth} GROUP BY depth"""
+    )
+    return "".join(parts)
+
+
 # ---------------------------------------------------------------------------
 # Registry
 
@@ -12116,6 +12173,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "q_grouped_fingerprints": (q_grouped_fingerprints, _Q_GROUPED_FP_SQL),
     "q_containment_pairs": (q_containment_pairs, _Q_CONTAINMENT_SQL),
     "q_rolling_distinct_users": (q_rolling_distinct_users, _rolling_hll_sql()),
+    "q_bfs_reach_census": (q_bfs_reach_census, _bfs_sql()),
 }
 
 # The correctness driver oracle-checks exactly the FIRST 50 keys of ``queries()``
@@ -12145,6 +12203,7 @@ _DRIVER_PRIORITY = [
     "q_grouped_fingerprints",
     "q_containment_pairs",
     "q_rolling_distinct_users",
+    "q_bfs_reach_census",
     "q_benford_prices",
     "q_greedy_coverage",
     "q_snapshot_fingerprints",

@@ -307,3 +307,33 @@ def test_label_propagation_matches_python_reference(spark):
             new[n] = min(l for l, c in freq.items() if c == top)
         lbl = new
     assert got == lbl
+
+
+def test_bfs_layers_nearest_seed_depths(spark):
+    from radient_spark.operators.graph import bfs_layers
+
+    # path 0-1-2-3-4-5 with seeds {0, 4}: depths are nearest-seed
+    edges = [(i, i + 1) for i in range(5)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    seeds = spark.createDataFrame([(0,), (4,)], "node long")
+    got = {r["node"]: r["depth"] for r in bfs_layers(df, seeds, 3).collect()}
+    assert got == {0: 0, 4: 0, 1: 1, 3: 1, 5: 1, 2: 2}
+
+
+def test_bfs_layers_stops_at_max_depth_and_exhaustion(spark):
+    from radient_spark.operators.graph import bfs_layers
+
+    edges = [(i, i + 1) for i in range(6)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    seeds = spark.createDataFrame([(0,)], "node long")
+    got = {r["node"]: r["depth"] for r in bfs_layers(df, seeds, 2).collect()}
+    assert got == {0: 0, 1: 1, 2: 2}
+    # disconnected seed: frontier exhausts after its component
+    df2 = spark.createDataFrame([(0, 1), (10, 11)], "src long, dst long")
+    got2 = {
+        r["node"]: r["depth"]
+        for r in bfs_layers(
+            df2, spark.createDataFrame([(0,)], "node long"), 5
+        ).collect()
+    }
+    assert got2 == {0: 0, 1: 1}
