@@ -423,3 +423,34 @@ def test_profile_table_all_null_column(spark):
     rows = {r["col_name"]: r for r in profile_table(df).collect()}
     assert rows["v"]["n_nulls"] == 2 and rows["v"]["n_distinct"] == 0
     assert rows["v"]["min_num"] is None
+
+
+def test_round5_graph_ops_on_degenerate_inputs(spark):
+    """Empty edge lists and self-loop-only graphs must not error and
+    must return the documented domains (nodes-with-real-edges for the
+    peeling/label family; seeds survive BFS with depth 0)."""
+    from radient_spark.operators.graph import (
+        bfs_layers,
+        kcore,
+        label_propagation,
+        wl_colors,
+    )
+
+    empty = spark.createDataFrame([], "src long, dst long")
+    assert kcore(empty, k=2, rounds=2).count() == 0
+    assert label_propagation(empty, rounds=2).count() == 0
+    assert wl_colors(empty, rounds=2).count() == 0
+    seeds = spark.createDataFrame([(1,)], "node long")
+    assert bfs_layers(empty, seeds, 2).collect() == [(1, 0)]
+    loops = spark.createDataFrame([(1, 1)], "src long, dst long")
+    assert kcore(loops, k=1, rounds=2).count() == 0
+
+
+def test_round5_tabular_ops_on_degenerate_inputs(spark):
+    from radient_spark.operators.reconcile import sequence_gaps
+    from radient_spark.operators.skyline import skyline_2d
+
+    one = spark.createDataFrame([(5,)], "id long")
+    assert sequence_gaps(one, "id").count() == 0
+    empty = spark.createDataFrame([], "x long, y long")
+    assert skyline_2d(empty, "x", "y").count() == 0
