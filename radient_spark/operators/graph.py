@@ -645,3 +645,103 @@ def bfs_layers(
         ).localCheckpoint(eager=True)
         frontier = fresh
     return visited.select(F.col("n").alias(node_col), "depth")
+
+
+def hyperball(
+    edges: DataFrame,
+    rounds: int = 3,
+    p: int = 7,
+    src: str = "src",
+    dst: str = "dst",
+    decimals: int = 4,
+) -> DataFrame:
+    """HyperBall (Boldi & Vigna 2011): estimate the neighborhood
+    function N(t) = number of (u, v) pairs with dist(u, v) <= t by
+    giving every node an HLL counter of its ball and iterating
+    register-wise MAX over neighbors — the sketch that made
+    average-distance / effective-diameter computation feasible on
+    billion-node graphs.
+
+    Scale shape: the whole state is the (node, idx, rho) register
+    table — at most nodes x 2^p rows, INDEPENDENT of ball sizes (the
+    quantity being counted); each round is one edge-register join +
+    one (node, idx) max, lineage truncated per round. Per-node
+    estimates use the same register/estimate arithmetic as
+    operators/sketch.py (one ln, rounded to ``decimals``), and N(t)
+    sums them through DECIMAL so aggregation order cannot change the
+    hash.
+
+    Returns one row per t in 0..rounds:
+    (t, n_nodes, n_reachable_pairs_est).
+    """
+    from radient_spark.operators.sketch import hll_alpha
+
+    m = 1 << p
+    numer = hll_alpha(m) * m * m * float(1 << 50)
+    bidir = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .unionByName(
+            edges.select(F.col(dst).alias("u"), F.col(src).alias("v"))
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    h = F.conv(
+        F.substring(F.md5(F.col("node").cast("string")), 1, 15), 16, 10
+    ).cast("long")
+    regs = (
+        bidir.select(F.col("u").alias("node"))
+        .distinct()
+        .select(
+            "node",
+            (h % m).alias("idx"),
+            F.when(F.shiftright(h, p) == 0, F.lit(61 - p))
+            .otherwise(
+                F.lit(61 - p) - F.length(F.conv(F.shiftright(h, p), 10, 2))
+            )
+            .alias("rho"),
+        )
+        .localCheckpoint(eager=True)
+    )
+
+    def _n_t(r: DataFrame, t: int) -> DataFrame:
+        folded = r.groupBy("node").agg(
+            F.count(F.lit(1)).alias("n_set"),
+            F.sum(F.pow(F.lit(2.0), 50 - F.col("rho")).cast("long")).alias(
+                "s_set"
+            ),
+        )
+        s_total = F.col("s_set") + (F.lit(m) - F.col("n_set")) * F.lit(1 << 50)
+        zeros = F.lit(m) - F.col("n_set")
+        e_raw = F.lit(numer) / s_total.cast("double")
+        est = F.when(
+            (e_raw <= 2.5 * m) & (zeros > 0),
+            F.lit(float(m)) * F.log(F.lit(float(m)) / zeros.cast("double")),
+        ).otherwise(e_raw)
+        return (
+            folded.select(
+                F.round(est, decimals).cast("decimal(18,4)").alias("__e")
+            )
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_nodes"),
+                F.sum("__e").cast("double").alias("n_reachable_pairs_est"),
+            )
+            .select(
+                F.lit(t).alias("t"), "n_nodes", "n_reachable_pairs_est"
+            )
+        )
+
+    out = _n_t(regs, 0)
+    for t in range(1, rounds + 1):
+        neigh = bidir.join(
+            regs.withColumnRenamed("node", "v"), "v"
+        ).select(F.col("u").alias("node"), "idx", "rho")
+        regs = (
+            regs.unionByName(neigh)
+            .groupBy("node", "idx")
+            .agg(F.max("rho").alias("rho"))
+            .localCheckpoint(eager=True)
+        )
+        out = out.unionByName(_n_t(regs, t))
+    return out

@@ -11937,6 +11937,73 @@ FROM v{depth} GROUP BY depth"""
     return "".join(parts)
 
 
+def q_hyperball_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Neighborhood function N(t) of the supplier co-supply graph by
+    HyperBall (operators/graph.py hyperball, Boldi & Vigna 2011):
+    per-node HLL ball counters iterated register-wise over edges —
+    state is nodes x 2^p register rows regardless of ball sizes, the
+    only way the average-distance question scales. N(t) sums per-node
+    estimates through DECIMAL; the oracle replays registers, merge
+    rounds, and the estimate arithmetic bit-for-bit."""
+    from radient_spark.operators.graph import hyperball
+
+    edges = _co_supply_edges(spark, sf_dir)
+    return hyperball(edges, rounds=_HYPERBALL_ROUNDS, p=7)
+
+
+_HYPERBALL_ROUNDS = 3
+
+
+def _hyperball_sql(rounds: int = _HYPERBALL_ROUNDS, p: int = 7) -> str:
+    from radient_spark.operators.sketch import hll_alpha
+
+    m = 1 << p
+    numer = repr(hll_alpha(m) * m * m * float(1 << 50))
+    rho_cap = 61 - p
+    est_sql = f"""
+  SELECT {{T}} AS t, CAST(COUNT(*) AS BIGINT) AS n_nodes,
+    CAST(SUM(CAST(ROUND(CASE
+      WHEN {numer} / CAST(s_set + ({m} - n_set) * (1::BIGINT << 50)
+             AS DOUBLE) <= 2.5 * {m} AND ({m} - n_set) > 0
+      THEN {float(m)!r} * ln({float(m)!r} / CAST({m} - n_set AS DOUBLE))
+      ELSE {numer} / CAST(s_set + ({m} - n_set) * (1::BIGINT << 50)
+             AS DOUBLE)
+    END, 4) AS DECIMAL(18,4))) AS DOUBLE) AS n_reachable_pairs_est
+  FROM (
+    SELECT node, COUNT(*) AS n_set,
+      SUM(CAST(2.0 ** (50 - rho) AS BIGINT)) AS s_set
+    FROM r{{T}} GROUP BY node
+  )"""
+    parts = [
+        _CO_SUPPLY_SQL_PREFIX,
+        f""", r0 AS MATERIALIZED (
+  SELECT node, h % {m} AS idx,
+    CASE WHEN h // {m} = 0 THEN {rho_cap}
+         ELSE {rho_cap} - length(to_base(h // {m}, 2)) END AS rho
+  FROM (
+    SELECT node,
+      ('0x' || substring(md5(CAST(node AS VARCHAR)), 1, 15))::BIGINT AS h
+    FROM (SELECT DISTINCT u AS node FROM bidir)
+  )
+)""",
+    ]
+    for i in range(1, rounds + 1):
+        parts.append(
+            f""", r{i} AS MATERIALIZED (
+  SELECT node, idx, MAX(rho) AS rho FROM (
+    SELECT node, idx, rho FROM r{i - 1}
+    UNION ALL
+    SELECT e.u AS node, r.idx, r.rho
+    FROM bidir e JOIN r{i - 1} r ON r.node = e.v
+  ) GROUP BY node, idx
+)"""
+        )
+    selects = [est_sql.replace("{T}", str(t)) for t in range(rounds + 1)]
+    return "".join(parts) + "\nSELECT * FROM (" + (
+        "\nUNION ALL\n".join(selects)
+    ) + "\n)"
+
+
 # ---------------------------------------------------------------------------
 # Registry
 
@@ -12174,6 +12241,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "q_containment_pairs": (q_containment_pairs, _Q_CONTAINMENT_SQL),
     "q_rolling_distinct_users": (q_rolling_distinct_users, _rolling_hll_sql()),
     "q_bfs_reach_census": (q_bfs_reach_census, _bfs_sql()),
+    "q_hyperball_neighborhood": (q_hyperball_neighborhood, _hyperball_sql()),
 }
 
 # The correctness driver oracle-checks exactly the FIRST 50 keys of ``queries()``
@@ -12204,6 +12272,7 @@ _DRIVER_PRIORITY = [
     "q_containment_pairs",
     "q_rolling_distinct_users",
     "q_bfs_reach_census",
+    "q_hyperball_neighborhood",
     "q_benford_prices",
     "q_greedy_coverage",
     "q_snapshot_fingerprints",

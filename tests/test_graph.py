@@ -337,3 +337,23 @@ def test_bfs_layers_stops_at_max_depth_and_exhaustion(spark):
         ).collect()
     }
     assert got2 == {0: 0, 1: 1}
+
+
+def test_hyperball_tracks_exact_neighborhood_function(spark):
+    """On a small graph the HLL ball estimates (m=128 >> ball sizes,
+    linear-counting branch => near-exact) must track the exact N(t)
+    within a few percent, and t=0 is exactly one node per ball."""
+    from radient_spark.operators.graph import hyperball
+
+    # two 10-cycles
+    edges = [(i, (i + 1) % 10) for i in range(10)] + [
+        (10 + i, 10 + (i + 1) % 10) for i in range(10)
+    ]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    rows = {r["t"]: r for r in hyperball(df, rounds=3, p=7).collect()}
+    assert rows[0]["n_nodes"] == 20
+    # exact N(t) on a cycle: ball size = 2t+1 per node
+    for t in range(4):
+        exact = 20 * (2 * t + 1)
+        est = rows[t]["n_reachable_pairs_est"]
+        assert abs(est - exact) / exact < 0.06, (t, est, exact)
