@@ -322,3 +322,48 @@ register("cluster", "silhouette")(
         _cluster.silhouette_report, centroids=centroids, **kw
     )
 )
+
+
+# --- round-5 late families: audits, contracts, graph, skyline --------------
+
+from radient_spark.operators import validate as _validate  # noqa: E402
+from radient_spark.operators import skyline as _skyline  # noqa: E402
+from radient_spark.operators import reconcile as _reconcile  # noqa: E402
+from radient_spark.operators import quality as _quality2  # noqa: E402
+from radient_spark.operators import graph as _graph  # noqa: E402
+
+register("audit", "contract")(
+    lambda rules, **kw: functools.partial(_validate.validate, rules=rules, **kw)
+)
+register("audit", "benford")(
+    lambda amount_col, **kw: functools.partial(
+        _quality2.benford_report, amount_col=amount_col, **kw
+    )
+)
+register("audit", "fingerprint")(
+    lambda cols, **kw: functools.partial(
+        _reconcile.table_fingerprint, cols=cols, **kw
+    )
+)
+register("audit", "sequence_gaps")(
+    lambda key_col, **kw: functools.partial(
+        _reconcile.sequence_gaps, key_col=key_col, **kw
+    )
+)
+register("dataset", "skyline")(
+    lambda x_col, y_col, **kw: functools.partial(
+        _skyline.skyline_2d, x_col=x_col, y_col=y_col, **kw
+    )
+)
+register("graph", "kcore")(
+    lambda k, **kw: functools.partial(_graph.kcore, k=k, **kw)
+)
+register("graph", "label_propagation")(
+    lambda **kw: functools.partial(_graph.label_propagation, **kw)
+)
+register("graph", "wl_colors")(
+    lambda **kw: functools.partial(_graph.wl_colors, **kw)
+)
+register("graph", "hyperball")(
+    lambda **kw: functools.partial(_graph.hyperball, **kw)
+)
