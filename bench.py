@@ -181,6 +181,7 @@ BENCH_QUERIES = [
     "q_rolling_distinct_users",
     "q_bfs_reach_census",
     "q_hyperball_neighborhood",
+    "q_personalized_pagerank",
     "q_benford_prices",
     "q_greedy_coverage",
     "q_snapshot_fingerprints",

@@ -12004,6 +12004,89 @@ def _hyperball_sql(rounds: int = _HYPERBALL_ROUNDS, p: int = 7) -> str:
     ) + "\n)"
 
 
+def q_personalized_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-walk-with-restart proximity to customer #1 over the
+    customer<->supplier trade graph (operators/graph.py
+    personalized_pagerank_integer): all restart mass returns to the
+    seed, so rank = closeness to that customer — the related-entities
+    / recommendation primitive. 3 integer power-iteration rounds,
+    top-20 by proximity (TakeOrderedAndProject truncation BEFORE the
+    20-row ranking window); unrolled integer CTE oracle."""
+    from radient_spark.operators.graph import personalized_pagerank_integer
+    from radient_spark.operators.retrieval import rank_by
+
+    t = load_tables(spark, sf_dir)
+    eb = (
+        t["orders"]
+        .join(t["lineitem"], F.col("o_orderkey") == F.col("l_orderkey"))
+        .select(
+            (F.col("o_custkey") * 2).alias("src"),
+            (F.col("l_suppkey") * 2 + 1).alias("dst"),
+        )
+        .distinct()
+    )
+    edges = eb.unionByName(
+        eb.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    ranks = personalized_pagerank_integer(edges, seed_node=2, iters=3)
+    top = (
+        ranks.filter(F.col("rank_units") > 0)
+        .orderBy(F.col("rank_units").desc(), F.col("node").asc())
+        .limit(20)
+    )
+    return rank_by(top, "rank_units", id_col="node").select(
+        "node", "rank_units", F.col("rank").cast("int").alias("rank")
+    )
+
+
+_Q_PPR_SQL = """
+WITH eb AS (
+  SELECT DISTINCT o_custkey*2 AS src, l_suppkey*2+1 AS dst
+  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+), edges AS (
+  SELECT src, dst FROM eb UNION ALL SELECT dst AS src, src AS dst FROM eb
+), nodes AS (
+  SELECT DISTINCT src AS node FROM edges
+),
+deg AS (SELECT src, COUNT(*) AS d FROM edges GROUP BY src),
+r0 AS (SELECT node,
+  CASE WHEN node = 2 THEN 1000000000000 ELSE 0 END AS r FROM nodes),
+s1 AS (
+  SELECT e.dst AS node, SUM(r0.r // dg.d) AS s
+  FROM edges e JOIN r0 ON e.src = r0.node JOIN deg dg ON e.src = dg.src
+  GROUP BY e.dst
+), r1 AS (
+  SELECT nd.node,
+    CASE WHEN nd.node = 2 THEN 1000000000000 * 15 // 100 ELSE 0 END
+      + (85 * COALESCE(s1.s, 0)) // 100 AS r
+  FROM nodes nd LEFT JOIN s1 ON nd.node = s1.node
+), s2 AS (
+  SELECT e.dst AS node, SUM(r1.r // dg.d) AS s
+  FROM edges e JOIN r1 ON e.src = r1.node JOIN deg dg ON e.src = dg.src
+  GROUP BY e.dst
+), r2 AS (
+  SELECT nd.node,
+    CASE WHEN nd.node = 2 THEN 1000000000000 * 15 // 100 ELSE 0 END
+      + (85 * COALESCE(s2.s, 0)) // 100 AS r
+  FROM nodes nd LEFT JOIN s2 ON nd.node = s2.node
+), s3 AS (
+  SELECT e.dst AS node, SUM(r2.r // dg.d) AS s
+  FROM edges e JOIN r2 ON e.src = r2.node JOIN deg dg ON e.src = dg.src
+  GROUP BY e.dst
+), r3 AS (
+  SELECT nd.node,
+    CASE WHEN nd.node = 2 THEN 1000000000000 * 15 // 100 ELSE 0 END
+      + (85 * COALESCE(s3.s, 0)) // 100 AS r
+  FROM nodes nd LEFT JOIN s3 ON nd.node = s3.node
+)
+SELECT node, rank_units, CAST(rank AS INT) AS rank FROM (
+  SELECT node, CAST(r AS BIGINT) AS rank_units,
+    row_number() OVER (ORDER BY r DESC, node) AS rank
+  FROM r3 WHERE r > 0
+) WHERE rank <= 20
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 
@@ -12242,6 +12325,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "q_rolling_distinct_users": (q_rolling_distinct_users, _rolling_hll_sql()),
     "q_bfs_reach_census": (q_bfs_reach_census, _bfs_sql()),
     "q_hyperball_neighborhood": (q_hyperball_neighborhood, _hyperball_sql()),
+    "q_personalized_pagerank": (q_personalized_pagerank, _Q_PPR_SQL),
 }
 
 # The correctness driver oracle-checks exactly the FIRST 50 keys of ``queries()``
@@ -12273,6 +12357,7 @@ _DRIVER_PRIORITY = [
     "q_rolling_distinct_users",
     "q_bfs_reach_census",
     "q_hyperball_neighborhood",
+    "q_personalized_pagerank",
     "q_benford_prices",
     "q_greedy_coverage",
     "q_snapshot_fingerprints",
