@@ -468,3 +468,44 @@ def test_bpe_pair_counts_vocab_only_shuffles(spark, sf_dir):
     pc = pair_counts(words_to_symbols(words).select("sym", "freq"))
     assert plans.shuffle_count(pc) == 2, plans.formatted_plan(pc)
     assert plans.reads_only_columns(pc, {"text"})
+
+
+def test_benford_prunes_to_one_column(spark, sf_dir):
+    spark.catalog.clearCache()
+    df = QUERIES["q_benford_prices"][0](spark, sf_dir)
+    assert plans.reads_only_columns(df, {"l_extendedprice"})
+    assert plans.has_pushed_filter(df, "l_extendedprice")
+
+
+def test_snapshot_fingerprints_prune_payload_columns(spark, sf_dir):
+    spark.catalog.clearCache()
+    df = QUERIES["q_snapshot_fingerprints"][0](spark, sf_dir)
+    assert plans.reads_only_columns(
+        df,
+        {
+            "o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority",
+            "o_orderdate", "c_custkey", "c_nationkey", "c_mktsegment",
+            "n_nationkey", "n_name", "n_regionkey",
+        },
+    )
+
+
+def test_sparse_dot_broadcasts_query_postings(spark, sf_dir):
+    spark.catalog.clearCache()
+    df = QUERIES["q_sparse_dot_topk"][0](spark, sf_dir)
+    assert plans.uses_broadcast_join(df)
+
+
+def test_temporal_dedup_single_window_shuffle(spark, sf_dir):
+    spark.catalog.clearCache()
+    df = QUERIES["q_temporal_dedup_report"][0](spark, sf_dir)
+    # one (user, type) window exchange + the final per-type aggregate
+    assert plans.shuffle_count(df) <= 2, plans.formatted_plan(df)
+
+
+def test_pr_curve_single_scan_of_scored_table(spark, sf_dir):
+    spark.catalog.clearCache()
+    df = QUERIES["q_classifier_pr_curve"][0](spark, sf_dir)
+    p = plans.formatted_plan(df)
+    # the 15-row grid must arrive via broadcast, never shuffle the corpus 15x
+    assert plans.uses_broadcast_join(df), p
