@@ -182,6 +182,7 @@ BENCH_QUERIES = [
     "q_bfs_reach_census",
     "q_hyperball_neighborhood",
     "q_personalized_pagerank",
+    "q_harmonic_centrality",
     "q_benford_prices",
     "q_greedy_coverage",
     "q_snapshot_fingerprints",

@@ -12087,6 +12087,94 @@ SELECT node, rank_units, CAST(rank AS INT) AS rank FROM (
 """
 
 
+def q_harmonic_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 suppliers by HyperBall-estimated harmonic centrality
+    (operators/graph.py hyperball_harmonic): each node reached at
+    distance t contributes 1/t — the centrality a billion-node graph
+    cannot get from per-node BFS. Ball estimates land on the 1e-4
+    lattice and deltas scale by lcm(1..3), so the whole score is exact
+    integer arithmetic; truncate-then-rank (TakeOrderedAndProject);
+    the oracle replays registers, merges, and the lattice sum."""
+    from radient_spark.operators.graph import hyperball_harmonic
+    from radient_spark.operators.retrieval import rank_by
+
+    edges = _co_supply_edges(spark, sf_dir)
+    harm = hyperball_harmonic(edges, rounds=3, p=7)
+    top = harm.orderBy(
+        F.col("harmonic_lattice").desc(), F.col("node").asc()
+    ).limit(20)
+    return rank_by(top, "harmonic_lattice", id_col="node").select(
+        "node", "harmonic_lattice", F.col("rank").cast("int").alias("rank")
+    )
+
+
+def _harmonic_sql(rounds: int = 3, p: int = 7) -> str:
+    import math
+
+    from radient_spark.operators.sketch import hll_alpha
+
+    m = 1 << p
+    numer = repr(hll_alpha(m) * m * m * float(1 << 50))
+    rho_cap = 61 - p
+    lcm = math.lcm(*range(1, rounds + 1))
+    parts = [
+        _CO_SUPPLY_SQL_PREFIX,
+        f""", r0 AS MATERIALIZED (
+  SELECT node, h % {m} AS idx,
+    CASE WHEN h // {m} = 0 THEN {rho_cap}
+         ELSE {rho_cap} - length(to_base(h // {m}, 2)) END AS rho
+  FROM (
+    SELECT node,
+      ('0x' || substring(md5(CAST(node AS VARCHAR)), 1, 15))::BIGINT AS h
+    FROM (SELECT DISTINCT u AS node FROM bidir)
+  )
+)""",
+    ]
+    for i in range(1, rounds + 1):
+        parts.append(
+            f""", r{i} AS MATERIALIZED (
+  SELECT node, idx, MAX(rho) AS rho FROM (
+    SELECT node, idx, rho FROM r{i - 1}
+    UNION ALL
+    SELECT e.u AS node, r.idx, r.rho
+    FROM bidir e JOIN r{i - 1} r ON r.node = e.v
+  ) GROUP BY node, idx
+)"""
+        )
+    for t in range(rounds + 1):
+        parts.append(
+            f""", est{t} AS MATERIALIZED (
+  SELECT node, CAST(CAST(ROUND(CASE
+      WHEN {numer} / CAST(s_set + ({m} - n_set) * (1::BIGINT << 50)
+             AS DOUBLE) <= 2.5 * {m} AND ({m} - n_set) > 0
+      THEN {float(m)!r} * ln({float(m)!r} / CAST({m} - n_set AS DOUBLE))
+      ELSE {numer} / CAST(s_set + ({m} - n_set) * (1::BIGINT << 50)
+             AS DOUBLE)
+    END, 4) AS DECIMAL(18,4)) * 10000 AS BIGINT) AS e{t}
+  FROM (
+    SELECT node, COUNT(*) AS n_set,
+      SUM(CAST(2.0 ** (50 - rho) AS BIGINT)) AS s_set
+    FROM r{t} GROUP BY node
+  )
+)"""
+        )
+    joins = " ".join(
+        f"JOIN est{t} USING (node)" for t in range(1, rounds + 1)
+    )
+    harm = " + ".join(
+        f"(e{t} - e{t - 1}) * {lcm // t}" for t in range(1, rounds + 1)
+    )
+    parts.append(
+        f"""
+SELECT node, harmonic_lattice, CAST(rank AS INT) AS rank FROM (
+  SELECT node, CAST({harm} AS BIGINT) AS harmonic_lattice,
+    row_number() OVER (ORDER BY {harm} DESC, node) AS rank
+  FROM est0 {joins}
+) WHERE rank <= 20"""
+    )
+    return "".join(parts)
+
+
 # ---------------------------------------------------------------------------
 # Registry
 
@@ -12326,6 +12414,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "q_bfs_reach_census": (q_bfs_reach_census, _bfs_sql()),
     "q_hyperball_neighborhood": (q_hyperball_neighborhood, _hyperball_sql()),
     "q_personalized_pagerank": (q_personalized_pagerank, _Q_PPR_SQL),
+    "q_harmonic_centrality": (q_harmonic_centrality, _harmonic_sql()),
 }
 
 # The correctness driver oracle-checks exactly the FIRST 50 keys of ``queries()``
@@ -12358,6 +12447,7 @@ _DRIVER_PRIORITY = [
     "q_bfs_reach_census",
     "q_hyperball_neighborhood",
     "q_personalized_pagerank",
+    "q_harmonic_centrality",
     "q_benford_prices",
     "q_greedy_coverage",
     "q_snapshot_fingerprints",

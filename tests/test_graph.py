@@ -357,3 +357,19 @@ def test_hyperball_tracks_exact_neighborhood_function(spark):
         exact = 20 * (2 * t + 1)
         est = rows[t]["n_reachable_pairs_est"]
         assert abs(est - exact) / exact < 0.06, (t, est, exact)
+
+
+def test_hyperball_harmonic_orders_star_center_first(spark):
+    from radient_spark.operators.graph import hyperball_harmonic
+
+    # star: center reaches 6 nodes at distance 1; leaves reach 1 at
+    # distance 1 and 5 at distance 2 -> center strictly most central
+    star = [(0, i) for i in range(1, 7)]
+    df = spark.createDataFrame(star, "src long, dst long")
+    rows = {
+        r["node"]: r["harmonic_lattice"]
+        for r in hyperball_harmonic(df, rounds=2, p=7).collect()
+    }
+    assert rows[0] == max(rows.values())
+    leaf_vals = {rows[i] for i in range(1, 7)}
+    assert len(leaf_vals) == 1 and rows[0] > leaf_vals.pop()
