@@ -367,3 +367,19 @@ register("graph", "wl_colors")(
 register("graph", "hyperball")(
     lambda **kw: functools.partial(_graph.hyperball, **kw)
 )
+register("graph", "bfs_layers")(
+    lambda seeds, **kw: functools.partial(_graph.bfs_layers, seeds=seeds, **kw)
+)
+register("graph", "personalized_pagerank")(
+    lambda seed_node, **kw: functools.partial(
+        _graph.personalized_pagerank_integer, seed_node=seed_node, **kw
+    )
+)
+register("graph", "harmonic_centrality")(
+    lambda **kw: functools.partial(_graph.hyperball_harmonic, **kw)
+)
+register("audit", "snapshot_diff")(
+    lambda new, key_cols, cols, **kw: functools.partial(
+        _reconcile.snapshot_diff, new=new, key_cols=key_cols, cols=cols, **kw
+    )
+)
