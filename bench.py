@@ -209,6 +209,8 @@ HEADLINE = [
     "q_hll_cardinalities",
     "q_mad_outliers",
     "q_retrieval_metrics",
+    "q_kcore_suppliers",
+    "q_hyperball_neighborhood",
 ]
 
 
