@@ -11268,15 +11268,21 @@ def _snapshot_fp_sql() -> str:
     return "\nUNION ALL\n".join(selects)
 
 
-def _co_supply_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Supplier co-supply edge list (src < dst), hub parts capped at 20
-    suppliers — the shared projection for the graph query family
-    (q_triangle_count / q_kcore_suppliers / LPA / WL)."""
+def _co_supply_edges(
+    spark: SparkSession, sf_dir: str, cap: int = 20
+) -> DataFrame:
+    """Supplier co-supply edge list (src < dst), hub parts capped at
+    ``cap`` suppliers — the shared projection for the graph query
+    family (q_triangle_count / q_kcore_suppliers / LPA / WL). The
+    HyperBall pair uses cap=8: the cap bounds projection density
+    (edges <= parts * C(cap,2)), and sketch-propagation cost is
+    edges x registers, so the sparser projection is the honest input
+    for distance estimation (the dense one is near-diameter-1)."""
     li = load_tables(spark, sf_dir)["lineitem"]
     sp = li.select("l_suppkey", "l_partkey").distinct()
     part_deg = sp.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("ns"))
     small = sp.join(
-        part_deg.filter(F.col("ns") <= 20).select("l_partkey"), "l_partkey"
+        part_deg.filter(F.col("ns") <= cap).select("l_partkey"), "l_partkey"
     )
     a = small.alias("a")
     b = small.alias("b")
@@ -11291,6 +11297,10 @@ def _co_supply_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
+
+
+def _co_supply_sql_prefix(cap: int) -> str:
+    return _CO_SUPPLY_SQL_PREFIX.replace("COUNT(*) <= 20", f"COUNT(*) <= {cap}")
 
 
 _CO_SUPPLY_SQL_PREFIX = r"""WITH sp AS (
@@ -11947,7 +11957,7 @@ def q_hyperball_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
     rounds, and the estimate arithmetic bit-for-bit."""
     from radient_spark.operators.graph import hyperball
 
-    edges = _co_supply_edges(spark, sf_dir)
+    edges = _co_supply_edges(spark, sf_dir, cap=8)
     return hyperball(edges, rounds=_HYPERBALL_ROUNDS, p=7)
 
 
@@ -11975,7 +11985,7 @@ def _hyperball_sql(rounds: int = _HYPERBALL_ROUNDS, p: int = 7) -> str:
     FROM r{{T}} GROUP BY node
   )"""
     parts = [
-        _CO_SUPPLY_SQL_PREFIX,
+        _co_supply_sql_prefix(8),
         f""", r0 AS MATERIALIZED (
   SELECT node, h % {m} AS idx,
     CASE WHEN h // {m} = 0 THEN {rho_cap}
@@ -12098,7 +12108,7 @@ def q_harmonic_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
     from radient_spark.operators.graph import hyperball_harmonic
     from radient_spark.operators.retrieval import rank_by
 
-    edges = _co_supply_edges(spark, sf_dir)
+    edges = _co_supply_edges(spark, sf_dir, cap=8)
     harm = hyperball_harmonic(edges, rounds=3, p=7)
     top = harm.orderBy(
         F.col("harmonic_lattice").desc(), F.col("node").asc()
@@ -12118,7 +12128,7 @@ def _harmonic_sql(rounds: int = 3, p: int = 7) -> str:
     rho_cap = 61 - p
     lcm = math.lcm(*range(1, rounds + 1))
     parts = [
-        _CO_SUPPLY_SQL_PREFIX,
+        _co_supply_sql_prefix(8),
         f""", r0 AS MATERIALIZED (
   SELECT node, h % {m} AS idx,
     CASE WHEN h // {m} = 0 THEN {rho_cap}
