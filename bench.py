@@ -183,6 +183,8 @@ BENCH_QUERIES = [
     "q_hyperball_neighborhood",
     "q_personalized_pagerank",
     "q_harmonic_centrality",
+    "q_bloom_runtime_filter",
+    "q_histogram_join_estimate",
     "q_benford_prices",
     "q_greedy_coverage",
     "q_snapshot_fingerprints",

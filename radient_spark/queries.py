@@ -12185,6 +12185,158 @@ SELECT node, harmonic_lattice, CAST(rank AS INT) AS rank FROM (
     return "".join(parts)
 
 
+def q_bloom_runtime_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Runtime-filter join: revenue per nation for BUILDING-segment
+    customers, with the fact scan pre-pruned by a Bloom filter built
+    from the dimension keys (operators/dedup.py bloom_build/gate) —
+    the dynamic-filter pattern modern optimizers inject for selective
+    dim-fact joins: the fact side drops non-matching rows in a
+    zero-shuffle map before the join; the exact broadcast join then
+    removes Bloom false positives, so the aggregate is EXACT. The
+    n_fact_total / n_fact_after_bloom audit columns show the pruning
+    the filter bought (deterministic — md5 double hashing)."""
+    from radient_spark.operators.dedup import bloom_build, bloom_gate
+
+    M, K = 65536, 5
+    t = load_tables(spark, sf_dir)
+    dim = t["customer"].filter(F.col("c_mktsegment") == "BUILDING").select(
+        "c_custkey", "c_nationkey"
+    )
+    dkeys = dim.select(F.col("c_custkey").cast("string").alias("__k"))
+    bitmap = bloom_build(dkeys, "__k", M, K)
+    fact = t["orders"].withColumn("__k", F.col("o_custkey").cast("string"))
+    kept = bloom_gate(fact, bitmap, "__k", M, K).filter(F.col("maybe_dup"))
+    stats = (
+        kept.agg(F.count(F.lit(1)).alias("n_fact_after_bloom"))
+        .crossJoin(
+            F.broadcast(
+                t["orders"].agg(F.count(F.lit(1)).alias("n_fact_total"))
+            )
+        )
+    )
+    agg = (
+        kept.join(F.broadcast(dim), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(t["nation"]), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum(F.col("o_totalprice"), "revenue"),
+        )
+    )
+    return agg.crossJoin(F.broadcast(stats))
+
+
+_Q_BLOOM_RF_SQL = """
+WITH dim AS (
+  SELECT c_custkey, c_nationkey FROM customer WHERE c_mktsegment = 'BUILDING'
+), cpos AS (
+  SELECT DISTINCT (h1 + i * h2) % 65536 AS pos
+  FROM (
+    SELECT
+      ('0x' || substring(md5(CAST(c_custkey AS VARCHAR)), 1, 15))::BIGINT
+        % 65536 AS h1,
+      (('0x' || substring(md5(CAST(c_custkey AS VARCHAR)), 17, 15))::BIGINT
+        % 65536) | 1 AS h2
+    FROM dim
+  ), range(0, 5) t(i)
+), probes AS (
+  SELECT o_orderkey, o_custkey, o_totalprice, (h1 + i * h2) % 65536 AS pos
+  FROM (
+    SELECT o_orderkey, o_custkey, o_totalprice,
+      ('0x' || substring(md5(CAST(o_custkey AS VARCHAR)), 1, 15))::BIGINT
+        % 65536 AS h1,
+      (('0x' || substring(md5(CAST(o_custkey AS VARCHAR)), 17, 15))::BIGINT
+        % 65536) | 1 AS h2
+    FROM orders
+  ), range(0, 5) t(i)
+), gated AS (
+  SELECT o_orderkey, o_custkey, o_totalprice,
+    bool_and(c.pos IS NOT NULL) AS maybe
+  FROM probes p LEFT JOIN cpos c USING (pos)
+  GROUP BY o_orderkey, o_custkey, o_totalprice
+), kept AS (
+  SELECT * FROM gated WHERE maybe
+), stats AS (
+  SELECT (SELECT COUNT(*) FROM orders) AS n_fact_total,
+    CAST(COUNT(*) AS BIGINT) AS n_fact_after_bloom
+  FROM kept
+), agg AS (
+  SELECT n.n_name, CAST(COUNT(*) AS BIGINT) AS n_orders,
+    CAST(SUM(CAST(k.o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+  FROM kept k
+  JOIN dim d ON k.o_custkey = d.c_custkey
+  JOIN nation n ON d.c_nationkey = n.n_nationkey
+  GROUP BY n.n_name
+)
+SELECT a.n_name, a.n_orders, a.revenue, s.n_fact_after_bloom, s.n_fact_total
+FROM agg a, stats s
+"""
+
+
+def q_histogram_join_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width histogram join-cardinality estimation — the textbook
+    optimizer statistic: bucket both join keys by ``key div 32``,
+    estimate |R JOIN S| as sum over buckets of (n_r * n_s) div width
+    (within-bucket uniformity), and report it against the exact join
+    count with the error in ppm. Complements the CMS-sketch estimator
+    (q_join_size_estimates) with the histogram family optimizers
+    actually ship; all arithmetic is nonnegative integer."""
+    W = 32
+    t = load_tables(spark, sf_dir)
+    la = (
+        t["lineitem"]
+        .groupBy(F.expr(f"l_orderkey div {W}").alias("b"))
+        .agg(F.count(F.lit(1)).alias("na"))
+    )
+    ob = (
+        t["orders"]
+        .groupBy(F.expr(f"o_orderkey div {W}").alias("b"))
+        .agg(F.count(F.lit(1)).alias("nb"))
+    )
+    per_bucket = la.join(ob, "b").select(
+        "b", F.expr(f"(na * nb) div {W}").alias("est_b")
+    )
+    est = per_bucket.agg(
+        F.count(F.lit(1)).alias("n_buckets"),
+        F.sum("est_b").cast("long").alias("est_join_size"),
+    )
+    exact = (
+        t["lineitem"]
+        .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .agg(F.count(F.lit(1)).alias("exact_join_size"))
+    )
+    return (
+        est.crossJoin(F.broadcast(exact))
+        .withColumn(
+            "err_ppm",
+            F.expr(
+                "abs(est_join_size - exact_join_size) * 1000000L"
+                " div exact_join_size"
+            ),
+        )
+    )
+
+
+_Q_HIST_JOIN_SQL = """
+WITH la AS (
+  SELECT l_orderkey // 32 AS b, COUNT(*) AS na FROM lineitem GROUP BY 1
+), ob AS (
+  SELECT o_orderkey // 32 AS b, COUNT(*) AS nb FROM orders GROUP BY 1
+), est AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_buckets,
+    CAST(SUM((na * nb) // 32) AS BIGINT) AS est_join_size
+  FROM la JOIN ob USING (b)
+), exact AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS exact_join_size
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+)
+SELECT n_buckets, est_join_size, exact_join_size,
+  CAST(abs(est_join_size - exact_join_size) * 1000000 // exact_join_size
+    AS BIGINT) AS err_ppm
+FROM est, exact
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 
@@ -12425,6 +12577,11 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "q_hyperball_neighborhood": (q_hyperball_neighborhood, _hyperball_sql()),
     "q_personalized_pagerank": (q_personalized_pagerank, _Q_PPR_SQL),
     "q_harmonic_centrality": (q_harmonic_centrality, _harmonic_sql()),
+    "q_bloom_runtime_filter": (q_bloom_runtime_filter, _Q_BLOOM_RF_SQL),
+    "q_histogram_join_estimate": (
+        q_histogram_join_estimate,
+        _Q_HIST_JOIN_SQL,
+    ),
 }
 
 # The correctness driver oracle-checks exactly the FIRST 50 keys of ``queries()``
@@ -12458,6 +12615,8 @@ _DRIVER_PRIORITY = [
     "q_hyperball_neighborhood",
     "q_personalized_pagerank",
     "q_harmonic_centrality",
+    "q_bloom_runtime_filter",
+    "q_histogram_join_estimate",
     "q_benford_prices",
     "q_greedy_coverage",
     "q_snapshot_fingerprints",
