@@ -185,6 +185,8 @@ BENCH_QUERIES = [
     "q_harmonic_centrality",
     "q_bloom_runtime_filter",
     "q_histogram_join_estimate",
+    "q_ndv_join_estimate",
+    "q_equidepth_histogram",
     "q_benford_prices",
     "q_greedy_coverage",
     "q_snapshot_fingerprints",

@@ -12337,6 +12337,115 @@ FROM est, exact
 """
 
 
+def q_ndv_join_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The third textbook join-cardinality estimator, completing the
+    statistics family (CMS: q_join_size_estimates; histogram:
+    q_histogram_join_estimate): |R JOIN S| ~ n_r * n_s / max(d_r, d_s)
+    under containment-of-value-sets. NDVs here are exact countDistinct
+    (one aggregate per side; swap in HLL for the sketch-budget
+    variant), and all arithmetic is nonnegative integer with err_ppm
+    against the exact join count."""
+    t = load_tables(spark, sf_dir)
+    r = t["lineitem"].agg(
+        F.count(F.lit(1)).alias("n_r"),
+        F.countDistinct("l_orderkey").alias("d_r"),
+    )
+    s = t["orders"].agg(
+        F.count(F.lit(1)).alias("n_s"),
+        F.countDistinct("o_orderkey").alias("d_s"),
+    )
+    exact = (
+        t["lineitem"]
+        .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .agg(F.count(F.lit(1)).alias("exact_join_size"))
+    )
+    return (
+        r.crossJoin(F.broadcast(s))
+        .crossJoin(F.broadcast(exact))
+        .withColumn(
+            "est_join_size",
+            F.expr("(n_r * n_s) div greatest(d_r, d_s)"),
+        )
+        .withColumn(
+            "err_ppm",
+            F.expr(
+                "abs(est_join_size - exact_join_size) * 1000000L"
+                " div exact_join_size"
+            ),
+        )
+        .select(
+            "n_r", "d_r", "n_s", "d_s",
+            "est_join_size", "exact_join_size", "err_ppm",
+        )
+    )
+
+
+_Q_NDV_JOIN_SQL = """
+WITH r AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_r,
+    CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS d_r
+  FROM lineitem
+), s AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_s,
+    CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) AS d_s
+  FROM orders
+), exact AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS exact_join_size
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+)
+SELECT n_r, d_r, n_s, d_s,
+  CAST((n_r * n_s) // GREATEST(d_r, d_s) AS BIGINT) AS est_join_size,
+  exact_join_size,
+  CAST(abs((n_r * n_s) // GREATEST(d_r, d_s) - exact_join_size) * 1000000
+    // exact_join_size AS BIGINT) AS err_ppm
+FROM r, s, exact
+"""
+
+
+def q_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-depth (quantile) histogram of lineitem extended prices —
+    the optimizer statistic for skewed value columns where equi-width
+    buckets collapse: 16 buckets of ~equal row count with exact
+    (lo, hi, n) per bucket. Bucket assignment rides distributed_ntile
+    (operators/dataset.py) — exact global NTILE with NO single-reducer
+    sort; the oracle is the bare NTILE window spec the distributed
+    plan must equal."""
+    from radient_spark.operators.dataset import distributed_ntile
+
+    li = load_tables(spark, sf_dir)["lineitem"].select(
+        F.col("l_extendedprice").alias("v"),
+        F.col("l_orderkey"),
+        F.col("l_linenumber"),
+    )
+    bucketed = distributed_ntile(
+        li,
+        16,
+        [F.col("v").asc(), F.col("l_orderkey").asc(),
+         F.col("l_linenumber").asc()],
+        range_col=F.col("v"),
+        out_col="bucket",
+    )
+    return bucketed.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.min("v").alias("lo"),
+        F.max("v").alias("hi"),
+    )
+
+
+_Q_EQUIDEPTH_SQL = """
+WITH b AS (
+  SELECT l_extendedprice AS v,
+    NTILE(16) OVER (
+      ORDER BY l_extendedprice, l_orderkey, l_linenumber
+    ) AS bucket
+  FROM lineitem
+)
+SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_rows,
+  MIN(v) AS lo, MAX(v) AS hi
+FROM b GROUP BY bucket
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 
@@ -12582,6 +12691,8 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
         q_histogram_join_estimate,
         _Q_HIST_JOIN_SQL,
     ),
+    "q_ndv_join_estimate": (q_ndv_join_estimate, _Q_NDV_JOIN_SQL),
+    "q_equidepth_histogram": (q_equidepth_histogram, _Q_EQUIDEPTH_SQL),
 }
 
 # The correctness driver oracle-checks exactly the FIRST 50 keys of ``queries()``
@@ -12617,6 +12728,8 @@ _DRIVER_PRIORITY = [
     "q_harmonic_centrality",
     "q_bloom_runtime_filter",
     "q_histogram_join_estimate",
+    "q_ndv_join_estimate",
+    "q_equidepth_histogram",
     "q_benford_prices",
     "q_greedy_coverage",
     "q_snapshot_fingerprints",
