@@ -394,10 +394,25 @@ class IvfIndex:
                 .join(tombs, "id", "left_anti")
                 .localCheckpoint(eager=True)
             )
+            surviving = {
+                r["cell_id"]
+                for r in kept.select("cell_id").distinct().collect()
+            }
             with _dynamic_partition_overwrite(spark):
                 kept.write.mode("overwrite").partitionBy("cell_id").parquet(
                     f"{path}/cells"
                 )
+            # Dynamic partition overwrite only rewrites partitions that
+            # appear in `kept`; a touched cell whose rows were ALL
+            # tombstoned would keep its stale files and resurrect the
+            # deleted ids once the sidecar is gone. Remove those
+            # partition directories explicitly (touched is driver-side
+            # and bounded by n_cells).
+            for cell in touched:
+                if cell not in surviving:
+                    shutil.rmtree(
+                        f"{path}/cells/cell_id={cell}", ignore_errors=True
+                    )
         shutil.rmtree(tomb_dir, ignore_errors=True)
 
     def save(self, path: str) -> None:

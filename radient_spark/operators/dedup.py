@@ -864,3 +864,105 @@ def simhash_multiprobe_pairs(
         .filter(F.col("hamming") <= max_hamming)
     )
     return pairs
+
+
+def token_pair_counts(
+    toks: DataFrame,
+    id_col: str = "doc_id",
+    part_col: str | None = "source",
+    tokens_col: str = "toks",
+    max_df: int | None = None,
+    candidates: DataFrame | None = None,
+) -> DataFrame:
+    """Shared-token counts per unordered document pair — the exact
+    verify core of the n-gram Jaccard / containment dedup family.
+    Input: one row per doc with a DISTINCT-token array `tokens_col`
+    (and optionally a partition column restricting comparisons).
+    Output: (part_col?, id_a, id_b, shared, na, nb) with id_a < id_b;
+    callers derive jaccard = shared/(na+nb-shared) or containment =
+    shared/least(na, nb).
+
+    Three execution modes (round-6: the scale guard is an OPTION, not
+    SCALING.md prose):
+
+    - default (max_df=None, candidates=None): posting-list self-join on
+      (part, token) + pair groupBy.  Work is O(sum over tokens of df^2)
+      — measured FASTEST on this corpus's small uniform vocabulary
+      (PPJoin prefix filtering and length pruning both measured slower,
+      see q_ngram_jaccard_pairs), but quadratic in each token's
+      document frequency, i.e. quadratic on stopwords for zipfian real
+      corpora.
+    - max_df=N: candidate pairs are generated ONLY from postings whose
+      per-partition document frequency is <= N (stopword postings never
+      enter the self-join, bounding per-token cost at O(N^2)); each
+      candidate is then verified EXACTLY on the full token arrays
+      (array_intersect), so emitted scores are identical to the default
+      mode.  A true pair is missed only if EVERY shared token has
+      df > N — impossible for near-dup thresholds unless the docs are
+      made entirely of stopwords.
+    - candidates=DF[(part?, id_a, id_b)]: skip generation entirely and
+      exact-verify a caller-supplied candidate set (e.g. MinHash-LSH
+      output) — the banded-candidates composition.
+    """
+    part = [part_col] if part_col else []
+    sizes = toks.select(id_col, F.size(tokens_col).alias("n_toks"))
+    posting = toks.select(
+        *part, id_col, F.explode(tokens_col).alias("token")
+    )
+
+    def _pair_join(p: DataFrame):
+        a = p.select(*part, F.col(id_col).alias("id_a"), "token")
+        b = p.select(
+            *[F.col(c).alias(f"{c}_b") for c in part],
+            F.col(id_col).alias("id_b"),
+            F.col("token").alias("token_b"),
+        )
+        cond = (F.col("token") == F.col("token_b")) & (
+            F.col("id_a") < F.col("id_b")
+        )
+        for c in part:
+            cond = (F.col(c) == F.col(f"{c}_b")) & cond
+        return a.join(b, cond)
+
+    if candidates is None and max_df is None:
+        shared = (
+            _pair_join(posting)
+            .groupBy(*part, "id_a", "id_b")
+            .agg(F.count(F.lit(1)).alias("shared"))
+        )
+    else:
+        if candidates is None:
+            dfc = posting.groupBy(*part, "token").agg(
+                F.count(F.lit(1)).alias("df")
+            )
+            rare = posting.join(
+                dfc.filter(F.col("df") <= max_df).select(*part, "token"),
+                part + ["token"],
+            )
+            candidates = (
+                _pair_join(rare).select(*part, "id_a", "id_b").distinct()
+            )
+        ta = toks.select(
+            *part,
+            F.col(id_col).alias("id_a"),
+            F.col(tokens_col).alias("__toks_a"),
+        )
+        tb = toks.select(
+            F.col(id_col).alias("id_b"),
+            F.col(tokens_col).alias("__toks_b"),
+        )
+        shared = (
+            candidates.join(ta, part + ["id_a"])
+            .join(tb, "id_b")
+            .select(
+                *part,
+                "id_a",
+                "id_b",
+                F.size(F.array_intersect("__toks_a", "__toks_b")).alias(
+                    "shared"
+                ),
+            )
+        )
+    na = sizes.select(F.col(id_col).alias("id_a"), F.col("n_toks").alias("na"))
+    nb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_toks").alias("nb"))
+    return shared.join(F.broadcast(na), "id_a").join(F.broadcast(nb), "id_b")

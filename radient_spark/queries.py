@@ -1093,51 +1093,27 @@ def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     O(sum over tokens of co-occurring doc pairs) instead of
     O(all pairs x tokens) — the shape that survives corpus-scale input.
     Pure-integer arithmetic, so the double division matches the oracle
-    exactly (no rounding needed)."""
+    exactly (no rounding needed).
+
+    Runs operators/dedup.token_pair_counts in DEFAULT (uncapped) mode —
+    measured fastest on this corpus's small uniform vocabulary
+    (length-ratio pruning, PPJoin prefix filtering, and collect_list +
+    HOF pair explosion all measured SLOWER at sf0.1: 10.1s/11.5s vs
+    8.5-8.9s — see SCALING.md). On zipfian real corpora pass
+    max_df=N to bound each stopword posting's O(df^2) self-join; scores
+    are unchanged (candidates re-verify on the full token arrays)."""
+    from radient_spark.operators.dedup import token_pair_counts
+
     docs = load_tables(spark, sf_dir)["documents"]
     toks = docs.filter(F.length(F.trim("text")) > 0).select(
         "doc_id",
         "source",
         F.array_distinct(F.split(F.trim("text"), r"\s+")).alias("toks"),
     )
-    sizes = toks.select("doc_id", F.size("toks").alias("n_toks"))
-    posting = toks.select("source", "doc_id", F.explode("toks").alias("token"))
-    a = posting.select("source", F.col("doc_id").alias("id_a"), "token")
-    b = posting.select(
-        F.col("source").alias("source_b"),
-        F.col("doc_id").alias("id_b"),
-        F.col("token").alias("token_b"),
-    )
-    # (Length-ratio pruning — J>=0.6 forces 5*min(|A|,|B|) >= 3*max —
-    # was measured SLOWER here: this corpus has uniform doc sizes so it
-    # prunes nothing and widens the posting shuffle. PPJoin-style prefix
-    # filtering was also measured slower (10.1s vs 8.5s at sf0.1): the
-    # ~620-posting vocabulary only cuts candidates 2.6x while the prefix
-    # window + distinct + verify add 3 shuffles. A third variant —
-    # collect_list per (source, token) + Catalyst-HOF pair explosion
-    # instead of the posting self-join — also measured slower (11.5s vs
-    # 8.9s isolated at sf0.1): the quadratic nested-transform expression
-    # loses to the sort-merge join's tight merge loop, and the pair
-    # groupBy shuffle (the true cost) is identical in both shapes. All
-    # three DO pay off on real corpora with zipfian vocabularies and
-    # varied lengths; see SCALING.md.)
-    shared = (
-        a.join(
-            b,
-            (F.col("source") == F.col("source_b"))
-            & (F.col("token") == F.col("token_b"))
-            & (F.col("id_a") < F.col("id_b")),
-        )
-        .groupBy("source", "id_a", "id_b")
-        .agg(F.count(F.lit(1)).alias("shared"))
-    )
-    na = sizes.select(F.col("doc_id").alias("id_a"), F.col("n_toks").alias("na"))
-    nb = sizes.select(F.col("doc_id").alias("id_b"), F.col("n_toks").alias("nb"))
+    counts = token_pair_counts(toks, id_col="doc_id", part_col="source")
     jac = F.col("shared") / (F.col("na") + F.col("nb") - F.col("shared"))
     return (
-        shared.join(F.broadcast(na), "id_a")
-        .join(F.broadcast(nb), "id_b")
-        .withColumn("jaccard", jac)
+        counts.withColumn("jaccard", jac)
         .filter(F.col("jaccard") >= 0.6)
         .select("source", "id_a", "id_b", "jaccard")
     )
@@ -8977,10 +8953,13 @@ def q_zipf_exponent(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("tok")
         .agg(F.count(F.lit(1)).alias("freq"))
     )
+    # TakeOrderedAndProject FIRST (distributed per-partition top-100 +
+    # driver merge of 100-row heads), THEN rank the <=100 survivors —
+    # never a global window over the full vocabulary (10^8-10^9 distinct
+    # tokens on a real corpus would single-reducer sort otherwise).
+    top100 = freqs.orderBy(F.col("freq").desc(), F.col("tok").asc()).limit(100)
     w = Window.orderBy(F.col("freq").desc(), F.col("tok").asc())
-    top = freqs.withColumn("rank", F.row_number().over(w)).filter(
-        F.col("rank") <= 100
-    )
+    top = top100.withColumn("rank", F.row_number().over(w))
     dec = "decimal(38,0)"
     xl = F.round(F.log(F.col("rank").cast("double")) * 1e6, 0).cast("long")
     yl = F.round(F.log(F.col("freq").cast("double")) * 1e6, 0).cast("long")
@@ -11782,38 +11761,20 @@ def q_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     distinction). Same inverted-index posting join as
     q_ngram_jaccard_pairs — shared-token counts per candidate pair,
     sizes broadcast back — with the asymmetric denominator; exact
-    integer-ratio division."""
+    integer-ratio division. Shares operators/dedup.token_pair_counts
+    (pass max_df=N on zipfian corpora to bound the posting self-join)."""
+    from radient_spark.operators.dedup import token_pair_counts
+
     docs = load_tables(spark, sf_dir)["documents"]
     toks = docs.filter(F.length(F.trim("text")) > 0).select(
         "doc_id",
         "source",
         F.array_distinct(F.split(F.trim("text"), r"\s+")).alias("toks"),
     )
-    sizes = toks.select("doc_id", F.size("toks").alias("n_toks"))
-    posting = toks.select("source", "doc_id", F.explode("toks").alias("token"))
-    a = posting.select("source", F.col("doc_id").alias("id_a"), "token")
-    b = posting.select(
-        F.col("source").alias("source_b"),
-        F.col("doc_id").alias("id_b"),
-        F.col("token").alias("token_b"),
-    )
-    shared = (
-        a.join(
-            b,
-            (F.col("source") == F.col("source_b"))
-            & (F.col("token") == F.col("token_b"))
-            & (F.col("id_a") < F.col("id_b")),
-        )
-        .groupBy("source", "id_a", "id_b")
-        .agg(F.count(F.lit(1)).alias("shared"))
-    )
-    na = sizes.select(F.col("doc_id").alias("id_a"), F.col("n_toks").alias("na"))
-    nb = sizes.select(F.col("doc_id").alias("id_b"), F.col("n_toks").alias("nb"))
+    counts = token_pair_counts(toks, id_col="doc_id", part_col="source")
     cont = F.col("shared") / F.least("na", "nb")
     return (
-        shared.join(F.broadcast(na), "id_a")
-        .join(F.broadcast(nb), "id_b")
-        .withColumn("containment", cont)
+        counts.withColumn("containment", cont)
         .filter(F.col("containment") >= 0.8)
         .select("source", "id_a", "id_b", "containment")
     )
@@ -12701,59 +12662,15 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
 # local harness at sf0.001/0.01/0.1.  Each round we rotate a fresh batch of
 # never-driver-checked queries to the front (plus 5 stable sentinels for
 # cross-round continuity); remaining keys keep their historical order behind
-# them.  Round 5 batch: the 45 oldest never-checked entries (TPC-H tail,
-# curation v1/v2, dedup variants, quantized search, sampling).
+# them.  Round 6 batch: the 45 oldest never-checked entries (r2/r3 backlog:
+# quantized search, curation v1/v2, sketches, profiling, sampling, graph).
 _DRIVER_PRIORITY = [
     "q01_pricing_summary",
     "q_vec_topk_cosine",
     "q_minhash_signatures",
     "q_ann_search_exact",
     "q_ivf_search_exact",
-    "q_kcore_suppliers",
-    "q_lpa_communities",
-    "q_wl_structural_classes",
-    "q_sparse_dot_topk",
-    "q_data_contract_report",
-    "q_temporal_dedup_report",
-    "q_pareto_parts",
-    "q_snapshot_diff_report",
-    "q_id_gap_audit",
-    "q_classifier_pr_curve",
-    "q_grouped_fingerprints",
-    "q_containment_pairs",
-    "q_rolling_distinct_users",
-    "q_bfs_reach_census",
-    "q_hyperball_neighborhood",
-    "q_personalized_pagerank",
-    "q_harmonic_centrality",
-    "q_bloom_runtime_filter",
-    "q_histogram_join_estimate",
-    "q_ndv_join_estimate",
-    "q_equidepth_histogram",
-    "q_benford_prices",
-    "q_greedy_coverage",
-    "q_snapshot_fingerprints",
-    "q_fuzzy_dedup_keep_report",
-    "q_bpe_token_stats",
-    "q_rolling_fingerprints",
-    "q_simhash_fingerprints",
-    "q_minhash_dup_pairs",
-    "q04_priority_late_ship",
-    "q06_forecast_revenue",
-    "q09_product_profit",
-    "q10_returned_items",
-    "q11_important_part_value",
-    "q12_priority_class_by_flag",
-    "q13_customer_order_counts",
-    "q15_top_supplier",
-    "q17_small_quantity_revenue",
-    "q19_disjunctive_revenue",
-    "q20_dominant_supplier",
-    "q21_waiting_supplier",
-    "q_decontamination_report",
-    "q_temperature_mix",
-    "q_repeated_ngram_report",
-    "q_perplexity_buckets",
+    "q_approx_cardinalities",
     "q_sq8_topk",
     "q_dsir_logweights",
     "q_pq_topk",
@@ -12778,6 +12695,26 @@ _DRIVER_PRIORITY = [
     "q_gopher_rules_report",
     "q_bigram_logppl",
     "q_stratified_sample",
+    "q_session_funnel",
+    "q_embedding_drift",
+    "q_epoch_interleave",
+    "q_mmr_rerank",
+    "q_bloom_dedup_gate",
+    "q_cohort_retention",
+    "q_ngram_diversity",
+    "q_value_percentiles",
+    "q_table_profile",
+    "q_skew_report",
+    "q_hll_cardinalities",
+    "q_cms_heavy_hitters",
+    "q_integrity_report",
+    "q_cross_source_overlap",
+    "q_rolling_anomalies",
+    "q_oov_report",
+    "q_hll_by_source",
+    "q_normalization_audit",
+    "q_correlation_matrix",
+    "q_ivfpq_search",
 ]
 
 QUERIES = {

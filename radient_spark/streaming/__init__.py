@@ -231,6 +231,83 @@ def foreach_batch_sink(stream: DataFrame, checkpoint: str, batch_fn):
     )
 
 
+def _state_fs(spark, d: str):
+    """(Path constructor, FileSystem) for a state directory."""
+    jvm = spark.sparkContext._jvm
+    hconf = spark.sparkContext._jsc.hadoopConfiguration()
+    P = jvm.org.apache.hadoop.fs.Path
+    return P, P(d).getFileSystem(hconf)
+
+
+def _recover_state(spark, state_dir: str) -> None:
+    """Roll forward a commit interrupted between renames: if state_dir
+    is missing but a fully-written staging dir (_SUCCESS present)
+    exists, rename it into place.  Called before every state read."""
+    P, fs = _state_fs(spark, state_dir)
+    if not fs.exists(P(state_dir)) and fs.exists(
+        P(state_dir + ".staging/_SUCCESS")
+    ):
+        fs.rename(P(state_dir + ".staging"), P(state_dir))
+
+
+def _state_exists(spark, state_dir: str) -> bool:
+    """Committed state present?  Also rolls forward an interrupted
+    staging swap, so callers never observe the mid-commit window."""
+    _recover_state(spark, state_dir)
+    P, fs = _state_fs(spark, state_dir)
+    return fs.exists(P(state_dir)) and fs.globStatus(
+        P(state_dir + "/*.parquet")
+    )
+
+
+def _epoch_tag(checkpoint: str) -> str:
+    """Stable per-query tag so epoch markers from a NEW checkpoint
+    (whose epoch ids restart at 0) never collide with an old one."""
+    import hashlib
+
+    return hashlib.md5(checkpoint.encode()).hexdigest()[:8]
+
+
+def _epoch_committed(spark, state_dir: str, tag: str, epoch_id: int) -> bool:
+    """True iff _commit_state already ran for (tag, epoch_id) — i.e. the
+    crash happened AFTER the state swap but BEFORE the streaming
+    checkpoint committed, so the replayed batch must be a no-op (the
+    merge is already folded in; re-merging would double-count)."""
+    _recover_state(spark, state_dir)
+    P, fs = _state_fs(spark, state_dir)
+    return bool(fs.exists(P(f"{state_dir}/_EPOCH-{tag}-{int(epoch_id)}")))
+
+
+def _commit_state(df: DataFrame, state_dir: str, tag: str, epoch_id: int) -> None:
+    """Crash-safe replacement for write.mode('overwrite').parquet(state_dir).
+
+    A bare overwrite deletes state_dir before the job commits, so a
+    failure mid-write leaves it EMPTY and the replay merges the batch
+    against nothing — silently dropping all accumulated history.  Here
+    the new state is written to a staging dir first (old state intact
+    throughout), an `_EPOCH-<tag>-<n>` marker is stamped inside it, and
+    the swap is two renames.  Crash windows:
+
+    - during the staging write: old state untouched; replay re-merges.
+    - between the renames: state_dir briefly absent, but the committed
+      staging dir is rolled forward by _recover_state on the next read.
+    - after the swap, before the checkpoint commit: the epoch marker
+      makes the replayed batch a no-op (_epoch_committed), so
+      non-idempotent merges (SUM/SCD2/fingerprint) never double-count.
+    """
+    spark = df.sparkSession
+    staging = state_dir + ".staging"
+    trash = state_dir + ".old"
+    df.write.mode("overwrite").parquet(staging)
+    P, fs = _state_fs(spark, state_dir)
+    fs.create(P(f"{staging}/_EPOCH-{tag}-{int(epoch_id)}"), True).close()
+    fs.delete(P(trash), True)
+    if fs.exists(P(state_dir)):
+        fs.rename(P(state_dir), P(trash))
+    fs.rename(P(staging), P(state_dir))
+    fs.delete(P(trash), True)
+
+
 def incremental_ingest_sink(
     stream: DataFrame,
     corpus_dir: str,
@@ -331,26 +408,20 @@ def sketch_maintenance_sink(
     merged table IS the batch sketch format, so `hll_estimate` reads it
     directly at any time.
 
-    The overwrite of a <=2^p-row table per batch is deliberate: HLL
-    registers only ever grow, so replay after a crash (checkpoint gives
-    at-least-once into an idempotent max-merge) converges to the same
-    registers.
+    The register overwrite rides _commit_state (staging + rename swap +
+    epoch marker): max-merge is idempotent, but a bare overwrite could
+    still lose ALL registers to a mid-write crash.
     """
     from radient_spark.operators.sketch import hll_registers
 
-    def _sketch_exists(spark) -> bool:
-        jvm = spark.sparkContext._jvm
-        hconf = spark.sparkContext._jsc.hadoopConfiguration()
-        path = jvm.org.apache.hadoop.fs.Path(sketch_dir)
-        fs = path.getFileSystem(hconf)
-        return fs.exists(path) and fs.globStatus(
-            jvm.org.apache.hadoop.fs.Path(sketch_dir + "/*.parquet")
-        )
+    tag = _epoch_tag(checkpoint)
 
     def batch_fn(df: DataFrame, epoch_id: int) -> None:
         spark = df.sparkSession
+        if _epoch_committed(spark, sketch_dir, tag, epoch_id):
+            return
         fresh = hll_registers(df, F.col(key_col).cast("string"), p)
-        if _sketch_exists(spark):
+        if _state_exists(spark, sketch_dir):
             old = spark.read.parquet(sketch_dir)
             merged = (
                 old.unionByName(fresh)
@@ -359,12 +430,9 @@ def sketch_maintenance_sink(
             )
         else:
             merged = fresh
-        # registers are tiny (<= 2^p rows): materialize before overwrite
-        # so the read side of the union is not clobbered mid-plan
-        rows = merged.collect()
-        spark.createDataFrame(rows, merged.schema).coalesce(1).write.mode(
-            "overwrite"
-        ).parquet(sketch_dir)
+        # staging write never clobbers the read side; registers are
+        # tiny (<= 2^p rows) so coalesce(1) keeps the state a single file
+        _commit_state(merged.coalesce(1), sketch_dir, tag, epoch_id)
 
     return foreach_batch_sink(stream, checkpoint, batch_fn)
 
@@ -393,24 +461,19 @@ def bloom_ingest_sink(
     """
     from radient_spark.operators.dedup import bloom_build, bloom_gate
 
-    def _parquet_exists(spark, d) -> bool:
-        jvm = spark.sparkContext._jvm
-        hconf = spark.sparkContext._jsc.hadoopConfiguration()
-        path = jvm.org.apache.hadoop.fs.Path(d)
-        fs = path.getFileSystem(hconf)
-        return fs.exists(path) and fs.globStatus(
-            jvm.org.apache.hadoop.fs.Path(d + "/*.parquet")
-        )
+    tag = _epoch_tag(checkpoint)
 
     def batch_fn(df: DataFrame, epoch_id: int) -> None:
         spark = df.sparkSession
+        if _epoch_committed(spark, bloom_dir, tag, epoch_id):
+            return  # bitmap committed => corpus append also ran
         batch = df.dropDuplicates([text_col])
-        if _parquet_exists(spark, bloom_dir):
+        if _state_exists(spark, bloom_dir):
             bitmap = spark.read.parquet(bloom_dir)
             gated = bloom_gate(batch, bitmap, text_col, m_bits, k)
             new = gated.filter(~F.col("maybe_dup")).drop("maybe_dup")
             maybe = gated.filter(F.col("maybe_dup")).drop("maybe_dup")
-            if _parquet_exists(spark, corpus_dir):
+            if _state_exists(spark, corpus_dir):
                 seen = (
                     spark.read.parquet(corpus_dir)
                     .select(F.md5(text_col).alias("__h"))
@@ -432,7 +495,7 @@ def bloom_ingest_sink(
         fresh = fresh.localCheckpoint(eager=True)
         fresh.write.mode("append").parquet(corpus_dir)
         add = bloom_build(fresh.select(text_col), text_col, m_bits, k)
-        if _parquet_exists(spark, bloom_dir):
+        if _state_exists(spark, bloom_dir):
             merged = (
                 spark.read.parquet(bloom_dir)
                 .unionByName(add)
@@ -441,10 +504,9 @@ def bloom_ingest_sink(
             )
         else:
             merged = add
-        rows = merged.collect()
-        spark.createDataFrame(rows, merged.schema).coalesce(1).write.mode(
-            "overwrite"
-        ).parquet(bloom_dir)
+        # crash-safe swap; the epoch marker also makes replay after a
+        # committed swap a no-op (so the corpus is not re-appended)
+        _commit_state(merged.coalesce(1), bloom_dir, tag, epoch_id)
 
     return foreach_batch_sink(stream, checkpoint, batch_fn)
 
@@ -463,32 +525,24 @@ def cms_maintenance_sink(
     heavy-hitter monitor, state bounded at d*w rows forever.
 
     Unlike the HLL sink's max-merge, SUM is NOT idempotent, so
-    exactly-once matters: the checkpoint guarantees each input file is
-    processed once, and the read-merge-overwrite of the tiny cell
-    table happens inside that per-batch boundary.
+    exactly-once matters: _commit_state's epoch marker makes a replayed
+    already-committed batch a no-op, and the staging+rename swap means
+    a crash mid-write never leaves the cell table empty.
     """
     from radient_spark.operators.sketch import cms_build, cms_merge
 
-    def _sketch_exists(spark) -> bool:
-        jvm = spark.sparkContext._jvm
-        hconf = spark.sparkContext._jsc.hadoopConfiguration()
-        path = jvm.org.apache.hadoop.fs.Path(sketch_dir)
-        fs = path.getFileSystem(hconf)
-        return fs.exists(path) and fs.globStatus(
-            jvm.org.apache.hadoop.fs.Path(sketch_dir + "/*.parquet")
-        )
+    tag = _epoch_tag(checkpoint)
 
     def batch_fn(df: DataFrame, epoch_id: int) -> None:
         spark = df.sparkSession
+        if _epoch_committed(spark, sketch_dir, tag, epoch_id):
+            return
         fresh = cms_build(df, token_col, depth, width)
-        if _sketch_exists(spark):
+        if _state_exists(spark, sketch_dir):
             merged = cms_merge(spark.read.parquet(sketch_dir), fresh)
         else:
             merged = fresh
-        rows = merged.collect()
-        spark.createDataFrame(rows, merged.schema).coalesce(1).write.mode(
-            "overwrite"
-        ).parquet(sketch_dir)
+        _commit_state(merged.coalesce(1), sketch_dir, tag, epoch_id)
 
     return foreach_batch_sink(stream, checkpoint, batch_fn)
 
@@ -507,32 +561,24 @@ def hist_maintenance_sink(
     few thousand bucket rows forever. `hist_quantiles` reads the
     merged table directly at any time for any quantile.
 
-    Like the CMS sink (SUM is not idempotent), the checkpoint's
-    exactly-once per-batch boundary guards the read-merge-overwrite of
-    the tiny bucket table.
+    Like the CMS sink (SUM is not idempotent), _commit_state's epoch
+    marker + staging swap give crash-safe exactly-once for the tiny
+    bucket table.
     """
     from radient_spark.operators.sketch import hist_build, hist_merge
 
-    def _sketch_exists(spark) -> bool:
-        jvm = spark.sparkContext._jvm
-        hconf = spark.sparkContext._jsc.hadoopConfiguration()
-        path = jvm.org.apache.hadoop.fs.Path(sketch_dir)
-        fs = path.getFileSystem(hconf)
-        return fs.exists(path) and fs.globStatus(
-            jvm.org.apache.hadoop.fs.Path(sketch_dir + "/*.parquet")
-        )
+    tag = _epoch_tag(checkpoint)
 
     def batch_fn(df: DataFrame, epoch_id: int) -> None:
         spark = df.sparkSession
+        if _epoch_committed(spark, sketch_dir, tag, epoch_id):
+            return
         fresh = hist_build(df, F.col(value_col), sub_bits=sub_bits)
-        if _sketch_exists(spark):
+        if _state_exists(spark, sketch_dir):
             merged = hist_merge(spark.read.parquet(sketch_dir), fresh)
         else:
             merged = fresh
-        rows = merged.collect()
-        spark.createDataFrame(rows, merged.schema).coalesce(1).write.mode(
-            "overwrite"
-        ).parquet(sketch_dir)
+        _commit_state(merged.coalesce(1), sketch_dir, tag, epoch_id)
 
     return foreach_batch_sink(stream, checkpoint, batch_fn)
 
@@ -553,27 +599,22 @@ def agg_maintenance_sink(
     everything ingested (avg = total/cnt at read time — any
     algebraic aggregate over distributive partials works this way).
 
-    Like the CMS/histogram sinks, sum-merge is not idempotent, so the
-    checkpoint's exactly-once per-batch boundary guards the
-    read-merge-overwrite cycle.
+    Like the CMS/histogram sinks, sum-merge is not idempotent, so
+    _commit_state's epoch marker + staging swap give crash-safe
+    exactly-once for the read-merge-commit cycle.
     """
 
-    def _state_exists(spark) -> bool:
-        jvm = spark.sparkContext._jvm
-        hconf = spark.sparkContext._jsc.hadoopConfiguration()
-        path = jvm.org.apache.hadoop.fs.Path(state_dir)
-        fs = path.getFileSystem(hconf)
-        return fs.exists(path) and fs.globStatus(
-            jvm.org.apache.hadoop.fs.Path(state_dir + "/*.parquet")
-        )
+    tag = _epoch_tag(checkpoint)
 
     def batch_fn(df: DataFrame, epoch_id: int) -> None:
         spark = df.sparkSession
+        if _epoch_committed(spark, state_dir, tag, epoch_id):
+            return
         fresh = df.groupBy(F.col(key_col).alias("k")).agg(
             F.count(F.lit(1)).alias("cnt"),
             F.sum(F.col(value_col)).alias("total"),
         )
-        if _state_exists(spark):
+        if _state_exists(spark, state_dir):
             merged = (
                 spark.read.parquet(state_dir)
                 .unionByName(fresh)
@@ -585,15 +626,14 @@ def agg_maintenance_sink(
             )
         else:
             merged = fresh
-        # localCheckpoint (eager) materializes the merged state on the
-        # executors and severs lineage to the state_dir files, so the
-        # overwrite below never reads-while-writing.  State stays
-        # distributed — no O(distinct keys) driver materialization (a
-        # collect() here was the round-4 scale cliff).  Executor loss
-        # mid-batch drops the checkpoint blocks, but the streaming
-        # checkpoint replays the batch, so the merge is recovered.
-        merged = merged.localCheckpoint(eager=True)
-        merged.write.mode("overwrite").parquet(state_dir)
+        # State stays distributed — no O(distinct keys) driver
+        # materialization (a collect() here was the round-4 scale
+        # cliff).  _commit_state writes the merged plan to a staging
+        # dir, so the old state files feeding the union are never
+        # overwritten mid-read — no lineage-severing localCheckpoint
+        # needed either (the round-5 eager checkpoint existed only to
+        # guard the in-place overwrite this replaced).
+        _commit_state(merged, state_dir, tag, epoch_id)
 
     return foreach_batch_sink(stream, checkpoint, batch_fn)
 
@@ -622,21 +662,16 @@ def cc_maintenance_sink(
     """
     from radient_spark.operators.graph import connected_components_star
 
-    def _labels_exist(spark) -> bool:
-        jvm = spark.sparkContext._jvm
-        hconf = spark.sparkContext._jsc.hadoopConfiguration()
-        path = jvm.org.apache.hadoop.fs.Path(labels_dir)
-        fs = path.getFileSystem(hconf)
-        return fs.exists(path) and fs.globStatus(
-            jvm.org.apache.hadoop.fs.Path(labels_dir + "/*.parquet")
-        )
+    tag = _epoch_tag(checkpoint)
 
     def batch_fn(df: DataFrame, epoch_id: int) -> None:
         spark = df.sparkSession
+        if _epoch_committed(spark, labels_dir, tag, epoch_id):
+            return
         new_edges = df.select(
             F.col(id_a).alias("id_a"), F.col(id_b).alias("id_b")
         )
-        if _labels_exist(spark):
+        if _state_exists(spark, labels_dir):
             prior = spark.read.parquet(labels_dir).select(
                 F.col("group_id").alias("id_a"), F.col("id").alias("id_b")
             )
@@ -644,12 +679,11 @@ def cc_maintenance_sink(
         else:
             edges = new_edges
         labels = connected_components_star(edges)
-        # Sever lineage to labels_dir before overwriting it (same
-        # eager-localCheckpoint pattern as bloom/agg maintenance):
-        # labels stay distributed on the executors, so a 10^9-node
-        # label table never rides the driver.
-        labels = labels.localCheckpoint(eager=True)
-        labels.write.mode("overwrite").parquet(labels_dir)
+        # Labels stay distributed (a 10^9-node label table never rides
+        # the driver); _commit_state's staging write means the prior
+        # labels feeding the union are never overwritten mid-read, and
+        # the swap is crash-safe.
+        _commit_state(labels, labels_dir, tag, epoch_id)
 
     return foreach_batch_sink(stream, checkpoint, batch_fn)
 
@@ -766,28 +800,22 @@ def hourly_count_sink(
     IDENTICAL to the batch recompute (stream ≡ batch test).
 
     State is one row per (key, hour) — bounded by keys x elapsed
-    hours, and merged DISTRIBUTED via the eager-localCheckpoint
-    overwrite pattern (no driver materialization).  Sum-merge is not
-    idempotent, so the checkpoint's exactly-once batch boundary guards
-    the read-merge-overwrite cycle, like the CMS/agg sinks.
+    hours, merged DISTRIBUTED (no driver materialization).  Sum-merge
+    is not idempotent, so _commit_state's epoch marker + staging swap
+    give crash-safe exactly-once, like the CMS/agg sinks.
     """
 
-    def _state_exists(spark) -> bool:
-        jvm = spark.sparkContext._jvm
-        hconf = spark.sparkContext._jsc.hadoopConfiguration()
-        path = jvm.org.apache.hadoop.fs.Path(state_dir)
-        fs = path.getFileSystem(hconf)
-        return fs.exists(path) and fs.globStatus(
-            jvm.org.apache.hadoop.fs.Path(state_dir + "/*.parquet")
-        )
+    tag = _epoch_tag(checkpoint)
 
     def batch_fn(df: DataFrame, epoch_id: int) -> None:
         spark = df.sparkSession
+        if _epoch_committed(spark, state_dir, tag, epoch_id):
+            return
         fresh = df.groupBy(
             F.col(key_col),
             F.date_trunc("hour", F.col(ts_col)).alias("hour_ts"),
         ).agg(F.count(F.lit(1)).alias("n_events"))
-        if _state_exists(spark):
+        if _state_exists(spark, state_dir):
             merged = (
                 spark.read.parquet(state_dir)
                 .unionByName(fresh)
@@ -796,8 +824,7 @@ def hourly_count_sink(
             )
         else:
             merged = fresh
-        merged = merged.localCheckpoint(eager=True)
-        merged.write.mode("overwrite").parquet(state_dir)
+        _commit_state(merged, state_dir, tag, epoch_id)
 
     return foreach_batch_sink(stream, checkpoint, batch_fn)
 
@@ -821,30 +848,24 @@ def scd2_maintenance_sink(
     writer of the warehouse dimension table.
 
     State is the history itself (one row per key-version), merged
-    DISTRIBUTED via the eager-localCheckpoint overwrite pattern.  The
-    merge is not idempotent (n_rows sums), so the checkpoint's
-    exactly-once batch boundary guards the read-merge-overwrite cycle.
+    DISTRIBUTED.  The merge is not idempotent (n_rows sums), so
+    _commit_state's epoch marker + staging swap give crash-safe
+    exactly-once for the read-merge-commit cycle.
     """
     from radient_spark.operators.merge import scd2_history, scd2_merge
 
-    def _state_exists(spark) -> bool:
-        jvm = spark.sparkContext._jvm
-        hconf = spark.sparkContext._jsc.hadoopConfiguration()
-        path = jvm.org.apache.hadoop.fs.Path(history_dir)
-        fs = path.getFileSystem(hconf)
-        return fs.exists(path) and fs.globStatus(
-            jvm.org.apache.hadoop.fs.Path(history_dir + "/*.parquet")
-        )
+    tag = _epoch_tag(checkpoint)
 
     def batch_fn(df: DataFrame, epoch_id: int) -> None:
         spark = df.sparkSession
-        if _state_exists(spark):
+        if _epoch_committed(spark, history_dir, tag, epoch_id):
+            return
+        if _state_exists(spark, history_dir):
             history = spark.read.parquet(history_dir)
             merged = scd2_merge(history, df, key, attr, order_col, tiebreak_col)
         else:
             merged = scd2_history(df, key, attr, order_col, tiebreak_col)
-        merged = merged.localCheckpoint(eager=True)
-        merged.write.mode("overwrite").parquet(history_dir)
+        _commit_state(merged, history_dir, tag, epoch_id)
 
     return foreach_batch_sink(stream, checkpoint, batch_fn)
 
@@ -886,34 +907,28 @@ def sample_maintenance_sink(
     reservoir, with none of a reservoir's order dependence.
 
     Per batch: key the batch, union with state, keep the k smallest
-    (TakeOrderedAndProject), overwrite via the eager-localCheckpoint
-    pattern.  Replays are idempotent (ranks are stateless functions of
-    ids), so exactly-once is not even required for correctness."""
+    (TakeOrderedAndProject), commit via the staging swap.  Replays are
+    idempotent (ranks are stateless functions of ids), but the
+    crash-safe commit still matters: a bare overwrite could lose the
+    whole reservoir to a mid-write failure."""
     from radient_spark.operators.dedup import str_hash
 
-    def _state_exists(spark) -> bool:
-        jvm = spark.sparkContext._jvm
-        hconf = spark.sparkContext._jsc.hadoopConfiguration()
-        path = jvm.org.apache.hadoop.fs.Path(state_dir)
-        fs = path.getFileSystem(hconf)
-        return fs.exists(path) and fs.globStatus(
-            jvm.org.apache.hadoop.fs.Path(state_dir + "/*.parquet")
-        )
+    tag = _epoch_tag(checkpoint)
 
     def batch_fn(df: DataFrame, epoch_id: int) -> None:
         spark = df.sparkSession
+        if _epoch_committed(spark, state_dir, tag, epoch_id):
+            return
         keyed = df.withColumn(
             "sample_rank",
             str_hash(F.concat_ws("_", F.lit(seed), F.col(id_col))),
         )
-        if _state_exists(spark):
+        if _state_exists(spark, state_dir):
             keyed = spark.read.parquet(state_dir).unionByName(keyed)
-        merged = (
-            keyed.orderBy(F.col("sample_rank").asc(), F.col(id_col).asc())
-            .limit(k)
-            .localCheckpoint(eager=True)
-        )
-        merged.write.mode("overwrite").parquet(state_dir)
+        merged = keyed.orderBy(
+            F.col("sample_rank").asc(), F.col(id_col).asc()
+        ).limit(k)
+        _commit_state(merged.coalesce(1), state_dir, tag, epoch_id)
 
     return foreach_batch_sink(stream, checkpoint, batch_fn)
 
@@ -937,15 +952,18 @@ def late_data_audit_sink(
     without turning on dropping — run it before tightening a
     production watermark."""
 
+    tag = _epoch_tag(checkpoint)
+
     def _max_state(spark):
-        try:
-            rows = spark.read.parquet(f"{audit_dir}/state").collect()
-            return rows[0]["max_ts"] if rows else None
-        except Exception:
+        if not _state_exists(spark, f"{audit_dir}/state"):
             return None
+        rows = spark.read.parquet(f"{audit_dir}/state").collect()
+        return rows[0]["max_ts"] if rows else None
 
     def batch_fn(df: DataFrame, epoch_id: int) -> None:
         spark = df.sparkSession
+        if _epoch_committed(spark, f"{audit_dir}/state", tag, epoch_id):
+            return  # log row for this epoch already appended too
         prev_max = _max_state(spark)
         agg = df.agg(
             F.count(F.lit(1)).alias("n_rows"),
@@ -973,9 +991,14 @@ def late_data_audit_sink(
             "epoch long, n_rows long, n_late long,"
             " max_ts_before timestamp, max_ts_after timestamp",
         ).coalesce(1).write.mode("append").parquet(f"{audit_dir}/log")
-        spark.createDataFrame(
-            [(new_max,)], "max_ts timestamp"
-        ).coalesce(1).write.mode("overwrite").parquet(f"{audit_dir}/state")
+        # crash between the log append and this commit can duplicate a
+        # log row on replay — rows carry `epoch`, so readers dedupe
+        _commit_state(
+            spark.createDataFrame([(new_max,)], "max_ts timestamp").coalesce(1),
+            f"{audit_dir}/state",
+            tag,
+            epoch_id,
+        )
 
     return foreach_batch_sink(stream, checkpoint, batch_fn)
 
@@ -999,15 +1022,18 @@ def fingerprint_maintenance_sink(
     row)."""
     from radient_spark.operators.reconcile import _MOD, table_fingerprint
 
+    tag = _epoch_tag(checkpoint)
+
     def _state(spark):
-        try:
-            rows = spark.read.parquet(state_dir).collect()
-            return rows[0] if rows else None
-        except Exception:
+        if not _state_exists(spark, state_dir):
             return None
+        rows = spark.read.parquet(state_dir).collect()
+        return rows[0] if rows else None
 
     def batch_fn(df: DataFrame, epoch_id: int) -> None:
         spark = df.sparkSession
+        if _epoch_committed(spark, state_dir, tag, epoch_id):
+            return
         fresh = table_fingerprint(df, [c if not isinstance(c, str) else F.col(c) for c in cols])
         prev = _state(spark)
         if prev is not None:
@@ -1017,7 +1043,6 @@ def fingerprint_maintenance_sink(
                     (F.col("checksum") + F.lit(prev["checksum"])) % F.lit(_MOD)
                 ).alias("checksum"),
             )
-        out = fresh.localCheckpoint(eager=True)
-        out.write.mode("overwrite").parquet(state_dir)
+        _commit_state(fresh.coalesce(1), state_dir, tag, epoch_id)
 
     return foreach_batch_sink(stream, checkpoint, batch_fn)

@@ -286,6 +286,31 @@ def test_ivf_delete_and_tombstones(spark, emb, tmp_path):
     )
 
 
+def test_ivf_compact_emptied_cell_no_resurrection(spark, emb, tmp_path):
+    """Round-6 (ADVICE): tombstoning EVERY row of a cell then compacting
+    must not resurrect them — dynamic partition overwrite skips cells
+    absent from the kept frame, so compact must delete those partition
+    directories explicitly before dropping the sidecar."""
+    from radient_spark.ann import IvfIndex, _local_parquet_exists
+
+    idx = IvfIndex.build(emb, n_cells=8, seed=42)
+    p = str(tmp_path / "ivf_empty_cell")
+    idx.save(p)
+    # pick one whole cell and tombstone all of its rows
+    cell = idx.index_df.select("cell_id").first()["cell_id"]
+    gone = idx.index_df.filter(F.col("cell_id") == cell).select("id")
+    gone_ids = {r["id"] for r in gone.collect()}
+    assert gone_ids  # non-empty cell
+    n = emb.count()
+    idx.tombstone_save(gone, p)
+    IvfIndex.compact(spark, p)
+    assert not _local_parquet_exists(f"{p}/tombstones")
+    again = IvfIndex.load(spark, p)
+    assert again.index_df.count() == n - len(gone_ids)
+    live = {r["id"] for r in again.index_df.select("id").collect()}
+    assert not (live & gone_ids)
+
+
 def test_lp_build_kernel_splits(spark):
     """metric='lp' with p=1 must produce a valid unit split direction
     and differ from the euclidean kernel on heavy-tailed data."""

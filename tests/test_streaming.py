@@ -922,3 +922,56 @@ def test_fingerprint_maintenance_sink_equals_batch(spark, tmp_path):
         b1.unionByName(b2), [F.col("id"), F.col("name")]
     ).collect()[0]
     assert (got["n_rows"], got["checksum"]) == (exp["n_rows"], exp["checksum"])
+
+
+def test_commit_state_crash_safety_and_epoch_idempotence(spark, tmp_path):
+    """Round-6 (ADVICE): the staging+rename commit must survive every
+    crash window — old state intact during the staging write, committed
+    staging rolled forward if the swap was interrupted, and an epoch
+    marker that makes a replayed already-committed batch detectable."""
+    import os
+    import shutil
+
+    from radient_spark.streaming import (
+        _commit_state,
+        _epoch_committed,
+        _state_exists,
+    )
+
+    sd = str(tmp_path / "state")
+    _commit_state(
+        spark.createDataFrame([(1, 10)], "k int, v int").coalesce(1),
+        sd, "tagA", 0,
+    )
+    assert _state_exists(spark, sd)
+    assert _epoch_committed(spark, sd, "tagA", 0)
+    assert not _epoch_committed(spark, sd, "tagA", 1)
+    # a NEW checkpoint's epoch 0 must not collide with the old tag
+    assert not _epoch_committed(spark, sd, "tagB", 0)
+
+    # a second commit swaps state and carries only the new marker
+    _commit_state(
+        spark.createDataFrame([(2, 20)], "k int, v int").coalesce(1),
+        sd, "tagA", 1,
+    )
+    assert _epoch_committed(spark, sd, "tagA", 1)
+    assert not _epoch_committed(spark, sd, "tagA", 0)
+    assert spark.read.parquet(sd).collect()[0]["k"] == 2
+
+    # simulate a crash BETWEEN the two renames: state_dir absent, the
+    # fully-committed staging dir (with _SUCCESS) still on disk
+    staging = sd + ".staging"
+    shutil.rmtree(staging, ignore_errors=True)
+    os.rename(sd, staging)
+    assert not os.path.exists(sd)
+    assert _state_exists(spark, sd)  # recovery rolls staging forward
+    assert spark.read.parquet(sd).collect()[0]["k"] == 2
+    assert _epoch_committed(spark, sd, "tagA", 1)
+
+    # a PARTIAL staging dir (no _SUCCESS) must NOT be rolled forward
+    shutil.rmtree(staging, ignore_errors=True)
+    os.makedirs(staging)
+    with open(f"{staging}/part-00000.parquet", "w") as f:
+        f.write("garbage")
+    assert _state_exists(spark, sd)  # real state still wins
+    assert spark.read.parquet(sd).collect()[0]["k"] == 2
