@@ -535,7 +535,7 @@ class AnnIndex:
         sample_cap: int = 4096,
         spill: float = 0.1,
         seed: int = 42,
-        metric: str = "euclidean",
+        metric: str = "cosine",
     ) -> "AnnIndex":
         """Iterative balanced-bisection build — ALL trees in one DataFrame.
 
@@ -543,8 +543,11 @@ class AnnIndex:
         mirroring the reference's GKMeans kernels, _gkmeans.py:74-98):
         cosine builds spherical 2-means hyperplanes and projects
         unit-normalized vectors, so tree structure depends on angle only
-        — the right default when searches will use cosine over an
-        unnormalized corpus.
+        — the right default because search defaults to cosine scoring
+        (round 6: the build default previously was "euclidean", which
+        silently built a euclidean forest for cosine searches — a recall
+        footgun on unnormalized corpora; build and search defaults now
+        agree, and search warns on a cross-geometry mismatch).
 
         Per level (for the whole forest at once): one hash-sample collect
         (VC-bounded, no shuffle), one projection pass + per-(tree,leaf)
@@ -750,12 +753,32 @@ class AnnIndex:
             build_metric=meta.get("build_metric", "euclidean"),
         )
 
+    def _resolve_metric(self, metric: str | None) -> str:
+        """metric=None -> the scoring metric matching the build geometry
+        (cosine forest -> cosine scores, euclidean/lp forest -> l2), so
+        a mismatched DEFAULT is impossible; an explicit cross-geometry
+        metric is honored but warns (handled correctly — descent
+        normalizes iff the FOREST is angular — but recall suffers on
+        unnormalized corpora)."""
+        if metric is None:
+            return "cosine" if self.build_metric == "cosine" else "l2"
+        if (metric == "cosine") != (self.build_metric == "cosine"):
+            import warnings
+
+            warnings.warn(
+                f"searching a {self.build_metric!r}-built forest with "
+                f"metric={metric!r}: tree geometry and scoring disagree; "
+                "recall may suffer on unnormalized corpora",
+                stacklevel=3,
+            )
+        return metric
+
     # ------------------------------------------------------------ search
     def search(
         self,
         queries: list[tuple[int, list[float]]],
         k: int = 10,
-        metric: str = "cosine",
+        metric: str | None = None,
     ) -> DataFrame:
         """Batch search: driver-side forest descent -> (tree, leaf) hit
         list -> statically partition-pruned scan -> broadcast join ->
@@ -768,6 +791,7 @@ class AnnIndex:
 
         Returns (qid, id, score) with score descending per query.
         """
+        metric = self._resolve_metric(metric)
         spark = self.index_df.sparkSession
         hits = []
         for qid, vec in queries:
@@ -802,7 +826,7 @@ class AnnIndex:
         self,
         queries: DataFrame,
         k: int = 10,
-        metric: str = "cosine",
+        metric: str | None = None,
         query_id: str = "qid",
         query_vec: str = "qvec",
     ) -> DataFrame:
@@ -812,6 +836,7 @@ class AnnIndex:
         The (tree_id, leaf_id) candidate join is left unhinted so AQE
         broadcasts the descended side when it is small and shuffles both
         sides by leaf when the query table is itself at data scale."""
+        metric = self._resolve_metric(metric)
         spark = self.index_df.sparkSession
         bc = spark.sparkContext.broadcast(
             [(t.depth, t.nodes) for t in self.trees]

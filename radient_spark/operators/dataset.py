@@ -630,7 +630,11 @@ def _distributed_rank(
     pid = F.lit(0)
     for b in bounds:
         pid = pid + (F.col("__dnt_key") > F.lit(b)).cast("int")
-    keyed = keyed.withColumn("__dnt_pid", pid)
+    # NULL range keys (NULL > b is NULL, poisoning the sum) land in a
+    # -1 sentinel bucket that sorts before every real bucket — matching
+    # Spark's NULLS FIRST ascending default, so they rank first instead
+    # of crashing the offset sort or silently dropping in the join.
+    keyed = keyed.withColumn("__dnt_pid", F.coalesce(pid, F.lit(-1)))
     counts = {
         r["__dnt_pid"]: r["cnt"]
         for r in keyed.groupBy("__dnt_pid")
@@ -768,7 +772,11 @@ def distributed_ntile_grouped(
     pid = F.lit(0)
     for b in bounds:
         pid = pid + (F.col("__dnt_key") > F.lit(b)).cast("int")
-    keyed = keyed.withColumn("__dnt_pid", pid)
+    # NULL range keys -> -1 sentinel bucket (see _distributed_rank); the
+    # persist above follows the same cache-handoff contract documented
+    # there (stateless literals make eviction a recompute, never a
+    # correctness issue, so it is left to the session LRU).
+    keyed = keyed.withColumn("__dnt_pid", F.coalesce(pid, F.lit(-1)))
     counts = (
         keyed.groupBy(strata_col, "__dnt_pid")
         .agg(F.count(F.lit(1)).alias("cnt"))
@@ -850,7 +858,9 @@ def distributed_cumsum(
     pid = F.lit(0)
     for b in bounds:
         pid = pid + (F.col("__dcs_key") > F.lit(b)).cast("int")
-    keyed = keyed.withColumn("__dcs_pid", pid)
+    # NULL range keys -> -1 sentinel bucket; cache handoff as documented
+    # in _distributed_rank.
+    keyed = keyed.withColumn("__dcs_pid", F.coalesce(pid, F.lit(-1)))
     sums = {
         r["__dcs_pid"]: r["s"]
         for r in keyed.groupBy("__dcs_pid")

@@ -464,6 +464,20 @@ def kcore(
         prev, n_edges = n_edges, cur.count()
         if n_edges == prev:
             break
+    else:
+        # budget exhausted while edges were still being peeled: the
+        # surviving degrees still count edges to not-yet-peeled
+        # neighbors, so the result is a SUPERSET of the true k-core
+        # (mirrors connected_components_star's non-convergence warning)
+        if n_edges != prev:
+            import warnings
+
+            warnings.warn(
+                f"kcore: fixed point not reached within rounds={rounds} "
+                f"(last round still peeled edges: {prev} -> {n_edges}); "
+                "result is a superset of the true k-core — raise `rounds`",
+                stacklevel=2,
+            )
     final_deg = (
         cur.select(F.col("a").alias("node"))
         .unionByName(cur.select(F.col("b").alias("node")))

@@ -110,6 +110,53 @@ def snapshot_diff(
     )
 
 
+def _consecutive_pairs(
+    keys: DataFrame, bucket_width: int, span: int
+) -> DataFrame:
+    """(k, nk) consecutive-pair detection over a distinct `k` column
+    with NO unbounded window anywhere in the plan: keys bucket by
+    ``k div bucket_width`` (parallel per-bucket lead windows), and the
+    cross-bucket boundary pairs come from RECURSING on the bucket ids
+    themselves — consecutive-bucket detection is the same problem one
+    level up, on a value range `bucket_width` times smaller.  The
+    recursion bottoms out when the remaining span fits in one bucket,
+    so the only totally-ordered window ever executed runs over at most
+    ``bucket_width + 1`` rows.  Depth = log_width(span): 4 levels cover
+    a 10^12 key space at the default width."""
+    if span <= bucket_width:
+        w = Window.orderBy("k")
+        return (
+            keys.withColumn("nk", F.lead("k").over(w))
+            .filter(F.col("nk").isNotNull())
+            .select("k", "nk")
+        )
+    bk = keys.withColumn("b", F.expr(f"k div {int(bucket_width)}"))
+    win = Window.partitionBy("b").orderBy("k")
+    within = (
+        bk.withColumn("nk", F.lead("k").over(win))
+        .filter(F.col("nk").isNotNull())
+        .select("k", "nk")
+    )
+    summary = bk.groupBy("b").agg(
+        F.min("k").alias("mn"), F.max("k").alias("mx")
+    )
+    bpairs = _consecutive_pairs(
+        summary.select(F.col("b").alias("k")),
+        bucket_width,
+        span // bucket_width + 1,
+    )
+    boundary = (
+        bpairs.withColumnRenamed("k", "b_lo")
+        .withColumnRenamed("nk", "b_hi")
+        .join(
+            summary.select(F.col("b").alias("b_lo"), "mx"), "b_lo"
+        )
+        .join(summary.select(F.col("b").alias("b_hi"), "mn"), "b_hi")
+        .select(F.col("mx").alias("k"), F.col("mn").alias("nk"))
+    )
+    return within.unionByName(boundary)
+
+
 def sequence_gaps(
     df: DataFrame,
     key_col: str,
@@ -121,29 +168,19 @@ def sequence_gaps(
     as a gap spike at its batch size).
 
     A global lead() window would sort every key in ONE reducer; instead
-    keys bucket by ``key div bucket_width`` so consecutive-pair
-    detection runs as parallel per-bucket windows, and only the
-    per-bucket (min, max) SUMMARY — span/bucket_width rows, not keys —
-    passes through the tiny cross-bucket boundary window. Empty buckets
-    never materialize; boundary pairs skip them naturally because the
-    summary window orders nonempty buckets.
-    """
+    consecutive pairs come from _consecutive_pairs' recursive bucketing
+    (round 6: the former single boundary window over the bucket summary
+    — one reducer over span/width rows — is now recursed away too; every
+    window in the plan is bounded at bucket_width rows). The one driver
+    action is a 1-row (min, max) aggregate to size the recursion."""
     keys = df.select(F.col(key_col).cast("long").alias("k")).distinct()
-    keys = keys.withColumn("b", F.expr(f"k div {int(bucket_width)}"))
-    win = Window.partitionBy("b").orderBy("k")
-    within = keys.withColumn("nk", F.lead("k").over(win)).filter(
-        F.col("nk").isNotNull()
-    )
-    summary = keys.groupBy("b").agg(
-        F.min("k").alias("mn"), F.max("k").alias("mx")
-    )
-    sw = Window.orderBy("b")
-    boundary = (
-        summary.withColumn("nmn", F.lead("mn").over(sw))
-        .filter(F.col("nmn").isNotNull())
-        .select(F.col("mx").alias("k"), F.col("nmn").alias("nk"))
-    )
-    pairs = within.select("k", "nk").unionByName(boundary)
+    bounds = keys.agg(F.min("k").alias("lo"), F.max("k").alias("hi")).first()
+    if bounds["lo"] is None:
+        return keys.select(
+            F.col("k").alias("gap_len"), F.lit(0).cast("long").alias("n_gaps")
+        ).limit(0)
+    span = int(bounds["hi"]) - int(bounds["lo"]) + 1
+    pairs = _consecutive_pairs(keys, int(bucket_width), span)
     return (
         pairs.withColumn("gap_len", F.col("nk") - F.col("k") - 1)
         .filter(F.col("gap_len") > 0)

@@ -28,12 +28,19 @@ def ewma_spikes(
     8760 for hourly), the documented small-per-group contract.  The
     spike test (c - ewma)^2 > 9*ewma runs as the exact integer
     inequality (c*den - num)^2 > 9*num*den; only the REPORTED ewma
-    pays one rounded division."""
+    pays one rounded division.
+
+    The EWMA is a TRUE trailing forecast: the weight chain starts at
+    lag 1 (round 6 — it previously included the current point with the
+    heaviest weight, which half-composed the baseline of the value
+    under test and silently damped the advertised 3-sigma threshold to
+    ~6-sigma against trailing history).  Each key's FIRST point has no
+    history (den = 0): ewma is NULL and is_spike false."""
     w = Window.partitionBy(key_col).orderBy(time_col)
     num = F.lit(0).cast("long")
     den = F.lit(0).cast("long")
     for i, wt in enumerate(EWMA_WEIGHTS):
-        lag_i = F.lag(value_col, i).over(w)
+        lag_i = F.lag(value_col, i + 1).over(w)
         num = num + F.coalesce(lag_i * wt, F.lit(0)).cast("long")
         den = den + F.when(lag_i.isNotNull(), F.lit(wt)).otherwise(
             F.lit(0)
@@ -50,9 +57,13 @@ def ewma_spikes(
             key_col,
             time_col,
             value_col,
-            F.round(
-                F.col("__num").cast("double") / F.col("__den").cast("double"),
-                6,
+            F.when(
+                F.col("__den") > 0,
+                F.round(
+                    F.col("__num").cast("double")
+                    / F.col("__den").cast("double"),
+                    6,
+                ),
             ).alias("ewma"),
             spike.alias("is_spike"),
         )

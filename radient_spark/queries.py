@@ -10144,11 +10144,13 @@ def q_ewma_spikes(spark: SparkSession, sf_dir: str) -> DataFrame:
     EXACT integer arithmetic — num/den stay integers, the spike test
     (count - ewma)^2 > 9*ewma (Poisson 3-sigma) cross-multiplies to
     the integer inequality (c*den - num)^2 > 9*num*den, and only the
-    REPORTED ewma pays one rounded division.  The lag-chain form (8
-    explicit lags, no UDAF) keeps the whole monitor in one
-    (event_type)-partitioned window; per-type hourly series are
-    bounded (years x 8760 rows), the documented small-per-group
-    contract."""
+    REPORTED ewma pays one rounded division.  The baseline is a TRUE
+    trailing forecast (lags 1..8 — round 6; lag 0 previously dominated
+    the baseline and damped the effective threshold); first point per
+    key has NULL ewma / false spike.  The lag-chain form (8 explicit
+    lags, no UDAF) keeps the whole monitor in one (event_type)-
+    partitioned window; per-type hourly series are bounded (years x
+    8760 rows), the documented small-per-group contract."""
     from radient_spark.operators.timeseries import ewma_spikes
 
     ev = load_tables(spark, sf_dir)["events"]
@@ -10168,28 +10170,30 @@ WITH hourly AS (
   FROM events GROUP BY event_type, date_trunc('hour', ts)
 ), lagged AS (
   SELECT event_type, hour_ts, n_events,
-    COALESCE(LAG(n_events, 0) OVER w * 128, 0)
-      + COALESCE(LAG(n_events, 1) OVER w * 64, 0)
-      + COALESCE(LAG(n_events, 2) OVER w * 32, 0)
-      + COALESCE(LAG(n_events, 3) OVER w * 16, 0)
-      + COALESCE(LAG(n_events, 4) OVER w * 8, 0)
-      + COALESCE(LAG(n_events, 5) OVER w * 4, 0)
-      + COALESCE(LAG(n_events, 6) OVER w * 2, 0)
-      + COALESCE(LAG(n_events, 7) OVER w * 1, 0) AS num,
-    CASE WHEN LAG(n_events, 0) OVER w IS NOT NULL THEN 128 ELSE 0 END
-      + CASE WHEN LAG(n_events, 1) OVER w IS NOT NULL THEN 64 ELSE 0 END
-      + CASE WHEN LAG(n_events, 2) OVER w IS NOT NULL THEN 32 ELSE 0 END
-      + CASE WHEN LAG(n_events, 3) OVER w IS NOT NULL THEN 16 ELSE 0 END
-      + CASE WHEN LAG(n_events, 4) OVER w IS NOT NULL THEN 8 ELSE 0 END
-      + CASE WHEN LAG(n_events, 5) OVER w IS NOT NULL THEN 4 ELSE 0 END
-      + CASE WHEN LAG(n_events, 6) OVER w IS NOT NULL THEN 2 ELSE 0 END
-      + CASE WHEN LAG(n_events, 7) OVER w IS NOT NULL THEN 1 ELSE 0 END
+    COALESCE(LAG(n_events, 1) OVER w * 128, 0)
+      + COALESCE(LAG(n_events, 2) OVER w * 64, 0)
+      + COALESCE(LAG(n_events, 3) OVER w * 32, 0)
+      + COALESCE(LAG(n_events, 4) OVER w * 16, 0)
+      + COALESCE(LAG(n_events, 5) OVER w * 8, 0)
+      + COALESCE(LAG(n_events, 6) OVER w * 4, 0)
+      + COALESCE(LAG(n_events, 7) OVER w * 2, 0)
+      + COALESCE(LAG(n_events, 8) OVER w * 1, 0) AS num,
+    CASE WHEN LAG(n_events, 1) OVER w IS NOT NULL THEN 128 ELSE 0 END
+      + CASE WHEN LAG(n_events, 2) OVER w IS NOT NULL THEN 64 ELSE 0 END
+      + CASE WHEN LAG(n_events, 3) OVER w IS NOT NULL THEN 32 ELSE 0 END
+      + CASE WHEN LAG(n_events, 4) OVER w IS NOT NULL THEN 16 ELSE 0 END
+      + CASE WHEN LAG(n_events, 5) OVER w IS NOT NULL THEN 8 ELSE 0 END
+      + CASE WHEN LAG(n_events, 6) OVER w IS NOT NULL THEN 4 ELSE 0 END
+      + CASE WHEN LAG(n_events, 7) OVER w IS NOT NULL THEN 2 ELSE 0 END
+      + CASE WHEN LAG(n_events, 8) OVER w IS NOT NULL THEN 1 ELSE 0 END
       AS den
   FROM hourly
   WINDOW w AS (PARTITION BY event_type ORDER BY hour_ts)
 )
 SELECT event_type, hour_ts, n_events,
-  round(CAST(num AS DOUBLE) / CAST(den AS DOUBLE), 6) AS ewma,
+  CASE WHEN den > 0
+       THEN round(CAST(num AS DOUBLE) / CAST(den AS DOUBLE), 6)
+  END AS ewma,
   (n_events * den - num) * (n_events * den - num) > 9 * num * den
     AS is_spike
 FROM lagged ORDER BY event_type, hour_ts

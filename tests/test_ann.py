@@ -350,3 +350,30 @@ def test_ivf_recall_curve_monotone(spark, emb):
         )
     assert recalls == sorted(recalls), recalls
     assert recalls[-1] == 1.0
+
+
+def test_metric_defaults_aligned_and_mismatch_warns(spark, emb):
+    """Round-6: build defaults to the search default's geometry (cosine),
+    metric=None resolves from build_metric, and an explicit
+    cross-geometry metric warns instead of silently degrading recall."""
+    import warnings
+
+    idx = AnnIndex.build(emb, n_trees=1, max_leaf_size=200, seed=7)
+    assert idx.build_metric == "cosine"
+    assert idx._resolve_metric(None) == "cosine"
+
+    eidx = AnnIndex.build(
+        emb, n_trees=1, max_leaf_size=200, seed=7, metric="euclidean"
+    )
+    assert eidx._resolve_metric(None) == "l2"
+
+    qrow = emb.orderBy("id").first()
+    q = [(0, list(qrow["vector"]))]
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        eidx.search(q, k=3, metric="cosine").collect()
+    assert any("geometry" in str(x.message) for x in w)
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        idx.search(q, k=3).collect()  # aligned default: no warning
+    assert not [x for x in w if "geometry" in str(x.message)]

@@ -547,3 +547,45 @@ def test_greedy_max_coverage_tiebreak_min_doc_id(spark):
     )
     rows = greedy_max_coverage(docs, k=1).collect()
     assert rows[0]["doc_id"] == 3
+
+
+def test_distributed_rank_and_ntile_null_range_keys(spark):
+    """Round-6 (ADVICE): rows with a NULL range key must land in a
+    sentinel bucket and rank FIRST (Spark's NULLS FIRST ascending), not
+    crash the offset sort or silently drop out of the offsets join."""
+    from radient_spark.operators.dataset import (
+        distributed_cumsum,
+        distributed_ntile_grouped,
+        distributed_rank,
+    )
+
+    rows = [(1, None, 10), (2, 5.0, 20), (3, 1.0, 30), (4, None, 40)]
+    df = spark.createDataFrame(rows, "id long, key double, v long")
+
+    ranked = distributed_rank(
+        df, [F.asc_nulls_first("key"), F.asc("id")], F.col("key"),
+        num_partitions=4,
+    )
+    got = {r["id"]: r["rank"] for r in ranked.collect()}
+    assert len(got) == 4  # nothing dropped
+    assert sorted(got.values()) == [1, 2, 3, 4]
+    assert {got[1], got[4]} == {1, 2}  # NULL keys rank first
+    assert got[3] == 3 and got[2] == 4
+
+    nt = distributed_ntile_grouped(
+        df.withColumn("s", F.lit("a")), 2, "s",
+        [F.asc_nulls_first("key"), F.asc("id")], F.col("key"),
+        num_partitions=4, out_col="bucket",
+    )
+    buckets = {r["id"]: r["bucket"] for r in nt.collect()}
+    assert len(buckets) == 4
+    assert sorted(buckets.values()) == [1, 1, 2, 2]
+
+    cs = distributed_cumsum(
+        df, [F.asc_nulls_first("key"), F.asc("id")], F.col("key"), "v",
+        out_col="cum", num_partitions=4,
+    )
+    cums = {r["id"]: r["cum"] for r in cs.collect()}
+    assert len(cums) == 4
+    # ranking order 1,4,3,2 -> cumsums 10,50,80,100
+    assert cums == {1: 10, 4: 50, 3: 80, 2: 100}

@@ -373,3 +373,29 @@ def test_hyperball_harmonic_orders_star_center_first(spark):
     assert rows[0] == max(rows.values())
     leaf_vals = {rows[i] for i in range(1, 7)}
     assert len(leaf_vals) == 1 and rows[0] > leaf_vals.pop()
+
+
+def test_kcore_warns_when_budget_exhausted(spark):
+    """Round-6 (ADVICE): an exhausted `rounds` budget before the peeling
+    fixed point must warn (result is a superset of the true k-core)."""
+    import warnings
+
+    from radient_spark.operators.graph import kcore
+
+    # a path graph peels one layer per round from each end: with k=2
+    # the 2-core is empty, but rounds=1 stops long before that
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(12)], "src long, dst long"
+    )
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        res = kcore(edges, k=2, rounds=1).collect()
+    assert any("superset" in str(x.message) for x in w)
+    assert len(res) > 0  # superset, not the (empty) true 2-core
+
+    # with enough rounds: converged, no warning, empty 2-core
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        res = kcore(edges, k=2, rounds=10).collect()
+    assert not [x for x in w if "superset" in str(x.message)]
+    assert res == []

@@ -101,3 +101,31 @@ def test_sequence_gaps_matches_naive_on_random_keys(spark):
     from collections import Counter
     gaps = Counter(b - a - 1 for a, b in zip(keys, keys[1:]) if b > a + 1)
     assert got == set(gaps.items())
+
+
+def test_sequence_gaps_recursive_boundaries_multi_level(spark):
+    """Round-6: with a tiny bucket_width the recursion runs 3+ levels
+    (keys -> buckets -> superbuckets); the gap histogram must still be
+    exact, including gaps spanning MANY empty buckets."""
+    from radient_spark.operators.reconcile import sequence_gaps
+
+    # keys with gaps of len 1, 5, and 1000 (the last spans ~250 empty
+    # width-4 buckets and several empty superbuckets)
+    ks = [0, 1, 3, 4, 10, 11, 12, 1013, 1014]
+    df = spark.createDataFrame([(k,) for k in ks], "id long")
+    got = {
+        r["gap_len"]: r["n_gaps"]
+        for r in sequence_gaps(df, "id", bucket_width=4).collect()
+    }
+    srt = sorted(ks)
+    want = {}
+    for a, b in zip(srt, srt[1:]):
+        g = b - a - 1
+        if g > 0:
+            want[g] = want.get(g, 0) + 1
+    assert got == want, (got, want)
+
+    # empty input
+    assert sequence_gaps(
+        spark.createDataFrame([], "id long"), "id"
+    ).count() == 0
