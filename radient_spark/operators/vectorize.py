@@ -386,13 +386,39 @@ def frames_to_rows(
     )
 
 
+# the torchaudio pipeline-bundle surface the reference documents
+# (docs/supported_methods.md:9-21) — validated EAGERLY so a typo fails
+# at plan-build time, not inside an executor after model download
+TORCHAUDIO_PIPELINES = frozenset(
+    {
+        "WAV2VEC2_BASE",
+        "WAV2VEC2_LARGE",
+        "WAV2VEC2_LARGE_LV60K",
+        "WAV2VEC2_XLSR53",
+        "WAV2VEC2_XLSR_300M",
+        "WAV2VEC2_XLSR_1B",
+        "WAV2VEC2_XLSR_2B",
+        "HUBERT_BASE",
+        "HUBERT_LARGE",
+        "HUBERT_XLARGE",
+        "WAVLM_BASE",
+        "WAVLM_BASE_PLUS",
+        "WAVLM_LARGE",
+    }
+)
+
+
 def torchaudio_audio_vectorizer(
     df: DataFrame,
     waveform_col: str = "waveform",
     out_col: str = "vector",
     reduce_method: str | None = "avg_pool",
+    model_name: str = "HUBERT_BASE",
 ) -> DataFrame:  # pragma: no cover - torchaudio not in CI
-    """≡ vectorizers/audio/torchaudio.py:16-67 (HUBERT_BASE features).
+    """≡ vectorizers/audio/torchaudio.py:16-67 (pipeline-bundle features;
+    HUBERT_BASE default like the reference). `model_name` accepts every
+    bundle the reference documents (docs/supported_methods.md:9-21:
+    WAV2VEC2_* / HUBERT_* / WAVLM_*), validated before any gating.
     reduce_method="avg_pool" (the reference default) mean-pools to ONE
     vector per clip; reduce_method=None reproduces the per-frame branch
     (torchaudio.py:46-47) — one row per feature frame with a
@@ -401,11 +427,16 @@ def torchaudio_audio_vectorizer(
         raise ValueError(
             f"reduce_method must be 'avg_pool' or None, got {reduce_method!r}"
         )
+    if model_name not in TORCHAUDIO_PIPELINES:
+        raise ValueError(
+            f"unknown torchaudio pipeline {model_name!r}; expected one of "
+            f"{sorted(TORCHAUDIO_PIPELINES)}"
+        )
 
     def factory():
         import torchaudio
 
-        return torchaudio.pipelines.HUBERT_BASE.get_model().eval()
+        return getattr(torchaudio.pipelines, model_name).get_model().eval()
 
     def encode(model, waves):
         import torch
