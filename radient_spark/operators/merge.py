@@ -332,3 +332,50 @@ def join_view_delta(
         .unionByName(base_a.join(delta_b, cols))
         .unionByName(delta_a.join(delta_b, cols))
     )
+
+
+def cdc_apply(
+    log: DataFrame,
+    key_cols: Sequence[str],
+    seq_cols: Sequence[str],
+    op_col: str = "op",
+    delete_op: str = "delete",
+) -> DataFrame:
+    """Materialize the CURRENT snapshot from a change-data-capture log:
+    per key, the row with the highest (seq_cols) wins — an upsert
+    replaces the row, a `delete_op` removes the key from the snapshot.
+    The consumer-side half of every CDC pipeline (Debezium-style
+    ordered op streams) and the generalization of merge_upsert to logs
+    holding MANY versions of a key plus deletes.
+
+    Spark-first shape: ONE hash shuffle of the log on the key — per-key
+    latest-wins runs as max_by over a version struct (map-side combined
+    aggregate, no window sort, no join), then a filter drops keys whose
+    last operation is a delete. At 100 TB the log shuffles once; the
+    snapshot never exists as an intermediate.
+
+    `seq_cols` must totally order versions within a key (add a tiebreak
+    column: CDC offsets, LSNs, or (ts, offset) pairs)."""
+    payload = [
+        c for c in log.columns if c not in (*key_cols, *seq_cols, op_col)
+    ]
+    version = F.struct(
+        *[F.col(c) for c in seq_cols],
+        F.col(op_col).alias("__op"),
+        *[F.col(c) for c in payload],
+    )
+    latest = log.groupBy(*key_cols).agg(
+        F.max_by(version, F.struct(*[F.col(c) for c in seq_cols])).alias(
+            "__v"
+        ),
+        F.count(F.lit(1)).alias("n_versions"),
+    )
+    return (
+        latest.filter(F.col("__v.__op") != delete_op)
+        .select(
+            *key_cols,
+            *[F.col(f"__v.{c}").alias(c) for c in seq_cols],
+            *[F.col(f"__v.{c}").alias(c) for c in payload],
+            "n_versions",
+        )
+    )

@@ -12411,6 +12411,386 @@ FROM b GROUP BY bucket
 """
 
 
+def q_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC log materialization (operators/merge.cdc_apply): a
+    deterministic change log derived from orders — every order inserts
+    (seq 1), every 3rd is re-stated under a replacement priority
+    (seq 2), every 7th is deleted (seq 3) — is applied latest-wins per
+    key with deletes dropped, then the surviving snapshot rolls up per
+    priority.  ONE key shuffle (max_by over a version struct, no window
+    sort, no join) materializes the snapshot — the consumer half of a
+    Debezium-style pipeline at log scale."""
+    from radient_spark.operators.merge import cdc_apply
+
+    orders = load_tables(spark, sf_dir)["orders"]
+    base = orders.select(
+        F.col("o_orderkey").alias("k"),
+        F.lit(1).alias("seq"),
+        F.lit("upsert").alias("op"),
+        F.col("o_orderpriority").alias("prio"),
+        F.col("o_totalprice").alias("price"),
+    )
+    restated = (
+        orders.filter(F.col("o_orderkey") % 3 == 0)
+        .select(
+            F.col("o_orderkey").alias("k"),
+            F.lit(2).alias("seq"),
+            F.lit("upsert").alias("op"),
+            F.lit("9-REPLAYED").alias("prio"),
+            F.col("o_totalprice").alias("price"),
+        )
+    )
+    deleted = (
+        orders.filter(F.col("o_orderkey") % 7 == 0)
+        .select(
+            F.col("o_orderkey").alias("k"),
+            F.lit(3).alias("seq"),
+            F.lit("delete").alias("op"),
+            F.lit(None).cast("string").alias("prio"),
+            F.lit(None).cast("double").alias("price"),
+        )
+    )
+    log = base.unionByName(restated).unionByName(deleted)
+    snap = cdc_apply(log, key_cols=["k"], seq_cols=["seq"], op_col="op")
+    return (
+        snap.groupBy(F.col("prio").alias("priority"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum("n_versions").alias("n_versions"),
+            dsum(F.col("price"), "revenue"),
+        )
+        .orderBy("priority")
+    )
+
+
+_Q_CDC_APPLY_SQL = """
+WITH log AS (
+  SELECT o_orderkey AS k, 1 AS seq, 'upsert' AS op,
+         o_orderpriority AS prio, o_totalprice AS price FROM orders
+  UNION ALL
+  SELECT o_orderkey, 2, 'upsert', '9-REPLAYED', o_totalprice
+  FROM orders WHERE o_orderkey % 3 = 0
+  UNION ALL
+  SELECT o_orderkey, 3, 'delete', NULL, NULL
+  FROM orders WHERE o_orderkey % 7 = 0
+), latest AS (
+  SELECT k, op, prio, price,
+    COUNT(*) OVER (PARTITION BY k) AS n_versions,
+    ROW_NUMBER() OVER (PARTITION BY k ORDER BY seq DESC) AS rn
+  FROM log
+)
+SELECT prio AS priority, CAST(COUNT(*) AS BIGINT) AS n_orders,
+  CAST(SUM(n_versions) AS BIGINT) AS n_versions,
+  CAST(SUM(CAST(price AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+FROM latest WHERE rn = 1 AND op <> 'delete'
+GROUP BY prio ORDER BY priority
+"""
+
+
+def q_resource_allocation_links(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link prediction over the supplier co-supply graph: the Resource
+    Allocation index (Zhou-Lu-Zhang 2009) RA(a,b) = sum over common
+    neighbors z of 1/deg(z), here over the supplier-part bipartite
+    graph (common neighbors = parts both supply), in exact integer
+    arithmetic (1e6 div deg, summed).  RA is the degree-penalized
+    common-neighbors score that beats raw counts on hub-heavy graphs —
+    the "suppliers likely to co-supply next" recommender.
+
+    Spark-first: inverted-index posting self-join on the part (same
+    bounded shape as token_pair_counts — per-part supplier lists are
+    small, never a hub explosion), integer score aggregation,
+    TakeOrderedAndProject top-20."""
+    li = load_tables(spark, sf_dir)["lineitem"]
+    posting = li.select(
+        F.col("l_partkey").alias("part"), F.col("l_suppkey").alias("supp")
+    ).distinct()
+    deg = posting.groupBy("part").agg(F.count(F.lit(1)).alias("deg"))
+    a = posting.select("part", F.col("supp").alias("s_a"))
+    b = posting.select(F.col("part").alias("part_b"), F.col("supp").alias("s_b"))
+    pairs = (
+        a.join(
+            b,
+            (F.col("part") == F.col("part_b"))
+            & (F.col("s_a") < F.col("s_b")),
+        )
+        .join(deg, "part")
+        .groupBy("s_a", "s_b")
+        .agg(
+            F.count(F.lit(1)).alias("n_common"),
+            F.sum(F.expr("1000000 div deg")).alias("ra_score"),
+        )
+    )
+    return pairs.orderBy(
+        F.desc("ra_score"), F.asc("s_a"), F.asc("s_b")
+    ).limit(20)
+
+
+_Q_RA_LINKS_SQL = """
+WITH posting AS (
+  SELECT DISTINCT l_partkey AS part, l_suppkey AS supp FROM lineitem
+), deg AS (
+  SELECT part, COUNT(*) AS deg FROM posting GROUP BY part
+)
+SELECT a.supp AS s_a, b.supp AS s_b,
+  CAST(COUNT(*) AS BIGINT) AS n_common,
+  CAST(SUM(1000000 // d.deg) AS BIGINT) AS ra_score
+FROM posting a
+JOIN posting b ON a.part = b.part AND a.supp < b.supp
+JOIN deg d ON d.part = a.part
+GROUP BY a.supp, b.supp
+ORDER BY ra_score DESC, s_a ASC, s_b ASC
+LIMIT 20
+"""
+
+
+def q_max_concurrent_shipments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-concurrency sweep line: each lineitem is "in transit"
+    over [shipdate, shipdate + transit] (inclusive; transit is a
+    deterministic 1-14 day function of the line's keys — the testdata
+    carries no receiptdate); per supplier, the peak number of
+    simultaneous in-transit shipments — the classic max-overlap census
+    (warehouse capacity / fleet sizing), computed the only way that
+    scales: +1/-1 boundary events and a running sum per supplier,
+    NEVER the O(n^2) interval self-join.
+
+    Exit events fire the day AFTER the interval ends and sort BEFORE
+    entries on the same date (delta ascending), which is exactly
+    inclusive-interval semantics.  Windows are supplier-partitioned
+    (bounded per-group, the documented contract); final top-20 is a
+    TakeOrderedAndProject."""
+    li = load_tables(spark, sf_dir)["lineitem"].withColumn(
+        "dur", F.expr("(l_orderkey + l_linenumber) % 14 + 1")
+    )
+    starts = li.select(
+        F.col("l_suppkey").alias("supp"),
+        F.col("l_shipdate").alias("dt"),
+        F.lit(1).alias("delta"),
+        F.col("l_orderkey").alias("okey"),
+        F.col("l_linenumber").alias("lnum"),
+    )
+    ends = li.select(
+        F.col("l_suppkey").alias("supp"),
+        F.expr("date_add(l_shipdate, cast(dur + 1 AS INT))").alias("dt"),
+        F.lit(-1).alias("delta"),
+        F.col("l_orderkey").alias("okey"),
+        F.col("l_linenumber").alias("lnum"),
+    )
+    w = (
+        Window.partitionBy("supp")
+        .orderBy("dt", "delta", "okey", "lnum")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    swept = starts.unionByName(ends).withColumn(
+        "load", F.sum("delta").over(w)
+    )
+    peaks = swept.groupBy("supp").agg(
+        F.max("load").alias("peak_concurrent"),
+        (F.count(F.lit(1)) / 2).cast("long").alias("n_shipments"),
+    )
+    return peaks.orderBy(
+        F.desc("peak_concurrent"), F.asc("supp")
+    ).limit(20)
+
+
+_Q_MAX_CONCURRENT_SQL = """
+WITH ev AS (
+  SELECT l_suppkey AS supp, l_shipdate AS dt, 1 AS delta,
+         l_orderkey AS okey, l_linenumber AS lnum FROM lineitem
+  UNION ALL
+  SELECT l_suppkey,
+         l_shipdate + (((l_orderkey + l_linenumber) % 14 + 2)
+                       * INTERVAL 1 DAY),
+         -1, l_orderkey, l_linenumber FROM lineitem
+), swept AS (
+  SELECT supp, SUM(delta) OVER (
+    PARTITION BY supp ORDER BY dt, delta, okey, lnum
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+  ) AS load
+  FROM ev
+)
+SELECT supp, CAST(MAX(load) AS BIGINT) AS peak_concurrent,
+  CAST(COUNT(*) / 2 AS BIGINT) AS n_shipments
+FROM swept GROUP BY supp
+ORDER BY peak_concurrent DESC, supp ASC LIMIT 20
+"""
+
+
+def q_seasonal_naive_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-naive forecast audit: predict each hour's event count
+    with the count 24 hours earlier and report per-type MAPE — the
+    baseline every forecasting pipeline must beat, and the seasonality
+    detector (low MAPE = strong daily cycle).  The lag is an EQUI-JOIN
+    on hour_ts - 24h, not a window lag: calendar gaps (missing hours)
+    would silently misalign a row-lag, and the join is gap-exact at
+    any scale.  All-integer ppm arithmetic (counts positive)."""
+    ev = load_tables(spark, sf_dir)["events"]
+    hourly = ev.groupBy(
+        F.col("event_type"),
+        F.date_trunc("hour", F.col("ts")).alias("h"),
+    ).agg(F.count(F.lit(1)).alias("c"))
+    prev = hourly.select(
+        "event_type",
+        (F.col("h") + F.expr("INTERVAL 24 HOURS")).alias("h"),
+        F.col("c").alias("c24"),
+    )
+    joined = hourly.join(prev, ["event_type", "h"]).withColumn(
+        "ape_ppm",
+        F.expr("abs(c - c24) * 1000000 div c24"),
+    )
+    return (
+        joined.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_points"),
+            F.expr("sum(ape_ppm) div count(1)").alias("mape_ppm"),
+            F.max("ape_ppm").alias("max_ape_ppm"),
+        )
+        .orderBy("event_type")
+    )
+
+
+_Q_SEASONAL_NAIVE_SQL = """
+WITH hourly AS (
+  SELECT event_type, date_trunc('hour', ts) AS h, COUNT(*) AS c
+  FROM events GROUP BY event_type, date_trunc('hour', ts)
+), j AS (
+  SELECT a.event_type, abs(a.c - b.c) * 1000000 // b.c AS ape_ppm
+  FROM hourly a
+  JOIN hourly b ON a.event_type = b.event_type
+                AND a.h = b.h + INTERVAL 24 HOURS
+)
+SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_points,
+  CAST(SUM(ape_ppm) // COUNT(*) AS BIGINT) AS mape_ppm,
+  CAST(MAX(ape_ppm) AS BIGINT) AS max_ape_ppm
+FROM j GROUP BY event_type ORDER BY event_type
+"""
+
+
+def q_blocking_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocking-strategy evaluation (record-linkage QA): for the
+    16-char-prefix blocking key, per source — pair completeness (what
+    fraction of TRUE near-dup pairs, token Jaccard >= 0.6, share a
+    block) and reduction ratio (what fraction of the n*(n-1)/2
+    comparison space the blocking avoids).  The two numbers every
+    blocking choice trades between (Christen 2012); run it before
+    committing a key at corpus scale.  All-integer ppm arithmetic;
+    truth pairs ride the shared token_pair_counts verify core."""
+    from radient_spark.operators.dedup import token_pair_counts
+
+    docs = load_tables(spark, sf_dir)["documents"].filter(
+        F.length(F.trim("text")) > 0
+    )
+    toks = docs.select(
+        "doc_id",
+        "source",
+        F.array_distinct(F.split(F.trim("text"), r"\s+")).alias("toks"),
+    )
+    truth = (
+        token_pair_counts(toks, id_col="doc_id", part_col="source")
+        .filter(
+            F.col("shared") * 5
+            >= (F.col("na") + F.col("nb") - F.col("shared")) * 3
+        )
+        .select("source", "id_a", "id_b")
+    )
+    blocked = docs.select(
+        "doc_id", "source", F.substring(F.trim("text"), 1, 16).alias("bk")
+    )
+    cand = (
+        blocked.alias("x")
+        .join(
+            blocked.alias("y"),
+            (F.col("x.source") == F.col("y.source"))
+            & (F.col("x.bk") == F.col("y.bk"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .select(
+            F.col("x.source").alias("source"),
+            F.col("x.doc_id").alias("id_a"),
+            F.col("y.doc_id").alias("id_b"),
+        )
+    )
+    hits = truth.join(cand, ["source", "id_a", "id_b"], "left_semi")
+    per_source = (
+        docs.groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .withColumn(
+            "total_pairs",
+            F.expr("n_docs * (n_docs - 1) div 2"),
+        )
+    )
+    agg = lambda df, name: df.groupBy("source").agg(  # noqa: E731
+        F.count(F.lit(1)).alias(name)
+    )
+    report = (
+        per_source.join(agg(truth, "n_true"), "source", "left")
+        .join(agg(cand, "n_cand"), "source", "left")
+        .join(agg(hits, "n_hit"), "source", "left")
+        .fillna(0, ["n_true", "n_cand", "n_hit"])
+    )
+    return report.select(
+        "source",
+        "n_docs",
+        "n_true",
+        "n_cand",
+        "n_hit",
+        F.when(
+            F.col("n_true") > 0,
+            F.expr("n_hit * 1000000 div n_true"),
+        ).alias("completeness_ppm"),
+        (
+            F.lit(1_000_000)
+            - F.expr("n_cand * 1000000 div total_pairs")
+        ).alias("reduction_ratio_ppm"),
+    ).orderBy("source")
+
+
+_Q_BLOCKING_QUALITY_SQL = r"""
+WITH docs AS (
+  SELECT doc_id, source, trim(text) AS t
+  FROM documents WHERE length(trim(text)) > 0
+), toks AS (
+  SELECT doc_id, source, list_distinct(regexp_split_to_array(t, '\s+')) AS tk
+  FROM docs
+), truth AS (
+  SELECT a.source, a.doc_id AS id_a, b.doc_id AS id_b
+  FROM toks a JOIN toks b ON a.source = b.source AND a.doc_id < b.doc_id
+  WHERE len(list_distinct(list_intersect(a.tk, b.tk))) * 5
+        >= len(list_distinct(a.tk || b.tk)) * 3
+), blocked AS (
+  SELECT doc_id, source, substr(t, 1, 16) AS bk FROM docs
+), cand AS (
+  SELECT x.source, x.doc_id AS id_a, y.doc_id AS id_b
+  FROM blocked x JOIN blocked y
+    ON x.source = y.source AND x.bk = y.bk AND x.doc_id < y.doc_id
+), hits AS (
+  SELECT t.* FROM truth t
+  WHERE EXISTS (SELECT 1 FROM cand c
+    WHERE c.source = t.source AND c.id_a = t.id_a AND c.id_b = t.id_b)
+), per_source AS (
+  SELECT source, COUNT(*) AS n_docs,
+    COUNT(*) * (COUNT(*) - 1) // 2 AS total_pairs
+  FROM docs GROUP BY source
+)
+SELECT p.source, CAST(p.n_docs AS BIGINT) AS n_docs,
+  CAST(COALESCE(t.n, 0) AS BIGINT) AS n_true,
+  CAST(COALESCE(c.n, 0) AS BIGINT) AS n_cand,
+  CAST(COALESCE(h.n, 0) AS BIGINT) AS n_hit,
+  CASE WHEN COALESCE(t.n, 0) > 0
+       THEN CAST(COALESCE(h.n, 0) * 1000000 // t.n AS BIGINT)
+  END AS completeness_ppm,
+  CAST(1000000 - COALESCE(c.n, 0) * 1000000 // p.total_pairs AS BIGINT)
+    AS reduction_ratio_ppm
+FROM per_source p
+LEFT JOIN (SELECT source, COUNT(*) AS n FROM truth GROUP BY source) t
+  USING (source)
+LEFT JOIN (SELECT source, COUNT(*) AS n FROM cand GROUP BY source) c
+  USING (source)
+LEFT JOIN (SELECT source, COUNT(*) AS n FROM hits GROUP BY source) h
+  USING (source)
+ORDER BY p.source
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 
@@ -12658,6 +13038,18 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     ),
     "q_ndv_join_estimate": (q_ndv_join_estimate, _Q_NDV_JOIN_SQL),
     "q_equidepth_histogram": (q_equidepth_histogram, _Q_EQUIDEPTH_SQL),
+    # round 6
+    "q_cdc_apply": (q_cdc_apply, _Q_CDC_APPLY_SQL),
+    "q_resource_allocation_links": (
+        q_resource_allocation_links,
+        _Q_RA_LINKS_SQL,
+    ),
+    "q_max_concurrent_shipments": (
+        q_max_concurrent_shipments,
+        _Q_MAX_CONCURRENT_SQL,
+    ),
+    "q_seasonal_naive_error": (q_seasonal_naive_error, _Q_SEASONAL_NAIVE_SQL),
+    "q_blocking_quality": (q_blocking_quality, _Q_BLOCKING_QUALITY_SQL),
 }
 
 # The correctness driver oracle-checks exactly the FIRST 50 keys of ``queries()``

@@ -1046,3 +1046,89 @@ def fingerprint_maintenance_sink(
         _commit_state(fresh.coalesce(1), state_dir, tag, epoch_id)
 
     return foreach_batch_sink(stream, checkpoint, batch_fn)
+
+
+def cdc_maintenance_sink(
+    stream: DataFrame,
+    snapshot_dir: str,
+    checkpoint: str,
+    key_cols: list,
+    seq_cols: list,
+    op_col: str = "op",
+    delete_op: str = "delete",
+):
+    """Streaming CDC materialization: every micro-batch of change-log
+    rows (upserts + deletes with a per-key sequence) is folded into the
+    persisted current snapshot with operators/merge.cdc_apply — the
+    always-on consumer of a Debezium-style feed.  The prior snapshot
+    re-enters the fold as synthetic log rows (its own seq/op columns),
+    so the result always equals cdc_apply over ALL log rows so far
+    (stream ≡ batch test), while each batch's work scales with
+    snapshot + batch, never the full historical log.
+
+    n_versions is carried as a per-key version COUNT that sums across
+    folds; the merge is therefore not idempotent and rides
+    _commit_state's epoch marker + staging swap (crash-safe
+    exactly-once), like the agg/SCD2 sinks.  Deletes must carry the
+    key's HIGHEST seq so far to take effect, exactly as in batch; and
+    like the SCD2 sink, per-key arrival must be in seq order ACROSS
+    batches (a tombstone forgets the key's seq, so a later batch
+    delivering an older upsert would resurrect it)."""
+    from radient_spark.operators.merge import cdc_apply
+
+    tag = _epoch_tag(checkpoint)
+
+    def batch_fn(df: DataFrame, epoch_id: int) -> None:
+        spark = df.sparkSession
+        if _epoch_committed(spark, snapshot_dir, tag, epoch_id):
+            return
+        log = df
+        if _state_exists(spark, snapshot_dir):
+            prior = spark.read.parquet(snapshot_dir)
+            # a tombstoned key may resurface: deletes are final only
+            # until a higher-seq upsert arrives, so the snapshot rows
+            # re-enter as plain upserts at their recorded seq
+            as_log = prior.select(
+                *key_cols,
+                *seq_cols,
+                F.lit("upsert").alias(op_col),
+                *[
+                    c
+                    for c in prior.columns
+                    if c not in (*key_cols, *seq_cols, "n_versions")
+                ],
+            )
+            n_prior = prior.select(*key_cols, "n_versions")
+            merged = cdc_apply(
+                log.unionByName(as_log, allowMissingColumns=True),
+                key_cols=key_cols,
+                seq_cols=seq_cols,
+                op_col=op_col,
+                delete_op=delete_op,
+            )
+            # cdc_apply counted prior-snapshot rows as ONE version each;
+            # restore the true cumulative count: add the prior count and
+            # subtract the 1 placeholder where a prior row participated
+            merged = (
+                merged.join(n_prior.withColumnRenamed("n_versions", "__np"),
+                            key_cols, "left")
+                .withColumn(
+                    "n_versions",
+                    F.col("n_versions")
+                    + F.when(
+                        F.col("__np").isNotNull(), F.col("__np") - 1
+                    ).otherwise(F.lit(0)),
+                )
+                .drop("__np")
+            )
+        else:
+            merged = cdc_apply(
+                log,
+                key_cols=key_cols,
+                seq_cols=seq_cols,
+                op_col=op_col,
+                delete_op=delete_op,
+            )
+        _commit_state(merged, snapshot_dir, tag, epoch_id)
+
+    return foreach_batch_sink(stream, checkpoint, batch_fn)

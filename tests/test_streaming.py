@@ -975,3 +975,49 @@ def test_commit_state_crash_safety_and_epoch_idempotence(spark, tmp_path):
         f.write("garbage")
     assert _state_exists(spark, sd)  # real state still wins
     assert spark.read.parquet(sd).collect()[0]["k"] == 2
+
+
+def test_cdc_maintenance_sink_equals_batch_apply(spark, tmp_path):
+    """Round-6: the streamed CDC snapshot (per-batch cdc_apply fold via
+    _commit_state) must equal cdc_apply over the concatenated log —
+    upserts replace, deletes tombstone, a higher-seq upsert resurrects,
+    and n_versions counts every log row ever seen for the key."""
+    from radient_spark.operators.merge import cdc_apply
+
+    in_dir, snap, ck = (
+        str(tmp_path / "cdc_in"),
+        str(tmp_path / "cdc_snap"),
+        str(tmp_path / "ck_cdc"),
+    )
+    schema = "k long, seq long, op string, val string"
+    b1 = [(1, 1, "upsert", "a1"), (2, 1, "upsert", "b1"), (3, 1, "upsert", "c1")]
+    b2 = [(1, 2, "upsert", "a2"), (2, 2, "delete", None), (4, 1, "upsert", "d1")]
+    b3 = [(2, 3, "upsert", "b3"), (3, 2, "delete", None)]
+
+    spark.createDataFrame(b1, schema).write.mode("overwrite").parquet(in_dir)
+    for batch in (None, b2, b3):
+        if batch is not None:
+            spark.createDataFrame(batch, schema).write.mode("append").parquet(
+                in_dir
+            )
+        stream = spark.readStream.schema(schema).parquet(in_dir)
+        q = streaming.cdc_maintenance_sink(
+            stream, snap, ck, key_cols=["k"], seq_cols=["seq"]
+        )
+        q.awaitTermination(120)
+
+    got = {
+        (r["k"], r["seq"], r["val"], r["n_versions"])
+        for r in spark.read.parquet(snap).collect()
+    }
+    full_log = spark.createDataFrame(b1 + b2 + b3, schema)
+    want = {
+        (r["k"], r["seq"], r["val"], r["n_versions"])
+        for r in cdc_apply(
+            full_log, key_cols=["k"], seq_cols=["seq"]
+        ).collect()
+    }
+    assert got == want, (got, want)
+    # semantic spot checks: 2 resurrected at seq 3, 3 tombstoned
+    assert (2, 3, "b3", 3) in got
+    assert not [t for t in got if t[0] == 3]
