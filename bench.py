@@ -267,13 +267,31 @@ def main() -> None:
     # parquet page cache are uniformly steady — cold-sweep position
     # noise (±15% observed r4->r5) masked real regressions, so warm-vs-
     # warm is what the next verdict should grade.
+    #
+    # Round 8: MEDIAN-OF-3, with the three passes INTERLEAVED
+    # (A,B,C,...,A,B,C,...) rather than back-to-back — one contended run
+    # poisoned r7's q_srp_multiprobe_pairs warm number (14.2 s vs 7.2 s
+    # cold), and back-to-back repeats would share the same transient
+    # host load. The median of three decorrelated samples is what the
+    # verdict should grade. SPARK_GRAFT_WARM_RUNS=1 restores the cheap
+    # single pass for quick local iteration.
+    import statistics
+
+    warm_runs = max(1, int(os.environ.get("SPARK_GRAFT_WARM_RUNS", "3")))
     slowest = sorted(timings, key=timings.__getitem__, reverse=True)[:40]
-    for name in sorted(set(slowest) | set(HEADLINE)):
-        fn, _ = QUERIES[name]
-        start = time.perf_counter()
-        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        warm[name] = round(time.perf_counter() - start, 3)
-        spark.catalog.clearCache()
+    warm_set = sorted(set(slowest) | set(HEADLINE))
+    warm_samples: dict[str, list[float]] = {n: [] for n in warm_set}
+    for _pass in range(warm_runs):
+        for name in warm_set:
+            fn, _ = QUERIES[name]
+            start = time.perf_counter()
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            warm_samples[name].append(time.perf_counter() - start)
+            spark.catalog.clearCache()
+    warm = {
+        name: round(statistics.median(samples), 3)
+        for name, samples in warm_samples.items()
+    }
 
     # ANN is build-once / search-many: time the index build+save and the
     # partition-pruned search separately — conflating them made the

@@ -574,6 +574,26 @@ class AnnIndex:
             )
             .withColumn("leaf_id", F.lit(0))
         )
+        # cosine builds project UNIT rows; rather than re-normalizing the
+        # full corpus inside every level's GEMM (depth x O(n*d) redundant
+        # work — the round-7 q_ann_build 2.4x regression), compute the
+        # row norm ONCE (JVM-side fold, 8 bytes/row carried through the
+        # loop) and divide the scalar projection by it:
+        # unit(x)@H == (x@H)/||x||.
+        if metric == "cosine":
+            cur = cur.withColumn(
+                "__nrm",
+                F.sqrt(
+                    F.aggregate(
+                        "vector",
+                        F.lit(0.0),
+                        lambda a, x: a + x.cast("double") * x.cast("double"),
+                    )
+                )
+                + F.lit(1e-12),
+            )
+        else:
+            cur = cur.withColumn("__nrm", F.lit(1.0))
         trees = [_Tree(depth=depth) for _ in range(n_trees)]
         sizes: dict[tuple[int, int], int] = {(t, 0): n for t in range(n_trees)}
         KEY = 1 << (depth + 1)  # composite (tree, leaf) -> tree*KEY + leaf
@@ -626,8 +646,6 @@ class AnnIndex:
                     if len(pdf) == 0:
                         continue
                     M = np.array(pdf["vector"].tolist(), dtype=np.float64)
-                    if _metric == "cosine":
-                        M = _unit_rows(M)
                     keys = (
                         pdf["tree_id"].to_numpy() * _KEY + pdf["leaf_id"].to_numpy()
                     )
@@ -635,13 +653,18 @@ class AnnIndex:
                     for k in np.unique(keys):
                         m = keys == k
                         d[m] = M[m] @ H[int(k)]
+                    if _metric == "cosine":
+                        # precomputed-once row norm replaces per-level
+                        # corpus re-normalization: unit(x)@H == (x@H)/||x||
+                        d /= pdf["__nrm"].to_numpy()
                     out = pdf.copy()
                     out["proj"] = d
                     yield out
 
             projected = cur.mapInPandas(
                 project,
-                "id long, vector array<float>, tree_id int, leaf_id int, proj double",
+                "id long, vector array<float>, tree_id int, leaf_id int,"
+                " __nrm double, proj double",
             ).localCheckpoint(eager=False)
             lo_q, hi_q = max(0.0, 0.5 - spill), min(1.0, 0.5 + spill)
             cut_rows = (
@@ -693,7 +716,7 @@ class AnnIndex:
                 F.col("proj") <= F.coalesce(hi_map[key_expr], F.lit(0.0))
             ).withColumn("leaf_id", F.col("leaf_id") * 2)
             cur = right.unionByName(left).select(
-                "id", "vector", "tree_id", "leaf_id"
+                "id", "vector", "tree_id", "leaf_id", "__nrm"
             )
             # Child sizes follow analytically from the median split: each
             # child holds ~size*(0.5+spill) of its parent (that IS the

@@ -1002,7 +1002,13 @@ def profile_table(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
     C exact distincts in one statement; for wide tables at petabyte
     scale swap countDistinct for approx_count_distinct and accept the
     sketch error. The final melt to long form is a zero-cost Project
-    over the 1-row aggregate.
+    over the 1-row aggregate, sorted by col_name so the report (and
+    any hash over it) is deterministic.
+
+    min/max convert to DECIMAL(18,6) in the decimal domain — one cast
+    of the already-aggregated native value, no intermediate
+    double-round — so the numbers are engine-portable (the DuckDB
+    oracle does the identical single cast).
     """
     cols = cols or df.columns
     dtypes = dict(df.dtypes)
@@ -1012,14 +1018,10 @@ def profile_table(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
         aggs.append(F.countDistinct(c).alias(f"__dist_{c}"))
         if dtypes[c].startswith(_NUMERIC_PREFIXES):
             aggs.append(
-                F.round(F.min(F.col(c).cast("double")), 6)
-                .cast("decimal(18,6)")
-                .alias(f"__min_{c}")
+                F.min(F.col(c)).cast("decimal(18,6)").alias(f"__min_{c}")
             )
             aggs.append(
-                F.round(F.max(F.col(c).cast("double")), 6)
-                .cast("decimal(18,6)")
-                .alias(f"__max_{c}")
+                F.max(F.col(c)).cast("decimal(18,6)").alias(f"__max_{c}")
             )
     wide = df.agg(*aggs)
     parts = []
@@ -1043,9 +1045,11 @@ def profile_table(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
                 ).alias("max_num"),
             )
         )
-    return wide.select(
-        F.explode(F.array(*parts)).alias("p")
-    ).select("p.*")
+    return (
+        wide.select(F.explode(F.array(*parts)).alias("p"))
+        .select("p.*")
+        .orderBy("col_name")
+    )
 
 
 def weighted_sample(

@@ -356,6 +356,25 @@ def cdc_apply(
 
     `seq_cols` must totally order versions within a key (add a tiebreak
     column: CDC offsets, LSNs, or (ts, offset) pairs)."""
+    return cdc_latest(
+        log, key_cols, seq_cols, op_col=op_col, delete_op=delete_op
+    ).filter(F.col(op_col) != delete_op).drop(op_col)
+
+
+def cdc_latest(
+    log: DataFrame,
+    key_cols: Sequence[str],
+    seq_cols: Sequence[str],
+    op_col: str = "op",
+    delete_op: str = "delete",  # noqa: ARG001 — kept for signature parity
+) -> DataFrame:
+    """cdc_apply without the tombstone filter: per key the highest-seq
+    row wins, but DELETED keys stay in the output (op_col column kept,
+    payload from the delete row — typically NULL). The carrier the
+    streaming CDC sink needs: a tombstone must remember the key's seq
+    high-water mark and cumulative n_versions, or a later lower-seq
+    upsert would wrongly resurrect it and the version count restarts.
+    Same single hash shuffle / max_by plan as cdc_apply."""
     payload = [
         c for c in log.columns if c not in (*key_cols, *seq_cols, op_col)
     ]
@@ -370,12 +389,10 @@ def cdc_apply(
         ),
         F.count(F.lit(1)).alias("n_versions"),
     )
-    return (
-        latest.filter(F.col("__v.__op") != delete_op)
-        .select(
-            *key_cols,
-            *[F.col(f"__v.{c}").alias(c) for c in seq_cols],
-            *[F.col(f"__v.{c}").alias(c) for c in payload],
-            "n_versions",
-        )
+    return latest.select(
+        *key_cols,
+        *[F.col(f"__v.{c}").alias(c) for c in seq_cols],
+        F.col("__v.__op").alias(op_col),
+        *[F.col(f"__v.{c}").alias(c) for c in payload],
+        "n_versions",
     )

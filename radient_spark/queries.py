@@ -3797,7 +3797,7 @@ def q_merge_upsert_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         merge_upsert(docs, source, ["doc_id"])
         .agg(F.count(F.lit(1)).alias("merged_rows"))
     )
-    return summary.crossJoin(F.broadcast(merged_rows))
+    return summary.crossJoin(F.broadcast(merged_rows)).orderBy("action")
 
 
 _Q_MERGE_SQL = """
@@ -3819,6 +3819,7 @@ WITH src AS (
 SELECT action, CAST(COUNT(*) AS BIGINT) AS n_rows,
   (SELECT merged_rows FROM merged) AS merged_rows
 FROM rep GROUP BY action
+ORDER BY action
 """
 
 
@@ -3933,7 +3934,7 @@ def q_pagerank_bipartite(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = eb.unionByName(
         eb.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )
-    return pagerank_integer(edges, iters=2, damping_pct=85, units=10**12)
+    return pagerank_integer(edges, iters=2, damping_pct=85, units=10**12).orderBy("node")
 
 
 _Q_PAGERANK_SQL = """
@@ -3966,7 +3967,7 @@ s1 AS (
       + (85 * COALESCE(s2.s, 0)) // 100 AS r
   FROM nodes nd LEFT JOIN s2 ON nd.node = s2.node
 )
-SELECT node, CAST(r AS BIGINT) AS rank_units FROM r2
+SELECT node, CAST(r AS BIGINT) AS rank_units FROM r2 ORDER BY node
 """
 
 
@@ -5088,13 +5089,13 @@ _Q_TABLE_PROFILE_SQL = """
 SELECT 'o_orderkey' AS col_name, COUNT(*) AS n_rows,
   CAST(SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
   COUNT(DISTINCT o_orderkey) AS n_distinct,
-  CAST(ROUND(MIN(CAST(o_orderkey AS DOUBLE)), 6) AS DECIMAL(18,6)) AS min_num, CAST(ROUND(MAX(CAST(o_orderkey AS DOUBLE)), 6) AS DECIMAL(18,6)) AS max_num
+  CAST(MIN(o_orderkey) AS DECIMAL(18,6)) AS min_num, CAST(MAX(o_orderkey) AS DECIMAL(18,6)) AS max_num
 FROM orders
 UNION ALL
 SELECT 'o_custkey' AS col_name, COUNT(*) AS n_rows,
   CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
   COUNT(DISTINCT o_custkey) AS n_distinct,
-  CAST(ROUND(MIN(CAST(o_custkey AS DOUBLE)), 6) AS DECIMAL(18,6)) AS min_num, CAST(ROUND(MAX(CAST(o_custkey AS DOUBLE)), 6) AS DECIMAL(18,6)) AS max_num
+  CAST(MIN(o_custkey) AS DECIMAL(18,6)) AS min_num, CAST(MAX(o_custkey) AS DECIMAL(18,6)) AS max_num
 FROM orders
 UNION ALL
 SELECT 'o_orderstatus' AS col_name, COUNT(*) AS n_rows,
@@ -5106,7 +5107,7 @@ UNION ALL
 SELECT 'o_totalprice' AS col_name, COUNT(*) AS n_rows,
   CAST(SUM(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
   COUNT(DISTINCT o_totalprice) AS n_distinct,
-  CAST(ROUND(MIN(CAST(o_totalprice AS DOUBLE)), 6) AS DECIMAL(18,6)) AS min_num, CAST(ROUND(MAX(CAST(o_totalprice AS DOUBLE)), 6) AS DECIMAL(18,6)) AS max_num
+  CAST(MIN(o_totalprice) AS DECIMAL(18,6)) AS min_num, CAST(MAX(o_totalprice) AS DECIMAL(18,6)) AS max_num
 FROM orders
 UNION ALL
 SELECT 'o_orderdate' AS col_name, COUNT(*) AS n_rows,
@@ -5120,6 +5121,7 @@ SELECT 'o_orderpriority' AS col_name, COUNT(*) AS n_rows,
   COUNT(DISTINCT o_orderpriority) AS n_distinct,
   CAST(NULL AS DECIMAL(18,6)) AS min_num, CAST(NULL AS DECIMAL(18,6)) AS max_num
 FROM orders
+ORDER BY col_name
 """
 
 
@@ -7577,7 +7579,7 @@ def q_delete_cascade_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = rows[0]
     for r in rows[1:]:
         out = out.unionAll(r)
-    return out
+    return out.orderBy("table_name")
 
 
 _Q_CASCADE_SQL = """
@@ -7594,6 +7596,7 @@ SELECT 'orders', CAST((SELECT COUNT(*) FROM co) AS BIGINT)
 UNION ALL
 SELECT 'lineitem', CAST((SELECT COUNT(*) FROM lineitem
   WHERE l_orderkey IN (SELECT o_orderkey FROM co)) AS BIGINT)
+ORDER BY table_name
 """
 
 
@@ -11436,7 +11439,7 @@ def q_data_contract_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         },
         {"name": "orderkey_unique", "type": "unique", "column": "o_orderkey"},
     ]
-    return validate(orders, rules)
+    return validate(orders, rules).orderBy("rule_name")
 
 
 _Q_CONTRACT_SQL = """
@@ -11472,6 +11475,7 @@ SELECT 'orderkey_unique', 'unique', 'o_orderkey',
   CAST(COUNT(o_orderkey) - COUNT(DISTINCT o_orderkey) AS BIGINT),
   CAST(COUNT(*) AS BIGINT)
 FROM orders
+ORDER BY rule_name
 """
 
 
@@ -13058,59 +13062,62 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
 # local harness at sf0.001/0.01/0.1.  Each round we rotate a fresh batch of
 # never-driver-checked queries to the front (plus 5 stable sentinels for
 # cross-round continuity); remaining keys keep their historical order behind
-# them.  Round 6 batch: the 45 oldest never-checked entries (r2/r3 backlog:
-# quantized search, curation v1/v2, sketches, profiling, sampling, graph).
+# them.  Round 8 batch: q_table_profile (r7 hash fix re-check), q_dup_groups/
+# q_embedding_dup_groups (oracles added post-r1, never hash-verified), the
+# round-8 determinism-pinned reports, and the oldest never-checked tail
+# (round-4/5 analytics, SCD2/golden-record, graph, sampling); 31 never-
+# checked entries remain for round 9.
 _DRIVER_PRIORITY = [
     "q01_pricing_summary",
     "q_vec_topk_cosine",
     "q_minhash_signatures",
     "q_ann_search_exact",
     "q_ivf_search_exact",
-    "q_approx_cardinalities",
-    "q_sq8_topk",
-    "q_dsir_logweights",
-    "q_pq_topk",
-    "q_curation_pipeline",
-    "q_incremental_ingest_dedup",
-    "q_document_chunks",
-    "q_kmeans_embedding_clusters",
-    "q_semdedup_pairs",
-    "q_cluster_balanced_sample",
-    "q_quality_classifier_scores",
-    "q_merge_upsert_report",
-    "q_zorder_buckets",
-    "q_hard_negatives",
-    "q_pagerank_bipartite",
-    "q_paragraph_dedup_report",
-    "q_token_budget_cut",
-    "q_bm25_search",
-    "q_hybrid_search_rrf",
-    "q_matryoshka_topk",
-    "q_binary_hamming_topk",
-    "q_curation_pipeline_v2",
-    "q_gopher_rules_report",
-    "q_bigram_logppl",
-    "q_stratified_sample",
-    "q_session_funnel",
-    "q_embedding_drift",
-    "q_epoch_interleave",
-    "q_mmr_rerank",
-    "q_bloom_dedup_gate",
-    "q_cohort_retention",
-    "q_ngram_diversity",
-    "q_value_percentiles",
     "q_table_profile",
-    "q_skew_report",
-    "q_hll_cardinalities",
-    "q_cms_heavy_hitters",
-    "q_integrity_report",
-    "q_cross_source_overlap",
-    "q_rolling_anomalies",
-    "q_oov_report",
-    "q_hll_by_source",
-    "q_normalization_audit",
-    "q_correlation_matrix",
-    "q_ivfpq_search",
+    "q_dup_groups",
+    "q_embedding_dup_groups",
+    "q_data_contract_report",
+    "q_retrieval_metrics",
+    "q_scd2_incremental_merge",
+    "q_cdc_apply",
+    "q_snm_dedup_pairs",
+    "q_event_paths",
+    "q_simhash_near_pairs",
+    "q_hll_set_algebra",
+    "q_weighted_sample",
+    "q_timeseries_gapfill",
+    "q_sql_api_nation_margin",
+    "q_cms_by_lang",
+    "q_event_transitions",
+    "q_curation_pipeline_v3",
+    "q_triangle_count",
+    "q_native_session_windows",
+    "q_weekly_p95_trend",
+    "q_mad_outliers",
+    "q_negative_samples",
+    "q_lang_drift_chi2",
+    "q_quantile_transform",
+    "q_token_pmi",
+    "q_trend_regression",
+    "q_edit_distance_pairs",
+    "q_attribution_first_touch",
+    "q_bloom_calibration",
+    "q_histogram_quantiles",
+    "q_star_dup_groups",
+    "q_scd2_status_history",
+    "q_delete_cascade_audit",
+    "q_semantic_decontamination",
+    "q_minhash_calibration",
+    "q_bpe_merges",
+    "q_bpe_vocab_stats",
+    "q_entity_resolution",
+    "q_token_budget_allocation",
+    "q_winsorized_means",
+    "q_cluster_silhouette",
+    "q_join_size_estimates",
+    "q_keyword_extraction",
+    "q_attribution_linear",
+    "q_curation_pipeline_v4",
 ]
 
 QUERIES = {

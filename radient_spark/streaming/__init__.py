@@ -1069,46 +1069,58 @@ def cdc_maintenance_sink(
     n_versions is carried as a per-key version COUNT that sums across
     folds; the merge is therefore not idempotent and rides
     _commit_state's epoch marker + staging swap (crash-safe
-    exactly-once), like the agg/SCD2 sinks.  Deletes must carry the
-    key's HIGHEST seq so far to take effect, exactly as in batch; and
-    like the SCD2 sink, per-key arrival must be in seq order ACROSS
-    batches (a tombstone forgets the key's seq, so a later batch
-    delivering an older upsert would resurrect it)."""
-    from radient_spark.operators.merge import cdc_apply
+    exactly-once), like the agg/SCD2 sinks.
+
+    Two state directories: the served snapshot at `snapshot_dir`
+    (tombstones filtered out — exactly cdc_apply's contract) and the
+    FULL per-key state at `snapshot_dir + ".full"` (tombstones kept,
+    with their op, seq high-water mark and cumulative n_versions via
+    operators/merge.cdc_latest).  Without the full state, a
+    delete→re-upsert cycle would reset the key's version count to 1
+    and a tombstone would forget the key's seq — letting a later batch
+    delivering an OLDER upsert wrongly resurrect it.  With it, both
+    survive any number of delete/resurrect cycles and out-of-order
+    cross-batch arrivals, matching batch cdc_apply over the whole log.
+
+    Crash-safety ordering: the epoch marker is checked on (and last
+    written to) the full-state dir; the served view commits first.  A
+    crash between the two commits replays the batch (full state not yet
+    folded), overwriting the served view with the identical result."""
+    from radient_spark.operators.merge import cdc_latest
 
     tag = _epoch_tag(checkpoint)
+    full_dir = snapshot_dir + ".full"
 
     def batch_fn(df: DataFrame, epoch_id: int) -> None:
         spark = df.sparkSession
-        if _epoch_committed(spark, snapshot_dir, tag, epoch_id):
+        if _epoch_committed(spark, full_dir, tag, epoch_id):
             return
         log = df
-        if _state_exists(spark, snapshot_dir):
-            prior = spark.read.parquet(snapshot_dir)
-            # a tombstoned key may resurface: deletes are final only
-            # until a higher-seq upsert arrives, so the snapshot rows
-            # re-enter as plain upserts at their recorded seq
-            as_log = prior.select(
-                *key_cols,
-                *seq_cols,
-                F.lit("upsert").alias(op_col),
-                *[
-                    c
-                    for c in prior.columns
-                    if c not in (*key_cols, *seq_cols, "n_versions")
-                ],
+        prior = None
+        if _state_exists(spark, full_dir):
+            prior = spark.read.parquet(full_dir)
+        elif _state_exists(spark, snapshot_dir):
+            # pre-full-state checkpoint upgrade path: bootstrap from the
+            # served snapshot (historical tombstones are unrecoverable)
+            prior = spark.read.parquet(snapshot_dir).withColumn(
+                op_col, F.lit("upsert")
             )
+        if prior is not None:
+            # full-state rows re-enter the fold as log rows with their
+            # TRUE op: a tombstone re-enters as a delete at its recorded
+            # seq, so only a strictly higher-seq upsert resurrects it
+            as_log = prior.drop("n_versions")
             n_prior = prior.select(*key_cols, "n_versions")
-            merged = cdc_apply(
+            merged = cdc_latest(
                 log.unionByName(as_log, allowMissingColumns=True),
                 key_cols=key_cols,
                 seq_cols=seq_cols,
                 op_col=op_col,
                 delete_op=delete_op,
             )
-            # cdc_apply counted prior-snapshot rows as ONE version each;
-            # restore the true cumulative count: add the prior count and
-            # subtract the 1 placeholder where a prior row participated
+            # cdc_latest counted the prior-state row as ONE version;
+            # restore the cumulative count: add prior count minus that
+            # 1-row placeholder where a prior row participated
             merged = (
                 merged.join(n_prior.withColumnRenamed("n_versions", "__np"),
                             key_cols, "left")
@@ -1122,13 +1134,16 @@ def cdc_maintenance_sink(
                 .drop("__np")
             )
         else:
-            merged = cdc_apply(
+            merged = cdc_latest(
                 log,
                 key_cols=key_cols,
                 seq_cols=seq_cols,
                 op_col=op_col,
                 delete_op=delete_op,
             )
-        _commit_state(merged, snapshot_dir, tag, epoch_id)
+        merged = merged.localCheckpoint(eager=True)
+        served = merged.filter(F.col(op_col) != delete_op).drop(op_col)
+        _commit_state(served, snapshot_dir, tag, epoch_id)
+        _commit_state(merged, full_dir, tag, epoch_id)
 
     return foreach_batch_sink(stream, checkpoint, batch_fn)

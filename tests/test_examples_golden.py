@@ -97,3 +97,33 @@ def test_drug_discovery_composed_pipeline_golden(spark):
     # the self-query tops the list at exactly 1.0, like the reference's
     # golden (Dexibuprofen/Ibuprofen lead drug_discovery.md:51)
     assert got[0] == ("Ibuprofen", 1.0)
+
+
+def _sorted_rows_md5(df):
+    import hashlib
+
+    rows = sorted(tuple(str(x) for x in r) for r in df.collect())
+    return hashlib.md5(str(rows).encode()).hexdigest()
+
+
+def test_media_pipeline_checksum_golden(spark):
+    """Round-8: q_media_pipeline is a deliberate rows-only driver row
+    (stubbed decoders), so pin its sf0.001 output with a value checksum
+    here — the media fan-out path is value-checked in CI even without a
+    DuckDB oracle. The checksum is over stringified sorted rows; the
+    output is integer counts, so it is platform-stable."""
+    from radient_spark.queries import QUERIES
+
+    df = QUERIES["q_media_pipeline"][0](spark, "/root/testdata/sf0.001")
+    assert _sorted_rows_md5(df) == "b3224fd6c815ae1dcf5ea9f80ccd049e"
+
+
+def test_mel_clip_features_checksum_golden(spark):
+    """Round-8: q_mel_clip_features is rows-only (FFT is not
+    SQL-expressible), so pin the sf0.001 per-clip summary features with
+    a checksum. mel_mean is rounded to 4 decimals in the query — far
+    above FFT float noise — so the checksum is stable across runs."""
+    from radient_spark.queries import QUERIES
+
+    df = QUERIES["q_mel_clip_features"][0](spark, "/root/testdata/sf0.001")
+    assert _sorted_rows_md5(df) == "3b7e965a462457a0847e019dc0ef0e04"

@@ -1021,3 +1021,54 @@ def test_cdc_maintenance_sink_equals_batch_apply(spark, tmp_path):
     # semantic spot checks: 2 resurrected at seq 3, 3 tombstoned
     assert (2, 3, "b3", 3) in got
     assert not [t for t in got if t[0] == 3]
+
+
+def test_cdc_maintenance_sink_tombstone_blocks_older_upsert(spark, tmp_path):
+    """Round-8 regression for the round-6 state-loss bug: a tombstone
+    must remember the key's seq high-water mark ACROSS batches, so a
+    later batch delivering an OLDER upsert does NOT resurrect the key —
+    and a delete→higher-seq-resurrect cycle keeps the cumulative
+    n_versions instead of restarting at 1."""
+    from radient_spark.operators.merge import cdc_apply
+
+    in_dir, snap, ck = (
+        str(tmp_path / "cdc_in"),
+        str(tmp_path / "cdc_snap"),
+        str(tmp_path / "ck_cdc"),
+    )
+    schema = "k long, seq long, op string, val string"
+    b1 = [(1, 5, "delete", None), (2, 1, "upsert", "b1")]
+    b2 = [(1, 3, "upsert", "a-stale"), (2, 2, "delete", None)]  # must NOT resurrect 1
+    b3 = [(1, 6, "upsert", "a-new"), (2, 3, "upsert", "b-new")]
+
+    spark.createDataFrame(b1, schema).write.mode("overwrite").parquet(in_dir)
+    for batch in (None, b2, b3):
+        if batch is not None:
+            spark.createDataFrame(batch, schema).write.mode("append").parquet(
+                in_dir
+            )
+        stream = spark.readStream.schema(schema).parquet(in_dir)
+        q = streaming.cdc_maintenance_sink(
+            stream, snap, ck, key_cols=["k"], seq_cols=["seq"]
+        )
+        q.awaitTermination(120)
+        if batch is b2:
+            # mid-stream check: the stale upsert was absorbed (version
+            # counted) but the tombstone held
+            mid = {r["k"] for r in spark.read.parquet(snap).collect()}
+            assert 1 not in mid, mid
+
+    got = {
+        (r["k"], r["seq"], r["val"], r["n_versions"])
+        for r in spark.read.parquet(snap).collect()
+    }
+    want = {
+        (r["k"], r["seq"], r["val"], r["n_versions"])
+        for r in cdc_apply(
+            spark.createDataFrame(b1 + b2 + b3, schema),
+            key_cols=["k"],
+            seq_cols=["seq"],
+        ).collect()
+    }
+    assert got == want, (got, want)
+    assert (1, 6, "a-new", 3) in got  # delete@5 + stale@3 + new@6 all counted
