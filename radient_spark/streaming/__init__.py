@@ -1085,7 +1085,14 @@ def cdc_maintenance_sink(
     Crash-safety ordering: the epoch marker is checked on (and last
     written to) the full-state dir; the served view commits first.  A
     crash between the two commits replays the batch (full state not yet
-    folded), overwriting the served view with the identical result."""
+    folded), overwriting the served view with the identical result.
+
+    Scale note: the full state holds ONE row per key ever seen
+    (tombstones included), so it grows with the key universe, not the
+    log. At 100 TB-feed scale, age tombstones out of the full state
+    once they pass the feed's max out-of-orderness horizon (after which
+    an older upsert can no longer arrive) — a filter on a seq/time
+    column in a periodic compaction, orthogonal to this fold."""
     from radient_spark.operators.merge import cdc_latest
 
     tag = _epoch_tag(checkpoint)
