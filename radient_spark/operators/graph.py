@@ -67,13 +67,14 @@ def pagerank(
     ranks = nodes.withColumn("__r", F.lit(1.0 / n)).cache()
     base = (1.0 - damping) / n
     for i in range(iters):
-        contrib = (
-            edges.join(ranks, edges[src] == ranks["node"])
-            .join(deg, src)
-            .select(
-                F.col(dst).alias("node"),
-                (F.col("__r") / F.col("__deg")).alias("__c"),
-            )
+        # node-sized rank⋈degree first, ONE edge-sized join per round
+        # (see pagerank_integer — same reorder, identical values)
+        per_src = ranks.join(deg, ranks["node"] == deg[src]).select(
+            ranks["node"].alias("__src"),
+            (F.col("__r") / F.col("__deg")).alias("__c"),
+        )
+        contrib = edges.join(per_src, edges[src] == per_src["__src"]).select(
+            F.col(dst).alias("node"), "__c"
         )
         summed = contrib.groupBy("node").agg(F.sum("__c").alias("__s"))
         new = nodes.join(summed, "node", "left").select(
@@ -119,13 +120,17 @@ def pagerank_integer(
     ranks = nodes.withColumn("__r", F.lit(int(units // n)).cast("long")).cache()
     base = (units * (100 - damping_pct) // 100) // n
     for _ in range(iters):
-        contrib = (
-            edges.join(ranks, edges[src] == ranks["node"])
-            .join(deg, src)
-            .select(
-                F.col(dst).alias("node"),
-                F.expr("__r div __deg").alias("__c"),
-            )
+        # join the two NODE-sized tables first (rank ⋈ out-degree), so
+        # each iteration touches the edge table exactly once — the
+        # naive edges⋈ranks⋈deg order pays a second EDGE-sized join
+        # that Catalyst won't reorder away without CBO stats. Values
+        # are unchanged: __r div __deg is per-source either way.
+        per_src = ranks.join(deg, ranks["node"] == deg[src]).select(
+            ranks["node"].alias("__src"),
+            F.expr("__r div __deg").alias("__c"),
+        )
+        contrib = edges.join(per_src, edges[src] == per_src["__src"]).select(
+            F.col(dst).alias("node"), "__c"
         )
         summed = contrib.groupBy("node").agg(F.sum("__c").alias("__s"))
         new = nodes.join(summed, "node", "left").select(
@@ -801,13 +806,14 @@ def personalized_pagerank_integer(
         .cast("long"),
     ).cache()
     for _ in range(iters):
-        contrib = (
-            edges.join(ranks, edges[src] == ranks["node"])
-            .join(deg, src)
-            .select(
-                F.col(dst).alias("node"),
-                F.expr("__r div __deg").alias("__c"),
-            )
+        # node-sized rank⋈degree first, ONE edge-sized join per round
+        # (see pagerank_integer — same reorder, identical values)
+        per_src = ranks.join(deg, ranks["node"] == deg[src]).select(
+            ranks["node"].alias("__src"),
+            F.expr("__r div __deg").alias("__c"),
+        )
+        contrib = edges.join(per_src, edges[src] == per_src["__src"]).select(
+            F.col(dst).alias("node"), "__c"
         )
         summed = contrib.groupBy("node").agg(F.sum("__c").alias("__s"))
         new = nodes.join(summed, "node", "left").select(
