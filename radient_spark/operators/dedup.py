@@ -966,3 +966,92 @@ def token_pair_counts(
     na = sizes.select(F.col(id_col).alias("id_a"), F.col("n_toks").alias("na"))
     nb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_toks").alias("nb"))
     return shared.join(F.broadcast(na), "id_a").join(F.broadcast(nb), "id_b")
+
+
+def prefix_filter_candidates(
+    toks: DataFrame,
+    id_col: str = "doc_id",
+    tokens_col: str = "toks",
+    t_num: int = 3,
+    t_den: int = 5,
+    part_col: str | None = None,
+) -> DataFrame:
+    """PPJoin-style prefix-filtered candidate pairs for a Jaccard
+    set-similarity self-join at threshold t = t_num/t_den (Xiao et al.,
+    WWW 2008; Chaudhuri et al., ICDE 2006 SSJoin).  Complements
+    token_pair_counts' max_df cap with the CLASSIC guarantee: order each
+    document's distinct tokens by global rarity (df asc, token asc —
+    any shared total order works), keep only the first
+    p = n - ceil(t*n) + 1 tokens (the "prefix"), and self-join postings
+    on prefix tokens only.  Completeness: J(A,B) >= t implies
+    |A∩B| >= ceil(t*|A|); if A's prefix and B's prefix were disjoint,
+    every common element would lie past the prefix in at least one set,
+    leaving at most (|A| - p_A) = ceil(t*|A|) - 1 common elements — a
+    contradiction, so every qualifying pair shares a PREFIX token and
+    no true pair is dropped (the oracle for q_prefix_jaccard_pairs is
+    the unfiltered all-pairs ground truth, which proves it).  A length filter
+    (t*max(n_a,n_b) <= min(n_a,n_b), cross-multiplied in integers)
+    prunes size-mismatched candidates before verification.
+
+    The threshold is a RATIONAL (t_num/t_den), never a float:
+    ceil(t*n) = (t_num*n + t_den - 1) div t_den stays on the integer
+    lattice, so Spark and any SQL oracle agree at exact boundary sizes
+    (0.6*5 in binary floating point is 3.0000000000000004 — a float
+    ceil would silently shorten the prefix and break completeness).
+
+    Scale shape: one token-keyed shuffle for df, one per-doc window to
+    rank tokens by rarity, then a posting self-join restricted to
+    prefix tokens — rare tokens first means the join's per-token fanout
+    is smallest exactly where documents put their candidate mass.  On
+    zipfian vocabularies the prefix never contains the stopword tail,
+    which is the blowup max_df merely caps.  (On this driver corpus's
+    small uniform vocabulary the 3 extra shuffles outweigh the ~2.6x
+    candidate cut — measured in SCALING.md — so token_pair_counts'
+    default stays the uncapped posting join; this operator is the
+    zipfian-corpus path.)
+
+    Returns (part_col?, id_a, id_b) with id_a < id_b, distinct.
+    """
+    part = [part_col] if part_col else []
+    posting = toks.select(
+        *part,
+        F.col(id_col).alias("__id"),
+        F.size(tokens_col).alias("__n"),
+        F.explode(tokens_col).alias("token"),
+    )
+    dfreq = posting.groupBy(*part, "token").agg(
+        F.count(F.lit(1)).alias("__df")
+    )
+    ranked = posting.join(dfreq, part + ["token"]).withColumn(
+        "__rn",
+        F.row_number().over(
+            Window.partitionBy(*part, "__id").orderBy("__df", "token")
+        ),
+    )
+    prefix = ranked.filter(
+        F.col("__rn")
+        <= F.expr(f"__n - (({t_num} * __n + {t_den - 1}) div {t_den}) + 1")
+    )
+    a = prefix.select(
+        *part,
+        F.col("__id").alias("id_a"),
+        F.col("__n").alias("__na"),
+        "token",
+    )
+    b = prefix.select(
+        *[F.col(c).alias(f"{c}_b") for c in part],
+        F.col("__id").alias("id_b"),
+        F.col("__n").alias("__nb"),
+        F.col("token").alias("token_b"),
+    )
+    cond = (
+        (F.col("token") == F.col("token_b"))
+        & (F.col("id_a") < F.col("id_b"))
+        & (
+            F.lit(t_num) * F.greatest("__na", "__nb")
+            <= F.lit(t_den) * F.least("__na", "__nb")
+        )
+    )
+    for c in part:
+        cond = (F.col(c) == F.col(f"{c}_b")) & cond
+    return a.join(b, cond).select(*part, "id_a", "id_b").distinct()

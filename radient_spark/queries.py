@@ -12795,6 +12795,196 @@ ORDER BY p.source
 """
 
 
+def q_prefix_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """n-gram Jaccard near-dup pairs via PPJoin PREFIX FILTERING
+    (operators/dedup.prefix_filter_candidates) — the classic
+    set-similarity-join pruning for zipfian vocabularies, where
+    token_pair_counts' default posting join goes quadratic on
+    stopwords and max_df merely caps the blowup: order each doc's
+    tokens by global rarity, self-join only the (1-t)*n+1 rarest per
+    doc, length-prune, then verify candidates EXACTLY on the full
+    token arrays.
+
+    The oracle is the UNFILTERED all-pairs ground truth at the same
+    threshold — a hash match proves the prefix filter is complete (no
+    qualifying pair escapes the candidate set) and the exact verify is
+    sound (no sub-threshold pair survives).  Threshold 3/5 stays
+    rational on both sides: the qualifying test is the integer
+    cross-multiplication 5*shared >= 3*(na+nb-shared), never a float
+    compare; the reported jaccard is one double division of identical
+    integers.
+    """
+    from radient_spark.operators.dedup import (
+        prefix_filter_candidates,
+        token_pair_counts,
+    )
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    toks = docs.filter(F.length(F.trim("text")) > 0).select(
+        "doc_id",
+        "source",
+        F.array_distinct(F.split(F.trim("text"), r"\s+")).alias("toks"),
+    )
+    cand = prefix_filter_candidates(
+        toks, id_col="doc_id", tokens_col="toks", t_num=3, t_den=5,
+        part_col="source",
+    )
+    counts = token_pair_counts(
+        toks, id_col="doc_id", part_col="source", candidates=cand
+    )
+    return (
+        counts.filter(
+            F.lit(5) * F.col("shared")
+            >= F.lit(3) * (F.col("na") + F.col("nb") - F.col("shared"))
+        )
+        .select(
+            "source",
+            "id_a",
+            "id_b",
+            "shared",
+            "na",
+            "nb",
+            (
+                F.col("shared").cast("double")
+                / (F.col("na") + F.col("nb") - F.col("shared"))
+            ).alias("jaccard"),
+        )
+    )
+
+
+_Q_PREFIX_JACCARD_SQL = r"""
+WITH toks AS (
+  SELECT doc_id, source,
+    list_distinct(regexp_split_to_array(trim(text), '\s+')) AS t
+  FROM documents WHERE length(trim(text)) > 0
+)
+SELECT a.source, a.doc_id AS id_a, b.doc_id AS id_b,
+  CAST(len(list_intersect(a.t, b.t)) AS INT) AS shared,
+  CAST(len(a.t) AS INT) AS na, CAST(len(b.t) AS INT) AS nb,
+  CAST(len(list_intersect(a.t, b.t)) AS DOUBLE)
+    / (len(a.t) + len(b.t) - len(list_intersect(a.t, b.t))) AS jaccard
+FROM toks a JOIN toks b ON a.source = b.source AND a.doc_id < b.doc_id
+WHERE 5 * len(list_intersect(a.t, b.t))
+      >= 3 * (len(a.t) + len(b.t) - len(list_intersect(a.t, b.t)))
+"""
+
+
+def q_theilsen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust per-event-type trend: the Theil-Sen estimator (median of
+    all pairwise slopes of the DAILY totals) plus the Mann-Kendall
+    monotonic-trend statistic S and tau — the outlier-immune
+    complement to q_trend_regression's OLS, whose slope one corrupted
+    day can drag arbitrarily (Theil-Sen has a 29% breakdown point).
+
+    Exactness: daily totals are integer cents at integer day offsets;
+    each pairwise slope is ONE double division of identical integers,
+    so both engines produce bit-identical slope multisets; the
+    estimator is the LOWER MEDIAN — an order statistic, deterministic
+    under ties because the value at a rank of a sorted multiset does
+    not depend on tie order.  S is a pure integer sum of signs; tau is
+    one rounded division.
+
+    Scale shape: the heavy input collapses in the daily pre-aggregation
+    (one shuffle, output rows = groups x days); the pairwise self-join
+    is quadratic ONLY in the bounded time horizon (days), never in the
+    event count — 10^12 events over 3 years is still just ~600k slope
+    rows per group.  Median rank via one per-group window.
+    """
+    ev = load_tables(spark, sf_dir)["events"]
+    day = F.datediff(
+        F.col("ts").cast("date"), F.lit("2024-01-01").cast("date")
+    ).cast("long")
+    cents = F.round(F.col("value") * 100, 0).cast("long")
+    daily = ev.groupBy(
+        "event_type", day.alias("x")
+    ).agg(F.sum(cents).alias("y"))
+    a = daily.select(
+        "event_type", F.col("x").alias("xa"), F.col("y").alias("ya")
+    )
+    b = daily.select(
+        F.col("event_type").alias("et_b"),
+        F.col("x").alias("xb"),
+        F.col("y").alias("yb"),
+    )
+    pairs = a.join(
+        b,
+        (F.col("event_type") == F.col("et_b")) & (F.col("xa") < F.col("xb")),
+    ).select(
+        "event_type",
+        (
+            (F.col("yb") - F.col("ya")).cast("double")
+            / (F.col("xb") - F.col("xa"))
+        ).alias("slope"),
+        F.when(F.col("yb") > F.col("ya"), 1)
+        .when(F.col("yb") < F.col("ya"), -1)
+        .otherwise(0)
+        .cast("long")
+        .alias("sgn"),
+    )
+    w = Window.partitionBy("event_type").orderBy("slope")
+    ranked = pairs.withColumn("rn", F.row_number().over(w)).withColumn(
+        "m", F.count(F.lit(1)).over(Window.partitionBy("event_type"))
+    )
+    med = ranked.filter(F.expr("rn = (m + 1) div 2")).select(
+        "event_type", F.round("slope", 6).alias("theilsen_slope")
+    )
+    stats = pairs.groupBy("event_type").agg(
+        F.sum("sgn").alias("mk_s"), F.count(F.lit(1)).alias("n_pairs")
+    )
+    days = daily.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_days"))
+    return (
+        days.join(stats, "event_type")
+        .join(med, "event_type")
+        .select(
+            "event_type",
+            "n_days",
+            "theilsen_slope",
+            "mk_s",
+            F.round(
+                F.col("mk_s").cast("double") / F.col("n_pairs").cast("double"),
+                6,
+            ).alias("mk_tau"),
+        )
+        .orderBy("event_type")
+    )
+
+
+_Q_THEILSEN_SQL = """
+WITH daily AS (
+  SELECT event_type,
+    CAST(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS BIGINT)
+      AS x,
+    CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS BIGINT) AS y
+  FROM events GROUP BY 1, 2
+), pairs AS (
+  SELECT a.event_type,
+    CAST(b.y - a.y AS DOUBLE) / (b.x - a.x) AS slope,
+    CASE WHEN b.y > a.y THEN 1 WHEN b.y < a.y THEN -1 ELSE 0 END AS sgn
+  FROM daily a JOIN daily b
+    ON a.event_type = b.event_type AND a.x < b.x
+), ranked AS (
+  SELECT event_type, slope,
+    row_number() OVER (PARTITION BY event_type ORDER BY slope) AS rn,
+    COUNT(*) OVER (PARTITION BY event_type) AS m
+  FROM pairs
+), med AS (
+  SELECT event_type, ROUND(slope, 6) AS theilsen_slope
+  FROM ranked WHERE rn = (m + 1) // 2
+), stats AS (
+  SELECT event_type, CAST(SUM(sgn) AS BIGINT) AS mk_s,
+    COUNT(*) AS n_pairs
+  FROM pairs GROUP BY event_type
+), days AS (
+  SELECT event_type, COUNT(*) AS n_days FROM daily GROUP BY event_type
+)
+SELECT d.event_type, CAST(d.n_days AS BIGINT) AS n_days,
+  m.theilsen_slope, s.mk_s,
+  ROUND(CAST(s.mk_s AS DOUBLE) / s.n_pairs, 6) AS mk_tau
+FROM days d JOIN stats s USING (event_type) JOIN med m USING (event_type)
+ORDER BY d.event_type
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 
@@ -13054,6 +13244,8 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     ),
     "q_seasonal_naive_error": (q_seasonal_naive_error, _Q_SEASONAL_NAIVE_SQL),
     "q_blocking_quality": (q_blocking_quality, _Q_BLOCKING_QUALITY_SQL),
+    "q_prefix_jaccard_pairs": (q_prefix_jaccard_pairs, _Q_PREFIX_JACCARD_SQL),
+    "q_theilsen_trend": (q_theilsen_trend, _Q_THEILSEN_SQL),
 }
 
 # The correctness driver oracle-checks exactly the FIRST 50 keys of ``queries()``
