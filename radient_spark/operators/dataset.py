@@ -11,6 +11,7 @@ check them value-for-value.
 from __future__ import annotations
 
 import math
+from collections.abc import Sequence
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
@@ -984,6 +985,64 @@ def exact_group_quantiles(
     return hit.select(
         F.col("__g").alias(group_col), "q", F.col("__v").alias("value")
     )
+
+
+def histogram_order_statistic(
+    hist: DataFrame,
+    group_col: str,
+    value_col: str,
+    count_col: str = "c",
+    qs: Sequence[float] = (0.5,),
+    out_cols: Sequence[str] | None = None,
+) -> DataFrame:
+    """Per-group EXACT order statistics at ranks ceil(q*n) from a value
+    HISTOGRAM (group, value, count) instead of the raw rows — the fast
+    path for bounded-lattice values (cents, token counts, scores on a
+    fixed grid), where the histogram is O(groups x value domain)
+    regardless of row count.  One cumulative-count window over the
+    histogram (per-group rows = distinct values, bounded by the
+    lattice, never by the data), then ONE aggregate picks, for every q
+    at once, the smallest value whose cumulative count reaches the
+    rank.  No driver collect, no boundary-probe pass — where
+    exact_group_quantiles runs approxQuantile + an occupancy collect +
+    a targeted window over the raw rows, this is one tiny window over
+    pre-aggregated counts.
+
+    Rank formula: GREATEST(1, CEIL(q * n)) with q as a DOUBLE literal —
+    deliberately the SAME floating-point expression the SQL oracles
+    use, so engines agree even where q*n sits within one ulp of an
+    integer (0.99 is not exactly representable; a "cleaner" rational
+    rank could differ from the oracle's ceil at those boundary counts).
+    For q=0.5 the double math is exact and equals ceil(n/2).
+
+    Unbounded/continuous value domains (the histogram would approach
+    one bucket per row, making the per-group window a single-reducer
+    sort) belong on exact_group_quantiles instead.
+    """
+    w_cum = (
+        Window.partitionBy(group_col)
+        .orderBy(value_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_all = Window.partitionBy(group_col)
+    outs = list(out_cols) if out_cols else [f"q{q}" for q in qs]
+    cum = hist.withColumn("__cum", F.sum(count_col).over(w_cum)).withColumn(
+        "__n", F.sum(count_col).over(w_all)
+    )
+    aggs = [
+        F.min(
+            F.when(
+                F.col("__cum")
+                >= F.greatest(
+                    F.lit(1).cast("long"),
+                    F.ceil(F.lit(float(q)) * F.col("__n")),
+                ),
+                F.col(value_col),
+            )
+        ).alias(out)
+        for q, out in zip(qs, outs)
+    ]
+    return cum.groupBy(group_col).agg(*aggs)
 
 
 _NUMERIC_PREFIXES = ("tinyint", "smallint", "int", "bigint", "float", "double", "decimal")

