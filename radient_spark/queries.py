@@ -9054,9 +9054,13 @@ def q_embedding_srp_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from radient_spark.operators.topk import srp_signature
 
     emb = load_tables(spark, sf_dir)["embeddings"]
-    sigs = emb.select(
-        "vec_id", srp_signature("embedding", dim=64).alias("srp")
-    )
+    # the embeddings parquet arrives as ONE split at this SF (single
+    # row group), and the banded join's small side auto-broadcasts —
+    # without an explicit repartition the whole signature+join+verify
+    # pipeline would run on a single core (stream-side parallelism = 1)
+    sigs = emb.repartition(
+        spark.sparkContext.defaultParallelism
+    ).select("vec_id", srp_signature("embedding", dim=64).alias("srp"))
     cand = simhash_near_pairs(
         sigs, id_col="vec_id", sim_col="srp", n_bits=16, bands=4,
         max_hamming=3,
@@ -9125,9 +9129,11 @@ def q_srp_multiprobe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from radient_spark.operators.topk import srp_signature
 
     emb = load_tables(spark, sf_dir)["embeddings"]
-    sigs = emb.select(
-        "vec_id", srp_signature("embedding", dim=64).alias("srp")
-    )
+    # single-split parquet + broadcast band join = one-core pipeline
+    # without this repartition (see q_embedding_srp_pairs)
+    sigs = emb.repartition(
+        spark.sparkContext.defaultParallelism
+    ).select("vec_id", srp_signature("embedding", dim=64).alias("srp"))
     cand = simhash_multiprobe_pairs(
         sigs, id_col="vec_id", sim_col="srp", n_bits=16, bands=4,
         max_hamming=7,
