@@ -50,6 +50,27 @@ def davg(col, alias: str):
 QUERY_VEC = [round(math.sin(0.7 * i) * 0.5, 6) for i in range(64)]
 _QV_SQL = "[" + ", ".join(repr(x) for x in QUERY_VEC) + "]::DOUBLE[]"
 
+def _widen_narrow_scan(df: DataFrame) -> DataFrame:
+    """Round-robin-widen a scan that arrives in fewer splits than cores.
+
+    Tiny-SF parquet ships as a single row group, so Spark cannot split
+    it and every per-row expression upstream of the first exchange runs
+    on one core. For CPU-heavy row-local pipelines (MinHash/SimHash
+    signatures, SRP codes, tokenize+explode) a cheap repartition of the
+    RAW rows first moves the expensive expressions behind a 32-way
+    exchange. Guarded: at real scale the scan already has >= cores
+    splits and this is a no-op — the shuffle exists only in the
+    degenerate small-split case, so the at-scale plan keeps signatures
+    shuffle-free (the test_plans pin on q_minhash_signatures is on the
+    un-widened pipeline). Pointless for shuffle-immediate pipelines
+    (joins/aggs): the added exchange's map side would be the same
+    narrow scan."""
+    p = df.sparkSession.sparkContext.defaultParallelism
+    if not df.isStreaming and df.rdd.getNumPartitions() < p:
+        return df.repartition(p)
+    return df
+
+
 def _disc_price():
     return F.col("l_extendedprice") * (1 - F.col("l_discount"))
 
@@ -781,7 +802,9 @@ def q_minhash_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # One signature computation, cached: the banding branch and both sides
     # of the verify join read the same in-memory signatures.
     sigs = D.with_minhash(
-        docs.filter(F.length(F.trim("text")) > 0).select("doc_id", "text"),
+        _widen_narrow_scan(
+            docs.filter(F.length(F.trim("text")) > 0).select("doc_id", "text")
+        ),
         text_col="text",
         num_hashes=16,
         shingle_k=3,
@@ -1105,7 +1128,9 @@ def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from radient_spark.operators.dedup import token_pair_counts
 
     docs = load_tables(spark, sf_dir)["documents"]
-    toks = docs.filter(F.length(F.trim("text")) > 0).select(
+    toks = _widen_narrow_scan(
+        docs.filter(F.length(F.trim("text")) > 0)
+    ).select(
         "doc_id",
         "source",
         F.array_distinct(F.split(F.trim("text"), r"\s+")).alias("toks"),
@@ -5982,7 +6007,7 @@ def q_simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     docs = load_tables(spark, sf_dir)["documents"]
     sigs = D.with_simhash(
-        docs.filter(F.length(F.trim("text")) > 0),
+        _widen_narrow_scan(docs.filter(F.length(F.trim("text")) > 0)),
         text_col="text",
         n_bits=32,
         out_col="simhash32",
@@ -9056,11 +9081,11 @@ def q_embedding_srp_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_tables(spark, sf_dir)["embeddings"]
     # the embeddings parquet arrives as ONE split at this SF (single
     # row group), and the banded join's small side auto-broadcasts —
-    # without an explicit repartition the whole signature+join+verify
-    # pipeline would run on a single core (stream-side parallelism = 1)
-    sigs = emb.repartition(
-        spark.sparkContext.defaultParallelism
-    ).select("vec_id", srp_signature("embedding", dim=64).alias("srp"))
+    # without widening, the whole signature+join+verify pipeline would
+    # run on a single core (stream-side parallelism = 1); no-op at scale
+    sigs = _widen_narrow_scan(emb).select(
+        "vec_id", srp_signature("embedding", dim=64).alias("srp")
+    )
     cand = simhash_near_pairs(
         sigs, id_col="vec_id", sim_col="srp", n_bits=16, bands=4,
         max_hamming=3,
@@ -9130,10 +9155,10 @@ def q_srp_multiprobe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_tables(spark, sf_dir)["embeddings"]
     # single-split parquet + broadcast band join = one-core pipeline
-    # without this repartition (see q_embedding_srp_pairs)
-    sigs = emb.repartition(
-        spark.sparkContext.defaultParallelism
-    ).select("vec_id", srp_signature("embedding", dim=64).alias("srp"))
+    # without the widen (see q_embedding_srp_pairs); no-op at scale
+    sigs = _widen_narrow_scan(emb).select(
+        "vec_id", srp_signature("embedding", dim=64).alias("srp")
+    )
     cand = simhash_multiprobe_pairs(
         sigs, id_col="vec_id", sim_col="srp", n_bits=16, bands=4,
         max_hamming=7,
@@ -11794,7 +11819,9 @@ def q_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from radient_spark.operators.dedup import token_pair_counts
 
     docs = load_tables(spark, sf_dir)["documents"]
-    toks = docs.filter(F.length(F.trim("text")) > 0).select(
+    toks = _widen_narrow_scan(
+        docs.filter(F.length(F.trim("text")) > 0)
+    ).select(
         "doc_id",
         "source",
         F.array_distinct(F.split(F.trim("text"), r"\s+")).alias("toks"),
@@ -12703,7 +12730,7 @@ def q_blocking_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_tables(spark, sf_dir)["documents"].filter(
         F.length(F.trim("text")) > 0
     )
-    toks = docs.select(
+    toks = _widen_narrow_scan(docs).select(
         "doc_id",
         "source",
         F.array_distinct(F.split(F.trim("text"), r"\s+")).alias("toks"),
@@ -12840,7 +12867,9 @@ def q_prefix_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = load_tables(spark, sf_dir)["documents"]
-    toks = docs.filter(F.length(F.trim("text")) > 0).select(
+    toks = _widen_narrow_scan(
+        docs.filter(F.length(F.trim("text")) > 0)
+    ).select(
         "doc_id",
         "source",
         F.array_distinct(F.split(F.trim("text"), r"\s+")).alias("toks"),
