@@ -190,6 +190,13 @@ BENCH_QUERIES = [
     "q_benford_prices",
     "q_greedy_coverage",
     "q_snapshot_fingerprints",
+    # round 8
+    "q_theilsen_trend",
+    # q_prefix_jaccard_pairs is deliberately NOT in the sweep: on this
+    # corpus's small uniform vocabulary the prefix filter measures ~8 s
+    # at sf0.1 vs 1.6 s for the uncapped posting join (SCALING.md) — it
+    # exists as the zipfian-corpus path and is hash-gated in the
+    # driver's correctness run, not raced here.
 ]
 
 HEADLINE = [

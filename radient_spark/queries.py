@@ -13310,8 +13310,8 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
 # checked entries remain for round 9.
 _DRIVER_PRIORITY = [
     "q01_pricing_summary",
-    "q_vec_topk_cosine",
-    "q_minhash_signatures",
+    "q_prefix_jaccard_pairs",
+    "q_theilsen_trend",
     "q_ann_search_exact",
     "q_ivf_search_exact",
     "q_table_profile",
