@@ -13034,6 +13034,67 @@ ORDER BY d.event_type
 """
 
 
+def q_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-export shard manifest: every document lands in one of 16
+    shards by a portable md5 hash of its key — stateless and
+    append-consistent like hash_split (q_train_val_split), so re-runs,
+    engines, and partitionings agree on every assignment — and the
+    per-shard manifest row a dataset writer publishes next to the
+    files: doc count, token total, distinct sources, doc_id span, and
+    an ORDER-INDEPENDENT fingerprint (bit_xor over the members' 60-bit
+    md5 keys, commutative, so any engine writing the same shard emits
+    the same fingerprint regardless of row order or partitioning —
+    the cross-engine shard-integrity check).
+
+    Scale shape: one scan, one 16-group aggregate (map-side partial);
+    the distinct-source count rides Expand over 16 groups. At export
+    time the same shard column feeds write.partitionBy — manifest and
+    layout derive from one expression.
+    """
+    from radient_spark.functions import text as X
+    from radient_spark.operators.dedup import str_hash, str_hash120
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    key = F.concat_ws("_", F.lit("shard"), F.col("doc_id"))
+    h60, _ = str_hash120(key)
+    return (
+        docs.withColumn("shard_id", (str_hash(key) % 16).cast("int"))
+        .withColumn("__h60", h60)
+        .groupBy("shard_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(X.token_count(F.col("text")).cast("long")).alias(
+                "n_tokens"
+            ),
+            F.countDistinct("source").alias("n_sources"),
+            F.min("doc_id").alias("min_doc_id"),
+            F.max("doc_id").alias("max_doc_id"),
+            F.expr("bit_xor(__h60)").alias("fingerprint"),
+        )
+        .orderBy("shard_id")
+    )
+
+
+_Q_SHARD_MANIFEST_SQL = r"""
+WITH keyed AS (
+  SELECT *,
+    CAST(('0x' || substring(md5(concat_ws('_', 'shard', doc_id)), 1, 8))
+         ::BIGINT % 16 AS INT) AS shard_id,
+    ('0x' || substring(md5(concat_ws('_', 'shard', doc_id)), 1, 15))
+      ::BIGINT AS h60
+  FROM documents
+)
+SELECT shard_id, COUNT(*) AS n_docs,
+  CAST(SUM(CASE WHEN length(trim(text)) = 0 THEN 0
+           ELSE len(regexp_split_to_array(trim(text), '\s+')) END)
+       AS BIGINT) AS n_tokens,
+  CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
+  MIN(doc_id) AS min_doc_id, MAX(doc_id) AS max_doc_id,
+  BIT_XOR(h60) AS fingerprint
+FROM keyed GROUP BY shard_id ORDER BY shard_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 
@@ -13295,6 +13356,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "q_blocking_quality": (q_blocking_quality, _Q_BLOCKING_QUALITY_SQL),
     "q_prefix_jaccard_pairs": (q_prefix_jaccard_pairs, _Q_PREFIX_JACCARD_SQL),
     "q_theilsen_trend": (q_theilsen_trend, _Q_THEILSEN_SQL),
+    "q_shard_manifest": (q_shard_manifest, _Q_SHARD_MANIFEST_SQL),
 }
 
 # The correctness driver oracle-checks exactly the FIRST 50 keys of ``queries()``
@@ -13312,8 +13374,8 @@ _DRIVER_PRIORITY = [
     "q01_pricing_summary",
     "q_prefix_jaccard_pairs",
     "q_theilsen_trend",
+    "q_shard_manifest",
     "q_ann_search_exact",
-    "q_ivf_search_exact",
     "q_table_profile",
     "q_dup_groups",
     "q_embedding_dup_groups",

@@ -589,3 +589,68 @@ def test_distributed_rank_and_ntile_null_range_keys(spark):
     assert len(cums) == 4
     # ranking order 1,4,3,2 -> cumsums 10,50,80,100
     assert cums == {1: 10, 4: 50, 3: 80, 2: 100}
+
+
+def test_histogram_order_statistic_equals_exact_engine(spark):
+    """The histogram fast path and the raw-row order-statistic engine
+    must agree rank for rank on lattice data — including tie-heavy
+    groups and a 1-row group (rank clamps to 1)."""
+    from radient_spark.operators.dataset import (
+        exact_group_quantiles,
+        histogram_order_statistic,
+    )
+
+    rows = [("g%d" % (i % 3), float((i * i * 7) % 13) / 2) for i in range(199)]
+    rows.append(("solo", 42.5))
+    df = spark.createDataFrame(rows, "g string, v double").repartition(8)
+    hist = df.groupBy("g", "v").agg(F.count(F.lit(1)).alias("c"))
+    got = {
+        (r["g"],): (r["p50"], r["p90"], r["p99"])
+        for r in histogram_order_statistic(
+            hist, "g", "v", qs=[0.5, 0.9, 0.99], out_cols=["p50", "p90", "p99"]
+        ).collect()
+    }
+    exp: dict = {}
+    for r in exact_group_quantiles(df, "g", "v", [0.5, 0.9, 0.99]).collect():
+        exp.setdefault((r["g"],), {})[r["q"]] = r["value"]
+    assert set(got) == set(exp)
+    for k in exp:
+        assert got[k] == (exp[k][0.5], exp[k][0.9], exp[k][0.99]), (k, got[k], exp[k])
+
+
+def test_prefix_filter_candidates_complete_vs_all_pairs(spark):
+    """Prefix-filter completeness on adversarial sizes: every pair with
+    jaccard >= 3/5 must appear in the candidate set, including sets
+    whose size sits exactly on the ceil(t*n) boundary (n=5, t=3/5)."""
+    from radient_spark.operators.dedup import (
+        prefix_filter_candidates,
+        token_pair_counts,
+    )
+
+    docs = [
+        (1, ["a", "b", "c", "d", "e"]),
+        (2, ["a", "b", "c", "d", "f"]),   # J(1,2)=4/6=0.67 >= 0.6
+        (3, ["a", "b", "c", "d", "e"]),   # J(1,3)=1.0
+        (4, ["x", "y", "z"]),
+        (5, ["x", "y", "w"]),             # J(4,5)=0.5 < 0.6
+        (6, ["p", "q"]),
+        (7, ["p", "q"]),                  # J(6,7)=1.0
+    ]
+    toks = spark.createDataFrame(docs, "doc_id long, toks array<string>")
+    cand = {
+        (r["id_a"], r["id_b"])
+        for r in prefix_filter_candidates(
+            toks, id_col="doc_id", tokens_col="toks", t_num=3, t_den=5
+        ).collect()
+    }
+    truth = {
+        (r["id_a"], r["id_b"])
+        for r in token_pair_counts(toks, id_col="doc_id", part_col=None)
+        .filter(
+            F.lit(5) * F.col("shared")
+            >= F.lit(3) * (F.col("na") + F.col("nb") - F.col("shared"))
+        )
+        .collect()
+    }
+    assert truth <= cand, truth - cand
+    assert (4, 5) not in truth
