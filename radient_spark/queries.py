@@ -3242,8 +3242,11 @@ def q_dsir_logweights(spark: SparkSession, sf_dir: str) -> DataFrame:
     from radient_spark.operators.dataset import dsir_logweights
 
     docs = load_tables(spark, sf_dir)["documents"]
+    # tokenize+ngram+md5 runs twice (counts pass, scoring pass) and is
+    # row-local — widen the degenerate single-split scan (no-op at scale)
     return dsir_logweights(
-        docs, F.col("lang") == "en", "text", "doc_id", buckets=10_000
+        _widen_narrow_scan(docs), F.col("lang") == "en", "text", "doc_id",
+        buckets=10_000,
     )
 
 
@@ -4453,7 +4456,9 @@ def q_bigram_logppl(spark: SparkSession, sf_dir: str) -> DataFrame:
     from radient_spark.operators.dataset import bigram_perplexity
 
     docs = load_tables(spark, sf_dir)["documents"]
-    return bigram_perplexity(docs)
+    # the token stream is generated twice (model fit, scoring) from
+    # row-local expressions — widen the single-split scan (no-op at scale)
+    return bigram_perplexity(_widen_narrow_scan(docs))
 
 
 _Q_BIGRAM_PPL_SQL = r"""
