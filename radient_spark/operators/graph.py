@@ -63,22 +63,31 @@ def pagerank(
     n = nodes.count()
     if n == 0:
         return nodes.withColumn(rank_col, F.lit(0.0))
-    deg = _degrees(edges, src)
-    ranks = nodes.withColumn("__r", F.lit(1.0 / n)).cache()
+    # Carry the (static) out-degree INSIDE the iterated rank state:
+    # the rank⋈degree join then disappears from the loop entirely — a
+    # filter+project on the cached state replaces it, leaving exactly
+    # one edge-sized join and one node-sized fold per round. Values are
+    # identical: degree-0 nodes contributed nothing through the old
+    # inner join and are now filtered explicitly.
+    nd = (
+        nodes.join(_degrees(edges, src), nodes["node"] == F.col(src), "left")
+        .select("node", F.coalesce("__deg", F.lit(0)).alias("__deg"))
+        .persist()
+    )
+    ranks = nd.withColumn("__r", F.lit(1.0 / n)).cache()
     base = (1.0 - damping) / n
     for i in range(iters):
-        # node-sized rank⋈degree first, ONE edge-sized join per round
-        # (see pagerank_integer — same reorder, identical values)
-        per_src = ranks.join(deg, ranks["node"] == deg[src]).select(
-            ranks["node"].alias("__src"),
+        per_src = ranks.filter(F.col("__deg") > 0).select(
+            F.col("node").alias("__src"),
             (F.col("__r") / F.col("__deg")).alias("__c"),
         )
         contrib = edges.join(per_src, edges[src] == per_src["__src"]).select(
             F.col(dst).alias("node"), "__c"
         )
         summed = contrib.groupBy("node").agg(F.sum("__c").alias("__s"))
-        new = nodes.join(summed, "node", "left").select(
+        new = nd.join(summed, "node", "left").select(
             "node",
+            "__deg",
             (
                 F.lit(base) + F.lit(damping) * F.coalesce(F.col("__s"), F.lit(0.0))
             ).alias("__r"),
@@ -116,25 +125,28 @@ def pagerank_integer(
     n = nodes.count()
     if n == 0:
         return nodes.withColumn(rank_col, F.lit(0).cast("long"))
-    deg = _degrees(edges, src)
-    ranks = nodes.withColumn("__r", F.lit(int(units // n)).cast("long")).cache()
+    # degree carried inside the iterated state (see pagerank): zero
+    # node-sized joins on the contribution side, one edge join + one
+    # node fold per round; __r div __deg per source is unchanged
+    nd = (
+        nodes.join(_degrees(edges, src), nodes["node"] == F.col(src), "left")
+        .select("node", F.coalesce("__deg", F.lit(0)).alias("__deg"))
+        .persist()
+    )
+    ranks = nd.withColumn("__r", F.lit(int(units // n)).cast("long")).cache()
     base = (units * (100 - damping_pct) // 100) // n
     for _ in range(iters):
-        # join the two NODE-sized tables first (rank ⋈ out-degree), so
-        # each iteration touches the edge table exactly once — the
-        # naive edges⋈ranks⋈deg order pays a second EDGE-sized join
-        # that Catalyst won't reorder away without CBO stats. Values
-        # are unchanged: __r div __deg is per-source either way.
-        per_src = ranks.join(deg, ranks["node"] == deg[src]).select(
-            ranks["node"].alias("__src"),
+        per_src = ranks.filter(F.col("__deg") > 0).select(
+            F.col("node").alias("__src"),
             F.expr("__r div __deg").alias("__c"),
         )
         contrib = edges.join(per_src, edges[src] == per_src["__src"]).select(
             F.col(dst).alias("node"), "__c"
         )
         summed = contrib.groupBy("node").agg(F.sum("__c").alias("__s"))
-        new = nodes.join(summed, "node", "left").select(
+        new = nd.join(summed, "node", "left").select(
             "node",
+            "__deg",
             (
                 F.lit(int(base)).cast("long")
                 + F.expr(
@@ -794,30 +806,34 @@ def personalized_pagerank_integer(
         .distinct()
         .persist()
     )
-    deg = _degrees(edges, src)
     base_seed = units * (100 - damping_pct) // 100
     restart = F.when(
         F.col("node") == seed_node, F.lit(int(base_seed))
     ).otherwise(F.lit(0)).cast("long")
-    ranks = nodes.withColumn(
+    # degree carried inside the iterated state (see pagerank)
+    nd = (
+        nodes.join(_degrees(edges, src), nodes["node"] == F.col(src), "left")
+        .select("node", F.coalesce("__deg", F.lit(0)).alias("__deg"))
+        .persist()
+    )
+    ranks = nd.withColumn(
         "__r",
         F.when(F.col("node") == seed_node, F.lit(int(units)))
         .otherwise(F.lit(0))
         .cast("long"),
     ).cache()
     for _ in range(iters):
-        # node-sized rank⋈degree first, ONE edge-sized join per round
-        # (see pagerank_integer — same reorder, identical values)
-        per_src = ranks.join(deg, ranks["node"] == deg[src]).select(
-            ranks["node"].alias("__src"),
+        per_src = ranks.filter(F.col("__deg") > 0).select(
+            F.col("node").alias("__src"),
             F.expr("__r div __deg").alias("__c"),
         )
         contrib = edges.join(per_src, edges[src] == per_src["__src"]).select(
             F.col(dst).alias("node"), "__c"
         )
         summed = contrib.groupBy("node").agg(F.sum("__c").alias("__s"))
-        new = nodes.join(summed, "node", "left").select(
+        new = nd.join(summed, "node", "left").select(
             "node",
+            "__deg",
             (
                 restart
                 + F.expr(f"({damping_pct} * coalesce(__s, 0L)) div 100")
