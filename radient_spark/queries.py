@@ -8161,13 +8161,14 @@ def q_winsorized_means(spark: SparkSession, sf_dir: str) -> DataFrame:
     Exactness: sums run on the integer cent lattice (DECIMAL-safe in
     any partial-aggregation order); the only float ops are the final
     two divisions, rounded to 6 decimals on both engines."""
-    from radient_spark.operators.dataset import exact_group_quantiles
+    from radient_spark.operators.dataset import histogram_order_statistic
 
     ev = load_tables(spark, sf_dir)["events"]
-    qs = exact_group_quantiles(ev, "event_type", "value", [0.05, 0.95])
-    bounds = qs.groupBy("event_type").agg(
-        F.max(F.when(F.col("q") == 0.05, F.col("value"))).alias("lo"),
-        F.max(F.when(F.col("q") == 0.95, F.col("value"))).alias("hi"),
+    # cent-lattice values -> histogram order statistics (round 8): one
+    # scan into (group, value) counts, both ranks in one tiny window
+    hist = ev.groupBy("event_type", "value").agg(F.count(F.lit(1)).alias("c"))
+    bounds = histogram_order_statistic(
+        hist, "event_type", "value", qs=[0.05, 0.95], out_cols=["lo", "hi"]
     )
     cents = F.round(F.col("value") * 100).cast("long")
     lo_c = F.round(F.col("lo") * 100).cast("long")
@@ -9413,7 +9414,7 @@ def q_repeat_purchase_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
     between a user's consecutive purchases — lag windows feeding the
     distributed order-statistic engine; the retention metric behind
     replenishment forecasting. Integer epoch arithmetic end to end."""
-    from radient_spark.operators.dataset import exact_group_quantiles
+    from radient_spark.operators.dataset import histogram_order_statistic
 
     ev = load_tables(spark, sf_dir)["events"]
     purchases = ev.filter(F.col("event_type") == "purchase")
@@ -9429,9 +9430,19 @@ def q_repeat_purchase_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("gap_minutes"),
         )
     )
-    out = exact_group_quantiles(gaps, "cohort", "gap_minutes", [0.5, 0.9])
-    return out.select(
-        "cohort", "q", F.col("value").cast("long").alias("gap_minutes")
+    # integer-minute gaps are bounded by the feed horizon, not the row
+    # count -> histogram order statistics (round 8)
+    hist = gaps.groupBy("cohort", "gap_minutes").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    wide = histogram_order_statistic(
+        hist, "cohort", "gap_minutes", qs=[0.5, 0.9], out_cols=["q50", "q90"]
+    )
+    return wide.selectExpr(
+        "cohort",
+        "stack(2, 0.5D, q50, 0.9D, q90) AS (q, gap_minutes)",
+    ).select(
+        "cohort", "q", F.col("gap_minutes").cast("long").alias("gap_minutes")
     ).orderBy("q")
 
 
