@@ -3154,7 +3154,7 @@ def q_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         unigram_surprisal_vocab,
     )
 
-    docs = load_tables(spark, sf_dir)["documents"]
+    docs = _widen_narrow_scan(load_tables(spark, sf_dir)["documents"])
     vocab = unigram_surprisal_vocab(docs, "text")
     return perplexity_buckets(docs, vocab, "text", "doc_id", "lang")
 
@@ -4384,7 +4384,7 @@ def q_gopher_rules_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     bigram explode + (doc_id, gram) groupBy — the dedup shuffle shape."""
     from radient_spark.operators.quality import gopher_report
 
-    docs = load_tables(spark, sf_dir)["documents"]
+    docs = _widen_narrow_scan(load_tables(spark, sf_dir)["documents"])
     return gopher_report(docs)
 
 
@@ -7053,7 +7053,8 @@ def q_token_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_tables(spark, sf_dir)["documents"]
     toks = stage(
-        docs.select("doc_id", "text"), toks=X.tokens(F.col("text"))
+        _widen_narrow_scan(docs.select("doc_id", "text")),
+        toks=X.tokens(F.col("text"))
     )
     flat = toks.select("doc_id", F.explode("toks").alias("tok"))
     vocab = (
@@ -8906,7 +8907,7 @@ def q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_tables(spark, sf_dir)["documents"]
     staged = stage(
-        docs.select("doc_id", "source", "text"),
+        _widen_narrow_scan(docs.select("doc_id", "source", "text")),
         __toks=X.tokens(F.col("text")),
     ).filter(F.size("__toks") > 0)
     grams = staged.select(
