@@ -520,3 +520,20 @@ def test_zipf_top100_is_take_ordered_not_global_window(spark, sf_dir):
     df = QUERIES["q_zipf_exponent"][0](spark, sf_dir)
     p = plans.formatted_plan(df)
     assert "TakeOrderedAndProject" in p, p
+
+
+def test_histogram_quantiles_stay_jvm_side_no_collect_probe(spark, sf_dir):
+    """The round-8 histogram order-statistic path must be one declarative
+    plan: no Python workers, no approxQuantile boundary probe (which
+    would show as a separate collect job — invisible here, so pin the
+    plan shape instead: scan -> histogram agg -> window -> final agg,
+    at most 3 exchanges), medians picked entirely JVM-side."""
+    from radient_spark import plans
+    from radient_spark.queries import QUERIES
+
+    for q in ["q_value_percentiles", "q_mad_outliers", "q_winsorized_means"]:
+        df = QUERIES[q][0](spark, sf_dir)
+        p = plans.formatted_plan(df)
+        assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p, q
+    df = QUERIES["q_value_percentiles"][0](spark, sf_dir)
+    assert plans.shuffle_count(df) <= 3, plans.formatted_plan(df)
