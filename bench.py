@@ -193,6 +193,7 @@ BENCH_QUERIES = [
     # round 8
     "q_theilsen_trend",
     "q_shard_manifest",
+    "q_psi_drift",
     # q_prefix_jaccard_pairs is deliberately NOT in the sweep: on this
     # corpus's small uniform vocabulary the prefix filter measures ~8 s
     # at sf0.1 vs 1.6 s for the uncapped posting join (SCALING.md) — it

@@ -13112,6 +13112,117 @@ FROM keyed GROUP BY shard_id ORDER BY shard_id
 """
 
 
+def q_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index per event_type between the first and
+    second half of the feed — THE standard deployed-model drift gate
+    (PSI < 0.1 stable / 0.1-0.25 shifting / > 0.25 act), completing the
+    drift family: chi2 tests token-category drift
+    (q_lang_drift_chi2), embedding_drift tests representation drift,
+    PSI tests the VALUE distribution a score/feature feeds.
+
+    Determinism contract (the DSIR pattern): bins are fixed $50-wide
+    integer cent buckets (cents div 5000 — no float boundary can flake
+    a row's bin), both halves Laplace-smoothed over the union bin set;
+    each bin's ln is ONE log of a ratio of exactly-representable
+    integer products, rounded to 6; the (p - q) factor is a difference
+    of divisions of the same exact integers (bit-identical doubles on
+    both engines); per-bin terms round to 8 decimals and sum as
+    DECIMAL(28,8), so the total is aggregation-order-independent.
+
+    Scale shape: one scan -> (event_type, half, bin) counts; everything
+    after operates on the bin table (groups x bins rows, bounded by the
+    value domain).
+    """
+    ev = load_tables(spark, sf_dir)["events"]
+    half = F.when(
+        F.dayofmonth(F.col("ts")) <= 15, F.lit("base")
+    ).otherwise(F.lit("curr"))
+    cents = F.round(F.col("value") * 100, 0).cast("long")
+    binned = ev.select(
+        "event_type", half.alias("half"),
+        (cents - (cents % 5000)).alias("bin"),
+    )
+    counts = binned.groupBy("event_type", "bin").agg(
+        F.sum(F.when(F.col("half") == "base", 1).otherwise(0)).alias("cb"),
+        F.sum(F.when(F.col("half") == "curr", 1).otherwise(0)).alias("cc"),
+    )
+    w = Window.partitionBy("event_type")
+    t = (
+        counts.withColumn("tb", F.sum("cb").over(w))
+        .withColumn("tc", F.sum("cc").over(w))
+        .withColumn("nb", F.count(F.lit(1)).over(w))
+    )
+    p = (F.col("cb") + 1).cast("double") / (F.col("tb") + F.col("nb")).cast(
+        "double"
+    )
+    q = (F.col("cc") + 1).cast("double") / (F.col("tc") + F.col("nb")).cast(
+        "double"
+    )
+    ln_ratio = F.round(
+        F.log(
+            ((F.col("cb") + 1) * (F.col("tc") + F.col("nb"))).cast("double")
+            / ((F.col("cc") + 1) * (F.col("tb") + F.col("nb"))).cast("double")
+        ),
+        6,
+    )
+    term = F.round((p - q) * ln_ratio, 8).cast("decimal(28,8)")
+    return (
+        t.groupBy("event_type")
+        .agg(
+            F.max("tb").alias("n_base"),
+            F.max("tc").alias("n_curr"),
+            F.max("nb").cast("long").alias("n_bins"),
+            F.sum(term).cast("double").alias("psi"),
+        )
+        .withColumn(
+            "verdict",
+            F.when(F.col("psi") < 0.1, F.lit("stable"))
+            .when(F.col("psi") < 0.25, F.lit("shifting"))
+            .otherwise(F.lit("act")),
+        )
+        .orderBy("event_type")
+    )
+
+
+_Q_PSI_SQL = """
+WITH binned AS (
+  SELECT event_type,
+    CASE WHEN date_part('day', ts) <= 15 THEN 'base' ELSE 'curr' END AS half,
+    CAST(ROUND(value * 100, 0) AS BIGINT)
+      - (CAST(ROUND(value * 100, 0) AS BIGINT) % 5000) AS bin
+  FROM events
+), counts AS (
+  SELECT event_type, bin,
+    CAST(SUM(CASE WHEN half = 'base' THEN 1 ELSE 0 END) AS BIGINT) AS cb,
+    CAST(SUM(CASE WHEN half = 'curr' THEN 1 ELSE 0 END) AS BIGINT) AS cc
+  FROM binned GROUP BY event_type, bin
+), t AS (
+  SELECT *,
+    SUM(cb) OVER (PARTITION BY event_type) AS tb,
+    SUM(cc) OVER (PARTITION BY event_type) AS tc,
+    COUNT(*) OVER (PARTITION BY event_type) AS nb
+  FROM counts
+), terms AS (
+  SELECT event_type, tb, tc, nb,
+    CAST(ROUND(
+      (CAST(cb + 1 AS DOUBLE) / CAST(tb + nb AS DOUBLE)
+       - CAST(cc + 1 AS DOUBLE) / CAST(tc + nb AS DOUBLE))
+      * ROUND(LN(CAST((cb + 1) * (tc + nb) AS DOUBLE)
+                 / CAST((cc + 1) * (tb + nb) AS DOUBLE)), 6),
+      8) AS DECIMAL(28,8)) AS term
+  FROM t
+)
+SELECT event_type,
+  CAST(MAX(tb) AS BIGINT) AS n_base, CAST(MAX(tc) AS BIGINT) AS n_curr,
+  CAST(MAX(nb) AS BIGINT) AS n_bins,
+  CAST(SUM(term) AS DOUBLE) AS psi,
+  CASE WHEN CAST(SUM(term) AS DOUBLE) < 0.1 THEN 'stable'
+       WHEN CAST(SUM(term) AS DOUBLE) < 0.25 THEN 'shifting'
+       ELSE 'act' END AS verdict
+FROM terms GROUP BY event_type ORDER BY event_type
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 
@@ -13374,6 +13485,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "q_prefix_jaccard_pairs": (q_prefix_jaccard_pairs, _Q_PREFIX_JACCARD_SQL),
     "q_theilsen_trend": (q_theilsen_trend, _Q_THEILSEN_SQL),
     "q_shard_manifest": (q_shard_manifest, _Q_SHARD_MANIFEST_SQL),
+    "q_psi_drift": (q_psi_drift, _Q_PSI_SQL),
 }
 
 # The correctness driver oracle-checks exactly the FIRST 50 keys of ``queries()``
@@ -13392,6 +13504,7 @@ _DRIVER_PRIORITY = [
     "q_prefix_jaccard_pairs",
     "q_theilsen_trend",
     "q_shard_manifest",
+    "q_psi_drift",
     "q_ann_search_exact",
     "q_table_profile",
     "q_dup_groups",
@@ -13399,7 +13512,6 @@ _DRIVER_PRIORITY = [
     "q_data_contract_report",
     "q_retrieval_metrics",
     "q_scd2_incremental_merge",
-    "q_cdc_apply",
     "q_snm_dedup_pairs",
     "q_event_paths",
     "q_simhash_near_pairs",

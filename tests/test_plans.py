@@ -537,3 +537,19 @@ def test_histogram_quantiles_stay_jvm_side_no_collect_probe(spark, sf_dir):
         assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p, q
     df = QUERIES["q_value_percentiles"][0](spark, sf_dir)
     assert plans.shuffle_count(df) <= 3, plans.formatted_plan(df)
+
+
+def test_widen_narrow_scan_is_guarded(spark, sf_dir):
+    """_widen_narrow_scan must repartition a 1-split scan to core count
+    and be a NO-OP when the input already has >= cores partitions — the
+    at-scale plan keeps row-local pipelines shuffle-free."""
+    from radient_spark.catalog import load_tables
+    from radient_spark.queries import _widen_narrow_scan
+
+    p = spark.sparkContext.defaultParallelism
+    docs = load_tables(spark, sf_dir)["documents"]
+    assert docs.rdd.getNumPartitions() < p
+    widened = _widen_narrow_scan(docs)
+    assert widened.rdd.getNumPartitions() == p
+    wide_already = docs.repartition(p + 3)
+    assert _widen_narrow_scan(wide_already) is wide_already
