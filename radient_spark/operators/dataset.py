@@ -1064,10 +1064,15 @@ def profile_table(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
     over the 1-row aggregate, sorted by col_name so the report (and
     any hash over it) is deterministic.
 
-    min/max convert to DECIMAL(18,6) in the decimal domain — one cast
-    of the already-aggregated native value, no intermediate
-    double-round — so the numbers are engine-portable (the DuckDB
-    oracle does the identical single cast).
+    min/max convert to DOUBLE — one cast of the already-aggregated
+    native value, no intermediate rounding — so the numbers are
+    engine-portable (the DuckDB oracle does the identical single
+    cast; both engines perform the same IEEE round-to-nearest
+    conversion of the same exact aggregate). DOUBLE, not DECIMAL:
+    driver-side result hashing serializes Spark decimals differently
+    from other engines' decimals even when values are identical, so
+    final report schemas never carry DecimalType (decimal stays an
+    internal accumulator type only).
     """
     cols = cols or df.columns
     dtypes = dict(df.dtypes)
@@ -1077,10 +1082,10 @@ def profile_table(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
         aggs.append(F.countDistinct(c).alias(f"__dist_{c}"))
         if dtypes[c].startswith(_NUMERIC_PREFIXES):
             aggs.append(
-                F.min(F.col(c)).cast("decimal(18,6)").alias(f"__min_{c}")
+                F.min(F.col(c)).cast("double").alias(f"__min_{c}")
             )
             aggs.append(
-                F.max(F.col(c)).cast("decimal(18,6)").alias(f"__max_{c}")
+                F.max(F.col(c)).cast("double").alias(f"__max_{c}")
             )
     wide = df.agg(*aggs)
     parts = []
@@ -1095,12 +1100,12 @@ def profile_table(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
                 (
                     F.col(f"__min_{c}")
                     if is_num
-                    else F.lit(None).cast("decimal(18,6)")
+                    else F.lit(None).cast("double")
                 ).alias("min_num"),
                 (
                     F.col(f"__max_{c}")
                     if is_num
-                    else F.lit(None).cast("decimal(18,6)")
+                    else F.lit(None).cast("double")
                 ).alias("max_num"),
             )
         )

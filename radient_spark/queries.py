@@ -5117,37 +5117,37 @@ _Q_TABLE_PROFILE_SQL = """
 SELECT 'o_orderkey' AS col_name, COUNT(*) AS n_rows,
   CAST(SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
   COUNT(DISTINCT o_orderkey) AS n_distinct,
-  CAST(MIN(o_orderkey) AS DECIMAL(18,6)) AS min_num, CAST(MAX(o_orderkey) AS DECIMAL(18,6)) AS max_num
+  CAST(MIN(o_orderkey) AS DOUBLE) AS min_num, CAST(MAX(o_orderkey) AS DOUBLE) AS max_num
 FROM orders
 UNION ALL
 SELECT 'o_custkey' AS col_name, COUNT(*) AS n_rows,
   CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
   COUNT(DISTINCT o_custkey) AS n_distinct,
-  CAST(MIN(o_custkey) AS DECIMAL(18,6)) AS min_num, CAST(MAX(o_custkey) AS DECIMAL(18,6)) AS max_num
+  CAST(MIN(o_custkey) AS DOUBLE) AS min_num, CAST(MAX(o_custkey) AS DOUBLE) AS max_num
 FROM orders
 UNION ALL
 SELECT 'o_orderstatus' AS col_name, COUNT(*) AS n_rows,
   CAST(SUM(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
   COUNT(DISTINCT o_orderstatus) AS n_distinct,
-  CAST(NULL AS DECIMAL(18,6)) AS min_num, CAST(NULL AS DECIMAL(18,6)) AS max_num
+  CAST(NULL AS DOUBLE) AS min_num, CAST(NULL AS DOUBLE) AS max_num
 FROM orders
 UNION ALL
 SELECT 'o_totalprice' AS col_name, COUNT(*) AS n_rows,
   CAST(SUM(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
   COUNT(DISTINCT o_totalprice) AS n_distinct,
-  CAST(MIN(o_totalprice) AS DECIMAL(18,6)) AS min_num, CAST(MAX(o_totalprice) AS DECIMAL(18,6)) AS max_num
+  CAST(MIN(o_totalprice) AS DOUBLE) AS min_num, CAST(MAX(o_totalprice) AS DOUBLE) AS max_num
 FROM orders
 UNION ALL
 SELECT 'o_orderdate' AS col_name, COUNT(*) AS n_rows,
   CAST(SUM(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
   COUNT(DISTINCT o_orderdate) AS n_distinct,
-  CAST(NULL AS DECIMAL(18,6)) AS min_num, CAST(NULL AS DECIMAL(18,6)) AS max_num
+  CAST(NULL AS DOUBLE) AS min_num, CAST(NULL AS DOUBLE) AS max_num
 FROM orders
 UNION ALL
 SELECT 'o_orderpriority' AS col_name, COUNT(*) AS n_rows,
   CAST(SUM(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
   COUNT(DISTINCT o_orderpriority) AS n_distinct,
-  CAST(NULL AS DECIMAL(18,6)) AS min_num, CAST(NULL AS DECIMAL(18,6)) AS max_num
+  CAST(NULL AS DOUBLE) AS min_num, CAST(NULL AS DOUBLE) AS max_num
 FROM orders
 ORDER BY col_name
 """
@@ -6264,7 +6264,7 @@ def q_sql_api_nation_margin(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT n.n_name AS nation,
           COUNT(DISTINCT o.o_orderkey) AS n_orders,
           CAST(SUM(CAST(ROUND(l.l_extendedprice * (1 - l.l_discount) * 100, 0) AS BIGINT))
-               AS DECIMAL(38,0)) AS revenue_cents,
+               AS BIGINT) AS revenue_cents,
           ROUND(SUM(CAST(ROUND(l.l_extendedprice * (1 - l.l_discount) * 100, 0) AS BIGINT))
                 / SUM(SUM(CAST(ROUND(l.l_extendedprice * (1 - l.l_discount)
                                * 100, 0) AS BIGINT))) OVER () * 100, 6)
@@ -6281,7 +6281,7 @@ _Q_SQL_API_SQL = """
 SELECT n.n_name AS nation,
   COUNT(DISTINCT o.o_orderkey) AS n_orders,
   CAST(SUM(CAST(ROUND(l.l_extendedprice * (1 - l.l_discount) * 100, 0) AS BIGINT))
-       AS DECIMAL(38,0)) AS revenue_cents,
+       AS BIGINT) AS revenue_cents,
   ROUND(SUM(CAST(ROUND(l.l_extendedprice * (1 - l.l_discount) * 100, 0) AS BIGINT))
         / SUM(SUM(CAST(ROUND(l.l_extendedprice * (1 - l.l_discount)
                        * 100, 0) AS BIGINT))) OVER () * 100, 6)
@@ -7730,7 +7730,9 @@ def q_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     stays (intersect, union) integers; the theoretical curve avoids
     pow() — one IEEE division then explicit squarings, bit-identical
     across engines; per-pair values round to 6 decimals and sum as
-    DECIMAL."""
+    DECIMAL internally, final-cast to DOUBLE (final schemas never
+    carry DecimalType — driver hashing serializes Spark decimals
+    differently from other engines even when values are identical)."""
     from radient_spark.functions import text as X
     from radient_spark.functions.stage import stage
     from radient_spark.operators.dedup import with_minhash
@@ -7818,6 +7820,7 @@ def q_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("observed_rate"),
             F.sum(F.col("theo").cast("decimal(18,6)"))
             .cast("decimal(28,6)")
+            .cast("double")
             .alias("sum_theoretical"),
         )
         .orderBy("sim_decile")
@@ -7888,7 +7891,7 @@ SELECT sim_decile, COUNT(*) AS n_pairs,
   CAST(SUM(CASE WHEN collided THEN 1 ELSE 0 END) AS BIGINT) AS n_collided,
   ROUND(CAST(SUM(CASE WHEN collided THEN 1 ELSE 0 END) AS DOUBLE)
         / COUNT(*), 6) AS observed_rate,
-  CAST(SUM(CAST(theo AS DECIMAL(18,6))) AS DECIMAL(28,6)) AS sum_theoretical
+  CAST(CAST(SUM(CAST(theo AS DECIMAL(18,6))) AS DECIMAL(28,6)) AS DOUBLE) AS sum_theoretical
 FROM curved GROUP BY sim_decile ORDER BY sim_decile
 """
 
@@ -10335,7 +10338,9 @@ def q_incremental_join_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     batches, the delta-join identity produces the view's new rows, and
     old-view ∪ delta must equal the full recompute — which IS the
     DuckDB oracle.  Refresh cost: three delta-sided joins, never
-    base ⋈ base again."""
+    base ⋈ base again.  Revenue reports as exact integer cents
+    (BIGINT) — the decimal sum stays an internal accumulator only;
+    final schemas never carry DecimalType."""
     from radient_spark.operators.merge import join_view_delta
 
     t = load_tables(spark, sf_dir)
@@ -10364,9 +10369,9 @@ def q_incremental_join_view(spark: SparkSession, sf_dir: str) -> DataFrame:
         refreshed.groupBy("c_mktsegment")
         .agg(
             F.count(F.lit(1)).alias("n_rows"),
-            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias(
-                "revenue"
-            ),
+            (F.sum(F.col("o_totalprice").cast("decimal(18,2)")) * 100)
+            .cast("long")
+            .alias("revenue_cents"),
             F.countDistinct("custkey").alias("n_customers"),
         )
         .orderBy("c_mktsegment")
@@ -10379,7 +10384,7 @@ WITH view_full AS (
   FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
 )
 SELECT c_mktsegment, COUNT(*) AS n_rows,
-  SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS revenue,
+  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT) AS revenue_cents,
   CAST(COUNT(DISTINCT c_custkey) AS BIGINT) AS n_customers
 FROM view_full GROUP BY c_mktsegment ORDER BY c_mktsegment
 """
@@ -10394,7 +10399,10 @@ def q_approx_groupby_certificate(spark: SparkSession, sf_dir: str) -> DataFrame:
     scale — CLT).  The sample rule is the stateless hash-split
     discipline, so the estimate is reproducible across engines,
     runs, and partitionings; at 100 TB the sample scan IS the win —
-    here both sides share one pass as a conditional aggregate."""
+    here both sides share one pass as a conditional aggregate.
+    Revenues report as exact integer cents (BIGINT); the decimal
+    sums are internal accumulators only — final schemas never carry
+    DecimalType."""
     li = load_tables(spark, sf_dir)["lineitem"]
     from radient_spark.operators.dedup import str_hash
 
@@ -10416,8 +10424,8 @@ def q_approx_groupby_certificate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return agg.select(
         "l_returnflag",
-        "exact_revenue",
-        F.col("est_revenue").cast("decimal(20,2)").alias("est_revenue"),
+        (F.col("exact_revenue") * 100).cast("long").alias("exact_revenue_cents"),
+        (F.col("est_revenue") * 100).cast("long").alias("est_revenue_cents"),
         "sample_rows",
         (
             F.abs(
@@ -10438,9 +10446,9 @@ WITH s AS (
   FROM lineitem
 )
 SELECT l_returnflag,
-  SUM(p) AS exact_revenue,
-  CAST(SUM(CASE WHEN b < 1000 THEN p ELSE 0 END) * 10 AS DECIMAL(20,2))
-    AS est_revenue,
+  CAST(SUM(p) * 100 AS BIGINT) AS exact_revenue_cents,
+  CAST(SUM(CASE WHEN b < 1000 THEN p ELSE 0 END) * 10 * 100 AS BIGINT)
+    AS est_revenue_cents,
   CAST(SUM(CASE WHEN b < 1000 THEN 1 ELSE 0 END) AS BIGINT) AS sample_rows,
   TRUE AS within_10pct
 FROM s GROUP BY l_returnflag ORDER BY l_returnflag

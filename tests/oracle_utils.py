@@ -58,8 +58,23 @@ def _check_result_types(spark_dtypes, duck_cols, duck_types) -> None:
                 f"wrap the aggregate as CAST(... AS BIGINT)"
             )
         sty = spark_map.get(col)
+        if dty.startswith("DECIMAL"):
+            raise AssertionError(
+                f"oracle column {col!r} is {dty}: the driver serializes "
+                f"Spark-side decimals differently from DuckDB-side decimals "
+                f"even when values are bit-identical (3/3 decimal-emitting "
+                f"queries hash-red in CORRECTNESS_r08) — keep DECIMAL as an "
+                f"internal accumulator and final-cast to BIGINT (integral, "
+                f"e.g. cents) or DOUBLE on BOTH engines"
+            )
         if sty is None:
             continue
+        if sty.startswith("decimal"):
+            raise AssertionError(
+                f"Spark result column {col!r} is {sty}: final registry "
+                f"schemas must never carry DecimalType (driver hash "
+                f"serialization mismatch) — final-cast to BIGINT or DOUBLE"
+            )
         if dty in _DUCK_INT and sty in _SPARK_FLOAT:
             raise AssertionError(
                 f"oracle column {col!r} is integer ({dty}) but Spark emits {sty}"

@@ -28,3 +28,10 @@ def test_rows_only_query_runs(spark, sf_dir, name, fn):
     df = fn(spark, sf_dir)
     assert df.count() >= 0
     assert len(df.columns) > 0
+    # Registry-wide no-DecimalType guard (oracle-backed queries get the
+    # same check inside _check_result_types): the driver hash serializes
+    # Spark decimals differently from other engines' decimals even when
+    # values are identical, so DECIMAL may only appear as an internal
+    # accumulator, never in a final schema.
+    bad = [(c, t) for c, t in df.dtypes if "decimal" in t]
+    assert not bad, f"{name} emits DecimalType in final schema: {bad}"
