@@ -13506,62 +13506,67 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
 # local harness at sf0.001/0.01/0.1.  Each round we rotate a fresh batch of
 # never-driver-checked queries to the front (plus 5 stable sentinels for
 # cross-round continuity); remaining keys keep their historical order behind
-# them.  Round 8 batch: q_table_profile (r7 hash fix re-check), q_dup_groups/
-# q_embedding_dup_groups (oracles added post-r1, never hash-verified), the
-# round-8 determinism-pinned reports, and the oldest never-checked tail
-# (round-4/5 analytics, SCD2/golden-record, graph, sampling); 31 never-
-# checked entries remain for round 9.
+# them.  Round 9 batch (mechanically derived from CORRECTNESS_r0{1,2,4,5,7,8}
+# — see scripts/coverage_ledger.py): ALL 33 never-driver-checked queries
+# (closing the cumulative gap at 227/227), the 3 round-8 decimal-hash reds
+# re-checked after the DecimalType purge, 4 rows-only refreshes, 5 stable
+# sentinels, and the 5 stalest round-1 re-checks.
 _DRIVER_PRIORITY = [
+    # sentinels (cross-round continuity, all green r8)
     "q01_pricing_summary",
-    "q_prefix_jaccard_pairs",
-    "q_theilsen_trend",
-    "q_shard_manifest",
-    "q_psi_drift",
     "q_ann_search_exact",
-    "q_table_profile",
     "q_dup_groups",
-    "q_embedding_dup_groups",
-    "q_data_contract_report",
-    "q_retrieval_metrics",
     "q_scd2_incremental_merge",
-    "q_snm_dedup_pairs",
-    "q_event_paths",
-    "q_simhash_near_pairs",
-    "q_hll_set_algebra",
-    "q_weighted_sample",
-    "q_timeseries_gapfill",
+    "q_retrieval_metrics",
+    # r8 decimal-hash reds, fixed this round (final schemas de-decimalized)
+    "q_table_profile",
     "q_sql_api_nation_margin",
-    "q_cms_by_lang",
-    "q_event_transitions",
-    "q_curation_pipeline_v3",
-    "q_triangle_count",
-    "q_native_session_windows",
-    "q_weekly_p95_trend",
-    "q_mad_outliers",
-    "q_negative_samples",
-    "q_lang_drift_chi2",
-    "q_quantile_transform",
-    "q_token_pmi",
-    "q_trend_regression",
-    "q_edit_distance_pairs",
-    "q_attribution_first_touch",
-    "q_bloom_calibration",
-    "q_histogram_quantiles",
-    "q_star_dup_groups",
-    "q_scd2_status_history",
-    "q_delete_cascade_audit",
-    "q_semantic_decontamination",
     "q_minhash_calibration",
-    "q_bpe_merges",
-    "q_bpe_vocab_stats",
-    "q_entity_resolution",
-    "q_token_budget_allocation",
-    "q_winsorized_means",
-    "q_cluster_silhouette",
-    "q_join_size_estimates",
-    "q_keyword_extraction",
-    "q_attribution_linear",
-    "q_curation_pipeline_v4",
+    # never driver-checked until now: the full remaining 33
+    "q_cdc_apply",
+    "q_incremental_join_view",
+    "q_approx_groupby_certificate",
+    "q_clustering_coefficients",
+    "q_time_to_convert",
+    "q_ngram_novelty",
+    "q_zipf_exponent",
+    "q_embedding_srp_pairs",
+    "q_dedup_strategy_comparison",
+    "q_source_freshness",
+    "q_session_bounce_rate",
+    "q_repeat_purchase_interval",
+    "q_uniform_sample_k",
+    "q_partition_plan",
+    "q_heaps_law",
+    "q_pii_luhn_audit",
+    "q_c4_line_filter_report",
+    "q_golden_record",
+    "q_domain_mixture",
+    "q_frequent_part_pairs",
+    "q_classifier_calibration",
+    "q_ewma_spikes",
+    "q_k_anonymity_audit",
+    "q_curation_pipeline_v5",
+    "q_weighted_sample_k",
+    "q_embedding_variance",
+    "q_embedding_covariance",
+    "q_multipass_snm_pairs",
+    "q_srp_multiprobe_pairs",
+    "q_resource_allocation_links",
+    "q_max_concurrent_shipments",
+    "q_seasonal_naive_error",
+    "q_blocking_quality",
+    # rows-only refreshes (no_oracle by design; checksum goldens pin values)
+    "q_media_pipeline",
+    "q_ann_search",
+    "q_mel_clip_features",
+    "q_ivf_search",
+    # stalest re-checks (last seen round 1)
+    "q02_top_supplier_per_part",
+    "q07_nation_volume",
+    "q08_market_share",
+    "q14_promo_revenue_pct",
+    "q_corpus_filtered_search",
 ]
 
 QUERIES = {
