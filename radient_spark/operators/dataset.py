@@ -1018,10 +1018,19 @@ def histogram_order_statistic(
     Unbounded/continuous value domains (the histogram would approach
     one bucket per row, making the per-group window a single-reducer
     sort) belong on exact_group_quantiles instead.
+
+    Null contract: histogram rows with a NULL value are dropped before
+    ranking. NULLs are not orderable values — Spark's default window
+    ordering puts them FIRST while the DuckDB-oracle row_number ranks
+    them LAST, so a NULL bucket would silently shift every rank (and
+    exact_group_quantiles rejects nulls outright). Counts (n, ranks)
+    are therefore over non-null values only, matching SQL aggregate
+    semantics.
     """
+    hist = hist.filter(F.col(value_col).isNotNull())
     w_cum = (
         Window.partitionBy(group_col)
-        .orderBy(value_col)
+        .orderBy(F.col(value_col).asc_nulls_last())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     w_all = Window.partitionBy(group_col)

@@ -34,6 +34,17 @@ def _degrees(edges: DataFrame, src: str) -> DataFrame:
     return edges.groupBy(src).agg(F.count(F.lit(1)).alias("__deg"))
 
 
+def _release(result: DataFrame, *cached: DataFrame) -> DataFrame:
+    """Materialize the node-sized result (eager localCheckpoint truncates
+    its lineage off the iteration caches), then unpersist every
+    iteration-scoped cache — repeated calls in one session must not
+    accumulate cached edge/node tables (round-8 ADVICE)."""
+    out = result.localCheckpoint(eager=True)
+    for df in cached:
+        df.unpersist()
+    return out
+
+
 def pagerank(
     edges: DataFrame,
     src: str = "src",
@@ -97,7 +108,10 @@ def pagerank(
         old = ranks
         ranks = new.cache()
         old.unpersist()
-    return ranks.select("node", F.col("__r").alias(rank_col))
+    return _release(
+        ranks.select("node", F.col("__r").alias(rank_col)),
+        ranks, nd, nodes, edges,
+    )
 
 
 def pagerank_integer(
@@ -157,7 +171,10 @@ def pagerank_integer(
         old = ranks
         ranks = new.cache()
         old.unpersist()
-    return ranks.select("node", F.col("__r").cast("long").alias(rank_col))
+    return _release(
+        ranks.select("node", F.col("__r").cast("long").alias(rank_col)),
+        ranks, nd, nodes, edges,
+    )
 
 
 def triangle_count(
@@ -842,7 +859,10 @@ def personalized_pagerank_integer(
         old = ranks
         ranks = new.cache()
         old.unpersist()
-    return ranks.select("node", F.col("__r").cast("long").alias(rank_col))
+    return _release(
+        ranks.select("node", F.col("__r").cast("long").alias(rank_col)),
+        ranks, nd, nodes, edges,
+    )
 
 
 def hyperball_harmonic(

@@ -64,11 +64,35 @@ def _widen_narrow_scan(df: DataFrame) -> DataFrame:
     shuffle-free (the test_plans pin on q_minhash_signatures is on the
     un-widened pipeline). Pointless for shuffle-immediate pipelines
     (joins/aggs): the added exchange's map side would be the same
-    narrow scan."""
+    narrow scan.
+
+    Double guard (round-8 ADVICE): split count alone is not enough —
+    on a large cluster cores can exceed the split count of a
+    well-compacted medium table, and a blind repartition would inject
+    a full-table exchange of raw text. So the widen also requires the
+    optimizer's size estimate to be under _WIDEN_MAX_BYTES (a few
+    row-group-sized files): anything bigger already parallelizes via
+    spark.sql.files.maxPartitionBytes splitting, making this strictly
+    a tiny-input shim that is provably absent from at-scale plans."""
+    if df.isStreaming:
+        return df
     p = df.sparkSession.sparkContext.defaultParallelism
-    if not df.isStreaming and df.rdd.getNumPartitions() < p:
-        return df.repartition(p)
-    return df
+    if df.rdd.getNumPartitions() >= p:
+        return df
+    try:
+        size = int(
+            df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+        )
+    except Exception:
+        size = 0  # stats unavailable: fall back to the split-count guard
+    if size > _WIDEN_MAX_BYTES:
+        return df
+    return df.repartition(p)
+
+
+# ~2 x the default spark.sql.files.maxPartitionBytes: above this the scan
+# splits by bytes on its own and widening would only add an exchange.
+_WIDEN_MAX_BYTES = 256 * 1024 * 1024
 
 
 def _disc_price():
@@ -13132,6 +13156,12 @@ def q_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     (q_lang_drift_chi2), embedding_drift tests representation drift,
     PSI tests the VALUE distribution a score/feature feeds.
 
+    The base/current split is a fixed cutover timestamp at the feed's
+    midpoint (the events feed spans 2024-01-01..01-30; cutover
+    2024-01-16) — a true temporal reference-vs-current window, not a
+    per-month day split, so cross-month drift stays visible if the
+    feed grows.
+
     Determinism contract (the DSIR pattern): bins are fixed $50-wide
     integer cent buckets (cents div 5000 — no float boundary can flake
     a row's bin), both halves Laplace-smoothed over the union bin set;
@@ -13147,7 +13177,7 @@ def q_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     ev = load_tables(spark, sf_dir)["events"]
     half = F.when(
-        F.dayofmonth(F.col("ts")) <= 15, F.lit("base")
+        F.col("ts") < F.lit("2024-01-16").cast("timestamp"), F.lit("base")
     ).otherwise(F.lit("curr"))
     cents = F.round(F.col("value") * 100, 0).cast("long")
     binned = ev.select(
@@ -13199,7 +13229,7 @@ def q_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
 _Q_PSI_SQL = """
 WITH binned AS (
   SELECT event_type,
-    CASE WHEN date_part('day', ts) <= 15 THEN 'base' ELSE 'curr' END AS half,
+    CASE WHEN ts < TIMESTAMP '2024-01-16' THEN 'base' ELSE 'curr' END AS half,
     CAST(ROUND(value * 100, 0) AS BIGINT)
       - (CAST(ROUND(value * 100, 0) AS BIGINT) % 5000) AS bin
   FROM events

@@ -33,21 +33,20 @@ SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF", "/root/testdata/sf0.01")
 
 
 def _checked_ever() -> set[str]:
+    """Queries that have ever received a driver row. Parses the known
+    CORRECTNESS shape explicitly — top-level query-name keys only (the
+    old recursive key scan could both over-count incidental sub-keys
+    and miss list-nested records; flagged in round-8 ADVICE). Shared
+    logic with scripts/coverage_ledger.py."""
     seen: set[str] = set()
     for fname in os.listdir(REPO):
         if not (fname.startswith("CORRECTNESS_r") and fname.endswith(".json")):
             continue
         with open(os.path.join(REPO, fname)) as f:
             data = json.load(f)
-
-        def walk(x):
-            if isinstance(x, dict):
-                for k, v in x.items():
-                    if k.startswith("q") and k in QUERIES:
-                        seen.add(k)
-                    walk(v)
-
-        walk(data)
+        if isinstance(data, dict):
+            seen.update(k for k, v in data.items()
+                        if isinstance(v, dict) and k in QUERIES)
     return seen
 
 
