@@ -127,3 +127,131 @@ def test_mel_clip_features_checksum_golden(spark):
 
     df = QUERIES["q_mel_clip_features"][0](spark, "/root/testdata/sf0.001")
     assert _sorted_rows_md5(df) == "3b7e965a462457a0847e019dc0ef0e04"
+
+
+def test_multimodal_rag_composed_golden(spark):
+    """Round-9: the reference's multimodal RAG example composed end to
+    end (examples/multimodal_rag.md:55-118 — demux a video into image
+    frames + audio clips, embed every unit into one joint space, insert
+    into the vector index, then retrieve frame_0006 as the top-1 hit).
+    Its golden artifacts are the paired insert counts (258+258) and a
+    top-1 frame hit; this mirrors BOTH on a seeded stand-in corpus:
+    demux fan-out counts are pinned exactly, the audio path runs the
+    REAL mel kernels (128x204 ImageBind preprocessing), and the probe's
+    nearest neighbor in the built forest is exactly the frame-6 unit at
+    cosine 1.0. Composition under test: §2.2 demux -> §2.3 preprocess +
+    vectorize -> §2.5 ANN build/search, as one flow."""
+    from pyspark.sql import functions as F
+
+    from radient_spark.ann import AnnIndex
+    from radient_spark.operators.preprocess import audio_to_melspec_clips
+    from radient_spark.operators.transforms import video_demux
+    from radient_spark.operators.vectorize import multimodal_vectorizer
+
+    # one 60 s "video" (1 KiB ~ 1 s in the stand-in prober), like the
+    # example's single YouTube source
+    manifest = spark.createDataFrame(
+        [(1, "/media/video_rag.mp4", b"x" * (60 * 1024))],
+        "id long, uri string, payload binary",
+    )
+    units = video_demux(manifest, interval=5.0).cache()
+
+    # insert-count golden: 12 frames + 12 audio clips (the 258+258 shape)
+    counts = {
+        r["modality"]: r["n"]
+        for r in units.groupBy("modality").agg(F.count("*").alias("n")).collect()
+    }
+    assert counts == {"image": 12, "audio": 12}
+
+    # image side: stand-in joint embedding of each frame unit
+    img_vecs = multimodal_vectorizer(
+        units.filter(F.col("modality") == "image").withColumn(
+            "text", F.col("unit_uri")
+        ),
+        dim=16,
+    ).select(
+        (F.lit(1000) + F.col("unit_index")).cast("long").alias("id"),
+        F.col("vector").cast("array<float>").alias("vector"),
+    )
+
+    # audio side: per-clip tone -> REAL resample/log-mel/normalize chain
+    # (functions/media.py) -> 16 mel-band-group means as the embedding
+    sr, dur = 16_000, 2
+    wave = F.transform(
+        F.sequence(F.lit(0), F.lit(sr * dur - 1)),
+        lambda i: F.sin(
+            (300.0 + F.col("unit_index").cast("double") * 25.0)
+            * 2.0 * 3.141592653589793 * i.cast("double") / F.lit(float(sr))
+        ),
+    )
+    mels = audio_to_melspec_clips(
+        units.filter(F.col("modality") == "audio").select(
+            F.col("unit_index").alias("id"),
+            wave.alias("waveform"),
+            F.lit(sr).alias("sample_rate"),
+        )
+    ).cache()
+    shapes = mels.select("n_mel", "n_frames").distinct().collect()
+    assert [(r["n_mel"], r["n_frames"]) for r in shapes] == [(128, 204)]
+    assert mels.count() == 12  # one 2 s clip per 2 s tone
+    band = 8 * 204  # 8 mel bands x 204 frames, row-major flatten
+    aud_vecs = mels.select(
+        (F.lit(2000) + F.col("id")).cast("long").alias("id"),
+        F.transform(
+            F.sequence(F.lit(0), F.lit(15)),
+            lambda g: (
+                F.aggregate(
+                    F.slice("mel", g * band + 1, band),
+                    F.lit(0.0),
+                    lambda a, b: a + b.cast("double"),
+                )
+                / band
+            ).cast("float"),
+        ).alias("vector"),
+    )
+
+    corpus = img_vecs.unionByName(aud_vecs)
+    assert corpus.count() == 24
+
+    # spill=0.5 -> every leaf holds the full corpus, so forest search is
+    # provably exact (the q_ann_search_exact trick): the golden cannot
+    # flake on tree randomness
+    index = AnnIndex.build(
+        corpus, n_trees=2, max_leaf_size=100, spill=0.5, seed=42
+    )
+
+    # the retrieval golden: probe with the frame-6 embedding, expect the
+    # frame-6 unit itself top-1 at cosine exactly 1.0 (the example's
+    # "frame_0006.png" hit)
+    probe = img_vecs.filter(F.col("id") == 1006).first()["vector"]
+    hits = index.search([(0, [float(x) for x in probe])], k=3).collect()
+    assert [h["id"] for h in hits][0] == 1006
+    assert hits[0]["score"] == 1.0
+    assert len(hits) == 3
+    # audio and image units share the space: all 24 are searchable
+    assert index.index_df.select("id").distinct().count() == 24
+    units.unpersist()
+    mels.unpersist()
+
+
+def test_ann_search_checksum_golden(spark):
+    """Round-9: q_ann_search is rows-only at the driver (forest build is
+    not SQL-expressible), so pin its sf0.001 (qid, id, score) output
+    with a checksum. Scores are rounded to 6 decimals inside
+    _rerank_topk — far above BLAS float noise — and the build is fully
+    seeded, so the checksum is run-to-run stable (verified across two
+    in-session runs)."""
+    from radient_spark.queries import QUERIES
+
+    df = QUERIES["q_ann_search"][0](spark, "/root/testdata/sf0.001")
+    assert _sorted_rows_md5(df) == "8ee96791d0f89ef7df20b90d5af080de"
+
+
+def test_ivf_search_checksum_golden(spark):
+    """Round-9: q_ivf_search is rows-only at the driver (k-means cell
+    build is not SQL-expressible), so pin its sf0.001 output with a
+    checksum — same 6-decimal score rounding + seeded build as above."""
+    from radient_spark.queries import QUERIES
+
+    df = QUERIES["q_ivf_search"][0](spark, "/root/testdata/sf0.001")
+    assert _sorted_rows_md5(df) == "c9d1b2c4809843ee89904a924f90ae46"
