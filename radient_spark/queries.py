@@ -9259,60 +9259,169 @@ FROM cand WHERE hamming <= 7 AND score >= 0.4
 
 
 def q_dedup_strategy_comparison(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The dedup-blocking scorecard: candidate-pair yield of four
-    strategies over the same corpus in one table — exact (md5 groups,
-    the ground floor), MinHash-LSH (token-set locality), SimHash
-    pigeonhole (Hamming locality), and sorted-neighborhood +
-    edit-distance (key + character locality). The number a pipeline
-    owner reads before picking a blocker: how much does each strategy
-    surface beyond exact equality, at what candidate volume.
+    """The dedup-blocking scorecard, upgraded round 9: for every
+    strategy over the same corpus — exact (md5 groups), MinHash-LSH
+    (token-set locality), SimHash pigeonhole (Hamming locality),
+    sorted-neighborhood + edit-distance (key + character locality),
+    and PPJoin prefix-filter candidates (rarity-ordered blocking) —
+    report the surfaced pair volume, how many of those pairs are TRUE
+    near-dups (global token Jaccard >= 3/5), and the recall against
+    that truth in exact ppm. The table a pipeline owner reads before
+    picking a blocker: candidate volume vs truth coverage, from data.
 
-    Each leg is the already-oracle-verified pipeline reduced to its
-    pair count, so the comparison composes audited parts; the oracle
-    unions the same four pair SQLs."""
+    The truth itself rides the proven-complete prefix filter
+    (operators/dedup.prefix_filter_candidates; the q_prefix_jaccard_
+    pairs oracle is the unfiltered all-pairs ground truth, so the
+    candidate leg's recall is 1,000,000 ppm BY THEOREM and the query
+    re-derives it from data). Each leg is an already-oracle-verified
+    pipeline reduced to counts; no driver collect — the truth total
+    joins in as a broadcast 1-row aggregate; all-integer ppm."""
+    from radient_spark.operators.dedup import (
+        prefix_filter_candidates,
+        token_pair_counts,
+    )
+
     docs = load_tables(spark, sf_dir)["documents"]
-    exact_pairs = (
-        docs.groupBy(F.md5("text").alias("__h"))
-        .agg(F.count(F.lit(1)).alias("c"))
-        .agg(
-            F.coalesce(
-                F.sum(F.expr("c * (c - 1) div 2")), F.lit(0)
-            ).alias("n_pairs")
+    toks = _widen_narrow_scan(
+        docs.filter(F.length(F.trim("text")) > 0)
+    ).select(
+        "doc_id",
+        F.array_distinct(F.split(F.trim("text"), r"\s+")).alias("toks"),
+    )
+    cand = prefix_filter_candidates(
+        toks, id_col="doc_id", tokens_col="toks", t_num=3, t_den=5
+    ).cache()
+    truth = (
+        token_pair_counts(toks, id_col="doc_id", part_col=None, candidates=cand)
+        .filter(
+            F.lit(5) * F.col("shared")
+            >= F.lit(3) * (F.col("na") + F.col("nb") - F.col("shared"))
         )
-        .select(F.lit("exact_md5").alias("strategy"), "n_pairs")
+        .select("id_a", "id_b")
+        .cache()
+    )
+    d = docs.select("doc_id", F.md5("text").alias("__h"))
+    md5_pairs = (
+        d.alias("x")
+        .join(
+            d.alias("y"),
+            (F.col("x.__h") == F.col("y.__h"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .select(
+            F.col("x.doc_id").alias("id_a"), F.col("y.doc_id").alias("id_b")
+        )
     )
     legs = [
-        exact_pairs,
-        q_minhash_dup_pairs(spark, sf_dir).agg(
-            F.lit("minhash_lsh").alias("strategy"),
-            F.count(F.lit(1)).alias("n_pairs"),
+        ("exact_md5", md5_pairs),
+        ("jaccard_truth", truth),
+        (
+            "minhash_lsh",
+            q_minhash_dup_pairs(spark, sf_dir).select("id_a", "id_b"),
         ),
-        q_simhash_near_pairs(spark, sf_dir).agg(
-            F.lit("simhash_bands").alias("strategy"),
-            F.count(F.lit(1)).alias("n_pairs"),
+        ("ppjoin_prefix_cand", cand.select("id_a", "id_b")),
+        (
+            "simhash_bands",
+            q_simhash_near_pairs(spark, sf_dir).select("id_a", "id_b"),
         ),
-        q_edit_distance_pairs(spark, sf_dir).agg(
-            F.lit("snm_edit_distance").alias("strategy"),
-            F.count(F.lit(1)).alias("n_pairs"),
+        (
+            "snm_edit_distance",
+            q_edit_distance_pairs(spark, sf_dir).select("id_a", "id_b"),
         ),
     ]
-    out = legs[0]
-    for leg in legs[1:]:
-        out = out.unionAll(leg)
-    return out
+    n_true = truth.agg(F.count(F.lit(1)).alias("__n_true"))
+    rows = None
+    for name, pairs in legs:
+        pairs = pairs.distinct()
+        row = pairs.agg(F.count(F.lit(1)).alias("n_pairs")).crossJoin(
+            pairs.join(truth, ["id_a", "id_b"], "left_semi").agg(
+                F.count(F.lit(1)).alias("n_truth_hits")
+            )
+        ).select(F.lit(name).alias("strategy"), "n_pairs", "n_truth_hits")
+        rows = row if rows is None else rows.unionAll(row)
+    return (
+        rows.crossJoin(F.broadcast(n_true))
+        .select(
+            "strategy",
+            "n_pairs",
+            "n_truth_hits",
+            F.when(
+                F.col("__n_true") > 0,
+                F.expr("n_truth_hits * 1000000 div __n_true"),
+            ).alias("recall_ppm"),
+        )
+        .orderBy("strategy")
+    )
 
 
 def _dedup_comparison_sql() -> str:
-    return f"""
-SELECT 'exact_md5' AS strategy,
-  CAST(COALESCE(SUM(c * (c - 1) // 2), 0) AS BIGINT) AS n_pairs
-FROM (SELECT COUNT(*) AS c FROM documents GROUP BY md5(text))
-UNION ALL
-SELECT 'minhash_lsh', COUNT(*) FROM ({_minhash_dup_pairs_sql()})
-UNION ALL
-SELECT 'simhash_bands', COUNT(*) FROM ({_Q_SIMHASH_PAIRS_SQL})
-UNION ALL
-SELECT 'snm_edit_distance', COUNT(*) FROM ({_edit_distance_sql()})
+    return rf"""
+WITH toks AS (
+  SELECT doc_id, list_distinct(regexp_split_to_array(trim(text), '\s+')) AS t
+  FROM documents WHERE length(trim(text)) > 0
+), posting AS (
+  SELECT doc_id, len(t) AS n, unnest(t) AS token FROM toks
+), dfreq AS (
+  SELECT token, COUNT(*) AS df FROM posting GROUP BY token
+), ranked AS (
+  SELECT p.doc_id, p.n, p.token,
+    row_number() OVER (PARTITION BY p.doc_id ORDER BY d.df, p.token) AS rn
+  FROM posting p JOIN dfreq d USING (token)
+), prefix AS (
+  SELECT * FROM ranked WHERE rn <= n - ((3 * n + 4) // 5) + 1
+), cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM prefix a JOIN prefix b
+    ON a.token = b.token AND a.doc_id < b.doc_id
+  WHERE 3 * greatest(a.n, b.n) <= 5 * least(a.n, b.n)
+), truth AS (
+  SELECT c.id_a, c.id_b
+  FROM cand c JOIN toks a ON a.doc_id = c.id_a
+  JOIN toks b ON b.doc_id = c.id_b
+  WHERE 5 * len(list_intersect(a.t, b.t))
+        >= 3 * (len(a.t) + len(b.t) - len(list_intersect(a.t, b.t)))
+), md5_pairs AS (
+  SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+  FROM documents x JOIN documents y
+    ON md5(x.text) = md5(y.text) AND x.doc_id < y.doc_id
+), minhash_pairs AS (
+  SELECT DISTINCT id_a, id_b FROM ({_minhash_dup_pairs_sql()})
+), simhash_pairs AS (
+  SELECT DISTINCT id_a, id_b FROM ({_Q_SIMHASH_PAIRS_SQL})
+), snm_pairs AS (
+  SELECT DISTINCT id_a, id_b FROM ({_edit_distance_sql()})
+), n_true AS (SELECT COUNT(*) AS n FROM truth),
+legs AS (
+  SELECT 'exact_md5' AS strategy,
+    (SELECT COUNT(*) FROM md5_pairs) AS n_pairs,
+    (SELECT COUNT(*) FROM md5_pairs p JOIN truth t
+       ON p.id_a = t.id_a AND p.id_b = t.id_b) AS n_truth_hits
+  UNION ALL
+  SELECT 'jaccard_truth', (SELECT COUNT(*) FROM truth),
+    (SELECT COUNT(*) FROM truth)
+  UNION ALL
+  SELECT 'minhash_lsh', (SELECT COUNT(*) FROM minhash_pairs),
+    (SELECT COUNT(*) FROM minhash_pairs p JOIN truth t
+       ON p.id_a = t.id_a AND p.id_b = t.id_b)
+  UNION ALL
+  SELECT 'ppjoin_prefix_cand', (SELECT COUNT(*) FROM cand),
+    (SELECT COUNT(*) FROM cand p JOIN truth t
+       ON p.id_a = t.id_a AND p.id_b = t.id_b)
+  UNION ALL
+  SELECT 'simhash_bands', (SELECT COUNT(*) FROM simhash_pairs),
+    (SELECT COUNT(*) FROM simhash_pairs p JOIN truth t
+       ON p.id_a = t.id_a AND p.id_b = t.id_b)
+  UNION ALL
+  SELECT 'snm_edit_distance', (SELECT COUNT(*) FROM snm_pairs),
+    (SELECT COUNT(*) FROM snm_pairs p JOIN truth t
+       ON p.id_a = t.id_a AND p.id_b = t.id_b)
+)
+SELECT strategy, CAST(n_pairs AS BIGINT) AS n_pairs,
+  CAST(n_truth_hits AS BIGINT) AS n_truth_hits,
+  CASE WHEN (SELECT n FROM n_true) > 0
+       THEN CAST(n_truth_hits * 1000000 // (SELECT n FROM n_true) AS BIGINT)
+  END AS recall_ppm
+FROM legs ORDER BY strategy
 """
 
 
