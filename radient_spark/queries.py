@@ -9265,9 +9265,12 @@ def q_dedup_strategy_comparison(spark: SparkSession, sf_dir: str) -> DataFrame:
     sorted-neighborhood + edit-distance (key + character locality),
     and PPJoin prefix-filter candidates (rarity-ordered blocking) —
     report the surfaced pair volume, how many of those pairs are TRUE
-    near-dups (global token Jaccard >= 3/5), and the recall against
-    that truth in exact ppm. The table a pipeline owner reads before
-    picking a blocker: candidate volume vs truth coverage, from data.
+    near-dups (token Jaccard >= 3/5 within a source — the same
+    source-partitioned truth as q_blocking_quality and
+    q_prefix_jaccard_pairs; dedup at corpus scale always blocks on a
+    coarse partition first), and the recall against that truth in
+    exact ppm. The table a pipeline owner reads before picking a
+    blocker: candidate volume vs truth coverage, from data.
 
     The truth itself rides the proven-complete prefix filter
     (operators/dedup.prefix_filter_candidates; the q_prefix_jaccard_
@@ -9286,13 +9289,25 @@ def q_dedup_strategy_comparison(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.filter(F.length(F.trim("text")) > 0)
     ).select(
         "doc_id",
+        "source",
         F.array_distinct(F.split(F.trim("text"), r"\s+")).alias("toks"),
     )
-    cand = prefix_filter_candidates(
-        toks, id_col="doc_id", tokens_col="toks", t_num=3, t_den=5
-    ).cache()
+    cand = (
+        prefix_filter_candidates(
+            toks, id_col="doc_id", tokens_col="toks", t_num=3, t_den=5,
+            part_col="source",
+        )
+        .select("id_a", "id_b")
+        .cache()
+    )
+    # Truth rides the UNCAPPED source-partitioned posting join
+    # (count-aggregated shared tokens), the measured-fastest exact path
+    # on this corpus's small uniform vocabulary (SCALING.md); the
+    # prefix-candidate leg above is the zipfian-scale path and its
+    # completeness is re-proven by the recall column coming out at
+    # exactly 1,000,000 ppm.
     truth = (
-        token_pair_counts(toks, id_col="doc_id", part_col=None, candidates=cand)
+        token_pair_counts(toks, id_col="doc_id", part_col="source")
         .filter(
             F.lit(5) * F.col("shared")
             >= F.lit(3) * (F.col("na") + F.col("nb") - F.col("shared"))
@@ -9357,27 +9372,29 @@ def q_dedup_strategy_comparison(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _dedup_comparison_sql() -> str:
     return rf"""
 WITH toks AS (
-  SELECT doc_id, list_distinct(regexp_split_to_array(trim(text), '\s+')) AS t
+  SELECT doc_id, source,
+    list_distinct(regexp_split_to_array(trim(text), '\s+')) AS t
   FROM documents WHERE length(trim(text)) > 0
 ), posting AS (
-  SELECT doc_id, len(t) AS n, unnest(t) AS token FROM toks
+  SELECT doc_id, source, len(t) AS n, unnest(t) AS token FROM toks
 ), dfreq AS (
-  SELECT token, COUNT(*) AS df FROM posting GROUP BY token
+  SELECT source, token, COUNT(*) AS df FROM posting GROUP BY source, token
 ), ranked AS (
-  SELECT p.doc_id, p.n, p.token,
-    row_number() OVER (PARTITION BY p.doc_id ORDER BY d.df, p.token) AS rn
-  FROM posting p JOIN dfreq d USING (token)
+  SELECT p.doc_id, p.source, p.n, p.token,
+    row_number() OVER (PARTITION BY p.source, p.doc_id
+                       ORDER BY d.df, p.token) AS rn
+  FROM posting p JOIN dfreq d USING (source, token)
 ), prefix AS (
   SELECT * FROM ranked WHERE rn <= n - ((3 * n + 4) // 5) + 1
 ), cand AS (
   SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
   FROM prefix a JOIN prefix b
-    ON a.token = b.token AND a.doc_id < b.doc_id
+    ON a.source = b.source AND a.token = b.token AND a.doc_id < b.doc_id
   WHERE 3 * greatest(a.n, b.n) <= 5 * least(a.n, b.n)
 ), truth AS (
-  SELECT c.id_a, c.id_b
-  FROM cand c JOIN toks a ON a.doc_id = c.id_a
-  JOIN toks b ON b.doc_id = c.id_b
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM toks a JOIN toks b
+    ON a.source = b.source AND a.doc_id < b.doc_id
   WHERE 5 * len(list_intersect(a.t, b.t))
         >= 3 * (len(a.t) + len(b.t) - len(list_intersect(a.t, b.t)))
 ), md5_pairs AS (
