@@ -194,6 +194,9 @@ BENCH_QUERIES = [
     "q_theilsen_trend",
     "q_shard_manifest",
     "q_psi_drift",
+    # round 9
+    "q_l_diversity_audit",
+    "q_tokenizer_fertility",
     # q_prefix_jaccard_pairs is deliberately NOT in the sweep: on this
     # corpus's small uniform vocabulary the prefix filter measures ~8 s
     # at sf0.1 vs 1.6 s for the uncapped posting join (SCALING.md) — it

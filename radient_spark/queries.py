@@ -2095,6 +2095,65 @@ GROUP BY source
 """
 
 
+def q_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-efficiency audit per language: fertility (subword
+    tokens per whitespace word) and bytes per subword token, via the
+    model-free BPE-ish (GPT-2 pretokenizer) regex — the two numbers a
+    multilingual training pipeline reads before committing a vocab
+    (high fertility = the tokenizer fragments that language; high
+    bytes/token = the language is under-served by the byte budget).
+    Complements q_bpe_token_stats' per-source volume accounting with
+    the per-language efficiency RATIOS.
+
+    One scan, one map-side-combined groupBy(lang); ratios are single
+    rounded IEEE divisions of exact integer sums, so the oracle
+    hash-matches."""
+    from radient_spark.functions.text import bpe_ish_token_count
+
+    docs = load_tables(spark, sf_dir)["documents"].filter(
+        F.length(F.trim("text")) > 0
+    )
+    ws = F.size(F.split(F.trim("text"), r"\s+"))
+    agg = docs.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(ws.cast("long")).alias("ws_tokens"),
+        F.sum(bpe_ish_token_count(F.col("text")).cast("long")).alias(
+            "bpe_tokens"
+        ),
+        F.sum(F.octet_length("text").cast("long")).alias("n_bytes"),
+    )
+    return agg.select(
+        "lang",
+        "n_docs",
+        "ws_tokens",
+        "bpe_tokens",
+        "n_bytes",
+        F.round(
+            F.col("bpe_tokens").cast("double") / F.col("ws_tokens"), 6
+        ).alias("fertility"),
+        F.round(
+            F.col("n_bytes").cast("double") / F.col("bpe_tokens"), 6
+        ).alias("bytes_per_token"),
+    ).orderBy("lang")
+
+
+_Q_TOKENIZER_FERTILITY_SQL = r"""
+SELECT lang, COUNT(*) AS n_docs,
+  CAST(SUM(len(regexp_split_to_array(trim(text), '\s+'))) AS BIGINT)
+    AS ws_tokens,
+  CAST(SUM(len(regexp_extract_all(text, '''s|''t|''re|''ve|''m|''ll|''d| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+'))) AS BIGINT)
+    AS bpe_tokens,
+  CAST(SUM(strlen(text)) AS BIGINT) AS n_bytes,
+  ROUND(CAST(SUM(len(regexp_extract_all(text, '''s|''t|''re|''ve|''m|''ll|''d| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+'))) AS DOUBLE)
+        / SUM(len(regexp_split_to_array(trim(text), '\s+'))), 6) AS fertility,
+  ROUND(CAST(SUM(strlen(text)) AS DOUBLE)
+        / SUM(len(regexp_extract_all(text, '''s|''t|''re|''ve|''m|''ll|''d| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+'))), 6)
+    AS bytes_per_token
+FROM documents WHERE length(trim(text)) > 0
+GROUP BY lang ORDER BY lang
+"""
+
+
 def q_rolling_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Karp-Rabin rolling-hash document fingerprint (min 16-char window
     hash, base-31 polynomial) — winnowing-style content fingerprinting,
@@ -10481,6 +10540,78 @@ FROM classes CROSS JOIN ks GROUP BY k ORDER BY k
 """
 
 
+def q_l_diversity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Privacy attribute-disclosure audit, completing the k-anonymity
+    pair (Machanavajjhala et al. 2007): l-diversity of the published
+    customer⋈orders microdata — quasi-identifier (nation, market
+    segment), sensitive attribute order priority.  k-anonymity stops
+    re-identification; l-diversity stops attribute inference: a class
+    where every order is URGENT leaks the sensitive value even at
+    k=1000.  For l in {2, 3, 5}: equivalence classes (and their row
+    mass) whose DISTINCT sensitive-value count falls below l.
+
+    Scale shape: one broadcast dim join (customer QI onto orders), one
+    groupBy over the QI with a count + exact countDistinct (class
+    table is nations x segments — tiny), then a broadcast-sized
+    threshold rollup.  The join is the published-view shape itself, so
+    the audit costs one scan of the fact table."""
+    t = load_tables(spark, sf_dir)
+    micro = t["orders"].join(
+        F.broadcast(
+            t["customer"].select("c_custkey", "c_nationkey", "c_mktsegment")
+        ),
+        F.col("o_custkey") == F.col("c_custkey"),
+    )
+    classes = micro.groupBy("c_nationkey", "c_mktsegment").agg(
+        F.count(F.lit(1)).alias("class_size"),
+        F.countDistinct("o_orderpriority").alias("diversity"),
+    )
+    ls = spark.range(0, 3).select(
+        F.element_at(
+            F.array(F.lit(2), F.lit(3), F.lit(5)), (F.col("id") + 1).cast("int")
+        )
+        .cast("long")
+        .alias("l")
+    )
+    return (
+        classes.crossJoin(F.broadcast(ls))
+        .groupBy("l")
+        .agg(
+            F.count(F.lit(1)).alias("n_classes"),
+            F.sum((F.col("diversity") < F.col("l")).cast("long")).alias(
+                "n_classes_below_l"
+            ),
+            F.sum(
+                F.when(
+                    F.col("diversity") < F.col("l"), F.col("class_size")
+                ).otherwise(0)
+            ).alias("n_rows_below_l"),
+            F.min("diversity").alias("min_diversity"),
+        )
+        .orderBy("l")
+    )
+
+
+_Q_L_DIVERSITY_SQL = """
+WITH classes AS (
+  SELECT c.c_nationkey, c.c_mktsegment,
+         COUNT(*) AS class_size,
+         COUNT(DISTINCT o.o_orderpriority) AS diversity
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+  GROUP BY c.c_nationkey, c.c_mktsegment
+), ls AS (
+  SELECT unnest([2, 3, 5]) AS l
+)
+SELECT CAST(l AS BIGINT) AS l, COUNT(*) AS n_classes,
+  CAST(SUM(CASE WHEN diversity < l THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_classes_below_l,
+  CAST(SUM(CASE WHEN diversity < l THEN class_size ELSE 0 END) AS BIGINT)
+    AS n_rows_below_l,
+  CAST(MIN(diversity) AS BIGINT) AS min_diversity
+FROM classes CROSS JOIN ls GROUP BY l ORDER BY l
+"""
+
+
 def q_incremental_join_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental materialized-view maintenance for a JOIN view
     (operators/merge.py join_view_delta): the customer ⋈ orders
@@ -13654,6 +13785,9 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "q_theilsen_trend": (q_theilsen_trend, _Q_THEILSEN_SQL),
     "q_shard_manifest": (q_shard_manifest, _Q_SHARD_MANIFEST_SQL),
     "q_psi_drift": (q_psi_drift, _Q_PSI_SQL),
+    # round 9
+    "q_l_diversity_audit": (q_l_diversity_audit, _Q_L_DIVERSITY_SQL),
+    "q_tokenizer_fertility": (q_tokenizer_fertility, _Q_TOKENIZER_FERTILITY_SQL),
 }
 
 # The correctness driver oracle-checks exactly the FIRST 50 keys of ``queries()``
