@@ -553,3 +553,33 @@ def test_widen_narrow_scan_is_guarded(spark, sf_dir):
     assert widened.rdd.getNumPartitions() == p
     wide_already = docs.repartition(p + 3)
     assert _widen_narrow_scan(wide_already) is wide_already
+
+
+def test_widen_narrow_scan_byte_gate(spark, sf_dir):
+    """Round-9 ADVICE fix: split count alone must not trigger the widen —
+    a large input in few partitions (cores >> splits on a well-compacted
+    table) stays un-widened because the optimizer size estimate exceeds
+    the byte gate, so no full-table exchange can appear at scale."""
+    from radient_spark.queries import _WIDEN_MAX_BYTES, _widen_narrow_scan
+
+    big = spark.range(50_000_000, numPartitions=1)  # stats ~400 MB > gate
+    assert big.rdd.getNumPartitions() == 1
+    size = int(big._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+    assert size > _WIDEN_MAX_BYTES
+    assert _widen_narrow_scan(big) is big
+
+
+def test_l_diversity_broadcasts_customer_dim(spark, sf_dir):
+    """The published-view join in the l-diversity audit must broadcast
+    the customer QI columns, never shuffle the orders fact table."""
+    df = QUERIES["q_l_diversity_audit"][0](spark, sf_dir)
+    assert plans.uses_broadcast_join(df)
+
+
+def test_tokenizer_fertility_prunes_to_two_columns(spark, sf_dir):
+    """The fertility audit is one scan reading only (lang, text) with a
+    single aggregate shuffle — the 100 TB shape for a corpus-wide ratio.
+    (The second exchange is the langs-sized final sort, not data-scale.)"""
+    df = QUERIES["q_tokenizer_fertility"][0](spark, sf_dir)
+    assert plans.reads_only_columns(df, {"lang", "text"})
+    assert plans.shuffle_count(df) <= 2
