@@ -1154,3 +1154,122 @@ def cdc_maintenance_sink(
         _commit_state(merged, full_dir, tag, epoch_id)
 
     return foreach_batch_sink(stream, checkpoint, batch_fn)
+
+
+def psi_drift_sink(
+    stream: DataFrame,
+    state_dir: str,
+    checkpoint: str,
+    group_col: str = "event_type",
+    value_col: str = "value",
+    bin_cents: int = 5000,
+):
+    """Streaming half of the PSI drift gate (q_psi_drift): maintain the
+    CURRENT window's per-(group, bin) value-distribution counts
+    incrementally — per micro-batch, bin the batch on the fixed integer
+    cent lattice and sum-merge into the state table. `read_psi` then
+    scores the accumulated window against a frozen reference at any
+    time, so a deployed pipeline gets a live drift verdict without ever
+    re-reading history.
+
+    State is bounded by groups x value-domain bins regardless of event
+    volume (the same property that makes the batch PSI cheap).
+    Sum-merge is not idempotent, so the read-merge-commit cycle rides
+    _commit_state's epoch marker + staging swap (crash-safe
+    exactly-once), like the CMS/agg sinks.
+    """
+    tag = _epoch_tag(checkpoint)
+
+    def batch_fn(df: DataFrame, epoch_id: int) -> None:
+        spark = df.sparkSession
+        if _epoch_committed(spark, state_dir, tag, epoch_id):
+            return
+        cents = F.round(F.col(value_col) * 100, 0).cast("long")
+        fresh = (
+            df.select(
+                F.col(group_col).alias("g"),
+                (cents - (cents % bin_cents)).alias("bin"),
+            )
+            .groupBy("g", "bin")
+            .agg(F.count(F.lit(1)).alias("cc"))
+        )
+        if _state_exists(spark, state_dir):
+            merged = (
+                spark.read.parquet(state_dir)
+                .unionByName(fresh)
+                .groupBy("g", "bin")
+                .agg(F.sum("cc").alias("cc"))
+            )
+        else:
+            merged = fresh
+        _commit_state(merged, state_dir, tag, epoch_id)
+
+    return foreach_batch_sink(stream, checkpoint, batch_fn)
+
+
+def read_psi(
+    spark,
+    state_dir: str,
+    reference: DataFrame,
+    group_col: str = "event_type",
+) -> DataFrame:
+    """Score the psi_drift_sink state against a frozen reference bin
+    table (columns g, bin, cb — e.g. the training window's
+    distribution) with EXACTLY q_psi_drift's determinism recipe:
+    Laplace smoothing over the union bin set, one ln per bin of an
+    exact-integer ratio rounded to 6, per-bin terms rounded to 8 and
+    decimal-summed, thresholds 0.1/0.25. A streaming window scored by
+    read_psi is bit-identical to the batch query over the same rows
+    (pinned by test_psi_drift_sink_equals_batch_query).
+
+    Returns (group_col, n_base, n_curr, n_bins, psi, verdict).
+    """
+    from pyspark.sql import Window
+
+    cur = spark.read.parquet(state_dir)
+    both = (
+        reference.select("g", "bin", "cb")
+        .join(cur.select("g", "bin", "cc"), ["g", "bin"], "full_outer")
+        .select(
+            "g",
+            "bin",
+            F.coalesce("cb", F.lit(0)).alias("cb"),
+            F.coalesce("cc", F.lit(0)).alias("cc"),
+        )
+    )
+    w = Window.partitionBy("g")
+    t = (
+        both.withColumn("tb", F.sum("cb").over(w))
+        .withColumn("tc", F.sum("cc").over(w))
+        .withColumn("nb", F.count(F.lit(1)).over(w))
+    )
+    p = (F.col("cb") + 1).cast("double") / (F.col("tb") + F.col("nb")).cast(
+        "double"
+    )
+    q = (F.col("cc") + 1).cast("double") / (F.col("tc") + F.col("nb")).cast(
+        "double"
+    )
+    ln_ratio = F.round(
+        F.log(
+            ((F.col("cb") + 1) * (F.col("tc") + F.col("nb"))).cast("double")
+            / ((F.col("cc") + 1) * (F.col("tb") + F.col("nb"))).cast("double")
+        ),
+        6,
+    )
+    term = F.round((p - q) * ln_ratio, 8).cast("decimal(28,8)")
+    return (
+        t.groupBy(F.col("g").alias(group_col))
+        .agg(
+            F.max("tb").alias("n_base"),
+            F.max("tc").alias("n_curr"),
+            F.max("nb").cast("long").alias("n_bins"),
+            F.sum(term).cast("double").alias("psi"),
+        )
+        .withColumn(
+            "verdict",
+            F.when(F.col("psi") < 0.1, F.lit("stable"))
+            .when(F.col("psi") < 0.25, F.lit("shifting"))
+            .otherwise(F.lit("act")),
+        )
+        .orderBy(group_col)
+    )

@@ -1072,3 +1072,60 @@ def test_cdc_maintenance_sink_tombstone_blocks_older_upsert(spark, tmp_path):
     }
     assert got == want, (got, want)
     assert (1, 6, "a-new", 3) in got  # delete@5 + stale@3 + new@6 all counted
+
+
+def test_psi_drift_sink_equals_batch_query(spark, tmp_path):
+    """The streaming PSI gate must be bit-identical to the batch
+    q_psi_drift over the same rows: freeze the reference from the
+    feed's base half, stream the current half in TWO micro-batch
+    rounds through psi_drift_sink, and read_psi's scores must equal
+    the batch query's (same smoothing, same rounded-ln recipe)."""
+    from pyspark.sql import functions as F
+
+    from radient_spark.catalog import load_tables
+    from radient_spark.queries import QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    ev = load_tables(spark, sf)["events"]
+    cut = F.lit("2024-01-16").cast("timestamp")
+    cents = F.round(F.col("value") * 100, 0).cast("long")
+    reference = (
+        ev.filter(F.col("ts") < cut)
+        .select(
+            F.col("event_type").alias("g"),
+            (cents - (cents % 5000)).alias("bin"),
+        )
+        .groupBy("g", "bin")
+        .agg(F.count(F.lit(1)).alias("cb"))
+    )
+    curr = ev.filter(F.col("ts") >= cut).select("event_type", "value")
+    rows = curr.collect()
+    mid = len(rows) // 2
+    in_dir, st_dir, ck = (
+        str(tmp_path / "in"),
+        str(tmp_path / "psi_state"),
+        str(tmp_path / "ck_psi"),
+    )
+    schema = "event_type string, value double"
+    spark.createDataFrame(rows[:mid], schema).write.mode("overwrite").parquet(
+        in_dir
+    )
+    q = streaming.psi_drift_sink(
+        spark.readStream.schema(curr.schema).parquet(in_dir), st_dir, ck
+    )
+    q.awaitTermination(120)
+    spark.createDataFrame(rows[mid:], schema).write.mode("append").parquet(
+        in_dir
+    )
+    q2 = streaming.psi_drift_sink(
+        spark.readStream.schema(curr.schema).parquet(in_dir), st_dir, ck
+    )
+    q2.awaitTermination(120)
+    got = [
+        tuple(r)
+        for r in streaming.read_psi(spark, st_dir, reference).collect()
+    ]
+    want = [
+        tuple(r) for r in QUERIES["q_psi_drift"][0](spark, sf).collect()
+    ]
+    assert got == want
