@@ -618,6 +618,29 @@ def test_histogram_order_statistic_equals_exact_engine(spark):
         assert got[k] == (exp[k][0.5], exp[k][0.9], exp[k][0.99]), (k, got[k], exp[k])
 
 
+def test_histogram_order_statistic_drops_null_buckets(spark):
+    """Round-9 null contract: histogram rows with a NULL value are
+    dropped before ranking, so n and every rank count non-null values
+    only — a NULL bucket must not shift ranks (Spark's default window
+    ordering is NULLS FIRST; the oracle ranks NULLS LAST, so either
+    orientation would silently diverge if nulls entered the window)."""
+    from radient_spark.operators.dataset import histogram_order_statistic
+
+    hist = spark.createDataFrame(
+        [("g", 1.0, 4), ("g", 2.0, 4), ("g", None, 100), ("h", 7.0, 1)],
+        "g string, v double, c long",
+    )
+    got = {
+        r["g"]: r["p50"]
+        for r in histogram_order_statistic(
+            hist, "g", "v", count_col="c", qs=[0.5], out_cols=["p50"]
+        ).collect()
+    }
+    # g: 8 non-null values [1*4, 2*4] -> rank ceil(4) = 4 -> value 1.0;
+    # with the null bucket counted, n=108 and rank 54 would land on 2.0
+    assert got == {"g": 1.0, "h": 7.0}
+
+
 def test_prefix_filter_candidates_complete_vs_all_pairs(spark):
     """Prefix-filter completeness on adversarial sizes: every pair with
     jaccard >= 3/5 must appear in the candidate set, including sets
