@@ -822,7 +822,12 @@ def q_minhash_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     arithmetic, so the DuckDB oracle reproduces it hash-for-hash
     (_minhash_dup_pairs_sql).
     """
-    docs = load_tables(spark, sf_dir)["documents"]
+    return _minhash_pairs_from(load_tables(spark, sf_dir)["documents"])
+
+
+def _minhash_pairs_from(docs: DataFrame) -> DataFrame:
+    """q_minhash_dup_pairs' pipeline over an arbitrary documents
+    DataFrame (the strategy scorecard calls it on a sample)."""
     # One signature computation, cached: the banding branch and both sides
     # of the verify join read the same in-memory signatures.
     sigs = D.with_minhash(
@@ -6093,7 +6098,12 @@ def q_simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     SimHash path from fingerprints (q_simhash_fingerprints) to pairs,
     the same way MinHash goes signatures -> LSH bands -> pairs.
     """
-    docs = load_tables(spark, sf_dir)["documents"]
+    return _simhash_pairs_from(load_tables(spark, sf_dir)["documents"])
+
+
+def _simhash_pairs_from(docs: DataFrame) -> DataFrame:
+    """q_simhash_near_pairs' pipeline over an arbitrary documents
+    DataFrame (the strategy scorecard calls it on a sample)."""
     sigs = D.with_simhash(
         _widen_narrow_scan(docs.filter(F.length(F.trim("text")) > 0)),
         text_col="text",
@@ -7297,10 +7307,17 @@ def q_edit_distance_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     neighborhood join; the O(len^2) edit-distance DP runs ONLY on
     candidate pairs (~window per row), never all pairs.
     """
+    return _edit_distance_pairs_from(
+        load_tables(spark, sf_dir)["documents"]
+    )
+
+
+def _edit_distance_pairs_from(docs: DataFrame) -> DataFrame:
+    """q_edit_distance_pairs' pipeline over an arbitrary documents
+    DataFrame (the strategy scorecard calls it on a sample)."""
     from radient_spark.functions.text import normalize_text
     from radient_spark.operators.dedup import sorted_neighborhood_pairs
 
-    docs = load_tables(spark, sf_dir)["documents"]
     canon = docs.select(
         "doc_id", normalize_text(F.col("text")).alias("canon")
     )
@@ -9331,6 +9348,15 @@ def q_dedup_strategy_comparison(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact ppm. The table a pipeline owner reads before picking a
     blocker: candidate volume vs truth coverage, from data.
 
+    Calibration-on-a-sample, by design: the scorecard runs on a FIXED
+    deterministic 40% md5-bucket slice of the corpus (the stateless
+    hash-split discipline, same rule both engines). At 100 TB you
+    never run all-pairs ground truth over the full corpus to pick a
+    blocker — you calibrate the strategies on a reproducible sample
+    (whose truth is quadratic in SAMPLE size only) and deploy the
+    winner at scale; the sample rule makes the scorecard reproducible
+    across engines, runs, and partitionings.
+
     The truth itself rides the proven-complete prefix filter
     (operators/dedup.prefix_filter_candidates; the q_prefix_jaccard_
     pairs oracle is the unfiltered all-pairs ground truth, so the
@@ -9340,10 +9366,14 @@ def q_dedup_strategy_comparison(spark: SparkSession, sf_dir: str) -> DataFrame:
     joins in as a broadcast 1-row aggregate; all-integer ppm."""
     from radient_spark.operators.dedup import (
         prefix_filter_candidates,
+        str_hash,
         token_pair_counts,
     )
 
-    docs = load_tables(spark, sf_dir)["documents"]
+    docs = load_tables(spark, sf_dir)["documents"].filter(
+        str_hash(F.concat_ws("_", F.lit("blockcal"), F.col("doc_id"))) % 10
+        < 4
+    )
     toks = _widen_narrow_scan(
         docs.filter(F.length(F.trim("text")) > 0)
     ).select(
@@ -9389,18 +9419,12 @@ def q_dedup_strategy_comparison(spark: SparkSession, sf_dir: str) -> DataFrame:
     legs = [
         ("exact_md5", md5_pairs),
         ("jaccard_truth", truth),
-        (
-            "minhash_lsh",
-            q_minhash_dup_pairs(spark, sf_dir).select("id_a", "id_b"),
-        ),
+        ("minhash_lsh", _minhash_pairs_from(docs).select("id_a", "id_b")),
         ("ppjoin_prefix_cand", cand.select("id_a", "id_b")),
-        (
-            "simhash_bands",
-            q_simhash_near_pairs(spark, sf_dir).select("id_a", "id_b"),
-        ),
+        ("simhash_bands", _simhash_pairs_from(docs).select("id_a", "id_b")),
         (
             "snm_edit_distance",
-            q_edit_distance_pairs(spark, sf_dir).select("id_a", "id_b"),
+            _edit_distance_pairs_from(docs).select("id_a", "id_b"),
         ),
     ]
     n_true = truth.agg(F.count(F.lit(1)).alias("__n_true"))
@@ -9429,11 +9453,27 @@ def q_dedup_strategy_comparison(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _dedup_comparison_sql() -> str:
+    # Every leg calibrates on the SAME deterministic 40% md5 sample as
+    # the Spark side: the leg SQLs are the audited full-corpus oracles
+    # re-based onto the sdocs CTE (each references `FROM documents`
+    # exactly once; asserted below so a future leg edit cannot silently
+    # escape the sample).
+    minhash_sql = _minhash_dup_pairs_sql()
+    simhash_sql = _Q_SIMHASH_PAIRS_SQL
+    edit_sql = _edit_distance_sql()
+    for leg in (minhash_sql, simhash_sql, edit_sql):
+        assert leg.count("FROM documents") == 1
+    minhash_sql = minhash_sql.replace("FROM documents", "FROM sdocs")
+    simhash_sql = simhash_sql.replace("FROM documents", "FROM sdocs")
+    edit_sql = edit_sql.replace("FROM documents", "FROM sdocs")
     return rf"""
-WITH toks AS (
+WITH sdocs AS (
+  SELECT * FROM documents
+  WHERE ('0x' || substring(md5('blockcal_' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 10 < 4
+), toks AS (
   SELECT doc_id, source,
     list_distinct(regexp_split_to_array(trim(text), '\s+')) AS t
-  FROM documents WHERE length(trim(text)) > 0
+  FROM sdocs WHERE length(trim(text)) > 0
 ), posting AS (
   SELECT doc_id, source, len(t) AS n, unnest(t) AS token FROM toks
 ), dfreq AS (
@@ -9458,14 +9498,14 @@ WITH toks AS (
         >= 3 * (len(a.t) + len(b.t) - len(list_intersect(a.t, b.t)))
 ), md5_pairs AS (
   SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
-  FROM documents x JOIN documents y
+  FROM sdocs x JOIN sdocs y
     ON md5(x.text) = md5(y.text) AND x.doc_id < y.doc_id
 ), minhash_pairs AS (
-  SELECT DISTINCT id_a, id_b FROM ({_minhash_dup_pairs_sql()})
+  SELECT DISTINCT id_a, id_b FROM ({minhash_sql})
 ), simhash_pairs AS (
-  SELECT DISTINCT id_a, id_b FROM ({_Q_SIMHASH_PAIRS_SQL})
+  SELECT DISTINCT id_a, id_b FROM ({simhash_sql})
 ), snm_pairs AS (
-  SELECT DISTINCT id_a, id_b FROM ({_edit_distance_sql()})
+  SELECT DISTINCT id_a, id_b FROM ({edit_sql})
 ), n_true AS (SELECT COUNT(*) AS n FROM truth),
 legs AS (
   SELECT 'exact_md5' AS strategy,
