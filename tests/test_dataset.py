@@ -677,3 +677,43 @@ def test_prefix_filter_candidates_complete_vs_all_pairs(spark):
     }
     assert truth <= cand, truth - cand
     assert (4, 5) not in truth
+
+
+def test_prefix_filter_complete_on_random_zipf_corpus(spark):
+    """Round-9 randomized completeness check, independent of both
+    engines: 200 seeded docs with zipfian token draws (heavy stopword
+    head — exactly the regime the prefix filter targets), ground truth
+    computed in pure Python set arithmetic. Every pair with Jaccard >=
+    3/5 must appear in the candidate set; sizes 1..12 sweep the
+    ceil(t*n) lattice boundaries the rational threshold exists for."""
+    import random
+
+    from radient_spark.operators.dedup import prefix_filter_candidates
+
+    rng = random.Random(7)
+    vocab = [f"t{i}" for i in range(50)]
+    docs = []
+    for i in range(200):
+        n = rng.randint(1, 12)
+        toks = sorted(
+            {vocab[min(49, int(rng.expovariate(0.15)))] for _ in range(n)}
+        )
+        docs.append((i, toks or ["t0"]))
+    toks_df = spark.createDataFrame(docs, "doc_id long, toks array<string>")
+    cand = {
+        (r["id_a"], r["id_b"])
+        for r in prefix_filter_candidates(
+            toks_df, id_col="doc_id", tokens_col="toks", t_num=3, t_den=5
+        ).collect()
+    }
+    truth = set()
+    for i, (ia, ta) in enumerate(docs):
+        sa = set(ta)
+        for ib, tb in docs[i + 1:]:
+            sb = set(tb)
+            inter = len(sa & sb)
+            if 5 * inter >= 3 * len(sa | sb):
+                truth.add((min(ia, ib), max(ia, ib)))
+    assert truth, "seeded corpus must contain true near-dup pairs"
+    missing = truth - cand
+    assert not missing, f"prefix filter dropped {len(missing)} true pairs: {sorted(missing)[:5]}"
