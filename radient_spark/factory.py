@@ -383,3 +383,168 @@ register("audit", "snapshot_diff")(
         _reconcile.snapshot_diff, new=new, key_cols=key_cols, cols=cols, **kw
     )
 )
+
+
+# --- reference-vocabulary dispatch ------------------------------------------
+# ≡ /root/reference/radient/factory.py:10-64 plus the per-modality `method`
+# dispatch in tasks/vectorizers/*/__init__.py and
+# tasks/transforms/*/__init__.py: the reference keys vectorizers by
+# MODALITY with a `method` kwarg (text_vectorizer(method="sbert"), audio
+# default "torchaudio", image default "timm", graph "fastrp", molecule
+# "rdkit"), hyphenates transform type names ("video-demux",
+# "speech-to-text"), and exposes "source"/"sink" task names. Register the
+# exact same vocabulary so reference call sites port verbatim —
+# make_operator("vectorizer", "text", method="sbert") works unchanged,
+# and an unknown method raises NotImplementedError like the reference.
+
+
+def _by_method(table, default: str):
+    def build(method: str = default, **kw):
+        for names, fn in table:
+            if method in names:
+                return fn(**kw)
+        raise NotImplementedError(f"unknown method {method!r}")
+
+    return build
+
+
+register("vectorizer", "text")(
+    _by_method(
+        [
+            (("sbert", "sentence-transformers"),
+             lambda **kw: functools.partial(vectorize.sbert_vectorizer, **kw)),
+            (("imagebind",),
+             lambda **kw: functools.partial(
+                 vectorize.imagebind_text_vectorizer, **kw)),
+            (("sklearn", "scikit-learn"),
+             lambda **kw: functools.partial(
+                 vectorize.hashing_vectorizer, **kw)),
+            (("cohere",),
+             lambda **kw: functools.partial(
+                 vectorize.cohere_text_vectorizer, **kw)),
+            (("voyage", "voyageai"),
+             lambda **kw: functools.partial(
+                 vectorize.voyage_text_vectorizer, **kw)),
+        ],
+        "sbert",
+    )
+)
+register("vectorizer", "audio")(
+    _by_method(
+        [
+            (("torchaudio",),
+             lambda **kw: functools.partial(
+                 vectorize.torchaudio_audio_vectorizer, **kw)),
+            (("imagebind",),
+             lambda **kw: functools.partial(
+                 vectorize.imagebind_audio_vectorizer, **kw)),
+        ],
+        "torchaudio",
+    )
+)
+register("vectorizer", "image")(
+    _by_method(
+        [
+            (("timm", "pytorch-image-models"),
+             lambda **kw: functools.partial(
+                 vectorize.timm_image_vectorizer, **kw)),
+            (("imagebind",),
+             lambda **kw: functools.partial(
+                 vectorize.imagebind_image_vectorizer, **kw)),
+        ],
+        "timm",
+    )
+)
+register("vectorizer", "graph")(
+    _by_method(
+        [(("fastrp",),
+          lambda **kw: functools.partial(vectorize.fastrp_embeddings, **kw))],
+        "fastrp",
+    )
+)
+register("vectorizer", "molecule")(
+    _by_method(
+        [(("rdkit",),
+          lambda **kw: functools.partial(
+              vectorize.fingerprint_vectorizer, **kw))],
+        "rdkit",
+    )
+)
+
+register("transform", "video-demux")(
+    _by_method(
+        [
+            (("default", None),
+             lambda **kw: functools.partial(transforms.video_demux, **kw)),
+            (("ffmpeg",),
+             lambda output_dir=None, read_payloads=False, runner=None, **kw:
+             functools.partial(
+                 transforms.video_demux,
+                 decoder=transforms.ffmpeg_demux_decoder(
+                     output_dir=output_dir,
+                     read_payloads=read_payloads,
+                     runner=runner,
+                 ),
+                 **kw,
+             )),
+        ],
+        "default",
+    )
+)
+register("transform", "speech-to-text")(
+    _by_method(
+        [(("whisper", None),
+          lambda **kw: functools.partial(transforms.speech_to_text, **kw))],
+        "whisper",
+    )
+)
+register("transform", "document-screenshot")(
+    lambda **kw: functools.partial(transforms.document_screenshot, **kw)
+)
+
+
+def _sources():
+    from radient_spark import sources
+
+    return sources
+
+
+def _sinks():
+    from radient_spark import sinks
+
+    return sinks
+
+
+# Sources construct a zero-arg op producing a DataFrame (the Workflow
+# head position, like the reference's Source.read contract).
+register("source", "local")(
+    lambda spark, path, **kw:
+    lambda **_: _sources().local_source(spark, path, **kw)
+)
+register("source", "youtube")(
+    lambda spark, url, output_directory, **kw:
+    lambda **_: _sources().youtube_source(spark, url, output_directory, **kw)
+)
+register("source", "ingest")(
+    lambda target_dir, mode="append", **kw:
+    lambda df, **_: _sources().ingest(df, target_dir, mode=mode, **kw)
+)
+
+# Sinks dispatch on operation= like the reference task_params
+# ({"operation": "insert"} vs {"operation": "search"},
+# sinks/milvus.py:23-127, mongodb.py:29-115).
+def _sink_factory(insert_fn_name: str, search_fn_name: str):
+    def build(operation: str = "insert", **kw):
+        if operation == "insert":
+            return lambda df, **_: getattr(_sinks(), insert_fn_name)(df, **kw)
+        if operation == "search":
+            return lambda queries, **extra: getattr(_sinks(), search_fn_name)(
+                queries, **{**kw, **extra}
+            )
+        raise ValueError(f"unknown operation {operation!r}")
+
+    return build
+
+
+register("sink", "milvus")(_sink_factory("milvus_sink", "milvus_search"))
+register("sink", "mongodb")(_sink_factory("mongodb_sink", "mongodb_search"))

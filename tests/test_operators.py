@@ -1147,3 +1147,80 @@ def test_model_zoo_kwargs_parity(spark):
     ]:
         sig = inspect.signature(fn)
         assert sig.parameters["model_name"].default == default, fn
+
+
+def test_factory_reference_vocabulary_end_to_end(spark, tmp_path):
+    """Round-9 drop-in parity: make_operator accepts the reference's
+    EXACT vocabulary (factory.py:10-64 — modality-keyed vectorizers
+    with a method kwarg, hyphenated transform names, source/sink task
+    names with operation dispatch), so the multimodal-RAG example's
+    operator constructions port verbatim. Composes the insert workflow
+    shape: source -> video-demux -> vectorizer -> milvus sink (fake
+    client), then the search workflow against the same fake."""
+    import functools
+
+    from radient_spark.factory import make_operator
+    from radient_spark.orchestrate import Workflow
+
+    # construction-vocabulary parity (gated models construct lazily)
+    assert isinstance(
+        make_operator("vectorizer", "text"), functools.partial
+    )  # default method="sbert", like the reference
+    for modality, method in [
+        ("text", "sklearn"), ("audio", "torchaudio"), ("image", "timm"),
+        ("graph", "fastrp"), ("molecule", "rdkit"),
+    ]:
+        assert make_operator("vectorizer", modality, method=method)
+    try:
+        make_operator("vectorizer", "text", method="nope")
+        raise AssertionError("expected NotImplementedError")
+    except NotImplementedError:
+        pass
+
+    # source -> demux -> vectorize -> sink, reference-style
+    media = tmp_path / "media"
+    media.mkdir()
+    (media / "clip_a.mp4").write_bytes(b"x" * (10 * 1024))  # ~10 s fake
+    read = make_operator("source", "local", spark=spark, path=str(media))
+    demux = make_operator("transform", "video-demux", interval=5.0)
+    vectorize = make_operator("vectorizer", "text", method="sklearn", dim=16)
+
+    inserted = []
+
+    class FakeMilvus:
+        def insert(self, collection_name, data):
+            inserted.extend(data)
+            return {"insert_count": len(data)}
+
+        def search(self, collection_name, data, **kw):
+            return [[{"id": 0, "distance": 1.0}] for _ in data]
+
+    def store(df):
+        rows = [r.asDict() for r in df.select("unit_uri", "vector").collect()]
+        FakeMilvus().insert("units", rows)
+        return df
+
+    wf = (
+        Workflow()
+        .add(lambda **_: read().select(
+            F.monotonically_increasing_id().alias("id"),
+            F.col("path").alias("uri"),
+            F.col("content").alias("payload"),
+        ), "read")
+        .add(lambda df: demux(df), "demux")
+        .add(lambda df: vectorize(
+            df.withColumn("text", F.col("unit_uri"))
+        ), "vectorize")
+        .add(store, "store")
+    )
+    out = wf.run()
+    # 10 KiB ~ 10 s -> 2 frames + 2 audio clips at interval 5.0
+    assert out.count() == 4
+    assert len(inserted) == 4
+
+    search = make_operator(
+        "sink", "milvus", operation="search", collection="units",
+        client=FakeMilvus(),
+    )
+    hits = search([[0.0] * 16], limit=1)
+    assert hits and hits[0][0]["distance"] == 1.0
