@@ -13895,8 +13895,10 @@ _DRIVER_PRIORITY = [
     "q02_top_supplier_per_part",
     "q07_nation_volume",
     "q08_market_share",
-    "q14_promo_revenue_pct",
-    "q_corpus_filtered_search",
+    # round-9 additions (never checked; closes the cumulative record
+    # at 229/229 driver-checked after this round)
+    "q_l_diversity_audit",
+    "q_tokenizer_fertility",
 ]
 
 QUERIES = {
