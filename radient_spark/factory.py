@@ -31,14 +31,39 @@ def register(task_name: str, task_type: str):
     return deco
 
 
-def make_operator(task_name: str, task_type: str, **kwargs) -> Transform:
+def make_operator(
+    task_name: str,
+    task_type: str | None = None,
+    runner=None,
+    task_params: dict | None = None,
+    *,
+    method: str | None = None,
+    **kwargs,
+) -> Transform:
     """Look up and construct an operator.
 
-    vectorizer: hashing | fingerprint | multimodal | sbert
-    transform:  video_demux | document_screenshot | speech_to_text
+    vectorizer: hashing | fingerprint | multimodal | sbert | text | ...
+    transform:  video_demux | video-demux | speech-to-text | ...
     dedup:      exact | minhash | simhash | repeated_ngram
     dataset:    hash_split | pack | decontaminate-free curation ops
+    source/sink: local | youtube | ingest | milvus | mongodb
+
+    Accepts the reference's exact calling conventions
+    (/root/reference/radient/factory.py:10-22 and README.md:84-88):
+    `task_params={...}` merges into kwargs; `method=` substitutes for
+    task_type when task_type is omitted (the README's
+    make_operator("sink", method="mongodb", ...) shape); `runner` is
+    accepted and ignored — every operator here IS a lazy DataFrame
+    transform, so Spark's execution model plays the LocalRunner role.
     """
+    if task_type is None:
+        if method is None:
+            raise ValueError("task_type (or method=) is required")
+        task_type = method
+    elif method is not None:
+        kwargs["method"] = method
+    if task_params:
+        kwargs = {**task_params, **kwargs}
     try:
         factory = _REGISTRY[(task_name, task_type)]
     except KeyError:

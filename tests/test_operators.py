@@ -1224,3 +1224,35 @@ def test_factory_reference_vocabulary_end_to_end(spark, tmp_path):
     )
     hits = search([[0.0] * 16], limit=1)
     assert hits and hits[0][0]["distance"] == 1.0
+
+
+def test_factory_reference_calling_conventions(spark):
+    """make_operator accepts the reference's two documented call shapes
+    verbatim: factory.py:10-22 (positional task_type + task_params dict
+    + ignored runner) and README.md:84-88 (method= keyword substituting
+    for task_type). Explicit kwargs win over task_params on conflict."""
+    from radient_spark.factory import make_operator
+
+    docs = spark.createDataFrame([("hello world",)], "text string")
+    op = make_operator(
+        "vectorizer", "text",
+        runner=object,  # reference Runner class slot — accepted, ignored
+        task_params={"method": "sklearn", "dim": 8},
+    )
+    row = op(docs).select("vector").first()
+    assert len(row["vector"]) == 8
+    op2 = make_operator(
+        "vectorizer", "text", method="sklearn", task_params={"dim": 4}
+    )
+    assert len(op2(docs).select("vector").first()["vector"]) == 4
+    # kwargs override task_params
+    op3 = make_operator(
+        "vectorizer", "text", task_params={"method": "sklearn", "dim": 4},
+        dim=16,
+    )
+    assert len(op3(docs).select("vector").first()["vector"]) == 16
+    try:
+        make_operator("vectorizer")
+        raise AssertionError("expected ValueError without task_type/method")
+    except ValueError:
+        pass
