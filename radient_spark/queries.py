@@ -2159,6 +2159,96 @@ GROUP BY lang ORDER BY lang
 """
 
 
+def q_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dataset card: the one-table summary a curation pipeline
+    publishes next to every corpus snapshot — per source: volume
+    (docs, whitespace tokens, BPE-ish subword tokens, bytes), breadth
+    (exact distinct languages), hygiene (empty docs, within-source
+    exact-duplicate docs + ppm rate), and density (mean tokens/doc).
+    Composes the profiling, token-accounting, and exact-dedup audits
+    into the single artifact a consumer reads first.
+
+    Scale shape: ONE scan feeds a per-source aggregate (volume/breadth/
+    density are map-side-combined; the distinct-lang count is the only
+    Expand) plus a per-(source, md5) dup count whose per-source rollup
+    joins back — both shuffles are keyed on source-sized tables. All
+    counts integer; the two ratios are single rounded divisions."""
+    from radient_spark.functions.text import bpe_ish_token_count
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    ws = F.size(F.split(F.trim("text"), r"\s+"))
+    nonempty = F.length(F.trim("text")) > 0
+    base = docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.when(~nonempty, 1).otherwise(0)).alias("n_empty"),
+        F.sum(F.when(nonempty, ws).otherwise(0).cast("long")).alias(
+            "ws_tokens"
+        ),
+        F.sum(bpe_ish_token_count(F.col("text")).cast("long")).alias(
+            "bpe_tokens"
+        ),
+        F.sum(F.octet_length("text").cast("long")).alias("n_bytes"),
+        F.countDistinct("lang").alias("n_langs"),
+    )
+    dups = (
+        docs.groupBy("source", F.md5("text").alias("__h"))
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("source")
+        .agg(
+            F.sum(F.when(F.col("c") > 1, F.col("c") - 1).otherwise(0)).alias(
+                "n_dup_docs"
+            )
+        )
+    )
+    return (
+        base.join(dups, "source")
+        .select(
+            "source",
+            "n_docs",
+            "n_empty",
+            "ws_tokens",
+            "bpe_tokens",
+            "n_bytes",
+            "n_langs",
+            "n_dup_docs",
+            F.expr("n_dup_docs * 1000000 div n_docs").alias("dup_ppm"),
+            F.round(
+                F.col("ws_tokens").cast("double") / F.col("n_docs"), 6
+            ).alias("mean_ws_tokens"),
+        )
+        .orderBy("source")
+    )
+
+
+_Q_DATASET_CARD_SQL = r"""
+WITH base AS (
+  SELECT source, COUNT(*) AS n_docs,
+    CAST(SUM(CASE WHEN length(trim(text)) = 0 THEN 1 ELSE 0 END) AS BIGINT)
+      AS n_empty,
+    CAST(SUM(CASE WHEN length(trim(text)) > 0
+             THEN len(regexp_split_to_array(trim(text), '\s+'))
+             ELSE 0 END) AS BIGINT) AS ws_tokens,
+    CAST(SUM(len(regexp_extract_all(text, '''s|''t|''re|''ve|''m|''ll|''d| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+'))) AS BIGINT)
+      AS bpe_tokens,
+    CAST(SUM(strlen(text)) AS BIGINT) AS n_bytes,
+    CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs
+  FROM documents GROUP BY source
+), dups AS (
+  SELECT source,
+    CAST(SUM(CASE WHEN c > 1 THEN c - 1 ELSE 0 END) AS BIGINT) AS n_dup_docs
+  FROM (SELECT source, md5(text) AS h, COUNT(*) AS c
+        FROM documents GROUP BY source, md5(text))
+  GROUP BY source
+)
+SELECT b.source, b.n_docs, b.n_empty, b.ws_tokens, b.bpe_tokens, b.n_bytes,
+  b.n_langs, d.n_dup_docs,
+  CAST(d.n_dup_docs * 1000000 // b.n_docs AS BIGINT) AS dup_ppm,
+  ROUND(CAST(b.ws_tokens AS DOUBLE) / b.n_docs, 6) AS mean_ws_tokens
+FROM base b JOIN dups d USING (source)
+ORDER BY b.source
+"""
+
+
 def q_rolling_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Karp-Rabin rolling-hash document fingerprint (min 16-char window
     hash, base-31 polynomial) — winnowing-style content fingerprinting,
@@ -13828,6 +13918,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     # round 9
     "q_l_diversity_audit": (q_l_diversity_audit, _Q_L_DIVERSITY_SQL),
     "q_tokenizer_fertility": (q_tokenizer_fertility, _Q_TOKENIZER_FERTILITY_SQL),
+    "q_dataset_card": (q_dataset_card, _Q_DATASET_CARD_SQL),
 }
 
 # The correctness driver oracle-checks exactly the FIRST 50 keys of ``queries()``
@@ -13892,13 +13983,13 @@ _DRIVER_PRIORITY = [
     "q_mel_clip_features",
     "q_ivf_search",
     # stalest re-checks (last seen round 1)
-    "q02_top_supplier_per_part",
     "q07_nation_volume",
     "q08_market_share",
     # round-9 additions (never checked; closes the cumulative record
-    # at 229/229 driver-checked after this round)
+    # at 230/230 driver-checked after this round)
     "q_l_diversity_audit",
     "q_tokenizer_fertility",
+    "q_dataset_card",
 ]
 
 QUERIES = {
