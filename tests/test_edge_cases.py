@@ -454,3 +454,88 @@ def test_round5_tabular_ops_on_degenerate_inputs(spark):
     assert sequence_gaps(one, "id").count() == 0
     empty = spark.createDataFrame([], "x long, y long")
     assert skyline_2d(empty, "x", "y").count() == 0
+
+
+def test_histogram_order_statistic_all_null_group(spark):
+    """A group whose histogram is entirely NULL-valued vanishes from the
+    report (no non-null values -> no ranks), rather than emitting a
+    NULL-ranked row; other groups are unaffected."""
+    from radient_spark.operators.dataset import histogram_order_statistic
+
+    hist = spark.createDataFrame(
+        [("dead", None, 5), ("live", 3.0, 2)], "g string, v double, c long"
+    )
+    got = {
+        r["g"]: r["p50"]
+        for r in histogram_order_statistic(
+            hist, "g", "v", count_col="c", qs=[0.5], out_cols=["p50"]
+        ).collect()
+    }
+    assert got == {"live": 3.0}
+
+
+def test_l_diversity_single_value_classes(spark):
+    """Classes whose sensitive attribute is constant violate every
+    l >= 2 — the degenerate worst case the audit exists to catch."""
+    from radient_spark.queries import q_l_diversity_audit  # noqa: F401
+    from pyspark.sql import functions as F
+
+    orders = spark.createDataFrame(
+        [(1, "URGENT")] * 5 + [(2, "LOW"), (2, "HIGH")],
+        "o_custkey long, o_orderpriority string",
+    )
+    cust = spark.createDataFrame(
+        [(1, 10, "AUTO"), (2, 20, "AUTO")],
+        "c_custkey long, c_nationkey long, c_mktsegment string",
+    )
+    micro = orders.join(
+        F.broadcast(cust), orders.o_custkey == cust.c_custkey
+    )
+    classes = micro.groupBy("c_nationkey", "c_mktsegment").agg(
+        F.count(F.lit(1)).alias("class_size"),
+        F.countDistinct("o_orderpriority").alias("diversity"),
+    )
+    rows = {
+        (r["c_nationkey"],): r["diversity"] for r in classes.collect()
+    }
+    assert rows == {(10,): 1, (20,): 2}
+
+
+def test_dataset_card_empty_and_dup_sources(spark, tmp_path):
+    """Dataset card on a corpus with an all-empty source and an
+    all-duplicate source: zero tokens / dup_ppm arithmetic must hold
+    (no division blowups; integer ppm exact)."""
+    import os
+
+    from radient_spark.queries import QUERIES
+
+    docs = spark.createDataFrame(
+        [
+            (1, "", "en", "empty_src", 0),
+            (2, " ", "en", "empty_src", 1),
+            (3, "same text", "en", "dup_src", 9),
+            (4, "same text", "en", "dup_src", 9),
+            (5, "same text", "en", "dup_src", 9),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    sf = str(tmp_path / "sfcard")
+    os.makedirs(sf, exist_ok=True)
+    # load_tables resolves every table; only documents matters here
+    from radient_spark.catalog import TABLES
+
+    for t in TABLES:
+        if t != "documents":
+            os.symlink(
+                f"/root/testdata/sf0.001/{t}.parquet", f"{sf}/{t}.parquet"
+            )
+    docs.write.mode("overwrite").parquet(f"{sf}/documents.parquet")
+    out = {
+        r["source"]: r.asDict()
+        for r in QUERIES["q_dataset_card"][0](spark, sf).collect()
+    }
+    assert out["empty_src"]["ws_tokens"] == 0
+    assert out["empty_src"]["n_empty"] == 2
+    assert out["empty_src"]["dup_ppm"] == 0  # '' vs ' ' differ as bytes
+    assert out["dup_src"]["n_dup_docs"] == 2
+    assert out["dup_src"]["dup_ppm"] == 666666
