@@ -2007,8 +2007,6 @@ def q_approx_cardinalities(spark: SparkSession, sf_dir: str) -> DataFrame:
     accuracy-10000 percentile, observed max 0.08%), which the DuckDB
     oracle checks as literal TRUE.  This retires the round-4 rows-only
     status: a wrong native-sketch configuration now hash-MISmatches."""
-    from radient_spark.operators.dataset import exact_group_quantiles
-
     li = load_tables(spark, sf_dir)["lineitem"]
     # Pre-distinct the (flag, orderkey) pairs instead of using
     # countDistinct: both exact and HLL counts aggregate the DEDUPED
@@ -2034,15 +2032,25 @@ def q_approx_cardinalities(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     agg = agg.join(F.broadcast(counts), "l_returnflag")
-    # exact median via the distributed order-statistic engine — Spark's
-    # exact `percentile` aggregate buffers every group value on one
-    # reducer (measured 8x this query's cost at sf0.01)
-    med = exact_group_quantiles(
-        li.withColumn("__price", F.col("l_extendedprice").cast("double")),
+    # exact median via the HISTOGRAM order-statistic engine (round 9):
+    # prices live on the integer cent lattice, so the per-group
+    # histogram is bounded by the price domain, not the row count —
+    # one map-side-combined count + one histogram-sized window replaces
+    # exact_group_quantiles' approxQuantile probe + raw-row windows
+    # (same GREATEST(1, CEIL(q*n)) rank, identical value).
+    from radient_spark.operators.dataset import histogram_order_statistic
+
+    cents = F.round(F.col("l_extendedprice") * 100, 0).cast("long")
+    hist = li.groupBy("l_returnflag", cents.alias("__v")).agg(
+        F.count(F.lit(1)).alias("__c")
+    )
+    med = histogram_order_statistic(
+        hist, "l_returnflag", "__v", count_col="__c", qs=[0.5],
+        out_cols=["__med_cents"],
+    ).select(
         "l_returnflag",
-        "__price",
-        [0.5],
-    ).select("l_returnflag", F.col("value").alias("__med_exact"))
+        (F.col("__med_cents").cast("double") / 100.0).alias("__med_exact"),
+    )
     return (
         agg.join(F.broadcast(med), "l_returnflag")
         .select(
