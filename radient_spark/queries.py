@@ -8498,21 +8498,35 @@ def q_join_size_estimates(spark: SparkSession, sf_dir: str) -> DataFrame:
         ("orders_join_customer", t["orders"], "o_custkey", t["customer"], "c_custkey"),
         ("orders_self_join_custkey", t["orders"], "o_custkey", t["orders"], "o_custkey"),
     ]
+    # one sketch and one keys-only count table per DISTINCT (table, key)
+    # — orders.o_custkey appears in both the dimension join and the
+    # self-join; sharing the plan subtree lets Catalyst's ReuseExchange
+    # dedupe the duplicate aggregates inside the single job (an explicit
+    # .cache() here measured SLOWER: materialization overhead exceeds
+    # the reuse win on these sketch-sized outputs)
+    sketches: dict = {}
+    counts: dict = {}
+
+    def sketch_of(df: DataFrame, key: str) -> DataFrame:
+        if (id(df), key) not in sketches:
+            sketches[(id(df), key)] = cms_build(
+                df.select(F.col(key).cast("string").alias("tok")),
+                "tok", 4, 4096,
+            )
+        return sketches[(id(df), key)]
+
+    def counts_of(df: DataFrame, key: str) -> DataFrame:
+        if (id(df), key) not in counts:
+            counts[(id(df), key)] = df.groupBy(F.col(key).alias("k")).agg(
+                F.count(F.lit(1)).alias("n")
+            )
+        return counts[(id(df), key)]
+
     outs = []
     for name, dfa, ka, dfb, kb in edges:
-        ska = cms_build(
-            dfa.select(F.col(ka).cast("string").alias("tok")), "tok", 4, 4096
-        )
-        skb = cms_build(
-            dfb.select(F.col(kb).cast("string").alias("tok")), "tok", 4, 4096
-        )
-        est = cms_inner_product(ska, skb)
-        ca = dfa.groupBy(F.col(ka).alias("k")).agg(
-            F.count(F.lit(1)).alias("na")
-        )
-        cb = dfb.groupBy(F.col(kb).alias("k")).agg(
-            F.count(F.lit(1)).alias("nb")
-        )
+        est = cms_inner_product(sketch_of(dfa, ka), sketch_of(dfb, kb))
+        ca = counts_of(dfa, ka).select("k", F.col("n").alias("na"))
+        cb = counts_of(dfb, kb).select("k", F.col("n").alias("nb"))
         actual = ca.join(cb, "k").agg(
             F.coalesce(F.sum(F.col("na") * F.col("nb")), F.lit(0)).alias(
                 "actual_join_size"
