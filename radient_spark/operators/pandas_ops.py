@@ -111,3 +111,66 @@ def make_shingle_udtf():
                 yield (" ".join(toks[i : i + k]), i)
 
     return ShingleUDTF
+
+
+def winnowing_fingerprints(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 16,
+    w: int = 8,
+    base: int = 31,
+    mod: int = 1_000_003,
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer, Wilkerson & Aiken,
+    SIGMOD 2003) — the LOCAL fingerprinting rule behind MOSS-style
+    plagiarism/near-dup detection: over the doc's k-char Karp-Rabin
+    window hashes, slide a window of w consecutive hashes and select
+    each window's minimum (RIGHTMOST minimum on ties — the paper's
+    rule), deduplicated by position. Guarantee: any substring match of
+    length >= w + k - 1 between two documents yields at least one
+    shared (fp) selection in both, while expected density is 2/(w+1) —
+    unlike the whole-doc minimum (rolling_fingerprints), matches
+    anywhere in a long document are caught.
+
+    Same exact int64 mod arithmetic as rolling_fingerprints (numpy
+    vectorized, O(k + w) vector passes per doc); emits one row per
+    selected fingerprint: (id, pos, fp) with pos the 0-based window
+    start. Texts shorter than k hash as one window; hash streams
+    shorter than w select their global minimum once.
+    """
+    import numpy as np
+    import pandas as pd
+
+    id_type = dict(df.dtypes)[id_col]
+    out_schema = f"{id_col} {id_type}, pos int, fp long"
+
+    def gen(batches):
+        for pdf in batches:
+            ids, poss, fps = [], [], []
+            for rid, text in zip(pdf[id_col], pdf[text_col]):
+                if not text:
+                    continue
+                codes = np.frombuffer(
+                    text.encode("utf-32-le"), dtype=np.uint32
+                ).astype(np.int64)
+                kk = min(k, len(codes))
+                n_win = len(codes) - kk + 1
+                acc = np.zeros(n_win, dtype=np.int64)
+                for j in range(kk):
+                    acc = (acc * base + codes[j : j + n_win]) % mod
+                ww = min(w, n_win)
+                sw = np.lib.stride_tricks.sliding_window_view(acc, ww)
+                # rightmost argmin: argmin over the reversed window
+                arg = ww - 1 - sw[:, ::-1].argmin(axis=1)
+                pos = np.unique(np.arange(len(sw)) + arg)
+                for p in pos:
+                    ids.append(rid)
+                    poss.append(int(p))
+                    fps.append(int(acc[p]))
+            yield pd.DataFrame(
+                {id_col: ids, "pos": pd.array(poss, dtype="int32"),
+                 "fp": fps}
+            )
+
+    return df.select(id_col, text_col).mapInPandas(gen, out_schema)

@@ -2257,6 +2257,57 @@ ORDER BY b.source
 """
 
 
+def q_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing LOCAL fingerprints (Schleimer et al. 2003,
+    operators/pandas_ops.winnowing_fingerprints): per document, the
+    rightmost-minimum selection over every window of 8 consecutive
+    16-char Karp-Rabin hashes — one (pos, fp) row per selection, the
+    MOSS-style index rows a local near-dup/plagiarism pipeline joins
+    on. Guarantees every substring match >= w+k-1 chars a shared
+    fingerprint, where the whole-doc minimum (q_rolling_fingerprints)
+    only catches global near-identity.
+
+    Pure integer arithmetic (base-31 poly mod 1e6+3 over code points),
+    so the DuckDB oracle reproduces every selected position and hash
+    bit-for-bit. Bounded to doc_id < 120 — the selection math, not the
+    corpus, is under audit; the operator itself is one mapInPandas."""
+    from radient_spark.operators.pandas_ops import winnowing_fingerprints
+
+    docs = load_tables(spark, sf_dir)["documents"].filter(
+        (F.col("doc_id") < 120) & (F.length("text") > 0)
+    )
+    return winnowing_fingerprints(docs, id_col="doc_id", text_col="text")
+
+
+_Q_WINNOWING_SQL = """
+WITH c AS (
+  SELECT doc_id, str_split(text, '') AS chars, length(text) AS n
+  FROM documents WHERE doc_id < 120 AND length(text) > 0
+), h AS (
+  SELECT doc_id,
+    list_transform(
+      generate_series(1, n - LEAST(16, n) + 1),
+      i -> list_reduce(
+             [0::BIGINT] || list_transform(
+               chars[i : i + LEAST(16, n) - 1], ch -> ascii(ch)::BIGINT),
+             (a, cc) -> (a * 31 + cc) % 1000003)
+    ) AS hs
+  FROM c
+), wins AS (
+  SELECT doc_id, hs, LEAST(8, len(hs)) AS w,
+    unnest(generate_series(1, len(hs) - LEAST(8, len(hs)) + 1)) AS j
+  FROM h
+), sel AS (
+  SELECT doc_id, hs, j,
+    j + (w - list_position(list_reverse(hs[j : j + w - 1]),
+                           list_aggregate(hs[j : j + w - 1], 'min'))) AS p
+  FROM wins
+)
+SELECT DISTINCT doc_id, CAST(p - 1 AS INT) AS pos, hs[p] AS fp
+FROM sel
+"""
+
+
 def q_rolling_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Karp-Rabin rolling-hash document fingerprint (min 16-char window
     hash, base-31 polynomial) — winnowing-style content fingerprinting,
@@ -13943,6 +13994,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "q_l_diversity_audit": (q_l_diversity_audit, _Q_L_DIVERSITY_SQL),
     "q_tokenizer_fertility": (q_tokenizer_fertility, _Q_TOKENIZER_FERTILITY_SQL),
     "q_dataset_card": (q_dataset_card, _Q_DATASET_CARD_SQL),
+    "q_winnowing_fingerprints": (q_winnowing_fingerprints, _Q_WINNOWING_SQL),
 }
 
 # The correctness driver oracle-checks exactly the FIRST 50 keys of ``queries()``
