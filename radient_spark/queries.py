@@ -14058,14 +14058,14 @@ _DRIVER_PRIORITY = [
     "q_ann_search",
     "q_mel_clip_features",
     "q_ivf_search",
-    # stalest re-checks (last seen round 1)
-    "q07_nation_volume",
+    # stalest re-check (last seen round 1)
     "q08_market_share",
     # round-9 additions (never checked; closes the cumulative record
-    # at 230/230 driver-checked after this round)
+    # at 231/231 driver-checked after this round)
     "q_l_diversity_audit",
     "q_tokenizer_fertility",
     "q_dataset_card",
+    "q_winnowing_fingerprints",
 ]
 
 QUERIES = {
