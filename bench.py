@@ -199,6 +199,7 @@ BENCH_QUERIES = [
     "q_tokenizer_fertility",
     "q_dataset_card",
     "q_winnowing_fingerprints",
+    "q_winnowing_dup_pairs",
     # q_prefix_jaccard_pairs is deliberately NOT in the sweep: on this
     # corpus's small uniform vocabulary the prefix filter measures ~8 s
     # at sf0.1 vs 1.6 s for the uncapped posting join (SCALING.md) — it

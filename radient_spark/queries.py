@@ -2308,6 +2308,77 @@ FROM sel
 """
 
 
+def q_winnowing_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprints promoted to a DEDUP STRATEGY: candidate
+    pairs are documents sharing >= 3 distinct selected fingerprint
+    values (the MOSS join — locality comes from the w+k-1 substring
+    guarantee, so any sufficiently long shared passage forces a
+    candidate), reported with the shared-fingerprint count and each
+    side's selection count — the local-similarity complement to
+    MinHash's token-set locality and SimHash's Hamming locality.
+
+    Scale shape: the fingerprint index is ~2n/(w+1) rows; the pair join
+    shuffles only (fp, doc) postings, and per-fp fanout is bounded by
+    how many documents share a k-gram — the zipfian stopword problem
+    does not exist at k=16 chars. Pure integer arithmetic end to end,
+    so the oracle reproduces pair counts exactly. Same doc_id < 120
+    audit window as q_winnowing_fingerprints."""
+    from radient_spark.operators.pandas_ops import winnowing_fingerprints
+
+    docs = load_tables(spark, sf_dir)["documents"].filter(
+        (F.col("doc_id") < 120) & (F.length("text") > 0)
+    )
+    fps = winnowing_fingerprints(docs, id_col="doc_id", text_col="text")
+    sel = fps.select("doc_id", "fp").distinct()
+    per_doc = sel.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sel"))
+    pairs = (
+        sel.alias("a")
+        .join(
+            sel.alias("b"),
+            (F.col("a.fp") == F.col("b.fp"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b")
+        )
+        .agg(F.count(F.lit(1)).alias("shared_fps"))
+        .filter(F.col("shared_fps") >= 3)
+    )
+    return (
+        pairs.join(
+            per_doc.select(
+                F.col("doc_id").alias("id_a"), F.col("n_sel").alias("n_sel_a")
+            ),
+            "id_a",
+        )
+        .join(
+            per_doc.select(
+                F.col("doc_id").alias("id_b"), F.col("n_sel").alias("n_sel_b")
+            ),
+            "id_b",
+        )
+        .select("id_a", "id_b", "shared_fps", "n_sel_a", "n_sel_b")
+    )
+
+
+def _winnowing_pairs_sql() -> str:
+    return f"""
+WITH fp_rows AS ({_Q_WINNOWING_SQL}),
+sel AS (SELECT DISTINCT doc_id, fp FROM fp_rows),
+per_doc AS (SELECT doc_id, COUNT(*) AS n_sel FROM sel GROUP BY doc_id),
+pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS shared_fps
+  FROM sel a JOIN sel b ON a.fp = b.fp AND a.doc_id < b.doc_id
+  GROUP BY 1, 2 HAVING COUNT(*) >= 3
+)
+SELECT p.id_a, p.id_b, p.shared_fps,
+  da.n_sel AS n_sel_a, db.n_sel AS n_sel_b
+FROM pairs p
+JOIN per_doc da ON da.doc_id = p.id_a
+JOIN per_doc db ON db.doc_id = p.id_b
+"""
+
+
 def q_rolling_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Karp-Rabin rolling-hash document fingerprint (min 16-char window
     hash, base-31 polynomial) — winnowing-style content fingerprinting,
@@ -13995,6 +14066,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "q_tokenizer_fertility": (q_tokenizer_fertility, _Q_TOKENIZER_FERTILITY_SQL),
     "q_dataset_card": (q_dataset_card, _Q_DATASET_CARD_SQL),
     "q_winnowing_fingerprints": (q_winnowing_fingerprints, _Q_WINNOWING_SQL),
+    "q_winnowing_dup_pairs": (q_winnowing_dup_pairs, _winnowing_pairs_sql()),
 }
 
 # The correctness driver oracle-checks exactly the FIRST 50 keys of ``queries()``
