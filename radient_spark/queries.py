@@ -14130,14 +14130,13 @@ _DRIVER_PRIORITY = [
     "q_ann_search",
     "q_mel_clip_features",
     "q_ivf_search",
-    # stalest re-check (last seen round 1)
-    "q08_market_share",
     # round-9 additions (never checked; closes the cumulative record
-    # at 231/231 driver-checked after this round)
+    # at 232/232 driver-checked after this round)
     "q_l_diversity_audit",
     "q_tokenizer_fertility",
     "q_dataset_card",
     "q_winnowing_fingerprints",
+    "q_winnowing_dup_pairs",
 ]
 
 QUERIES = {
