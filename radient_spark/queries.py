@@ -2279,10 +2279,14 @@ def q_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     return winnowing_fingerprints(docs, id_col="doc_id", text_col="text")
 
 
-_Q_WINNOWING_SQL = """
+def _winnowing_fp_sql(rel: str) -> str:
+    """Winnowing fingerprint rows over an arbitrary source relation
+    (the registry query audits a fixed doc window; the strategy
+    scorecard runs it over the sampled sdocs CTE)."""
+    return f"""
 WITH c AS (
   SELECT doc_id, str_split(text, '') AS chars, length(text) AS n
-  FROM documents WHERE doc_id < 120 AND length(text) > 0
+  FROM {rel}
 ), h AS (
   SELECT doc_id,
     list_transform(
@@ -2306,6 +2310,11 @@ WITH c AS (
 SELECT DISTINCT doc_id, CAST(p - 1 AS INT) AS pos, hs[p] AS fp
 FROM sel
 """
+
+
+_Q_WINNOWING_SQL = _winnowing_fp_sql(
+    "documents WHERE doc_id < 120 AND length(text) > 0"
+)
 
 
 def q_winnowing_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -9652,6 +9661,31 @@ def q_dedup_strategy_comparison(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("x.doc_id").alias("id_a"), F.col("y.doc_id").alias("id_b")
         )
     )
+    from radient_spark.operators.pandas_ops import winnowing_fingerprints
+
+    win_sel = (
+        winnowing_fingerprints(
+            docs.filter(F.length("text") > 0), id_col="doc_id",
+            text_col="text",
+        )
+        .select("doc_id", "fp")
+        .distinct()
+    )
+    win_pairs = (
+        win_sel.alias("wa")
+        .join(
+            win_sel.alias("wb"),
+            (F.col("wa.fp") == F.col("wb.fp"))
+            & (F.col("wa.doc_id") < F.col("wb.doc_id")),
+        )
+        .groupBy(
+            F.col("wa.doc_id").alias("id_a"),
+            F.col("wb.doc_id").alias("id_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("__sf"))
+        .filter(F.col("__sf") >= 3)
+        .select("id_a", "id_b")
+    )
     legs = [
         ("exact_md5", md5_pairs),
         ("jaccard_truth", truth),
@@ -9662,6 +9696,7 @@ def q_dedup_strategy_comparison(spark: SparkSession, sf_dir: str) -> DataFrame:
             "snm_edit_distance",
             _edit_distance_pairs_from(docs).select("id_a", "id_b"),
         ),
+        ("winnowing_fps", win_pairs),
     ]
     n_true = truth.agg(F.count(F.lit(1)).alias("__n_true"))
     rows = None
@@ -9742,6 +9777,13 @@ WITH sdocs AS (
   SELECT DISTINCT id_a, id_b FROM ({simhash_sql})
 ), snm_pairs AS (
   SELECT DISTINCT id_a, id_b FROM ({edit_sql})
+), win_sel AS (
+  SELECT DISTINCT doc_id, fp
+  FROM ({_winnowing_fp_sql("sdocs WHERE length(text) > 0")})
+), win_pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM win_sel a JOIN win_sel b ON a.fp = b.fp AND a.doc_id < b.doc_id
+  GROUP BY 1, 2 HAVING COUNT(*) >= 3
 ), n_true AS (SELECT COUNT(*) AS n FROM truth),
 legs AS (
   SELECT 'exact_md5' AS strategy,
@@ -9766,6 +9808,10 @@ legs AS (
   UNION ALL
   SELECT 'snm_edit_distance', (SELECT COUNT(*) FROM snm_pairs),
     (SELECT COUNT(*) FROM snm_pairs p JOIN truth t
+       ON p.id_a = t.id_a AND p.id_b = t.id_b)
+  UNION ALL
+  SELECT 'winnowing_fps', (SELECT COUNT(*) FROM win_pairs),
+    (SELECT COUNT(*) FROM win_pairs p JOIN truth t
        ON p.id_a = t.id_a AND p.id_b = t.id_b)
 )
 SELECT strategy, CAST(n_pairs AS BIGINT) AS n_pairs,
