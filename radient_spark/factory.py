@@ -550,10 +550,19 @@ register("source", "youtube")(
     lambda spark, url, output_directory, **kw:
     lambda **_: _sources().youtube_source(spark, url, output_directory, **kw)
 )
-register("source", "ingest")(
-    lambda target_dir, mode="append", **kw:
-    lambda df, **_: _sources().ingest(df, target_dir, mode=mode, **kw)
-)
+# ingest(df, target_dir, mode) takes no extra kwargs and returns None,
+# so the wrapper must not forward **kw (TypeError) and must return df so
+# the step composes mid-Workflow as a pass-through sink, the way the
+# reference's IngestSource hands its frame onward (sources/ingest.py:7-18).
+def _ingest_passthrough(target_dir, mode="append"):
+    def op(df, **_):
+        _sources().ingest(df, target_dir, mode=mode)
+        return df
+
+    return op
+
+
+register("source", "ingest")(_ingest_passthrough)
 
 # Sinks dispatch on operation= like the reference task_params
 # ({"operation": "insert"} vs {"operation": "search"},

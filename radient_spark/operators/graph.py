@@ -45,6 +45,19 @@ def _release(result: DataFrame, *cached: DataFrame) -> DataFrame:
     return out
 
 
+def _persist_new(df: DataFrame) -> tuple[DataFrame, bool]:
+    """Persist df only if the caller has not already persisted it.
+
+    Returns (df, owned) where owned marks a persist() made here: only
+    operator-created caches may be unpersisted on exit — dropping a
+    caller's cache would silently force later calls in the same session
+    to recompute the upstream lineage (round-9 ADVICE)."""
+    lvl = df.storageLevel
+    if lvl.useMemory or lvl.useDisk:
+        return df, False
+    return df.persist(), True
+
+
 def pagerank(
     edges: DataFrame,
     src: str = "src",
@@ -64,15 +77,21 @@ def pagerank(
     # The edge list (and everything derived from it) is scanned every
     # iteration — persist it once so an expensive upstream lineage
     # (joins, distinct) is not re-executed per power-iteration round.
-    edges = edges.persist()
+    edges, edges_owned = _persist_new(edges)
     nodes = (
         edges.select(F.col(src).alias("node"))
         .unionByName(edges.select(F.col(dst).alias("node")))
         .distinct()
         .persist()
     )
+    owned = [nodes] + ([edges] if edges_owned else [])
     n = nodes.count()
     if n == 0:
+        # Nothing to iterate: release entry caches outright (no
+        # localCheckpoint — recomputing an empty frame is free, and a
+        # checkpoint would itself pin an RDD; round-9 ADVICE).
+        for c in owned:
+            c.unpersist()
         return nodes.withColumn(rank_col, F.lit(0.0))
     # Carry the (static) out-degree INSIDE the iterated rank state:
     # the rank⋈degree join then disappears from the loop entirely — a
@@ -85,6 +104,7 @@ def pagerank(
         .select("node", F.coalesce("__deg", F.lit(0)).alias("__deg"))
         .persist()
     )
+    owned.append(nd)
     ranks = nd.withColumn("__r", F.lit(1.0 / n)).cache()
     base = (1.0 - damping) / n
     for i in range(iters):
@@ -110,7 +130,7 @@ def pagerank(
         old.unpersist()
     return _release(
         ranks.select("node", F.col("__r").alias(rank_col)),
-        ranks, nd, nodes, edges,
+        ranks, *owned,
     )
 
 
@@ -129,15 +149,18 @@ def pagerank_integer(
     order and the registry query can carry a value oracle. The floor
     truncation loses < iters * n / units of total mass; at units=1e12
     that is measurement noise, and determinism is the point."""
-    edges = edges.persist()
+    edges, edges_owned = _persist_new(edges)
     nodes = (
         edges.select(F.col(src).alias("node"))
         .unionByName(edges.select(F.col(dst).alias("node")))
         .distinct()
         .persist()
     )
+    owned = [nodes] + ([edges] if edges_owned else [])
     n = nodes.count()
     if n == 0:
+        for c in owned:  # see pagerank: plain unpersist, no checkpoint
+            c.unpersist()
         return nodes.withColumn(rank_col, F.lit(0).cast("long"))
     # degree carried inside the iterated state (see pagerank): zero
     # node-sized joins on the contribution side, one edge join + one
@@ -147,6 +170,7 @@ def pagerank_integer(
         .select("node", F.coalesce("__deg", F.lit(0)).alias("__deg"))
         .persist()
     )
+    owned.append(nd)
     ranks = nd.withColumn("__r", F.lit(int(units // n)).cast("long")).cache()
     base = (units * (100 - damping_pct) // 100) // n
     for _ in range(iters):
@@ -173,7 +197,7 @@ def pagerank_integer(
         old.unpersist()
     return _release(
         ranks.select("node", F.col("__r").cast("long").alias(rank_col)),
-        ranks, nd, nodes, edges,
+        ranks, *owned,
     )
 
 
@@ -816,13 +840,14 @@ def personalized_pagerank_integer(
     Scale: identical per-iteration shape to pagerank_integer (one
     edge-rank join, one map-side-combined sum, one left join); the
     personalization changes only the restart term."""
-    edges = edges.persist()
+    edges, edges_owned = _persist_new(edges)
     nodes = (
         edges.select(F.col(src).alias("node"))
         .unionByName(edges.select(F.col(dst).alias("node")))
         .distinct()
         .persist()
     )
+    owned = [nodes] + ([edges] if edges_owned else [])
     base_seed = units * (100 - damping_pct) // 100
     restart = F.when(
         F.col("node") == seed_node, F.lit(int(base_seed))
@@ -833,6 +858,7 @@ def personalized_pagerank_integer(
         .select("node", F.coalesce("__deg", F.lit(0)).alias("__deg"))
         .persist()
     )
+    owned.append(nd)
     ranks = nd.withColumn(
         "__r",
         F.when(F.col("node") == seed_node, F.lit(int(units)))
@@ -861,7 +887,7 @@ def personalized_pagerank_integer(
         old.unpersist()
     return _release(
         ranks.select("node", F.col("__r").cast("long").alias(rank_col)),
-        ranks, nd, nodes, edges,
+        ranks, *owned,
     )
 
 

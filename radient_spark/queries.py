@@ -80,14 +80,22 @@ def _widen_narrow_scan(df: DataFrame) -> DataFrame:
     if df.rdd.getNumPartitions() >= p:
         return df
     try:
-        size = int(
-            df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
-        )
+        size = _plan_size_bytes(df)
     except Exception:
-        size = 0  # stats unavailable: fall back to the split-count guard
+        # Stats unavailable (e.g. Spark Connect, private-API drift):
+        # fail CLOSED — the widen is strictly a tiny-input shim, so
+        # without a size proof we must not inject a full-table exchange
+        # of raw text on what may be a large compacted table.
+        return df
     if size > _WIDEN_MAX_BYTES:
         return df
     return df.repartition(p)
+
+
+def _plan_size_bytes(df: DataFrame) -> int:
+    """Catalyst's size estimate for df's optimized plan (private API;
+    callers treat any failure as 'unknown' and skip the widen)."""
+    return int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
 
 
 # ~2 x the default spark.sql.files.maxPartitionBytes: above this the scan

@@ -62,6 +62,35 @@ def test_pagerank_empty_edges(spark):
     assert pagerank_integer(df).count() == 0
 
 
+def test_pagerank_empty_edges_releases_caches(spark):
+    """Round-9 ADVICE: the n == 0 early return must not strand the
+    edges/nodes persists made on entry."""
+    def n_cached():
+        return spark.sparkContext._jsc.sc().getPersistentRDDs().size()
+
+    before = n_cached()
+    df = spark.createDataFrame([], "src long, dst long")
+    pagerank(df).count()
+    pagerank_integer(df).count()
+    assert n_cached() <= before
+
+
+def test_pagerank_preserves_caller_cache(spark):
+    """Round-9 ADVICE: a caller-persisted edge DataFrame must STAY
+    persisted after a graph call — the operator only releases caches it
+    created, so multi-call sessions keep their shared edge cache."""
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 0)], "src long, dst long"
+    ).persist()
+    edges.count()  # materialize the caller's cache
+    assert edges.storageLevel.useMemory
+    pagerank(edges, iters=2).count()
+    assert edges.storageLevel.useMemory, "operator dropped caller's cache"
+    pagerank_integer(edges, iters=2).count()
+    assert edges.storageLevel.useMemory
+    edges.unpersist()
+
+
 def test_triangle_count_known_graphs(spark):
     from radient_spark.operators.graph import triangle_count
 

@@ -176,6 +176,19 @@ def test_local_source_and_ingest(spark, tmp_path):
     assert spark.read.parquet(target).count() == 2
 
 
+def test_ingest_factory_op_composes_as_passthrough(spark, tmp_path):
+    """Round-10 ADVICE: the registered source/ingest operator must take
+    exactly ingest()'s signature (no stray kwargs -> TypeError) and
+    return the input frame so downstream Workflow steps see data, not
+    None — the reference's IngestSource hands its frame onward."""
+    target = str(tmp_path / "ingested")
+    op = make_operator("source", "ingest", target_dir=target, mode="append")
+    df = spark.range(5).withColumnRenamed("id", "doc_id")
+    out = op(df)
+    assert out is df  # pass-through for mid-Workflow composition
+    assert spark.read.parquet(target).count() == 5
+
+
 def test_ffmpeg_demux_decoder_logic(tmp_path):
     # codec-free check of the ffmpeg demux loop: a fake subprocess runner
     # fabricates ffprobe output (25 fps, 100 packets -> 4 s video) and

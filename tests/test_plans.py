@@ -569,6 +569,21 @@ def test_widen_narrow_scan_byte_gate(spark, sf_dir):
     assert _widen_narrow_scan(big) is big
 
 
+def test_widen_narrow_scan_fails_closed_without_stats(spark, monkeypatch):
+    """Round-10 ADVICE: if the optimizer size estimate is unavailable
+    (Spark Connect / private-API drift), the widen must NOT fire — a
+    blind repartition would re-inject the full-table raw-text exchange
+    the byte gate exists to prevent."""
+    from radient_spark import queries
+
+    def boom(df):
+        raise RuntimeError("stats API unavailable")
+
+    monkeypatch.setattr(queries, "_plan_size_bytes", boom)
+    narrow = spark.range(10, numPartitions=1)
+    assert queries._widen_narrow_scan(narrow) is narrow
+
+
 def test_l_diversity_broadcasts_customer_dim(spark, sf_dir):
     """The published-view join in the l-diversity audit must broadcast
     the customer QI columns, never shuffle the orders fact table."""
