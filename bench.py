@@ -233,9 +233,36 @@ HEADLINE = [
 ]
 
 
+def _loadavg() -> list[float]:
+    """[1m, 5m, 15m] host load averages ([] if /proc is unavailable)."""
+    try:
+        with open("/proc/loadavg") as f:
+            return [float(x) for x in f.read().split()[:3]]
+    except Exception:
+        return []
+
+
+# Contamination gate (round-9 VERDICT: three consecutive rounds were
+# spent adjudicating "regression or host load?" because the committed
+# artifact could be captured in a loaded window). The bench has not
+# started any Spark work when the pre-sweep sample is taken, so any
+# substantial 1-minute load there is EXTERNAL — above this fraction of
+# the core count the artifact is flagged and a quiet re-run is required
+# before committing it.
+_CONTAMINATION_LOAD_FRACTION = 0.125  # 4.0 on a 32-core host
+
+
+def _contaminated(load1: float | None, ncpus: int) -> bool:
+    """True when the pre-sweep 1-minute load says the host was busy."""
+    if load1 is None:
+        return False  # no /proc: cannot judge, leave unflagged
+    return load1 > max(2.0, _CONTAMINATION_LOAD_FRACTION * ncpus)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    load_before = _loadavg()  # sampled BEFORE any Spark work starts
     spark = get_session("radient_spark_bench")
 
     # Warm the JVM/scan path AND the Python worker pool once, so
@@ -313,6 +340,15 @@ def main() -> None:
             spark.catalog.clearCache()
     warm = {
         name: round(statistics.median(samples), 3)
+        for name, samples in warm_samples.items()
+        if samples
+    }
+    # min-of-samples alongside the median: the min is the least
+    # contaminable statistic (host-load spikes only ever ADD time), so
+    # a warm median far above its own min marks a noisy capture window
+    # for that entry rather than a plan change.
+    warm_min = {
+        name: round(min(samples), 3)
         for name, samples in warm_samples.items()
         if samples
     }
@@ -403,14 +439,26 @@ def main() -> None:
     # sweep entries 10-20x (warm medians: unchanged), which would have
     # read as a fake 23% total regression.
     steady = {**timings, **warm}
+    best = {**timings, **warm_min}
+    load_after = _loadavg()
+    ncpus = os.cpu_count() or 1
+    contaminated = _contaminated(
+        load_before[0] if load_before else None, ncpus
+    )
     full = {
         "metric": "radient_spark_headline_queries",
         "value": round(sum(steady.values()), 3),
         "value_sweep": round(sum(timings.values()), 3),
+        "value_min": round(sum(best.values()), 3),
         "unit": "sec",
         "queries": timings,
         "queries_warm": warm,
+        "queries_warm_min": warm_min,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "loadavg_before": load_before,
+        "loadavg_after": load_after,
+        "ncpus": ncpus,
+        "contaminated": contaminated,
     }
     out_path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "BENCH_local.json"
@@ -423,9 +471,11 @@ def main() -> None:
         "metric": full["metric"],
         "value": full["value"],
         "value_sweep": full["value_sweep"],
+        "value_min": full["value_min"],
         "unit": "sec",
         "sf": full["sf"],
         "n_queries": len(timings),
+        "contaminated": contaminated,
         "full_results": "BENCH_local.json",
         "queries": {k: steady[k] for k in headline if k in steady},
     }
