@@ -159,6 +159,18 @@ def _unit_rows(X: np.ndarray) -> np.ndarray:
     return X / (np.linalg.norm(X, axis=1, keepdims=True) + 1e-12)
 
 
+def _micro_np(X: np.ndarray) -> np.ndarray:
+    """numpy twin of operators/cluster.micro_vec: quantize float vectors
+    to the positive integer micro-lattice with HALF-AWAY-FROM-ZERO
+    rounding. np.round is half-to-EVEN and would diverge from Spark's
+    F.round / DuckDB's round() on exact .5 boundaries, so the rounding
+    is spelled out. Works on a single vector or a row batch."""
+    from radient_spark.operators.cluster import MICRO, MICRO_SHIFT
+
+    S = np.asarray(X, dtype=np.float64) * MICRO
+    return np.where(S >= 0, np.floor(S + 0.5), np.ceil(S - 0.5)) + MICRO_SHIFT
+
+
 def _two_means_hyperplane(
     X: np.ndarray, seed: int, metric: str = "euclidean", p: float = 2.0
 ) -> np.ndarray:
@@ -247,11 +259,15 @@ def _nearest_cells(Q: "np.ndarray", C: "np.ndarray", n: int) -> "np.ndarray":
     """(q x d) queries vs (k x d) centroids -> (q x n) nearest cell ids
     by squared L2 — the ONE cell-assignment kernel shared by IVF build,
     list search, and DataFrame search (so tie/dtype behavior can never
-    drift between them)."""
+    drift between them). Stable sort: equal distances rank by cell id
+    ascending — the (d, c) tie order every SQL oracle uses, and on the
+    integer micro-lattice (values < 2^24, squared sums < 2^53) the
+    float64 distances here are EXACT integers, so ties are real and the
+    order must be pinned."""
     Q = np.asarray(Q, dtype=np.float64)
     C = np.asarray(C, dtype=np.float64)
     d2 = (Q * Q).sum(1)[:, None] + (C * C).sum(1)[None, :] - 2.0 * (Q @ C.T)
-    return np.argsort(d2, axis=1)[:, : min(n, C.shape[0])]
+    return np.argsort(d2, axis=1, kind="stable")[:, : min(n, C.shape[0])]
 
 
 def _assign_cells(base: DataFrame, centroids: np.ndarray) -> DataFrame:
@@ -471,15 +487,25 @@ class IvfIndex:
         metric: str = "cosine",
         query_id: str = "qid",
         query_vec: str = "qvec",
+        probe_vec: str | None = None,
     ) -> DataFrame:
         """DataFrame-native search: cell assignment runs in an executor
         Pandas UDF against the broadcast centroid matrix — the query side
         is never collected to the driver, so queries can themselves be a
         billion-row table. Joining candidate cells is a plain equi-join
         AQE sizes at runtime (broadcast when the probe side is small,
-        shuffle when it is not)."""
+        shuffle when it is not).
+
+        `probe_vec` (optional) names a SECOND vector column used only
+        for cell selection, while `query_vec` still scores candidates —
+        the standard split when the coarse quantizer lives in a
+        transformed space (OPQ rotations, or the integer micro-lattice
+        whose +shift offset preserves L2 cell order but would wreck the
+        cosine scores; queries.q_ivf_search rides this for its exact
+        DuckDB oracle)."""
         spark = self.index_df.sparkSession
         bc = spark.sparkContext.broadcast(self.centroids.tolist())
+        pcol = probe_vec or query_vec
 
         def probe(batches):
             import pandas as pd
@@ -489,8 +515,8 @@ class IvfIndex:
             for pdf in batches:
                 if len(pdf) == 0:
                     continue
-                Q = np.array(pdf["qvec"].tolist(), dtype=np.float64)
-                cells = _nearest_cells(Q, C_, npb)
+                P = np.array(pdf["pvec"].tolist(), dtype=np.float64)
+                cells = _nearest_cells(P, C_, npb)
                 yield pd.DataFrame(
                     {
                         "qid": np.repeat(pdf["qid"].to_numpy(), npb),
@@ -500,7 +526,9 @@ class IvfIndex:
                 )
 
         qdf = queries.select(
-            F.col(query_id).alias("qid"), F.col(query_vec).alias("qvec")
+            F.col(query_id).alias("qid"),
+            F.col(query_vec).alias("qvec"),
+            F.col(pcol).alias("pvec"),
         ).mapInPandas(probe, "qid long, cell_id int, qvec array<float>")
         cand = self.index_df.join(qdf, on="cell_id")
         return _rerank_topk(cand, k, metric)
@@ -734,6 +762,237 @@ class AnnIndex:
             build_metric=metric,
         )
 
+    @staticmethod
+    def build_lattice(
+        df: DataFrame,
+        id_col: str = "id",
+        vec_col: str = "vector",
+        n_trees: int = 2,
+        levels: int = 2,
+        spill_pm: int = 100,
+        seed: int = 42,
+    ) -> "AnnIndex":
+        """Bisection forest on the INTEGER MICRO-LATTICE: every build
+        decision (seed choice, 2-means step, hyperplane, projection,
+        spill cuts, leaf assignment) is exact integer arithmetic, so a
+        SQL engine can replay the whole build + search bit-for-bit —
+        this is the oracle-checkable variant of `build` (the float
+        kernel stays the production default; its pruned recall is
+        property-tested instead). Same forest data model, save/load
+        layout, partition-pruned search, and spill semantics.
+
+        Per level, for all (tree, leaf) nodes at once:
+          1. seeds: the 2 members with the smallest md5 rank (portable
+             seeded "randomness", same trick as cluster.seed_centroids).
+          2. one integer Lloyd step: nearer-seed assignment is a
+             Catalyst long fold against per-node literal arrays (ties
+             to seed 0); per-side means use truncating integer division.
+          3. hyperplane w = mean1 - mean0 (integer vector); projections
+             p = <micro, w> are exact longs (|micro| < 2^23, 64 dims —
+             well inside 2^53).
+          4. cuts: EXACT order statistics of p at ranks
+             ceil(n*(500±spill_pm)/1000) and ceil(n/2) — rational spill,
+             never a float percentile.
+          5. assignment mirrors `build`: left = p <= hi, right =
+             p >= lo (boundary rows spill to BOTH children); descent
+             goes right iff p > mid.
+
+        Driver round-trips per level: seeds, means, cuts — all bounded
+        by nodes x dim, never by rows. `levels` is FIXED (not derived
+        from n) so the companion SQL is static; every node must hold
+        >= 2 rows (asserted), which balanced splits guarantee when
+        n >= 2^(levels+1).
+
+        Search: queries are micro-quantized for descent
+        (build_metric="lattice"); candidate scoring still uses the
+        ORIGINAL float vectors (the +shift offset preserves L2 order,
+        not cosine). Reference parity: same GANN forest contract as
+        `build` (gann.py:113-193), kernel swapped for portability.
+        """
+        from radient_spark.operators.cluster import micro_vec
+        from radient_spark.operators.dedup import str_hash
+
+        base = df.select(
+            F.col(id_col).alias("id"),
+            F.col(vec_col).alias("vector"),
+            micro_vec(F.col(vec_col)).alias("__m"),
+        )
+        dim_row = base.select(F.size("__m").alias("d")).first()
+        if dim_row is None:
+            raise ValueError("build_lattice: empty input")
+        dim = dim_row["d"]
+        cur = base.withColumn(
+            "tree_id",
+            F.explode(F.array(*[F.lit(t) for t in range(n_trees)])),
+        ).withColumn("leaf_id", F.lit(0))
+        trees = [_Tree(depth=levels) for _ in range(n_trees)]
+        KEY = 1 << (levels + 1)
+        key_col = F.col("tree_id") * KEY + F.col("leaf_id")
+
+        def lit_arr(v):
+            return F.array(*[F.lit(int(x)) for x in v])
+
+        for level in range(levels):
+            cur = cur.localCheckpoint(eager=True)
+            w_seed = Window.partitionBy("tree_id", "leaf_id").orderBy(
+                str_hash(
+                    F.concat_ws(
+                        "_",
+                        F.lit(seed),
+                        F.lit(level),
+                        F.col("tree_id"),
+                        F.col("leaf_id"),
+                        F.col("id"),
+                    )
+                ),
+                F.col("id"),
+            )
+            seed_rows = (
+                cur.withColumn("__r", F.row_number().over(w_seed) - 1)
+                .filter(F.col("__r") < 2)
+                .select("tree_id", "leaf_id", "__r", "__m")
+                .collect()
+            )
+            sc = {
+                (r["tree_id"], r["leaf_id"], r["__r"]): list(r["__m"])
+                for r in seed_rows
+            }
+            nodes = sorted({(t, lf) for (t, lf, _r) in sc})
+            for (t, lf) in nodes:
+                if (t, lf, 1) not in sc:
+                    raise ValueError(
+                        f"build_lattice: node (tree={t}, leaf={lf}) at "
+                        f"level {level} has < 2 rows; lower `levels` "
+                        "(SQL replay requires 2 seeds per node)"
+                    )
+            c0map = F.create_map(
+                *[
+                    x
+                    for (t, lf) in nodes
+                    for x in (F.lit(t * KEY + lf), lit_arr(sc[(t, lf, 0)]))
+                ]
+            )
+            c1map = F.create_map(
+                *[
+                    x
+                    for (t, lf) in nodes
+                    for x in (F.lit(t * KEY + lf), lit_arr(sc[(t, lf, 1)]))
+                ]
+            )
+
+            def d2(carr):
+                return F.aggregate(
+                    F.zip_with(F.col("__m"), carr, lambda x, y: (x - y) * (x - y)),
+                    F.lit(0).cast("long"),
+                    lambda a, z: a + z,
+                )
+
+            assigned = cur.withColumn(
+                "__s",
+                F.when(d2(c0map[key_col]) <= d2(c1map[key_col]), F.lit(0))
+                .otherwise(F.lit(1)),
+            )
+            mean_rows = (
+                assigned.select(
+                    "tree_id",
+                    "leaf_id",
+                    "__s",
+                    F.posexplode("__m").alias("__d", "__v"),
+                )
+                .groupBy("tree_id", "leaf_id", "__s", "__d")
+                .agg(F.expr("sum(__v) div count(1)").alias("__mean"))
+                .collect()
+            )
+            means: dict = {}
+            for r in mean_rows:
+                means.setdefault(
+                    (r["tree_id"], r["leaf_id"], r["__s"]), [0] * dim
+                )[r["__d"]] = r["__mean"]
+            w_py = {}
+            for (t, lf) in nodes:
+                m0 = means.get((t, lf, 0), sc[(t, lf, 0)])
+                m1 = means.get((t, lf, 1), sc[(t, lf, 1)])
+                w_py[(t, lf)] = [int(a) - int(b) for a, b in zip(m1, m0)]
+            wmap = F.create_map(
+                *[
+                    x
+                    for (t, lf) in nodes
+                    for x in (F.lit(t * KEY + lf), lit_arr(w_py[(t, lf)]))
+                ]
+            )
+            projected = assigned.drop("__s").withColumn(
+                "__p",
+                F.aggregate(
+                    F.zip_with(F.col("__m"), wmap[key_col], lambda x, y: x * y),
+                    F.lit(0).cast("long"),
+                    lambda a, z: a + z,
+                ),
+            )
+            w_rank = Window.partitionBy("tree_id", "leaf_id").orderBy(
+                F.col("__p").asc(), F.col("id").asc()
+            )
+            w_all = Window.partitionBy("tree_id", "leaf_id")
+            ranked = projected.withColumn(
+                "__rn", F.row_number().over(w_rank)
+            ).withColumn("__n", F.count(F.lit(1)).over(w_all))
+            lo_r = F.greatest(
+                F.lit(1).cast("long"),
+                F.expr(f"(__n * {500 - spill_pm} + 999) div 1000"),
+            )
+            mid_r = F.expr("(__n * 500 + 999) div 1000")
+            hi_r = F.least(
+                F.col("__n").cast("long"),
+                F.expr(f"(__n * {500 + spill_pm} + 999) div 1000"),
+            )
+            cut_rows = (
+                ranked.groupBy("tree_id", "leaf_id")
+                .agg(
+                    F.max(F.when(F.col("__rn") == lo_r, F.col("__p"))).alias("lo"),
+                    F.max(F.when(F.col("__rn") == mid_r, F.col("__p"))).alias("mid"),
+                    F.max(F.when(F.col("__rn") == hi_r, F.col("__p"))).alias("hi"),
+                )
+                .collect()
+            )
+            cuts = {
+                (r["tree_id"], r["leaf_id"]): (r["lo"], r["mid"], r["hi"])
+                for r in cut_rows
+            }
+            for (t, lf) in nodes:
+                lo, mid, hi = cuts[(t, lf)]
+                trees[t].nodes[(level, lf)] = (
+                    [float(x) for x in w_py[(t, lf)]],
+                    float(mid),
+                )
+            lo_map = F.create_map(
+                *[
+                    x
+                    for (t, lf) in nodes
+                    for x in (F.lit(t * KEY + lf), F.lit(int(cuts[(t, lf)][0])))
+                ]
+            )
+            hi_map = F.create_map(
+                *[
+                    x
+                    for (t, lf) in nodes
+                    for x in (F.lit(t * KEY + lf), F.lit(int(cuts[(t, lf)][2])))
+                ]
+            )
+            right = projected.filter(
+                F.col("__p") >= lo_map[key_col]
+            ).withColumn("leaf_id", F.col("leaf_id") * 2 + 1)
+            left = projected.filter(
+                F.col("__p") <= hi_map[key_col]
+            ).withColumn("leaf_id", F.col("leaf_id") * 2)
+            cur = right.unionByName(left).select(
+                "id", "vector", "__m", "tree_id", "leaf_id"
+            )
+        return AnnIndex(
+            cur.select("tree_id", "leaf_id", "id", "vector"),
+            trees,
+            dim,
+            build_metric="lattice",
+        )
+
     # ----------------------------------------------------------- persist
     def save(self, path: str) -> None:
         """Parquet partitioned by (tree_id, leaf_id) + JSON forest — the
@@ -784,7 +1043,16 @@ class AnnIndex:
         normalizes iff the FOREST is angular — but recall suffers on
         unnormalized corpora)."""
         if metric is None:
-            return "cosine" if self.build_metric == "cosine" else "l2"
+            # lattice forests default to cosine scoring too: the micro
+            # quantization is metric-neutral (descent happens in shifted
+            # L2 space regardless of how candidates are scored)
+            return (
+                "cosine"
+                if self.build_metric in ("cosine", "lattice")
+                else "l2"
+            )
+        if self.build_metric == "lattice":
+            return metric
         if (metric == "cosine") != (self.build_metric == "cosine"):
             import warnings
 
@@ -824,6 +1092,11 @@ class AnnIndex:
                 # projections, so descent must see the unit query
                 # (rerank below still scores the original qvec)
                 q = q / (np.linalg.norm(q) + 1e-12)
+            elif self.build_metric == "lattice":
+                # lattice forest: cuts are exact integers over micro
+                # projections — descend with the micro-quantized query
+                # (rerank below still scores the original qvec)
+                q = _micro_np(q)
             for t, tree in enumerate(self.trees):
                 hits.append((qid, t, tree.descend(q), [float(x) for x in vec]))
         qdf = spark.createDataFrame(
@@ -877,6 +1150,8 @@ class AnnIndex:
                 Q = np.array(pdf["qvec"].tolist(), dtype=np.float64)
                 if build_metric == "cosine":
                     Q = _unit_rows(Q)
+                elif build_metric == "lattice":
+                    Q = _micro_np(Q)
                 frames = []
                 for t, tree in enumerate(trees):
                     leaf = _descend_batch(Q, tree)

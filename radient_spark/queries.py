@@ -2677,42 +2677,254 @@ def q_mel_clip_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_ann_search(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """GANN-style ANN forest (radient_spark/ann.py): balanced-bisection
-    build with spill + partition-pruned batch search. Rows-only driver
-    check; recall-vs-exact property tests live in tests/test_ann.py."""
+    """GANN-style ANN forest, PRUNED search, fully value-oracled: the
+    forest is built with AnnIndex.build_lattice (integer micro-lattice
+    kernel — md5-seeded 2-means hyperplanes, exact order-statistic
+    spill cuts), so every leaf assignment and every query descent is
+    integer-exact and the DuckDB oracle REPLAYS THE WHOLE BUILD + the
+    pruned search bit-for-bit (_ann_lattice_sql). 2 trees x 2 levels x
+    10% spill: a genuinely approximate configuration — each query scans
+    ~2 leaves of 8, not the corpus — whose result the oracle still pins
+    exactly. The float production kernel (AnnIndex.build) keeps its
+    recall property tests in tests/test_ann.py and its exactness gate
+    in q_ann_search_exact."""
     from radient_spark.ann import AnnIndex
 
     emb = load_tables(spark, sf_dir)["embeddings"].select(
         F.col("vec_id").alias("id"), F.col("embedding").alias("vector")
     )
-    # 2 trees keeps the per-round bench build cheap; the recall study in
-    # tests/test_ann.py uses 4-8 trees (0.89-0.96 recall@10 with spill).
-    index = AnnIndex.build(
-        emb, n_trees=2, max_leaf_size=100, spill=0.1, seed=42
+    index = AnnIndex.build_lattice(
+        emb, n_trees=2, levels=2, spill_pm=100, seed=42
     )
     rows = emb.orderBy("id").limit(10).collect()
     queries = [(int(r["id"]), list(r["vector"])) for r in rows]
-    return index.search(queries, k=10)
+    return index.search(queries, k=10, metric="cosine")
 
 
 def q_ivf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF index end to end through the DataFrame-native path: k-means
-    cells -> cell-partitioned index -> search_df with the queries AS A
-    TABLE (executor-side cell assignment against broadcast centroids —
-    no driver collect of the query side). Rows-only driver check;
-    exactness and recall are pinned in tests/test_ann.py."""
-    from radient_spark.ann import IvfIndex
+    """IVF PRUNED search (n_probes=4 of 16 cells), fully value-oracled:
+    the coarse quantizer is the integer-lattice k-means
+    (operators/cluster.kmeans_fit, oracle = the unrolled-Lloyd CTEs),
+    the inverted file is the exact Catalyst argmin assignment, and the
+    probe runs through IvfIndex.search_df with `probe_vec` carrying the
+    micro-quantized query — cell selection is exact integer L2 (stable
+    ties to the lower cell id) while scoring still uses the original
+    float vectors, so DuckDB replays probe + rerank hash-for-hash
+    (_ivf_search_sql). The float-quantizer production path keeps its
+    recall tests + the n_probes=n_cells exactness gate
+    (q_ivf_search_exact)."""
+    import numpy as np
 
-    emb = load_tables(spark, sf_dir)["embeddings"].select(
+    from radient_spark.ann import IvfIndex
+    from radient_spark.operators.cluster import (
+        assign_clusters,
+        kmeans_fit,
+        micro_vec,
+    )
+
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    cents = kmeans_fit(emb, "embedding", "vec_id", k=16, iters=1, seed=42)
+    base = emb.select(
         F.col("vec_id").alias("id"), F.col("embedding").alias("vector")
     )
-    index = IvfIndex.build(emb, n_cells=16, seed=42)
-    qdf = (
-        emb.orderBy("id")
-        .limit(10)
-        .select(F.col("id").alias("qid"), F.col("vector").alias("qvec"))
+    index = IvfIndex(
+        assign_clusters(base, "vector", cents, out_col="cell_id").select(
+            "id", "vector", "cell_id"
+        ),
+        np.asarray(cents, dtype=np.float64),
     )
-    return index.search_df(qdf, k=10, n_probes=8)
+    qdf = (
+        emb.orderBy("vec_id")
+        .limit(10)
+        .select(
+            F.col("vec_id").alias("qid"),
+            F.col("embedding").alias("qvec"),
+            # micro coords < 2^23: exact in float32, so the Arrow probe
+            # batch reconstructs the exact integers
+            micro_vec(F.col("embedding")).cast("array<float>").alias("pvec"),
+        )
+    )
+    return index.search_df(qdf, k=10, n_probes=4, probe_vec="pvec")
+
+
+def _ivf_search_sql(
+    k_cells: int = 16,
+    iters: int = 1,
+    seed: int = 42,
+    n_probes: int = 4,
+    k: int = 10,
+    nq: int = 10,
+) -> str:
+    """Value oracle for the PRUNED IVF search: unrolled-Lloyd centroid
+    CTEs + exact-integer probe ranking + the repo-wide rounded-cosine
+    rerank contract."""
+    with_clause, cfinal, afinal = _kmeans_cte(k_cells, iters, seed)
+    sim = (
+        "round(list_dot_product(e.embedding::DOUBLE[], q.qvec::DOUBLE[])"
+        " / (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))"
+        " * sqrt(list_dot_product(q.qvec::DOUBLE[], q.qvec::DOUBLE[]))), 6)"
+    )
+    return f"""{with_clause},
+q AS (
+  SELECT vec_id AS qid, embedding AS qvec
+  FROM embeddings ORDER BY vec_id LIMIT {nq}
+), qpts AS (
+  SELECT qid, u.i AS dim,
+    CAST(round(CAST(qvec[u.i] AS DOUBLE) * 1000000, 0) AS BIGINT)
+      + 4000000 AS v
+  FROM q, unnest(range(1, len(qvec) + 1)) AS u(i)
+), qcell AS (
+  SELECT qid, c FROM (
+    SELECT qp.qid, cf.c,
+      row_number() OVER (PARTITION BY qp.qid
+        ORDER BY SUM((qp.v - cf.cv) * (qp.v - cf.cv)), cf.c) AS rn
+    FROM qpts qp JOIN {cfinal} cf ON qp.dim = cf.dim
+    GROUP BY qp.qid, cf.c
+  ) WHERE rn <= {n_probes}
+), scored AS (
+  SELECT qc.qid, a.vec_id AS id, {sim} AS score
+  FROM qcell qc JOIN {afinal} a ON a.c = qc.c
+  JOIN embeddings e ON e.vec_id = a.vec_id
+  JOIN q ON q.qid = qc.qid
+)
+SELECT qid, id, score FROM (
+  SELECT qid, id, score,
+    row_number() OVER (PARTITION BY qid ORDER BY score DESC, id ASC) AS rn
+  FROM scored
+) WHERE rn <= {k}
+"""
+
+
+def _ann_lattice_sql(
+    n_trees: int = 2,
+    levels: int = 2,
+    spill_pm: int = 100,
+    seed: int = 42,
+    k: int = 10,
+    nq: int = 10,
+) -> str:
+    """Value oracle for the PRUNED lattice-forest search: replays
+    AnnIndex.build_lattice level by level (md5 seeds, one integer Lloyd
+    step, hyperplane w = m1 - m0, exact-long projections, order-statistic
+    spill cuts, <=hi / >=lo child assignment), then descends each query
+    (right iff proj > mid), dedups candidates across trees, and applies
+    the rounded-cosine top-k contract."""
+    parts = [
+        f"""pts AS (
+  SELECT vec_id, u.i AS dim,
+    CAST(round(CAST(embedding[u.i] AS DOUBLE) * 1000000, 0) AS BIGINT)
+      + 4000000 AS v
+  FROM embeddings, unnest(range(1, len(embedding) + 1)) AS u(i)
+), asg0 AS (
+  SELECT vec_id, t.t::INT AS tree, 0 AS leaf
+  FROM embeddings, unnest(range(0, {n_trees})) AS t(t)
+)"""
+    ]
+    for L in range(levels):
+        parts.append(f"""sd{L} AS (
+  SELECT tree, leaf, vec_id,
+    row_number() OVER (PARTITION BY tree, leaf
+      ORDER BY ('0x' || substring(md5(concat_ws('_', {seed}, {L}, tree, leaf, vec_id)), 1, 8))::BIGINT,
+               vec_id) - 1 AS r
+  FROM asg{L}
+  QUALIFY r < 2
+), sc{L} AS (
+  SELECT s.tree, s.leaf, s.r, p.dim, p.v AS cv
+  FROM sd{L} s JOIN pts p USING (vec_id)
+), nr{L} AS (
+  SELECT a.vec_id, a.tree, a.leaf, sc.r,
+    SUM((p.v - sc.cv) * (p.v - sc.cv)) AS d
+  FROM asg{L} a JOIN pts p USING (vec_id)
+  JOIN sc{L} sc ON sc.tree = a.tree AND sc.leaf = a.leaf AND sc.dim = p.dim
+  GROUP BY a.vec_id, a.tree, a.leaf, sc.r
+  QUALIFY row_number() OVER (
+    PARTITION BY a.vec_id, a.tree, a.leaf ORDER BY d, sc.r) = 1
+), m{L} AS (
+  SELECT sc.tree, sc.leaf, sc.r, sc.dim, COALESCE(mm.mv, sc.cv) AS mv
+  FROM sc{L} sc LEFT JOIN (
+    SELECT n.tree, n.leaf, n.r, p.dim, SUM(p.v) // COUNT(*) AS mv
+    FROM nr{L} n JOIN pts p USING (vec_id)
+    GROUP BY n.tree, n.leaf, n.r, p.dim
+  ) mm ON sc.tree = mm.tree AND sc.leaf = mm.leaf
+      AND sc.r = mm.r AND sc.dim = mm.dim
+), w{L} AS (
+  SELECT m1.tree, m1.leaf, m1.dim, m1.mv - m0.mv AS wv
+  FROM m{L} m1 JOIN m{L} m0
+    ON m1.tree = m0.tree AND m1.leaf = m0.leaf AND m1.dim = m0.dim
+  WHERE m1.r = 1 AND m0.r = 0
+), pj{L} AS (
+  SELECT a.vec_id, a.tree, a.leaf, SUM(p.v * w.wv) AS pr
+  FROM asg{L} a JOIN pts p USING (vec_id)
+  JOIN w{L} w ON w.tree = a.tree AND w.leaf = a.leaf AND w.dim = p.dim
+  GROUP BY a.vec_id, a.tree, a.leaf
+), ct{L} AS (
+  SELECT tree, leaf,
+    MAX(CASE WHEN rn = lo_r THEN pr END) AS lo,
+    MAX(CASE WHEN rn = mid_r THEN pr END) AS mid,
+    MAX(CASE WHEN rn = hi_r THEN pr END) AS hi
+  FROM (
+    SELECT tree, leaf, pr, vec_id,
+      row_number() OVER (PARTITION BY tree, leaf ORDER BY pr, vec_id) AS rn,
+      GREATEST(1, (COUNT(*) OVER (PARTITION BY tree, leaf) * {500 - spill_pm} + 999) // 1000) AS lo_r,
+      (COUNT(*) OVER (PARTITION BY tree, leaf) * 500 + 999) // 1000 AS mid_r,
+      LEAST(COUNT(*) OVER (PARTITION BY tree, leaf),
+            (COUNT(*) OVER (PARTITION BY tree, leaf) * {500 + spill_pm} + 999) // 1000) AS hi_r
+    FROM pj{L}
+  ) GROUP BY tree, leaf
+), asg{L + 1} AS (
+  SELECT p.vec_id, p.tree, p.leaf * 2 AS leaf
+  FROM pj{L} p JOIN ct{L} c ON p.tree = c.tree AND p.leaf = c.leaf
+  WHERE p.pr <= c.hi
+  UNION ALL
+  SELECT p.vec_id, p.tree, p.leaf * 2 + 1 AS leaf
+  FROM pj{L} p JOIN ct{L} c ON p.tree = c.tree AND p.leaf = c.leaf
+  WHERE p.pr >= c.lo
+)""")
+    parts.append(f"""q AS (
+  SELECT vec_id AS qid, embedding AS qvec
+  FROM embeddings ORDER BY vec_id LIMIT {nq}
+), qpts AS (
+  SELECT qid, u.i AS dim,
+    CAST(round(CAST(qvec[u.i] AS DOUBLE) * 1000000, 0) AS BIGINT)
+      + 4000000 AS v
+  FROM q, unnest(range(1, len(qvec) + 1)) AS u(i)
+), qn0 AS (
+  SELECT qid, t.t::INT AS tree, 0 AS node
+  FROM q, unnest(range(0, {n_trees})) AS t(t)
+)""")
+    for L in range(levels):
+        parts.append(f"""qp{L} AS (
+  SELECT a.qid, a.tree, a.node, SUM(p.v * w.wv) AS pr
+  FROM qn{L} a JOIN qpts p USING (qid)
+  JOIN w{L} w ON w.tree = a.tree AND w.leaf = a.node AND w.dim = p.dim
+  GROUP BY a.qid, a.tree, a.node
+), qn{L + 1} AS (
+  SELECT p.qid, p.tree,
+    p.node * 2 + CASE WHEN p.pr > c.mid THEN 1 ELSE 0 END AS node
+  FROM qp{L} p JOIN ct{L} c ON p.tree = c.tree AND c.leaf = p.node
+)""")
+    sim = (
+        "round(list_dot_product(e.embedding::DOUBLE[], q.qvec::DOUBLE[])"
+        " / (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))"
+        " * sqrt(list_dot_product(q.qvec::DOUBLE[], q.qvec::DOUBLE[]))), 6)"
+    )
+    return ("WITH " + ",\n".join(parts) + f""",
+cand AS (
+  SELECT DISTINCT qn.qid, a.vec_id AS id
+  FROM qn{levels} qn JOIN asg{levels} a
+    ON a.tree = qn.tree AND a.leaf = qn.node
+), scored AS (
+  SELECT c.qid, c.id, {sim} AS score
+  FROM cand c
+  JOIN embeddings e ON e.vec_id = c.id
+  JOIN q ON q.qid = c.qid
+)
+SELECT qid, id, score FROM (
+  SELECT qid, id, score,
+    row_number() OVER (PARTITION BY qid ORDER BY score DESC, id ASC) AS rn
+  FROM scored
+) WHERE rn <= {k}
+""")
 
 
 def q_ann_search_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -13895,9 +14107,9 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "q_fastrp_supplier_embeddings": (q_fastrp_supplier_embeddings, _Q_FASTRP_SQL),
     "q_media_pipeline": (q_media_pipeline, None),
     "q_mel_clip_features": (q_mel_clip_features, None),
-    "q_ann_search": (q_ann_search, None),
+    "q_ann_search": (q_ann_search, _ann_lattice_sql()),
     "q_ann_search_exact": (q_ann_search_exact, _Q_IVF_EXACT_SQL),
-    "q_ivf_search": (q_ivf_search, None),
+    "q_ivf_search": (q_ivf_search, _ivf_search_sql()),
     "q_ivf_search_exact": (q_ivf_search_exact, _Q_IVF_EXACT_SQL),
     "q_running_customer_balance": (q_running_customer_balance, _Q_RUNNING_SQL),
     "q_churned_customers": (q_churned_customers, _Q_CHURN_SQL),

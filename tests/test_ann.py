@@ -377,3 +377,146 @@ def test_metric_defaults_aligned_and_mismatch_warns(spark, emb):
         warnings.simplefilter("always")
         idx.search(q, k=3).collect()  # aligned default: no warning
     assert not [x for x in w if "geometry" in str(x.message)]
+
+
+def test_lattice_build_deterministic_across_partitionings(spark, emb):
+    """Round-10: build_lattice (the SQL-replayable kernel behind
+    q_ann_search's value oracle) must be bit-identical under any input
+    partitioning — every decision is integer arithmetic with pinned tie
+    orders, so there is nothing for shuffle order to perturb."""
+    a = AnnIndex.build_lattice(emb, n_trees=2, levels=2, seed=42)
+    b = AnnIndex.build_lattice(
+        emb.repartition(13), n_trees=2, levels=2, seed=42
+    )
+    assert all(x.nodes == y.nodes for x, y in zip(a.trees, b.trees))
+    rows = emb.orderBy("id").limit(5).collect()
+    qs = [(int(r["id"]), list(r["vector"])) for r in rows]
+    ra = sorted(map(tuple, a.search(qs, k=5, metric="cosine").collect()))
+    rb = sorted(map(tuple, b.search(qs, k=5, metric="cosine").collect()))
+    assert ra == rb
+
+
+def test_lattice_search_is_pruned_and_recalls(spark, emb):
+    """The lattice forest must genuinely prune (each query touches one
+    leaf per tree, not the corpus) while spill keeps recall@10 usable;
+    self-queries must always find themselves (they sit in their own
+    leaf by construction)."""
+    index = AnnIndex.build_lattice(
+        emb, n_trees=2, levels=2, spill_pm=100, seed=42
+    )
+    rows = emb.collect()
+    n = len(rows)
+    qs = [(int(r["id"]), list(r["vector"])) for r in rows[:20]]
+    res = index.search(qs, k=10, metric="cosine").collect()
+    by_q: dict = {}
+    for r in res:
+        by_q.setdefault(r["qid"], set()).add(r["id"])
+    # self-hit: the query vector is in the corpus
+    assert all(qid in ids for qid, ids in by_q.items())
+    exact = _exact_topk(rows, qs, 10)
+    hit = sum(len(by_q[q] & exact[q]) for q, _ in qs)
+    recall = hit / (10 * len(qs))
+    assert recall >= 0.5, recall
+    # pruned: candidate rows per (query, tree) bounded by the largest
+    # leaf, far below the corpus
+    sizes = [
+        r["cnt"]
+        for r in index.index_df.groupBy("tree_id", "leaf_id")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .collect()
+    ]
+    assert len(sizes) == 8  # 2 trees x 4 leaves at 2 levels
+    assert max(sizes) < n, (max(sizes), n)
+
+
+def test_lattice_save_load_roundtrip(spark, emb, tmp_path):
+    """build_metric='lattice' must survive save/load: descent after load
+    quantizes queries exactly like the in-memory index."""
+    index = AnnIndex.build_lattice(emb, n_trees=2, levels=2, seed=42)
+    path = str(tmp_path / "lattice_idx")
+    index.save(path)
+    loaded = AnnIndex.load(spark, path)
+    assert loaded.build_metric == "lattice"
+    rows = emb.orderBy("id").limit(5).collect()
+    qs = [(int(r["id"]), list(r["vector"])) for r in rows]
+    ra = sorted(map(tuple, index.search(qs, k=5, metric="cosine").collect()))
+    rb = sorted(map(tuple, loaded.search(qs, k=5, metric="cosine").collect()))
+    assert ra == rb
+
+
+def test_lattice_rejects_underfilled_nodes(spark):
+    """A node with < 2 rows cannot seed a 2-means split (and the SQL
+    replay would silently drop its rows) — the build must refuse.
+    Note the spill rule keeps every CHILD at >= 2 rows whenever its
+    parent has >= 2 (left >= hi_rank >= ceil(n/2) >= 1 and right >=
+    n - lo_rank + 1 >= 2 for n = 2 at spill_pm=100), so the guard can
+    only fire on a 1-row input — which is exactly what it must catch."""
+    import pytest as _pytest
+
+    one = spark.createDataFrame(
+        [(1, [1.0, -1.0])], "id long, vector array<float>"
+    )
+    with _pytest.raises(ValueError, match="2 rows"):
+        AnnIndex.build_lattice(one, n_trees=1, levels=1, seed=1)
+    # and a 3-row input SURVIVES deep levels: spill floors nodes at 2
+    tiny = spark.createDataFrame(
+        [(i, [float(i), float(-i)]) for i in range(3)],
+        "id long, vector array<float>",
+    )
+    idx = AnnIndex.build_lattice(tiny, n_trees=1, levels=4, seed=1)
+    assert len(idx.trees[0].nodes) == 1 + 2 + 4 + 8
+
+
+def test_lattice_search_df_matches_list_search(spark, emb):
+    """search_df descends with the same micro quantization as search()."""
+    index = AnnIndex.build_lattice(emb, n_trees=2, levels=2, seed=42)
+    rows = emb.orderBy("id").limit(5).collect()
+    qs = [(int(r["id"]), list(r["vector"])) for r in rows]
+    qdf = spark.createDataFrame(
+        [(q, v) for q, v in qs], "qid long, qvec array<float>"
+    )
+    ra = sorted(map(tuple, index.search(qs, k=5, metric="cosine").collect()))
+    rb = sorted(
+        map(tuple, index.search_df(qdf, k=5, metric="cosine").collect())
+    )
+    assert ra == rb
+
+
+def test_ivf_search_df_probe_vec_split(spark, emb):
+    """probe_vec routes cell selection through a different column than
+    scoring: probing with the micro-lattice query (shifted L2 space)
+    must yield the same cells as probing with micro values passed as the
+    main query vector, while scores come from the original floats."""
+    import numpy as np
+
+    from radient_spark.ann import IvfIndex
+    from radient_spark.operators.cluster import (
+        assign_clusters,
+        kmeans_fit,
+        micro_vec,
+    )
+
+    cents = kmeans_fit(emb, "vector", "id", k=8, iters=1, seed=42)
+    index = IvfIndex(
+        assign_clusters(emb, "vector", cents, out_col="cell_id").select(
+            "id", "vector", "cell_id"
+        ),
+        np.asarray(cents, dtype=np.float64),
+    )
+    qdf = (
+        emb.orderBy("id")
+        .limit(5)
+        .select(
+            F.col("id").alias("qid"),
+            F.col("vector").alias("qvec"),
+            micro_vec(F.col("vector")).cast("array<float>").alias("pvec"),
+        )
+    )
+    out = index.search_df(qdf, k=5, n_probes=2, probe_vec="pvec").collect()
+    assert len(out) == 25
+    by_q: dict = {}
+    for r in out:
+        by_q.setdefault(r["qid"], []).append(r)
+    for qid, rs in by_q.items():
+        # scores are cosine of ORIGINAL vectors: self-hit scores 1.0
+        assert any(r["id"] == qid and r["score"] == 1.0 for r in rs)

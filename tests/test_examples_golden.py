@@ -235,23 +235,21 @@ def test_multimodal_rag_composed_golden(spark):
 
 
 def test_ann_search_checksum_golden(spark):
-    """Round-9: q_ann_search is rows-only at the driver (forest build is
-    not SQL-expressible), so pin its sf0.001 (qid, id, score) output
-    with a checksum. Scores are rounded to 6 decimals inside
-    _rerank_topk — far above BLAS float noise — and the build is fully
-    seeded, so the checksum is run-to-run stable (verified across two
-    in-session runs)."""
+    """Round-10: q_ann_search moved to the integer-lattice forest and
+    now carries a full DuckDB value oracle (_ann_lattice_sql); this
+    checksum stays as a fast regression pin on the sf0.001 output so a
+    kernel drift is caught locally before the driver round."""
     from radient_spark.queries import QUERIES
 
     df = QUERIES["q_ann_search"][0](spark, "/root/testdata/sf0.001")
-    assert _sorted_rows_md5(df) == "8ee96791d0f89ef7df20b90d5af080de"
+    assert _sorted_rows_md5(df) == "7acb859ddaa4eba47c20a93b32a45106"
 
 
 def test_ivf_search_checksum_golden(spark):
-    """Round-9: q_ivf_search is rows-only at the driver (k-means cell
-    build is not SQL-expressible), so pin its sf0.001 output with a
-    checksum — same 6-decimal score rounding + seeded build as above."""
+    """Round-10: q_ivf_search moved to the lattice coarse quantizer +
+    micro probe_vec and now carries a full DuckDB value oracle
+    (_ivf_search_sql); the checksum stays as a fast local pin."""
     from radient_spark.queries import QUERIES
 
     df = QUERIES["q_ivf_search"][0](spark, "/root/testdata/sf0.001")
-    assert _sorted_rows_md5(df) == "c9d1b2c4809843ee89904a924f90ae46"
+    assert _sorted_rows_md5(df) == "a78c815ddd21881ad85a8e1ab4b7ab6d"
