@@ -9835,9 +9835,24 @@ def q_dedup_strategy_comparison(spark: SparkSession, sf_dir: str) -> DataFrame:
         token_pair_counts,
     )
 
-    docs = load_tables(spark, sf_dir)["documents"].filter(
-        str_hash(F.concat_ws("_", F.lit("blockcal"), F.col("doc_id"))) % 10
-        < 4
+    docs = (
+        load_tables(spark, sf_dir)["documents"]
+        .filter(
+            str_hash(F.concat_ws("_", F.lit("blockcal"), F.col("doc_id")))
+            % 10
+            < 4
+        )
+        .select("doc_id", "source", "text")
+        # One eager materialization of the 40% calibration sample: all 7
+        # legs re-derive from docs (each would otherwise re-run the scan
+        # + md5-sample filter AND re-analyze the full lineage), and the
+        # checkpoint truncates the shared subtree the same way
+        # q_entity_resolution's blocking pipeline does. Widen BEFORE the
+        # checkpoint: a LogicalRDD carries no size stats, so the
+        # fail-closed _widen_narrow_scan would leave the legs' row-local
+        # pipelines on the scan's split count afterwards.
+        .transform(_widen_narrow_scan)
+        .localCheckpoint(eager=True)
     )
     toks = _widen_narrow_scan(
         docs.filter(F.length(F.trim("text")) > 0)
@@ -9919,14 +9934,25 @@ def q_dedup_strategy_comparison(spark: SparkSession, sf_dir: str) -> DataFrame:
         ("winnowing_fps", win_pairs),
     ]
     n_true = truth.agg(F.count(F.lit(1)).alias("__n_true"))
+    # One pass per leg: a broadcast left join against the cached truth
+    # pair set marks hits, and a single aggregate emits BOTH counts —
+    # the old crossJoin of two 1-row aggregates referenced each leg's
+    # pipeline twice (count branch + semi-join branch), recomputing
+    # everything upstream of the first exchange.
+    truth_marked = F.broadcast(
+        truth.withColumn("__t", F.lit(1)).select("id_a", "id_b", "__t")
+    )
     rows = None
     for name, pairs in legs:
-        pairs = pairs.distinct()
-        row = pairs.agg(F.count(F.lit(1)).alias("n_pairs")).crossJoin(
-            pairs.join(truth, ["id_a", "id_b"], "left_semi").agg(
-                F.count(F.lit(1)).alias("n_truth_hits")
+        row = (
+            pairs.distinct()
+            .join(truth_marked, ["id_a", "id_b"], "left")
+            .agg(
+                F.count(F.lit(1)).alias("n_pairs"),
+                F.count("__t").alias("n_truth_hits"),
             )
-        ).select(F.lit(name).alias("strategy"), "n_pairs", "n_truth_hits")
+            .select(F.lit(name).alias("strategy"), "n_pairs", "n_truth_hits")
+        )
         rows = row if rows is None else rows.unionAll(row)
     return (
         rows.crossJoin(F.broadcast(n_true))
