@@ -12,6 +12,14 @@ from radient_spark.session import get_session  # noqa: E402
 SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF", "/root/testdata/sf0.001")
 
 
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers",
+        "driver_protocol: the driver's 50-query sf0.01 oracle window "
+        "(run alone with -m driver_protocol)",
+    )
+
+
 @pytest.fixture(scope="session")
 def spark():
     s = get_session("radient_spark_tests")
