@@ -6838,6 +6838,61 @@ GROUP BY n.n_name
 """
 
 
+def register_sql_vector_functions(spark: SparkSession) -> None:
+    """Register the vector kernels as SQL SCALAR FUNCTIONS (Spark 4 SQL
+    UDFs): `CREATE TEMPORARY FUNCTION ... RETURN <expr>` bodies are
+    INLINED by Catalyst into the calling plan — JVM expressions with
+    whole-stage codegen, never a Python boundary. This is the SQL front
+    door for functions/vector.py (SURVEY §4.2 deferred item): a user
+    can write `ORDER BY cosine_distance(vec, q) LIMIT k` verbatim. The
+    fold order matches functions/vector.dot (sequential aggregate), so
+    results are bit-identical to the DataFrame surface and DuckDB's
+    list_dot_product under the repo's round-6 contract."""
+    spark.sql("""
+      CREATE OR REPLACE TEMPORARY FUNCTION cosine_sim(
+        a ARRAY<FLOAT>, b ARRAY<FLOAT>) RETURNS DOUBLE
+      RETURN aggregate(zip_with(a, b,
+               (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),
+             CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)
+        / (sqrt(aggregate(a, CAST(0.0 AS DOUBLE),
+                 (acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))
+           * sqrt(aggregate(b, CAST(0.0 AS DOUBLE),
+                 (acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+    """)
+    spark.sql("""
+      CREATE OR REPLACE TEMPORARY FUNCTION cosine_distance(
+        a ARRAY<FLOAT>, b ARRAY<FLOAT>) RETURNS DOUBLE
+      RETURN 1.0 - cosine_sim(a, b)
+    """)
+
+
+def q_sql_api_vector_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vector top-k through the SQL front door: cosine registered as an
+    inlined SQL scalar function + a per-query ranking window — the
+    `ORDER BY cosine_distance(vec, q) LIMIT k` surface SURVEY §4.2
+    deferred, now pinned by a value oracle. The plan is identical to
+    the DataFrame path's exact search (_rerank_topk): broadcast query
+    rows, codegen'd fold per candidate, TakeOrdered top-k — no UDF, no
+    Python."""
+    register_views(spark, sf_dir)
+    register_sql_vector_functions(spark)
+    return spark.sql("""
+      WITH q AS (
+        SELECT vec_id AS qid, embedding AS qvec
+        FROM embeddings ORDER BY vec_id LIMIT 10
+      )
+      SELECT qid, id, score FROM (
+        SELECT q.qid, e.vec_id AS id,
+          ROUND(cosine_sim(e.embedding, q.qvec), 6) AS score,
+          row_number() OVER (
+            PARTITION BY q.qid
+            ORDER BY ROUND(cosine_sim(e.embedding, q.qvec), 6) DESC,
+                     e.vec_id ASC) AS rn
+        FROM embeddings e CROSS JOIN q
+      ) WHERE rn <= 10
+    """)
+
+
 def q_cms_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-language CMS frequency audit: one 4x128 sketch per language
     over its token stream (cells keyed by (lang, row, slot) — the
@@ -14242,6 +14297,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "q_weighted_sample": (q_weighted_sample, _Q_WEIGHTED_SAMPLE_SQL),
     "q_timeseries_gapfill": (q_timeseries_gapfill, _Q_GAPFILL_SQL),
     "q_sql_api_nation_margin": (q_sql_api_nation_margin, _Q_SQL_API_SQL),
+    "q_sql_api_vector_topk": (q_sql_api_vector_topk, _Q_IVF_EXACT_SQL),
     "q_cms_by_lang": (q_cms_by_lang, _Q_CMS_LANG_SQL),
     "q_event_transitions": (q_event_transitions, _Q_TRANSITIONS_SQL),
     "q_curation_pipeline_v3": (q_curation_pipeline_v3, _curation_v3_sql()),
@@ -14430,7 +14486,7 @@ _DRIVER_PRIORITY = [
     "q_quality_filter_report",
     "q_repeat_customers",
     "q_rollup_returns",
-    "q_running_customer_balance",
+    "q_sql_api_vector_topk",
 ]
 
 QUERIES = {
