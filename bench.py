@@ -200,6 +200,12 @@ BENCH_QUERIES = [
     "q_dataset_card",
     "q_winnowing_fingerprints",
     "q_winnowing_dup_pairs",
+    # round 10. The re-oracled lattice q_ann_search/q_ivf_search are NOT
+    # raced here: the dedicated ANN section below keeps the historical
+    # q_ann_build/q_ann_search timings on the float production kernel
+    # (same names, comparable round-over-round), and adding the registry
+    # entries under identical keys would clobber them.
+    "q_sql_api_vector_topk",
     # q_prefix_jaccard_pairs is deliberately NOT in the sweep: on this
     # corpus's small uniform vocabulary the prefix filter measures ~8 s
     # at sf0.1 vs 1.6 s for the uncapped posting join (SCALING.md) — it

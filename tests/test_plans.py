@@ -598,3 +598,15 @@ def test_tokenizer_fertility_prunes_to_two_columns(spark, sf_dir):
     df = QUERIES["q_tokenizer_fertility"][0](spark, sf_dir)
     assert plans.reads_only_columns(df, {"lang", "text"})
     assert plans.shuffle_count(df) <= 2
+
+
+def test_sql_vector_topk_stays_jvm_side(spark, sf_dir):
+    """Round-10: the SQL-registered cosine functions must INLINE into
+    Catalyst (SQL scalar functions, not Python UDFs) — the plan has no
+    Python eval, broadcasts the 10 query rows, and ends in the window
+    top-k, identical in shape to the DataFrame surface."""
+    df = QUERIES["q_sql_api_vector_topk"][0](spark, sf_dir)
+    p = plans.formatted_plan(df)
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p, p
+    assert "InPandas" not in p, p
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastExchange" in p, p
