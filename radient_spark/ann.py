@@ -270,9 +270,14 @@ def _nearest_cells(Q: "np.ndarray", C: "np.ndarray", n: int) -> "np.ndarray":
     return np.argsort(d2, axis=1, kind="stable")[:, : min(n, C.shape[0])]
 
 
-def _assign_cells(base: DataFrame, centroids: np.ndarray) -> DataFrame:
+def _assign_cells(
+    base: DataFrame, centroids: np.ndarray, lattice: bool = False
+) -> DataFrame:
     """Map-only nearest-centroid assignment: centroid matrix broadcast,
-    one Arrow-batched argmin per partition. (id, vector) -> + cell_id."""
+    one Arrow-batched argmin per partition. (id, vector) -> + cell_id.
+    lattice=True quantizes rows to micro units first (centroids are in
+    micro space); the integer distances + stable ties then agree with
+    cluster.assign_clusters' Catalyst argmin exactly."""
     bc = base.sparkSession.sparkContext.broadcast(
         np.asarray(centroids, dtype=np.float64).tolist()
     )
@@ -283,6 +288,8 @@ def _assign_cells(base: DataFrame, centroids: np.ndarray) -> DataFrame:
             if len(pdf) == 0:
                 continue
             M = np.array(pdf["vector"].tolist(), dtype=np.float64)
+            if lattice:
+                M = _micro_np(M)
             out = pdf.copy()
             out["cell_id"] = _nearest_cells(M, C_, 1)[:, 0].astype(np.int32)
             yield out
@@ -299,9 +306,51 @@ class IvfIndex:
     partitions exactly like the forest's leaves.
     """
 
-    def __init__(self, index_df: DataFrame, centroids: np.ndarray):
+    def __init__(
+        self,
+        index_df: DataFrame,
+        centroids: np.ndarray,
+        lattice: bool = False,
+    ):
         self.index_df = index_df
         self.centroids = centroids
+        # lattice=True: centroids live in integer micro-unit space, so
+        # probe vectors are micro-quantized automatically (scoring
+        # always uses the original float vectors)
+        self.lattice = lattice
+
+    @staticmethod
+    def build_lattice(
+        df: DataFrame,
+        id_col: str = "id",
+        vec_col: str = "vector",
+        n_cells: int = 16,
+        iters: int = 1,
+        seed: int = 42,
+    ) -> "IvfIndex":
+        """Integer-lattice IVF: the coarse quantizer is
+        cluster.kmeans_fit (portable md5-seeded Lloyd on micro units)
+        and the inverted file is the zero-shuffle Catalyst argmin
+        assignment — the oracle-checkable variant of `build`
+        (queries.q_ivf_search + _ivf_search_sql replay probe + rerank
+        bit-for-bit). Probing quantizes queries to the lattice
+        automatically; candidate scoring still uses the original float
+        vectors. Unlike `build`, the quantizer is fit on the FULL data
+        distributed (no driver-side sample kmeans), so the index is
+        also deterministic under any partitioning."""
+        from radient_spark.operators.cluster import assign_clusters, kmeans_fit
+
+        cents = kmeans_fit(df, vec_col, id_col, k=n_cells, iters=iters, seed=seed)
+        base = df.select(
+            F.col(id_col).alias("id"), F.col(vec_col).alias("vector")
+        )
+        return IvfIndex(
+            assign_clusters(base, "vector", cents, out_col="cell_id").select(
+                "id", "vector", "cell_id"
+            ),
+            np.asarray(cents, dtype=np.float64),
+            lattice=True,
+        )
 
     @staticmethod
     def build(
@@ -341,10 +390,11 @@ class IvfIndex:
         rows; recall properties are unchanged because search never
         assumes rows influenced the centroids."""
         base = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vector"))
-        fresh = _assign_cells(base, self.centroids)
+        fresh = _assign_cells(base, self.centroids, lattice=self.lattice)
         return IvfIndex(
             self.index_df.select("id", "vector", "cell_id").unionByName(fresh),
             self.centroids,
+            lattice=self.lattice,
         )
 
     def append_save(
@@ -356,9 +406,9 @@ class IvfIndex:
         gain files; untouched cells' files are not rewritten). The
         on-disk analogue of `add` for ingest pipelines."""
         base = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vector"))
-        _assign_cells(base, self.centroids).write.mode("append").partitionBy(
-            "cell_id"
-        ).parquet(f"{path}/cells")
+        _assign_cells(base, self.centroids, lattice=self.lattice).write.mode(
+            "append"
+        ).partitionBy("cell_id").parquet(f"{path}/cells")
 
     def delete(self, ids: DataFrame, id_col: str = "id") -> "IvfIndex":
         """Incremental DELETE without rebuild: anti-join the id set out
@@ -367,7 +417,9 @@ class IvfIndex:
         summary of live rows), so recall semantics are unchanged."""
         gone = ids.select(F.col(id_col).alias("id"))
         return IvfIndex(
-            self.index_df.join(gone, "id", "left_anti"), self.centroids
+            self.index_df.join(gone, "id", "left_anti"),
+            self.centroids,
+            lattice=self.lattice,
         )
 
     def tombstone_save(
@@ -438,7 +490,10 @@ class IvfIndex:
             f"{path}/cells"
         )
         with open(f"{path}/centroids.json", "w") as f:
-            json.dump({"centroids": self.centroids.tolist()}, f)
+            json.dump(
+                {"centroids": self.centroids.tolist(), "lattice": self.lattice},
+                f,
+            )
 
     @staticmethod
     def load(spark: SparkSession, path: str) -> "IvfIndex":
@@ -449,7 +504,11 @@ class IvfIndex:
             df = df.join(
                 spark.read.parquet(f"{path}/tombstones"), "id", "left_anti"
             )
-        return IvfIndex(df, np.asarray(meta["centroids"], dtype=np.float64))
+        return IvfIndex(
+            df,
+            np.asarray(meta["centroids"], dtype=np.float64),
+            lattice=meta.get("lattice", False),
+        )
 
     def search(
         self,
@@ -467,6 +526,10 @@ class IvfIndex:
         hits = []
         for qid, vec in queries:
             q = np.asarray(vec, dtype=np.float64)
+            if self.lattice:
+                # micro-space centroids: probe with the quantized query
+                # (rerank below still scores the original qvec)
+                q = _micro_np(q)
             for cell in _nearest_cells(q[None, :], self.centroids, n_probes)[0]:
                 hits.append((qid, int(cell), [float(x) for x in vec]))
         qdf = spark.createDataFrame(hits, "qid long, cell_id int, qvec array<float>")
@@ -506,6 +569,9 @@ class IvfIndex:
         spark = self.index_df.sparkSession
         bc = spark.sparkContext.broadcast(self.centroids.tolist())
         pcol = probe_vec or query_vec
+        # lattice indexes auto-quantize the probe UNLESS the caller
+        # already supplied an explicit probe column
+        auto_micro = self.lattice and probe_vec is None
 
         def probe(batches):
             import pandas as pd
@@ -516,6 +582,8 @@ class IvfIndex:
                 if len(pdf) == 0:
                     continue
                 P = np.array(pdf["pvec"].tolist(), dtype=np.float64)
+                if auto_micro:
+                    P = _micro_np(P)
                 cells = _nearest_cells(P, C_, npb)
                 yield pd.DataFrame(
                     {

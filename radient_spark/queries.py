@@ -2713,38 +2713,21 @@ def q_ivf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     (_ivf_search_sql). The float-quantizer production path keeps its
     recall tests + the n_probes=n_cells exactness gate
     (q_ivf_search_exact)."""
-    import numpy as np
-
     from radient_spark.ann import IvfIndex
-    from radient_spark.operators.cluster import (
-        assign_clusters,
-        kmeans_fit,
-        micro_vec,
-    )
 
     emb = load_tables(spark, sf_dir)["embeddings"]
-    cents = kmeans_fit(emb, "embedding", "vec_id", k=16, iters=1, seed=42)
-    base = emb.select(
-        F.col("vec_id").alias("id"), F.col("embedding").alias("vector")
-    )
-    index = IvfIndex(
-        assign_clusters(base, "vector", cents, out_col="cell_id").select(
-            "id", "vector", "cell_id"
-        ),
-        np.asarray(cents, dtype=np.float64),
+    index = IvfIndex.build_lattice(
+        emb, id_col="vec_id", vec_col="embedding", n_cells=16, iters=1,
+        seed=42,
     )
     qdf = (
         emb.orderBy("vec_id")
         .limit(10)
         .select(
-            F.col("vec_id").alias("qid"),
-            F.col("embedding").alias("qvec"),
-            # micro coords < 2^23: exact in float32, so the Arrow probe
-            # batch reconstructs the exact integers
-            micro_vec(F.col("embedding")).cast("array<float>").alias("pvec"),
+            F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
         )
     )
-    return index.search_df(qdf, k=10, n_probes=4, probe_vec="pvec")
+    return index.search_df(qdf, k=10, n_probes=4)
 
 
 def _ivf_search_sql(

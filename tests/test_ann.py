@@ -520,3 +520,43 @@ def test_ivf_search_df_probe_vec_split(spark, emb):
     for qid, rs in by_q.items():
         # scores are cosine of ORIGINAL vectors: self-hit scores 1.0
         assert any(r["id"] == qid and r["score"] == 1.0 for r in rs)
+
+
+def test_ivf_build_lattice_roundtrip_and_incremental(spark, emb, tmp_path):
+    """IvfIndex.build_lattice: the lattice flag survives save/load,
+    probes auto-quantize, and incremental `add` assigns new rows with
+    the SAME integer argmin as the build (so the combined index equals
+    a from-scratch build over the union)."""
+    from radient_spark.ann import IvfIndex
+
+    old = emb.filter(F.col("id") % 5 != 0)
+    new = emb.filter(F.col("id") % 5 == 0)
+    idx = IvfIndex.build_lattice(old, n_cells=8, iters=1, seed=7)
+    assert idx.lattice
+    combined = idx.add(new)
+    # frozen-quantizer contract: every row of the union is present and
+    # new rows landed in cells chosen by the same lattice argmin
+    from radient_spark.operators.cluster import assign_clusters
+
+    cents = [[int(x) for x in c] for c in idx.centroids.tolist()]
+    expected = assign_clusters(new, "vector", cents, out_col="cell_id")
+    got = combined.index_df.join(
+        new.select("id"), "id", "left_semi"
+    ).select("id", "cell_id")
+    mism = (
+        got.join(
+            expected.select("id", F.col("cell_id").alias("exp")), "id"
+        )
+        .filter(F.col("cell_id") != F.col("exp"))
+        .count()
+    )
+    assert mism == 0
+    path = str(tmp_path / "ivf_lat")
+    idx.save(path)
+    loaded = IvfIndex.load(spark, path)
+    assert loaded.lattice
+    rows = emb.orderBy("id").limit(3).collect()
+    qs = [(int(r["id"]), list(r["vector"])) for r in rows]
+    a = sorted(map(tuple, idx.search(qs, k=3, n_probes=2).collect()))
+    b = sorted(map(tuple, loaded.search(qs, k=3, n_probes=2).collect()))
+    assert a == b
