@@ -43,6 +43,7 @@ median of $SPARK_GRAFT_PROBE_RUNS (default 2) end-to-end noop writes.
 from __future__ import annotations
 
 import json
+import math
 import os
 import shutil
 import statistics
@@ -232,6 +233,32 @@ def main() -> None:
             n_embs,
         )
         shutil.rmtree(ann_path, ignore_errors=True)
+
+        # 4b. the round-10 lattice kernels (SQL-replayable build paths):
+        # levels sized like production (leaf ~200) so depth grows with n
+        lat_levels = max(2, math.ceil(math.log2(max(2, n_embs / 200))))
+        start = time.perf_counter()
+        lat = AnnIndex.build_lattice(
+            emb_iv, n_trees=2, levels=lat_levels, spill_pm=100, seed=42
+        )
+        lat.index_df.write.format("noop").mode("overwrite").save()
+        record(
+            "lattice_build",
+            k,
+            round(time.perf_counter() - start, 3),
+            n_embs,
+        )
+        print(json.dumps({"probe": "lattice_build", "scale": k,
+                          "levels": lat_levels}))
+        record(
+            "lattice_search",
+            k,
+            _timed(
+                lambda: _noop(lat.search(queries, k=10, metric="cosine")),
+                runs,
+            ),
+            n_embs,
+        )
 
         # 5. histogram build + exact order statistics on the lattice
         vals = evs.select(
