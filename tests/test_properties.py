@@ -160,3 +160,60 @@ def test_cms_estimate_upper_bounds_truth(spark, toks):
     truth = Counter(toks)
     for t, c in truth.items():
         assert est[t] >= c
+
+
+@settings(**COMMON)
+@given(
+    X=hnp.arrays(
+        np.float64,
+        st.tuples(st.integers(1, 16), st.integers(1, 8)),
+        elements=st.floats(-3.9, 3.9, allow_nan=False, allow_subnormal=False),
+    )
+)
+def test_micro_np_half_away_from_zero(X):
+    """ann._micro_np is the numpy twin of cluster.micro_vec: integer
+    output, positivity shift applied, and HALF-AWAY-FROM-ZERO on exact
+    .5 boundaries (np.round would give half-to-even and silently break
+    every lattice oracle)."""
+    from radient_spark.ann import _micro_np
+    from radient_spark.operators.cluster import MICRO, MICRO_SHIFT
+
+    out = _micro_np(X)
+    assert out.shape == X.shape
+    assert np.all(out == np.floor(out))  # integral
+    # reference: decimal-free half-away-from-zero per element
+    S = X * MICRO
+    ref = np.sign(S) * np.floor(np.abs(S) + 0.5) + MICRO_SHIFT
+    assert np.array_equal(out, ref)
+
+
+def test_micro_np_exact_half_boundaries():
+    """Pin the .5 cases explicitly: 1.5e-6 * 1e6 = 1.5 -> 2 (away from
+    zero), -1.5e-6 -> -2; np.round would give 2 and -2 here but 0.5 -> 0
+    — prove we differ from np.round where it matters."""
+    from radient_spark.ann import _micro_np
+    from radient_spark.operators.cluster import MICRO_SHIFT
+
+    # 0.5 exactly representable: 0.5 / 1e6 is not exact, so build the
+    # boundary in micro space via exactly-representable halves
+    vals = np.array([0.5, -0.5, 1.5, -1.5, 2.5, -2.5]) / 1e6
+    # feed micro-space halves directly through the rounding law
+    S = vals * 1e6
+    got = _micro_np(vals) - MICRO_SHIFT
+    # away-from-zero: 0.5->1, -0.5->-1, 1.5->2, 2.5->3 ...
+    away = np.sign(S) * np.floor(np.abs(S) + 0.5)
+    assert np.array_equal(got, away)
+    # and np.round (half-to-even) DISAGREES on at least one of these,
+    # proving the custom law is load-bearing
+    assert not np.array_equal(away, np.round(S))
+
+
+def test_nearest_cells_stable_tie_order():
+    """Equidistant centroids must rank by cell id ascending — the (d, c)
+    order every lattice SQL oracle uses."""
+    from radient_spark.ann import _nearest_cells
+
+    q = np.array([[0.0, 0.0]])
+    C = np.array([[1.0, 0.0], [0.0, 1.0], [-1.0, 0.0], [0.0, -1.0]])
+    cells = _nearest_cells(q, C, 4)[0]
+    assert list(cells) == [0, 1, 2, 3]
