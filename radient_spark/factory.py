@@ -44,7 +44,7 @@ def make_operator(
 
     vectorizer: hashing | fingerprint | multimodal | sbert | text | ...
     transform:  video_demux | video-demux | speech-to-text | ...
-    dedup:      exact | minhash | simhash | repeated_ngram
+    dedup:      exact | minhash | simhash | repeated_ngram | first_arrival
     dataset:    hash_split | pack | decontaminate-free curation ops
     source/sink: local | youtube | ingest | milvus | mongodb
 
@@ -141,6 +141,9 @@ register("dedup", "simhash")(
 )
 register("dedup", "repeated_ngram")(
     lambda **kw: functools.partial(dedup.repeated_ngram_coverage, **kw)
+)
+register("dedup", "first_arrival")(
+    lambda **kw: functools.partial(dedup.lsh_first_arrival_flags, **kw)
 )
 
 # --- dataset curation (training-pipeline ops) -----------------------------

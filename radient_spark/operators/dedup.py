@@ -125,6 +125,94 @@ def _validate_banding(bands: int, num_hashes: int | None) -> None:
         )
 
 
+def _band_key_expr(sig_col: str, i: int, bands: int) -> F.Column:
+    """Band i's key: the '_'-joined slice of the signature (equal-width
+    banding). Shared by the pair join, the bucket explode, and the SQL
+    oracles (which slice sig[i*r+1:(i+1)*r] identically)."""
+    width = (F.size(F.col(sig_col)) / bands).cast("int")
+    return F.array_join(
+        F.transform(
+            F.slice(F.col(sig_col), F.lit(i) * width + 1, width),
+            lambda x: x.cast("string"),
+        ),
+        "_",
+    )
+
+
+def lsh_buckets(
+    sigs: DataFrame,
+    id_col: str = "doc_id",
+    sig_col: str = "sig",
+    bands: int = 4,
+    num_hashes: int | None = None,
+) -> DataFrame:
+    """Explode signatures into (id, band_idx, band_key) bucket rows —
+    the unit of LSH state. n_rows x bands tiny tuples; every downstream
+    shuffle (ownership groupBy, collision join) rides on these keys,
+    never on document text."""
+    _validate_banding(bands, num_hashes)
+    return sigs.select(
+        F.col(id_col),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band_idx"),
+                        _band_key_expr(sig_col, i, bands).alias("band_key"),
+                    )
+                    for i in range(bands)
+                ]
+            )
+        ).alias("__b"),
+    ).select(id_col, "__b.band_idx", "__b.band_key")
+
+
+def lsh_first_arrival_flags(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 16,
+    shingle_k: int = 3,
+    bands: int = 4,
+) -> DataFrame:
+    """First-arrival near-dup flags: a document is flagged iff any of its
+    LSH band buckets is also produced by a LOWER-id document; `dup_of` is
+    the smallest such owner across its colliding buckets. Returns
+    (id_col, dup_of) for flagged documents only — anti-join to keep the
+    canonical survivors.
+
+    This is the batch replay of streaming.lsh_dedup_sink: because bucket
+    ownership is a MIN fold (commutative + idempotent), the incremental
+    result is identical to this batch result whenever ids are assigned
+    monotonically with arrival (the append-only ingestion contract) —
+    regardless of micro-batch boundaries.
+
+    Shuffle profile: one groupBy over (band_idx, band_key) bucket tuples
+    (n_rows x bands, independent of document size), a same-key join back
+    (the ownership exchange is reused), and a groupBy over flagged ids.
+    Never all-pairs, never a self-join over text. Skewed boilerplate
+    buckets are split by AQE skew handling."""
+    sigs = with_minhash(
+        df.filter(F.length(F.trim(text_col)) > 0).select(id_col, text_col),
+        text_col=text_col,
+        num_hashes=num_hashes,
+        shingle_k=shingle_k,
+        out_col="__sig",
+    ).select(id_col, "__sig")
+    buckets = lsh_buckets(
+        sigs, id_col=id_col, sig_col="__sig", bands=bands, num_hashes=num_hashes
+    )
+    owners = buckets.groupBy("band_idx", "band_key").agg(
+        F.min(id_col).alias("__owner")
+    )
+    return (
+        buckets.join(owners, ["band_idx", "band_key"])
+        .filter(F.col("__owner") < F.col(id_col))
+        .groupBy(id_col)
+        .agg(F.min("__owner").alias("dup_of"))
+    )
+
+
 def lsh_pairs_from_signatures(
     sigs: DataFrame,
     id_col: str = "doc_id",
@@ -148,17 +236,7 @@ def lsh_pairs_from_signatures(
     _validate_banding(bands, num_hashes)
 
     def band_key(i):
-        return F.array_join(
-            F.transform(
-                F.slice(
-                    F.col(sig_col),
-                    F.lit(i) * (F.size(F.col(sig_col)) / bands).cast("int") + 1,
-                    (F.size(F.col(sig_col)) / bands).cast("int"),
-                ),
-                lambda x: x.cast("string"),
-            ),
-            "_",
-        )
+        return _band_key_expr(sig_col, i, bands)
 
     # every band key rides along so the join can apply the
     # first-collision rule (see below) without a second lookup

@@ -2578,10 +2578,11 @@ GROUP BY d.source
 """
 
 
-def _minhash_dup_pairs_sql(num_hashes: int = 16, bands: int = 4) -> str:
-    """DuckDB oracle for the full LSH dedup pipeline: signatures ->
-    banding -> candidate pairs -> signature-estimated Jaccard >= 0.5.
-    Reproduces the md5-derived permutation mins bit-for-bit."""
+def _lsh_band_ctes(num_hashes: int, bands: int) -> str:
+    """The shared tk -> shingles -> hashes -> sig -> bands CTE chain of
+    every LSH oracle: md5-derived permutation mins sliced into
+    equal-width band keys, bit-for-bit the Spark pipeline
+    (operators/dedup.with_minhash + lsh_buckets)."""
     params = D.hash_params(num_hashes)
     mins = ",\n      ".join(
         f"COALESCE(list_aggregate(list_transform(hs, x -> ({a} * x + {b}) % {MINHASH_P}), 'min'), {MINHASH_P})"
@@ -2594,8 +2595,7 @@ def _minhash_dup_pairs_sql(num_hashes: int = 16, bands: int = 4) -> str:
         f"FROM sig"
         for i in range(bands)
     )
-    return rf"""
-WITH tk AS (
+    return rf"""tk AS (
   SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
   FROM documents WHERE length(trim(text)) > 0
 ), sh AS (
@@ -2616,7 +2616,57 @@ WITH tk AS (
   ] AS sig FROM h
 ), bands AS (
 {band_selects}
-), pairs AS (
+)"""
+
+
+def q_lsh_dedup_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-arrival near-dup verdicts over the whole corpus
+    (operators/dedup.lsh_first_arrival_flags): one row per document
+    whose LSH band bucket is owned by a lower doc_id, with dup_of = the
+    smallest such owner. This is the batch replay of the streaming
+    continuous-ingestion gate (streaming.lsh_dedup_sink) — the min-fold
+    ownership makes stream and batch bit-identical
+    (test_lsh_dedup_sink_equals_batch_flags) — and the decision layer
+    over q_minhash_dup_pairs' candidate generation: same signatures,
+    same bands, but resolved to keep/drop verdicts instead of pairs.
+
+    Scale: the only shuffles are a groupBy over (band_idx, band_key)
+    bucket tuples and a same-key join back — n_docs x 4 tiny rows,
+    never all-pairs."""
+    docs = load_tables(spark, sf_dir)["documents"]
+    return D.lsh_first_arrival_flags(
+        _widen_narrow_scan(docs.select("doc_id", "text")),
+        id_col="doc_id",
+        text_col="text",
+        num_hashes=16,
+        shingle_k=3,
+        bands=4,
+    )
+
+
+def _lsh_flags_sql(num_hashes: int = 16, bands: int = 4) -> str:
+    """DuckDB oracle for lsh_first_arrival_flags: bucket ownership =
+    MIN(doc_id) per (band_idx, band_key); a doc is flagged iff a lower
+    id owns any of its buckets, dup_of = the smallest such owner."""
+    return rf"""
+WITH {_lsh_band_ctes(num_hashes, bands)},
+owners AS (
+  SELECT band_idx, band_key, MIN(doc_id) AS owner
+  FROM bands GROUP BY band_idx, band_key
+)
+SELECT b.doc_id, MIN(o.owner) AS dup_of
+FROM bands b JOIN owners o USING (band_idx, band_key)
+WHERE o.owner < b.doc_id
+GROUP BY b.doc_id
+"""
+
+
+def _minhash_dup_pairs_sql(num_hashes: int = 16, bands: int = 4) -> str:
+    """DuckDB oracle for the full LSH dedup pipeline: signatures ->
+    banding -> candidate pairs -> signature-estimated Jaccard >= 0.5.
+    Reproduces the md5-derived permutation mins bit-for-bit."""
+    return rf"""
+WITH {_lsh_band_ctes(num_hashes, bands)}, pairs AS (
   SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
   FROM bands a JOIN bands b
     ON a.band_idx = b.band_idx AND a.band_key = b.band_key
@@ -14201,6 +14251,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "q_rolling_fingerprints": (q_rolling_fingerprints, _Q_ROLLING_SQL),
     "q_simhash_fingerprints": (q_simhash_fingerprints, _Q_SIMHASH_SQL),
     "q_minhash_dup_pairs": (q_minhash_dup_pairs, _minhash_dup_pairs_sql()),
+    "q_lsh_dedup_flags": (q_lsh_dedup_flags, _lsh_flags_sql()),
     "q04_priority_late_ship": (q04_priority_late_ship, _Q04_SQL),
     "q06_forecast_revenue": (q06_forecast_revenue, _Q06_SQL),
     "q09_product_profit": (q09_product_profit, _Q09_SQL),
@@ -14471,6 +14522,13 @@ _DRIVER_PRIORITY = [
     "q_rollup_returns",
     "q_sql_api_vector_topk",
 ]
+# Late round-10 addition: the new streaming-twin LSH verdict query gets
+# its first hash check immediately; the displaced q_repeat_customers
+# (green r1/r2/r4, untouched code) rejoins the stalest rotation next
+# round. Window stays exactly 50.
+_DRIVER_PRIORITY[_DRIVER_PRIORITY.index("q_repeat_customers")] = (
+    "q_lsh_dedup_flags"
+)
 
 QUERIES = {
     **{k: QUERIES[k] for k in _DRIVER_PRIORITY},

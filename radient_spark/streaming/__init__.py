@@ -1273,3 +1273,93 @@ def read_psi(
         )
         .orderBy(group_col)
     )
+
+
+def lsh_dedup_sink(
+    stream: DataFrame,
+    dedup_dir: str,
+    checkpoint: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 16,
+    shingle_k: int = 3,
+    bands: int = 4,
+):
+    """Streaming NEAR-duplicate gate: the continuous-ingestion version of
+    operators/dedup.lsh_first_arrival_flags (dedup_stream above only
+    catches exact key repeats within a watermark; this catches fuzzy
+    near-dups against the ENTIRE accumulated corpus).
+
+    Per micro-batch: MinHash the batch, explode into LSH band buckets,
+    min-fold the buckets into the accumulated ownership state
+    (band_idx, band_key, owner), and append one flag row
+    (epoch, id, dup_of) for every batch document whose bucket is owned
+    by a lower id. Because ownership is a MIN fold — commutative and
+    idempotent — the union of streamed flags is IDENTICAL to the batch
+    operator over all rows seen, regardless of micro-batch boundaries,
+    whenever ids are assigned monotonically with arrival (the
+    append-only ingestion contract; pinned by
+    test_lsh_dedup_sink_equals_batch_flags).
+
+    State is the bucket-ownership table: n_docs x bands tiny rows,
+    independent of document size — the same footprint the batch LSH
+    join shuffles. Flags append (readers dedupe replays by id); state
+    swaps through the crash-safe staging commit, and a replayed
+    already-committed epoch is a no-op.
+    """
+    from radient_spark.operators.dedup import lsh_buckets, with_minhash
+
+    tag = _epoch_tag(checkpoint)
+    state_dir = f"{dedup_dir}/state"
+    flags_dir = f"{dedup_dir}/flags"
+
+    def batch_fn(df: DataFrame, epoch_id: int) -> None:
+        spark = df.sparkSession
+        if _epoch_committed(spark, state_dir, tag, epoch_id):
+            return
+        sigs = with_minhash(
+            df.filter(F.length(F.trim(text_col)) > 0).select(id_col, text_col),
+            text_col=text_col,
+            num_hashes=num_hashes,
+            shingle_k=shingle_k,
+            out_col="__sig",
+        ).select(id_col, "__sig")
+        buckets = lsh_buckets(
+            sigs, id_col=id_col, sig_col="__sig", bands=bands,
+            num_hashes=num_hashes,
+        ).localCheckpoint(eager=True)  # read twice: ownership fold + flag join
+        fresh = buckets.select(
+            "band_idx", "band_key", F.col(id_col).alias("owner")
+        )
+        if _state_exists(spark, state_dir):
+            fresh = fresh.unionByName(spark.read.parquet(state_dir))
+        owners = fresh.groupBy("band_idx", "band_key").agg(
+            F.min("owner").alias("owner")
+        )
+        flags = (
+            buckets.join(owners, ["band_idx", "band_key"])
+            .filter(F.col("owner") < F.col(id_col))
+            .groupBy(id_col)
+            .agg(F.min("owner").alias("dup_of"))
+            .select(F.lit(int(epoch_id)).alias("epoch"), id_col, "dup_of")
+        )
+        # flags must land BEFORE the state swap: a crash between them
+        # replays the whole batch (epoch marker not yet stamped), which
+        # re-appends identical rows — readers dedupe by id. The reverse
+        # order would let a committed state swap skip the flag append.
+        flags.write.mode("append").parquet(flags_dir)
+        _commit_state(owners, state_dir, tag, epoch_id)
+
+    return foreach_batch_sink(stream, checkpoint, batch_fn)
+
+
+def read_lsh_flags(spark, dedup_dir: str, id_col: str = "doc_id") -> DataFrame:
+    """The accumulated near-dup verdicts from lsh_dedup_sink:
+    (id, dup_of), one row per flagged document. Crash-replayed epochs
+    can append byte-identical rows; a flag is emitted exactly once per
+    document otherwise (in its arrival epoch), so dedup by id."""
+    return (
+        spark.read.parquet(f"{dedup_dir}/flags")
+        .select(id_col, "dup_of")
+        .dropDuplicates([id_col])
+    )

@@ -1129,3 +1129,75 @@ def test_psi_drift_sink_equals_batch_query(spark, tmp_path):
         tuple(r) for r in QUERIES["q_psi_drift"][0](spark, sf).collect()
     ]
     assert got == want
+
+
+def test_lsh_dedup_sink_equals_batch_flags(spark, tmp_path):
+    """The continuous-ingestion near-dup gate must be exactly the batch
+    operator replayed: three micro-batch rounds (ids monotone with
+    arrival, per the append-only contract) through lsh_dedup_sink, and
+    the accumulated flags — AND the final bucket-ownership state — must
+    equal lsh_first_arrival_flags / the ownership fold over the union.
+    Min-fold commutativity is what makes the boundaries invisible."""
+    from radient_spark.operators.dedup import (
+        lsh_buckets,
+        lsh_first_arrival_flags,
+        with_minhash,
+    )
+
+    base = [
+        "the quick brown fox jumps over the lazy dog near the river bank",
+        "colorless green ideas sleep furiously under a pale winter moon",
+        "data pipelines shuffle bytes across the cluster every single night",
+        "a completely different sentence about sailing ships and ocean tides",
+    ]
+    rows = []
+    for i in range(60):
+        if i % 5 == 4:
+            # exact duplicate of an earlier doc -> all bands collide
+            rows.append((i, rows[i - 4][1]))
+        elif i % 5 == 3:
+            # near-duplicate: one token changed on a long shared text
+            rows.append((i, base[i % 4] + f" extra token{i % 2}"))
+        else:
+            rows.append((i, base[i % 4] + f" unique tail {i} " + "pad " * (i % 7)))
+    schema = "doc_id bigint, text string"
+    in_dir = str(tmp_path / "lsh_in")
+    dd = str(tmp_path / "lsh_dedup")
+    ck = str(tmp_path / "lsh_ck")
+    kw = dict(num_hashes=16, shingle_k=3, bands=4)
+
+    for lo, hi in [(0, 20), (20, 45), (45, 60)]:
+        spark.createDataFrame(rows[lo:hi], schema).write.mode("append").parquet(in_dir)
+        q = streaming.lsh_dedup_sink(
+            spark.readStream.schema(schema).parquet(in_dir), dd, ck, **kw
+        )
+        q.awaitTermination(120)
+
+    all_docs = spark.createDataFrame(rows, schema)
+    exp_flags = sorted(
+        tuple(r) for r in lsh_first_arrival_flags(all_docs, **kw).collect()
+    )
+    got_flags = sorted(
+        tuple(r) for r in streaming.read_lsh_flags(spark, dd).collect()
+    )
+    assert got_flags == exp_flags
+    assert len(exp_flags) >= 12  # the exact-dup rows are always caught
+
+    sigs = with_minhash(
+        all_docs.filter(F.length(F.trim("text")) > 0).select("doc_id", "text"),
+        text_col="text", num_hashes=16, shingle_k=3, out_col="__sig",
+    ).select("doc_id", "__sig")
+    exp_state = sorted(
+        tuple(r)
+        for r in lsh_buckets(sigs, sig_col="__sig", bands=4, num_hashes=16)
+        .groupBy("band_idx", "band_key")
+        .agg(F.min("doc_id").alias("owner"))
+        .collect()
+    )
+    got_state = sorted(
+        tuple(r)
+        for r in spark.read.parquet(f"{dd}/state")
+        .select("band_idx", "band_key", "owner")
+        .collect()
+    )
+    assert got_state == exp_state
