@@ -645,11 +645,19 @@ class AnnIndex:
         footgun on unnormalized corpora; build and search defaults now
         agree, and search warns on a cross-geometry mismatch).
 
-        Per level (for the whole forest at once): one hash-sample collect
-        (VC-bounded, no shuffle), one projection pass + per-(tree,leaf)
-        percentile aggregate, one reassignment pass. All full-data passes
-        are narrow; the only shuffles are the tiny per-leaf aggregates.
-        Driver round-trips are 3 per level regardless of n_trees.
+        Per level (for the whole forest at once): ONE fused driver
+        round-trip — the per-(tree,leaf) percentile aggregate also
+        carries the NEXT level's VC-bounded hash-sample (the sample
+        predicate hashes on level+1 and is evaluated on the
+        pre-reassignment projection; the driver routes each sampled row
+        to its child leaf with the same >=lo / <=hi rule the executors
+        apply, so the routed sample is bit-identical to re-sampling
+        after reassignment — all leaves at a level share one analytic
+        size, hence one sampling fraction). Plus one projection pass and
+        one reassignment pass, both narrow; the only shuffle is the tiny
+        per-leaf aggregate. Round 10 halved the round-trips from 2/level
+        (the scale probe showed constant-in-n driver rounds, not row
+        work, dominate build cost).
 
         `spill` replicates rows near the cut into BOTH children
         (gann.py:164-178's overlap: each child holds n*(0.5+spill)) —
@@ -694,29 +702,38 @@ class AnnIndex:
         sizes: dict[tuple[int, int], int] = {(t, 0): n for t in range(n_trees)}
         KEY = 1 << (depth + 1)  # composite (tree, leaf) -> tree*KEY + leaf
 
-        for level in range(depth):
-            # (a) per-(tree,leaf) hash-sample -> driver numpy hyperplanes
-            fracs = {
-                t * KEY + leaf: min(1.0, sample_sz / max(1, sz))
-                for (t, leaf), sz in sizes.items()
+        key_col = F.col("tree_id") * KEY + F.col("leaf_id")
+
+        def _u_col(lv: int) -> F.Column:
+            return (
+                F.abs(F.xxhash64("id", "tree_id", F.lit(lv), F.lit(seed)))
+                % 1_000_000
+            ) / 1_000_000.0
+
+        def _sorted_samples(raw: dict[int, list]) -> dict[int, list]:
+            # driver-side id sort: _two_means_hyperplane seeds its
+            # centroid choice by row INDEX, so sample order must not
+            # depend on partition/collect_list arrival order
+            return {
+                k: [v for _i, v in sorted(pairs)] for k, pairs in raw.items()
             }
-            frac_expr = F.create_map(
-                *[x for k, fr in fracs.items() for x in (F.lit(k), F.lit(fr))]
-            )
-            key_col = F.col("tree_id") * KEY + F.col("leaf_id")
-            sampled = cur.withColumn(
-                "__u",
-                (
-                    F.abs(F.xxhash64("id", "tree_id", F.lit(level), F.lit(seed)))
-                    % 1_000_000
-                )
-                / 1_000_000.0,
-            ).filter(F.col("__u") < frac_expr[key_col])
-            samples: dict[int, list] = {}
-            for row in sampled.select(
-                key_col.alias("key"), F.col("vector")
-            ).collect():
-                samples.setdefault(row["key"], []).append(row["vector"])
+
+        # level-0 sample: the only standalone sample collect; every later
+        # level's sample rides the previous level's cuts aggregate.
+        # All leaves at a level share one analytic size, so the sampling
+        # fraction is a per-level scalar.
+        raw0: dict[int, list] = {}
+        for row in (
+            cur.withColumn("__u", _u_col(0))
+            .filter(F.col("__u") < F.lit(min(1.0, sample_sz / max(1, n))))
+            .select(key_col.alias("key"), "id", "vector")
+            .collect()
+        ):
+            raw0.setdefault(row["key"], []).append((row["id"], row["vector"]))
+        samples = _sorted_samples(raw0)
+
+        for level in range(depth):
+            # (a) driver numpy hyperplanes from this level's routed sample
             hyper = {}
             for (t, leaf) in sizes:
                 k = t * KEY + leaf
@@ -732,8 +749,8 @@ class AnnIndex:
 
             # (b) ONE GEMM pass carrying the projection as a column; the
             # lazy localCheckpoint materializes inside the same job that
-            # computes the per-(tree,leaf) percentile cuts — so a level
-            # costs exactly TWO driver round-trips (sample, cuts) and the
+            # computes the per-(tree,leaf) percentile cuts + next-level
+            # sample — so a level costs exactly ONE driver round-trip and the
             # projection is computed once, not re-derived during
             # reassignment (which is now pure Catalyst below).
             def project(batches, _bc=bc, _KEY=KEY, _metric=metric):
@@ -763,15 +780,32 @@ class AnnIndex:
                 " __nrm double, proj double",
             ).localCheckpoint(eager=False)
             lo_q, hi_q = max(0.0, 0.5 - spill), min(1.0, 0.5 + spill)
-            cut_rows = (
-                projected.groupBy("tree_id", "leaf_id")
-                .agg(
-                    F.percentile_approx(
-                        "proj", F.array(F.lit(lo_q), F.lit(0.5), F.lit(hi_q)), 10000
-                    ).alias("cuts")
+            aggs = [
+                F.percentile_approx(
+                    "proj", F.array(F.lit(lo_q), F.lit(0.5), F.lit(hi_q)), 10000
+                ).alias("cuts")
+            ]
+            if level + 1 < depth:
+                # fuse the NEXT level's hash-sample into this aggregate:
+                # the predicate hashes on level+1 against the analytic
+                # child-leaf fraction; the driver routes each sampled row
+                # to its child below with the executors' own >=lo / <=hi
+                # rule, so the routed sample is exactly what a post-
+                # reassignment sampling pass would collect — one driver
+                # round-trip per level instead of two
+                next_sz = max(
+                    1, int(next(iter(sizes.values())) * (0.5 + spill))
                 )
-                .collect()
-            )
+                aggs.append(
+                    F.collect_list(
+                        F.when(
+                            _u_col(level + 1)
+                            < F.lit(min(1.0, sample_sz / next_sz)),
+                            F.struct("id", "proj", "vector"),
+                        )
+                    ).alias("samp")
+                )
+            cut_rows = projected.groupBy("tree_id", "leaf_id").agg(*aggs).collect()
             cuts = {
                 r["tree_id"] * KEY + r["leaf_id"]: tuple(r["cuts"])
                 for r in cut_rows
@@ -782,6 +816,22 @@ class AnnIndex:
                 # search descends by the median; spill only widens the
                 # build-side assignment
                 trees[t].nodes[(level, leaf)] = (hyper[k].tolist(), float(mid))
+            if level + 1 < depth:
+                raw: dict[int, list] = {}
+                for r in cut_rows:
+                    k = r["tree_id"] * KEY + r["leaf_id"]
+                    lo, _mid, hi = cuts[k]
+                    left_k = r["tree_id"] * KEY + r["leaf_id"] * 2
+                    for s in r["samp"]:
+                        if s["proj"] <= hi:
+                            raw.setdefault(left_k, []).append(
+                                (s["id"], s["vector"])
+                            )
+                        if s["proj"] >= lo:
+                            raw.setdefault(left_k + 1, []).append(
+                                (s["id"], s["vector"])
+                            )
+                samples = _sorted_samples(raw)
 
             # (c) reassign leaves via two narrow Catalyst filters over the
             # checkpointed projection — >= / <= (not > / <) so

@@ -1306,6 +1306,16 @@ def lsh_dedup_sink(
     join shuffles. Flags append (readers dedupe replays by id); state
     swaps through the crash-safe staging commit, and a replayed
     already-committed epoch is a no-op.
+
+    Scale: a micro-batch never SHUFFLES the accumulated state. The
+    prior-owner lookup is a semi join and the carry-forward an anti
+    join, both keyed on the batch's own bucket keys — AQE turns them
+    into broadcast probes (two map-side scans of the state parquet)
+    for normal batch sizes, and degrades to a sane shuffle only for
+    backfill-sized batches. Per-batch cost: two state scans + one
+    state write + batch-sized shuffles. The rewrite itself is the
+    min-fold's floor; at 100 TB, hash-partition the ownership table
+    and fold only touched partitions — orthogonal to this algebra.
     """
     from radient_spark.operators.dedup import lsh_buckets, with_minhash
 
@@ -1328,16 +1338,29 @@ def lsh_dedup_sink(
             sigs, id_col=id_col, sig_col="__sig", bands=bands,
             num_hashes=num_hashes,
         ).localCheckpoint(eager=True)  # read twice: ownership fold + flag join
-        fresh = buckets.select(
-            "band_idx", "band_key", F.col(id_col).alias("owner")
+        keys = ["band_idx", "band_key"]
+        batch_owner = buckets.groupBy(*keys).agg(
+            F.min(id_col).alias("owner")
         )
         if _state_exists(spark, state_dir):
-            fresh = fresh.unionByName(spark.read.parquet(state_dir))
-        owners = fresh.groupBy("band_idx", "band_key").agg(
-            F.min("owner").alias("owner")
-        )
+            prev = spark.read.parquet(state_dir)
+            # prior owners for THIS batch's keys only (state never
+            # shuffles: batch keys probe it map-side under AQE)
+            hits = prev.join(batch_owner.select(*keys), keys, "left_semi")
+            owner_now = (
+                batch_owner.unionByName(hits)
+                .groupBy(*keys)
+                .agg(F.min("owner").alias("owner"))
+                .localCheckpoint(eager=True)  # used by flag join AND state
+            )
+            new_state = prev.join(
+                batch_owner.select(*keys), keys, "left_anti"
+            ).unionByName(owner_now)
+        else:
+            owner_now = batch_owner.localCheckpoint(eager=True)
+            new_state = owner_now
         flags = (
-            buckets.join(owners, ["band_idx", "band_key"])
+            buckets.join(owner_now, keys)
             .filter(F.col("owner") < F.col(id_col))
             .groupBy(id_col)
             .agg(F.min("owner").alias("dup_of"))
@@ -1348,7 +1371,7 @@ def lsh_dedup_sink(
         # re-appends identical rows — readers dedupe by id. The reverse
         # order would let a committed state swap skip the flag append.
         flags.write.mode("append").parquet(flags_dir)
-        _commit_state(owners, state_dir, tag, epoch_id)
+        _commit_state(new_state, state_dir, tag, epoch_id)
 
     return foreach_batch_sink(stream, checkpoint, batch_fn)
 
