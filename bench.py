@@ -207,6 +207,7 @@ BENCH_QUERIES = [
     # entries under identical keys would clobber them.
     "q_sql_api_vector_topk",
     "q_lsh_dedup_flags",
+    "q_srp_dedup_flags",
     # q_prefix_jaccard_pairs is deliberately NOT in the sweep: on this
     # corpus's small uniform vocabulary the prefix filter measures ~8 s
     # at sf0.1 vs 1.6 s for the uncapped posting join (SCALING.md) — it

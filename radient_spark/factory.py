@@ -145,6 +145,9 @@ register("dedup", "repeated_ngram")(
 register("dedup", "first_arrival")(
     lambda **kw: functools.partial(dedup.lsh_first_arrival_flags, **kw)
 )
+register("dedup", "srp_first_arrival")(
+    lambda **kw: functools.partial(dedup.srp_first_arrival_flags, **kw)
+)
 
 # --- dataset curation (training-pipeline ops) -----------------------------
 

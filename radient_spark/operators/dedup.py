@@ -167,6 +167,93 @@ def lsh_buckets(
     ).select(id_col, "__b.band_idx", "__b.band_key")
 
 
+def first_arrival_flags_from_buckets(
+    buckets: DataFrame, id_col: str
+) -> DataFrame:
+    """Shared first-arrival fold over ANY (id, band_idx, band_key)
+    bucket table (text MinHash-LSH, embedding SRP, ...): bucket owner =
+    MIN(id); a row is flagged iff a lower id owns any of its buckets,
+    dup_of = the smallest such owner. One groupBy over bucket tuples +
+    a same-key join back (exchange reused) + a groupBy over flagged
+    ids — never all-pairs."""
+    owners = buckets.groupBy("band_idx", "band_key").agg(
+        F.min(id_col).alias("__owner")
+    )
+    return (
+        buckets.join(owners, ["band_idx", "band_key"])
+        .filter(F.col("__owner") < F.col(id_col))
+        .groupBy(id_col)
+        .agg(F.min("__owner").alias("dup_of"))
+    )
+
+
+def srp_buckets(
+    sigs: DataFrame,
+    id_col: str = "vec_id",
+    sim_col: str = "srp",
+    n_bits: int = 16,
+    bands: int = 4,
+) -> DataFrame:
+    """Pigeonhole band slices of an SRP/SimHash integer code as the
+    SHARED bucket schema (id, band_idx, band_key): band i's key is bits
+    [i*width, (i+1)*width) rendered as a string, so embedding buckets
+    drop into the same ownership folds and streaming state as text
+    LSH buckets."""
+    if n_bits % bands != 0:
+        raise ValueError(f"bands={bands} must divide n_bits={n_bits}")
+    width = n_bits // bands
+    mask = (1 << width) - 1
+    return sigs.select(
+        F.col(id_col),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band_idx"),
+                        F.shiftright(F.col(sim_col), i * width)
+                        .bitwiseAND(F.lit(mask))
+                        .cast("string")
+                        .alias("band_key"),
+                    )
+                    for i in range(bands)
+                ]
+            )
+        ).alias("__b"),
+    ).select(id_col, "__b.band_idx", "__b.band_key")
+
+
+def srp_first_arrival_flags(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    n_bits: int = 16,
+    bands: int = 4,
+    seed: int = 7,
+) -> DataFrame:
+    """Embedding-modality twin of lsh_first_arrival_flags: block on
+    ANGLE via sign-random-projection codes (Charikar SimHash for
+    vectors, operators/topk.srp_signature) instead of token shingles —
+    a vector is flagged iff any of its SRP band slices is owned by a
+    lower id. Returns (id_col, dup_of) for flagged rows only. Batch
+    replay of streaming.srp_dedup_sink under the same monotone-id
+    contract."""
+    from radient_spark.operators.topk import srp_signature
+
+    sigs = df.select(
+        F.col(id_col),
+        srp_signature(vec_col, dim=dim, n_bits=n_bits, seed=seed).alias(
+            "__srp"
+        ),
+    )
+    return first_arrival_flags_from_buckets(
+        srp_buckets(
+            sigs, id_col=id_col, sim_col="__srp", n_bits=n_bits, bands=bands
+        ),
+        id_col,
+    )
+
+
 def lsh_first_arrival_flags(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -199,17 +286,12 @@ def lsh_first_arrival_flags(
         shingle_k=shingle_k,
         out_col="__sig",
     ).select(id_col, "__sig")
-    buckets = lsh_buckets(
-        sigs, id_col=id_col, sig_col="__sig", bands=bands, num_hashes=num_hashes
-    )
-    owners = buckets.groupBy("band_idx", "band_key").agg(
-        F.min(id_col).alias("__owner")
-    )
-    return (
-        buckets.join(owners, ["band_idx", "band_key"])
-        .filter(F.col("__owner") < F.col(id_col))
-        .groupBy(id_col)
-        .agg(F.min("__owner").alias("dup_of"))
+    return first_arrival_flags_from_buckets(
+        lsh_buckets(
+            sigs, id_col=id_col, sig_col="__sig", bands=bands,
+            num_hashes=num_hashes,
+        ),
+        id_col,
     )
 
 

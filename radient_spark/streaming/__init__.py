@@ -1319,6 +1319,68 @@ def lsh_dedup_sink(
     """
     from radient_spark.operators.dedup import lsh_buckets, with_minhash
 
+    def bucket_fn(df: DataFrame) -> DataFrame:
+        sigs = with_minhash(
+            df.filter(F.length(F.trim(text_col)) > 0).select(id_col, text_col),
+            text_col=text_col,
+            num_hashes=num_hashes,
+            shingle_k=shingle_k,
+            out_col="__sig",
+        ).select(id_col, "__sig")
+        return lsh_buckets(
+            sigs, id_col=id_col, sig_col="__sig", bands=bands,
+            num_hashes=num_hashes,
+        )
+
+    return _first_arrival_sink(stream, dedup_dir, checkpoint, id_col, bucket_fn)
+
+
+def srp_dedup_sink(
+    stream: DataFrame,
+    dedup_dir: str,
+    checkpoint: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    n_bits: int = 16,
+    bands: int = 4,
+    seed: int = 7,
+):
+    """Embedding-modality twin of lsh_dedup_sink: continuous-ingestion
+    near-dup gate over an embedding column, blocking on ANGLE via
+    sign-random-projection codes (operators/topk.srp_signature ->
+    operators/dedup.srp_buckets) instead of token shingles. Identical
+    ownership algebra, state layout, crash contract, and stream ≡ batch
+    guarantee (batch replay: operators/dedup.srp_first_arrival_flags;
+    pinned by test_srp_dedup_sink_equals_batch_flags). The shared
+    (band_idx, band_key) bucket schema means the same read_lsh_flags
+    reader serves both gates."""
+    from radient_spark.operators.dedup import srp_buckets
+    from radient_spark.operators.topk import srp_signature
+
+    def bucket_fn(df: DataFrame) -> DataFrame:
+        sigs = df.select(
+            F.col(id_col),
+            srp_signature(vec_col, dim=dim, n_bits=n_bits, seed=seed).alias(
+                "__srp"
+            ),
+        )
+        return srp_buckets(
+            sigs, id_col=id_col, sim_col="__srp", n_bits=n_bits, bands=bands
+        )
+
+    return _first_arrival_sink(stream, dedup_dir, checkpoint, id_col, bucket_fn)
+
+
+def _first_arrival_sink(
+    stream: DataFrame,
+    dedup_dir: str,
+    checkpoint: str,
+    id_col: str,
+    bucket_fn,
+):
+    """The signature-agnostic first-arrival fold shared by the LSH and
+    SRP gates: bucket_fn(batch_df) -> (id, band_idx, band_key)."""
     tag = _epoch_tag(checkpoint)
     state_dir = f"{dedup_dir}/state"
     flags_dir = f"{dedup_dir}/flags"
@@ -1327,17 +1389,8 @@ def lsh_dedup_sink(
         spark = df.sparkSession
         if _epoch_committed(spark, state_dir, tag, epoch_id):
             return
-        sigs = with_minhash(
-            df.filter(F.length(F.trim(text_col)) > 0).select(id_col, text_col),
-            text_col=text_col,
-            num_hashes=num_hashes,
-            shingle_k=shingle_k,
-            out_col="__sig",
-        ).select(id_col, "__sig")
-        buckets = lsh_buckets(
-            sigs, id_col=id_col, sig_col="__sig", bands=bands,
-            num_hashes=num_hashes,
-        ).localCheckpoint(eager=True)  # read twice: ownership fold + flag join
+        # read twice: ownership fold + flag join
+        buckets = bucket_fn(df).localCheckpoint(eager=True)
         keys = ["band_idx", "band_key"]
         batch_owner = buckets.groupBy(*keys).agg(
             F.min(id_col).alias("owner")

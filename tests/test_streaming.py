@@ -1201,3 +1201,46 @@ def test_lsh_dedup_sink_equals_batch_flags(spark, tmp_path):
         .collect()
     )
     assert got_state == exp_state
+
+
+def test_srp_dedup_sink_equals_batch_flags(spark, tmp_path):
+    """Embedding twin of the LSH gate: three micro-batch rounds of
+    vectors through srp_dedup_sink must reproduce
+    srp_first_arrival_flags over the union — same min-fold argument,
+    angle blocking instead of token blocking."""
+    import math
+
+    from radient_spark.operators.dedup import srp_first_arrival_flags
+
+    def vec(i):
+        if i % 4 == 3:
+            return vec(i - 3)  # exact duplicate -> all bands collide
+        # distinct directions spread around the circle, embedded in 8-d
+        a = 2.0 * math.pi * (i * 37 % 97) / 97.0
+        v = [math.cos(a), math.sin(a)] + [((i * j) % 5 - 2) / 10.0 for j in range(6)]
+        return [float(x) for x in v]
+
+    rows = [(i, vec(i)) for i in range(48)]
+    schema = "vec_id bigint, embedding array<float>"
+    in_dir = str(tmp_path / "srp_in")
+    dd = str(tmp_path / "srp_dedup")
+    ck = str(tmp_path / "srp_ck")
+    kw = dict(dim=8, n_bits=16, bands=4, seed=7)
+
+    for lo, hi in [(0, 16), (16, 36), (36, 48)]:
+        spark.createDataFrame(rows[lo:hi], schema).write.mode("append").parquet(in_dir)
+        q = streaming.srp_dedup_sink(
+            spark.readStream.schema(schema).parquet(in_dir), dd, ck, **kw
+        )
+        q.awaitTermination(120)
+
+    all_rows = spark.createDataFrame(rows, schema)
+    exp = sorted(
+        tuple(r) for r in srp_first_arrival_flags(all_rows, **kw).collect()
+    )
+    got = sorted(
+        tuple(r)
+        for r in streaming.read_lsh_flags(spark, dd, id_col="vec_id").collect()
+    )
+    assert got == exp
+    assert len(exp) >= 12  # the exact-duplicate rows are always caught
