@@ -267,10 +267,38 @@ def _contaminated(load1: float | None, ncpus: int) -> bool:
     return load1 > max(2.0, _CONTAMINATION_LOAD_FRACTION * ncpus)
 
 
+def _cpu_ticks() -> list[int] | None:
+    """Aggregate /proc/stat cpu ticks (user..steal), None without /proc."""
+    try:
+        with open("/proc/stat") as f:
+            return [int(x) for x in f.readline().split()[1:9]]
+    except Exception:
+        return None
+
+
+# A virtualized host can be slowed by a NOISY NEIGHBOR without any
+# process showing up in loadavg — the hypervisor just stops scheduling
+# the vCPUs (round-10: a clean-loadavg sweep came out a uniform ~1.2x
+# over its predecessor; steal time is the only guest-visible receipt).
+# Steal above this fraction of non-idle ticks across the sweep flags
+# the artifact exactly like a busy pre-sweep loadavg does.
+_CONTAMINATION_STEAL_FRACTION = 0.05
+
+
+def _steal_fraction(before: list[int] | None, after: list[int] | None):
+    """Steal ticks / busy (non-idle) ticks across the sweep, else None."""
+    if not before or not after:
+        return None
+    d = [b - a for a, b in zip(before, after)]
+    busy = sum(d) - d[3]  # drop the idle column
+    return (d[7] / busy) if busy > 0 else 0.0
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     load_before = _loadavg()  # sampled BEFORE any Spark work starts
+    ticks_before = _cpu_ticks()
     spark = get_session("radient_spark_bench")
 
     # Warm the JVM/scan path AND the Python worker pool once, so
@@ -449,9 +477,14 @@ def main() -> None:
     steady = {**timings, **warm}
     best = {**timings, **warm_min}
     load_after = _loadavg()
+    ticks_after = _cpu_ticks()
     ncpus = os.cpu_count() or 1
+    steal_frac = _steal_fraction(ticks_before, ticks_after)
     contaminated = _contaminated(
         load_before[0] if load_before else None, ncpus
+    ) or (
+        steal_frac is not None
+        and steal_frac > _CONTAMINATION_STEAL_FRACTION
     )
     full = {
         "metric": "radient_spark_headline_queries",
@@ -465,6 +498,9 @@ def main() -> None:
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "loadavg_before": load_before,
         "loadavg_after": load_after,
+        "steal_fraction": (
+            round(steal_frac, 5) if steal_frac is not None else None
+        ),
         "ncpus": ncpus,
         "contaminated": contaminated,
     }
