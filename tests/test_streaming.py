@@ -1244,3 +1244,58 @@ def test_srp_dedup_sink_equals_batch_flags(spark, tmp_path):
     )
     assert got == exp
     assert len(exp) >= 12  # the exact-duplicate rows are always caught
+
+
+def test_first_arrival_sink_replay_is_noop(spark, tmp_path):
+    """Crash contract of the near-dup gates: a batch replayed AFTER its
+    state commit (crash before the streaming checkpoint landed) must
+    change nothing — no re-folded state, no duplicate flag rows beyond
+    the documented same-epoch re-append, which read_lsh_flags dedupes."""
+    from radient_spark import streaming as S
+
+    rows = [(i, f"common shared text tail {'x' if i % 2 else 'y'}") for i in range(12)]
+    schema = "doc_id bigint, text string"
+    in_dir, dd, ck = (
+        str(tmp_path / "in"), str(tmp_path / "dd"), str(tmp_path / "ck")
+    )
+    spark.createDataFrame(rows, schema).write.mode("append").parquet(in_dir)
+    q = S.lsh_dedup_sink(
+        spark.readStream.schema(schema).parquet(in_dir), dd, ck,
+        num_hashes=8, shingle_k=2, bands=4,
+    )
+    q.awaitTermination(120)
+    state_before = sorted(
+        tuple(r) for r in spark.read.parquet(f"{dd}/state")
+        .select("band_idx", "band_key", "owner").collect()
+    )
+    flags_before = sorted(
+        tuple(r) for r in S.read_lsh_flags(spark, dd).collect()
+    )
+    # replay epoch 0 by re-running the SAME checkpointed query over the
+    # unchanged input: every batch re-delivered must hit the epoch
+    # marker and no-op
+    q2 = S.lsh_dedup_sink(
+        spark.readStream.schema(schema).parquet(in_dir), dd, ck,
+        num_hashes=8, shingle_k=2, bands=4,
+    )
+    q2.awaitTermination(120)
+    # harsher replay: a NEW checkpoint over the same input re-delivers
+    # everything as epoch 0 under a DIFFERENT tag, so the epoch marker
+    # does NOT short-circuit and the fold itself must be idempotent
+    # (min-fold re-folds to the same state; flags re-append identical
+    # rows, which the reader dedupes)
+    q3 = S.lsh_dedup_sink(
+        spark.readStream.schema(schema).parquet(in_dir), dd,
+        str(tmp_path / "ck2"),
+        num_hashes=8, shingle_k=2, bands=4,
+    )
+    q3.awaitTermination(120)
+    state_after = sorted(
+        tuple(r) for r in spark.read.parquet(f"{dd}/state")
+        .select("band_idx", "band_key", "owner").collect()
+    )
+    flags_after = sorted(
+        tuple(r) for r in S.read_lsh_flags(spark, dd).collect()
+    )
+    assert state_after == state_before
+    assert flags_after == flags_before
