@@ -280,6 +280,39 @@ def main() -> None:
             ),
             n_evs,
         )
+        # 6. integer PageRank over a synthetic 3-out-regular digraph on
+        # the scaled doc ids: every copy keeps its edges internal
+        # (targets hash back into the same copy's id range), so nodes
+        # AND edges grow k x at constant degree — the shape that
+        # isolates the per-round shuffle slope from graph densification
+        from radient_spark.operators.graph import pagerank_integer
+
+        per_copy = max(1, n_docs // k)
+        orig = F.col("doc_id") % 10_000_000
+        offset = F.col("doc_id") - orig
+        pr_edges = docs.select(
+            F.col("doc_id").alias("src"),
+            F.explode(
+                F.array(
+                    *[
+                        (
+                            offset
+                            + F.abs(F.xxhash64("doc_id", F.lit(j)))
+                            % per_copy
+                        ).alias(f"t{j}")
+                        for j in range(3)
+                    ]
+                )
+            ).alias("dst"),
+        ).localCheckpoint(eager=True)  # edge gen outside the timed fold
+        record(
+            "pagerank_int",
+            k,
+            _timed(lambda: _noop(pagerank_integer(pr_edges, iters=2)), runs),
+            n_docs * 3,
+        )
+        spark.catalog.clearCache()
+
         shutil.rmtree(os.path.join(base, f"x{k}"), ignore_errors=True)
 
     # markdown table for SCALING.md
