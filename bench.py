@@ -268,10 +268,17 @@ def _contaminated(load1: float | None, ncpus: int) -> bool:
 
 
 def _cpu_ticks() -> list[int] | None:
-    """Aggregate /proc/stat cpu ticks (user..steal), None without /proc."""
+    """Aggregate /proc/stat cpu ticks (user..steal), None without /proc.
+
+    Returns None unless all 8 fields (user nice system idle iowait irq
+    softirq steal) parse — a kernel/container whose aggregate cpu line
+    is shorter would otherwise crash _steal_fraction's d[7] at the very
+    end of the sweep (ADVICE r10).
+    """
     try:
         with open("/proc/stat") as f:
-            return [int(x) for x in f.readline().split()[1:9]]
+            ticks = [int(x) for x in f.readline().split()[1:9]]
+        return ticks if len(ticks) == 8 else None
     except Exception:
         return None
 
@@ -286,15 +293,21 @@ _CONTAMINATION_STEAL_FRACTION = 0.05
 
 
 def _steal_fraction(before: list[int] | None, after: list[int] | None):
-    """Steal ticks / busy (non-idle) ticks across the sweep, else None."""
+    """Steal ticks / busy ticks across the sweep, else None.
+
+    Busy excludes idle AND iowait: iowait is time the CPU was free but a
+    task was blocked on IO, so counting it as busy would understate the
+    steal fraction on IO-heavy sweeps and weaken the 5% gate (ADVICE
+    r10).
+    """
     if not before or not after:
         return None
     d = [b - a for a, b in zip(before, after)]
-    busy = sum(d) - d[3]  # drop the idle column
+    busy = sum(d) - d[3] - d[4]  # drop idle and iowait
     return (d[7] / busy) if busy > 0 else 0.0
 
 
-def main() -> None:
+def main() -> dict:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     load_before = _loadavg()  # sampled BEFORE any Spark work starts
@@ -526,7 +539,80 @@ def main() -> None:
     line = json.dumps(compact)
     assert len(line) < 1500, f"bench summary line too long ({len(line)} chars)"
     print(line)
+    return full
+
+
+def _quiet_now(sample_sec: float = 10.0) -> tuple[bool, str]:
+    """One instantaneous quiet-window probe: loadavg + short steal sample.
+
+    Returns (quiet, reason). Cheap enough to poll between attempts so the
+    expensive sweep only launches into a window that already looks clean —
+    the sweep's own end-to-end steal/loadavg capture remains the
+    authoritative contamination verdict.
+    """
+    ncpus = os.cpu_count() or 1
+    load = _loadavg()
+    if load is not None and _contaminated(load[0], ncpus):
+        return False, f"loadavg {load[0]:.2f} busy for {ncpus} cpus"
+    before = _cpu_ticks()
+    time.sleep(sample_sec)
+    after = _cpu_ticks()
+    if before and after:
+        d = [b - a for a, b in zip(before, after)]
+        total = sum(d)
+        # steal / TOTAL capacity, not steal/busy: this probe runs while
+        # the guest is idle, so busy ticks ~ 0 and steal/busy saturates
+        # at ~100% on harmlessly tiny steal. The in-sweep gate keeps
+        # steal/busy (the guest is saturated there, so busy ~ total).
+        frac = d[7] / total if total > 0 else 0.0
+        if frac > _CONTAMINATION_STEAL_FRACTION:
+            return False, f"steal {frac:.1%} of capacity over {sample_sec:.0f}s"
+    return True, "quiet"
+
+
+def watch(max_attempts: int = 6, poll_sec: float = 60.0) -> dict | None:
+    """Retry the sweep until it lands in a quiet window (VERDICT r10 #2).
+
+    Polls loadavg + hypervisor steal until the host looks quiet, runs the
+    full sweep, and accepts the artifact only if its own end-to-end
+    capture says contaminated=false. Contaminated attempts leave
+    BENCH_local.json on disk (last attempt wins) but are reported as
+    rejected; the caller should only promote an accepted artifact.
+    """
+    for attempt in range(1, max_attempts + 1):
+        quiet, reason = _quiet_now()
+        while not quiet:
+            print(
+                json.dumps(
+                    {"watch": "waiting", "attempt": attempt, "reason": reason}
+                ),
+                file=sys.stderr,
+            )
+            time.sleep(poll_sec)
+            quiet, reason = _quiet_now()
+        full = main()
+        if not full["contaminated"]:
+            print(
+                json.dumps({"watch": "accepted", "attempt": attempt}),
+                file=sys.stderr,
+            )
+            return full
+        print(
+            json.dumps(
+                {
+                    "watch": "rejected",
+                    "attempt": attempt,
+                    "steal_fraction": full["steal_fraction"],
+                    "loadavg_before": full["loadavg_before"],
+                }
+            ),
+            file=sys.stderr,
+        )
+    print(json.dumps({"watch": "exhausted"}), file=sys.stderr)
+    return None
 
 
 if __name__ == "__main__":
+    if "--watch" in sys.argv[1:]:
+        sys.exit(0 if watch() is not None else 1)
     main()

@@ -1153,6 +1153,20 @@ class AnnIndex:
             build_metric=meta.get("build_metric", "euclidean"),
         )
 
+    def forest_nbytes(self) -> int:
+        """Serialized footprint of the hyperplane forest — the exact
+        object `search_df` broadcasts ([(depth, nodes)] per tree) and
+        `search` walks on the driver. SCALING.md's "few-KB forest" claim
+        holds only below `forest_crossover_rows`; scripts/scale_probe.py
+        reports this number alongside build seconds so the growth is
+        measured, not assumed."""
+        import pickle
+
+        return len(pickle.dumps([(t.depth, t.nodes) for t in self.trees]))
+
+    def n_nodes(self) -> int:
+        return sum(len(t.nodes) for t in self.trees)
+
     def _resolve_metric(self, metric: str | None) -> str:
         """metric=None -> the scoring metric matching the build geometry
         (cosine forest -> cosine scores, euclidean/lp forest -> l2), so
@@ -1292,3 +1306,28 @@ class AnnIndex:
             ["qid", "id"]
         )
         return _rerank_topk(cand, k, metric)
+
+
+def forest_crossover_rows(
+    dim: int,
+    max_leaf_size: int = MAX_LEAF_SIZE,
+    n_trees: int = 2,
+    budget_bytes: int = 512 << 20,
+    node_overhead_bytes: int = 120,
+) -> int:
+    """Corpus rows at which the broadcast forest outgrows `budget_bytes`.
+
+    The forest stores one (hyperplane, cutoff) node per internal tree
+    node: ~2^depth - 1 ≈ n / max_leaf_size nodes per tree, each costing
+    dim float64 weights plus ~120 B of pickle/dict structure (validated
+    against AnnIndex.forest_nbytes by tests/test_forest_ceiling.py;
+    spill widens LEAF row counts, not node counts). Above the returned
+    n, the per-level driver cut collect (AnnIndex.build) and the
+    search-time broadcast stop being "few KB" (VERDICT r10 watch item):
+    switch to the IVF / lattice-IVF path, whose broadcast state is
+    k ≈ √n centroids — O(√n·d) instead of O(n/leaf·d). See SCALING.md
+    "forest metadata ceiling" for the worked table.
+    """
+    per_node = dim * 8 + node_overhead_bytes
+    nodes_per_tree = budget_bytes / (per_node * n_trees)
+    return int(nodes_per_tree * max_leaf_size)

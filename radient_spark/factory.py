@@ -45,6 +45,7 @@ def make_operator(
     vectorizer: hashing | fingerprint | multimodal | sbert | text | ...
     transform:  video_demux | video-demux | speech-to-text | ...
     dedup:      exact | minhash | simhash | repeated_ngram | first_arrival
+                | srp_first_arrival
     dataset:    hash_split | pack | decontaminate-free curation ops
     source/sink: local | youtube | ingest | milvus | mongodb
 

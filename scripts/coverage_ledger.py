@@ -50,13 +50,22 @@ def status_of(rec: dict) -> str:
     return "RED"
 
 
-def main() -> None:
+def render() -> str:
+    """The ledger text as a pure function of disk state.
+
+    tests/test_coverage_ledger.py regenerates this in-memory and compares
+    byte-for-byte with the committed COVERAGE_LEDGER.md, so a new
+    CORRECTNESS_r*.json landing (or a registry change) makes the suite
+    fail until the ledger is regenerated — staleness is structurally
+    impossible to ship (VERDICT r10 #1).
+    """
     from radient_spark.queries import QUERIES
 
     hist = load_history()
     names = list(QUERIES)
     never = [n for n in names if n not in hist]
     latest_red = []
+    consumed = sorted(glob.glob("CORRECTNESS_r*.json"))
     lines = [
         "# COVERAGE_LEDGER — mechanically generated, do not hand-edit",
         "",
@@ -64,6 +73,8 @@ def main() -> None:
         "truth for every rotation claim: per-query driver rounds checked",
         "and latest driver status, parsed from CORRECTNESS_r*.json",
         "(top-level query-name keys only).",
+        "",
+        "Consumed: " + ", ".join(consumed),
         "",
         f"Registry: {len(names)} queries. Ever driver-checked: "
         f"{len(names) - len(never)}. Never checked: {len(never)}.",
@@ -88,12 +99,15 @@ def main() -> None:
         f"Never-checked ({len(never)}): " + (", ".join(never) or "none"),
         "",
     ]
+    return "\n".join(lines)
+
+
+def main() -> None:
+    text = render()
     with open("COVERAGE_LEDGER.md", "w") as f:
-        f.write("\n".join(lines))
-    print(
-        f"wrote COVERAGE_LEDGER.md: {len(names)} queries, "
-        f"{len(never)} never-checked, {len(latest_red)} latest-non-green"
-    )
+        f.write(text)
+    summary = [ln for ln in text.splitlines() if ln.startswith("Registry:")][0]
+    print(f"wrote COVERAGE_LEDGER.md: {summary}")
 
 
 if __name__ == "__main__":

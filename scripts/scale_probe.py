@@ -58,6 +58,11 @@ from radient_spark.session import get_session  # noqa: E402
 
 ALPHA = "aeiourstln"  # letters whose per-copy permutation perturbs text
 SPLITS = 32  # constant write parallelism: slope measures data, not layout
+# One id-offset stride shared by the copy generator AND every consumer
+# that re-derives the copy from an id (the PageRank edge generator):
+# diverging constants would silently collapse offsets and let edges
+# cross copies, invalidating the constant-degree shape (ADVICE r10).
+COPY_STRIDE = 10_000_000
 
 
 def _perturb_text(col, copy: int):
@@ -72,10 +77,19 @@ def _synth(spark, sf_dir: str, k: int, out_dir: str) -> dict[str, str]:
     from radient_spark.catalog import load_tables
 
     t = load_tables(spark, sf_dir)
+    max_ids = t["documents"].agg(
+        F.max("doc_id").alias("d"),
+    ).unionByName(
+        t["embeddings"].agg(F.max("vec_id").alias("d"))
+    ).agg(F.max("d")).first()[0]
+    assert max_ids < COPY_STRIDE, (
+        f"base corpus ids reach {max_ids} >= COPY_STRIDE {COPY_STRIDE}: "
+        "copies would overlap and edges would cross copies"
+    )
     paths = {}
     docs = [
         t["documents"].select(
-            (F.col("doc_id") + F.lit(c * 10_000_000)).alias("doc_id"),
+            (F.col("doc_id") + F.lit(c * COPY_STRIDE)).alias("doc_id"),
             "source",
             "lang",
             _perturb_text(F.col("text"), c).alias("text"),
@@ -84,7 +98,7 @@ def _synth(spark, sf_dir: str, k: int, out_dir: str) -> dict[str, str]:
     ]
     embs = [
         t["embeddings"].select(
-            (F.col("vec_id") + F.lit(c * 10_000_000)).alias("vec_id"),
+            (F.col("vec_id") + F.lit(c * COPY_STRIDE)).alias("vec_id"),
             F.transform(
                 "embedding",
                 lambda x, i: (
@@ -225,6 +239,21 @@ def main() -> None:
         ann_path = os.path.join(base, f"x{k}", "ann_index")
         index.save(ann_path)
         record("ann_build", k, round(time.perf_counter() - start, 3), n_embs)
+        # Forest-metadata growth (VERDICT r10 watch item / r11 task 3):
+        # the broadcast forest + per-level driver cut collect scale with
+        # leaf count (~n/leaf), so report the measured bytes alongside
+        # seconds — SCALING.md's crossover table is pinned to these.
+        print(
+            json.dumps(
+                {
+                    "probe": "ann_forest_meta",
+                    "scale": k,
+                    "forest_bytes": index.forest_nbytes(),
+                    "forest_nodes": index.n_nodes(),
+                    "rows": n_embs,
+                }
+            )
+        )
         index = AnnIndex.load(spark, ann_path)
         record(
             "ann_search",
@@ -288,7 +317,7 @@ def main() -> None:
         from radient_spark.operators.graph import pagerank_integer
 
         per_copy = max(1, n_docs // k)
-        orig = F.col("doc_id") % 10_000_000
+        orig = F.col("doc_id") % COPY_STRIDE
         offset = F.col("doc_id") - orig
         pr_edges = docs.select(
             F.col("doc_id").alias("src"),

@@ -46,3 +46,62 @@ def test_steal_fraction():
 def test_cpu_ticks_shape():
     t = bench._cpu_ticks()
     assert t is None or (len(t) == 8 and all(x >= 0 for x in t))
+
+
+def test_steal_fraction_excludes_iowait():
+    # ADVICE r10: iowait is time the CPU sat free while a task blocked on
+    # IO — counting it as busy dilutes the steal signal on IO-heavy
+    # sweeps. busy delta here = 100 user + 100 steal (900 iowait and
+    # 1000 idle both excluded) -> 50%, not 100/1100.
+    before = [0, 0, 0, 0, 0, 0, 0, 0]
+    after = [100, 0, 0, 1000, 900, 0, 0, 100]
+    assert abs(bench._steal_fraction(before, after) - 0.5) < 1e-9
+
+
+def test_cpu_ticks_short_line(tmp_path, monkeypatch):
+    # A /proc/stat cpu line with <8 fields must yield None, not a later
+    # IndexError in _steal_fraction (ADVICE r10).
+    p = tmp_path / "stat"
+    p.write_text("cpu 1 2 3 4\n")
+    real_open = open
+    monkeypatch.setattr(
+        "builtins.open",
+        lambda f, *a, **k: real_open(p if f == "/proc/stat" else f, *a, **k),
+    )
+    assert bench._cpu_ticks() is None
+
+
+def test_watch_accepts_clean_and_rejects_contaminated(monkeypatch):
+    # watch() must only promote an artifact whose own end-to-end capture
+    # says contaminated=false, retrying otherwise.
+    outcomes = iter([True, False])  # first sweep contaminated, second clean
+    runs = []
+
+    def fake_main():
+        c = next(outcomes)
+        runs.append(c)
+        return {
+            "contaminated": c,
+            "steal_fraction": 0.2 if c else 0.001,
+            "loadavg_before": [0.0, 0.0, 0.0],
+        }
+
+    monkeypatch.setattr(bench, "main", fake_main)
+    monkeypatch.setattr(bench, "_quiet_now", lambda **k: (True, "quiet"))
+    out = bench.watch(max_attempts=3, poll_sec=0)
+    assert out is not None and out["contaminated"] is False
+    assert runs == [True, False]
+
+
+def test_watch_exhausts(monkeypatch):
+    monkeypatch.setattr(
+        bench,
+        "main",
+        lambda: {
+            "contaminated": True,
+            "steal_fraction": 0.3,
+            "loadavg_before": [9.0, 9.0, 9.0],
+        },
+    )
+    monkeypatch.setattr(bench, "_quiet_now", lambda **k: (True, "quiet"))
+    assert bench.watch(max_attempts=2, poll_sec=0) is None
