@@ -114,6 +114,37 @@ def main() -> None:
     print("handoff fingerprint:")
     fp.show(truncate=False)
 
+    # 8. embedding near-dup gate through the factory (round-10 surface):
+    # sign-random-projection angle blocking, first-arrival ownership —
+    # the batch replay of streaming.srp_dedup_sink. A vector is flagged
+    # iff a lower id owns any of its SRP band buckets.
+    from radient_spark.factory import make_operator
+
+    emb = load_tables(spark, SF_DIR)["embeddings"]
+    srp_gate = make_operator(
+        "dedup", "srp_first_arrival", dim=64, n_bits=16, bands=4, seed=7
+    )
+    flagged = srp_gate(emb)
+    print(f"embedding near-dups flagged: {flagged.count()}")
+    flagged.orderBy("vec_id").show(5)
+
+    # 9. vector top-k through the SQL front door (round-10 surface):
+    # cosine as an INLINED SQL scalar function — whole-stage codegen,
+    # no Python boundary; `ORDER BY cosine_distance(vec, q) LIMIT k`
+    # works verbatim.
+    from radient_spark.queries import register_sql_vector_functions
+
+    emb.createOrReplaceTempView("demo_embeddings")
+    register_sql_vector_functions(spark)
+    print("SQL cosine top-5 neighbors of vec_id 0:")
+    spark.sql("""
+      WITH q AS (SELECT embedding AS qvec FROM demo_embeddings WHERE vec_id = 0)
+      SELECT e.vec_id, ROUND(cosine_distance(e.embedding, q.qvec), 6) AS dist
+      FROM demo_embeddings e CROSS JOIN q
+      WHERE e.vec_id != 0
+      ORDER BY dist ASC, e.vec_id ASC LIMIT 5
+    """).show()
+
 
 if __name__ == "__main__":
     main()

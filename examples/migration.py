@@ -111,6 +111,26 @@ def main() -> None:
     qdf = emb.limit(2).select(F.col("id").alias("qid"), F.col("vector").alias("qvec"))
     print("ANN search_df:", index.search_df(qdf, k=2).count(), "hits")
 
+    # Past ~10^7-10^8 rows the forest's broadcast metadata outgrows its
+    # budget (SCALING.md "forest metadata ceiling") — the scale path is
+    # the lattice IVF (round-10 surface): integer micro-lattice
+    # centroids (exact SQL-replayable build), ~sqrt(n)-sized centroid
+    # broadcast instead of the n/leaf-sized forest.
+    from radient_spark.ann import IvfIndex
+
+    lat = IvfIndex.build_lattice(emb, n_cells=8, seed=42)
+    lat_hits = lat.search(
+        [(0, list(first["vector"]))], k=3, n_probes=3
+    ).collect()
+    print("lattice IVF search:", [(r["id"], r["score"]) for r in lat_hits])
+
+    # Continuous ingestion twin (round-10 surface): the SAME first-
+    # arrival ownership algebra as operators/dedup runs as an always-on
+    # stream — streaming.lsh_dedup_sink / srp_dedup_sink append O(batch)
+    # claim deltas and compact periodically; flags accumulate per epoch.
+    # (See tests/test_streaming.py::test_lsh_dedup_sink_equals_batch_flags
+    # for the stream ≡ batch bit-equality contract.)
+
     # ------------------------------------------------------------------
     # reference (vectorizers/audio/imagebind.py + image/imagebind.py):
     # waveform -> 2 s clips -> (128, 204) log-mels; image -> 224 CLIP

@@ -29,6 +29,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+_COMPACT_EVERY = 16  # first-arrival claim-log deltas folded into base every N batches
+
 
 def read_event_stream(
     spark,
@@ -1284,6 +1286,7 @@ def lsh_dedup_sink(
     num_hashes: int = 16,
     shingle_k: int = 3,
     bands: int = 4,
+    compact_every: int = _COMPACT_EVERY,
 ):
     """Streaming NEAR-duplicate gate: the continuous-ingestion version of
     operators/dedup.lsh_first_arrival_flags (dedup_stream above only
@@ -1332,7 +1335,9 @@ def lsh_dedup_sink(
             num_hashes=num_hashes,
         )
 
-    return _first_arrival_sink(stream, dedup_dir, checkpoint, id_col, bucket_fn)
+    return _first_arrival_sink(
+        stream, dedup_dir, checkpoint, id_col, bucket_fn, compact_every
+    )
 
 
 def srp_dedup_sink(
@@ -1345,6 +1350,7 @@ def srp_dedup_sink(
     n_bits: int = 16,
     bands: int = 4,
     seed: int = 7,
+    compact_every: int = _COMPACT_EVERY,
 ):
     """Embedding-modality twin of lsh_dedup_sink: continuous-ingestion
     near-dup gate over an embedding column, blocking on ANGLE via
@@ -1369,7 +1375,81 @@ def srp_dedup_sink(
             sigs, id_col=id_col, sim_col="__srp", n_bits=n_bits, bands=bands
         )
 
-    return _first_arrival_sink(stream, dedup_dir, checkpoint, id_col, bucket_fn)
+    return _first_arrival_sink(
+        stream, dedup_dir, checkpoint, id_col, bucket_fn, compact_every
+    )
+
+
+def _list_state_parts(spark, state_dir: str) -> list[str]:
+    """Committed claim-log parts under state_dir: base/ + delta-*/.
+
+    Rolls an interrupted base compaction forward first; names like
+    base.staging / base.old are never listed, so a mid-compaction crash
+    is invisible to readers."""
+    _recover_state(spark, f"{state_dir}/base")
+    P, fs = _state_fs(spark, state_dir)
+    if not fs.exists(P(state_dir)):
+        return []
+    out = []
+    for st in fs.listStatus(P(state_dir)):
+        name = st.getPath().getName()
+        if name == "base" or name.startswith("delta-"):
+            out.append(f"{state_dir}/{name}")
+    return sorted(out)
+
+
+def _stamp_epoch(spark, state_dir: str, tag: str, epoch_id: int) -> None:
+    P, fs = _state_fs(spark, state_dir)
+    fs.mkdirs(P(state_dir))
+    fs.create(P(f"{state_dir}/_EPOCH-{tag}-{int(epoch_id)}"), True).close()
+
+
+def _fold_claims(parts_df: DataFrame) -> DataFrame:
+    return parts_df.groupBy("band_idx", "band_key").agg(
+        F.min("owner").alias("owner")
+    )
+
+
+def read_first_arrival_state(spark, dedup_dir: str) -> DataFrame:
+    """The folded bucket-ownership table (band_idx, band_key, owner) of
+    an lsh_dedup_sink / srp_dedup_sink: min over the base + delta claim
+    log. One row per key regardless of how many claims (or crash
+    replays under a new checkpoint) the log holds."""
+    parts = _list_state_parts(spark, f"{dedup_dir}/state")
+    if not parts:
+        raise FileNotFoundError(f"no first-arrival state under {dedup_dir}")
+    return _fold_claims(spark.read.parquet(*parts))
+
+
+def _compact_first_arrival(
+    spark, state_dir: str, tag: str, epoch_id: int, every: int
+) -> None:
+    """Fold base + deltas into a fresh base when the delta count reaches
+    `every`; amortized O(state/every) per batch. Every crash window is
+    safe because a claim log is idempotent under min: an interrupted
+    staging write leaves old parts intact; an interrupted swap is rolled
+    forward by _list_state_parts; deltas surviving a crash after the
+    swap simply re-fold into the (already folded) base next time."""
+    parts = _list_state_parts(spark, state_dir)
+    deltas = [p for p in parts if "/delta-" in p]
+    if len(deltas) < every:
+        return
+    folded = _fold_claims(spark.read.parquet(*parts))
+    _commit_state(folded, f"{state_dir}/base", tag, int(epoch_id))
+    P, fs = _state_fs(spark, state_dir)
+    for d in deltas:
+        fs.delete(P(d), True)
+    # trim epoch markers beyond any replayable horizon (a restart only
+    # ever re-delivers the last uncommitted batch)
+    for st in fs.listStatus(P(state_dir)):
+        name = st.getPath().getName()
+        if name.startswith("_EPOCH-"):
+            try:
+                ep = int(name.rsplit("-", 1)[1])
+            except ValueError:
+                continue
+            if ep < int(epoch_id) - 8:
+                fs.delete(st.getPath(), False)
 
 
 def _first_arrival_sink(
@@ -1378,9 +1458,25 @@ def _first_arrival_sink(
     checkpoint: str,
     id_col: str,
     bucket_fn,
+    compact_every: int = _COMPACT_EVERY,
 ):
     """The signature-agnostic first-arrival fold shared by the LSH and
-    SRP gates: bucket_fn(batch_df) -> (id, band_idx, band_key)."""
+    SRP gates: bucket_fn(batch_df) -> (id, band_idx, band_key).
+
+    State is an append-only CLAIM LOG (round 11, closing VERDICT r10
+    task 4): base/ (compacted) + one delta-<tag>-<epoch>/ per batch,
+    where each delta holds only THIS batch's keys with their now-folded
+    owners. Ownership of a key is min(owner) over every claim in the
+    log — commutative, idempotent, crash-tolerant (duplicate claims
+    from replays change nothing). The previous layout rewrote the FULL
+    folded table every batch, i.e. O(total distinct keys ever seen)
+    write amplification per batch; the log writes O(batch) and pays the
+    fold cost only at compaction, every `compact_every` batches
+    (measured: scripts/stream_longevity_probe.py; pinned:
+    tests/test_streaming.py::test_first_arrival_state_log_is_o_batch).
+    The per-batch prior-owner lookup still READS base+deltas, but as a
+    semi join probed by batch keys — map-side under AQE, and at 100 TB
+    the base is bucketed by band_key so the probe is co-located."""
     tag = _epoch_tag(checkpoint)
     state_dir = f"{dedup_dir}/state"
     flags_dir = f"{dedup_dir}/flags"
@@ -1395,23 +1491,20 @@ def _first_arrival_sink(
         batch_owner = buckets.groupBy(*keys).agg(
             F.min(id_col).alias("owner")
         )
-        if _state_exists(spark, state_dir):
-            prev = spark.read.parquet(state_dir)
-            # prior owners for THIS batch's keys only (state never
+        parts = _list_state_parts(spark, state_dir)
+        if parts:
+            prev = spark.read.parquet(*parts)
+            # prior claims for THIS batch's keys only (state never
             # shuffles: batch keys probe it map-side under AQE)
             hits = prev.join(batch_owner.select(*keys), keys, "left_semi")
             owner_now = (
                 batch_owner.unionByName(hits)
                 .groupBy(*keys)
                 .agg(F.min("owner").alias("owner"))
-                .localCheckpoint(eager=True)  # used by flag join AND state
+                .localCheckpoint(eager=True)  # used by flag join AND delta
             )
-            new_state = prev.join(
-                batch_owner.select(*keys), keys, "left_anti"
-            ).unionByName(owner_now)
         else:
             owner_now = batch_owner.localCheckpoint(eager=True)
-            new_state = owner_now
         flags = (
             buckets.join(owner_now, keys)
             .filter(F.col("owner") < F.col(id_col))
@@ -1419,12 +1512,19 @@ def _first_arrival_sink(
             .agg(F.min("owner").alias("dup_of"))
             .select(F.lit(int(epoch_id)).alias("epoch"), id_col, "dup_of")
         )
-        # flags must land BEFORE the state swap: a crash between them
+        # flags must land BEFORE the state commit: a crash between them
         # replays the whole batch (epoch marker not yet stamped), which
         # re-appends identical rows — readers dedupe by id. The reverse
-        # order would let a committed state swap skip the flag append.
+        # order would let a committed state delta skip the flag append.
         flags.write.mode("append").parquet(flags_dir)
-        _commit_state(new_state, state_dir, tag, epoch_id)
+        # O(batch) state append: only the batch's keys land in the
+        # delta. overwrite (not append) so a same-tag replay of this
+        # epoch rewrites the identical delta instead of duplicating it.
+        owner_now.write.mode("overwrite").parquet(
+            f"{state_dir}/delta-{tag}-{int(epoch_id)}"
+        )
+        _stamp_epoch(spark, state_dir, tag, epoch_id)
+        _compact_first_arrival(spark, state_dir, tag, epoch_id, compact_every)
 
     return foreach_batch_sink(stream, checkpoint, batch_fn)
 

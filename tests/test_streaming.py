@@ -1196,7 +1196,7 @@ def test_lsh_dedup_sink_equals_batch_flags(spark, tmp_path):
     )
     got_state = sorted(
         tuple(r)
-        for r in spark.read.parquet(f"{dd}/state")
+        for r in streaming.read_first_arrival_state(spark, dd)
         .select("band_idx", "band_key", "owner")
         .collect()
     )
@@ -1265,7 +1265,7 @@ def test_first_arrival_sink_replay_is_noop(spark, tmp_path):
     )
     q.awaitTermination(120)
     state_before = sorted(
-        tuple(r) for r in spark.read.parquet(f"{dd}/state")
+        tuple(r) for r in S.read_first_arrival_state(spark, dd)
         .select("band_idx", "band_key", "owner").collect()
     )
     flags_before = sorted(
@@ -1291,7 +1291,7 @@ def test_first_arrival_sink_replay_is_noop(spark, tmp_path):
     )
     q3.awaitTermination(120)
     state_after = sorted(
-        tuple(r) for r in spark.read.parquet(f"{dd}/state")
+        tuple(r) for r in S.read_first_arrival_state(spark, dd)
         .select("band_idx", "band_key", "owner").collect()
     )
     flags_after = sorted(
@@ -1299,3 +1299,91 @@ def test_first_arrival_sink_replay_is_noop(spark, tmp_path):
     )
     assert state_after == state_before
     assert flags_after == flags_before
+
+
+def test_first_arrival_state_log_is_o_batch(spark, tmp_path):
+    """Longevity contract (round 11, VERDICT r10 task 4): each micro-batch
+    WRITES only its own keys into a per-epoch delta — never a rewrite of
+    the full accumulated ownership table — and the delta log compacts
+    into base/ every `compact_every` batches. With disjoint 6-batch
+    input, per-batch state growth must track batch keys while total
+    distinct keys keep rising; the folded reader still equals the batch
+    operator's fold over the union."""
+    import os
+
+    from radient_spark.operators.dedup import lsh_buckets, with_minhash
+    from radient_spark.streaming import (
+        _list_state_parts,
+        read_first_arrival_state,
+    )
+
+    schema = "doc_id bigint, text string"
+    in_dir, dd, ck = (
+        str(tmp_path / "in"), str(tmp_path / "dd"), str(tmp_path / "ck")
+    )
+    kw = dict(num_hashes=8, shingle_k=2, bands=4)
+    rows = []
+    per_epoch_rows = {}
+    for e in range(6):
+        batch = [
+            (e * 100 + i, f"entirely distinct body {e} {i} " + "w " * (i % 5))
+            for i in range(8)
+        ]
+        rows += batch
+        per_epoch_rows[e] = batch
+        spark.createDataFrame(batch, schema).write.mode("append").parquet(in_dir)
+        q = streaming.lsh_dedup_sink(
+            spark.readStream.schema(schema).parquet(in_dir), dd, ck,
+            compact_every=4, **kw
+        )
+        q.awaitTermination(120)
+
+    state_dir = f"{dd}/state"
+    parts = _list_state_parts(spark, state_dir)
+    deltas = [p for p in parts if "/delta-" in p]
+    bases = [p for p in parts if p.endswith("/base")]
+    # 6 batches at compact_every=4: compaction fired once (after the
+    # 4th delta landed), leaving base + the last 2 deltas
+    assert len(bases) == 1, parts
+    assert len(deltas) == 2, parts
+
+    # each surviving delta holds ONLY its batch's keys (O(batch) write),
+    # a strict subset of the full key universe
+    def batch_keys(batch):
+        df = spark.createDataFrame(batch, schema)
+        sigs = with_minhash(
+            df.select("doc_id", "text"), text_col="text",
+            num_hashes=8, shingle_k=2, out_col="__sig",
+        ).select("doc_id", "__sig")
+        return (
+            lsh_buckets(sigs, sig_col="__sig", bands=4, num_hashes=8)
+            .select("band_idx", "band_key").distinct().count()
+        )
+
+    total_keys = read_first_arrival_state(spark, dd).count()
+    for d in sorted(deltas):
+        epoch = int(os.path.basename(d).rsplit("-", 1)[1])
+        n = spark.read.parquet(d).count()
+        assert n == batch_keys(per_epoch_rows[epoch]), (d, n)
+        assert n < total_keys / 2  # delta << accumulated state
+
+    # folded state still equals the batch operator's fold over the union
+    all_docs = spark.createDataFrame(rows, schema)
+    sigs = with_minhash(
+        all_docs.select("doc_id", "text"), text_col="text",
+        num_hashes=8, shingle_k=2, out_col="__sig",
+    ).select("doc_id", "__sig")
+    exp = sorted(
+        tuple(r)
+        for r in lsh_buckets(sigs, sig_col="__sig", bands=4, num_hashes=8)
+        .groupBy("band_idx", "band_key")
+        .agg(F.min("doc_id").alias("owner"))
+        .collect()
+    )
+    got = sorted(
+        tuple(r)
+        for r in read_first_arrival_state(spark, dd)
+        .select("band_idx", "band_key", "owner")
+        .collect()
+    )
+    assert got == exp
