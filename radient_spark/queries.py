@@ -2691,13 +2691,24 @@ def q_mel_clip_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     128-bin Kaldi-style log-mel -> (128, 204) normalized images -> per-
     clip summary features. Exercises the real mel/resample kernels
     (functions/media.py ≡ vectorizers/audio/imagebind.py:38-52) through
-    the mapInPandas fan-out; rows-only driver check (FFT is not
-    SQL-expressible)."""
+    the mapInPandas fan-out.
+
+    FULL VALUE ORACLE (round 11, closing the last planned no_oracle):
+    _mel_clip_sql replays the entire chain in DuckDB — framing, DC
+    removal, preemphasis, hanning, a naive 512-point DFT, the HTK mel
+    triangle bank, log, ImageBind normalize, float32 quantization. The
+    naive DFT differs from numpy's FFT only by summation order
+    (~1e-10 relative); each mel cell is float32-quantized (ulp 6e-8, so
+    order noise almost never flips a cell, and a flipped cell moves the
+    26112-cell mean by ~2e-12) and the mean is decimal-routed at 6
+    decimals, so ROUND(mean, 4) is deterministic across engines. Doc
+    set is 8 (not 40) to bound the oracle's DFT cross join (~250M
+    products, ~10 s in DuckDB)."""
     from radient_spark.operators.preprocess import audio_to_melspec_clips
 
     sr = 16_000
     n = 3 * sr  # 3 s per doc -> one full clip + one partial clip
-    docs = load_tables(spark, sf_dir)["documents"].filter(F.col("doc_id") < 40)
+    docs = load_tables(spark, sf_dir)["documents"].filter(F.col("doc_id") < 8)
     freq = 200.0 + (F.col("doc_id") % 20).cast("double") * 40.0
     wave = F.transform(
         F.sequence(F.lit(0), F.lit(n - 1)),
@@ -2711,19 +2722,133 @@ def q_mel_clip_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(sr).alias("sample_rate"),
     )
     mels = audio_to_melspec_clips(audio)
+    mel_sum = F.aggregate(
+        "mel",
+        F.lit(0).cast("decimal(28,6)"),
+        lambda a, x: (
+            a + x.cast("double").cast("decimal(18,6)")
+        ).cast("decimal(28,6)"),
+    )
     return mels.select(
         "id",
         "clip_idx",
         "n_mel",
         "n_frames",
-        F.round(
-            F.aggregate(
-                "mel", F.lit(0.0), lambda a, b: a + b.cast("double")
-            )
-            / F.size("mel"),
-            4,
-        ).alias("mel_mean"),
+        F.round(mel_sum.cast("double") / F.size("mel"), 4).alias("mel_mean"),
     )
+
+
+def _mel_clip_sql() -> str:
+    """DuckDB replay of the full audio preprocessing chain (see
+    q_mel_clip_features docstring for the float-determinism argument).
+    Structure mirrors functions/media.py stage by stage; the only
+    non-literal translation is the analytic zero-pad contribution
+    (padded log-mel frames are the constant (0+4.268)/9.138 as float32,
+    added per missing cell instead of generated)."""
+    return """
+WITH
+d AS (
+  SELECT doc_id AS id, 200.0 + CAST(doc_id % 20 AS DOUBLE) * 40.0 AS freq
+  FROM documents WHERE doc_id < 8
+),
+-- 3 s of 16 kHz synthetic tone per doc
+samp AS (
+  SELECT d.id, i.range AS i,
+         sin(2.0 * pi() * d.freq * CAST(i.range AS DOUBLE) / 16000.0) AS w
+  FROM d CROSS JOIN range(48000) i
+),
+-- 2 s clips: clip 0 = [0,32000), clip 1 = [32000,48000) (partial kept)
+clip_samp AS (
+  SELECT id, CAST(i // 32000 AS INT) AS clip_idx,
+         CAST(i % 32000 AS BIGINT) AS pos, w
+  FROM samp
+),
+clip_stats AS (
+  SELECT id, clip_idx, avg(w) AS clip_mean, count(*) AS clip_len
+  FROM clip_samp GROUP BY 1, 2
+),
+-- waveform2melspec mean-centers the clip first
+centered AS (
+  SELECT s.id, s.clip_idx, s.pos, s.w - c.clip_mean AS x,
+         CAST(1 + (c.clip_len - 400) // 160 AS INT) AS n_frames
+  FROM clip_samp s JOIN clip_stats c USING (id, clip_idx)
+),
+-- snip-edges framing: frame f covers samples [160f, 160f+400)
+frame_samp AS (
+  SELECT id, clip_idx, CAST(f.range AS INT) AS f,
+         CAST(pos - 160 * f.range AS INT) AS n, x
+  FROM centered
+  CROSS JOIN range(198) f
+  WHERE f.range < n_frames
+    AND pos >= 160 * f.range AND pos < 160 * f.range + 400
+),
+frame_mean AS (
+  SELECT id, clip_idx, f, avg(x) AS fm FROM frame_samp GROUP BY 1, 2, 3
+),
+-- per-frame DC removal -> preemphasis 0.97 -> hanning(400) window
+windowed AS (
+  SELECT id, clip_idx, f, n,
+         ((x - fm) - 0.97 * COALESCE(
+             lag(x - fm) OVER (PARTITION BY id, clip_idx, f ORDER BY n),
+             x - fm))
+         * (0.5 - 0.5 * cos(2.0 * pi() * CAST(n AS DOUBLE) / 399.0)) AS v
+  FROM frame_samp JOIN frame_mean USING (id, clip_idx, f)
+),
+-- power spectrum of the zero-padded 512-point DFT, bins k = 0..256
+-- (naive DFT == numpy rfft up to summation order)
+dft AS (
+  SELECT id, clip_idx, f, CAST(k.range AS INT) AS k,
+         power(sum(v * cos(2.0 * pi() * k.range * n / 512.0)), 2)
+       + power(sum(v * sin(2.0 * pi() * k.range * n / 512.0)), 2) AS pw
+  FROM windowed CROSS JOIN range(257) k
+  GROUP BY 1, 2, 3, 4
+),
+-- HTK triangular mel filterbank: 130 mel-spaced points on [20, 8000] Hz
+mel_pts AS (
+  SELECT CAST(j.range AS INT) AS j,
+         700.0 * (power(10.0,
+           (2595.0 * log10(1.0 + 20.0 / 700.0)
+            + CAST(j.range AS DOUBLE)
+              * (2595.0 * log10(1.0 + 8000.0 / 700.0)
+                 - 2595.0 * log10(1.0 + 20.0 / 700.0)) / 129.0)
+           / 2595.0) - 1.0) AS hz
+  FROM range(130) j
+),
+fb AS (
+  SELECT lo.j AS b, CAST(k.range AS INT) AS k,
+         greatest(0.0, least(
+           (k.range * 31.25 - lo.hz) / greatest(ctr.hz - lo.hz, 1e-9),
+           (hi.hz - k.range * 31.25) / greatest(hi.hz - ctr.hz, 1e-9))) AS w
+  FROM mel_pts lo
+  JOIN mel_pts ctr ON ctr.j = lo.j + 1
+  JOIN mel_pts hi ON hi.j = lo.j + 2
+  CROSS JOIN range(257) k
+  WHERE lo.j < 128
+),
+-- mel energies -> log floor 1e-10 -> ImageBind normalize -> float32
+mel AS (
+  SELECT id, clip_idx, f, b,
+         CAST((ln(greatest(sum(pw * w), 1e-10)) + 4.268) / 9.138 AS REAL) AS m
+  FROM dft JOIN fb USING (k)
+  GROUP BY 1, 2, 3, 4
+),
+-- decimal-routed mean over the padded (128 x 204) image: real cells
+-- summed exactly at 6 decimals; zero-pad cells contribute the constant
+-- float32((0 + 4.268) / 9.138) each, added analytically
+real_sum AS (
+  SELECT id, clip_idx,
+         sum(CAST(CAST(m AS DOUBLE) AS DECIMAL(18,6))) AS s,
+         count(*) AS n_real
+  FROM mel GROUP BY 1, 2
+)
+SELECT id, clip_idx, 128 AS n_mel, 204 AS n_frames,
+       round(CAST(s + (128 * 204 - n_real)
+                      * CAST(CAST(CAST(4.268 / 9.138 AS REAL) AS DOUBLE)
+                             AS DECIMAL(18,6))
+                  AS DOUBLE) / 26112.0, 4) AS mel_mean
+FROM real_sum
+ORDER BY id, clip_idx
+"""
 
 
 def q_ann_search(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -14285,7 +14410,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "q_langid_confusion": (q_langid_confusion, _langid_sql()),
     "q_fastrp_supplier_embeddings": (q_fastrp_supplier_embeddings, _Q_FASTRP_SQL),
     "q_media_pipeline": (q_media_pipeline, None),
-    "q_mel_clip_features": (q_mel_clip_features, None),
+    "q_mel_clip_features": (q_mel_clip_features, _mel_clip_sql()),
     "q_ann_search": (q_ann_search, _ann_lattice_sql()),
     "q_ann_search_exact": (q_ann_search_exact, _Q_IVF_EXACT_SQL),
     "q_ivf_search": (q_ivf_search, _ivf_search_sql()),
@@ -14525,80 +14650,73 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
 # bounded.  The exact window is also a pytest artifact
 # (tests/test_driver_protocol.py, `-m driver_protocol`).
 _DRIVER_PRIORITY = [
-    # Round 10 window (exactly 50 = the driver's sample size; see
+    # Round 11 window (exactly 50 = the driver's sample size; see
     # tests/test_driver_protocol.py which pins this exact window at
-    # sf0.01).  Composition: 5 stable sentinels, the round-10
-    # changed-code re-checks (the two newly-oracled ANN/IVF pruned
-    # searches get their FIRST hash check, the reworked scorecard and
-    # the pagerank-family queries their post-change one), 2 rows-only
-    # refreshes, then the stalest green entries (last checked r1/r2/r4)
-    # to keep every registry row's latest check fresh.
-    # sentinels (cross-round continuity, all green r9)
+    # sf0.01).  Composition: 5 stable sentinels; the round-11
+    # changed-code check (q_mel_clip_features gets its FIRST full value
+    # check — the new naive-DFT DuckDB oracle replaced its rows-only
+    # status, leaving q_media_pipeline as the registry's single
+    # remaining no_oracle row, refreshed here too); then the stalest
+    # green entries — the full r4 block plus the oldest r5 names
+    # (alphabetical) — per the rotation policy: keep every registry
+    # row's latest-check age bounded (COVERAGE_LEDGER.md is the
+    # mechanical source for staleness).
+    # sentinels (cross-round continuity, all green r10)
     "q01_pricing_summary",
     "q_ann_search_exact",
     "q_dup_groups",
     "q_scd2_incremental_merge",
     "q_retrieval_metrics",
-    # round-10 changed code: first hash checks + post-change re-checks
-    "q_ann_search",
-    "q_ivf_search",
-    "q_ivf_search_exact",
-    "q_dedup_strategy_comparison",
-    "q_pagerank_bipartite",
-    "q_personalized_pagerank",
-    # rows-only refreshes (no_oracle by design; checksum goldens pin values)
-    "q_media_pipeline",
+    # round-11 changed code: first VALUE check of the mel-clip oracle
     "q_mel_clip_features",
-    # stalest re-checks: all r1/r2, then the oldest r4 block
-    "q02_top_supplier_per_part",
-    "q07_nation_volume",
-    "q08_market_share",
-    "q14_promo_revenue_pct",
-    "q_corpus_filtered_search",
-    "q_fingerprint_similarity",
-    "q16_brand_supplier_counts",
-    "q22_wealthy_inactive",
-    "q03_shipping_priority",
-    "q05_regional_revenue",
-    "q18_large_quantity_orders",
-    "q_asof_purchase_click",
-    "q_churned_customers",
-    "q_cube_priority_status",
-    "q_customers_inactive_1995",
-    "q_doc_quality_scores",
-    "q_doc_stats_by_source",
-    "q_events_hourly",
-    "q_events_weekday",
-    "q_exact_dedup_report",
-    "q_fastrp_supplier_embeddings",
-    "q_hashing_vectorizer_slots",
-    "q_json_props_stats",
-    "q_lang_stats",
-    "q_langid_confusion",
-    "q_monthly_revenue_momentum",
-    "q_ngram_jaccard_pairs",
-    "q_orders_above_segment_avg",
-    "q_part_price_span",
-    "q_pii_scrub_stats",
-    "q_price_histogram",
-    "q_priority_string_stats",
-    "q_purchase_error_window",
-    "q_quality_filter_report",
+    # rows-only refresh (the one remaining no_oracle; checksum golden)
+    "q_media_pipeline",
+    # stalest re-checks: the whole last-checked-r4 block...
     "q_repeat_customers",
     "q_rollup_returns",
-    "q_sql_api_vector_topk",
+    "q_running_customer_balance",
+    "q_segment_status_pivot",
+    "q_semi_high_value_customers",
+    "q_sparse_tfidf_terms",
+    "q_token_frequencies",
+    "q_token_packing",
+    "q_top3_orders_per_customer",
+    "q_train_val_split",
+    "q_user_sessions",
+    "q_vec_knn_blocked",
+    "q_vec_nearest_neighbor",
+    "q_vec_similar_pairs",
+    "q_yearly_revenue_full_outer",
+    # ...then the oldest r5 names (alphabetical)
+    "q04_priority_late_ship",
+    "q06_forecast_revenue",
+    "q09_product_profit",
+    "q10_returned_items",
+    "q11_important_part_value",
+    "q12_priority_class_by_flag",
+    "q13_customer_order_counts",
+    "q15_top_supplier",
+    "q17_small_quantity_revenue",
+    "q19_disjunctive_revenue",
+    "q20_dominant_supplier",
+    "q21_waiting_supplier",
+    "q_benford_prices",
+    "q_bfs_reach_census",
+    "q_bloom_runtime_filter",
+    "q_bpe_token_stats",
+    "q_classifier_pr_curve",
+    "q_containment_pairs",
+    "q_decontamination_report",
+    "q_equidepth_histogram",
+    "q_fuzzy_dedup_keep_report",
+    "q_greedy_coverage",
+    "q_grouped_fingerprints",
+    "q_harmonic_centrality",
+    "q_histogram_join_estimate",
+    "q_hyperball_neighborhood",
+    "q_id_gap_audit",
+    "q_kcore_suppliers",
 ]
-# Late round-10 additions: the two new streaming-twin verdict queries
-# (text LSH + embedding SRP first-arrival gates) get their first hash
-# checks immediately; the displaced q_repeat_customers/q_rollup_returns
-# (green r1/r2/r4, untouched code) rejoin the stalest rotation next
-# round. Window stays exactly 50.
-_DRIVER_PRIORITY[_DRIVER_PRIORITY.index("q_repeat_customers")] = (
-    "q_lsh_dedup_flags"
-)
-_DRIVER_PRIORITY[_DRIVER_PRIORITY.index("q_rollup_returns")] = (
-    "q_srp_dedup_flags"
-)
 
 QUERIES = {
     **{k: QUERIES[k] for k in _DRIVER_PRIORITY},

@@ -119,14 +119,16 @@ def test_media_pipeline_checksum_golden(spark):
 
 
 def test_mel_clip_features_checksum_golden(spark):
-    """Round-8: q_mel_clip_features is rows-only (FFT is not
-    SQL-expressible), so pin the sf0.001 per-clip summary features with
-    a checksum. mel_mean is rounded to 4 decimals in the query — far
-    above FFT float noise — so the checksum is stable across runs."""
+    """Round-8 pinned this as rows-only; round 11 gave it a full DuckDB
+    value oracle (naive-DFT replay, see _mel_clip_sql) and narrowed the
+    doc set 40 -> 8 to bound the oracle's DFT cross join. The checksum
+    golden stays as the in-suite guard: mel_mean is decimal-routed and
+    rounded to 4 decimals — far above FFT summation-order noise — so
+    the checksum is stable across runs and engines."""
     from radient_spark.queries import QUERIES
 
     df = QUERIES["q_mel_clip_features"][0](spark, "/root/testdata/sf0.001")
-    assert _sorted_rows_md5(df) == "3b7e965a462457a0847e019dc0ef0e04"
+    assert _sorted_rows_md5(df) == "77f752a32d57cb09b5f27caec878befd"
 
 
 def test_multimodal_rag_composed_golden(spark):
