@@ -292,6 +292,62 @@ def _cpu_ticks() -> list[int] | None:
 _CONTAMINATION_STEAL_FRACTION = 0.05
 
 
+def _own_tree_ticks() -> int | None:
+    """Cumulative CPU clock ticks (utime+stime+cutime+cstime) of this
+    process and every live descendant — the Spark JVM and its pyspark
+    workers. cutime/cstime fold in already-reaped children, so
+    short-lived workers that exit mid-sweep are not lost."""
+    try:
+        me = os.getpid()
+        procs: dict[int, tuple[int, int]] = {}
+        for d in os.listdir("/proc"):
+            if not d.isdigit():
+                continue
+            try:
+                with open(f"/proc/{d}/stat") as f:
+                    rest = f.read().rsplit(")", 1)[1].split()
+                ticks = sum(int(rest[i]) for i in (11, 12, 13, 14))
+                procs[int(d)] = (int(rest[1]), ticks)
+            except Exception:
+                continue
+        children: dict[int, list[int]] = {}
+        for pid, (ppid, _) in procs.items():
+            children.setdefault(ppid, []).append(pid)
+        total, stack = 0, [me]
+        while stack:
+            p = stack.pop()
+            if p in procs:
+                total += procs[p][1]
+            stack.extend(children.get(p, []))
+        return total
+    except Exception:
+        return None
+
+
+# A neighbor can also be IN-GUEST: another process on this host grabbing
+# cores mid-sweep is invisible to the pre-sweep loadavg (sampled before
+# it arrived) AND to steal (the hypervisor is happily scheduling us) —
+# round 11 watched a concurrent test-suite run inflate a sweep exactly
+# this way. The receipt is CPU accounting: busy ticks the host burned
+# minus ticks our own process tree burned = someone else's work. Gate
+# generously (tick attribution loses a little to unparented kernel
+# threads).
+_CONTAMINATION_FOREIGN_FRACTION = 0.15
+
+
+def _foreign_fraction(
+    busy_delta: int | None, steal_delta: int | None, own_delta: int | None
+):
+    """Fraction of non-steal busy CPU burned by processes OUTSIDE our
+    tree across the sweep; None when any input is unavailable."""
+    if busy_delta is None or steal_delta is None or own_delta is None:
+        return None
+    guest_busy = busy_delta - steal_delta
+    if guest_busy <= 0:
+        return 0.0
+    return max(0.0, guest_busy - own_delta) / guest_busy
+
+
 def _steal_fraction(before: list[int] | None, after: list[int] | None):
     """Steal ticks / busy ticks across the sweep, else None.
 
@@ -312,6 +368,7 @@ def main() -> dict:
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     load_before = _loadavg()  # sampled BEFORE any Spark work starts
     ticks_before = _cpu_ticks()
+    own_before = _own_tree_ticks()  # JVM not yet born: its whole life counts
     spark = get_session("radient_spark_bench")
 
     # Warm the JVM/scan path AND the Python worker pool once, so
@@ -491,13 +548,30 @@ def main() -> dict:
     best = {**timings, **warm_min}
     load_after = _loadavg()
     ticks_after = _cpu_ticks()
+    own_after = _own_tree_ticks()
     ncpus = os.cpu_count() or 1
     steal_frac = _steal_fraction(ticks_before, ticks_after)
-    contaminated = _contaminated(
-        load_before[0] if load_before else None, ncpus
-    ) or (
-        steal_frac is not None
-        and steal_frac > _CONTAMINATION_STEAL_FRACTION
+    if ticks_before and ticks_after:
+        d = [b - a for a, b in zip(ticks_before, ticks_after)]
+        busy_delta, steal_delta = sum(d) - d[3] - d[4], d[7]
+    else:
+        busy_delta = steal_delta = None
+    own_delta = (
+        own_after - own_before
+        if own_before is not None and own_after is not None
+        else None
+    )
+    foreign_frac = _foreign_fraction(busy_delta, steal_delta, own_delta)
+    contaminated = (
+        _contaminated(load_before[0] if load_before else None, ncpus)
+        or (
+            steal_frac is not None
+            and steal_frac > _CONTAMINATION_STEAL_FRACTION
+        )
+        or (
+            foreign_frac is not None
+            and foreign_frac > _CONTAMINATION_FOREIGN_FRACTION
+        )
     )
     full = {
         "metric": "radient_spark_headline_queries",
@@ -513,6 +587,9 @@ def main() -> dict:
         "loadavg_after": load_after,
         "steal_fraction": (
             round(steal_frac, 5) if steal_frac is not None else None
+        ),
+        "foreign_cpu_fraction": (
+            round(foreign_frac, 5) if foreign_frac is not None else None
         ),
         "ncpus": ncpus,
         "contaminated": contaminated,
@@ -603,6 +680,7 @@ def watch(max_attempts: int = 6, poll_sec: float = 60.0) -> dict | None:
                     "watch": "rejected",
                     "attempt": attempt,
                     "steal_fraction": full["steal_fraction"],
+                    "foreign_cpu_fraction": full["foreign_cpu_fraction"],
                     "loadavg_before": full["loadavg_before"],
                 }
             ),

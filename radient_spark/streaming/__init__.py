@@ -1385,7 +1385,11 @@ def _list_state_parts(spark, state_dir: str) -> list[str]:
 
     Rolls an interrupted base compaction forward first; names like
     base.staging / base.old are never listed, so a mid-compaction crash
-    is invisible to readers."""
+    is invisible to readers. A delta is listed only once its job-commit
+    _SUCCESS marker exists: a crash mid-delta-write leaves a dir whose
+    only content is the committer's _temporary scratch, and including
+    it would fail every subsequent read (no schema to infer) — the
+    replayed epoch overwrites that partial dir instead."""
     _recover_state(spark, f"{state_dir}/base")
     P, fs = _state_fs(spark, state_dir)
     if not fs.exists(P(state_dir)):
@@ -1393,7 +1397,10 @@ def _list_state_parts(spark, state_dir: str) -> list[str]:
     out = []
     for st in fs.listStatus(P(state_dir)):
         name = st.getPath().getName()
-        if name == "base" or name.startswith("delta-"):
+        if name == "base" or (
+            name.startswith("delta-")
+            and fs.exists(P(f"{state_dir}/{name}/_SUCCESS"))
+        ):
             out.append(f"{state_dir}/{name}")
     return sorted(out)
 

@@ -83,6 +83,7 @@ def test_watch_accepts_clean_and_rejects_contaminated(monkeypatch):
         return {
             "contaminated": c,
             "steal_fraction": 0.2 if c else 0.001,
+            "foreign_cpu_fraction": 0.0,
             "loadavg_before": [0.0, 0.0, 0.0],
         }
 
@@ -100,8 +101,38 @@ def test_watch_exhausts(monkeypatch):
         lambda: {
             "contaminated": True,
             "steal_fraction": 0.3,
+            "foreign_cpu_fraction": 0.0,
             "loadavg_before": [9.0, 9.0, 9.0],
         },
     )
     monkeypatch.setattr(bench, "_quiet_now", lambda **k: (True, "quiet"))
     assert bench.watch(max_attempts=2, poll_sec=0) is None
+
+
+def test_foreign_fraction_math():
+    # (busy - steal - own)/(busy - steal): in-guest neighbor detection
+    # (round 11: a concurrent suite run inflated a sweep invisibly to
+    # loadavg-before and steal)
+    assert abs(bench._foreign_fraction(1000, 50, 900) - 50 / 950) < 1e-12
+    assert bench._foreign_fraction(1000, 50, 2000) == 0.0  # slop clamps
+    assert bench._foreign_fraction(0, 0, 0) == 0.0
+    assert bench._foreign_fraction(None, 0, 0) is None
+    assert bench._foreign_fraction(10, None, 0) is None
+    assert bench._foreign_fraction(10, 0, None) is None
+    # threshold semantics
+    assert bench._foreign_fraction(1000, 0, 800) > bench._CONTAMINATION_FOREIGN_FRACTION
+    assert bench._foreign_fraction(1000, 0, 950) < bench._CONTAMINATION_FOREIGN_FRACTION
+
+
+def test_own_tree_ticks_monotone():
+    import time
+
+    a = bench._own_tree_ticks()
+    assert a is None or a >= 0
+    start = time.process_time()
+    x = 0
+    while time.process_time() - start < 0.2:
+        x += 1
+    b = bench._own_tree_ticks()
+    if a is not None and b is not None:
+        assert b >= a

@@ -1387,3 +1387,54 @@ def test_first_arrival_state_log_is_o_batch(spark, tmp_path):
         .collect()
     )
     assert got == exp
+
+
+def test_first_arrival_partial_delta_is_invisible(spark, tmp_path):
+    """Crash window: a batch that died mid-delta-write leaves a delta
+    dir containing only the committer's _temporary scratch (no
+    _SUCCESS). Readers and later batches must skip it — including it
+    would fail schema inference forever — and the replayed epoch
+    overwrites it cleanly."""
+    import os
+
+    from radient_spark.streaming import (
+        _list_state_parts,
+        read_first_arrival_state,
+    )
+
+    schema = "doc_id bigint, text string"
+    in_dir, dd, ck = (
+        str(tmp_path / "in"), str(tmp_path / "dd"), str(tmp_path / "ck")
+    )
+    rows = [(i, f"shared text body {'a' if i % 2 else 'b'} tail") for i in range(10)]
+    spark.createDataFrame(rows, schema).write.mode("append").parquet(in_dir)
+    q = streaming.lsh_dedup_sink(
+        spark.readStream.schema(schema).parquet(in_dir), dd, ck,
+        num_hashes=8, shingle_k=2, bands=4,
+    )
+    q.awaitTermination(120)
+    state_dir = f"{dd}/state"
+    before = sorted(
+        tuple(r) for r in read_first_arrival_state(spark, dd).collect()
+    )
+
+    # fabricate the crash artifact: partial delta, only _temporary inside
+    partial = f"{state_dir}/delta-deadbeef-99"
+    os.makedirs(f"{partial}/_temporary/0")
+    assert partial not in _list_state_parts(spark, state_dir)
+    after = sorted(
+        tuple(r) for r in read_first_arrival_state(spark, dd).collect()
+    )
+    assert after == before
+
+    # a later batch still processes and folds correctly past the debris
+    more = [(100 + i, f"shared text body {'a' if i % 2 else 'b'} tail") for i in range(4)]
+    spark.createDataFrame(more, schema).write.mode("append").parquet(in_dir)
+    q2 = streaming.lsh_dedup_sink(
+        spark.readStream.schema(schema).parquet(in_dir), dd, ck,
+        num_hashes=8, shingle_k=2, bands=4,
+    )
+    q2.awaitTermination(120)
+    final = read_first_arrival_state(spark, dd)
+    # new docs share every bucket with old ones -> owners unchanged
+    assert sorted(tuple(r) for r in final.collect()) == before
