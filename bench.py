@@ -292,11 +292,16 @@ def _cpu_ticks() -> list[int] | None:
 _CONTAMINATION_STEAL_FRACTION = 0.05
 
 
-def _own_tree_ticks() -> int | None:
-    """Cumulative CPU clock ticks (utime+stime+cutime+cstime) of this
-    process and every live descendant — the Spark JVM and its pyspark
-    workers. cutime/cstime fold in already-reaped children, so
-    short-lived workers that exit mid-sweep are not lost."""
+def _tick_census() -> tuple[int, int] | None:
+    """(own_tree_ticks, kernel_ticks): cumulative CPU clock ticks
+    (utime+stime+cutime+cstime) of (a) this process and every live
+    descendant — the Spark JVM and its pyspark workers; cutime/cstime
+    fold in already-reaped children, so short-lived workers that exit
+    mid-sweep are not lost — and (b) kernel threads (kthreadd's
+    subtree). Kernel ticks are counted separately because kworkers
+    doing page-cache writeback for OUR parquet writes run outside the
+    process tree; charging them as "foreign" would false-flag a clean
+    IO-heavy sweep (observed ~18% on a quiet attempt)."""
     try:
         me = os.getpid()
         procs: dict[int, tuple[int, int]] = {}
@@ -313,15 +318,25 @@ def _own_tree_ticks() -> int | None:
         children: dict[int, list[int]] = {}
         for pid, (ppid, _) in procs.items():
             children.setdefault(ppid, []).append(pid)
-        total, stack = 0, [me]
-        while stack:
-            p = stack.pop()
-            if p in procs:
-                total += procs[p][1]
-            stack.extend(children.get(p, []))
-        return total
+
+        def tree_ticks(root: int) -> int:
+            total, stack = 0, [root]
+            while stack:
+                p = stack.pop()
+                if p in procs:
+                    total += procs[p][1]
+                stack.extend(children.get(p, []))
+            return total
+
+        return tree_ticks(me), tree_ticks(2)
     except Exception:
         return None
+
+
+def _own_tree_ticks() -> int | None:
+    """Own-process-tree ticks only (see _tick_census)."""
+    c = _tick_census()
+    return c[0] if c is not None else None
 
 
 # A neighbor can also be IN-GUEST: another process on this host grabbing
@@ -368,7 +383,7 @@ def main() -> dict:
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     load_before = _loadavg()  # sampled BEFORE any Spark work starts
     ticks_before = _cpu_ticks()
-    own_before = _own_tree_ticks()  # JVM not yet born: its whole life counts
+    census_before = _tick_census()  # JVM not yet born: its whole life counts
     spark = get_session("radient_spark_bench")
 
     # Warm the JVM/scan path AND the Python worker pool once, so
@@ -548,7 +563,7 @@ def main() -> dict:
     best = {**timings, **warm_min}
     load_after = _loadavg()
     ticks_after = _cpu_ticks()
-    own_after = _own_tree_ticks()
+    census_after = _tick_census()
     ncpus = os.cpu_count() or 1
     steal_frac = _steal_fraction(ticks_before, ticks_after)
     if ticks_before and ticks_after:
@@ -557,8 +572,11 @@ def main() -> dict:
     else:
         busy_delta = steal_delta = None
     own_delta = (
-        own_after - own_before
-        if own_before is not None and own_after is not None
+        # own tree + kernel threads: kworkers flushing OUR writes are
+        # not a neighbor (see _tick_census)
+        (census_after[0] - census_before[0])
+        + (census_after[1] - census_before[1])
+        if census_before is not None and census_after is not None
         else None
     )
     foreign_frac = _foreign_fraction(busy_delta, steal_delta, own_delta)

@@ -136,3 +136,10 @@ def test_own_tree_ticks_monotone():
     b = bench._own_tree_ticks()
     if a is not None and b is not None:
         assert b >= a
+
+
+def test_tick_census_shape():
+    c = bench._tick_census()
+    # (own_tree, kernel) — kernel kworkers flushing our writes are not a
+    # neighbor, so they ride the own side of the foreign calculation
+    assert c is None or (len(c) == 2 and c[0] >= 0 and c[1] >= 0)
