@@ -280,7 +280,13 @@ def _epoch_committed(spark, state_dir: str, tag: str, epoch_id: int) -> bool:
     return bool(fs.exists(P(f"{state_dir}/_EPOCH-{tag}-{int(epoch_id)}")))
 
 
-def _commit_state(df: DataFrame, state_dir: str, tag: str, epoch_id: int) -> None:
+def _commit_state(
+    df: DataFrame,
+    state_dir: str,
+    tag: str,
+    epoch_id: int,
+    partition_by: list[str] | None = None,
+) -> None:
     """Crash-safe replacement for write.mode('overwrite').parquet(state_dir).
 
     A bare overwrite deletes state_dir before the job commits, so a
@@ -300,7 +306,10 @@ def _commit_state(df: DataFrame, state_dir: str, tag: str, epoch_id: int) -> Non
     spark = df.sparkSession
     staging = state_dir + ".staging"
     trash = state_dir + ".old"
-    df.write.mode("overwrite").parquet(staging)
+    writer = df.write.mode("overwrite")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(staging)
     P, fs = _state_fs(spark, state_dir)
     fs.create(P(f"{staging}/_EPOCH-{tag}-{int(epoch_id)}"), True).close()
     fs.delete(P(trash), True)
@@ -1380,17 +1389,52 @@ def srp_dedup_sink(
     )
 
 
-def _list_state_parts(spark, state_dir: str) -> list[str]:
-    """Committed claim-log parts under state_dir: base/ + delta-*/.
+_N_STATE_BUCKETS = 64  # base/ partition fan-out; probe prunes to batch buckets
+# Partition-prune the base probe only once base/ outgrows this: below it
+# a full scan is cheaper than the extra bucket-ids collect job the
+# pruning needs (one narrow job over the batch's distinct band keys).
+_PRUNE_MIN_BASE_BYTES = 64 << 20
+# state dirs already checked for (and cleared of) legacy flat-layout
+# parquet this process — the migration is one-time, so the per-batch
+# listing is skipped once a dir is known clean.
+_FLAT_CHECKED: set[str] = set()
 
-    Rolls an interrupted base compaction forward first; names like
-    base.staging / base.old are never listed, so a mid-compaction crash
-    is invisible to readers. A delta is listed only once its job-commit
-    _SUCCESS marker exists: a crash mid-delta-write leaves a dir whose
-    only content is the committer's _temporary scratch, and including
-    it would fail every subsequent read (no schema to infer) — the
-    replayed epoch overwrites that partial dir instead."""
-    _recover_state(spark, f"{state_dir}/base")
+
+def _bucket_expr(n_buckets: int):
+    """Deterministic bucket id for a claim key — the base/ partition
+    column. xxhash64 is a fixed Catalyst expression (stable across
+    sessions and Spark restarts), so the same key always lands in the
+    same bucket=N directory and a probe's partition filter is sound.
+    Inputs are cast to fixed types first: xxhash64 hashes an int and a
+    bigint of the same value differently, so a width drift between
+    writers would silently split a key across buckets."""
+    return F.pmod(
+        F.xxhash64(
+            F.col("band_idx").cast("int"), F.col("band_key").cast("string")
+        ),
+        F.lit(int(n_buckets)),
+    )
+
+
+def _state_nbuckets(spark, state_dir: str, requested: int) -> int:
+    """The bucket fan-out this state was FIRST written with, persisted
+    as an `_NBUCKETS-<n>` marker at the state root. The marker wins over
+    the caller's request: changing the fan-out across restarts would
+    make the probe's partition filter miss prior owners (a silent
+    correctness hole), so the first writer pins it for the state's
+    lifetime."""
+    P, fs = _state_fs(spark, state_dir)
+    if fs.exists(P(state_dir)):
+        for st in fs.listStatus(P(state_dir)):
+            name = st.getPath().getName()
+            if name.startswith("_NBUCKETS-"):
+                return int(name.rsplit("-", 1)[1])
+    fs.mkdirs(P(state_dir))
+    fs.create(P(f"{state_dir}/_NBUCKETS-{int(requested)}"), True).close()
+    return int(requested)
+
+
+def _list_state_parts_raw(spark, state_dir: str) -> list[str]:
     P, fs = _state_fs(spark, state_dir)
     if not fs.exists(P(state_dir)):
         return []
@@ -1403,6 +1447,95 @@ def _list_state_parts(spark, state_dir: str) -> list[str]:
         ):
             out.append(f"{state_dir}/{name}")
     return sorted(out)
+
+
+def _migrate_flat_state(spark, state_dir: str, n_buckets: int) -> bool:
+    """One-time fold of a pre-claim-log FLAT layout (part-*.parquet
+    directly under state_dir, the pre-round-11 full-rewrite format) into
+    a bucketed base/. Without this, an upgraded lsh/srp_dedup_sink would
+    silently restart with empty ownership and re-admit duplicates of its
+    entire history (round-11 ADVICE, medium). Idempotent: flat files are
+    deleted only after the folded base commit, and min-fold makes a
+    crash-window re-fold a no-op."""
+    P, fs = _state_fs(spark, state_dir)
+    if not fs.exists(P(state_dir)):
+        return False
+    flat = [
+        st.getPath().toString()
+        for st in fs.listStatus(P(state_dir))
+        if st.getPath().getName().endswith(".parquet")
+    ]
+    if not flat:
+        return False
+    claims = spark.read.parquet(*flat).select("band_idx", "band_key", "owner")
+    parts = _list_state_parts_raw(spark, state_dir)
+    if parts:
+        claims = claims.unionByName(_read_claims(spark, parts))
+    folded = _fold_claims(claims).withColumn(
+        "bucket", _bucket_expr(n_buckets)
+    )
+    _commit_state(
+        folded, f"{state_dir}/base", "migrate", 0, partition_by=["bucket"]
+    )
+    for p in flat:
+        fs.delete(P(p), False)
+    return True
+
+
+def _list_state_parts(spark, state_dir: str) -> list[str]:
+    """Committed claim-log parts under state_dir: base/ + delta-*/.
+
+    Rolls an interrupted base compaction forward first, then folds any
+    legacy flat-layout parquet at the state root into base/ (one-time
+    migration — pre-claim-log state must not be silently ignored). Names
+    like base.staging / base.old are never listed, so a mid-compaction
+    crash is invisible to readers. A delta is listed only once its
+    job-commit _SUCCESS marker exists: a crash mid-delta-write leaves a
+    dir whose only content is the committer's _temporary scratch, and
+    including it would fail every subsequent read (no schema to infer) —
+    the replayed epoch overwrites that partial dir instead."""
+    _recover_state(spark, f"{state_dir}/base")
+    if state_dir not in _FLAT_CHECKED:
+        if _has_flat(spark, state_dir):
+            nb = _state_nbuckets(spark, state_dir, _N_STATE_BUCKETS)
+            _migrate_flat_state(spark, state_dir, nb)
+        # one-time: only this sink writes state_dir, so flat files
+        # cannot reappear once absent
+        _FLAT_CHECKED.add(state_dir)
+    return _list_state_parts_raw(spark, state_dir)
+
+
+def _has_flat(spark, state_dir: str) -> bool:
+    P, fs = _state_fs(spark, state_dir)
+    if not fs.exists(P(state_dir)):
+        return False
+    return any(
+        st.getPath().getName().endswith(".parquet")
+        for st in fs.listStatus(P(state_dir))
+    )
+
+
+def _read_claims(
+    spark, parts: list[str], bucket_values: list[int] | None = None
+) -> DataFrame:
+    """Union of claim rows (band_idx, band_key, owner) across log parts.
+
+    The base/ is hive-partitioned by `bucket`; when bucket_values is
+    given (the probe path) the filter is a PARTITION filter — at 100 TB
+    the probe reads only the batch's buckets of base instead of scanning
+    all accumulated state. Deltas are O(compact_every recent batches),
+    small by construction, and read in full. A legacy unbucketed base
+    (no bucket column) degrades to a full read — still correct — and
+    converges to the bucketed layout at the next compaction."""
+    from functools import reduce
+
+    dfs = []
+    for p in parts:
+        df = spark.read.parquet(p)
+        if bucket_values is not None and "bucket" in df.columns:
+            df = df.filter(F.col("bucket").isin(bucket_values))
+        dfs.append(df.select("band_idx", "band_key", "owner"))
+    return reduce(lambda a, b: a.unionByName(b), dfs)
 
 
 def _stamp_epoch(spark, state_dir: str, tag: str, epoch_id: int) -> None:
@@ -1425,38 +1558,97 @@ def read_first_arrival_state(spark, dedup_dir: str) -> DataFrame:
     parts = _list_state_parts(spark, f"{dedup_dir}/state")
     if not parts:
         raise FileNotFoundError(f"no first-arrival state under {dedup_dir}")
-    return _fold_claims(spark.read.parquet(*parts))
+    return _fold_claims(_read_claims(spark, parts))
 
 
 def _compact_first_arrival(
-    spark, state_dir: str, tag: str, epoch_id: int, every: int
+    spark, state_dir: str, tag: str, epoch_id: int, every: int,
+    n_buckets: int,
 ) -> None:
-    """Fold base + deltas into a fresh base when the delta count reaches
-    `every`; amortized O(state/every) per batch. Every crash window is
-    safe because a claim log is idempotent under min: an interrupted
-    staging write leaves old parts intact; an interrupted swap is rolled
-    forward by _list_state_parts; deltas surviving a crash after the
-    swap simply re-fold into the (already folded) base next time."""
+    """Fold base + deltas into a fresh BUCKETED base when the delta
+    count reaches `every`; amortized O(state/every) per batch. The base
+    is hive-partitioned by `bucket` (pmod(xxhash64(key), n_buckets)) so
+    the per-batch prior-owner probe partition-prunes to the batch's
+    buckets instead of scanning all accumulated state — the 100 TB
+    co-location story, in code. Every crash window is safe because a
+    claim log is idempotent under min: an interrupted staging write
+    leaves old parts intact; an interrupted swap is rolled forward by
+    _list_state_parts; deltas surviving a crash after the swap simply
+    re-fold into the (already folded) base next time."""
     parts = _list_state_parts(spark, state_dir)
     deltas = [p for p in parts if "/delta-" in p]
     if len(deltas) < every:
         return
-    folded = _fold_claims(spark.read.parquet(*parts))
-    _commit_state(folded, f"{state_dir}/base", tag, int(epoch_id))
+    folded = _fold_claims(_read_claims(spark, parts)).withColumn(
+        "bucket", _bucket_expr(n_buckets)
+    )
+    _commit_state(
+        folded, f"{state_dir}/base", tag, int(epoch_id),
+        partition_by=["bucket"],
+    )
     P, fs = _state_fs(spark, state_dir)
     for d in deltas:
         fs.delete(P(d), True)
     # trim epoch markers beyond any replayable horizon (a restart only
-    # ever re-delivers the last uncommitted batch)
+    # ever re-delivers the last uncommitted batch). Markers from a
+    # RETIRED checkpoint (foreign tag) are deleted outright: their epoch
+    # ids are incomparable to ours, so the numeric horizon would never
+    # reclaim them (round-11 ADVICE). One active checkpoint per state
+    # dir is the sink's contract — interleaving two live checkpoints on
+    # one dedup_dir is undefined regardless of marker handling.
     for st in fs.listStatus(P(state_dir)):
         name = st.getPath().getName()
         if name.startswith("_EPOCH-"):
+            mtag, _, ep_s = name[len("_EPOCH-"):].rpartition("-")
             try:
-                ep = int(name.rsplit("-", 1)[1])
+                ep = int(ep_s)
             except ValueError:
                 continue
-            if ep < int(epoch_id) - 8:
+            if mtag != tag or ep < int(epoch_id) - 8:
                 fs.delete(st.getPath(), False)
+
+
+def _dir_nbytes(spark, d: str) -> int:
+    """Recursive byte size of a state directory (one NN round-trip)."""
+    P, fs = _state_fs(spark, d)
+    if not fs.exists(P(d)):
+        return 0
+    return int(fs.getContentSummary(P(d)).getLength())
+
+
+def _probe_prior_claims(
+    spark, parts: list[str], batch_owner: DataFrame, n_buckets: int
+) -> DataFrame:
+    """Prior claims for THIS batch's keys: the state side partition-
+    prunes base/ to the batch's bucket ids (a bounded collect of at most
+    min(batch keys, n_buckets) ints), then is probed by an EXPLICIT
+    broadcast of the batch keys — a left-semi BroadcastHashJoin, so
+    accumulated state is never shuffled and never read beyond the pruned
+    buckets. The hint is deliberate: the batch side is small by
+    construction (one micro-batch's distinct band keys), and AQE's
+    runtime SMJ→BHJ conversion is not guaranteed for RDD-backed tiny
+    sides (pinned by test_first_arrival_probe_prunes_base_partitions).
+
+    Pruning is SIZE-GATED: computing the batch's bucket ids costs one
+    extra narrow collect job, which only pays once base/ outgrows
+    _PRUNE_MIN_BASE_BYTES (below it, a full scan of the small base is
+    cheaper — measured: the unconditional collect added ~0.4 s/batch to
+    the longevity probe's 200-doc batches)."""
+    keys = ["band_idx", "band_key"]
+    bucket_vals = None
+    bases = [p for p in parts if p.endswith("/base")]
+    if bases and _dir_nbytes(spark, bases[0]) >= _PRUNE_MIN_BASE_BYTES:
+        # bounded: at most min(batch keys, n_buckets) ints
+        bucket_vals = [
+            r[0]
+            for r in batch_owner.select(
+                _bucket_expr(n_buckets).alias("b")
+            ).distinct().collect()
+        ]
+    prev = _read_claims(spark, parts, bucket_values=bucket_vals)
+    return prev.join(
+        F.broadcast(batch_owner.select(*keys)), keys, "left_semi"
+    )
 
 
 def _first_arrival_sink(
@@ -1481,12 +1673,30 @@ def _first_arrival_sink(
     fold cost only at compaction, every `compact_every` batches
     (measured: scripts/stream_longevity_probe.py; pinned:
     tests/test_streaming.py::test_first_arrival_state_log_is_o_batch).
-    The per-batch prior-owner lookup still READS base+deltas, but as a
-    semi join probed by batch keys — map-side under AQE, and at 100 TB
-    the base is bucketed by band_key so the probe is co-located."""
+    The per-batch prior-owner lookup READS base+deltas as a semi join
+    probed by batch keys (map-side under AQE), and the base is
+    hive-partitioned by bucket=pmod(xxhash64(key), n_buckets) so the
+    probe first PARTITION-PRUNES base to the batch's buckets — at
+    100 TB the scan touches only the slices the batch can collide
+    with, and the state side never shuffles."""
+    spark = stream.sparkSession
+    # Delta visibility is gated on the job-commit _SUCCESS marker; a
+    # cluster configured to skip markers would make every delta
+    # invisible, silently degrading cross-batch dedup to per-batch
+    # (round-11 ADVICE). Fail at construction, not silently at runtime.
+    hconf = spark.sparkContext._jsc.hadoopConfiguration()
+    if not hconf.getBoolean(
+        "mapreduce.fileoutputcommitter.marksuccessfuljobs", True
+    ):
+        raise RuntimeError(
+            "first-arrival dedup sinks require job _SUCCESS markers: set "
+            "mapreduce.fileoutputcommitter.marksuccessfuljobs=true "
+            "(delta commit visibility is gated on the marker)"
+        )
     tag = _epoch_tag(checkpoint)
     state_dir = f"{dedup_dir}/state"
     flags_dir = f"{dedup_dir}/flags"
+    n_buckets = _state_nbuckets(spark, state_dir, _N_STATE_BUCKETS)
 
     def batch_fn(df: DataFrame, epoch_id: int) -> None:
         spark = df.sparkSession
@@ -1500,10 +1710,7 @@ def _first_arrival_sink(
         )
         parts = _list_state_parts(spark, state_dir)
         if parts:
-            prev = spark.read.parquet(*parts)
-            # prior claims for THIS batch's keys only (state never
-            # shuffles: batch keys probe it map-side under AQE)
-            hits = prev.join(batch_owner.select(*keys), keys, "left_semi")
+            hits = _probe_prior_claims(spark, parts, batch_owner, n_buckets)
             owner_now = (
                 batch_owner.unionByName(hits)
                 .groupBy(*keys)
@@ -1531,7 +1738,9 @@ def _first_arrival_sink(
             f"{state_dir}/delta-{tag}-{int(epoch_id)}"
         )
         _stamp_epoch(spark, state_dir, tag, epoch_id)
-        _compact_first_arrival(spark, state_dir, tag, epoch_id, compact_every)
+        _compact_first_arrival(
+            spark, state_dir, tag, epoch_id, compact_every, n_buckets
+        )
 
     return foreach_batch_sink(stream, checkpoint, batch_fn)
 
