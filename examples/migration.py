@@ -112,7 +112,11 @@ def main() -> None:
     print("ANN search_df:", index.search_df(qdf, k=2).count(), "hits")
 
     # Past ~10^7-10^8 rows the forest's broadcast metadata outgrows its
-    # budget (SCALING.md "forest metadata ceiling") — the scale path is
+    # budget (SCALING.md "forest metadata ceiling") — build() checks the
+    # crossover itself and WARNS when the estimate is over budget;
+    # AnnIndex.build(emb, auto=True) routes the over-budget build to
+    # IvfIndex (~sqrt(n) centroids) automatically, and
+    # broadcast_budget_bytes= tunes the ceiling. The scale path is
     # the lattice IVF (round-10 surface): integer micro-lattice
     # centroids (exact SQL-replayable build), ~sqrt(n)-sized centroid
     # broadcast instead of the n/leaf-sized forest.

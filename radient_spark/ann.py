@@ -632,7 +632,9 @@ class AnnIndex:
         spill: float = 0.1,
         seed: int = 42,
         metric: str = "cosine",
-    ) -> "AnnIndex":
+        auto: bool = False,
+        broadcast_budget_bytes: int = 512 << 20,
+    ) -> "AnnIndex | IvfIndex":
         """Iterative balanced-bisection build — ALL trees in one DataFrame.
 
         `metric` selects the split kernel ("euclidean" | "cosine",
@@ -663,10 +665,53 @@ class AnnIndex:
         (gann.py:164-178's overlap: each child holds n*(0.5+spill)) —
         the recall lever for boundary-adjacent neighbors; index size
         grows by (1+2*spill)^depth.
+
+        Forest-metadata ceiling (round 12, wiring the round-11
+        measurement into the API): the broadcast forest costs
+        ~(dim*8+120) B per internal node, so above
+        `forest_crossover_rows(dim, ...)` rows it outgrows
+        `broadcast_budget_bytes` (default 512 MiB — SCALING.md "forest
+        metadata ceiling"). An over-budget build WARNS; with
+        `auto=True` it routes to `IvfIndex.build` with ~sqrt(n)
+        centroids instead — broadcast state O(sqrt(n)*dim), the pinned
+        above-crossover index.
         """
         spark = df.sparkSession
         n = df.count()
         dim = len(df.select(vec_col).first()[0])
+        crossover = forest_crossover_rows(
+            dim,
+            max_leaf_size=max_leaf_size,
+            n_trees=n_trees,
+            budget_bytes=broadcast_budget_bytes,
+        )
+        if n > crossover:
+            import warnings
+
+            if auto:
+                n_cells = max(16, min(int(math.isqrt(n)), 1 << 16))
+                warnings.warn(
+                    f"AnnIndex.build: {n} rows exceeds the forest "
+                    f"metadata crossover ({crossover} rows at dim={dim} "
+                    f"for a {broadcast_budget_bytes >> 20} MiB broadcast "
+                    f"budget); auto-routing to IvfIndex.build with "
+                    f"n_cells={n_cells} (broadcast state O(sqrt(n)*dim))",
+                    stacklevel=2,
+                )
+                return IvfIndex.build(
+                    df, id_col=id_col, vec_col=vec_col, n_cells=n_cells,
+                    seed=seed,
+                )
+            warnings.warn(
+                f"AnnIndex.build: {n} rows exceeds the forest metadata "
+                f"crossover ({crossover} rows at dim={dim}): the "
+                f"broadcast forest will outgrow the "
+                f"{broadcast_budget_bytes >> 20} MiB budget. Use "
+                "IvfIndex.build (sqrt(n) centroids) or pass auto=True "
+                "to route there automatically; see SCALING.md 'forest "
+                "metadata ceiling'",
+                stacklevel=2,
+            )
         depth = max(1, math.ceil(math.log2(max(2.0, n / max_leaf_size))))
         sample_sz = min(sample_cap, vc_sample_bound(dim))
 

@@ -52,3 +52,54 @@ def test_crossover_shape():
     # recommendation to switch to IVF / lattice-IVF above the crossover
     assert 5_000_000 < forest_crossover_rows(768) < 100_000_000
     assert forest_crossover_rows(64) < 1_000_000_000
+
+
+def test_build_warns_and_auto_routes_over_budget(spark, sf_dir):
+    """VERDICT r11 #3: the crossover measurement is wired into the API.
+    With a synthetically tiny broadcast budget, a plain build() WARNS
+    (forest would outgrow the budget) and build(auto=True) routes to
+    IvfIndex — same search contract, O(sqrt(n)*dim) broadcast state."""
+    import warnings
+
+    from radient_spark.ann import IvfIndex
+
+    emb = (
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        .select(F.col("vec_id").alias("id"), F.col("embedding").alias("vector"))
+    )
+    tiny = 1024  # bytes: any real forest exceeds this
+
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        index = AnnIndex.build(
+            emb, n_trees=2, max_leaf_size=50,
+            broadcast_budget_bytes=tiny,
+        )
+    assert isinstance(index, AnnIndex)  # no silent rerouting
+    assert any("crossover" in str(x.message) for x in w), [
+        str(x.message) for x in w
+    ]
+
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        routed = AnnIndex.build(
+            emb, auto=True, broadcast_budget_bytes=tiny,
+        )
+    assert isinstance(routed, IvfIndex)
+    assert any("auto-routing" in str(x.message) for x in w)
+    # the routed index searches: top-1 of a corpus vector is itself
+    first = emb.first()
+    qdf = spark.createDataFrame(
+        [(int(first["id"]), list(first["vector"]))],
+        "qid long, qvec array<float>",
+    )
+    got = routed.search_df(qdf, k=1, n_probes=routed.centroids.shape[0])
+    row = got.collect()[0]
+    assert row["id"] == first["id"]
+
+    # under budget: no warning, normal forest
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        ok = AnnIndex.build(emb, n_trees=2, max_leaf_size=50)
+    assert isinstance(ok, AnnIndex)
+    assert not any("crossover" in str(x.message) for x in w)
