@@ -14650,72 +14650,69 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
 # bounded.  The exact window is also a pytest artifact
 # (tests/test_driver_protocol.py, `-m driver_protocol`).
 _DRIVER_PRIORITY = [
-    # Round 11 window (exactly 50 = the driver's sample size; see
-    # tests/test_driver_protocol.py which pins this exact window at
-    # sf0.01).  Composition: 5 stable sentinels; the round-11
-    # changed-code check (q_mel_clip_features gets its FIRST full value
-    # check — the new naive-DFT DuckDB oracle replaced its rows-only
-    # status, leaving q_media_pipeline as the registry's single
-    # remaining no_oracle row, refreshed here too); then the stalest
-    # green entries — the full r4 block plus the oldest r5 names
-    # (alphabetical) — per the rotation policy: keep every registry
-    # row's latest-check age bounded (COVERAGE_LEDGER.md is the
-    # mechanical source for staleness).
-    # sentinels (cross-round continuity, all green r10)
+    # Round 12 window (exactly 50 = the driver's sample size; pinned at
+    # sf0.01 by tests/test_driver_protocol.py). Composition: 5 stable
+    # sentinels + the q_media_pipeline rows-only refresh (the registry's
+    # single no_oracle row, checksum golden), then the stalest greens by
+    # (latest-check round, name) from COVERAGE_LEDGER.md: the full r5
+    # remainder (15 names) + the oldest r7 block (29 names,
+    # alphabetical). No operator code changed behind any green entry
+    # this round (round 12 touched streaming state layout, ANN build
+    # routing, and bench instrumentation — none on an oracle path).
+    # sentinels (cross-round continuity, all green r11)
     "q01_pricing_summary",
     "q_ann_search_exact",
     "q_dup_groups",
     "q_scd2_incremental_merge",
     "q_retrieval_metrics",
-    # round-11 changed code: first VALUE check of the mel-clip oracle
-    "q_mel_clip_features",
     # rows-only refresh (the one remaining no_oracle; checksum golden)
     "q_media_pipeline",
-    # stalest re-checks: the whole last-checked-r4 block...
-    "q_repeat_customers",
-    "q_rollup_returns",
-    "q_running_customer_balance",
-    "q_segment_status_pivot",
-    "q_semi_high_value_customers",
-    "q_sparse_tfidf_terms",
-    "q_token_frequencies",
-    "q_token_packing",
-    "q_top3_orders_per_customer",
-    "q_train_val_split",
-    "q_user_sessions",
-    "q_vec_knn_blocked",
-    "q_vec_nearest_neighbor",
-    "q_vec_similar_pairs",
-    "q_yearly_revenue_full_outer",
-    # ...then the oldest r5 names (alphabetical)
-    "q04_priority_late_ship",
-    "q06_forecast_revenue",
-    "q09_product_profit",
-    "q10_returned_items",
-    "q11_important_part_value",
-    "q12_priority_class_by_flag",
-    "q13_customer_order_counts",
-    "q15_top_supplier",
-    "q17_small_quantity_revenue",
-    "q19_disjunctive_revenue",
-    "q20_dominant_supplier",
-    "q21_waiting_supplier",
-    "q_benford_prices",
-    "q_bfs_reach_census",
-    "q_bloom_runtime_filter",
-    "q_bpe_token_stats",
-    "q_classifier_pr_curve",
-    "q_containment_pairs",
-    "q_decontamination_report",
-    "q_equidepth_histogram",
-    "q_fuzzy_dedup_keep_report",
-    "q_greedy_coverage",
-    "q_grouped_fingerprints",
-    "q_harmonic_centrality",
-    "q_histogram_join_estimate",
-    "q_hyperball_neighborhood",
-    "q_id_gap_audit",
-    "q_kcore_suppliers",
+    # stalest re-checks: the full last-checked-r5 remainder...
+    "q_lpa_communities",
+    "q_minhash_dup_pairs",
+    "q_ndv_join_estimate",
+    "q_pareto_parts",
+    "q_perplexity_buckets",
+    "q_repeated_ngram_report",
+    "q_rolling_distinct_users",
+    "q_rolling_fingerprints",
+    "q_simhash_fingerprints",
+    "q_snapshot_diff_report",
+    "q_snapshot_fingerprints",
+    "q_sparse_dot_topk",
+    "q_temperature_mix",
+    "q_temporal_dedup_report",
+    "q_wl_structural_classes",
+    # ...then the oldest r7 names (alphabetical)
+    "q_approx_cardinalities",
+    "q_bigram_logppl",
+    "q_binary_hamming_topk",
+    "q_bloom_dedup_gate",
+    "q_bm25_search",
+    "q_cluster_balanced_sample",
+    "q_cms_heavy_hitters",
+    "q_cohort_retention",
+    "q_correlation_matrix",
+    "q_cross_source_overlap",
+    "q_curation_pipeline",
+    "q_curation_pipeline_v2",
+    "q_document_chunks",
+    "q_dsir_logweights",
+    "q_embedding_drift",
+    "q_epoch_interleave",
+    "q_gopher_rules_report",
+    "q_hard_negatives",
+    "q_hll_by_source",
+    "q_hll_cardinalities",
+    "q_hybrid_search_rrf",
+    "q_incremental_ingest_dedup",
+    "q_integrity_report",
+    "q_ivfpq_search",
+    "q_kmeans_embedding_clusters",
+    "q_matryoshka_topk",
+    "q_merge_upsert_report",
+    "q_minhash_signatures",
+    "q_mmr_rerank",
 ]
 
 QUERIES = {
