@@ -30,6 +30,15 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 _COMPACT_EVERY = 16  # first-arrival claim-log deltas folded into base every N batches
+_N_STATE_BUCKETS = 64  # base/ partition fan-out; probe prunes to batch buckets
+# Partition-prune the base probe only once base/ outgrows this: below it
+# a full scan is cheaper than the extra bucket-ids collect job the
+# pruning needs (one narrow job over the batch's distinct band keys).
+_PRUNE_MIN_BASE_BYTES = 64 << 20
+# state dirs already checked for (and cleared of) legacy flat-layout
+# parquet this process — the migration is one-time, so the per-batch
+# listing is skipped once a dir is known clean.
+_FLAT_CHECKED: set[str] = set()
 
 
 def read_event_stream(
@@ -1296,6 +1305,7 @@ def lsh_dedup_sink(
     shingle_k: int = 3,
     bands: int = 4,
     compact_every: int = _COMPACT_EVERY,
+    state_buckets: int = _N_STATE_BUCKETS,
 ):
     """Streaming NEAR-duplicate gate: the continuous-ingestion version of
     operators/dedup.lsh_first_arrival_flags (dedup_stream above only
@@ -1345,7 +1355,8 @@ def lsh_dedup_sink(
         )
 
     return _first_arrival_sink(
-        stream, dedup_dir, checkpoint, id_col, bucket_fn, compact_every
+        stream, dedup_dir, checkpoint, id_col, bucket_fn, compact_every,
+        state_buckets=state_buckets,
     )
 
 
@@ -1360,6 +1371,7 @@ def srp_dedup_sink(
     bands: int = 4,
     seed: int = 7,
     compact_every: int = _COMPACT_EVERY,
+    state_buckets: int = _N_STATE_BUCKETS,
 ):
     """Embedding-modality twin of lsh_dedup_sink: continuous-ingestion
     near-dup gate over an embedding column, blocking on ANGLE via
@@ -1385,19 +1397,9 @@ def srp_dedup_sink(
         )
 
     return _first_arrival_sink(
-        stream, dedup_dir, checkpoint, id_col, bucket_fn, compact_every
+        stream, dedup_dir, checkpoint, id_col, bucket_fn, compact_every,
+        state_buckets=state_buckets,
     )
-
-
-_N_STATE_BUCKETS = 64  # base/ partition fan-out; probe prunes to batch buckets
-# Partition-prune the base probe only once base/ outgrows this: below it
-# a full scan is cheaper than the extra bucket-ids collect job the
-# pruning needs (one narrow job over the batch's distinct band keys).
-_PRUNE_MIN_BASE_BYTES = 64 << 20
-# state dirs already checked for (and cleared of) legacy flat-layout
-# parquet this process — the migration is one-time, so the per-batch
-# listing is skipped once a dir is known clean.
-_FLAT_CHECKED: set[str] = set()
 
 
 def _bucket_expr(n_buckets: int):
@@ -1658,6 +1660,7 @@ def _first_arrival_sink(
     id_col: str,
     bucket_fn,
     compact_every: int = _COMPACT_EVERY,
+    state_buckets: int = _N_STATE_BUCKETS,
 ):
     """The signature-agnostic first-arrival fold shared by the LSH and
     SRP gates: bucket_fn(batch_df) -> (id, band_idx, band_key).
@@ -1696,7 +1699,7 @@ def _first_arrival_sink(
     tag = _epoch_tag(checkpoint)
     state_dir = f"{dedup_dir}/state"
     flags_dir = f"{dedup_dir}/flags"
-    n_buckets = _state_nbuckets(spark, state_dir, _N_STATE_BUCKETS)
+    n_buckets = _state_nbuckets(spark, state_dir, state_buckets)
 
     def batch_fn(df: DataFrame, epoch_id: int) -> None:
         spark = df.sparkSession
