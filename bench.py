@@ -412,11 +412,16 @@ def main() -> dict:
     # are real (VERDICT r2 asked for attributable numbers).
     timings: dict[str, float] = {}
     warm: dict[str, float] = {}
+    plan_shas: dict[str, str | None] = {}
     for name in BENCH_QUERIES:
         fn, _ = QUERIES[name]
         start = time.perf_counter()
-        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        df = fn(spark, sf_dir)
+        df.write.format("noop").mode("overwrite").save()
         timings[name] = round(time.perf_counter() - start, 3)
+        # plan fingerprint AFTER the timed write (plan compile cost
+        # stays inside the timing, as in every earlier round)
+        plan_shas[name] = _plan_sha(df)
         # Operators that persist intermediates (distributed_ntile,
         # PageRank's checkpoint lineage, k-means) would otherwise
         # accumulate cache across the sweep and bleed GC pressure into
@@ -591,6 +596,7 @@ def main() -> dict:
             and foreign_frac > _CONTAMINATION_FOREIGN_FRACTION
         )
     )
+    sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
     full = {
         "metric": "radient_spark_headline_queries",
         "value": round(sum(steady.values()), 3),
@@ -600,7 +606,7 @@ def main() -> dict:
         "queries": timings,
         "queries_warm": warm,
         "queries_warm_min": warm_min,
-        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "sf": sf_val,
         "loadavg_before": load_before,
         "loadavg_after": load_after,
         "steal_fraction": (
@@ -611,6 +617,8 @@ def main() -> dict:
         ),
         "ncpus": ncpus,
         "contaminated": contaminated,
+        "ratio_vs_committed": _ratio_vs_committed(best, sf_val),
+        "plan_sha": plan_shas,
     }
     out_path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "BENCH_local.json"
@@ -628,6 +636,11 @@ def main() -> dict:
         "sf": full["sf"],
         "n_queries": len(timings),
         "contaminated": contaminated,
+        "ratio_vs_committed_median": (
+            full["ratio_vs_committed"]["median"]
+            if full["ratio_vs_committed"]
+            else None
+        ),
         "full_results": "BENCH_local.json",
         "queries": {k: steady[k] for k in headline if k in steady},
     }
@@ -635,6 +648,88 @@ def main() -> dict:
     assert len(line) < 1500, f"bench summary line too long ({len(line)} chars)"
     print(line)
     return full
+
+
+def _plan_sha(df) -> str | None:
+    """Stable fingerprint of a DataFrame's optimized physical plan.
+
+    Round-11's contaminated-host saga showed timing noise can mask (or
+    fake) plan regressions; this hash makes them detectable
+    independently of timing: a join flipping SMJ<->broadcast, a lost
+    PushedFilters, a vanished WholeStageCodegen span all flip the sha.
+    Volatile tokens (expression ids, plan ids — renumbered per session)
+    are normalized out so the sha is stable across runs of an unchanged
+    plan.
+    """
+    import hashlib
+    import re as _re
+
+    try:
+        jvm = df.sparkSession._jvm
+        txt = jvm.org.apache.spark.sql.api.python.PythonSQLUtils.explainString(
+            df._jdf.queryExecution(), "formatted"
+        )
+    except Exception:
+        return None
+    txt = _re.sub(r"#\d+", "#", txt)
+    txt = _re.sub(r"plan_id=\d+", "plan_id=", txt)
+    txt = _re.sub(r"\[id=#?\d*\]", "", txt)
+    txt = _re.sub(r"cachedrdd-\d+", "cachedrdd-", txt)
+    return hashlib.sha256(txt.encode()).hexdigest()[:16]
+
+
+def _ratio_vs_committed(
+    best: dict[str, float], sf, ref_dir: str | None = None
+) -> dict | None:
+    """Per-query warm-min ratios vs the newest committed CLEAN artifact.
+
+    Round-11's contaminated sweeps forced a hand-argued parity receipt
+    (warm-min comparisons in COVERAGE.md prose); this block automates
+    it: every artifact — flagged or not — carries a machine-readable
+    no-regression bound vs the last BENCH_local_r<N>.json whose own
+    capture said contaminated=false. The warm-MIN is the least
+    contaminable statistic (host load only ever ADDS time), so a median
+    ratio near 1.0 in a steal-flagged sweep is evidence of
+    uniform-inflation noise, not code regression.
+    """
+    import glob
+    import re as _re
+    import statistics as _stats
+
+    repo = ref_dir or os.path.dirname(os.path.abspath(__file__))
+    cands = []
+    for p in glob.glob(os.path.join(repo, "BENCH_local_r*.json")):
+        m = _re.search(r"_r(\d+)[a-z]?\.json$", p)
+        if m:
+            cands.append((int(m.group(1)), p))
+    for _, p in sorted(cands, reverse=True):
+        try:
+            with open(p) as f:
+                d = json.load(f)
+        except (OSError, ValueError):
+            continue
+        if d.get("contaminated") is False and d.get("sf") == sf:
+            # same-sf artifacts only: an sf0.001 smoke vs the committed
+            # sf0.1 artifact would produce a meaningless ratio
+            committed = {
+                **d.get("queries", {}),
+                **d.get("queries_warm", {}),
+                **d.get("queries_warm_min", {}),
+            }
+            per = {
+                q: round(best[q] / committed[q], 3)
+                for q in sorted(best)
+                if committed.get(q) and best[q] is not None
+            }
+            if not per:
+                return None
+            return {
+                "reference": os.path.basename(p),
+                "median": round(_stats.median(per.values()), 3),
+                "n": len(per),
+                "per_query": per,
+            }
+    return None
 
 
 def _quiet_now(sample_sec: float = 10.0) -> tuple[bool, str]:
@@ -665,7 +760,11 @@ def _quiet_now(sample_sec: float = 10.0) -> tuple[bool, str]:
     return True, "quiet"
 
 
-def watch(max_attempts: int = 6, poll_sec: float = 60.0) -> dict | None:
+def watch(
+    max_attempts: int = 6,
+    poll_sec: float = 60.0,
+    max_polls_per_attempt: int = 30,
+) -> dict | None:
     """Retry the sweep until it lands in a quiet window (VERDICT r10 #2).
 
     Polls loadavg + hypervisor steal until the host looks quiet, runs the
@@ -673,10 +772,16 @@ def watch(max_attempts: int = 6, poll_sec: float = 60.0) -> dict | None:
     capture says contaminated=false. Contaminated attempts leave
     BENCH_local.json on disk (last attempt wins) but are reported as
     rejected; the caller should only promote an accepted artifact.
+
+    The quiet-wait is bounded: a never-quiet host burns at most
+    max_polls_per_attempt polls per attempt, then the attempt is
+    forfeited (counted, no sweep) so watch() always terminates with the
+    'exhausted' verdict instead of polling forever (round-11 ADVICE).
     """
     for attempt in range(1, max_attempts + 1):
         quiet, reason = _quiet_now()
-        while not quiet:
+        polls = 0
+        while not quiet and polls < max_polls_per_attempt:
             print(
                 json.dumps(
                     {"watch": "waiting", "attempt": attempt, "reason": reason}
@@ -684,7 +789,20 @@ def watch(max_attempts: int = 6, poll_sec: float = 60.0) -> dict | None:
                 file=sys.stderr,
             )
             time.sleep(poll_sec)
+            polls += 1
             quiet, reason = _quiet_now()
+        if not quiet:
+            print(
+                json.dumps(
+                    {
+                        "watch": "forfeited",
+                        "attempt": attempt,
+                        "reason": f"never quiet after {polls} polls: {reason}",
+                    }
+                ),
+                file=sys.stderr,
+            )
+            continue
         full = main()
         if not full["contaminated"]:
             print(

@@ -109,6 +109,20 @@ def test_watch_exhausts(monkeypatch):
     assert bench.watch(max_attempts=2, poll_sec=0) is None
 
 
+def test_watch_never_quiet_terminates(monkeypatch):
+    # ADVICE r11: the quiet-wait must be bounded — on a never-quiet host
+    # watch() forfeits each attempt after max_polls_per_attempt polls and
+    # terminates with the exhausted verdict instead of polling forever.
+    ran = []
+    monkeypatch.setattr(bench, "main", lambda: ran.append(1) or {})
+    monkeypatch.setattr(
+        bench, "_quiet_now", lambda **k: (False, "steal 50% of capacity")
+    )
+    monkeypatch.setattr(bench.time, "sleep", lambda s: None)
+    assert bench.watch(max_attempts=2, poll_sec=0, max_polls_per_attempt=3) is None
+    assert ran == []  # no sweep ever launched into a dirty window
+
+
 def test_foreign_fraction_math():
     # (busy - steal - own)/(busy - steal): in-guest neighbor detection
     # (round 11: a concurrent suite run inflated a sweep invisibly to
@@ -143,3 +157,65 @@ def test_tick_census_shape():
     # (own_tree, kernel) — kernel kworkers flushing our writes are not a
     # neighbor, so they ride the own side of the foreign calculation
     assert c is None or (len(c) == 2 and c[0] >= 0 and c[1] >= 0)
+
+
+def test_ratio_vs_committed_block(tmp_path):
+    # VERDICT r11 #2: every artifact carries a machine-readable
+    # no-regression bound vs the newest committed CLEAN artifact.
+    import json as _json
+
+    # r9: clean but older; r10: clean and newest -> chosen; r11: newer
+    # but contaminated -> skipped
+    (tmp_path / "BENCH_local_r9.json").write_text(
+        _json.dumps({"contaminated": False, "sf": 0.1, "queries": {"qa": 99.0}})
+    )
+    (tmp_path / "BENCH_local_r10.json").write_text(
+        _json.dumps(
+            {
+                "contaminated": False,
+                "sf": 0.1,
+                "queries": {"qa": 2.0, "qb": 4.0, "qd": 1.0},
+                "queries_warm_min": {"qa": 1.0},  # warm-min wins over sweep
+            }
+        )
+    )
+    (tmp_path / "BENCH_local_r11.json").write_text(
+        _json.dumps({"contaminated": True, "sf": 0.1, "queries": {"qa": 50.0}})
+    )
+    # r12: clean and newest but at a DIFFERENT sf -> skipped (a cross-sf
+    # ratio is meaningless)
+    (tmp_path / "BENCH_local_r12.json").write_text(
+        _json.dumps({"contaminated": False, "sf": 0.001, "queries": {"qa": 0.1}})
+    )
+    best = {"qa": 1.5, "qb": 2.0, "qc": 7.0}  # qc has no committed twin
+    out = bench._ratio_vs_committed(best, 0.1, ref_dir=str(tmp_path))
+    assert out["reference"] == "BENCH_local_r10.json"
+    assert out["per_query"] == {"qa": 1.5, "qb": 0.5}
+    assert out["median"] == 1.0
+    assert out["n"] == 2
+
+    # no clean artifact anywhere -> None, never a crash
+    for p in tmp_path.glob("BENCH_local_r*.json"):
+        p.write_text(_json.dumps({"contaminated": True, "queries": {}}))
+    assert bench._ratio_vs_committed(best, 0.1, ref_dir=str(tmp_path)) is None
+
+
+def test_plan_sha_stable_and_config_sensitive(spark, sf_dir):
+    # VERDICT r11 #7: plan fingerprints detect plan regressions
+    # independently of timing. Same query twice -> same sha (exprId
+    # renumbering normalized out); a forced join-strategy config change
+    # -> different sha.
+    from radient_spark.queries import QUERIES
+
+    fn, _ = QUERIES["q13_customer_order_counts"]
+    a = bench._plan_sha(fn(spark, sf_dir))
+    b = bench._plan_sha(fn(spark, sf_dir))
+    assert a is not None and a == b
+
+    thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        c = bench._plan_sha(fn(spark, sf_dir))
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresh)
+    assert c is not None and c != a
