@@ -746,6 +746,21 @@ class AnnIndex:
         trees = [_Tree(depth=depth) for _ in range(n_trees)]
         sizes: dict[tuple[int, int], int] = {(t, 0): n for t in range(n_trees)}
         KEY = 1 << (depth + 1)  # composite (tree, leaf) -> tree*KEY + leaf
+        # Partition discipline: each level's reassignment unions two
+        # narrow filters over the checkpointed projection, which DOUBLES
+        # the partition count — left unchecked, a depth-D build runs
+        # P0 * 2^D tasks in the last level's GEMM stage (the round-12
+        # forest probe hit 102,400 two-row tasks at 200k input rows;
+        # at 10^8 rows that's ~10^8 tasks of pure scheduler overhead).
+        # Coalescing the union back to a fixed width is a NARROW
+        # dependency (no shuffle) and keeps every level's stage at the
+        # same task count. Spill growth ((1+2*spill)^depth rows) only
+        # fattens tasks gradually, which the 2x-parallelism headroom
+        # absorbs.
+        n_parts = max(
+            2 * spark.sparkContext.defaultParallelism,
+            df.rdd.getNumPartitions(),
+        )
 
         key_col = F.col("tree_id") * KEY + F.col("leaf_id")
 
@@ -908,7 +923,7 @@ class AnnIndex:
             ).withColumn("leaf_id", F.col("leaf_id") * 2)
             cur = right.unionByName(left).select(
                 "id", "vector", "tree_id", "leaf_id", "__nrm"
-            )
+            ).coalesce(n_parts)
             # Child sizes follow analytically from the median split: each
             # child holds ~size*(0.5+spill) of its parent (that IS the
             # split rule) — no count job needed; sizes only steer the
@@ -991,6 +1006,12 @@ class AnnIndex:
         trees = [_Tree(depth=levels) for _ in range(n_trees)]
         KEY = 1 << (levels + 1)
         key_col = F.col("tree_id") * KEY + F.col("leaf_id")
+        # same per-level union partition-doubling discipline as `build`:
+        # coalesce (narrow) back to a fixed width each level
+        n_parts = max(
+            2 * df.sparkSession.sparkContext.defaultParallelism,
+            df.rdd.getNumPartitions(),
+        )
 
         def lit_arr(v):
             return F.array(*[F.lit(int(x)) for x in v])
@@ -1148,7 +1169,7 @@ class AnnIndex:
             ).withColumn("leaf_id", F.col("leaf_id") * 2)
             cur = right.unionByName(left).select(
                 "id", "vector", "__m", "tree_id", "leaf_id"
-            )
+            ).coalesce(n_parts)
         return AnnIndex(
             cur.select("tree_id", "leaf_id", "id", "vector"),
             trees,

@@ -560,3 +560,26 @@ def test_ivf_build_lattice_roundtrip_and_incremental(spark, emb, tmp_path):
     a = sorted(map(tuple, idx.search(qs, k=3, n_probes=2).collect()))
     b = sorted(map(tuple, loaded.search(qs, k=3, n_probes=2).collect()))
     assert a == b
+
+
+def test_build_partition_width_bounded(spark, emb):
+    """Round-12: the per-level reassignment union must NOT double the
+    partition count each level — a depth-D build would otherwise run
+    P0 * 2^D tasks in its last GEMM stage (the forest-bytes probe hit
+    102,400 two-row tasks at 200k rows before the coalesce fix). The
+    index_df is the loop's final `cur`, so its partition count pins the
+    last level's stage width: bounded by the coalesce target, never
+    input_parts * 2^depth."""
+    wide = emb.repartition(8)
+    # depth = ceil(log2(n / leaf)) >= 4 at sf0.001+ (n >= 600, leaf 32)
+    idx = AnnIndex.build(wide, n_trees=2, max_leaf_size=32, seed=7)
+    target = max(
+        2 * spark.sparkContext.defaultParallelism,
+        wide.rdd.getNumPartitions(),
+    )
+    got = idx.index_df.rdd.getNumPartitions()
+    assert got <= target, (got, target)
+
+    lat = AnnIndex.build_lattice(emb.repartition(8), n_trees=2, levels=2, seed=42)
+    got_lat = lat.index_df.rdd.getNumPartitions()
+    assert got_lat <= target, (got_lat, target)
