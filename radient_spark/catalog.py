@@ -58,6 +58,31 @@ TIMESTAMP_NANOS_COLS = {
     "events": ("ts",),
 }
 
+# Scale-adaptive scan widening (optimization r12, guide §2.2/§2.5 —
+# "make partitioning scale-adaptive rather than a constant tuned for
+# either local mode or the cluster"). The driver's sf0.1 tables are
+# single-row-group parquet files, so every scan is ONE task and all
+# pre-exchange work — filters, projections, partial aggregation, the
+# map side of the first join shuffle — runs on one core no matter how
+# many the session has (measured: q01's 7 decimal aggregates over 600k
+# rows spend ~1.3 s single-threaded; widened min 0.95 s vs 1.45 s).
+# Tables whose file signature says "one or two splits, but enough rows
+# to matter" are round-robin repartitioned to the session's default
+# parallelism right at load. Guards make this provably absent at
+# scale: a table above _WIDEN_MAX_BYTES already splits via
+# spark.sql.files.maxPartitionBytes (the repartition would only add an
+# exchange), and one below _WIDEN_MIN_BYTES is broadcast-dimension
+# sized (the extra stage would cost more than the single-task scan).
+# Predicate pushdown and column pruning pass through the repartition
+# (verified in the plan: PushedFilters/ReadSchema unchanged at the
+# scan node).
+# Both bounds are env-overridable so a cluster deployment can tune (or
+# disable, MIN=1<<60) them without a code change; the defaults are the
+# local-mode values measured in scripts/overhead_probe.json + the A/B
+# sweeps in OPTIMIZATION_r12.md.
+_WIDEN_MIN_BYTES = int(os.environ.get("SPARK_GRAFT_WIDEN_MIN_BYTES", 512 << 10))
+_WIDEN_MAX_BYTES = int(os.environ.get("SPARK_GRAFT_WIDEN_MAX_BYTES", 256 << 20))
+
 # (abs path, signature) -> inferred StructType. Metadata only; shared
 # across sessions (a StructType is engine-independent).
 _SCHEMA_CACHE: dict[str, tuple[tuple, "StructType"]] = {}
@@ -129,6 +154,14 @@ def load_tables(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> dict[str, 
     # The driver may hand us a vanilla session: pin UTC so collected
     # timestamps agree with the (naive-UTC) parquet/DuckDB values.
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    try:
+        parallelism = spark.sparkContext.defaultParallelism
+    except Exception:
+        parallelism = 0
+    try:
+        max_split = int(spark.conf.get("spark.sql.files.maxPartitionBytes", None) or (128 << 20))
+    except Exception:
+        max_split = 128 << 20
     out: dict[str, DataFrame] = {}
     for name in TABLES:
         df = _read_parquet(spark, f"{sf_dir}/{name}.parquet")
@@ -136,6 +169,13 @@ def load_tables(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> dict[str, 
         for c in TIMESTAMP_NANOS_COLS.get(name, ()):
             if dtypes.get(c) == "bigint":
                 df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+        sig = sigs.get(name)
+        if (
+            sig is not None
+            and _WIDEN_MIN_BYTES <= sig[1] <= _WIDEN_MAX_BYTES
+            and -(-sig[1] // max_split) < parallelism
+        ):
+            df = df.repartition(parallelism)
         out[name] = df
     if cacheable:
         entry = _TABLE_CACHE.get(skey)
