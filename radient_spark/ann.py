@@ -48,6 +48,38 @@ from pyspark.sql import functions as F
 
 MAX_LEAF_SIZE = 200  # gann.py:15
 
+# Scale-adaptive width for the per-level build stages (optimization r12,
+# guide §2.2/§2.5): the reassignment union is coalesced back to a fixed
+# width each level, and that width is derived from the LEVEL'S DATA, not
+# from the core count — tiny builds get few tasks (the per-task Python
+# round-trip dominates: 64-way stages measured 5.0 s vs 3.6 s at the
+# rows-derived width on the sf0.1 forest), mid-size builds fill 2x the
+# cores, and big builds are bytes-driven so a pandas GEMM task never
+# holds more than ~a scan split of vectors. Both knobs env-overridable.
+_ANN_MAX_SPLIT_BYTES = int(
+    os.environ.get("SPARK_GRAFT_ANN_MAX_SPLIT_BYTES", 128 << 20)
+)
+_ANN_FILL_ROWS = int(os.environ.get("SPARK_GRAFT_ANN_FILL_ROWS", 1024))
+
+
+def _build_width(
+    spark: SparkSession, level_rows: float, row_bytes: int
+) -> int:
+    """Partitions for a build level holding ~level_rows rows of
+    ~row_bytes each: max(1, bytes/maxsplit, min(2*cores, rows/fill)).
+    Bytes win at scale (bounded task memory); the rows term fills the
+    cluster only when there are enough rows to amortize a Python task;
+    tiny levels collapse to a handful of tasks."""
+    try:
+        par = spark.sparkContext.defaultParallelism
+    except Exception:
+        par = 8
+    return max(
+        1,
+        math.ceil(level_rows * row_bytes / _ANN_MAX_SPLIT_BYTES),
+        min(2 * par, math.ceil(level_rows / _ANN_FILL_ROWS)),
+    )
+
 
 def _local_parquet_exists(d: str) -> bool:
     """True iff the driver-local directory holds at least one parquet
@@ -754,12 +786,13 @@ class AnnIndex:
         # at 10^8 rows that's ~10^8 tasks of pure scheduler overhead).
         # Coalescing the union back to a fixed width is a NARROW
         # dependency (no shuffle) and keeps every level's stage at the
-        # same task count. Spill growth ((1+2*spill)^depth rows) only
-        # fattens tasks gradually, which the 2x-parallelism headroom
-        # absorbs.
-        n_parts = max(
-            2 * spark.sparkContext.defaultParallelism,
-            df.rdd.getNumPartitions(),
+        # same task count. The width is sized from the LAST level's
+        # analytic row count (spill growth (1+2*spill)^depth included)
+        # by _build_width — data-derived, not core-count-derived.
+        n_parts = _build_width(
+            spark,
+            n_trees * n * (1.0 + 2.0 * spill) ** depth,
+            dim * 4 + 60,
         )
 
         key_col = F.col("tree_id") * KEY + F.col("leaf_id")
@@ -995,10 +1028,12 @@ class AnnIndex:
             F.col(vec_col).alias("vector"),
             micro_vec(F.col(vec_col)).alias("__m"),
         )
-        dim_row = base.select(F.size("__m").alias("d")).first()
-        if dim_row is None:
+        stats_row = base.agg(
+            F.count(F.lit(1)).alias("n"), F.min(F.size("__m")).alias("d")
+        ).first()
+        if stats_row is None or stats_row["n"] == 0:
             raise ValueError("build_lattice: empty input")
-        dim = dim_row["d"]
+        n, dim = stats_row["n"], stats_row["d"]
         cur = base.withColumn(
             "tree_id",
             F.explode(F.array(*[F.lit(t) for t in range(n_trees)])),
@@ -1007,10 +1042,13 @@ class AnnIndex:
         KEY = 1 << (levels + 1)
         key_col = F.col("tree_id") * KEY + F.col("leaf_id")
         # same per-level union partition-doubling discipline as `build`:
-        # coalesce (narrow) back to a fixed width each level
-        n_parts = max(
-            2 * df.sparkSession.sparkContext.defaultParallelism,
-            df.rdd.getNumPartitions(),
+        # coalesce (narrow) back to a fixed data-derived width each
+        # level (_build_width; micro lattice rows carry the long array
+        # on top of the float vector, hence the fatter row estimate)
+        n_parts = _build_width(
+            df.sparkSession,
+            n_trees * n * (1.0 + 2.0 * spill_pm / 1000.0) ** levels,
+            dim * 12 + 60,
         )
 
         def lit_arr(v):
