@@ -50,6 +50,13 @@ def get_session(app_name: str = "radient_spark") -> SparkSession:
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
         .config("spark.ui.enabled", "false")
     )
+    # Free-form conf passthrough for deployments and A/B measurement:
+    # "k1=v1;k2=v2". Applied last, so it can override any default above.
+    extra = os.environ.get("SPARK_GRAFT_EXTRA_CONF", "")
+    for kv in extra.split(";"):
+        if "=" in kv:
+            k, v = kv.split("=", 1)
+            builder = builder.config(k.strip(), v.strip())
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark
