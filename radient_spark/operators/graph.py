@@ -30,10 +30,6 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def _degrees(edges: DataFrame, src: str) -> DataFrame:
-    return edges.groupBy(src).agg(F.count(F.lit(1)).alias("__deg"))
-
-
 def _release(result: DataFrame, *cached: DataFrame) -> DataFrame:
     """Materialize the node-sized result (eager localCheckpoint truncates
     its lineage off the iteration caches), then unpersist every
@@ -43,19 +39,6 @@ def _release(result: DataFrame, *cached: DataFrame) -> DataFrame:
     for df in cached:
         df.unpersist()
     return out
-
-
-def _persist_new(df: DataFrame) -> tuple[DataFrame, bool]:
-    """Persist df only if the caller has not already persisted it.
-
-    Returns (df, owned) where owned marks a persist() made here: only
-    operator-created caches may be unpersisted on exit — dropping a
-    caller's cache would silently force later calls in the same session
-    to recompute the upstream lineage (round-9 ADVICE)."""
-    lvl = df.storageLevel
-    if lvl.useMemory or lvl.useDisk:
-        return df, False
-    return df.persist(), True
 
 
 def pagerank(
@@ -73,18 +56,29 @@ def pagerank(
     mass (ranks then sum to < 1) — the common large-scale simplification;
     add reverse edges upstream for an undirected reading. Returns
     (node, rank).
+
+    Scale shape (optimization r12, guide §2.4/§3.1): the edge list
+    collapses ONCE into a persisted (src, [dst...]) adjacency roster —
+    multiplicity-preserving collect_list, partitioned by the per-round
+    join key and with the out-degree free as size(roster) — so every
+    power-iteration round shuffles only the node-sized rank state into
+    the roster join and explodes the destinations after it. (Null dst
+    endpoints are not propagated as rank sinks; null-keyed edges never
+    matched the contribution join anyway.)
     """
-    # The edge list (and everything derived from it) is scanned every
-    # iteration — persist it once so an expensive upstream lineage
-    # (joins, distinct) is not re-executed per power-iteration round.
-    edges, edges_owned = _persist_new(edges)
+    adj = (
+        edges.select(F.col(src).alias("__src"), F.col(dst).alias("__dst"))
+        .groupBy("__src")
+        .agg(F.collect_list("__dst").alias("__ds"))
+        .persist()
+    )
     nodes = (
-        edges.select(F.col(src).alias("node"))
-        .unionByName(edges.select(F.col(dst).alias("node")))
+        adj.select(F.col("__src").alias("node"))
+        .unionByName(adj.select(F.explode("__ds").alias("node")))
         .distinct()
         .persist()
     )
-    owned = [nodes] + ([edges] if edges_owned else [])
+    owned = [adj, nodes]
     n = nodes.count()
     if n == 0:
         # Nothing to iterate: release entry caches outright (no
@@ -96,11 +90,17 @@ def pagerank(
     # Carry the (static) out-degree INSIDE the iterated rank state:
     # the rank⋈degree join then disappears from the loop entirely — a
     # filter+project on the cached state replaces it, leaving exactly
-    # one edge-sized join and one node-sized fold per round. Values are
+    # one roster join and one node-sized fold per round. Values are
     # identical: degree-0 nodes contributed nothing through the old
     # inner join and are now filtered explicitly.
     nd = (
-        nodes.join(_degrees(edges, src), nodes["node"] == F.col(src), "left")
+        nodes.join(
+            adj.select(
+                F.col("__src").alias("node"), F.size("__ds").alias("__deg")
+            ),
+            "node",
+            "left",
+        )
         .select("node", F.coalesce("__deg", F.lit(0)).alias("__deg"))
         .persist()
     )
@@ -112,8 +112,8 @@ def pagerank(
             F.col("node").alias("__src"),
             (F.col("__r") / F.col("__deg")).alias("__c"),
         )
-        contrib = edges.join(per_src, edges[src] == per_src["__src"]).select(
-            F.col(dst).alias("node"), "__c"
+        contrib = adj.join(per_src, "__src").select(
+            F.explode("__ds").alias("node"), "__c"
         )
         summed = contrib.groupBy("node").agg(F.sum("__c").alias("__s"))
         new = nd.join(summed, "node", "left").select(
@@ -148,25 +148,40 @@ def pagerank_integer(
     `//` in DuckDB — so results are bit-exact regardless of aggregation
     order and the registry query can carry a value oracle. The floor
     truncation loses < iters * n / units of total mass; at units=1e12
-    that is measurement noise, and determinism is the point."""
-    edges, edges_owned = _persist_new(edges)
+    that is measurement noise, and determinism is the point.
+
+    Adjacency-roster iteration shape — see pagerank (optimization r12);
+    integer arithmetic is order-exact, so the roster explode cannot
+    change a single bit of the result."""
+    adj = (
+        edges.select(F.col(src).alias("__src"), F.col(dst).alias("__dst"))
+        .groupBy("__src")
+        .agg(F.collect_list("__dst").alias("__ds"))
+        .persist()
+    )
     nodes = (
-        edges.select(F.col(src).alias("node"))
-        .unionByName(edges.select(F.col(dst).alias("node")))
+        adj.select(F.col("__src").alias("node"))
+        .unionByName(adj.select(F.explode("__ds").alias("node")))
         .distinct()
         .persist()
     )
-    owned = [nodes] + ([edges] if edges_owned else [])
+    owned = [adj, nodes]
     n = nodes.count()
     if n == 0:
         for c in owned:  # see pagerank: plain unpersist, no checkpoint
             c.unpersist()
         return nodes.withColumn(rank_col, F.lit(0).cast("long"))
     # degree carried inside the iterated state (see pagerank): zero
-    # node-sized joins on the contribution side, one edge join + one
+    # node-sized joins on the contribution side, one roster join + one
     # node fold per round; __r div __deg per source is unchanged
     nd = (
-        nodes.join(_degrees(edges, src), nodes["node"] == F.col(src), "left")
+        nodes.join(
+            adj.select(
+                F.col("__src").alias("node"), F.size("__ds").alias("__deg")
+            ),
+            "node",
+            "left",
+        )
         .select("node", F.coalesce("__deg", F.lit(0)).alias("__deg"))
         .persist()
     )
@@ -178,8 +193,8 @@ def pagerank_integer(
             F.col("node").alias("__src"),
             F.expr("__r div __deg").alias("__c"),
         )
-        contrib = edges.join(per_src, edges[src] == per_src["__src"]).select(
-            F.col(dst).alias("node"), "__c"
+        contrib = adj.join(per_src, "__src").select(
+            F.explode("__ds").alias("node"), "__c"
         )
         summed = contrib.groupBy("node").agg(F.sum("__c").alias("__s"))
         new = nd.join(summed, "node", "left").select(
@@ -562,49 +577,49 @@ def label_propagation(
     clusters in a crawl, co-purchase segments) — coarser than connected
     components, finer than the whole graph.
 
-    Scale shape per round: one edge-label join on the neighbor key, one
-    map-side-combined (node, label) count, one per-node argmax via
-    max_by on the (count, -label) order — three key-partitioned
-    shuffles, no driver state; lineage truncated per round. ``rounds``
-    is a constant: LPA is used as a fixed-sweep refinement, not run to
+    Scale shape (optimization r12, guide §2.4/§3.1): the graph lives as
+    a PERSISTED adjacency roster — one groupBy(v).collect_set(u) folds
+    the bidirectional dedup into the single exchange that also hash-
+    partitions the rosters by the per-round join key, and persist (not
+    localCheckpoint) keeps that partitioning visible to the planner, so
+    every round's roster-label join shuffles ONLY the node-sized label
+    state. The per-round mode-argmax is ONE aggregation —
+    mode(lbl, deterministic=true) is exactly "most frequent, ties to
+    the smaller label" with map-side partial maps — where the old shape
+    paid a (node, label) count exchange plus a per-node max exchange.
+    Per round: one node-sized shuffle in, one aggregated shuffle out;
+    no driver state; lineage truncated per round. ``rounds`` is a
+    constant: LPA is used as a fixed-sweep refinement, not run to
     convergence (it may oscillate — the known two-coloring artifact).
 
     Returns (node, community).
     """
-    bidir = (
+    adj = (
         edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
         .unionByName(
             edges.select(F.col(dst).alias("u"), F.col(src).alias("v"))
         )
         .filter(F.col("u") != F.col("v"))
-        .distinct()
-        .localCheckpoint(eager=True)
+        .groupBy("v")
+        .agg(F.collect_set("u").alias("__us"))
+        .persist()
     )
-    labels = (
-        bidir.select(F.col("u").alias("node"))
-        .distinct()
-        .withColumn("lbl", F.col("node"))
+    adj.count()  # eager: build the roster once before the sweeps
+    labels = adj.select(F.col("v").alias("node")).withColumn(
+        "lbl", F.col("node")
     )
     for _ in range(rounds):
-        neigh = bidir.join(
+        neigh = adj.join(
             labels.withColumnRenamed("node", "v"), "v"
-        ).select(F.col("u").alias("node"), "lbl")
-        counts = neigh.groupBy("node", "lbl").agg(
-            F.count(F.lit(1)).alias("c")
-        )
-        # argmax by (count desc, label asc): max_by over a struct whose
-        # order matches — negate the label so the smaller wins inside max
+        ).select(F.explode("__us").alias("node"), "lbl")
         labels = (
-            counts.groupBy("node")
-            .agg(
-                F.max(F.struct(F.col("c"), (-F.col("lbl")).alias("nl"))).alias(
-                    "__m"
-                )
-            )
-            .select("node", (-F.col("__m.nl")).alias("lbl"))
+            neigh.groupBy("node")
+            .agg(F.mode("lbl", True).alias("lbl"))
             .localCheckpoint(eager=True)
         )
-    return labels.select("node", F.col("lbl").alias("community"))
+    out = labels.select("node", F.col("lbl").alias("community"))
+    adj.unpersist()
+    return out
 
 
 def wl_colors(
@@ -625,45 +640,72 @@ def wl_colors(
 
     Portable by construction: md5 + ordered string aggregation exist
     identically in Spark and ANSI/DuckDB SQL, so the registry oracle
-    replays the refinement exactly. Scale shape per round: one
-    edge-color join + one sorted collect_list per node (the multiset
-    sort is per-node, bounded by degree — no global sort), lineage
-    truncated per round.
+    replays the refinement exactly. Scale shape (optimization r12,
+    guide §2.4/§3.1): the graph lives as a persisted adjacency roster
+    partitioned by the per-round join key (one groupBy(v).collect_set —
+    dedup, degree AND rosters from a single exchange; persist keeps the
+    partitioning visible, so each round shuffles only the node-sized
+    color state), and the own-color attach rides the SAME aggregation
+    as the neighbor multiset via a self-row union instead of a second
+    node join. The multiset sort is per-node, bounded by degree — no
+    global sort; lineage truncated per round.
 
     Returns (node, wl_color).
     """
-    bidir = (
+    adj = (
         edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
         .unionByName(
             edges.select(F.col(dst).alias("u"), F.col(src).alias("v"))
         )
         .filter(F.col("u") != F.col("v"))
-        .distinct()
-        .localCheckpoint(eager=True)
+        .groupBy("v")
+        .agg(F.collect_set("u").alias("__us"))
+        .persist()
     )
-    colors = (
-        bidir.groupBy(F.col("u").alias("node"))
-        .agg(F.count(F.lit(1)).alias("__d"))
-        .select("node", F.col("__d").cast("string").alias("color"))
+    adj.count()  # eager: build the roster once before the rounds
+    colors = adj.select(
+        F.col("v").alias("node"),
+        F.size("__us").cast("string").alias("color"),
     )
     for _ in range(rounds):
-        neigh = bidir.join(
+        neigh = adj.join(
             colors.withColumnRenamed("node", "v"), "v"
-        ).select(F.col("u").alias("node"), F.col("color").alias("nc"))
-        agg = neigh.groupBy("node").agg(
-            F.concat_ws(",", F.sort_array(F.collect_list("nc"))).alias("__ns")
+        ).select(
+            F.explode("__us").alias("node"),
+            F.col("color").alias("__nc"),
+            F.lit(False).alias("__self"),
+        )
+        merged = neigh.unionByName(
+            colors.select(
+                "node",
+                F.col("color").alias("__nc"),
+                F.lit(True).alias("__self"),
+            )
         )
         colors = (
-            colors.join(agg, "node")
+            merged.groupBy("node")
+            .agg(
+                F.concat_ws(
+                    ",",
+                    F.sort_array(
+                        F.collect_list(
+                            F.when(~F.col("__self"), F.col("__nc"))
+                        )
+                    ),
+                ).alias("__ns"),
+                F.max(F.when(F.col("__self"), F.col("__nc"))).alias("__own"),
+            )
             .select(
                 "node",
                 F.substring(
-                    F.md5(F.concat_ws("|", "color", "__ns")), 1, hash_chars
+                    F.md5(F.concat_ws("|", "__own", "__ns")), 1, hash_chars
                 ).alias("color"),
             )
             .localCheckpoint(eager=True)
         )
-    return colors.select("node", F.col("color").alias("wl_color"))
+    out = colors.select("node", F.col("color").alias("wl_color"))
+    adj.unpersist()
+    return out
 
 
 def bfs_layers(
@@ -680,22 +722,28 @@ def bfs_layers(
     reachability primitive behind influence radii, contamination
     blast-zones, and crawl frontier analysis.
 
-    Spark-first shape per level: one frontier-edge join (frontier
-    shrinks or grows but is always a node set, never paths), one
-    anti-join against the visited set, lineage truncated per level.
+    Spark-first shape (optimization r12, guide §2.4/§3.1): the graph
+    lives as a persisted adjacency roster partitioned by the per-level
+    join key (one groupBy(u).collect_set(v) — dedup and rosters from a
+    single exchange; persist keeps the partitioning visible), so every
+    level's frontier-roster join shuffles only the node-sized frontier.
+    Per level: that join, one distinct over the exploded neighbors, one
+    anti-join against the visited set; lineage truncated per level.
     Level count is the constant ``max_depth`` — each level is one
     synchronized superstep, the Pregel discipline; no per-node
     recursion, no driver state.
     """
-    bidir = (
+    adj = (
         edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
         .unionByName(
             edges.select(F.col(dst).alias("u"), F.col(src).alias("v"))
         )
         .filter(F.col("u") != F.col("v"))
-        .distinct()
-        .localCheckpoint(eager=True)
+        .groupBy("u")
+        .agg(F.collect_set("v").alias("__vs"))
+        .persist()
     )
+    adj.count()  # eager: build the roster once before the levels
     frontier = seeds.select(F.col(node_col).alias("n")).distinct()
     visited = frontier.withColumn("depth", F.lit(0)).localCheckpoint(
         eager=True
@@ -703,8 +751,11 @@ def bfs_layers(
     frontier = visited.select("n")
     for d in range(1, max_depth + 1):
         neighbors = (
-            bidir.join(frontier.withColumnRenamed("n", "u"), "u")
-            .select(F.col("v").alias("n"))
+            adj.join(
+                frontier.withColumnRenamed("n", "u"),
+                "u",
+            )
+            .select(F.explode("__vs").alias("n"))
             .distinct()
         )
         fresh = neighbors.join(
@@ -716,7 +767,9 @@ def bfs_layers(
             fresh.withColumn("depth", F.lit(d))
         ).localCheckpoint(eager=True)
         frontier = fresh
-    return visited.select(F.col("n").alias(node_col), "depth")
+    out = visited.select(F.col("n").alias(node_col), "depth")
+    adj.unpersist()
+    return out
 
 
 def hyperball(
@@ -750,21 +803,28 @@ def hyperball(
 
     m = 1 << p
     numer = hll_alpha(m) * m * m * float(1 << 50)
-    bidir = (
+    # Adjacency-roster form (optimization r12, guide §2.4): one
+    # groupBy(v).collect_set(u) folds the bidirectional dedup into the
+    # exchange that partitions the rosters by the per-round join key;
+    # persist keeps that partitioning visible, so each round's
+    # roster-register join shuffles only the register state — and the
+    # join input is one row per node instead of one per (edge, register).
+    adj = (
         edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
         .unionByName(
             edges.select(F.col(dst).alias("u"), F.col(src).alias("v"))
         )
         .filter(F.col("u") != F.col("v"))
-        .distinct()
-        .localCheckpoint(eager=True)
+        .groupBy("v")
+        .agg(F.collect_set("u").alias("__us"))
+        .persist()
     )
+    adj.count()  # eager: build the roster once before the rounds
     h = F.conv(
         F.substring(F.md5(F.col("node").cast("string")), 1, 15), 16, 10
     ).cast("long")
     regs = (
-        bidir.select(F.col("u").alias("node"))
-        .distinct()
+        adj.select(F.col("v").alias("node"))
         .select(
             "node",
             (h % m).alias("idx"),
@@ -806,9 +866,9 @@ def hyperball(
 
     out = _n_t(regs, 0)
     for t in range(1, rounds + 1):
-        neigh = bidir.join(
+        neigh = adj.join(
             regs.withColumnRenamed("node", "v"), "v"
-        ).select(F.col("u").alias("node"), "idx", "rho")
+        ).select(F.explode("__us").alias("node"), "idx", "rho")
         regs = (
             regs.unionByName(neigh)
             .groupBy("node", "idx")
@@ -816,6 +876,7 @@ def hyperball(
             .localCheckpoint(eager=True)
         )
         out = out.unionByName(_n_t(regs, t))
+    adj.unpersist()
     return out
 
 
@@ -837,24 +898,36 @@ def personalized_pagerank_integer(
     results are bit-exact in any aggregation order and the unrolled
     DuckDB CTE is a value oracle.
 
-    Scale: identical per-iteration shape to pagerank_integer (one
-    edge-rank join, one map-side-combined sum, one left join); the
+    Scale: identical per-iteration shape to pagerank_integer
+    (adjacency-roster iteration, optimization r12 — one node-sized
+    rank shuffle into the persisted roster join per round); the
     personalization changes only the restart term."""
-    edges, edges_owned = _persist_new(edges)
+    adj = (
+        edges.select(F.col(src).alias("__src"), F.col(dst).alias("__dst"))
+        .groupBy("__src")
+        .agg(F.collect_list("__dst").alias("__ds"))
+        .persist()
+    )
     nodes = (
-        edges.select(F.col(src).alias("node"))
-        .unionByName(edges.select(F.col(dst).alias("node")))
+        adj.select(F.col("__src").alias("node"))
+        .unionByName(adj.select(F.explode("__ds").alias("node")))
         .distinct()
         .persist()
     )
-    owned = [nodes] + ([edges] if edges_owned else [])
+    owned = [adj, nodes]
     base_seed = units * (100 - damping_pct) // 100
     restart = F.when(
         F.col("node") == seed_node, F.lit(int(base_seed))
     ).otherwise(F.lit(0)).cast("long")
     # degree carried inside the iterated state (see pagerank)
     nd = (
-        nodes.join(_degrees(edges, src), nodes["node"] == F.col(src), "left")
+        nodes.join(
+            adj.select(
+                F.col("__src").alias("node"), F.size("__ds").alias("__deg")
+            ),
+            "node",
+            "left",
+        )
         .select("node", F.coalesce("__deg", F.lit(0)).alias("__deg"))
         .persist()
     )
@@ -870,8 +943,8 @@ def personalized_pagerank_integer(
             F.col("node").alias("__src"),
             F.expr("__r div __deg").alias("__c"),
         )
-        contrib = edges.join(per_src, edges[src] == per_src["__src"]).select(
-            F.col(dst).alias("node"), "__c"
+        contrib = adj.join(per_src, "__src").select(
+            F.explode("__ds").alias("node"), "__c"
         )
         summed = contrib.groupBy("node").agg(F.sum("__c").alias("__s"))
         new = nd.join(summed, "node", "left").select(
@@ -918,21 +991,23 @@ def hyperball_harmonic(
     m = 1 << p
     numer = hll_alpha(m) * m * m * float(1 << 50)
     lcm = math.lcm(*range(1, rounds + 1))
-    bidir = (
+    # Adjacency-roster form — see hyperball (optimization r12).
+    adj = (
         edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
         .unionByName(
             edges.select(F.col(dst).alias("u"), F.col(src).alias("v"))
         )
         .filter(F.col("u") != F.col("v"))
-        .distinct()
-        .localCheckpoint(eager=True)
+        .groupBy("v")
+        .agg(F.collect_set("u").alias("__us"))
+        .persist()
     )
+    adj.count()  # eager: build the roster once before the rounds
     h = F.conv(
         F.substring(F.md5(F.col("node").cast("string")), 1, 15), 16, 10
     ).cast("long")
     regs = (
-        bidir.select(F.col("u").alias("node"))
-        .distinct()
+        adj.select(F.col("v").alias("node"))
         .select(
             "node",
             (h % m).alias("idx"),
@@ -967,9 +1042,9 @@ def hyperball_harmonic(
 
     balls = _est_lattice(regs, "e0")
     for t in range(1, rounds + 1):
-        neigh = bidir.join(
+        neigh = adj.join(
             regs.withColumnRenamed("node", "v"), "v"
-        ).select(F.col("u").alias("node"), "idx", "rho")
+        ).select(F.explode("__us").alias("node"), "idx", "rho")
         regs = (
             regs.unionByName(neigh)
             .groupBy("node", "idx")
@@ -981,4 +1056,6 @@ def hyperball_harmonic(
     for t in range(1, rounds + 1):
         term = (F.col(f"e{t}") - F.col(f"e{t - 1}")) * F.lit(lcm // t)
         harm = term if harm is None else harm + term
-    return balls.select("node", harm.cast("long").alias("harmonic_lattice"))
+    out = balls.select("node", harm.cast("long").alias("harmonic_lattice"))
+    adj.unpersist()
+    return out

@@ -2,13 +2,13 @@
 distributed Apriori first stages — frequent items, frequent pairs, and
 support/confidence/lift rule stats.
 
-Spark-first shape: the Apriori downward-closure prune runs BEFORE the
-pair self-join (an item infrequent alone cannot appear in a frequent
-pair), so the quadratic step only sees frequent items — the standard
-trick that keeps basket self-joins tractable at scale.  Everything is
-counts + one self-join keyed on the basket id; rule metrics are exact
-integer ratios with one rounded IEEE division each, so DuckDB oracles
-hash-match.
+Spark-first shape: one groupBy(basket) collects each basket's sorted
+item roster — dedup and roster from a single exchange — and ordered
+pairs explode from the roster array (j > i), so there is no basket
+self-join at all; the per-basket fan-out is the roster size squared,
+the same bound the classic pruned self-join has.  Rule metrics are
+exact integer ratios with one rounded IEEE division each, so DuckDB
+oracles hash-match.
 """
 
 from __future__ import annotations
@@ -25,44 +25,67 @@ def frequent_pairs(
 ) -> DataFrame:
     """Frequent item PAIRS with association-rule stats.
 
-    Pipeline: distinct (basket, item) -> item support counts ->
-    downward-closure prune (support >= min_support) -> ordered pair
-    self-join on the basket -> pair support filter -> metrics:
+    Pipeline: per-basket sorted item roster -> ordered pairs exploded
+    from each roster -> pair support filter -> item-support metrics
+    joins:
 
       support_a/support_b : item supports (baskets containing it)
       pair_support        : baskets containing both
       confidence          : pair/support_a  (P(b | a), a < b ordering)
       lift                : pair * n_baskets / (support_a * support_b)
 
-    Scale shape: the self-join shuffles only PRUNED (basket, item)
-    rows and its fan-out per basket is bounded by that basket's
-    frequent-item count squared — the Apriori guarantee; without the
-    prune a hub basket explodes quadratically.  Metrics joins are
-    item-count-sized.  Returns one row per qualifying (item_a,
-    item_b), item_a < item_b.
+    Scale shape (optimization r12, guide §2.3/§2.4): ONE
+    groupBy(basket) with a sorted collect_set folds the (basket, item)
+    dedup AND the per-basket roster into a single exchange; ordered
+    pairs explode from each roster array (j > i, so item_a < item_b
+    with no basket self-join at all), supports come from exploding the
+    SAME persisted rosters, and n_baskets is the roster count. The
+    per-basket pair fan-out is the roster size squared — identical to
+    the old pruned self-join's bound, because Apriori's downward-
+    closure prune can never change the RESULT here: pair_support <=
+    min(support_a, support_b), so any pair that survives the
+    pair_support >= min_support filter already has both item supports
+    >= min_support, and the metrics joins against the unpruned support
+    table reattach exactly the rows the pruned `frequent` table would
+    have.  Metrics joins are item-count-sized.  Returns one row per
+    qualifying (item_a, item_b), item_a < item_b.
     """
     if min_support < 1:
         raise ValueError("min_support must be >= 1")
-    items = df.select(
-        F.col(basket_col).alias("basket"), F.col(item_col).alias("item")
-    ).distinct()
-    supports = items.groupBy("item").agg(F.count(F.lit(1)).alias("support"))
-    frequent = supports.filter(F.col("support") >= min_support)
-    pruned = items.join(frequent.select("item"), "item", "semi")
-    a = pruned.select(F.col("basket"), F.col("item").alias("item_a"))
-    b = pruned.select(F.col("basket"), F.col("item").alias("item_b"))
+    # No persist: the roster subtree appears under supports, pairs and
+    # the basket count, and its exchange (which already carries the
+    # map-side partial collect_set) is deduplicated by ReusedExchange
+    # within the final plan — the same discipline the old items.distinct
+    # shape relied on, without pinning executor memory past this call.
+    rosters = (
+        df.select(
+            F.col(basket_col).alias("basket"), F.col(item_col).alias("item")
+        )
+        .groupBy("basket")
+        .agg(F.array_sort(F.collect_set("item")).alias("__its"))
+    )
+    n_baskets = rosters.count()
+    supports = (
+        rosters.select(F.explode("__its").alias("item"))
+        .groupBy("item")
+        .agg(F.count(F.lit(1)).alias("support"))
+    )
     pairs = (
-        a.join(b, "basket")
-        .filter(F.col("item_a") < F.col("item_b"))
+        rosters.select(F.posexplode("__its").alias("__i", "item_a"), "__its")
+        .select(
+            "item_a",
+            F.explode(
+                F.slice("__its", F.col("__i") + 2, F.size("__its"))
+            ).alias("item_b"),
+        )
         .groupBy("item_a", "item_b")
         .agg(F.count(F.lit(1)).alias("pair_support"))
         .filter(F.col("pair_support") >= min_support)
     )
-    n_baskets = items.select("basket").distinct().count()
-    sa = frequent.select(
+    sa = supports.select(
         F.col("item").alias("item_a"), F.col("support").alias("support_a")
     )
-    sb = frequent.select(
+    sb = supports.select(
         F.col("item").alias("item_b"), F.col("support").alias("support_b")
     )
     return (
