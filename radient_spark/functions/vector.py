@@ -28,6 +28,46 @@ def _c(col: Column | str) -> Column:
     return F.col(col) if isinstance(col, str) else col
 
 
+# --- literal-array builders (optimization r12, guide §1/§4) -----------
+# Building a k x d literal codebook element-wise (`F.array(*[F.lit(v)
+# ...])`) costs one py4j driver round-trip PER ELEMENT — a 16x16x4 PQ
+# codebook spent ~1.6 s of pure driver time constructing Column trees
+# before any job ran. One `F.expr` call parses the whole literal in the
+# JVM instead. Values are rendered exactly: integers verbatim with the
+# BIGINT suffix, doubles via repr() (shortest round-trip decimal) with
+# the DOUBLE suffix — so the expressions evaluate to the same values as
+# the element-wise form, just with a flat construction cost.
+
+
+def lit_longs(vals) -> Column:
+    """array<bigint> literal from Python ints in ONE expression parse."""
+    return F.expr("array(" + ",".join(f"{int(v)}L" for v in vals) + ")")
+
+
+def lit_long_matrix(rows) -> Column:
+    """array<array<bigint>> literal in ONE expression parse."""
+    return F.expr(
+        "array("
+        + ",".join(
+            "array(" + ",".join(f"{int(v)}L" for v in row) + ")"
+            for row in rows
+        )
+        + ")"
+    )
+
+
+def _d(v) -> str:
+    x = float(v)
+    if x != x or x in (float("inf"), float("-inf")):
+        raise ValueError(f"non-finite literal {v!r}")
+    return repr(x) + "D"
+
+
+def lit_doubles(vals) -> Column:
+    """array<double> literal from Python floats in ONE expression parse."""
+    return F.expr("array(" + ",".join(_d(v) for v in vals) + ")")
+
+
 def dot(a: Column | str, b: Column | str) -> Column:
     """Sequential-fold dot product in DOUBLE: sum_i a[i]*b[i]."""
     prod = F.zip_with(_c(a), _c(b), lambda x, y: x.cast("double") * y.cast("double"))

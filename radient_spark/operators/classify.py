@@ -36,6 +36,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from radient_spark.functions.vector import lit_doubles
+
 from radient_spark.functions import text as X
 from radient_spark.operators.dedup import str_hash
 
@@ -70,7 +72,7 @@ def linear_classifier_score(
     dim = len(weights)
     if dim == 0:
         raise ValueError("weights must be non-empty")
-    warr = F.array(*[F.lit(float(w)) for w in weights])
+    warr = lit_doubles(weights)
     toks = X.tokens(F.col(text_col))
     total = F.aggregate(
         F.transform(toks, lambda t: hashed_slot(t, dim)),

@@ -36,6 +36,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from radient_spark.functions.vector import lit_long_matrix, lit_longs
 from radient_spark.operators.dedup import str_hash
 
 MICRO = 1_000_000
@@ -58,7 +59,7 @@ def micro_vec(vec) -> F.Column:
 
 
 def _lattice_distance(micro_col: F.Column, centroid: list[int]) -> F.Column:
-    carr = F.array(*[F.lit(int(v)) for v in centroid])
+    carr = lit_longs(centroid)
     return F.aggregate(
         F.zip_with(micro_col, carr, lambda x, y: (x - y) * (x - y)),
         F.lit(0).cast("long"),
@@ -73,10 +74,9 @@ def _argmin_struct(micro_col: F.Column, centroids: list[list[int]]) -> F.Column:
     One transform over the k x d codebook LITERAL (not k unrolled fold
     expressions): the expression tree stays O(1) in k, which keeps
     codegen/compile time flat as k grows — same distances, same tie
-    order."""
-    books = F.array(
-        *[F.array(*[F.lit(int(v)) for v in c]) for c in centroids]
-    )
+    order. The literal parses in ONE expr call (lit_long_matrix), not
+    k*d py4j lit round-trips (optimization r12, guide §1)."""
+    books = lit_long_matrix(centroids)
     return F.array_min(
         F.transform(
             books,
@@ -264,9 +264,7 @@ def silhouette_report(
     lattice, one IEEE division rounded to 6 decimals); the only
     exchange is the final per-cluster aggregate. Returns (cluster_id,
     n_points, mean_silhouette)."""
-    books = F.array(
-        *[F.array(*[F.lit(int(v)) for v in c]) for c in centroids]
-    )
+    books = lit_long_matrix(centroids)
     micro = micro_vec(F.col(vec_col))
     dists = F.transform(
         books,

@@ -142,6 +142,7 @@ def pagerank_integer(
     damping_pct: int = 85,
     units: int = 10**12,
     rank_col: str = "rank_units",
+    dedup_edges: bool = False,
 ) -> DataFrame:
     """PageRank in integer micro-units (rank ≈ rank_units / units):
     every operation is integer (floor) arithmetic — `div` in Spark,
@@ -152,11 +153,20 @@ def pagerank_integer(
 
     Adjacency-roster iteration shape — see pagerank (optimization r12);
     integer arithmetic is order-exact, so the roster explode cannot
-    change a single bit of the result."""
+    change a single bit of the result.
+
+    ``dedup_edges=True`` folds a caller's `.distinct()` INTO the roster
+    aggregation (collect_set instead of collect_list): one exchange
+    dedups and rosters together, where distinct-then-roster paid a
+    (src, dst)-keyed exchange plus the roster exchange. Identical
+    results whenever the caller would have deduped anyway (set roster
+    == list roster over distinct edges, and contribution sums are
+    order-exact integers); leave False to preserve edge multiplicity."""
+    roster_agg = F.collect_set if dedup_edges else F.collect_list
     adj = (
         edges.select(F.col(src).alias("__src"), F.col(dst).alias("__dst"))
         .groupBy("__src")
-        .agg(F.collect_list("__dst").alias("__ds"))
+        .agg(roster_agg("__dst").alias("__ds"))
         .persist()
     )
     nodes = (
@@ -889,6 +899,7 @@ def personalized_pagerank_integer(
     damping_pct: int = 85,
     units: int = 10**12,
     rank_col: str = "rank_units",
+    dedup_edges: bool = False,
 ) -> DataFrame:
     """Personalized PageRank (random walk with restart) in integer
     micro-units: all restart mass returns to ONE seed node, so ranks
@@ -901,11 +912,13 @@ def personalized_pagerank_integer(
     Scale: identical per-iteration shape to pagerank_integer
     (adjacency-roster iteration, optimization r12 — one node-sized
     rank shuffle into the persisted roster join per round); the
-    personalization changes only the restart term."""
+    personalization changes only the restart term. ``dedup_edges``:
+    see pagerank_integer."""
+    roster_agg = F.collect_set if dedup_edges else F.collect_list
     adj = (
         edges.select(F.col(src).alias("__src"), F.col(dst).alias("__dst"))
         .groupBy("__src")
-        .agg(F.collect_list("__dst").alias("__ds"))
+        .agg(roster_agg("__dst").alias("__ds"))
         .persist()
     )
     nodes = (

@@ -23,6 +23,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from radient_spark.functions.vector import lit_doubles, lit_long_matrix, lit_longs
+
 
 def sq8_minmax(df: DataFrame, vec_col: str = "embedding") -> list[tuple[float, float]]:
     """Per-dimension (min, max) over the corpus, computed on double-cast
@@ -64,8 +66,8 @@ def sq8_encode(
     the compute representation; `pack_codes` converts to 1-byte-per-code
     BinaryType at the storage boundary for the full 4x win). Pure
     per-row Catalyst zip over literal (mn, mx) arrays — zero shuffle."""
-    mn_arr = F.array(*[F.lit(float(a)) for a, _ in stats])
-    mx_arr = F.array(*[F.lit(float(b)) for _, b in stats])
+    mn_arr = lit_doubles(a for a, _ in stats)
+    mx_arr = lit_doubles(b for _, b in stats)
     centered = F.zip_with(
         F.col(vec_col), mn_arr, lambda x, m: F.struct(
             x.cast("double").alias("x"), m.alias("mn")
@@ -103,7 +105,7 @@ def sq8_topk(
     weights = [
         q * (mx - mn) / 255.0 for q, (mn, mx) in zip(query, stats)
     ]
-    w_arr = F.array(*[F.lit(float(w)) for w in weights])
+    w_arr = lit_doubles(weights)
     score = (
         F.aggregate(
             F.zip_with(
@@ -207,13 +209,6 @@ def pq_fit(
     from radient_spark.operators.cluster import _argmin_struct, micro_vec
     from radient_spark.operators.dedup import str_hash
 
-    head = df.select(vec_col).first()
-    if head is None:
-        raise ValueError("pq_fit: empty corpus — nothing to fit codebooks on")
-    dim = len(head[0])
-    if dim % m != 0:
-        raise ValueError(f"dim {dim} not divisible by m={m} subspaces")
-    d_sub = dim // m
     micro = df.select(
         F.col(id_col), micro_vec(F.col(vec_col)).alias("__m")
     ).persist()
@@ -226,6 +221,17 @@ def pq_fit(
             .limit(k)
             .collect()
         )
+        if not seed_rows:
+            raise ValueError(
+                "pq_fit: empty corpus — nothing to fit codebooks on"
+            )
+        # dim from the seed rows (optimization r12, guide §1): the old
+        # standalone df.first() probe was a separate full-plan job paid
+        # before the seed collect every call.
+        dim = len(seed_rows[0]["__m"])
+        if dim % m != 0:
+            raise ValueError(f"dim {dim} not divisible by m={m} subspaces")
+        d_sub = dim // m
         if len(seed_rows) < k:
             raise ValueError(
                 f"need at least k={k} rows to seed, got {len(seed_rows)}"
@@ -361,9 +367,7 @@ def pq_topk(
         ]
         for s in range(m)
     ]
-    lut_col = F.array(
-        *[F.array(*[F.lit(int(v)) for v in row]) for row in lut]
-    )
+    lut_col = lit_long_matrix(lut)
     encoded = pq_encode(df, codebooks, vec_col)
     contrib = F.transform(
         F.col("pq_codes"),
@@ -382,7 +386,7 @@ def pq_topk(
 
     from radient_spark.operators.cluster import micro_vec
 
-    q_arr = F.array(*[F.lit(int(v)) for v in q_micro])
+    q_arr = lit_longs(q_micro)
     exact = F.aggregate(
         F.zip_with(
             micro_vec(F.col(vec_col)), q_arr, lambda x, y: (x - y) * (x - y)

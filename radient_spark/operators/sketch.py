@@ -176,6 +176,37 @@ def cms_build(
     )
 
 
+def cms_build_weighted(
+    df: DataFrame,
+    col: str,
+    weight_col: str,
+    depth: int = 4,
+    width: int = 256,
+) -> DataFrame:
+    """cms_build over pre-aggregated (token, weight) rows: each cell
+    sums the weights of the tokens hashing into it — EXACTLY the cell
+    table cms_build produces when `weight` is that token's row count.
+    Lets a caller that already has per-key counts sketch the counts
+    table (|keys| rows) instead of re-scanning the raw data (|rows|
+    rows) — optimization r12, guide §2.3."""
+    if depth < 1 or width < 1:
+        raise ValueError("depth and width must be >= 1")
+    cells = F.array(
+        *[
+            F.struct(
+                F.lit(r).alias("row"), _slot(F.col(col), r, width).alias("slot")
+            )
+            for r in range(depth)
+        ]
+    )
+    return (
+        df.select(F.explode(cells).alias("c"), F.col(weight_col).alias("__w"))
+        .select("c.row", "c.slot", "__w")
+        .groupBy("row", "slot")
+        .agg(F.sum("__w").alias("c"))
+    )
+
+
 def cms_merge(a: DataFrame, b: DataFrame) -> DataFrame:
     """Merge two sketches built with the same (depth, width): cell-wise
     sum — the property that makes CMS a distributed-aggregation citizen."""

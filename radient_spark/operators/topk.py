@@ -70,7 +70,7 @@ def topk(
 
     Physical plan: scan -> project(score) -> TakeOrderedAndProject(k).
     """
-    q = F.array(*[F.lit(float(x)) for x in query])
+    q = V.lit_doubles(query)
     scored = df.withColumn(score_col, F.round(_score(metric, F.col(vec_col), q), 6))
     order = [F.col(score_col).desc()]
     if tiebreak:
@@ -409,9 +409,7 @@ def srp_signature(
         F.col(vec_col),
         lambda x: F.round(x.cast("double") * 1_000_000, 0).cast("long"),
     )
-    books = F.array(
-        *[F.array(*[F.lit(s) for s in row]) for row in signs]
-    )
+    books = V.lit_long_matrix(signs)
     bits = F.transform(
         books,
         lambda srow: (
@@ -423,7 +421,7 @@ def srp_signature(
             >= 0
         ).cast("long"),
     )
-    powers = F.array(*[F.lit(1 << j) for j in range(n_bits)])
+    powers = V.lit_longs(1 << j for j in range(n_bits))
     return F.aggregate(
         F.zip_with(bits, powers, lambda b, p: b * p),
         F.lit(0).cast("long"),

@@ -1774,7 +1774,9 @@ def q_fingerprint_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_hashes=2,
         radius=3,
     ).collect()[0]["fp"]
-    qfp = F.array(*[F.lit(bool(b)) for b in qfp_row])
+    qfp = F.expr(
+        "array(" + ",".join("true" if b else "false" for b in qfp_row) + ")"
+    )
     return (
         fps.withColumn("jaccard", jaccard_bool(F.col("fp"), qfp))
         .orderBy(F.col("jaccard").desc(), F.col("p_partkey").asc())
@@ -4645,6 +4647,12 @@ def q_pagerank_bipartite(spark: SparkSession, sf_dir: str) -> DataFrame:
     from radient_spark.operators.graph import pagerank_integer
 
     t = load_tables(spark, sf_dir)
+    # No .distinct() on the raw trade pairs (optimization r12, guide
+    # §2.4): dedup folds into the operator's roster collect_set
+    # (dedup_edges=True), removing the (src, dst)-keyed exchange the
+    # old distinct paid before the roster aggregation. Set-vs-list
+    # rosters are value-identical over deduped pairs and contribution
+    # sums are order-exact integers, so results are bit-equal.
     eb = (
         t["orders"]
         .join(t["lineitem"], F.col("o_orderkey") == F.col("l_orderkey"))
@@ -4652,12 +4660,13 @@ def q_pagerank_bipartite(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("o_custkey") * 2).alias("src"),
             (F.col("l_suppkey") * 2 + 1).alias("dst"),
         )
-        .distinct()
     )
     edges = eb.unionByName(
         eb.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )
-    return pagerank_integer(edges, iters=2, damping_pct=85, units=10**12).orderBy("node")
+    return pagerank_integer(
+        edges, iters=2, damping_pct=85, units=10**12, dedup_edges=True
+    ).orderBy("node")
 
 
 _Q_PAGERANK_SQL = """
@@ -4902,7 +4911,7 @@ def q_matryoshka_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     search any prefix at 4x less arithmetic. Same HOF + rounding
     contract as q_vec_topk_cosine."""
     emb = load_tables(spark, sf_dir)["embeddings"]
-    q16 = F.array(*[F.lit(float(x)) for x in QUERY_VEC[:16]])
+    q16 = V.lit_doubles(QUERY_VEC[:16])
     scored = emb.select(
         "vec_id",
         F.round(
@@ -5472,7 +5481,7 @@ def q_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     from radient_spark.operators.retrieval import mmr_rerank
 
     emb = load_tables(spark, sf_dir)["embeddings"]
-    qarr = F.array(*[F.lit(c).cast("long") for c in QUERY_VEC_MILLI])
+    qarr = V.lit_longs(QUERY_VEC_MILLI)
     staged = emb.withColumn(
         "v",
         F.transform("embedding", lambda x: F.round(x * 1000, 0).cast("long")),
@@ -9035,7 +9044,10 @@ def q_join_size_estimates(spark: SparkSession, sf_dir: str) -> DataFrame:
     is (sum_a)(sum_b)/width — the ratio column IS the signal that the
     width needs resizing for a key domain, which is exactly what this
     audit exists to surface."""
-    from radient_spark.operators.sketch import cms_build, cms_inner_product
+    from radient_spark.operators.sketch import (
+        cms_build_weighted,
+        cms_inner_product,
+    )
 
     t = load_tables(spark, sf_dir)
     edges = [
@@ -9043,22 +9055,19 @@ def q_join_size_estimates(spark: SparkSession, sf_dir: str) -> DataFrame:
         ("orders_join_customer", t["orders"], "o_custkey", t["customer"], "c_custkey"),
         ("orders_self_join_custkey", t["orders"], "o_custkey", t["orders"], "o_custkey"),
     ]
-    # one sketch and one keys-only count table per DISTINCT (table, key)
-    # — orders.o_custkey appears in both the dimension join and the
-    # self-join; sharing the plan subtree lets Catalyst's ReuseExchange
-    # dedupe the duplicate aggregates inside the single job (an explicit
+    # one keys-only count table per DISTINCT (table, key) — and the CMS
+    # sketch is built FROM that count table (cms_build_weighted: cell =
+    # sum of key counts hashing into it, bit-identical to sketching the
+    # raw rows), so each (table, key) costs ONE raw scan whose count
+    # aggregation the sketch and the exact-audit join both reuse via
+    # ReuseExchange; the old shape re-scanned + 4x-exploded the raw
+    # table per sketch (optimization r12, guide §2.3). orders.o_custkey
+    # appears in both the dimension join and the self-join; sharing the
+    # plan subtree dedupes it inside the single job (an explicit
     # .cache() here measured SLOWER: materialization overhead exceeds
     # the reuse win on these sketch-sized outputs)
     sketches: dict = {}
     counts: dict = {}
-
-    def sketch_of(df: DataFrame, key: str) -> DataFrame:
-        if (id(df), key) not in sketches:
-            sketches[(id(df), key)] = cms_build(
-                df.select(F.col(key).cast("string").alias("tok")),
-                "tok", 4, 4096,
-            )
-        return sketches[(id(df), key)]
 
     def counts_of(df: DataFrame, key: str) -> DataFrame:
         if (id(df), key) not in counts:
@@ -9066,6 +9075,16 @@ def q_join_size_estimates(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.count(F.lit(1)).alias("n")
             )
         return counts[(id(df), key)]
+
+    def sketch_of(df: DataFrame, key: str) -> DataFrame:
+        if (id(df), key) not in sketches:
+            sketches[(id(df), key)] = cms_build_weighted(
+                counts_of(df, key).select(
+                    F.col("k").cast("string").alias("tok"), "n"
+                ),
+                "tok", "n", 4, 4096,
+            )
+        return sketches[(id(df), key)]
 
     outs = []
     for name, dfa, ka, dfb, kb in edges:
@@ -13029,7 +13048,13 @@ def q_bfs_reach_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     identical levels."""
     from radient_spark.operators.graph import bfs_layers
 
-    edges = _co_supply_edges(spark, sf_dir)
+    # Persist the co-supply projection (optimization r12, guide §5):
+    # the hub-seed degree ranking AND bfs_layers' adjacency roster both
+    # consume it — unpersisted, each re-ran the lineitem roster
+    # aggregation + pair explode. bfs_layers materializes every level
+    # eagerly (per-level localCheckpoint), so the cache can be dropped
+    # as soon as it returns.
+    edges = _co_supply_edges(spark, sf_dir).persist()
     bidir = edges.select(F.col("src").alias("u"), F.col("dst").alias("v"))
     deg = (
         bidir.unionByName(
@@ -13044,6 +13069,7 @@ def q_bfs_reach_census(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("u").alias("node"))
     )
     layers = bfs_layers(edges, seeds, max_depth=_BFS_DEPTH)
+    edges.unpersist()
     return layers.groupBy("depth").agg(F.count(F.lit(1)).alias("n_nodes"))
 
 
@@ -13156,6 +13182,7 @@ def q_personalized_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     from radient_spark.operators.retrieval import rank_by
 
     t = load_tables(spark, sf_dir)
+    # dedup folds into the roster collect_set — see q_pagerank_bipartite
     eb = (
         t["orders"]
         .join(t["lineitem"], F.col("o_orderkey") == F.col("l_orderkey"))
@@ -13163,12 +13190,13 @@ def q_personalized_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("o_custkey") * 2).alias("src"),
             (F.col("l_suppkey") * 2 + 1).alias("dst"),
         )
-        .distinct()
     )
     edges = eb.unionByName(
         eb.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )
-    ranks = personalized_pagerank_integer(edges, seed_node=2, iters=3)
+    ranks = personalized_pagerank_integer(
+        edges, seed_node=2, iters=3, dedup_edges=True
+    )
     top = (
         ranks.filter(F.col("rank_units") > 0)
         .orderBy(F.col("rank_units").desc(), F.col("node").asc())
@@ -13335,14 +13363,14 @@ def q_bloom_runtime_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     dkeys = dim.select(F.col("c_custkey").cast("string").alias("__k"))
     bitmap = bloom_build(dkeys, "__k", M, K)
     fact = t["orders"].withColumn("__k", F.col("o_custkey").cast("string"))
-    kept = bloom_gate(fact, bitmap, "__k", M, K).filter(F.col("maybe_dup"))
-    stats = (
-        kept.agg(F.count(F.lit(1)).alias("n_fact_after_bloom"))
-        .crossJoin(
-            F.broadcast(
-                t["orders"].agg(F.count(F.lit(1)).alias("n_fact_total"))
-            )
-        )
+    gated = bloom_gate(fact, bitmap, "__k", M, K)
+    kept = gated.filter(F.col("maybe_dup"))
+    # ONE gated pass emits BOTH audit counts (optimization r12, guide
+    # §2.3): the old shape paid a separate bare-orders count scan plus a
+    # second gated scan just to count the survivors.
+    stats = gated.agg(
+        F.sum(F.col("maybe_dup").cast("long")).alias("n_fact_after_bloom"),
+        F.count(F.lit(1)).alias("n_fact_total"),
     )
     agg = (
         kept.join(F.broadcast(dim), F.col("o_custkey") == F.col("c_custkey"))
