@@ -1061,7 +1061,10 @@ class AnnIndex:
         from radient_spark.functions.vector import lit_longs as lit_arr
 
         for level in range(levels):
-            cur = cur.localCheckpoint(eager=True)
+            # lazy: the seed collect below windows over every cur
+            # partition, so that job materializes the checkpoint — one
+            # job per level instead of two (guide §1.2)
+            cur = cur.localCheckpoint(eager=False)
             w_seed = Window.partitionBy("tree_id", "leaf_id").orderBy(
                 str_hash(
                     F.concat_ws(

@@ -153,9 +153,16 @@ def bpe_learn(
             merges.append(
                 (rnd, b["left_sym"], b["right_sym"], b["pair_count"])
             )
+            # LAZY checkpoint: the merged vocab materializes inside the
+            # NEXT round's argmax job instead of in a standalone job —
+            # halves the jobs per round, and the final round's
+            # checkpoint (consumed by nothing: only `merges` is
+            # returned) costs zero instead of one full materialization
+            # (guide §1.2: fewer passes; measured q_bpe_merges
+            # 2.25 -> ~1.3 s warm-min at sf0.1).
             vocab = vocab.withColumn(
                 "sym", _merge_fold(b["left_sym"], b["right_sym"])
-            ).localCheckpoint(eager=True)
+            ).localCheckpoint(eager=False)
         return spark.createDataFrame(
             merges,
             "round long, left_sym string, right_sym string, pair_count long",

@@ -1513,11 +1513,15 @@ def greedy_max_coverage(
             covered_total += int(gain)
             picks.append((i, int(doc), int(gain), covered_total))
             new_tokens = toks.filter(F.col("__doc") == doc).select("__token")
+            # lazy: the next round's anti-join shuffles every covered
+            # partition, so that job materializes the checkpoint — one
+            # job per pick instead of two (guide §1.2); the final
+            # round's covered set is consumed by nothing and costs zero
             covered = (
                 new_tokens
                 if covered is None
                 else covered.unionByName(new_tokens)
-            ).localCheckpoint(eager=True)
+            ).localCheckpoint(eager=False)
     finally:
         toks.unpersist()
     return spark.createDataFrame(

@@ -498,6 +498,14 @@ def connected_duplicate_groups(pairs: DataFrame, max_iter: int = 20) -> DataFram
                 ).alias("group_id"),
             )
         )
+        # Checkpoint FIRST (lazily), then run the convergence probe
+        # FROM the checkpointed frame: the probe's join shuffles every
+        # new_labels partition before the limit can apply, so the same
+        # job materializes the checkpoint — the round's plan is
+        # evaluated ONCE. The old shape (probe on the raw plan, then a
+        # separate eager checkpoint) evaluated every round twice
+        # (guide §1.2).
+        new_labels = new_labels.localCheckpoint(eager=False)
         changed = (
             new_labels.alias("n")
             .join(labels.alias("o"), "id")
@@ -508,7 +516,6 @@ def connected_duplicate_groups(pairs: DataFrame, max_iter: int = 20) -> DataFram
         labels = new_labels
         if changed == 0:
             break
-        labels = labels.localCheckpoint(eager=True)
     return labels
 
 

@@ -357,7 +357,10 @@ def connected_components_star(
             .union(with_m.select(F.col("m").alias("a"), F.col("u").alias("b")))
             .filter(F.col("a") != F.col("b"))
             .distinct()
-            .localCheckpoint(eager=True)
+            # lazy: the signature aggregate right below scans every
+            # partition, so it materializes the checkpoint — one job
+            # per star round instead of two (guide §1.2)
+            .localCheckpoint(eager=False)
         )
         sig_row = ss.agg(
             F.count(F.lit(1)).alias("n"),
@@ -519,12 +522,16 @@ def kcore(
     Returns (node, degree) for nodes in the k-core, with degree counted
     inside the core subgraph.
     """
+    # LAZY checkpoints throughout (optimization r12, guide §1.2): every
+    # checkpoint here is followed immediately by a count() that scans
+    # all partitions, so the count job materializes the checkpoint —
+    # one job per round instead of two (materialize + count).
     und = (
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
         .filter(F.col("a") != F.col("b"))
         .select(F.least("a", "b").alias("a"), F.greatest("a", "b").alias("b"))
         .distinct()
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     cur = und
     n_edges = cur.count()
@@ -539,7 +546,7 @@ def kcore(
         cur = (
             cur.join(alive.withColumnRenamed("n", "a"), "a", "left_semi")
             .join(alive.withColumnRenamed("n", "b"), "b", "left_semi")
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
         # unchanged edge count == no node dropped == fixed point; every
         # further round is the identity, so stopping early returns
@@ -622,14 +629,20 @@ def label_propagation(
         neigh = adj.join(
             labels.withColumnRenamed("node", "v"), "v"
         ).select(F.explode("__us").alias("node"), "lbl")
+        # LAZY per-round checkpoint (optimization r12, guide §1.2): the
+        # plan is truncated immediately (LogicalRDD) but materialization
+        # folds into the single _release job below — one job for the
+        # whole sweep instead of one per round, the same discipline as
+        # the pagerank family. Each round's state is deterministic
+        # (mode(…, deterministic=true)), so lazy re-computation of a
+        # partition cannot diverge.
         labels = (
             neigh.groupBy("node")
             .agg(F.mode("lbl", True).alias("lbl"))
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
     out = labels.select("node", F.col("lbl").alias("community"))
-    adj.unpersist()
-    return out
+    return _release(out, adj)
 
 
 def wl_colors(
@@ -711,11 +724,13 @@ def wl_colors(
                     F.md5(F.concat_ws("|", "__own", "__ns")), 1, hash_chars
                 ).alias("color"),
             )
-            .localCheckpoint(eager=True)
+            # lazy: materializes once in the _release job (see
+            # label_propagation — one job per sweep, not per round);
+            # colors are deterministic (sorted multiset + md5)
+            .localCheckpoint(eager=False)
         )
     out = colors.select("node", F.col("color").alias("wl_color"))
-    adj.unpersist()
-    return out
+    return _release(out, adj)
 
 
 def bfs_layers(
@@ -773,9 +788,14 @@ def bfs_layers(
         ).localCheckpoint(eager=True)
         if fresh.isEmpty():
             break
-        visited = visited.unionByName(
-            fresh.withColumn("depth", F.lit(d))
-        ).localCheckpoint(eager=True)
+        # visited is a UNION of flat checkpointed levels — each level is
+        # already a LogicalRDD, so the union plan stays shallow (one
+        # scan per level) and nothing is recomputed. The old eager
+        # checkpoint here re-wrote the ENTIRE visited set every level:
+        # one extra job per level and O(|visited|) redundant writes
+        # (guide §1.2 — don't re-materialize what is already
+        # materialized).
+        visited = visited.unionByName(fresh.withColumn("depth", F.lit(d)))
         frontier = fresh
     out = visited.select(F.col("n").alias(node_col), "depth")
     adj.unpersist()
@@ -844,7 +864,11 @@ def hyperball(
             )
             .alias("rho"),
         )
-        .localCheckpoint(eager=True)
+        # lazy (as is every per-round checkpoint below): register
+        # contents are deterministic (md5-derived rho, MAX-folded), so
+        # the whole sweep materializes in the single _release job at
+        # the end — one job instead of one per round (guide §1.2)
+        .localCheckpoint(eager=False)
     )
 
     def _n_t(r: DataFrame, t: int) -> DataFrame:
@@ -883,11 +907,10 @@ def hyperball(
             regs.unionByName(neigh)
             .groupBy("node", "idx")
             .agg(F.max("rho").alias("rho"))
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
         out = out.unionByName(_n_t(regs, t))
-    adj.unpersist()
-    return out
+    return _release(out, adj)
 
 
 def personalized_pagerank_integer(
@@ -1030,7 +1053,9 @@ def hyperball_harmonic(
             )
             .alias("rho"),
         )
-        .localCheckpoint(eager=True)
+        # lazy — see hyperball: deterministic registers, one _release
+        # job materializes the whole sweep (guide §1.2)
+        .localCheckpoint(eager=False)
     )
 
     def _est_lattice(r: DataFrame, out: str) -> DataFrame:
@@ -1062,7 +1087,7 @@ def hyperball_harmonic(
             regs.unionByName(neigh)
             .groupBy("node", "idx")
             .agg(F.max("rho").alias("rho"))
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
         balls = balls.join(_est_lattice(regs, f"e{t}"), "node")
     harm = None
@@ -1070,5 +1095,4 @@ def hyperball_harmonic(
         term = (F.col(f"e{t}") - F.col(f"e{t - 1}")) * F.lit(lcm // t)
         harm = term if harm is None else harm + term
     out = balls.select("node", harm.cast("long").alias("harmonic_lattice"))
-    adj.unpersist()
-    return out
+    return _release(out, adj)

@@ -428,3 +428,33 @@ def test_kcore_warns_when_budget_exhausted(spark):
         res = kcore(edges, k=2, rounds=10).collect()
     assert not [x for x in w if "superset" in str(x.message)]
     assert res == []
+
+
+def test_sweep_jobs_do_not_scale_with_rounds(spark):
+    """Optimization r12 (guide §1.2): the fixed-round sweeps keep their
+    per-round checkpoints LAZY, so the whole sweep materializes in the
+    single _release job at the end — Spark job count must not grow one
+    (or two) per round as the old eager-checkpoint discipline did. AQE
+    is disabled for the probe because it legitimately splits one query
+    into per-stage jobs, which would mask the regression being pinned."""
+    from radient_spark.operators.graph import label_propagation
+
+    sc = spark.sparkContext
+    aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        edges = spark.createDataFrame(
+            [(i, (i + 1) % 10) for i in range(10)], "src long, dst long"
+        )
+        label_propagation(edges, rounds=2).collect()  # warm the path
+        before = len(sc.statusTracker().getJobIdsForGroup(None))
+        label_propagation(edges, rounds=6).collect()
+        jobs_6 = len(sc.statusTracker().getJobIdsForGroup(None)) - before
+        # Measured shapes (AQE off): lazy discipline = 9 jobs (roster
+        # count + _release + collect + one broadcast-relation build per
+        # round's join — broadcast builds are their own jobs regardless
+        # of checkpoint timing); the old eager-per-round shape = 14.
+        # Pin at the lazy shape's measured count.
+        assert jobs_6 <= 9, f"sweep launched {jobs_6} jobs for 6 rounds"
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", aqe)
