@@ -12072,8 +12072,18 @@ def q_multipass_snm_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from radient_spark.operators.dedup import multipass_snm_pairs
 
     docs = load_tables(spark, sf_dir)["documents"]
-    canon = docs.select(
-        "doc_id", normalize_text(F.col("text")).alias("canon")
+    # ONE wide materialization of the regex-heavy canonicalization
+    # (optimization r12, guide §1.2/§2.2): canon feeds the two
+    # sorted-neighborhood rank passes (each runs a boundary
+    # approxQuantile during construction) AND both token-array join
+    # branches of the verify stage — four full evaluations of
+    # normalize_text from a single-split scan before this. Widen BEFORE
+    # the checkpoint (LogicalRDD carries no size stats for the widen
+    # heuristic afterwards; same discipline as the dedup scorecard).
+    canon = (
+        _widen_narrow_scan(docs)
+        .select("doc_id", normalize_text(F.col("text")).alias("canon"))
+        .localCheckpoint(eager=True)
     )
     rev = F.array_join(
         F.reverse(F.split(F.trim("canon"), r"\s+")), " "
