@@ -685,6 +685,23 @@ def paragraph_dedup(
 # Bloom-filter ingest gate
 
 
+def _bloom_position_cols(key: F.Column, m_bits: int, k: int) -> list:
+    """The k Bloom positions as k PLAIN scalar columns (unrolled over
+    the literal i) rather than a sequence/transform lambda: higher-order
+    functions are evaluated interpreted per element, outside
+    whole-stage codegen — measured as the dominant per-fact-row cost of
+    the bloom gate (optimization r12, guide §4.1: prefer built-in
+    scalar expressions). Values are bit-identical: same arithmetic,
+    same md5 slices; codegen's subexpression elimination shares the one
+    md5 call across h1/h2."""
+    h = F.md5(key)
+    h1 = F.conv(F.substring(h, 1, 15), 16, 10).cast("long") % m_bits
+    h2 = (
+        F.conv(F.substring(h, 17, 15), 16, 10).cast("long") % m_bits
+    ).bitwiseOR(F.lit(1).cast("long"))
+    return [(h1 + F.lit(i) * h2) % m_bits for i in range(k)]
+
+
 def bloom_positions(key: F.Column, m_bits: int, k: int) -> F.Column:
     """The k Bloom bit positions of a key, by Kirsch-Mitzenmacher double
     hashing: pos_i = (h1 + i*h2) mod m from two independent 60-bit md5
@@ -692,13 +709,7 @@ def bloom_positions(key: F.Column, m_bits: int, k: int) -> F.Column:
     (`('0x' || substring(md5(x), 1, 15))::BIGINT`), so the whole filter
     is oracle-checkable. h2 is forced odd so the stride never collapses
     to a single cell (and is coprime with power-of-two m)."""
-    h = F.md5(key)
-    h1 = F.conv(F.substring(h, 1, 15), 16, 10).cast("long") % m_bits
-    h2 = (
-        F.conv(F.substring(h, 17, 15), 16, 10).cast("long") % m_bits
-    ).bitwiseOR(F.lit(1).cast("long"))
-    i = F.sequence(F.lit(0), F.lit(k - 1))
-    return F.transform(i, lambda j: (h1 + j * h2) % m_bits)
+    return F.array(*_bloom_position_cols(key, m_bits, k))
 
 
 def _bit_mask(bit: F.Column) -> F.Column:
@@ -757,19 +768,28 @@ def bloom_gate(
     multi-GB filters, partition the bitmap by word range and join
     exploded probe positions instead (bloom_gate_joined).
     """
+    from radient_spark.functions.vector import lit_longs
+
     n_words = (m_bits + 31) // 32
     words = [0] * n_words
     for w, bits in bitmap.select("word", "bits").collect():
         words[int(w)] = int(bits)
-    lit_words = F.lit(words)
-    pos = bloom_positions(F.col(key_col), m_bits, k)
-    hit_all = F.forall(
-        pos,
-        lambda p: F.element_at(lit_words, (p / 32).cast("int") + 1).bitwiseAND(
-            _bit_mask((p % 32).cast("int"))
+    # ONE expression parse for the m/32-word literal (optimization r12,
+    # guide §5): F.lit(list) converts element-by-element over py4j —
+    # 0.79 s of driver time for a 2048-word bitmap; lit_longs is ~ms.
+    lit_words = lit_longs(words)
+    # Unrolled k-way AND of plain scalar probes instead of forall over
+    # the position array: stays inside whole-stage codegen (see
+    # _bloom_position_cols). Same probe arithmetic, same result.
+    hit_all = None
+    for p in _bloom_position_cols(F.col(key_col), m_bits, k):
+        hit = (
+            F.element_at(lit_words, (p / 32).cast("int") + 1).bitwiseAND(
+                _bit_mask((p % 32).cast("int"))
+            )
+            != 0
         )
-        != 0,
-    )
+        hit_all = hit if hit_all is None else (hit_all & hit)
     return batch.withColumn(out_col, hit_all)
 
 

@@ -9859,13 +9859,32 @@ def q_embedding_srp_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         sigs, id_col="vec_id", sim_col="srp", n_bits=16, bands=4,
         max_hamming=3,
     )
-    va = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
-    vb = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))
+    # Per-VECTOR norms computed once on the (broadcast) vector sides
+    # instead of per candidate pair (optimization r12, guide §4.1): the
+    # zip_with/aggregate folds are interpreted per element, and the old
+    # per-pair cosine paid dot + BOTH norms (3 folds) per candidate.
+    # Bit-identical: norm() is the same sequential fold, evaluated at a
+    # different node; dot/(na*nb) is the same float expression.
+    va = emb.select(
+        F.col("vec_id").alias("id_a"),
+        F.col("embedding").alias("va"),
+        V.norm("embedding").alias("__na"),
+    )
+    vb = emb.select(
+        F.col("vec_id").alias("id_b"),
+        F.col("embedding").alias("vb"),
+        V.norm("embedding").alias("__nb"),
+    )
     return (
         cand.join(va, "id_a")
         .join(vb, "id_b")
         .withColumn(
-            "score", F.round(V.cosine_similarity(F.col("va"), F.col("vb")), 4)
+            "score",
+            F.round(
+                V.dot(F.col("va"), F.col("vb"))
+                / (F.col("__na") * F.col("__nb")),
+                4,
+            ),
         )
         .filter(F.col("score") >= 0.4)
         .select("id_a", "id_b", "hamming", "score")
@@ -10001,13 +10020,28 @@ def q_srp_multiprobe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # partitions), but the exact-cosine verify below is CPU-bound per
     # row — re-spread to core count before it (compute-aware
     # repartitioning AQE cannot infer); measured 5.0s -> 3.5s at sf0.1
-    va = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
-    vb = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))
+    # per-vector norms once, not per pair — see q_embedding_srp_pairs
+    # (bit-identical: same fold, same division)
+    va = emb.select(
+        F.col("vec_id").alias("id_a"),
+        F.col("embedding").alias("va"),
+        V.norm("embedding").alias("__na"),
+    )
+    vb = emb.select(
+        F.col("vec_id").alias("id_b"),
+        F.col("embedding").alias("vb"),
+        V.norm("embedding").alias("__nb"),
+    )
     return (
         cand.join(va, "id_a")
         .join(vb, "id_b")
         .withColumn(
-            "score", F.round(V.cosine_similarity(F.col("va"), F.col("vb")), 4)
+            "score",
+            F.round(
+                V.dot(F.col("va"), F.col("vb"))
+                / (F.col("__na") * F.col("__nb")),
+                4,
+            ),
         )
         .filter(F.col("score") >= 0.4)
         .select("id_a", "id_b", "hamming", "score")
@@ -13375,23 +13409,40 @@ def q_bloom_runtime_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     fact = t["orders"].withColumn("__k", F.col("o_custkey").cast("string"))
     gated = bloom_gate(fact, bitmap, "__k", M, K)
     kept = gated.filter(F.col("maybe_dup"))
-    # ONE gated pass emits BOTH audit counts (optimization r12, guide
-    # §2.3): the old shape paid a separate bare-orders count scan plus a
-    # second gated scan just to count the survivors.
-    stats = gated.agg(
-        F.sum(F.col("maybe_dup").cast("long")).alias("n_fact_after_bloom"),
-        F.count(F.lit(1)).alias("n_fact_total"),
-    )
-    agg = (
-        kept.join(F.broadcast(dim), F.col("o_custkey") == F.col("c_custkey"))
-        .join(F.broadcast(t["nation"]), F.col("c_nationkey") == F.col("n_nationkey"))
+    # ONE probe evaluation total (optimization r12, guide §1.2/§2.3):
+    # the md5 double-hash gate is the expensive per-fact-row work, and
+    # the old two-branch shape (survivor-count aggregate + inner-join
+    # aggregate) evaluated it twice. LEFT-joining the survivors instead
+    # keeps Bloom false positives as a NULL-nation group, so a single
+    # grouped pass yields the per-nation aggregate AND the survivor
+    # count (window-sum over the nation-sized grouped table); exact
+    # results are unchanged because c_custkey is unique (the left join
+    # cannot duplicate fact rows) and false positives never matched the
+    # inner join anyway. n_fact_total drops the probe entirely — a
+    # column-pruned count-star scan.
+    per_key = (
+        kept.join(
+            F.broadcast(dim), F.col("o_custkey") == F.col("c_custkey"), "left"
+        )
+        .join(
+            F.broadcast(t["nation"]),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+            "left",
+        )
         .groupBy("n_name")
         .agg(
             F.count(F.lit(1)).alias("n_orders"),
             dsum(F.col("o_totalprice"), "revenue"),
         )
     )
-    return agg.crossJoin(F.broadcast(stats))
+    w_all = Window.partitionBy()
+    agg = per_key.withColumn(
+        "n_fact_after_bloom", F.sum("n_orders").over(w_all)
+    ).filter(F.col("n_name").isNotNull())
+    total = t["orders"].agg(F.count(F.lit(1)).alias("n_fact_total"))
+    return agg.crossJoin(F.broadcast(total)).select(
+        "n_name", "n_orders", "revenue", "n_fact_after_bloom", "n_fact_total"
+    )
 
 
 _Q_BLOOM_RF_SQL = """
