@@ -46,6 +46,8 @@ import numpy as np
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from radient_spark.lineage import truncate
+
 MAX_LEAF_SIZE = 200  # gann.py:15
 
 # Scale-adaptive width for the per-level build stages (optimization r12,
@@ -492,7 +494,7 @@ class IvfIndex:
             kept = (
                 cells.filter(F.col("cell_id").isin(touched))
                 .join(tombs, "id", "left_anti")
-                .localCheckpoint(eager=True)
+                .transform(lambda d: truncate(d, eager=True))
             )
             surviving = {
                 r["cell_id"]
@@ -878,7 +880,7 @@ class AnnIndex:
                 project,
                 "id long, vector array<float>, tree_id int, leaf_id int,"
                 " __nrm double, proj double",
-            ).localCheckpoint(eager=False)
+            ).transform(truncate)
             lo_q, hi_q = max(0.0, 0.5 - spill), min(1.0, 0.5 + spill)
             aggs = [
                 F.percentile_approx(
@@ -1064,7 +1066,7 @@ class AnnIndex:
             # lazy: the seed collect below windows over every cur
             # partition, so that job materializes the checkpoint — one
             # job per level instead of two (guide §1.2)
-            cur = cur.localCheckpoint(eager=False)
+            cur = truncate(cur)
             w_seed = Window.partitionBy("tree_id", "leaf_id").orderBy(
                 str_hash(
                     F.concat_ws(

@@ -37,6 +37,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from radient_spark.lineage import truncate
+
 END_MARK = "</w>"
 
 
@@ -162,7 +164,7 @@ def bpe_learn(
             # 2.25 -> ~1.3 s warm-min at sf0.1).
             vocab = vocab.withColumn(
                 "sym", _merge_fold(b["left_sym"], b["right_sym"])
-            ).localCheckpoint(eager=False)
+            ).transform(truncate)
         return spark.createDataFrame(
             merges,
             "round long, left_sym string, right_sym string, pair_count long",

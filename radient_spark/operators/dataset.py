@@ -16,6 +16,8 @@ from collections.abc import Sequence
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from radient_spark.lineage import truncate
+
 from radient_spark.functions import text as X
 from radient_spark.operators.dedup import str_hash
 
@@ -1385,7 +1387,7 @@ def domain_mixture_weights(
     # q_curation_pipeline_v5, whose upstream is the whole C4+dedup
     # funnel.  After the checkpoint the duplicated subtrees are all
     # reads of a tiny cached table.
-    base = base.localCheckpoint(eager=True)
+    base = truncate(base, eager=True)
     for _ in range(rounds):
         tot = base.agg(
             F.sum("w").alias("__sw"),
@@ -1521,7 +1523,7 @@ def greedy_max_coverage(
                 new_tokens
                 if covered is None
                 else covered.unionByName(new_tokens)
-            ).localCheckpoint(eager=False)
+            ).transform(truncate)
     finally:
         toks.unpersist()
     return spark.createDataFrame(

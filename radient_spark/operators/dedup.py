@@ -20,6 +20,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from radient_spark.lineage import truncate
+
 from radient_spark.functions import text as X
 
 # Modulus and affine-permutation parameters for MinHash. P is prime and
@@ -505,7 +507,7 @@ def connected_duplicate_groups(pairs: DataFrame, max_iter: int = 20) -> DataFram
         # evaluated ONCE. The old shape (probe on the raw plan, then a
         # separate eager checkpoint) evaluated every round twice
         # (guide §1.2).
-        new_labels = new_labels.localCheckpoint(eager=False)
+        new_labels = truncate(new_labels)
         changed = (
             new_labels.alias("n")
             .join(labels.alias("o"), "id")

@@ -29,13 +29,15 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from radient_spark.lineage import truncate
+
 
 def _release(result: DataFrame, *cached: DataFrame) -> DataFrame:
     """Materialize the node-sized result (eager localCheckpoint truncates
     its lineage off the iteration caches), then unpersist every
     iteration-scoped cache — repeated calls in one session must not
     accumulate cached edge/node tables (round-8 ADVICE)."""
-    out = result.localCheckpoint(eager=True)
+    out = truncate(result, eager=True)
     for df in cached:
         df.unpersist()
     return out
@@ -124,7 +126,7 @@ def pagerank(
             ).alias("__r"),
         )
         if (i + 1) % checkpoint_every == 0:
-            new = new.localCheckpoint(eager=False)
+            new = new.transform(truncate)
         old = ranks
         ranks = new.cache()
         old.unpersist()
@@ -316,7 +318,7 @@ def connected_components_star(
         .filter(F.col("a") != F.col("b"))
         .select(F.least("a", "b").alias("a"), F.greatest("a", "b").alias("b"))
         .distinct()
-        .localCheckpoint(eager=True)
+        .transform(lambda d: truncate(d, eager=True))
     )
     if e.isEmpty():
         # no non-self edges: every node (incl. self-pair-only ones) is
@@ -360,7 +362,7 @@ def connected_components_star(
             # lazy: the signature aggregate right below scans every
             # partition, so it materializes the checkpoint — one job
             # per star round instead of two (guide §1.2)
-            .localCheckpoint(eager=False)
+            .transform(truncate)
         )
         sig_row = ss.agg(
             F.count(F.lit(1)).alias("n"),
@@ -531,7 +533,7 @@ def kcore(
         .filter(F.col("a") != F.col("b"))
         .select(F.least("a", "b").alias("a"), F.greatest("a", "b").alias("b"))
         .distinct()
-        .localCheckpoint(eager=False)
+        .transform(truncate)
     )
     cur = und
     n_edges = cur.count()
@@ -546,7 +548,7 @@ def kcore(
         cur = (
             cur.join(alive.withColumnRenamed("n", "a"), "a", "left_semi")
             .join(alive.withColumnRenamed("n", "b"), "b", "left_semi")
-            .localCheckpoint(eager=False)
+            .transform(truncate)
         )
         # unchanged edge count == no node dropped == fixed point; every
         # further round is the identity, so stopping early returns
@@ -639,7 +641,7 @@ def label_propagation(
         labels = (
             neigh.groupBy("node")
             .agg(F.mode("lbl", True).alias("lbl"))
-            .localCheckpoint(eager=False)
+            .transform(truncate)
         )
     out = labels.select("node", F.col("lbl").alias("community"))
     return _release(out, adj)
@@ -727,7 +729,7 @@ def wl_colors(
             # lazy: materializes once in the _release job (see
             # label_propagation — one job per sweep, not per round);
             # colors are deterministic (sorted multiset + md5)
-            .localCheckpoint(eager=False)
+            .transform(truncate)
         )
     out = colors.select("node", F.col("color").alias("wl_color"))
     return _release(out, adj)
@@ -770,8 +772,8 @@ def bfs_layers(
     )
     adj.count()  # eager: build the roster once before the levels
     frontier = seeds.select(F.col(node_col).alias("n")).distinct()
-    visited = frontier.withColumn("depth", F.lit(0)).localCheckpoint(
-        eager=True
+    visited = truncate(
+        frontier.withColumn("depth", F.lit(0)), eager=True
     )
     frontier = visited.select("n")
     for d in range(1, max_depth + 1):
@@ -783,9 +785,10 @@ def bfs_layers(
             .select(F.explode("__vs").alias("n"))
             .distinct()
         )
-        fresh = neighbors.join(
-            visited.select("n"), "n", "left_anti"
-        ).localCheckpoint(eager=True)
+        fresh = truncate(
+            neighbors.join(visited.select("n"), "n", "left_anti"),
+            eager=True,
+        )
         if fresh.isEmpty():
             break
         # visited is a UNION of flat checkpointed levels — each level is
@@ -868,7 +871,7 @@ def hyperball(
         # contents are deterministic (md5-derived rho, MAX-folded), so
         # the whole sweep materializes in the single _release job at
         # the end — one job instead of one per round (guide §1.2)
-        .localCheckpoint(eager=False)
+        .transform(truncate)
     )
 
     def _n_t(r: DataFrame, t: int) -> DataFrame:
@@ -907,7 +910,7 @@ def hyperball(
             regs.unionByName(neigh)
             .groupBy("node", "idx")
             .agg(F.max("rho").alias("rho"))
-            .localCheckpoint(eager=False)
+            .transform(truncate)
         )
         out = out.unionByName(_n_t(regs, t))
     return _release(out, adj)
@@ -1055,7 +1058,7 @@ def hyperball_harmonic(
         )
         # lazy — see hyperball: deterministic registers, one _release
         # job materializes the whole sweep (guide §1.2)
-        .localCheckpoint(eager=False)
+        .transform(truncate)
     )
 
     def _est_lattice(r: DataFrame, out: str) -> DataFrame:
@@ -1087,7 +1090,7 @@ def hyperball_harmonic(
             regs.unionByName(neigh)
             .groupBy("node", "idx")
             .agg(F.max("rho").alias("rho"))
-            .localCheckpoint(eager=False)
+            .transform(truncate)
         )
         balls = balls.join(_est_lattice(regs, f"e{t}"), "node")
     harm = None

@@ -72,3 +72,23 @@ def test_frequent_pairs_rejects_bad_min_support(spark):
     df = spark.createDataFrame(ROWS, ["basket", "item"])
     with pytest.raises(ValueError):
         frequent_pairs(df, "basket", "item", min_support=0)
+
+
+def test_frequent_pairs_prunes_before_roster(spark):
+    """Round-13 fan-out guard: infrequent items are semi-join-pruned
+    BEFORE the roster collect_set (Apriori downward closure), so a hub
+    basket of long-tail items cannot explode quadratically and a roster
+    row holds only frequent items."""
+    df = spark.createDataFrame(ROWS, ["basket", "item"])
+    plan = (
+        frequent_pairs(df, "basket", "item", min_support=2)
+        ._jdf.queryExecution()
+        .optimizedPlan()
+        .toString()
+    )
+    assert "LeftSemi" in plan, plan
+    # Printed tree order is parent-then-children: the roster aggregate
+    # (collect_set) must be ABOVE the semi-join, i.e. the prune feeds it.
+    agg_at = plan.index("collect_set")
+    semi_at = plan.index("LeftSemi")
+    assert semi_at > agg_at, plan
