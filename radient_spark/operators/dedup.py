@@ -501,10 +501,14 @@ def connected_duplicate_groups(pairs: DataFrame, max_iter: int = 20) -> DataFram
             )
         )
         # Checkpoint FIRST (lazily), then run the convergence probe
-        # FROM the checkpointed frame: the probe's join shuffles every
-        # new_labels partition before the limit can apply, so the same
-        # job materializes the checkpoint — the round's plan is
-        # evaluated ONCE. The old shape (probe on the raw plan, then a
+        # FROM the checkpointed frame as a full aggregate: a count over
+        # the changed rows provably scans every new_labels partition,
+        # so the probe job is guaranteed to materialize the checkpoint
+        # — the round's plan is evaluated ONCE. (The previous
+        # limit(1).count() probe could short-circuit under a
+        # broadcast-join plan, leaving partitions for a supplemental
+        # checkpoint job — correct, but plan-dependent; round-12
+        # advice.) The old shape (probe on the raw plan, then a
         # separate eager checkpoint) evaluated every round twice
         # (guide §1.2).
         new_labels = truncate(new_labels)
@@ -512,7 +516,6 @@ def connected_duplicate_groups(pairs: DataFrame, max_iter: int = 20) -> DataFram
             new_labels.alias("n")
             .join(labels.alias("o"), "id")
             .filter(F.col("n.group_id") != F.col("o.group_id"))
-            .limit(1)
             .count()
         )
         labels = new_labels

@@ -11,9 +11,15 @@ Spark-first shape per iteration: contributions = one join of the edge
 list with the current rank vector on src (sort-merge, both sides
 pre-shuffled on the same key across iterations), one groupBy(dst) sum
 (map-side combined), one left join back onto the node set. No driver
-state beyond the node count; no collect. Lineage is truncated with
-localCheckpoint every few rounds, the same discipline as connected
-components (operators/dedup.py).
+state beyond the node count; no collect. Lineage is truncated per round
+through radient_spark.lineage.truncate (localCheckpoint by default,
+reliable checkpoint under SPARK_GRAFT_CHECKPOINT_DIR), the same
+discipline as connected components (operators/dedup.py). The lazy
+per-round truncation defers all materialization to the sweep's single
+release job, which assumes the SMALL FIXED round counts the registry
+uses (2-6): physical lineage depth grows with `rounds`, so an executor
+loss mid-job recomputes from round 0 — for large sweeps set the
+reliable checkpoint dir (bounded recompute) instead.
 
 Two arithmetic modes:
   * `pagerank` — float64, the production operator (validated against a
@@ -30,6 +36,75 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from radient_spark.lineage import truncate
+
+
+def _roster_salts() -> int:
+    """SPARK_GRAFT_ROSTER_SALTS (default 1): how many rows a node's
+    adjacency roster may be split across. The default keeps one
+    collect_set/collect_list row per node — cheapest, and fine for
+    degree-capped projections like the co-supply graph — but a
+    social-scale hub (10^7 neighbors) would put its whole neighborhood
+    in ONE aggregation buffer/row (guide §5). Setting S > 1 salts the
+    roster by pmod(xxhash64(neighbor), S), bounding every roster row to
+    ~degree/S neighbors with results provably identical: a roster is
+    just a grouping of the edge list, every per-round consumer joins on
+    the node key and explodes the arrays, and the salt is a
+    deterministic function of the neighbor value so set-dedup stays
+    global. Costs one extra setup exchange (re-partition by the join
+    key so rounds stay exchange-free) — a deployment knob, not a local
+    default."""
+    import os
+
+    try:
+        s = int(os.environ.get("SPARK_GRAFT_ROSTER_SALTS", "1"))
+    except ValueError:
+        s = 1
+    return max(1, s)
+
+
+def _roster(pairs: DataFrame, key: str, val: str, agg, out: str) -> DataFrame:
+    """groupBy(key).agg(agg(val)) — the adjacency-roster aggregation
+    every iterative operator builds — with the optional hub split of
+    _roster_salts(). With S > 1 the output may hold several rows per
+    key, re-partitioned by ``key`` so per-round joins keep the
+    exchange-free discipline; callers that need one-row-per-key
+    semantics (initial node sets, degrees) handle S > 1 explicitly."""
+    s = _roster_salts()
+    grouped = pairs.groupBy(key).agg(agg(val).alias(out))
+    if s == 1:
+        return grouped
+    return (
+        pairs.withColumn(
+            "__salt", F.pmod(F.xxhash64(F.col(val)), F.lit(s))
+        )
+        .groupBy(key, "__salt")
+        .agg(agg(val).alias(out))
+        .drop("__salt")
+        .repartition(F.col(key))
+    )
+
+
+def _roster_keys(adj: DataFrame, key: str) -> DataFrame:
+    """One row per roster key (the node universe of the keyed side) —
+    a plain projection when rosters are one row per key, a distinct
+    when the hub split may have produced several."""
+    sel = adj.select(key)
+    return sel if _roster_salts() == 1 else sel.distinct()
+
+
+def _roster_sizes(
+    adj: DataFrame, key: str, arr: str, key_out: str, out: str
+) -> DataFrame:
+    """(key, total roster size) with exactly one row per key: size()
+    per row by default, summed across rows under the hub split (salt
+    groups partition the neighbor set, so the sum is the degree)."""
+    if _roster_salts() == 1:
+        return adj.select(F.col(key).alias(key_out), F.size(arr).alias(out))
+    return (
+        adj.groupBy(key)
+        .agg(F.sum(F.size(arr)).alias(out))
+        .select(F.col(key).alias(key_out), out)
+    )
 
 
 def _release(result: DataFrame, *cached: DataFrame) -> DataFrame:
@@ -68,12 +143,10 @@ def pagerank(
     endpoints are not propagated as rank sinks; null-keyed edges never
     matched the contribution join anyway.)
     """
-    adj = (
-        edges.select(F.col(src).alias("__src"), F.col(dst).alias("__dst"))
-        .groupBy("__src")
-        .agg(F.collect_list("__dst").alias("__ds"))
-        .persist()
-    )
+    adj = _roster(
+        edges.select(F.col(src).alias("__src"), F.col(dst).alias("__dst")),
+        "__src", "__dst", F.collect_list, "__ds",
+    ).persist()
     nodes = (
         adj.select(F.col("__src").alias("node"))
         .unionByName(adj.select(F.explode("__ds").alias("node")))
@@ -97,9 +170,7 @@ def pagerank(
     # inner join and are now filtered explicitly.
     nd = (
         nodes.join(
-            adj.select(
-                F.col("__src").alias("node"), F.size("__ds").alias("__deg")
-            ),
+            _roster_sizes(adj, "__src", "__ds", "node", "__deg"),
             "node",
             "left",
         )
@@ -165,12 +236,10 @@ def pagerank_integer(
     == list roster over distinct edges, and contribution sums are
     order-exact integers); leave False to preserve edge multiplicity."""
     roster_agg = F.collect_set if dedup_edges else F.collect_list
-    adj = (
-        edges.select(F.col(src).alias("__src"), F.col(dst).alias("__dst"))
-        .groupBy("__src")
-        .agg(roster_agg("__dst").alias("__ds"))
-        .persist()
-    )
+    adj = _roster(
+        edges.select(F.col(src).alias("__src"), F.col(dst).alias("__dst")),
+        "__src", "__dst", roster_agg, "__ds",
+    ).persist()
     nodes = (
         adj.select(F.col("__src").alias("node"))
         .unionByName(adj.select(F.explode("__ds").alias("node")))
@@ -188,9 +257,7 @@ def pagerank_integer(
     # node fold per round; __r div __deg per source is unchanged
     nd = (
         nodes.join(
-            adj.select(
-                F.col("__src").alias("node"), F.size("__ds").alias("__deg")
-            ),
+            _roster_sizes(adj, "__src", "__ds", "node", "__deg"),
             "node",
             "left",
         )
@@ -613,20 +680,18 @@ def label_propagation(
 
     Returns (node, community).
     """
-    adj = (
+    adj = _roster(
         edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
         .unionByName(
             edges.select(F.col(dst).alias("u"), F.col(src).alias("v"))
         )
-        .filter(F.col("u") != F.col("v"))
-        .groupBy("v")
-        .agg(F.collect_set("u").alias("__us"))
-        .persist()
-    )
+        .filter(F.col("u") != F.col("v")),
+        "v", "u", F.collect_set, "__us",
+    ).persist()
     adj.count()  # eager: build the roster once before the sweeps
-    labels = adj.select(F.col("v").alias("node")).withColumn(
-        "lbl", F.col("node")
-    )
+    labels = _roster_keys(adj, "v").select(
+        F.col("v").alias("node")
+    ).withColumn("lbl", F.col("node"))
     for _ in range(rounds):
         neigh = adj.join(
             labels.withColumnRenamed("node", "v"), "v"
@@ -677,20 +742,17 @@ def wl_colors(
 
     Returns (node, wl_color).
     """
-    adj = (
+    adj = _roster(
         edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
         .unionByName(
             edges.select(F.col(dst).alias("u"), F.col(src).alias("v"))
         )
-        .filter(F.col("u") != F.col("v"))
-        .groupBy("v")
-        .agg(F.collect_set("u").alias("__us"))
-        .persist()
-    )
+        .filter(F.col("u") != F.col("v")),
+        "v", "u", F.collect_set, "__us",
+    ).persist()
     adj.count()  # eager: build the roster once before the rounds
-    colors = adj.select(
-        F.col("v").alias("node"),
-        F.size("__us").cast("string").alias("color"),
+    colors = _roster_sizes(adj, "v", "__us", "node", "__d").select(
+        "node", F.col("__d").cast("string").alias("color")
     )
     for _ in range(rounds):
         neigh = adj.join(
@@ -760,16 +822,14 @@ def bfs_layers(
     synchronized superstep, the Pregel discipline; no per-node
     recursion, no driver state.
     """
-    adj = (
+    adj = _roster(
         edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
         .unionByName(
             edges.select(F.col(dst).alias("u"), F.col(src).alias("v"))
         )
-        .filter(F.col("u") != F.col("v"))
-        .groupBy("u")
-        .agg(F.collect_set("v").alias("__vs"))
-        .persist()
-    )
+        .filter(F.col("u") != F.col("v")),
+        "u", "v", F.collect_set, "__vs",
+    ).persist()
     adj.count()  # eager: build the roster once before the levels
     frontier = seeds.select(F.col(node_col).alias("n")).distinct()
     visited = truncate(
@@ -842,22 +902,21 @@ def hyperball(
     # persist keeps that partitioning visible, so each round's
     # roster-register join shuffles only the register state — and the
     # join input is one row per node instead of one per (edge, register).
-    adj = (
+    adj = _roster(
         edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
         .unionByName(
             edges.select(F.col(dst).alias("u"), F.col(src).alias("v"))
         )
-        .filter(F.col("u") != F.col("v"))
-        .groupBy("v")
-        .agg(F.collect_set("u").alias("__us"))
-        .persist()
-    )
+        .filter(F.col("u") != F.col("v")),
+        "v", "u", F.collect_set, "__us",
+    ).persist()
     adj.count()  # eager: build the roster once before the rounds
     h = F.conv(
         F.substring(F.md5(F.col("node").cast("string")), 1, 15), 16, 10
     ).cast("long")
     regs = (
-        adj.select(F.col("v").alias("node"))
+        _roster_keys(adj, "v")
+        .select(F.col("v").alias("node"))
         .select(
             "node",
             (h % m).alias("idx"),
@@ -941,12 +1000,10 @@ def personalized_pagerank_integer(
     personalization changes only the restart term. ``dedup_edges``:
     see pagerank_integer."""
     roster_agg = F.collect_set if dedup_edges else F.collect_list
-    adj = (
-        edges.select(F.col(src).alias("__src"), F.col(dst).alias("__dst"))
-        .groupBy("__src")
-        .agg(roster_agg("__dst").alias("__ds"))
-        .persist()
-    )
+    adj = _roster(
+        edges.select(F.col(src).alias("__src"), F.col(dst).alias("__dst")),
+        "__src", "__dst", roster_agg, "__ds",
+    ).persist()
     nodes = (
         adj.select(F.col("__src").alias("node"))
         .unionByName(adj.select(F.explode("__ds").alias("node")))
@@ -961,9 +1018,7 @@ def personalized_pagerank_integer(
     # degree carried inside the iterated state (see pagerank)
     nd = (
         nodes.join(
-            adj.select(
-                F.col("__src").alias("node"), F.size("__ds").alias("__deg")
-            ),
+            _roster_sizes(adj, "__src", "__ds", "node", "__deg"),
             "node",
             "left",
         )
@@ -1031,22 +1086,21 @@ def hyperball_harmonic(
     numer = hll_alpha(m) * m * m * float(1 << 50)
     lcm = math.lcm(*range(1, rounds + 1))
     # Adjacency-roster form — see hyperball (optimization r12).
-    adj = (
+    adj = _roster(
         edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
         .unionByName(
             edges.select(F.col(dst).alias("u"), F.col(src).alias("v"))
         )
-        .filter(F.col("u") != F.col("v"))
-        .groupBy("v")
-        .agg(F.collect_set("u").alias("__us"))
-        .persist()
-    )
+        .filter(F.col("u") != F.col("v")),
+        "v", "u", F.collect_set, "__us",
+    ).persist()
     adj.count()  # eager: build the roster once before the rounds
     h = F.conv(
         F.substring(F.md5(F.col("node").cast("string")), 1, 15), 16, 10
     ).cast("long")
     regs = (
-        adj.select(F.col("v").alias("node"))
+        _roster_keys(adj, "v")
+        .select(F.col("v").alias("node"))
         .select(
             "node",
             (h % m).alias("idx"),

@@ -70,6 +70,9 @@ def main() -> None:
             "construct_s": round(t1 - t0, 3),
             "cold_exec_s": round(t2 - t1, 3),
             "warm_total_s": warm,
+            # per-query job count for the cold noop write (round-12
+            # advice: report the delta, not just the cumulative total)
+            "jobs_cold": njobs - jobs_before,
             "jobs_cum": njobs,
         }
         print(
